@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator from
+SURVEY.md §2 (keys prefixed with the §2 operator id where applicable);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for the correctness
+gate. Column names/aliases match on both sides; float scores are rounded
+to 6 decimals on both sides (before the final order-by) so the
+value-hash comparison is stable across engines.
 """
 
 from __future__ import annotations
@@ -12,27 +13,351 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    row = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == vec_id).select("embedding").first()
+    return [float(x) for x in row["embedding"]]
+
+
+# --------------------------------------------------------------- queries
+
+def q_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1/V14/O1-O3: exact top-k by L2, reference ordering contract."""
+    from muopdb_spark.operators.knn import knn
+
+    qv = _query_vector(spark, sf_dir)
+    return knn(
+        _t(spark, sf_dir, "embeddings"), qv, 10,
+        vector_col="embedding", id_col="vec_id", metric="l2", score_decimals=6,
+    )
+
+
+def q_knn_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V15: negated dot product (lower = closer)."""
+    from muopdb_spark.operators.knn import knn
+
+    qv = _query_vector(spark, sf_dir)
+    return knn(
+        _t(spark, sf_dir, "embeddings"), qv, 10,
+        vector_col="embedding", id_col="vec_id", metric="dot", score_decimals=6,
+    )
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine distance top-k (capability-exceeding metric)."""
+    from muopdb_spark.operators.knn import knn
+
+    qv = _query_vector(spark, sf_dir)
+    return knn(
+        _t(spark, sf_dir, "embeddings"), qv, 10,
+        vector_col="embedding", id_col="vec_id", metric="cosine", score_decimals=6,
+    )
+
+
+def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V16: segment/user top-k merge — many queries, per-query window top-k."""
+    from muopdb_spark.operators.knn import knn_batch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector"))
+    )
+    out = knn_batch(emb, queries, 5, id_col="vec_id", metric="l2")
+    return out.select("query_id", "vec_id", F.round("score", 6).alias("score"))
+
+
+def q_filter_and_or_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F5/F9: nested AND/OR/Ids filter algebra compiled to one Column."""
+    from muopdb_spark.filters.compiler import FilterSchema, compile_filter
+    from muopdb_spark.functions.text import simple_tokens
+
+    docs = _t(spark, sf_dir, "documents").withColumn("text_tokens", simple_tokens("text"))
+    schema = FilterSchema({"text": "text", "lang": "keyword", "source": "keyword"})
+    tree = {
+        "and": [
+            {"or": [
+                {"contains": {"path": "lang", "value": "en"}},
+                {"contains": {"path": "lang", "value": "fr"}},
+            ]},
+            {"contains": {"path": "text", "value": "spark"}},
+        ]
+    }
+    cond = compile_filter(tree, schema, id_col="doc_id", stem=False)
+    return docs.filter(cond).select("doc_id").orderBy("doc_id")
+
+
+def q_filter_multi_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: multi-token Contains = AND of per-token membership."""
+    from muopdb_spark.filters.compiler import FilterSchema, compile_filter
+    from muopdb_spark.functions.text import simple_tokens
+
+    docs = _t(spark, sf_dir, "documents").withColumn("text_tokens", simple_tokens("text"))
+    schema = FilterSchema({"text": "text"})
+    cond = compile_filter(
+        {"contains": {"path": "text", "value": "spark join merge"}},
+        schema, id_col="doc_id", stem=False,
+    )
+    return docs.filter(cond).select("doc_id").orderBy("doc_id")
+
+
+def q_filter_not_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: NotContains — declared-but-todo!() in the reference; implemented here."""
+    from muopdb_spark.filters.compiler import FilterSchema, compile_filter
+    from muopdb_spark.functions.text import simple_tokens
+
+    docs = _t(spark, sf_dir, "documents").withColumn("text_tokens", simple_tokens("text"))
+    schema = FilterSchema({"text": "text", "lang": "keyword"})
+    tree = {
+        "and": [
+            {"contains": {"path": "lang", "value": "en"}},
+            {"not_contains": {"path": "text", "value": "spark"}},
+        ]
+    }
+    cond = compile_filter(tree, schema, id_col="doc_id", stem=False)
+    return docs.filter(cond).select("doc_id").orderBy("doc_id")
+
+
+def q_term_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 TermSearch: filter → distinct → sorted → limit (snapshot.rs:141-146)."""
+    from muopdb_spark.filters.compiler import FilterSchema, term_search
+    from muopdb_spark.functions.text import simple_tokens
+
+    docs = _t(spark, sf_dir, "documents").withColumn("text_tokens", simple_tokens("text"))
+    schema = FilterSchema({"text": "text"})
+    return term_search(
+        docs, {"contains": {"path": "text", "value": "window"}},
+        schema, limit=25, id_col="doc_id",
+    )
+
+
+def q_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: per-group doc counts (segment stats analog) over documents by lang."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1-O3: global top-k with deterministic tiebreak (TakeOrderedAndProject)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide aggregation with map-side partials."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_join_cust_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J3-style equi joins: dims broadcast, fact aggregated."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS) which Spark 4 rejects;
+    read nanos as long and convert (integer division — double math loses
+    precision at 1e18 epoch-nanos)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the events table (batch form of
+    the streaming windowed agg; oracle-able via date_trunc)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+# ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001: exact KNN with the reference's ordering
+    contract — the M0 end-to-end slice."""
+    return q_knn_l2(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "v1_knn_l2": q_knn_l2,
+        "v15_knn_dot": q_knn_dot,
+        "knn_cosine": q_knn_cosine,
+        "v16_knn_batch_merge": q_knn_batch,
+        "f1_filter_and_or_ids": q_filter_and_or_ids,
+        "f6_filter_multi_token": q_filter_multi_token,
+        "f7_filter_not_contains": q_filter_not_contains,
+        "t_term_search": q_term_search,
+        "a1_doc_counts": q_doc_counts,
+        "o1_topk_orders": q_topk_orders,
+        "agg_pricing_summary": q_pricing_summary,
+        "j_join_cust_orders": q_join_cust_orders,
+        "w_events_hourly": q_events_hourly,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qvec = "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
+    return {
+        "v1_knn_l2": f"""
+            SELECT vec_id,
+                   round(list_distance(embedding::DOUBLE[], {qvec}), 6) AS score
+            FROM embeddings
+            ORDER BY score ASC, vec_id ASC
+            LIMIT 10
+        """,
+        "v15_knn_dot": f"""
+            SELECT vec_id,
+                   round(-list_dot_product(embedding::DOUBLE[], {qvec}), 6) AS score
+            FROM embeddings
+            ORDER BY score ASC, vec_id ASC
+            LIMIT 10
+        """,
+        "knn_cosine": f"""
+            SELECT vec_id,
+                   round(1.0 - list_cosine_similarity(embedding::DOUBLE[], {qvec}), 6) AS score
+            FROM embeddings
+            ORDER BY score ASC, vec_id ASC
+            LIMIT 10
+        """,
+        "v16_knn_batch_merge": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS query_vector
+                FROM embeddings WHERE vec_id < 5
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       round(list_distance(e.embedding::DOUBLE[], q.query_vector), 6) AS score,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_distance(e.embedding::DOUBLE[], q.query_vector) ASC,
+                                    e.vec_id ASC
+                       ) AS rnk
+                FROM embeddings e CROSS JOIN q
+            )
+            SELECT query_id, vec_id, score FROM scored WHERE rnk <= 5
+        """,
+        "f1_filter_and_or_ids": """
+            SELECT doc_id FROM documents
+            WHERE (lang = 'en' OR lang = 'fr')
+              AND list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'spark')
+            ORDER BY doc_id
+        """,
+        "f6_filter_multi_token": """
+            SELECT doc_id FROM documents
+            WHERE list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'spark')
+              AND list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'join')
+              AND list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'merge')
+            ORDER BY doc_id
+        """,
+        "f7_filter_not_contains": """
+            SELECT doc_id FROM documents
+            WHERE lang = 'en'
+              AND NOT list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'spark')
+            ORDER BY doc_id
+        """,
+        "t_term_search": """
+            SELECT DISTINCT doc_id FROM documents
+            WHERE list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'window')
+            ORDER BY doc_id
+            LIMIT 25
+        """,
+        "a1_doc_counts": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   sum(n_chars) AS total_chars,
+                   round(avg(n_chars), 6) AS avg_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "o1_topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+        """,
+        "agg_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "j_join_cust_orders": """
+            SELECT n_name,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 4) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "w_events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+    }

@@ -1,0 +1,195 @@
+"""Tokenization + stemming, the reference's text pipeline.
+
+Reference semantics:
+  - whitespace tokenizer splitting on Unicode whitespace
+    (rs/index/src/tokenizer/white_space_tokenizer.rs:22-110)
+  - lowercase + Snowball stemming per token, 19 languages; unsupported
+    languages fall back to English (stemming_tokenizer.rs:16-111)
+  - term index key is "{field}:{stemmed_token}" (mutable_segment.rs:92)
+
+Spark-first implementation: tokenization is a native Column expression
+(JVM-side). Stemming is an English Porter stemmer (classic public
+algorithm, Porter 1980) as an Arrow-batched pandas UDF — no stemmer
+package is available in this environment, and a deterministic pure
+implementation keeps the oracle reproducible. Non-English languages fall
+back to no-op stemming (the reference itself falls back for Vietnamese).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+
+def whitespace_tokens(col: Column | str) -> Column:
+    """Split on runs of whitespace, lowercase, drop empties — the
+    whitespace tokenizer (white_space_tokenizer.rs:22-110)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != "")
+
+
+def simple_tokens(col: Column | str) -> Column:
+    """Lowercase alnum tokens (split on non-alphanumerics). This is the
+    oracle-friendly tokenizer: DuckDB mirrors it exactly with
+    string_split_regex(lower(x), '[^a-z0-9]+')."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), r"[^a-z0-9]+"), lambda t: t != "")
+
+
+def term_key(field: str, token: Column) -> Column:
+    """Index key format "{field}:{token}" (mutable_segment.rs:92)."""
+    return F.concat_ws(":", F.lit(field), token)
+
+
+# ---------------------------------------------------------------- Porter
+
+_VOWELS = set("aeiou")
+
+
+def _is_cons(word: str, i: int) -> bool:
+    ch = word[i]
+    if ch in _VOWELS:
+        return False
+    if ch == "y":
+        return i == 0 or not _is_cons(word, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """Porter's m: number of VC sequences."""
+    m, prev_vowel = 0, False
+    for i in range(len(stem)):
+        cons = _is_cons(stem, i)
+        if cons and prev_vowel:
+            m += 1
+        prev_vowel = not cons
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(word: str) -> bool:
+    return len(word) >= 2 and word[-1] == word[-2] and _is_cons(word, len(word) - 1)
+
+
+def _cvc(word: str) -> bool:
+    if len(word) < 3:
+        return False
+    return (
+        _is_cons(word, len(word) - 3)
+        and not _is_cons(word, len(word) - 2)
+        and _is_cons(word, len(word) - 1)
+        and word[-1] not in "wxy"
+    )
+
+
+def porter_stem(word: str) -> str:
+    """Classic Porter (1980) stemmer, steps 1-5."""
+    w = word.lower()
+    if len(w) <= 2:
+        return w
+
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif not w.endswith("ss") and w.endswith("s"):
+        w = w[:-1]
+
+    # step 1b
+    flag = False
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed") and _has_vowel(w[:-2]):
+        w, flag = w[:-2], True
+    elif w.endswith("ing") and _has_vowel(w[:-3]):
+        w, flag = w[:-3], True
+    if flag:
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+        elif _ends_double_cons(w) and w[-1] not in "lsz":
+            w = w[:-1]
+        elif _measure(w) == 1 and _cvc(w):
+            w += "e"
+
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    # step 2
+    for suf, rep in (
+        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+        ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+        ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+        ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+        ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+    ):
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+
+    # step 3
+    for suf, rep in (
+        ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+        ("ical", "ic"), ("ful", ""), ("ness", ""),
+    ):
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+
+    # step 4
+    for suf in (
+        "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+        "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+    ):
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 1:
+                if suf == "ion" and not stem.endswith(("s", "t")):
+                    break
+                w = stem
+            break
+
+    # step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _cvc(stem)):
+            w = stem
+    # step 5b
+    if _ends_double_cons(w) and w.endswith("l") and _measure(w) > 1:
+        w = w[:-1]
+    return w
+
+
+def stem_word(word: str, language: str = "english") -> str:
+    """Stem one token. English → Porter; everything else is identity
+    (the reference falls back to English for Vietnamese —
+    stemming_tokenizer.rs:26; we degrade the same way)."""
+    if language in ("english", "en"):
+        return porter_stem(word)
+    return word.lower()
+
+
+@pandas_udf(ArrayType(StringType()))
+def stem_tokens_udf(tokens: pd.Series) -> pd.Series:
+    """Arrow-batched stemmer over an array<string> column (english)."""
+    return tokens.map(lambda ts: None if ts is None else [porter_stem(t) for t in ts])
+
+
+def stemmed_tokens(col: Column | str, language: str = "english") -> Column:
+    """tokenize + stem in one expression: the TEXT-attribute pipeline
+    (mutable_segment.rs:74-99)."""
+    toks = whitespace_tokens(col)
+    if language in ("english", "en"):
+        return stem_tokens_udf(toks)
+    return toks

@@ -1,0 +1,22 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import SparkSession
+
+os.environ.setdefault("SPARK_GRAFT_CPUS", "4")  # keep test JVM small
+
+
+@pytest.fixture(scope="session")
+def spark() -> SparkSession:
+    from muopdb_spark.session import get_spark
+
+    s = get_spark("muopdb-tests", shuffle_partitions=4)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
