@@ -229,6 +229,122 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------- dedup suite
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content fingerprint + canonical-representative flag."""
+    from muopdb_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via inverted shingle index."""
+    from muopdb_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.8
+    ).orderBy("doc_a", "doc_b")
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8) + 4-band LSH candidates + exact-Jaccard verification."""
+    from muopdb_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n=3, num_hashes=8, bands=4, threshold=0.8
+    ).orderBy("doc_a", "doc_b")
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signature table (map-side expression only)."""
+    from muopdb_spark.operators.dedup import simhash_table
+
+    return simhash_table(_t(spark, sf_dir, "documents"), bits=16).orderBy("doc_id")
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact; oracle for LSH variants)."""
+    from muopdb_spark.operators.dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
+    ).orderBy("id_a", "id_b")
+
+
+# ----------------------------------------------------- dedup oracle SQL
+
+_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+_SHINGLES_CTE = f"""
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3
+                    THEN list_distinct(list_transform(
+                         range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                    ELSE []::VARCHAR[] END AS sh
+        FROM t
+    ),
+    s2 AS (SELECT doc_id, sh, len(sh) AS n FROM s WHERE len(sh) > 0)
+"""
+
+
+def _minhash_oracle() -> str:
+    hs = ",\n               ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min') AS h{i}"
+        for i in range(8)
+    )
+    bands = ",\n               ".join(
+        f"md5(h{2*b} || '|' || h{2*b+1}) AS b{b}" for b in range(4)
+    )
+    band_cond = " OR ".join(f"a.b{b} = b.b{b}" for b in range(4))
+    est = " + ".join(f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(8))
+    return f"""
+        WITH {_SHINGLES_CTE},
+        sig AS (
+            SELECT doc_id, sh, {hs}
+            FROM s2
+        ),
+        sigb AS (
+            SELECT *, {bands}
+            FROM sig
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   ({est}) / 8.0 AS est_jaccard,
+                   len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+            FROM sigb a, sigb b
+            WHERE a.doc_id < b.doc_id AND ({band_cond})
+        )
+        SELECT doc_a, doc_b, round(est_jaccard, 6) AS est_jaccard,
+               round(jaccard, 6) AS jaccard
+        FROM pairs WHERE jaccard >= 0.8
+        ORDER BY doc_a, doc_b
+    """
+
+
+def _simhash_oracle() -> str:
+    hexdig = "0123456789abcdef"
+    votes = []
+    for b in range(16):
+        pos, shift = b // 4 + 1, b % 4
+        votes.append(
+            f"CASE WHEN list_aggregate(list_transform(toks, "
+            f"t -> (((strpos('{hexdig}', substr(md5(t), {pos}, 1)) - 1) >> {shift}) & 1) * 2 - 1"
+            f"), 'sum') > 0 THEN {2**b} ELSE 0 END"
+        )
+    acc = "\n                 + ".join(votes)
+    return f"""
+        WITH t AS (
+            SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
+        )
+        SELECT doc_id, CAST({acc} AS BIGINT) AS simhash
+        FROM t ORDER BY doc_id
+    """
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -252,6 +368,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing_summary": q_pricing_summary,
         "j_join_cust_orders": q_join_cust_orders,
         "w_events_hourly": q_events_hourly,
+        "d1_dedup_exact": q_dedup_exact,
+        "d2_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "d3_dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "d4_dedup_simhash": q_dedup_simhash,
+        "d5_dedup_embedding_cosine": q_dedup_embedding,
     }
 
 
@@ -359,5 +480,40 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value
             FROM events
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "d1_dedup_exact": r"""
+            WITH f AS (
+                SELECT doc_id,
+                       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+                FROM documents
+            )
+            SELECT doc_id, fingerprint,
+                   count(*) OVER (PARTITION BY fingerprint) AS group_size,
+                   doc_id = min(doc_id) OVER (PARTITION BY fingerprint) AS is_canonical
+            FROM f ORDER BY doc_id
+        """,
+        "d2_dedup_ngram_jaccard": f"""
+            WITH {_SHINGLES_CTE},
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       len(list_intersect(a.sh, b.sh))::DOUBLE
+                         / (a.n + b.n - len(list_intersect(a.sh, b.sh))) AS jaccard
+                FROM s2 a, s2 b
+                WHERE a.doc_id < b.doc_id
+                  AND len(list_intersect(a.sh, b.sh)) > 0
+            )
+            SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+            FROM pairs WHERE jaccard >= 0.8
+            ORDER BY doc_a, doc_b
+        """,
+        "d3_dedup_minhash_lsh": _minhash_oracle(),
+        "d4_dedup_simhash": _simhash_oracle(),
+        "d5_dedup_embedding_cosine": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+            ORDER BY id_a, id_b
         """,
     }
