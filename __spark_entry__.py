@@ -24,7 +24,14 @@ TABLES = (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("documents", "embeddings"):
+        # fixture files are a single parquet row group, so the scan is one
+        # task; fan out before the expression-heavy text/vector work. (At
+        # real scale the source has many splits and this is a no-op
+        # concern — a production table would never be one row group.)
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
@@ -345,6 +352,75 @@ def _simhash_oracle() -> str:
     """
 
 
+# ------------------------------------------------------- text analytics
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting (pure Column expressions)."""
+    from muopdb_spark.operators.textstats import bpe_token_count, ws_token_count
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            ws_token_count("text").cast("long").alias("n_ws_tokens"),
+            bpe_token_count("text").cast("long").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features + composite score."""
+    from muopdb_spark.operators.textstats import quality_features
+
+    return quality_features(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language-ID heuristic."""
+    from muopdb_spark.operators.textstats import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mod-p sampled shingle fingerprints (document sketch)."""
+    from muopdb_spark.operators.textstats import modp_fingerprints
+
+    return modp_fingerprints(_t(spark, sf_dir, "documents")).orderBy("doc_id", "fp")
+
+
+def _stoplist_sql(lang: str) -> str:
+    from muopdb_spark.operators.textstats import STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+def _lang_id_oracle() -> str:
+    from muopdb_spark.operators.textstats import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    scores = ",\n               ".join(
+        f"CASE WHEN len(toks) > 0 THEN len(list_filter(toks, t -> list_contains({_stoplist_sql(l)}, t)))::DOUBLE / len(toks) ELSE 0.0 END AS score_{l}"
+        for l in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    pred = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN score_{l} = {best} THEN '{l}'" for l in langs
+    ) + " ELSE 'und' END"
+    rounded = ", ".join(f"round(score_{l}, 6) AS score_{l}" for l in langs)
+    return f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), sc AS (
+            SELECT doc_id, {scores}
+            FROM t
+        )
+        SELECT doc_id, {pred} AS pred_lang, {rounded}
+        FROM sc ORDER BY doc_id
+    """
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -373,6 +449,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d3_dedup_minhash_lsh": q_dedup_minhash_lsh,
         "d4_dedup_simhash": q_dedup_simhash,
         "d5_dedup_embedding_cosine": q_dedup_embedding,
+        "t1_token_counts": q_token_counts,
+        "t2_quality_score": q_quality,
+        "t3_lang_id": q_lang_id,
+        "t4_fingerprints": q_fingerprints,
     }
 
 
@@ -515,5 +595,50 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
             ORDER BY id_a, id_b
+        """,
+        "t1_token_counts": r"""
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS n_ws_tokens,
+                   len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "t2_quality_score": rf"""
+            WITH q AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       {_TOKS} AS toks,
+                       length(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')) AS alnum_ws
+                FROM documents
+            ), f AS (
+                SELECT doc_id, n_chars,
+                       len(toks) AS n_tokens,
+                       CASE WHEN len(toks) > 0
+                            THEN list_aggregate(list_transform(toks, t -> length(t)), 'sum')::DOUBLE / len(toks)
+                            ELSE 0.0 END AS avg_token_len,
+                       CASE WHEN n_chars > 0 THEN alnum_ws::DOUBLE / n_chars ELSE 0.0 END AS alpha_frac,
+                       CASE WHEN len(toks) > 0
+                            THEN len(list_filter(toks, t -> list_contains({_stoplist_sql('en')}, t)))::DOUBLE / len(toks)
+                            ELSE 0.0 END AS stopword_ratio
+                FROM q
+            )
+            SELECT doc_id, n_chars, n_tokens,
+                   round(avg_token_len, 6) AS avg_token_len,
+                   round(alpha_frac, 6) AS alpha_frac,
+                   round(stopword_ratio, 6) AS stopword_ratio,
+                   round(least(1.0, n_tokens / 50.0) * alpha_frac
+                         * (0.5 + 0.5 * least(1.0, stopword_ratio * 5.0)), 6) AS quality
+            FROM f ORDER BY doc_id
+        """,
+        "t3_lang_id": _lang_id_oracle(),
+        "t4_fingerprints": f"""
+            WITH {_SHINGLES_CTE},
+            f AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_filter(
+                           list_transform(sh, s -> md5(s)),
+                           h -> substr(h, 1, 1) = '0'))) AS fp
+                FROM s2
+            )
+            SELECT doc_id, fp FROM f ORDER BY doc_id, fp
         """,
     }

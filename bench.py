@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is materialized with a full collect() (results are small —
+top-k/aggregates/pair lists), timed individually after a warm-up query
+has amortized JVM/session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family (vector search, filter algebra,
+# term search, agg, join, window, dedup suite, text analytics).
+BENCH_QUERIES = [
+    "v1_knn_l2",
+    "v16_knn_batch_merge",
+    "f1_filter_and_or_ids",
+    "t_term_search",
+    "agg_pricing_summary",
+    "j_join_cust_orders",
+    "o1_topk_orders",
+    "w_events_hourly",
+    "d1_dedup_exact",
+    "d2_dedup_ngram_jaccard",
+    "d3_dedup_minhash_lsh",
+    "d4_dedup_simhash",
+    "d5_dedup_embedding_cosine",
+    "t1_token_counts",
+    "t2_quality_score",
+    "t3_lang_id",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from muopdb_spark.session import get_spark
+
+    spark = get_spark("muopdb-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+
+    # warm-up: JVM classloading + parquet footer reads
+    qs["v1_knn_l2"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        qs[name](spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

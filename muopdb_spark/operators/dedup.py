@@ -42,13 +42,14 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalized_text(col))
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct n-gram word shingles of a text column. Map-side only.
+def shingles_of(toks: Column, n: int = 3) -> Column:
+    """Distinct n-gram word shingles from a TOKEN ARRAY column.
 
-    tokens = lowercase alnum runs; shingles = n consecutive tokens
-    joined by a single space; docs with < n tokens get an empty set.
+    IMPORTANT: pass a materialized column reference (stage the token
+    array with a select/withColumn first), not an inline tokenizer
+    expression — `toks` is referenced ~3n times here and Catalyst only
+    avoids re-evaluation for cheap (attribute/literal) subexpressions.
     """
-    toks = simple_tokens(col)
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     grams = F.transform(
         idx,
@@ -57,6 +58,20 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(
         F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
     )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """One-expression shingles (convenience/tests). For bulk work use
+    shingle_df, which tokenizes each row once instead of ~3n times."""
+    return shingles_of(simple_tokens(col), n)
+
+
+def shingle_df(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", n: int = 3,
+) -> DataFrame:
+    """(id, sh) with the token array materialized once per row."""
+    staged = df.select(F.col(id_col).alias("id"), simple_tokens(text_col).alias("_toks"))
+    return staged.select("id", shingles_of(F.col("_toks"), n).alias("sh"))
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 8) -> list[Column]:
@@ -107,28 +122,67 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
 
-    Candidate generation via the inverted shingle index (explode + self
-    equi-join on the shingle), so only docs sharing at least one shingle
-    are compared — never the full quadratic cross join.
+    Candidate generation uses PREFIX FILTERING (the all-pairs similarity
+    join trick, cf. Bayardo et al. WWW'07): order each doc's shingles by
+    a global total order — document frequency ascending, shingle text as
+    tie-break, so the prefix holds the RAREST shingles — and index only
+    the first |S| - ceil(t*|S|) + 1. Any pair with jaccard >= t has
+    |A∩B| >= t*max(|A|,|B|), so by pigeonhole it shares a prefix shingle:
+    exact (never misses a pair), and the inverted-index self-join fans
+    out over rare shingles only. Verification joins the full shingle
+    sets back and computes exact Jaccard.
     """
-    sh = df.select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh"))
+    # persist BEFORE filtering: a filter on size(sh) would be pushed
+    # below the projection with the whole tokenize+shingle expression
+    # substituted into the predicate — evaluated per-row in interpreted
+    # mode, ~25x slower (measured). The persist is also load-bearing for
+    # the self-join below (both sides read the same materialization).
+    sh = shingle_df(df, text_col=text_col, id_col=id_col, n=n).persist()
     sh = sh.withColumn("n_sh", F.size("sh")).filter(F.col("n_sh") > 0)
 
-    inv = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
-    a, b = inv.alias("a"), inv.alias("b")
-    shared = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(
-            F.col("a.id").alias("doc_a"),
-            F.col("b.id").alias("doc_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
+    # global order: (document frequency, shingle); one groupBy over the
+    # exploded shingles, joined back, re-packed sorted by rarity
+    exploded = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    dfreq = exploded.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = (
+        exploded.join(dfreq, "shingle")
+        .groupBy("id", "n_sh")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "shingle"))),
+                lambda s: s["shingle"],
+            ).alias("sh_ranked")
         )
-        .agg(F.count("*").alias("inter"))
     )
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    prefix_len = (F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1).cast("int")
+    # the ranking pipeline (explode + df-count + join + repack) feeds both
+    # sides of the candidate self-join — persist so it runs once
+    ranked = ranked.persist()
+    inv = ranked.select(
+        "id", "n_sh", F.explode(F.slice("sh_ranked", 1, prefix_len)).alias("shingle")
+    )
+    a, b = inv.alias("a"), inv.alias("b")
+    # size-compatibility (exact): jaccard >= t implies
+    # t * max(|A|,|B|) <= min(|A|,|B|)
+    size_ok = (
+        F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+        >= F.lit(threshold) * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            & size_ok,
+        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (
-        shared.withColumn("jaccard", jac)
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -156,7 +210,8 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
 
-    sh = df.select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh"))
+    # persist before filter — see ngram_jaccard_pairs for why
+    sh = shingle_df(df, text_col=text_col, id_col=id_col, n=n).persist()
     sh = sh.filter(F.size("sh") > 0)
     sig = sh.select(
         "id", "sh",
@@ -167,6 +222,10 @@ def minhash_lsh_pairs(
         for b in range(bands)
     ]
     sig = sig.select("id", "sh", *[F.col(f"h{i}") for i in range(num_hashes)], *band_cols)
+    # the signature subtree feeds three plan branches (bucket explode +
+    # both verification sides); persist so the md5-heavy minhash pass
+    # runs once instead of three times
+    sig = sig.persist()
 
     # candidates: explode bands, equi-join within (band_idx, band_hash) buckets
     buckets = sig.select(
@@ -314,20 +373,16 @@ def simhash_pairs(
     )
 
 
-def embedding_near_dup_pairs(
+def embedding_near_dup_pairs_df(
     df: DataFrame,
     *,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.9,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (brute force, exact).
-
-    Quadratic — correct at any scale but the cost oracle; the scale path
-    buckets vectors first (IVF centroid or random-hyperplane LSH, see
-    muopdb_spark.index). Kept exact here because it doubles as the
-    recall oracle for those approximate variants.
-    """
+    """Pure-DataFrame brute-force cosine pairs (zip_with/aggregate exprs).
+    Kept as the reference implementation; embedding_near_dup_pairs is the
+    vectorized production path."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
@@ -336,4 +391,80 @@ def embedding_near_dup_pairs(
         .withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    num_blocks: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs — distributed block-nested-loop
+    with Arrow-batched numpy matmul per block pair.
+
+    Vectors are hashed into `num_blocks` blocks; every block pair (i<=j)
+    becomes one applyInPandas group that computes the block×block cosine
+    matrix in float64 numpy and emits pairs above threshold. Fully
+    distributed (no driver collect): each row is replicated ~num_blocks
+    times through one shuffle, and compute parallelism is
+    num_blocks*(num_blocks+1)/2 independent tasks.
+
+    Still inherently quadratic — this is the exact path / recall oracle;
+    the sub-quadratic scale path buckets first (IVF / LSH, see
+    muopdb_spark.index).
+    """
+    import numpy as np
+    import pandas as pd
+
+    B = num_blocks
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).alias("blk"),
+    )
+    others = F.array(*[F.lit(i) for i in range(B)])
+    left = (
+        base.withColumn("bj", F.explode(others))
+        .filter(F.col("blk") <= F.col("bj"))
+        .select(F.col("blk").alias("bi"), "bj", F.lit("L").alias("side"), "id", "vec")
+    )
+    right = (
+        base.withColumn("bi", F.explode(others))
+        .filter(F.col("bi") < F.col("blk"))  # strict: diagonal handled by L alone
+        .select("bi", F.col("blk").alias("bj"), F.lit("R").alias("side"), "id", "vec")
+    )
+    tagged = left.unionByName(right)
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        lmask = pdf["side"] == "L"
+        lids = pdf.loc[lmask, "id"].to_numpy()
+        lmat = np.array(pdf.loc[lmask, "vec"].tolist(), dtype=np.float64)
+        diagonal = pdf["bi"].iat[0] == pdf["bj"].iat[0]
+        if diagonal:
+            rids, rmat = lids, lmat
+        else:
+            rids = pdf.loc[~lmask, "id"].to_numpy()
+            rmat = np.array(pdf.loc[~lmask, "vec"].tolist(), dtype=np.float64)
+        if len(lids) == 0 or len(rids) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        # dot / (|a|*|b|) — same formula shape as the SQL oracle's
+        # list_cosine_similarity, so round-6 values agree
+        sims = (lmat @ rmat.T) / np.outer(
+            np.linalg.norm(lmat, axis=1), np.linalg.norm(rmat, axis=1)
+        )
+        ia, ib = np.where(sims >= threshold)
+        a_ids, b_ids = lids[ia], rids[ib]
+        keep = a_ids != b_ids
+        a_ids, b_ids, s = a_ids[keep], b_ids[keep], sims[ia[keep], ib[keep]]
+        lo, hi = np.minimum(a_ids, b_ids), np.maximum(a_ids, b_ids)
+        out = pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": np.round(s, 6)})
+        return out.drop_duplicates(["id_a", "id_b"])
+
+    return (
+        tagged.groupBy("bi", "bj")
+        .applyInPandas(block_pairs, schema="id_a long, id_b long, cosine double")
+        .dropDuplicates(["id_a", "id_b"])
     )

@@ -1,0 +1,166 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All pure Column expressions (JVM-side, whole-stage codegen) — no Python
+in the hot path, no shuffle except where aggregation is the point.
+Every operator is deterministic so a DuckDB oracle can replicate it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from muopdb_spark.functions.text import simple_tokens
+
+# Small public stopword lists (top function words per language).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "zu", "den", "ein"),
+    "fr": ("le", "la", "les", "et", "de", "un", "une", "est", "du", "des"),
+    "es": ("el", "la", "los", "las", "y", "de", "un", "una", "es", "en"),
+}
+
+# BPE-ish pre-tokenizer: alnum runs OR single non-alnum-non-space chars.
+_BPE_RE = r"[a-z0-9]+|[^a-z0-9\s]"
+
+
+def ws_token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != ""))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Count of BPE-ish pre-tokens (alnum runs + isolated punctuation) —
+    a cheap proxy for subword token count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(_BPE_RE), 0))
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    toks = simple_tokens(col)
+    stops = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    return F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_features(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document quality features + composite score in [0, 1]:
+
+      len_score  = min(1, n_tokens / 50)          (too-short penalty)
+      alpha_frac = alnum+space chars / chars       (boilerplate penalty)
+      stop_hit   = min(1, 5 * stopword_ratio)      (natural-language-ness)
+      quality    = len_score * alpha_frac * (0.5 + 0.5 * stop_hit)
+    """
+    # stage the token array once per row — the expressions below
+    # reference it many times and only attribute refs are re-eval-free
+    staged = df.select(
+        id_col,
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        simple_tokens(text_col).alias("_toks"),
+        F.length(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", ""))
+        .cast("long").alias("_alnum_ws"),
+    )
+    toks = F.col("_toks")
+    n_chars = F.col("n_chars")
+    n_tokens = F.size(toks)
+    alpha_frac = F.when(n_chars > 0, F.col("_alnum_ws") / n_chars).otherwise(F.lit(0.0))
+    avg_tok = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0), lambda s, t: s + F.length(t)) / n_tokens,
+    ).otherwise(F.lit(0.0))
+    stops = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    stop = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    len_score = F.least(F.lit(1.0), n_tokens / F.lit(50.0))
+    stop_hit = F.least(F.lit(1.0), stop * 5.0)
+    quality = len_score * alpha_frac * (F.lit(0.5) + F.lit(0.5) * stop_hit)
+    return staged.select(
+        id_col,
+        "n_chars",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(avg_tok, 6).alias("avg_token_len"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        F.round(stop, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit ratio (the n-gram-free lang-ID heuristic)."""
+    toks = simple_tokens(col)
+
+    def in_stops(stops):
+        # closure factory — a default-arg lambda would be introspected
+        # as the 2-arg (element, index) filter variant
+        return lambda t: F.array_contains(stops, t)
+
+    out = {}
+    for lang, words in STOPWORDS.items():
+        stops = F.array(*[F.lit(w) for w in words])
+        n = F.size(F.filter(toks, in_stops(stops)))
+        out[lang] = F.when(F.size(toks) > 0, n / F.size(toks)).otherwise(F.lit(0.0))
+    return out
+
+
+def lang_id(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Heuristic language ID: argmax stopword-hit ratio, alphabetical
+    tie-break, 'und' (undetermined) when no stopword hits at all."""
+    langs = sorted(STOPWORDS)
+    # two-stage select: tokenize once, then score once per language over
+    # the staged columns (attribute refs are re-eval-free)
+    staged = df.select(id_col, simple_tokens(text_col).alias("_toks"))
+    toks = F.col("_toks")
+
+    def in_stops(stops):
+        return lambda t: F.array_contains(stops, t)
+
+    score_cols = []
+    for lang in langs:
+        stops = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        n = F.size(F.filter(toks, in_stops(stops)))
+        score_cols.append(
+            F.when(F.size(toks) > 0, n / F.size(toks)).otherwise(F.lit(0.0)).alias(f"_s_{lang}")
+        )
+    scored = staged.select(id_col, *score_cols)
+
+    scores = {l: F.col(f"_s_{l}") for l in langs}
+    best_score = F.greatest(*[scores[l] for l in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when(scores[lang] == best_score, F.lit(lang)).otherwise(pred)
+    pred = F.when(best_score > 0, pred).otherwise(F.lit("und"))
+    return scored.select(
+        id_col,
+        pred.alias("pred_lang"),
+        *[F.round(scores[l], 6).alias(f"score_{l}") for l in langs],
+    )
+
+
+def modp_fingerprints(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    hex_prefix: str = "0",
+) -> DataFrame:
+    """Mod-p sampled shingle fingerprints (winnowing-style document
+    sketch): md5 of every n-gram shingle, keep those whose first hex
+    digit matches — a deterministic ~1/16 sample usable for fast
+    containment/overlap estimation. Output exploded (doc_id, fp)."""
+    from muopdb_spark.operators.dedup import shingle_df
+
+    sh = shingle_df(df, text_col=text_col, id_col=id_col, n=n).withColumnRenamed("id", id_col)
+    fps = F.array_distinct(
+        F.filter(
+            F.transform(F.col("sh"), lambda s: F.md5(s)),
+            lambda h: F.substring(h, 1, 1) == hex_prefix,
+        )
+    )
+    return sh.select(id_col, F.explode(fps).alias("fp"))
