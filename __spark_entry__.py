@@ -352,6 +352,37 @@ def _simhash_oracle() -> str:
     """
 
 
+# ------------------------------------------------------------ ANN (IVF)
+
+def q_ann_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1+V4+V5+V16 two-phase IVF plan, probing ALL centroids with no
+    ratio prune — mathematically exact, so the brute-force SQL is its
+    oracle. Demonstrates the two-phase plan's contract: partition-pruned
+    scan + dedup + top-k == full scan top-k when nothing is pruned."""
+    from muopdb_spark.index.ivf import build_ivf, ivf_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = build_ivf(emb, num_centroids=10, seed=42)
+    qv = _query_vector(spark, sf_dir)
+    out = ivf_search(idx, qv, 10, num_probes=10, centroid_distance_ratio=None,
+                     score_decimals=6)
+    return out.withColumnRenamed("id", "vec_id")
+
+
+def q_ann_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V19 ratio-pruned probe (the production ANN path) — approximate,
+    so no SQL oracle (rows-only check); recall is pytest-verified against
+    the exact oracle on seeded clusters (tests/test_ivf.py)."""
+    from muopdb_spark.index.ivf import build_ivf, ivf_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = build_ivf(emb, num_centroids=10, seed=42)
+    qv = _query_vector(spark, sf_dir)
+    out = ivf_search(idx, qv, 10, num_probes=3, centroid_distance_ratio=0.5,
+                     score_decimals=6)
+    return out.withColumnRenamed("id", "vec_id")
+
+
 # ------------------------------------------------------- text analytics
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -453,12 +484,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t2_quality_score": q_quality,
         "t3_lang_id": q_lang_id,
         "t4_fingerprints": q_fingerprints,
+        "v4_ann_ivf_fullprobe": q_ann_fullprobe,
+        "v19_ann_ivf_probed": q_ann_probed,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     qvec = "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
     return {
+        # full-probe IVF == exact brute force (no oracle for
+        # v19_ann_ivf_probed: approximate by design, rows-only check)
+        "v4_ann_ivf_fullprobe": f"""
+            SELECT vec_id,
+                   round(list_distance(embedding::DOUBLE[], {qvec}), 6) AS score
+            FROM embeddings
+            ORDER BY score ASC, vec_id ASC
+            LIMIT 10
+        """,
         "v1_knn_l2": f"""
             SELECT vec_id,
                    round(list_distance(embedding::DOUBLE[], {qvec}), 6) AS score

@@ -1,0 +1,230 @@
+"""IVF / SPANN-style ANN index: batch build + two-phase search.
+
+Reference architecture (SURVEY.md §2.3): SPANN = HNSW graph over k-means
+centroids + IVF posting lists per centroid
+(rs/index/src/spann/index.rs:15-21). The Spark-first re-expression:
+
+  BUILD (the flush job, rs/index/src/collection/core.rs:867-976):
+    - k-means over a sample (V6, rs/utils/src/kmeans_builder/
+      kmeans_builder.rs:116) via pyspark.ml.clustering.KMeans
+    - recursive split of oversized clusters (V7, ivf/builder.rs:500-535)
+      as a driver loop re-clustering only the offending groups
+    - posting-list assignment with SPANN multi-assignment closure (V8,
+      ivf/builder.rs:292-366): a vector joins every centroid within
+      (1+threshold) of its nearest, capped at max_clusters_per_vector
+    - postings repartitioned/sorted by centroid_id — the data-locality
+      "reindex" analog (hnsw/builder.rs:171-220) so a probe touches few
+      partitions
+
+  SEARCH (V1/V4/V5/V19, spann/index.rs:211-266):
+    - phase 1: exact distances query x centroids (the centroid table is
+      small by construction, so the HNSW graph walk of the reference is
+      replaced by brute force over centroids — V2's mathematical
+      contract, not its pointer-chasing implementation)
+    - centroid_distance_ratio prune (V19, spann/index.rs:233-246)
+    - phase 2: scan only the probed centroids' postings (partition
+      pruning), score, global top-k with the ordering contract
+      (score asc NaN last, id tiebreak — utils.rs:95-113)
+
+  At 100 TB: postings are hash-partitioned by centroid_id, so phase 2
+  reads |probed|/|centroids| of the data; the centroid table stays tiny
+  and broadcast; no stage shuffles the corpus after build.
+
+Multi-assignment means a point can appear in several probed postings —
+search dedups by id before top-k (the reference's visited-set, V21).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from muopdb_spark.functions.distance import score_expr
+
+
+@dataclass
+class IvfIndex:
+    """centroids: (centroid_id int, centroid array<double>)
+    postings:  (centroid_id int, id long, vector array<double>)"""
+
+    centroids: DataFrame
+    postings: DataFrame
+    metric: str = "l2"
+
+
+def _fit_kmeans(df: DataFrame, vec_col: str, k: int, seed: int, max_iter: int):
+    """pyspark.ml KMeans over an array column; returns list of centers."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feat)
+    return [c.tolist() for c in model.clusterCenters()]
+
+
+def _centroid_df(spark: SparkSession, centers: list[list[float]]) -> DataFrame:
+    rows = [(i, c) for i, c in enumerate(centers)]
+    return spark.createDataFrame(rows, "centroid_id int, centroid array<double>")
+
+
+def assign_postings(
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    vec_col: str,
+    id_col: str,
+    metric: str = "l2",
+    distance_threshold: float = 0.1,
+    max_clusters_per_vector: int = 1,
+) -> DataFrame:
+    """V8: nearest-centroid assignment with SPANN closure — keep every
+    centroid within (1+threshold) of the nearest, rank-capped.
+
+    One broadcast join (centroids are small) + one window; the corpus
+    shuffles once, on centroid_id, which is exactly the partitioning the
+    index wants anyway.
+    """
+    scored = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vector"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("d", score_expr(metric, F.col("vector"), F.col("centroid")))
+    )
+    w = Window.partitionBy("id").orderBy(F.col("d").asc(), F.col("centroid_id").asc())
+    best = F.min("d").over(Window.partitionBy("id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .withColumn("d_min", best)
+        .filter(
+            (F.col("rnk") == 1)
+            | (
+                (F.col("rnk") <= max_clusters_per_vector)
+                & (F.col("d") <= F.col("d_min") * (1 + distance_threshold))
+            )
+        )
+        .select("centroid_id", "id", "vector")
+    )
+
+
+def build_ivf(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_centroids: int = 10,
+    metric: str = "l2",
+    training_sample: int = 20_000,
+    max_posting_size: int | None = None,
+    distance_threshold: float = 0.1,
+    max_clusters_per_vector: int = 1,
+    seed: int = 42,
+    max_iter: int = 20,
+    split_rounds: int = 4,
+) -> IvfIndex:
+    """Build the IVF index. Defaults mirror the reference collection
+    config (rs/config/src/collection.rs:65-115,176-210: 10 initial
+    centroids, 20k training sample, <=1 cluster/vector, reindex on)."""
+    spark = df.sparkSession
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vector"))
+    n = base.count()
+    frac = min(1.0, training_sample / max(n, 1))
+    train = base.sample(fraction=frac, seed=seed) if frac < 1.0 else base
+
+    centers = _fit_kmeans(train, "vector", min(num_centroids, max(n, 1)), seed, max_iter)
+    centroids = _centroid_df(spark, centers)
+
+    # V7: recursive split of oversized posting lists — re-cluster only
+    # the offending centroid's points (driver loop, bounded rounds)
+    if max_posting_size is not None:
+        for _ in range(split_rounds):
+            postings = assign_postings(
+                base, centroids, vec_col="vector", id_col="id", metric=metric,
+                max_clusters_per_vector=1,
+            )
+            sizes = postings.groupBy("centroid_id").count().filter(F.col("count") > max_posting_size)
+            oversized = [r["centroid_id"] for r in sizes.collect()]
+            if not oversized:
+                break
+            kept = [c for c in centroids.collect() if c["centroid_id"] not in set(oversized)]
+            new_centers = [list(c["centroid"]) for c in kept]
+            for cid in oversized:
+                pts = postings.filter(F.col("centroid_id") == cid).select("id", "vector")
+                new_centers.extend(_fit_kmeans(pts, "vector", 2, seed + cid, max_iter))
+            centroids = _centroid_df(spark, new_centers)
+
+    postings = assign_postings(
+        base, centroids, vec_col="vector", id_col="id", metric=metric,
+        distance_threshold=distance_threshold,
+        max_clusters_per_vector=max_clusters_per_vector,
+    ).repartition(F.col("centroid_id")).sortWithinPartitions("centroid_id", "id")
+    return IvfIndex(centroids=centroids, postings=postings.persist(), metric=metric)
+
+
+def probe_centroids(
+    index: IvfIndex,
+    query_vector: Sequence[float],
+    *,
+    num_probes: int,
+    centroid_distance_ratio: float | None = 0.1,
+) -> list[int]:
+    """Phase 1 (V4 + V19): exact top-num_probes centroids, then drop any
+    probed centroid farther than (1+ratio)*nearest. Runs on the (small)
+    centroid table; result is a plain id list used for partition pruning.
+    """
+    q = F.lit([float(x) for x in query_vector]).cast("array<double>")
+    scored = (
+        index.centroids.withColumn("d", score_expr(index.metric, F.col("centroid"), q))
+        .orderBy(F.col("d").asc(), F.col("centroid_id").asc())
+        .limit(num_probes)
+        .collect()
+    )
+    if not scored:
+        return []
+    if centroid_distance_ratio is None:
+        return [r["centroid_id"] for r in scored]
+    d_min = scored[0]["d"]
+    # reference prune: score - min <= min * ratio (spann/index.rs:233-246)
+    return [r["centroid_id"] for r in scored if r["d"] - d_min <= abs(d_min) * centroid_distance_ratio]
+
+
+def ivf_search(
+    index: IvfIndex,
+    query_vector: Sequence[float],
+    k: int,
+    *,
+    num_probes: int | None = None,
+    centroid_distance_ratio: float | None = 0.1,
+    pre_filter=None,
+    tombstones: DataFrame | None = None,
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """Two-phase ANN search returning (id, score) top-k.
+
+    num_probes defaults to k (search_params.rs:21-23: num_explored_
+    centroids defaults to top_k). Multi-assigned points are deduped by id
+    (min score) before the final top-k — the visited-set analog (V21).
+    """
+    if num_probes is None:
+        num_probes = k
+    probed = probe_centroids(
+        index, query_vector, num_probes=num_probes,
+        centroid_distance_ratio=centroid_distance_ratio,
+    )
+    q = F.lit([float(x) for x in query_vector]).cast("array<double>")
+    scan = index.postings.filter(F.col("centroid_id").isin(probed))
+    if pre_filter is not None:
+        scan = scan.filter(pre_filter)
+    if tombstones is not None:
+        scan = scan.join(tombstones.select("id").distinct(), on="id", how="left_anti")
+    score = score_expr(index.metric, F.col("vector"), q)
+    if score_decimals is not None:
+        score = F.round(score, score_decimals)
+    return (
+        scan.select("id", score.alias("score"))
+        .groupBy("id").agg(F.min("score").alias("score"))  # dedup multi-assignment
+        .orderBy(F.col("score").asc_nulls_last(), F.col("id").asc())
+        .limit(k)
+    )

@@ -1,0 +1,161 @@
+"""Product quantization: codebook training (V9), encoding (V10), and
+asymmetric-distance (ADC) scoring (V11).
+
+Reference: rs/quantization/src/pq/pq_builder.rs (per-subvector k-means
+codebooks over a sampled training set), pq/mod.rs:152-178 (quantize:
+nearest codebook centroid per subvector -> u8 code), pq/mod.rs:203-260
+(SIMD distance on codes). Config knobs mirror collection.rs:43-63
+(subvector_dimension, num_bits, num_training_rows).
+
+Spark-first: training loops over subvectors on sampled data
+(pyspark.ml KMeans per slice — a handful of small jobs); encoding and
+scoring are Arrow-batched pandas UDFs with the (tiny) codebook shipped
+as a closure broadcast — numpy does the distance table lookups, which
+is exactly the reference's SIMD inner loop re-expressed as vectorized
+batch math. No Python object churn per row; no shuffle added.
+
+Scale note: codebook size = m * k * d_sub floats (e.g. 8 * 256 * 8 * 4B
+= 64 KB) — broadcast-trivial. Encoded corpus is m bytes/vector vs
+4*d bytes raw (32x compression at d=64, m=8), which is the point: at
+100 TB of raw vectors the PQ-coded scan reads ~3 TB.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType
+
+
+@dataclass
+class PqCodebook:
+    """codebooks[m] = (k, d_sub) centers for subvector m."""
+
+    codebooks: list[np.ndarray]
+
+    @property
+    def num_subvectors(self) -> int:
+        return len(self.codebooks)
+
+    @property
+    def sub_dim(self) -> int:
+        return self.codebooks[0].shape[1]
+
+    def as_lists(self) -> list[list[list[float]]]:
+        return [cb.tolist() for cb in self.codebooks]
+
+
+def train_pq(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    num_subvectors: int = 8,
+    num_centers: int = 16,
+    training_sample: int = 10_000,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> PqCodebook:
+    """V9: per-subvector k-means codebooks over a sampled training set."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n = df.count()
+    frac = min(1.0, training_sample / max(n, 1))
+    sample = df.sample(fraction=frac, seed=seed) if frac < 1.0 else df
+    sample = sample.select(F.col(vec_col).cast("array<double>").alias("v")).persist()
+    dim = len(sample.first()["v"])
+    assert dim % num_subvectors == 0, f"dim {dim} not divisible by m={num_subvectors}"
+    d_sub = dim // num_subvectors
+
+    books = []
+    for m in range(num_subvectors):
+        sl = sample.select(
+            array_to_vector(F.slice("v", m * d_sub + 1, d_sub)).alias("features")
+        )
+        model = KMeans(k=num_centers, seed=seed + m, maxIter=max_iter).fit(sl)
+        books.append(np.array([c for c in model.clusterCenters()], dtype=np.float64))
+    sample.unpersist()
+    return PqCodebook(books)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: PqCodebook,
+    *,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """V10: vector -> array<int> of per-subvector nearest-center codes.
+    Arrow-batched numpy argmin; the codebook travels in the UDF closure
+    (broadcast once per executor)."""
+    books = [cb.copy() for cb in codebook.codebooks]
+    d_sub = codebook.sub_dim
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def encode(vecs):
+        import pandas as pd
+
+        X = np.array(vecs.tolist(), dtype=np.float64)
+        codes = np.empty((X.shape[0], len(books)), dtype=np.int32)
+        for m, cb in enumerate(books):
+            sub = X[:, m * d_sub:(m + 1) * d_sub]
+            # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin over centers
+            d2 = (
+                (sub ** 2).sum(axis=1, keepdims=True)
+                - 2.0 * sub @ cb.T
+                + (cb ** 2).sum(axis=1)
+            )
+            codes[:, m] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    return df.withColumn("pq_code", encode(F.col(vec_col).cast("array<double>")))
+
+
+def pq_adc_score(
+    query_vector,
+    codebook: PqCodebook,
+    code_col: str = "pq_code",
+) -> Column:
+    """V11: asymmetric distance — precompute the query's m x k table of
+    squared subvector distances once, then score(code) =
+    sqrt(sum_m table[m, code[m]]) by table lookup (the reference's SDC
+    SIMD loop as a numpy gather)."""
+    q = np.asarray(query_vector, dtype=np.float64)
+    d_sub = codebook.sub_dim
+    # per-subvector lookup rows; kept as a list because k can differ per
+    # subvector (KMeans may return < k centers on tiny training sets)
+    table = [
+        ((cb - q[m * d_sub:(m + 1) * d_sub]) ** 2).sum(axis=1)
+        for m, cb in enumerate(codebook.codebooks)
+    ]
+
+    @pandas_udf(DoubleType())
+    def adc(codes):
+        import pandas as pd
+
+        C = np.array(codes.tolist(), dtype=np.int64)  # (n, m)
+        d2 = np.zeros(C.shape[0], dtype=np.float64)
+        for m, row in enumerate(table):
+            d2 += row[C[:, m]]
+        return pd.Series(np.sqrt(d2))
+
+    return adc(F.col(code_col))
+
+
+def pq_search(
+    encoded: DataFrame,
+    query_vector,
+    codebook: PqCodebook,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by ADC distance over PQ codes (ordering contract as V16)."""
+    return (
+        encoded.select(id_col, pq_adc_score(query_vector, codebook).alias("score"))
+        .orderBy(F.col("score").asc_nulls_last(), F.col(id_col).asc())
+        .limit(k)
+    )

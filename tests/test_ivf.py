@@ -1,0 +1,99 @@
+"""IVF index build + two-phase ANN search: recall on seeded clustered
+vectors (the reference's recall-dataset recipe — py/create_test_hdf5.py:
+clusters at i*100, sigma 5, seed 42 — ground truth by construction) and
+exactness when probing everything."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from muopdb_spark.index.ivf import build_ivf, ivf_search, probe_centroids
+from muopdb_spark.operators.knn import knn
+
+
+N_CLUSTERS, PER_CLUSTER, DIM = 6, 80, 8
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    rng = np.random.default_rng(42)
+    rows = []
+    for c in range(N_CLUSTERS):
+        center = np.full(DIM, c * 100.0)
+        pts = center + rng.normal(0, 5.0, size=(PER_CLUSTER, DIM))
+        for j, p in enumerate(pts):
+            rows.append((c * PER_CLUSTER + j, c, [float(x) for x in p]))
+    df = spark.createDataFrame(rows, "vec_id long, true_cluster int, embedding array<float>")
+    return df.cache()
+
+
+@pytest.fixture(scope="module")
+def index(clustered):
+    return build_ivf(clustered, num_centroids=N_CLUSTERS, seed=7)
+
+
+def test_centroids_discovered(index):
+    # k-means on well-separated clusters must find one centroid per blob
+    centers = sorted(round(r["centroid"][0] / 100) for r in index.centroids.collect())
+    assert centers == list(range(N_CLUSTERS))
+
+
+def test_postings_cover_all_points(index, clustered):
+    assert index.postings.select("id").distinct().count() == clustered.count()
+
+
+def test_probe_ratio_prune(index):
+    # query at cluster-2 center: nearest centroid dominates; ratio prune
+    # should cut the probe list to 1
+    q = [200.0] * DIM
+    probed = probe_centroids(index, q, num_probes=3, centroid_distance_ratio=0.1)
+    assert len(probed) == 1
+    probed_all = probe_centroids(index, q, num_probes=3, centroid_distance_ratio=None)
+    assert len(probed_all) == 3
+
+
+def test_recall_at_10_is_1(index, clustered):
+    # same-cluster neighbors are ground truth by construction
+    rng = np.random.default_rng(1)
+    for c in (0, 3, 5):
+        q = (np.full(DIM, c * 100.0) + rng.normal(0, 5.0, DIM)).tolist()
+        exact = [r["vec_id"] for r in knn(clustered, q, 10, id_col="vec_id").collect()]
+        approx = [r["id"] for r in ivf_search(index, q, 10, num_probes=2).collect()]
+        recall = len(set(exact) & set(approx)) / 10
+        assert recall == 1.0, f"cluster {c}: recall {recall}"
+
+
+def test_full_probe_equals_exact(index, clustered):
+    # probing every centroid with no ratio prune makes the two-phase plan
+    # EXACT — same contract as brute force, any centroid layout
+    q = [37.0] * DIM
+    exact = knn(clustered, q, 15, id_col="vec_id").collect()
+    approx = ivf_search(
+        index, q, 15, num_probes=N_CLUSTERS, centroid_distance_ratio=None
+    ).collect()
+    assert [r["id"] for r in approx] == [r["vec_id"] for r in exact]
+    for a, e in zip(approx, exact):
+        assert a["score"] == pytest.approx(e["score"], rel=1e-12)
+
+
+def test_recursive_split_bounds_posting_size(clustered):
+    idx = build_ivf(
+        clustered, num_centroids=2, seed=7, max_posting_size=150, split_rounds=6,
+    )
+    sizes = [r["count"] for r in idx.postings.groupBy("centroid_id").count().collect()]
+    assert max(sizes) <= 150
+    # every point still present exactly once across postings (max 1 assign)
+    assert idx.postings.count() == clustered.count()
+
+
+def test_multi_assignment_closure(clustered):
+    idx = build_ivf(
+        clustered, num_centroids=N_CLUSTERS, seed=7,
+        distance_threshold=30.0, max_clusters_per_vector=3,
+    )
+    # with a huge threshold, points multi-assign -> more posting entries
+    assert idx.postings.count() > clustered.count()
+    # search still dedups: top-k ids unique
+    out = ivf_search(idx, [0.0] * DIM, 10, num_probes=3).collect()
+    ids = [r["id"] for r in out]
+    assert len(ids) == len(set(ids)) == 10

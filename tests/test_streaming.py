@@ -1,0 +1,103 @@
+"""Streaming ingest (WAL semantics) + windowed/deduped stream analytics,
+driven through file sources with availableNow triggers."""
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from muopdb_spark.catalog.collection import Collection, CollectionConfig
+from muopdb_spark.streaming.ingest import (
+    stream_insert,
+    streaming_dedup,
+    windowed_event_counts,
+)
+
+DOC_SCHEMA = "user_id long, doc_id long, vector array<float>"
+
+
+def _write_json(dirpath, name, rows):
+    os.makedirs(dirpath, exist_ok=True)
+    with open(os.path.join(dirpath, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_stream_insert_to_collection(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_json(src, "a.jsonl", [
+        {"user_id": 0, "doc_id": 1, "vector": [1.0, 0.0]},
+        {"user_id": 0, "doc_id": 2, "vector": [0.0, 1.0]},
+    ])
+    _write_json(src, "b.jsonl", [
+        {"user_id": 1, "doc_id": 3, "vector": [0.5, 0.5]},
+    ])
+    col = Collection.create(
+        spark, str(tmp_path / "cols"), CollectionConfig(name="sc", num_features=2)
+    )
+    stream = spark.readStream.schema(DOC_SCHEMA).json(src)
+    q = stream_insert(col, stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    # WAL has the rows; search still empty until flush (W5)
+    assert col.search([0], [1.0, 0.0], 5).isEmpty()
+    col.flush()
+    got = col.search([0, 1], [1.0, 0.0], 3).collect()
+    assert [r["doc_id"] for r in got] == [1, 3, 2]
+
+    # restart the stream with a NEW file: only the new batch is ingested
+    _write_json(src, "c.jsonl", [
+        {"user_id": 0, "doc_id": 4, "vector": [0.9, 0.1]},
+    ])
+    q2 = stream_insert(col, spark.readStream.schema(DOC_SCHEMA).json(src),
+                       str(tmp_path / "ckpt"))
+    q2.awaitTermination(120)
+    col.flush()
+    assert col.docs().count() == 4  # no duplicate ingestion of a/b
+
+
+def test_windowed_event_counts(spark, tmp_path):
+    src = str(tmp_path / "ev")
+    _write_json(src, "e.jsonl", [
+        {"event_id": 1, "ts": "2024-01-01T00:10:00", "event_type": "click", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01T00:40:00", "event_type": "click", "value": 2.0},
+        {"event_id": 3, "ts": "2024-01-01T01:10:00", "event_type": "view", "value": 3.0},
+    ])
+    stream = (
+        spark.readStream
+        .schema("event_id long, ts string, event_type string, value double")
+        .json(src)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    out = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        out.writeStream.format("memory").queryName("win_counts")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {(str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM win_counts").collect()}
+    assert rows[("2024-01-01 00:00:00", "click")] == (2, 3.0)
+    assert rows[("2024-01-01 01:00:00", "view")] == (1, 3.0)
+
+
+def test_streaming_dedup(spark, tmp_path):
+    src = str(tmp_path / "dup")
+    _write_json(src, "d.jsonl", [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "value": 1.0},
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "value": 1.0},  # dup
+        {"event_id": 2, "ts": "2024-01-01T00:00:05", "value": 2.0},
+    ])
+    stream = (
+        spark.readStream.schema("event_id long, ts string, value double").json(src)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    q = (
+        streaming_dedup(stream).writeStream.format("memory").queryName("dedup_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id FROM dedup_out ORDER BY event_id").collect()
+    assert [r["event_id"] for r in got] == [1, 2]
