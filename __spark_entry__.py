@@ -452,6 +452,109 @@ def _lang_id_oracle() -> str:
     """
 
 
+# ------------------------------------------- multimodal / ids / rel-ops
+
+def q_media_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column + typed metadata
+    (size, digest) — the cheap metadata pass."""
+    from muopdb_spark.operators.multimodal import byte_stats, media_table
+
+    media = media_table(_t(spark, sf_dir, "documents"))
+    return byte_stats(media).orderBy("doc_id")
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: fixed-size chunks of the binary payload,
+    every 4th kept, digest per frame."""
+    from muopdb_spark.operators.multimodal import frame_sample, media_table
+
+    media = media_table(_t(spark, sf_dir, "documents"))
+    frames = frame_sample(media, frame_bytes=64, every_n=4)
+    return frames.select(
+        "doc_id", "frame_idx", F.md5("frame").alias("frame_digest")
+    ).orderBy("doc_id", "frame_idx")
+
+
+def q_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path near-dup: random-hyperplane LSH buckets -> exact cosine
+    verify. Approximate (plane RNG not SQL-expressible) -> rows-only
+    check; recall vs brute force is pytest-verified (tests/test_ann_lsh)."""
+    from muopdb_spark.index.ann_lsh import build_rp_lsh, lsh_near_dup_pairs
+
+    # collision prob per table = (1 - theta/pi)^planes; the fixture's
+    # "near dups" sit at cosine ~0.4 (theta ~66 deg), so shorter
+    # signatures + more tables are needed for recall in this regime
+    # (true near-dups at cosine >= 0.9 need far fewer tables)
+    idx = build_rp_lsh(_t(spark, sf_dir, "embeddings"), num_planes=4, num_tables=8)
+    return lsh_near_dup_pairs(idx, threshold=0.4).orderBy("id_a", "id_b")
+
+
+def q_u128_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: (hi, lo) <-> hex <-> UUID id conversions at the API edge."""
+    from muopdb_spark.functions.ids import hex_to_hi_lo, hex_to_uuid, id_to_hex
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.lit(0).cast("long").alias("hi"), F.col("doc_id").alias("lo")
+    )
+    hx = id_to_hex("hi", "lo")
+    out = docs.select("hi", "lo", hx.alias("id_hex"), hex_to_uuid(hx).alias("id_uuid"))
+    rh, rl = hex_to_hi_lo(F.col("id_hex"))
+    return out.select(
+        "lo", "id_hex", "id_uuid",
+        rh.alias("roundtrip_hi"), rl.alias("roundtrip_lo"),
+    ).orderBy("lo")
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra (§2.7): INTERSECT and EXCEPT of customer key sets."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    with_orders = o.select(F.col("o_custkey").alias("custkey")).distinct()
+    rich = c.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("custkey"))
+    inter = with_orders.intersect(rich).withColumn("op", F.lit("intersect"))
+    exc = rich.exceptAll(with_orders).withColumn("op", F.lit("except"))
+    return inter.unionByName(exc).orderBy("op", "custkey")
+
+
+def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions: top-3 orders per nation by total price (the
+    per-user top-k merge shape, V16, on relational data)."""
+    from pyspark.sql.window import Window
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", "rnk", "o_orderkey", "o_totalprice")
+        .orderBy("n_name", "rnk")
+    )
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + grouped revenue + top-k."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"), "revenue")
+    )
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -486,6 +589,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t4_fingerprints": q_fingerprints,
         "v4_ann_ivf_fullprobe": q_ann_fullprobe,
         "v19_ann_ivf_probed": q_ann_probed,
+        "m1_media_bytes": q_media_bytes,
+        "m2_frame_sample": q_frame_sample,
+        "x1_lsh_near_dup": q_lsh_near_dup,
+        "t4_u128_ids": q_u128_ids,
+        "s1_set_ops": q_set_ops,
+        "o2_topn_per_group": q_topn_per_group,
+        "j2_tpch_q3": q_tpch_q3,
     }
 
 
@@ -682,5 +792,75 @@ def oracle_sql() -> dict[str, str]:
                 FROM s2
             )
             SELECT doc_id, fp FROM f ORDER BY doc_id, fp
+        """,
+        "m1_media_bytes": """
+            SELECT doc_id, 'text/plain' AS media_type,
+                   octet_length(text::BLOB) AS n_bytes,
+                   md5(text) AS digest
+            FROM documents ORDER BY doc_id
+        """,
+        "m2_frame_sample": """
+            WITH f AS (
+                SELECT doc_id,
+                       unnest(range(0, cast(ceil(octet_length(text::BLOB) / 64.0) AS INT), 4)) AS frame_idx,
+                       text
+                FROM documents WHERE octet_length(text::BLOB) > 0
+            )
+            SELECT doc_id, frame_idx,
+                   md5(substr(text, frame_idx * 64 + 1, 64)) AS frame_digest
+            FROM f ORDER BY doc_id, frame_idx
+        """,
+        "t4_u128_ids": """
+            WITH h AS (
+                SELECT doc_id AS lo,
+                       lower(lpad(hex(0), 16, '0') || lpad(hex(doc_id), 16, '0')) AS id_hex
+                FROM documents
+            )
+            SELECT lo, id_hex,
+                   substr(id_hex, 1, 8) || '-' || substr(id_hex, 9, 4) || '-' ||
+                   substr(id_hex, 13, 4) || '-' || substr(id_hex, 17, 4) || '-' ||
+                   substr(id_hex, 21, 12) AS id_uuid,
+                   0::BIGINT AS roundtrip_hi,
+                   lo AS roundtrip_lo
+            FROM h ORDER BY lo
+        """,
+        "s1_set_ops": """
+            WITH with_orders AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+                 rich AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000)
+            SELECT custkey, 'intersect' AS op FROM
+                (SELECT custkey FROM with_orders INTERSECT SELECT custkey FROM rich)
+            UNION ALL
+            SELECT custkey, 'except' AS op FROM
+                (SELECT custkey FROM rich EXCEPT ALL SELECT custkey FROM with_orders)
+            ORDER BY op, custkey
+        """,
+        "o2_topn_per_group": """
+            WITH j AS (
+                SELECT n_name, o_orderkey, o_totalprice
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY n_name ORDER BY o_totalprice DESC, o_orderkey ASC
+                ) AS rnk
+                FROM j
+            )
+            SELECT n_name, rnk, o_orderkey, o_totalprice
+            FROM r WHERE rnk <= 3 ORDER BY n_name, rnk
+        """,
+        "j2_tpch_q3": """
+            SELECT l_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
         """,
     }

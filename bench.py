@@ -37,6 +37,14 @@ BENCH_QUERIES = [
     "t1_token_counts",
     "t2_quality_score",
     "t3_lang_id",
+    "v4_ann_ivf_fullprobe",
+    "v19_ann_ivf_probed",
+    "x1_lsh_near_dup",
+    "m1_media_bytes",
+    "m2_frame_sample",
+    "s1_set_ops",
+    "o2_topn_per_group",
+    "j2_tpch_q3",
 ]
 
 

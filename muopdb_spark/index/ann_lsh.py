@@ -1,0 +1,138 @@
+"""Random-hyperplane LSH: the sub-quadratic scale path for cosine
+similarity search and embedding near-dup detection.
+
+Complements the IVF index (muopdb_spark.index.ivf): where IVF partitions
+by learned centroids (needs a training pass), LSH needs no training —
+`num_tables` independent signatures of `num_planes` sign bits each.
+Points colliding in any table's bucket are candidates; exact cosine
+re-ranks them. Recall grows with num_tables, cost with bucket sizes.
+
+At 100 TB: signatures are one Arrow-batched matmul per partition
+(map-side, no shuffle); the candidate join shuffles only
+(table_idx, bucket, id) triples; exact re-rank touches candidate rows
+only. The brute-force twin (operators.dedup.embedding_near_dup_pairs)
+is the recall oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from muopdb_spark.functions.distance import cosine_similarity
+
+
+@dataclass
+class RpLshIndex:
+    """buckets: (table_idx int, bucket long, id long, vector array<double>)"""
+
+    buckets: DataFrame
+    planes: np.ndarray  # (num_tables, num_planes, dim)
+
+
+def _signatures(X: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, num_tables) packed sign-bit buckets."""
+    n_tables, n_planes, _ = planes.shape
+    out = np.zeros((X.shape[0], n_tables), dtype=np.int64)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    for t in range(n_tables):
+        bits = (X @ planes[t].T) > 0
+        out[:, t] = bits @ weights
+    return out
+
+
+def build_rp_lsh(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    num_planes: int = 12,
+    num_tables: int = 4,
+    seed: int = 42,
+) -> RpLshIndex:
+    """Signature computation is one numpy matmul per Arrow batch."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_tables, num_planes, dim))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            X = np.array(pdf["vector"].tolist(), dtype=np.float64)
+            sigs = _signatures(X, planes)
+            n = len(pdf)
+            yield pd.DataFrame({
+                "table_idx": np.repeat(np.arange(planes.shape[0]), n),
+                "bucket": sigs.T.ravel(),
+                "id": np.tile(pdf["id"].to_numpy(), planes.shape[0]),
+                "vector": list(pdf["vector"]) * planes.shape[0],
+            })
+
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vector")
+    )
+    buckets = base.mapInPandas(
+        gen, schema="table_idx int, bucket long, id long, vector array<double>"
+    ).repartition(F.col("table_idx"), F.col("bucket"))
+    return RpLshIndex(buckets=buckets.persist(), planes=planes)
+
+
+def lsh_knn(
+    index: RpLshIndex,
+    query_vector: Sequence[float],
+    k: int,
+) -> DataFrame:
+    """Approximate top-k by cosine: candidates = union of the query's
+    bucket in every table, deduped, exact cosine re-rank (higher = closer
+    here; returned as cosine_distance to honor lower-is-closer)."""
+    q = np.asarray(query_vector, dtype=np.float64)
+    sigs = _signatures(q[None, :], index.planes)[0]
+    cond = None
+    for t, b in enumerate(sigs):
+        c = (F.col("table_idx") == t) & (F.col("bucket") == int(b))
+        cond = c if cond is None else (cond | c)
+    qlit = F.lit([float(x) for x in q]).cast("array<double>")
+    return (
+        index.buckets.filter(cond)
+        .select("id", "vector").dropDuplicates(["id"])
+        .withColumn("score", F.lit(1.0) - cosine_similarity(F.col("vector"), qlit))
+        .select("id", "score")
+        .orderBy(F.col("score").asc_nulls_last(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def lsh_near_dup_pairs(
+    index: RpLshIndex,
+    *,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Sub-quadratic near-dup pairs: bucket-collision candidates (any
+    table) -> exact cosine verification >= threshold. Same output
+    contract as the brute-force operators.dedup.embedding_near_dup_pairs
+    minus LSH misses (recall < 1 by design; measured in tests)."""
+    a, b = index.buckets.alias("a"), index.buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table_idx") == F.col("b.table_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.vector").alias("va"), F.col("b.vector").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
