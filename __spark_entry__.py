@@ -452,6 +452,111 @@ def _lang_id_oracle() -> str:
     """
 
 
+# -------------------------------------------------------- hybrid search
+
+def _docs_with_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join documents (attributes) with embeddings (vectors) on id — the
+    reference's document model: one row = id + vector + attributes."""
+    from muopdb_spark.functions.text import simple_tokens
+
+    docs = _t(spark, sf_dir, "documents").withColumn("text_tokens", simple_tokens("text"))
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    return docs.join(emb, "doc_id")
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship reference capability (§3.1): top-k vector search with
+    an attribute pre-filter — filter applied BEFORE scoring/top-k
+    (planner.rs:45-61 pre-filtering, not post-filtering)."""
+    from muopdb_spark.filters.compiler import FilterSchema, compile_filter
+    from muopdb_spark.operators.knn import knn
+
+    schema = FilterSchema({"text": "text", "lang": "keyword"})
+    tree = {
+        "and": [
+            {"or": [
+                {"contains": {"path": "lang", "value": "en"}},
+                {"contains": {"path": "lang", "value": "de"}},
+            ]},
+            {"contains": {"path": "text", "value": "spark"}},
+        ]
+    }
+    cond = compile_filter(tree, schema, id_col="doc_id", stem=False)
+    qv = _query_vector(spark, sf_dir)
+    return knn(
+        _docs_with_vectors(spark, sf_dir), qv, 10,
+        vector_col="embedding", id_col="doc_id",
+        pre_filter=cond, score_decimals=6,
+    )
+
+
+def q_hybrid_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: pre-filter ∩ ANN candidates INSIDE the posting scan
+    (ivf/block_based/index.rs:214-227) — two-phase IVF with the filter
+    applied before top-k. Full probe => exact => oracle-able."""
+    from muopdb_spark.index.ivf import build_ivf, ivf_search
+
+    dv = _docs_with_vectors(spark, sf_dir)
+    idx = build_ivf(dv, vec_col="embedding", id_col="doc_id",
+                    num_centroids=10, seed=42)
+    # filter on ids (the plan_with_ids shape): scan-side semi filter
+    allowed = [r["doc_id"] for r in
+               dv.filter(F.col("lang") == "en").select("doc_id").collect()]
+    qv = _query_vector(spark, sf_dir)
+    out = ivf_search(idx, qv, 10, num_probes=10, centroid_distance_ratio=None,
+                     pre_filter=F.col("id").isin(allowed), score_decimals=6)
+    return out.withColumnRenamed("id", "doc_id")
+
+
+def q_multi_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V16 across users (snapshot.rs:39-64): per-user top-3 by distance,
+    users derived as vec_id % 5 (fixtures carry no user column)."""
+    from pyspark.sql.window import Window
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "user_id", F.col("vec_id") % 5
+    )
+    qv = _query_vector(spark, sf_dir)
+    from muopdb_spark.functions.distance import l2_distance
+
+    scored = emb.filter(F.col("user_id").isin([1, 3])).select(
+        "user_id", "vec_id",
+        F.round(l2_distance("embedding", F.lit(qv).cast("array<double>")), 6).alias("score"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("score").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "rnk", "vec_id", "score")
+        .orderBy("user_id", "rnk")
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute-gap sessions per user via lag + running
+    sum (the batch twin of streaming session windows)."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = (
+        ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("session_idx", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
 # ------------------------------------------- multimodal / ids / rel-ops
 
 def q_media_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -471,7 +576,8 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_table(_t(spark, sf_dir, "documents"))
     frames = frame_sample(media, frame_bytes=64, every_n=4)
     return frames.select(
-        "doc_id", "frame_idx", F.md5("frame").alias("frame_digest")
+        "doc_id", F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.md5("frame").alias("frame_digest"),
     ).orderBy("doc_id", "frame_idx")
 
 
@@ -532,7 +638,7 @@ def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
     return (
-        joined.withColumn("rnk", F.row_number().over(w))
+        joined.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
         .select("n_name", "rnk", "o_orderkey", "o_totalprice")
         .orderBy("n_name", "rnk")
@@ -558,9 +664,10 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on sf0.001: exact KNN with the reference's ordering
-    contract — the M0 end-to-end slice."""
-    return q_knn_l2(spark, SF_SMOKE)
+    """Flagship query on sf0.001: HYBRID search — top-k vector similarity
+    with a boolean attribute pre-filter, the reference's headline
+    capability (§3.1 Search with DocumentFilter)."""
+    return q_hybrid_search(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -596,6 +703,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_set_ops": q_set_ops,
         "o2_topn_per_group": q_topn_per_group,
         "j2_tpch_q3": q_tpch_q3,
+        "h1_hybrid_search": q_hybrid_search,
+        "h2_hybrid_ivf_prefilter": q_hybrid_ivf,
+        "u1_multi_user_topk": q_multi_user_topk,
+        "w2_sessionize": q_sessionize,
     }
 
 
@@ -676,7 +787,7 @@ def oracle_sql() -> dict[str, str]:
         "a1_doc_counts": """
             SELECT lang,
                    count(*) AS n_docs,
-                   sum(n_chars) AS total_chars,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    round(avg(n_chars), 6) AS avg_chars
             FROM documents GROUP BY lang ORDER BY lang
         """,
@@ -862,5 +973,56 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate
             ORDER BY revenue DESC, l_orderkey ASC
             LIMIT 10
+        """,
+        "h1_hybrid_search": f"""
+            SELECT d.doc_id,
+                   round(list_distance(e.embedding::DOUBLE[], {qvec}), 6) AS score
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+            WHERE (d.lang = 'en' OR d.lang = 'de')
+              AND list_contains(string_split_regex(lower(d.text), '[^a-z0-9]+'), 'spark')
+            ORDER BY score ASC, d.doc_id ASC
+            LIMIT 10
+        """,
+        "h2_hybrid_ivf_prefilter": f"""
+            SELECT d.doc_id,
+                   round(list_distance(e.embedding::DOUBLE[], {qvec}), 6) AS score
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+            WHERE d.lang = 'en'
+            ORDER BY score ASC, d.doc_id ASC
+            LIMIT 10
+        """,
+        "u1_multi_user_topk": f"""
+            WITH u AS (
+                SELECT vec_id % 5 AS user_id, vec_id,
+                       round(list_distance(embedding::DOUBLE[], {qvec}), 6) AS score
+                FROM embeddings
+                WHERE vec_id % 5 IN (1, 3)
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY score ASC, vec_id ASC
+                ) AS rnk
+                FROM u
+            )
+            SELECT user_id, rnk, vec_id, score
+            FROM r WHERE rnk <= 3 ORDER BY user_id, rnk
+        """,
+        "w2_sessionize": """
+            WITH o AS (
+                SELECT user_id, event_id, ts, value,
+                       epoch(ts) - lag(epoch(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS gap
+                FROM events
+            ), s AS (
+                SELECT *, sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+                FROM o
+            )
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM s GROUP BY user_id, session_idx
+            ORDER BY user_id, session_idx
         """,
     }
