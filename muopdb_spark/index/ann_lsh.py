@@ -117,22 +117,31 @@ def lsh_near_dup_pairs(
     table) -> exact cosine verification >= threshold. Same output
     contract as the brute-force operators.dedup.embedding_near_dup_pairs
     minus LSH misses (recall < 1 by design; measured in tests)."""
-    a, b = index.buckets.alias("a"), index.buckets.alias("b")
-    cand = (
+    # join ids only (the candidate join can fan out to millions of rows —
+    # don't shuffle vectors inside it), dedupe, then attach vectors once
+    slim = index.buckets.select("table_idx", "bucket", "id")
+    a, b = slim.alias("a"), slim.alias("b")
+    pairs = (
         a.join(
             b,
             (F.col("a.table_idx") == F.col("b.table_idx"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            F.col("a.vector").alias("va"), F.col("b.vector").alias("vb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    vecs = index.buckets.select("id", "vector").dropDuplicates(["id"])
+    cand = (
+        pairs.join(vecs.select(F.col("id").alias("id_a"), F.col("vector").alias("va")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("vector").alias("vb")), "id_b")
+    )
+    from muopdb_spark.functions.distance import cosine_similarity_batch
+
+    # candidate volume can be millions of pairs: verify with the
+    # Arrow-batched numpy cosine, not the per-row interpreted expression
     return (
-        cand.withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
+        cand.withColumn("cosine", cosine_similarity_batch(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )

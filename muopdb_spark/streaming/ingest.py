@@ -83,6 +83,48 @@ def windowed_event_counts(
     )
 
 
+def running_user_stats(
+    stream_df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running event count + value sum maintained across
+    micro-batches (the pattern for any custom accumulator the built-in
+    windowed aggs can't express). Emits one updated row per user per
+    batch; state is a (count, sum) pair per user, bounded by the user
+    cardinality."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, sum_value double"
+    state_schema = "n long, s double"
+
+    def update(key, pdf_iter, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += float(pdf[value_col].sum())
+        state.update((n, s))
+        import pandas as pd
+
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
+
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_dedup(
     stream_df: DataFrame,
     *,

@@ -101,3 +101,50 @@ def test_streaming_dedup(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT event_id FROM dedup_out ORDER BY event_id").collect()
     assert [r["event_id"] for r in got] == [1, 2]
+
+
+def test_running_user_stats_stateful(spark, tmp_path):
+    from muopdb_spark.streaming.ingest import running_user_stats
+
+    src = str(tmp_path / "st")
+    _write_json(src, "s1.jsonl", [
+        {"user_id": 1, "ts": "2024-01-01T00:00:00", "value": 1.0},
+        {"user_id": 1, "ts": "2024-01-01T00:01:00", "value": 2.0},
+        {"user_id": 2, "ts": "2024-01-01T00:02:00", "value": 5.0},
+    ])
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("user_id long, ts string, value double").json(src)
+            .withColumn("ts", F.to_timestamp("ts"))
+        )
+
+        def sink(batch_df, batch_id):
+            if not batch_df.isEmpty():
+                batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            running_user_stats(stream).writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = {r["user_id"]: (r["n_events"], r["sum_value"])
+           for r in spark.read.parquet(out_dir).collect()}
+    assert got[1] == (2, 3.0) and got[2] == (1, 5.0)
+
+    # second file + restart from the same checkpoint: state must carry
+    _write_json(src, "s2.jsonl", [
+        {"user_id": 1, "ts": "2024-01-01T00:05:00", "value": 10.0},
+    ])
+    run_once()
+    latest = {}
+    for r in spark.read.parquet(out_dir).collect():
+        n, s = latest.get(r["user_id"], (0, 0.0))
+        if r["n_events"] >= n:
+            latest[r["user_id"]] = (r["n_events"], r["sum_value"])
+    assert latest[1] == (3, 13.0)  # state restored: 2+1 events, 3+10 value
