@@ -467,6 +467,63 @@ def _lang_id_oracle() -> str:
     """
 
 
+# ------------------------------------------------- multi-user & packed
+
+def q_multi_user_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user INDEPENDENT IVF indexes (the MultiSpann analog) searched
+    for two users and merged (snapshot.rs:39-64). Full probe per user =>
+    exact per user => the merge equals the global filtered top-k, which
+    is the oracle."""
+    from muopdb_spark.index.multi_ivf import build_multi_ivf, multi_ivf_search_users
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 5).alias("user_id"),
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding"),
+    )
+    idx = build_multi_ivf(emb, user_col="user_id", vec_col="embedding",
+                          id_col="doc_id", num_centroids=4, seed=42)
+    qv = _query_vector(spark, sf_dir)
+    out = multi_ivf_search_users(idx, [0, 2], qv, 5,
+                                 num_probes=4, centroid_distance_ratio=None)
+    return out.select("user_id", "id", F.round("score", 6).alias("score"))
+
+
+def q_insert_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 InsertPacked: vectors packed to float32-LE blobs (the wire
+    form) and decoded back via np.frombuffer over Arrow batches. Output
+    checksum proves a lossless roundtrip; oracle computes the same sum
+    from the unpacked table (float32 sums in float64 on both sides)."""
+    from muopdb_spark.sources.packed import decode_packed_vectors, pack_vectors
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    packed = pack_vectors(emb, vec_col="embedding")
+    decoded = decode_packed_vectors(packed, num_features=64)
+    return decoded.select(
+        "vec_id",
+        F.size("vector").cast("long").alias("dim"),
+        F.round(
+            F.aggregate(F.col("vector").cast("array<double>"), F.lit(0.0), lambda s, x: s + x), 4
+        ).alias("checksum"),
+    ).orderBy("vec_id")
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions over the events props column."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ----------------------------------------------------------- term index
 
 def q_term_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -757,6 +814,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_sessionize": q_sessionize,
         "i1_term_index": q_term_index,
         "i2_term_search_indexed": q_term_search_indexed,
+        "mu1_multi_user_ann": q_multi_user_ann,
+        "s3_insert_packed": q_insert_packed,
+        "fn_json_props": q_json_props,
     }
 
 
@@ -1074,6 +1134,27 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value
             FROM s GROUP BY user_id, session_idx
             ORDER BY user_id, session_idx
+        """,
+        "mu1_multi_user_ann": f"""
+            SELECT vec_id % 5 AS user_id, vec_id AS id,
+                   round(list_distance(embedding::DOUBLE[], {qvec}), 6) AS score
+            FROM embeddings
+            WHERE vec_id % 5 IN (0, 2)
+            ORDER BY score ASC, id ASC
+            LIMIT 5
+        """,
+        "s3_insert_packed": """
+            SELECT vec_id,
+                   len(embedding)::BIGINT AS dim,
+                   round(list_aggregate(embedding::DOUBLE[], 'sum'), 4) AS checksum
+            FROM embeddings ORDER BY vec_id
+        """,
+        "fn_json_props": """
+            SELECT event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "i1_term_index": f"""
             WITH text_terms AS (

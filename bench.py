@@ -45,6 +45,14 @@ BENCH_QUERIES = [
     "s1_set_ops",
     "o2_topn_per_group",
     "j2_tpch_q3",
+    "h1_hybrid_search",
+    "u1_multi_user_topk",
+    "w2_sessionize",
+    "i1_term_index",
+    "i2_term_search_indexed",
+    "mu1_multi_user_ann",
+    "s3_insert_packed",
+    "fn_json_props",
 ]
 
 

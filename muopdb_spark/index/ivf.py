@@ -57,13 +57,17 @@ class IvfIndex:
 
 
 def _fit_kmeans(df: DataFrame, vec_col: str, k: int, seed: int, max_iter: int):
-    """pyspark.ml KMeans over an array column; returns list of centers."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """Seeded numpy Lloyd's over the (bounded, pre-sampled) training
+    DataFrame — the caller caps rows at training_sample, mirroring the
+    reference's in-process fit over a 20k sample (kmeans_builder.rs).
+    Only training is driver-local; corpus assignment stays distributed."""
+    import numpy as np
 
-    feat = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
-    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feat)
-    return [c.tolist() for c in model.clusterCenters()]
+    from muopdb_spark.index.kmeans import lloyd
+
+    rows = df.select(F.col(vec_col).cast("array<double>").alias("v")).collect()
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    return lloyd(X, k, seed=seed, max_iter=max_iter).tolist()
 
 
 def _centroid_df(spark: SparkSession, centers: list[list[float]]) -> DataFrame:

@@ -1,0 +1,179 @@
+"""Multi-user IVF: one INDEPENDENT index per user — the reference's
+defining feature (MultiSpannBuilder, rs/index/src/multi_spann/
+builder.rs:21-69: per-user DashMap<u128, SpannBuilder>; per-user blob
+offsets in user_index_info.rs).
+
+Spark-first: per-user k-means runs as ONE grouped applyInPandas pass —
+each user's vectors land in one Arrow batch group and a seeded numpy
+Lloyd's solver fits that user's centroids (SURVEY §7.2 hard part #2:
+"per-user KMeans must be grouped, not one job per user" — a million tiny
+users is one shuffle, not a million driver-launched jobs). Per-user
+posting assignment is an equi-join on user_id + a per-(user, point)
+window — no cross-user data movement.
+
+Skew: a whale user's group must fit one task's memory for the fit; the
+solver samples down to `training_sample` rows per user, so state is
+bounded at k*dim + sample regardless of user size. AQE skew-join
+handles the assignment join.
+
+Search prunes to the queried user's centroids/postings first (the
+partition-pruning analog of per-user index-blob opens,
+multi_spann/index.rs:100-137).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from muopdb_spark.functions.distance import score_expr
+
+
+@dataclass
+class MultiIvfIndex:
+    """centroids: (user_id long, centroid_id int, centroid array<double>)
+    postings:  (user_id long, centroid_id int, id long, vector array<double>)"""
+
+    centroids: DataFrame
+    postings: DataFrame
+    metric: str = "l2"
+
+
+from muopdb_spark.index.kmeans import lloyd as _shared_lloyd
+
+
+def build_multi_ivf(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    vec_col: str = "vector",
+    id_col: str = "doc_id",
+    num_centroids: int = 10,
+    metric: str = "l2",
+    training_sample: int = 20_000,
+    seed: int = 42,
+    max_iter: int = 15,
+    distance_threshold: float = 0.1,
+    max_clusters_per_vector: int = 1,
+) -> MultiIvfIndex:
+    base = df.select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vector"),
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        user = int(pdf["user_id"].iat[0])
+        X = np.array(pdf["vector"].tolist(), dtype=np.float64)
+        rng = np.random.default_rng(seed + user)
+        if len(X) > training_sample:
+            X = X[rng.choice(len(X), size=training_sample, replace=False)]
+        centers = _shared_lloyd(X, num_centroids, seed=seed + user, max_iter=max_iter)
+        return pd.DataFrame({
+            "user_id": user,
+            "centroid_id": np.arange(len(centers), dtype=np.int32),
+            "centroid": list(centers),
+        })
+
+    centroids = (
+        base.groupBy("user_id")
+        .applyInPandas(fit, schema="user_id long, centroid_id int, centroid array<double>")
+        .persist()
+    )
+
+    # per-user assignment: equi-join on user_id (centroid side is small
+    # per user), SPANN multi-assignment closure per (user, point)
+    scored = (
+        base.join(centroids, "user_id")
+        .withColumn("d", score_expr(metric, F.col("vector"), F.col("centroid")))
+    )
+    w = Window.partitionBy("user_id", "id").orderBy(F.col("d").asc(), F.col("centroid_id").asc())
+    best = F.min("d").over(Window.partitionBy("user_id", "id"))
+    postings = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .withColumn("d_min", best)
+        .filter(
+            (F.col("rnk") == 1)
+            | (
+                (F.col("rnk") <= max_clusters_per_vector)
+                & (F.col("d") <= F.col("d_min") * (1 + distance_threshold))
+            )
+        )
+        .select("user_id", "centroid_id", "id", "vector")
+        .repartition(F.col("user_id"), F.col("centroid_id"))
+        .sortWithinPartitions("user_id", "centroid_id", "id")
+    )
+    return MultiIvfIndex(centroids=centroids, postings=postings.persist(), metric=metric)
+
+
+def multi_ivf_search(
+    index: MultiIvfIndex,
+    user_id: int,
+    query_vector: Sequence[float],
+    k: int,
+    *,
+    num_probes: int | None = None,
+    centroid_distance_ratio: float | None = 0.1,
+    pre_filter=None,
+) -> DataFrame:
+    """Search ONE user's index (per-user loop of snapshot.rs:50-58; the
+    multi-user merge is a union + the V16 window, see
+    multi_ivf_search_users)."""
+    if num_probes is None:
+        num_probes = k
+    q = F.lit([float(x) for x in query_vector]).cast("array<double>")
+    probed_rows = (
+        index.centroids.filter(F.col("user_id") == user_id)
+        .withColumn("d", score_expr(index.metric, F.col("centroid"), q))
+        .orderBy(F.col("d").asc(), F.col("centroid_id").asc())
+        .limit(num_probes)
+        .collect()
+    )
+    if not probed_rows:
+        return index.postings.sparkSession.createDataFrame([], "id long, score double")
+    d_min = probed_rows[0]["d"]
+    probed = [
+        r["centroid_id"] for r in probed_rows
+        if centroid_distance_ratio is None
+        or r["d"] - d_min <= abs(d_min) * centroid_distance_ratio
+    ]
+    scan = index.postings.filter(
+        (F.col("user_id") == user_id) & F.col("centroid_id").isin(probed)
+    )
+    if pre_filter is not None:
+        scan = scan.filter(pre_filter)
+    return (
+        scan.select("id", score_expr(index.metric, F.col("vector"), q).alias("score"))
+        .groupBy("id").agg(F.min("score").alias("score"))
+        .orderBy(F.col("score").asc_nulls_last(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def multi_ivf_search_users(
+    index: MultiIvfIndex,
+    user_ids: Sequence[int],
+    query_vector: Sequence[float],
+    k: int,
+    **kw,
+) -> DataFrame:
+    """Across users: per-user top-k, then merge + truncate k
+    (snapshot.rs:39-64)."""
+    parts = [
+        multi_ivf_search(index, u, query_vector, k, **kw).withColumn("user_id", F.lit(u))
+        for u in user_ids
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.orderBy(F.col("score").asc_nulls_last(), F.col("id").asc())
+        .limit(k)
+        .select("user_id", "id", "score")
+    )

@@ -59,26 +59,28 @@ def train_pq(
     seed: int = 42,
     max_iter: int = 20,
 ) -> PqCodebook:
-    """V9: per-subvector k-means codebooks over a sampled training set."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """V9: per-subvector k-means codebooks over a sampled training set.
+
+    One bounded sample collect (training_sample x dim, same cap as the
+    reference's num_training_rows) then m seeded numpy fits — training
+    is a small in-memory problem; only encoding/scoring touch the corpus.
+    """
+    from muopdb_spark.index.kmeans import lloyd
 
     n = df.count()
     frac = min(1.0, training_sample / max(n, 1))
     sample = df.sample(fraction=frac, seed=seed) if frac < 1.0 else df
-    sample = sample.select(F.col(vec_col).cast("array<double>").alias("v")).persist()
-    dim = len(sample.first()["v"])
+    rows = sample.select(F.col(vec_col).cast("array<double>").alias("v")).collect()
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
     assert dim % num_subvectors == 0, f"dim {dim} not divisible by m={num_subvectors}"
     d_sub = dim // num_subvectors
 
-    books = []
-    for m in range(num_subvectors):
-        sl = sample.select(
-            array_to_vector(F.slice("v", m * d_sub + 1, d_sub)).alias("features")
-        )
-        model = KMeans(k=num_centers, seed=seed + m, maxIter=max_iter).fit(sl)
-        books.append(np.array([c for c in model.clusterCenters()], dtype=np.float64))
-    sample.unpersist()
+    books = [
+        lloyd(X[:, m * d_sub:(m + 1) * d_sub], num_centers,
+              seed=seed + m, max_iter=max_iter)
+        for m in range(num_subvectors)
+    ]
     return PqCodebook(books)
 
 

@@ -1,0 +1,64 @@
+"""Packed binary vector ingestion — the InsertPacked fast path (S3).
+
+The reference accepts ids/vectors as packed little-endian byte blobs to
+skip per-element protobuf costs (muopdb.proto:199-216 InsertPackedRequest,
+index_server.rs:572-676). Spark-first: the packed payload is a binary
+column; decoding is `np.frombuffer` over Arrow batches in mapInPandas —
+zero-copy from Arrow into numpy, no per-element Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def pack_vectors(df: DataFrame, *, vec_col: str = "embedding") -> DataFrame:
+    """Encode array<float> -> packed float32-LE binary (the wire form)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.drop(columns=[vec_col]).copy()
+            out["packed"] = [
+                np.asarray(v, dtype="<f4").tobytes() for v in pdf[vec_col]
+            ]
+            yield out
+
+    fields = [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+              if f.name != vec_col]
+    return df.mapInPandas(gen, schema=", ".join(fields + ["packed binary"]))
+
+
+def decode_packed_vectors(
+    df: DataFrame, *, packed_col: str = "packed", num_features: int,
+    out_col: str = "vector",
+) -> DataFrame:
+    """Decode packed float32-LE blobs -> array<float>, validating length
+    (the reference rejects mis-sized payloads at the API edge)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for b in pdf[packed_col]:
+                raw = bytes(b)
+                if len(raw) % 4:
+                    raise ValueError(
+                        f"packed blob of {len(raw)} bytes is not float32-aligned"
+                    )
+                arr = np.frombuffer(raw, dtype="<f4")
+                if len(arr) != num_features:
+                    raise ValueError(
+                        f"packed vector has {len(arr)} floats, expected {num_features}"
+                    )
+                vecs.append(arr.tolist())
+            out = pdf.drop(columns=[packed_col]).copy()
+            out[out_col] = vecs
+            yield out
+
+    fields = [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+              if f.name != packed_col]
+    return df.mapInPandas(gen, schema=", ".join(fields + [f"{out_col} array<float>"]))
