@@ -27,18 +27,26 @@ def build_term_index(
     fields: dict[str, str],
     *,
     id_col: str = "doc_id",
+    user_col: str | None = None,
     stem: bool = True,
 ) -> DataFrame:
     """fields: {column: "text"|"keyword"}. TEXT columns are tokenized
     (+stemmed); KEYWORD columns index the whole value
-    (mutable_segment.rs:74-99). Returns (field, term, postings, df)."""
+    (mutable_segment.rs:74-99). Returns (field, term, postings, df) —
+    plus a leading user_id column when `user_col` is given, making each
+    user's term index independent (the MultiTermBuilder analog,
+    rs/index/src/multi_terms/builder.rs; postings never mix users)."""
+    group_prefix = [user_col] if user_col else []
     parts = []
     for fld, kind in fields.items():
         if kind == "text":
             toks = stemmed_tokens(F.col(fld)) if stem else simple_tokens(F.col(fld))
-            staged = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+            staged = df.select(
+                *group_prefix, F.col(id_col).alias("id"), toks.alias("_toks")
+            )
             parts.append(
                 staged.select(
+                    *group_prefix,
                     F.lit(fld).alias("field"),
                     F.explode(F.array_distinct("_toks")).alias("term"),
                     F.col("id"),
@@ -47,6 +55,7 @@ def build_term_index(
         else:  # keyword: whole value is the term
             parts.append(
                 df.select(
+                    *group_prefix,
                     F.lit(fld).alias("field"),
                     F.col(fld).cast("string").alias("term"),
                     F.col(id_col).alias("id"),
@@ -56,7 +65,7 @@ def build_term_index(
     for p in parts[1:]:
         exploded = exploded.unionByName(p)
     return (
-        exploded.groupBy("field", "term")
+        exploded.groupBy(*group_prefix, "field", "term")
         .agg(
             F.sort_array(F.collect_list("id")).alias("postings"),
             F.count("*").cast("long").alias("df"),
