@@ -467,6 +467,79 @@ def _lang_id_oracle() -> str:
     """
 
 
+# --------------------------------------------------- more relational ops
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight range predicates + single agg — the
+    pushdown showcase (every filter reaches the parquet scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"))
+    )
+
+
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti joins (J1's leftsemi shape on relational data):
+    customers WITH high-discount orders vs customers with NO orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.08)
+    big_orders = o.join(li, o.o_orderkey == li.l_orderkey, "leftsemi")
+    with_big = c.join(big_orders, c.c_custkey == big_orders.o_custkey, "leftsemi") \
+        .select("c_custkey").withColumn("kind", F.lit("has_high_discount_order"))
+    no_orders = c.join(o, c.c_custkey == o.o_custkey, "left_anti") \
+        .select("c_custkey").withColumn("kind", F.lit("no_orders"))
+    return with_big.unionByName(no_orders).orderBy("kind", "c_custkey")
+
+
+def q_outer_join_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + null-aware agg: order counts per customer
+    including zero-order customers, rolled up per nation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.join(F.broadcast(n), per_cust.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.when(F.col("n_orders") == 0, 1).otherwise(0)).cast("long").alias("zero_order_customers"),
+            F.round(F.avg("n_orders"), 6).alias("avg_orders"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate shape decorrelated via a window: customers
+    whose balance exceeds their nation's average."""
+    from pyspark.sql.window import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey")
+    return (
+        c.withColumn("nation_avg", F.avg("c_acctbal").over(w))
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_above_avg"),
+            F.round(F.max("c_acctbal"), 4).alias("max_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 # ------------------------------------------------- multi-user & packed
 
 def q_multi_user_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -817,6 +890,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mu1_multi_user_ann": q_multi_user_ann,
         "s3_insert_packed": q_insert_packed,
         "fn_json_props": q_json_props,
+        "agg_tpch_q6": q_tpch_q6,
+        "j3_semi_anti": q_semi_anti_join,
+        "j4_outer_join": q_outer_join_coverage,
+        "o3_above_nation_avg": q_above_nation_avg,
     }
 
 
@@ -1134,6 +1211,52 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value
             FROM s GROUP BY user_id, session_idx
             ORDER BY user_id, session_idx
+        """,
+        "agg_tpch_q6": """
+            SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+              AND l_shipdate < TIMESTAMP '1995-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "j3_semi_anti": """
+            SELECT c_custkey, 'has_high_discount_order' AS kind
+            FROM customer
+            WHERE c_custkey IN (
+                SELECT o_custkey FROM orders
+                WHERE o_orderkey IN (
+                    SELECT l_orderkey FROM lineitem WHERE l_discount > 0.08))
+            UNION ALL
+            SELECT c_custkey, 'no_orders' AS kind
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            ORDER BY kind, c_custkey
+        """,
+        "j4_outer_join": """
+            WITH per_cust AS (
+                SELECT c.c_custkey, c.c_nationkey, count(o.o_orderkey) AS n_orders
+                FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+                GROUP BY c.c_custkey, c.c_nationkey
+            )
+            SELECT n_name,
+                   count(*) AS n_customers,
+                   CAST(sum(CASE WHEN n_orders = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_order_customers,
+                   round(avg(n_orders), 6) AS avg_orders
+            FROM per_cust JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "o3_above_nation_avg": """
+            WITH w AS (
+                SELECT c_nationkey, c_acctbal,
+                       avg(c_acctbal) OVER (PARTITION BY c_nationkey) AS nation_avg
+                FROM customer
+            )
+            SELECT c_nationkey,
+                   count(*) AS n_above_avg,
+                   round(max(c_acctbal), 4) AS max_bal
+            FROM w WHERE c_acctbal > nation_avg
+            GROUP BY c_nationkey ORDER BY c_nationkey
         """,
         "mu1_multi_user_ann": f"""
             SELECT vec_id % 5 AS user_id, vec_id AS id,

@@ -339,6 +339,39 @@ class Collection:
             actions["merged"] = self.merge_segments()
         return actions
 
+    def gc_versions(self, keep_latest: int = 2) -> dict:
+        """MVCC garbage collection (core.rs:1183-1226: versions are
+        refcounted and GC'd once superseded): drop all but the newest
+        `keep_latest` TOC versions, then delete any segment directory no
+        longer referenced by a surviving version. Readers pinned to a
+        surviving version are unaffected; there is no in-process refcount
+        — retention depth is the external-reader grace period, exactly
+        like table-format VACUUM retention."""
+        import shutil
+
+        versions = sorted(
+            int(p.split("_")[1].split(".")[0])
+            for p in os.listdir(self._versions_dir())
+            if p.startswith("version_")
+        )
+        doomed = versions[:-keep_latest] if keep_latest > 0 else versions[:-1]
+        survivors = [v for v in versions if v not in set(doomed)]
+        referenced: set[str] = set()
+        for v in survivors:
+            referenced.update(self.toc(v)["segments"])
+        removed_versions = []
+        for v in doomed:
+            os.remove(os.path.join(self._versions_dir(), f"version_{v}.json"))
+            removed_versions.append(v)
+        removed_segments = []
+        seg_root = os.path.join(self.root, "segments")
+        if os.path.isdir(seg_root):
+            for seg in os.listdir(seg_root):
+                if seg not in referenced:
+                    shutil.rmtree(os.path.join(seg_root, seg))
+                    removed_segments.append(seg)
+        return {"versions": removed_versions, "segments": sorted(removed_segments)}
+
     def build_index(self) -> "object":
         """S5's index-build half: IVF over all flushed docs (per-user
         indexes come from partitioning — the per-user SPANN analog)."""
@@ -352,3 +385,30 @@ class Collection:
             distance_threshold=self.config.distance_threshold,
             max_clusters_per_vector=self.config.max_clusters_per_vector,
         )
+
+    def build_quantizer(self, num_subvectors: int = 4, num_centers: int = 16):
+        """M5 / QuantizerType: train the collection's PQ codebook when
+        config.quantizer == 'pq' (enums.rs:4-9 gates the same way)."""
+        if self.config.quantizer != "pq":
+            raise ValueError(
+                f"collection quantizer is {self.config.quantizer!r}, not 'pq'"
+            )
+        from muopdb_spark.index.pq import train_pq
+
+        return train_pq(
+            self.docs(), vec_col="vector",
+            num_subvectors=num_subvectors, num_centers=num_centers,
+        )
+
+    def search_pq(self, codebook, user_ids, query_vector, k) -> DataFrame:
+        """PQ-scored search: encode the (user-pruned, tombstone-masked)
+        docs and rank by asymmetric distance."""
+        from pyspark.sql import functions as SF
+
+        from muopdb_spark.index.pq import pq_encode, pq_search
+
+        docs = self.docs()
+        if user_ids is not None:
+            docs = docs.filter(SF.col("user_id").isin(list(user_ids)))
+        enc = pq_encode(docs, codebook, vec_col="vector")
+        return pq_search(enc, query_vector, codebook, k, id_col="doc_id")

@@ -161,3 +161,40 @@ def test_build_index_end_to_end(col, spark):
                      num_probes=col.config.num_centroids,
                      centroid_distance_ratio=None).collect()
     assert [r["id"] for r in got] == [1, 4]
+
+
+def test_gc_versions(col, spark):
+    col.insert(_docs_df(spark, R1)); col.flush()      # v1
+    col.insert(_docs_df(spark, R2)); col.flush()      # v2
+    merged = col.merge_segments()                      # v3
+    assert col.current_version() == 3
+    gone = col.gc_versions(keep_latest=1)
+    assert gone["versions"] == [0, 1, 2]
+    # only the merged segment survives on disk
+    import os
+    segs = os.listdir(os.path.join(col.root, "segments"))
+    assert segs == [merged]
+    # current snapshot still fully readable
+    assert col.docs().count() == 5
+    # pruned versions are no longer readable
+    with pytest.raises(FileNotFoundError):
+        col.toc(1)
+
+
+def test_pq_quantizer_gated_and_search(spark, tmp_path):
+    cfg = CollectionConfig(
+        name="pq_col", num_features=4, quantizer="pq",
+        attribute_schema={"title": "text"},
+    )
+    col = Collection.create(spark, str(tmp_path), cfg)
+    col.insert(_docs_df(spark, R1)); col.insert(_docs_df(spark, R2))
+    col.flush()
+    cb = col.build_quantizer(num_subvectors=2, num_centers=4)
+    got = col.search_pq(cb, [0, 1], [0.0, 0.0, 1.0, 0.0], 2).collect()
+    assert [r["doc_id"] for r in got] == [3, 5]  # the two vectors near e3
+
+    # gate: non-pq collection refuses to train a codebook
+    cfg2 = CollectionConfig(name="raw_col", num_features=4)
+    raw = Collection.create(spark, str(tmp_path), cfg2)
+    with pytest.raises(ValueError, match="quantizer"):
+        raw.build_quantizer()
