@@ -132,11 +132,11 @@ def ngram_jaccard_pairs(
     out over rare shingles only. Verification joins the full shingle
     sets back and computes exact Jaccard.
     """
-    # persist BEFORE filtering: a filter on size(sh) would be pushed
-    # below the projection with the whole tokenize+shingle expression
-    # substituted into the predicate — evaluated per-row in interpreted
-    # mode, ~25x slower (measured). The persist is also load-bearing for
-    # the self-join below (both sides read the same materialization).
+    # persist BEFORE filtering: a filter on size(sh) would otherwise be
+    # pushed below the projection with the whole tokenize+shingle
+    # expression substituted into an interpreted-mode predicate (~25x,
+    # measured — and re-measured the hard way when this persist was
+    # briefly removed: 9s -> 35s).
     sh = shingle_df(df, text_col=text_col, id_col=id_col, n=n).persist()
     sh = sh.withColumn("n_sh", F.size("sh")).filter(F.col("n_sh") > 0)
 
@@ -178,8 +178,10 @@ def ngram_jaccard_pairs(
         .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .distinct()
     )
-    sa = sh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # verification reads the shingle SETS back from `ranked` (rarity
+    # order is irrelevant to set intersection)
+    sa = ranked.select(F.col("id").alias("doc_a"), F.col("sh_ranked").alias("sh_a"))
+    sb = ranked.select(F.col("id").alias("doc_b"), F.col("sh_ranked").alias("sh_b"))
     return (
         cand.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
