@@ -61,6 +61,49 @@ def stream_insert(
     return writer.start()
 
 
+def stream_insert_with_autoflush(
+    collection: Collection,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    *,
+    max_pending_rows: int = 1000,
+    flush_every_batches: int | None = None,
+    trigger_available_now: bool = True,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """W2 auto-flush policy (core.rs:484-529: flush when pending_ops >=
+    max_pending_ops or elapsed >= max_time_to_flush): each micro-batch
+    appends to the WAL, then flushes when the un-flushed row count
+    crosses `max_pending_rows` (the reference's max_pending_ops) or
+    every N batches (the time-based trigger's micro-batch analog —
+    wall-clock cadence comes from the processing-time trigger itself).
+    """
+    state = {"pending": 0, "batches": 0}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        n = batch_df.count()
+        collection.insert(batch_df)
+        state["pending"] += n
+        state["batches"] += 1
+        if state["pending"] >= max_pending_rows or (
+            flush_every_batches is not None and state["batches"] >= flush_every_batches
+        ):
+            collection.flush()
+            state["pending"] = 0
+            state["batches"] = 0
+
+    writer = stream_df.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
 def windowed_event_counts(
     stream_df: DataFrame,
     *,

@@ -65,3 +65,10 @@ def test_decode_image_stub_raises(media):
     # plan-build time, not deep inside an executor
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_image(media)
+
+
+def test_hdf5_source_gated(spark):
+    from muopdb_spark.sources.hdf5 import read_hdf5_vectors
+
+    with pytest.raises(NotImplementedError, match="h5py"):
+        read_hdf5_vectors(spark, "/nonexistent.h5")

@@ -148,3 +148,31 @@ def test_running_user_stats_stateful(spark, tmp_path):
         if r["n_events"] >= n:
             latest[r["user_id"]] = (r["n_events"], r["sum_value"])
     assert latest[1] == (3, 13.0)  # state restored: 2+1 events, 3+10 value
+
+
+def test_autoflush_policy(spark, tmp_path):
+    from muopdb_spark.streaming.ingest import stream_insert_with_autoflush
+
+    src = str(tmp_path / "af")
+    # two files -> two micro-batches (maxFilesPerTrigger=1)
+    _write_json(src, "f1.jsonl", [
+        {"user_id": 0, "doc_id": i, "vector": [float(i), 0.0]} for i in range(3)
+    ])
+    _write_json(src, "f2.jsonl", [
+        {"user_id": 0, "doc_id": 10 + i, "vector": [float(i), 1.0]} for i in range(3)
+    ])
+    col = Collection.create(
+        spark, str(tmp_path / "c"), CollectionConfig(name="af", num_features=2)
+    )
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1).json(src)
+    )
+    # threshold 4: first batch (3 rows) stays pending, second batch
+    # crosses it -> exactly one flush covering all 6 rows
+    q = stream_insert_with_autoflush(
+        col, stream, str(tmp_path / "ck"), max_pending_rows=4
+    )
+    q.awaitTermination(120)
+    assert len(col.toc()["segments"]) == 1
+    assert col.docs().count() == 6
