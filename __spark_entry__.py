@@ -540,6 +540,45 @@ def q_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join (region->nation->customer->
+    orders->lineitem->supplier with colocated-nation condition), revenue
+    per nation. Touches every remaining fixture dimension table."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(c.c_nationkey == s.s_nationkey)  # customer & supplier colocated
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+             F.count("*").alias("n_items"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+def q_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension rollup over part: price stats per brand with a HAVING."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+            F.max("p_size").alias("max_size"),
+        )
+        .filter(F.col("n_parts") >= 5)
+        .orderBy("p_brand")
+    )
+
+
 # ------------------------------------------------- multi-user & packed
 
 def q_multi_user_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -894,6 +933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_semi_anti": q_semi_anti_join,
         "j4_outer_join": q_outer_join_coverage,
         "o3_above_nation_avg": q_above_nation_avg,
+        "j5_tpch_q5": q_tpch_q5ish,
+        "a2_part_stats": q_part_stats,
     }
 
 
@@ -1211,6 +1252,30 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value
             FROM s GROUP BY user_id, session_idx
             ORDER BY user_id, session_idx
+        """,
+        "j5_tpch_q5": """
+            SELECT r_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey
+            GROUP BY r_name, n_name
+            ORDER BY r_name, n_name
+        """,
+        "a2_part_stats": """
+            SELECT p_brand,
+                   count(*) AS n_parts,
+                   round(avg(p_retailprice), 6) AS avg_price,
+                   max(p_size) AS max_size
+            FROM part
+            GROUP BY p_brand
+            HAVING count(*) >= 5
+            ORDER BY p_brand
         """,
         "agg_tpch_q6": """
             SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
