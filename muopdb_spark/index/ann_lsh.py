@@ -29,9 +29,12 @@ from muopdb_spark.functions.distance import cosine_similarity
 
 @dataclass
 class RpLshIndex:
-    """buckets: (table_idx int, bucket long, id long, vector array<double>)"""
+    """buckets: (table_idx int, bucket long, id long) — ids only, so the
+    candidate self-join never shuffles vector payloads; vectors:
+    (id long, vector array<double>) joined back for exact re-rank."""
 
     buckets: DataFrame
+    vectors: DataFrame
     planes: np.ndarray  # (num_tables, num_planes, dim)
 
 
@@ -71,16 +74,17 @@ def build_rp_lsh(
                 "table_idx": np.repeat(np.arange(planes.shape[0]), n),
                 "bucket": sigs.T.ravel(),
                 "id": np.tile(pdf["id"].to_numpy(), planes.shape[0]),
-                "vector": list(pdf["vector"]) * planes.shape[0],
             })
 
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vector")
-    )
+    ).persist()
+    # slim triples only: the bucket table (and everything shuffled through
+    # the candidate self-join) never carries the vector payload
     buckets = base.mapInPandas(
-        gen, schema="table_idx int, bucket long, id long, vector array<double>"
+        gen, schema="table_idx int, bucket long, id long"
     ).repartition(F.col("table_idx"), F.col("bucket"))
-    return RpLshIndex(buckets=buckets.persist(), planes=planes)
+    return RpLshIndex(buckets=buckets.persist(), vectors=base, planes=planes)
 
 
 def lsh_knn(
@@ -100,7 +104,8 @@ def lsh_knn(
     qlit = F.lit([float(x) for x in q]).cast("array<double>")
     return (
         index.buckets.filter(cond)
-        .select("id", "vector").dropDuplicates(["id"])
+        .select("id").dropDuplicates(["id"])
+        .join(index.vectors, "id")
         .withColumn("score", F.lit(1.0) - cosine_similarity(F.col("vector"), qlit))
         .select("id", "score")
         .orderBy(F.col("score").asc_nulls_last(), F.col("id").asc())
@@ -118,9 +123,9 @@ def lsh_near_dup_pairs(
     contract as the brute-force operators.dedup.embedding_near_dup_pairs
     minus LSH misses (recall < 1 by design; measured in tests)."""
     # join ids only (the candidate join can fan out to millions of rows —
-    # don't shuffle vectors inside it), dedupe, then attach vectors once
-    slim = index.buckets.select("table_idx", "bucket", "id")
-    a, b = slim.alias("a"), slim.alias("b")
+    # the bucket table carries no vectors by construction), dedupe, then
+    # attach vectors once per side
+    a, b = index.buckets.alias("a"), index.buckets.alias("b")
     pairs = (
         a.join(
             b,
@@ -131,7 +136,7 @@ def lsh_near_dup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    vecs = index.buckets.select("id", "vector").dropDuplicates(["id"])
+    vecs = index.vectors
     cand = (
         pairs.join(vecs.select(F.col("id").alias("id_a"), F.col("vector").alias("va")), "id_a")
         .join(vecs.select(F.col("id").alias("id_b"), F.col("vector").alias("vb")), "id_b")

@@ -21,6 +21,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -69,9 +70,37 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 def shingle_df(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", n: int = 3,
 ) -> DataFrame:
-    """(id, sh) with the token array materialized once per row."""
-    staged = df.select(F.col(id_col).alias("id"), simple_tokens(text_col).alias("_toks"))
-    return staged.select("id", shingles_of(F.col("_toks"), n).alias("sh"))
+    """(id, sh): distinct n-gram word shingles, Arrow-batched.
+
+    Deliberately a pandas UDF rather than the built-in-expression twin
+    (word_shingles): exploding a higher-order-function array triggers
+    InferFiltersFromGenerate, whose synthesized `size(sh) > 0` predicate
+    is pushed into the scan with the WHOLE tokenize+shingle expression
+    substituted — interpreted, with no common-subexpression elimination,
+    so the tokenizer re-runs per element_at reference inside the n-gram
+    lambda (measured 20x at sf0.1). A Python eval node is a hard
+    pushdown/collapse barrier AND vectorizes the string work; semantics
+    are pinned identical to word_shingles by tests and the DuckDB oracle.
+    """
+    import re
+
+    rx = re.compile(r"[^a-z0-9]+")
+
+    @F.pandas_udf("array<string>")
+    def _sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = [w for w in rx.split(t.lower() if t is not None else "") if w]
+            if len(toks) < n:
+                out.append([])
+            else:
+                # dict.fromkeys == array_distinct: dedupe, keep first-seen order
+                out.append(list(dict.fromkeys(
+                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                )))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"), _sh(F.col(text_col)).alias("sh"))
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 8) -> list[Column]:
@@ -132,31 +161,34 @@ def ngram_jaccard_pairs(
     out over rare shingles only. Verification joins the full shingle
     sets back and computes exact Jaccard.
     """
-    # persist BEFORE filtering: a filter on size(sh) would otherwise be
-    # pushed below the projection with the whole tokenize+shingle
-    # expression substituted into an interpreted-mode predicate (~25x,
-    # measured — and re-measured the hard way when this persist was
-    # briefly removed: 9s -> 35s).
-    sh = shingle_df(df, text_col=text_col, id_col=id_col, n=n).persist()
-    sh = sh.withColumn("n_sh", F.size("sh")).filter(F.col("n_sh") > 0)
+    # One linear pass up to the ranked table: shingle -> explode (which
+    # drops empty-shingle docs for free) -> window df-count (one shuffle
+    # by shingle) -> re-pack groupBy (one shuffle by id). n_sh is the
+    # exploded row count per id — shingles_of() emits DISTINCT shingles,
+    # so count(*) == |shingle set| and the expensive shingle expression
+    # is evaluated exactly once per row (the old shape persisted the
+    # shingle DF just to stop re-evaluation; measured ~2s of columnar
+    # cache build for the array<string> column at sf0.1).
+    from pyspark.sql.window import Window
 
-    # global order: (document frequency, shingle); one groupBy over the
-    # exploded shingles, joined back, re-packed sorted by rarity
-    exploded = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
-    dfreq = exploded.groupBy("shingle").agg(F.count("*").alias("df"))
+    sh = shingle_df(df, text_col=text_col, id_col=id_col, n=n)
+    exploded = sh.select("id", F.explode("sh").alias("shingle"))
     ranked = (
-        exploded.join(dfreq, "shingle")
-        .groupBy("id", "n_sh")
+        exploded.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
+        .groupBy("id")
         .agg(
+            F.count("*").cast("int").alias("n_sh"),
             F.transform(
                 F.array_sort(F.collect_list(F.struct("df", "shingle"))),
                 lambda s: s["shingle"],
-            ).alias("sh_ranked")
+            ).alias("sh_ranked"),
         )
     )
     prefix_len = (F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1).cast("int")
-    # the ranking pipeline (explode + df-count + join + repack) feeds both
-    # sides of the candidate self-join — persist so it runs once
+    # ranked feeds three branches (prefix index + both verification
+    # sides); without a cache the whole upstream pipeline re-runs per
+    # branch (measured 25s vs 5s at sf0.1 — AQE does not reuse the
+    # aggregate's exchange across the self-join's sides)
     ranked = ranked.persist()
     inv = ranked.select(
         "id", "n_sh", F.explode(F.slice("sh_ranked", 1, prefix_len)).alias("shingle")
