@@ -774,6 +774,51 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event picks up the latest prior (or
+    simultaneous) click by the same user — one equi-shuffle window pass,
+    no inequality-join explosion (muopdb_spark.operators.temporal)."""
+    from muopdb_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out = asof_join(
+        purchases, clicks, keys=["user_id"], ts="ts",
+        payload=["value", "event_id"], tiebreak="event_id",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.coalesce("asof_value", F.lit(0.0)).alias("asof_value"),
+        F.coalesce("asof_event_id", F.lit(-1)).cast("long").alias("asof_click_id"),
+        F.col("asof_event_id").isNotNull().alias("matched"),
+    ).orderBy("event_id")
+
+
+def q_range_count_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: clicks in the hour before each purchase,
+    bucketed equi-join (constant 2x replication) instead of a
+    nested-loop inequality join."""
+    from muopdb_spark.operators.temporal import range_count_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = range_count_join(
+        purchases, clicks, keys=["user_id"], window_us=3_600_000_000
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("n_in_range").cast("long").alias("n_clicks_1h"),
+    ).orderBy("event_id")
+
+
 # ------------------------------------------- multimodal / ids / rel-ops
 
 def q_media_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -935,6 +980,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o3_above_nation_avg": q_above_nation_avg,
         "j5_tpch_q5": q_tpch_q5ish,
         "a2_part_stats": q_part_stats,
+        "j6_asof_join": q_asof_join,
+        "j7_range_count_join": q_range_count_join,
     }
 
 
@@ -1276,6 +1323,37 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p_brand
             HAVING count(*) >= 5
             ORDER BY p_brand
+        """,
+        "j6_asof_join": """
+            WITH l AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'purchase'
+            ),
+            r AS (
+                SELECT user_id, ts, value, event_id FROM events
+                WHERE event_type = 'click'
+            )
+            SELECT l.event_id, l.user_id,
+                   coalesce(m.value, 0.0) AS asof_value,
+                   coalesce(m.event_id, -1) AS asof_click_id,
+                   m.event_id IS NOT NULL AS matched
+            FROM l LEFT JOIN LATERAL (
+                SELECT r.value, r.event_id FROM r
+                WHERE r.user_id = l.user_id AND r.ts <= l.ts
+                ORDER BY r.ts DESC, r.event_id DESC LIMIT 1
+            ) m ON TRUE
+            ORDER BY l.event_id
+        """,
+        "j7_range_count_join": """
+            SELECT l.event_id, l.user_id,
+                   (SELECT count(*) FROM events r
+                    WHERE r.event_type = 'click'
+                      AND r.user_id = l.user_id
+                      AND r.ts >= l.ts - INTERVAL 1 HOUR
+                      AND r.ts < l.ts) AS n_clicks_1h
+            FROM events l
+            WHERE l.event_type = 'purchase'
+            ORDER BY l.event_id
         """,
         "agg_tpch_q6": """
             SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
