@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "mu1_multi_user_ann",
     "s3_insert_packed",
     "fn_json_props",
+    "j6_asof_join",
+    "j7_range_count_join",
 ]
 
 
