@@ -712,18 +712,21 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_hybrid_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F8: pre-filter ∩ ANN candidates INSIDE the posting scan
     (ivf/block_based/index.rs:214-227) — two-phase IVF with the filter
-    applied before top-k. Full probe => exact => oracle-able."""
+    applied before top-k. Full probe => exact => oracle-able.
+
+    The filter's match set stays a DataFrame end-to-end (the
+    `plan_with_ids` contract, planner.rs:45-61): ivf_search leftsemi-
+    joins it against the candidates, so at 100 TB a millions-of-ids
+    match set never collects to the driver."""
     from muopdb_spark.index.ivf import build_ivf, ivf_search
 
     dv = _docs_with_vectors(spark, sf_dir)
     idx = build_ivf(dv, vec_col="embedding", id_col="doc_id",
                     num_centroids=10, seed=42)
-    # filter on ids (the plan_with_ids shape): scan-side semi filter
-    allowed = [r["doc_id"] for r in
-               dv.filter(F.col("lang") == "en").select("doc_id").collect()]
+    allowed = dv.filter(F.col("lang") == "en").select(F.col("doc_id").alias("id"))
     qv = _query_vector(spark, sf_dir)
     out = ivf_search(idx, qv, 10, num_probes=10, centroid_distance_ratio=None,
-                     pre_filter=F.col("id").isin(allowed), score_decimals=6)
+                     pre_filter_ids=allowed, score_decimals=6)
     return out.withColumnRenamed("id", "doc_id")
 
 

@@ -202,6 +202,7 @@ def ivf_search(
     num_probes: int | None = None,
     centroid_distance_ratio: float | None = 0.1,
     pre_filter=None,
+    pre_filter_ids: DataFrame | None = None,
     tombstones: DataFrame | None = None,
     score_decimals: int | None = None,
 ) -> DataFrame:
@@ -210,6 +211,14 @@ def ivf_search(
     num_probes defaults to k (search_params.rs:21-23: num_explored_
     centroids defaults to top_k). Multi-assigned points are deduped by id
     (min score) before the final top-k — the visited-set analog (V21).
+
+    pre_filter_ids is the F8 `plan_with_ids` contract (planner.rs:45-61,
+    applied inside the posting scan at ivf/block_based/index.rs:214-227):
+    a DataFrame with an `id` column that the candidates are leftsemi-
+    joined against BEFORE scoring/top-k. The match set never touches the
+    driver — at 100 TB the filter can select millions of ids and this
+    stays a distributed semi join (broadcast if small, shuffled if not),
+    where a collect+isin literal would OOM the driver.
     """
     if num_probes is None:
         num_probes = k
@@ -221,6 +230,8 @@ def ivf_search(
     scan = index.postings.filter(F.col("centroid_id").isin(probed))
     if pre_filter is not None:
         scan = scan.filter(pre_filter)
+    if pre_filter_ids is not None:
+        scan = scan.join(pre_filter_ids.select("id").distinct(), on="id", how="left_semi")
     if tombstones is not None:
         scan = scan.join(tombstones.select("id").distinct(), on="id", how="left_anti")
     score = score_expr(index.metric, F.col("vector"), q)

@@ -112,48 +112,38 @@ def build_multi_ivf(
     return MultiIvfIndex(centroids=centroids, postings=postings.persist(), metric=metric)
 
 
-def multi_ivf_search(
+def _probed_pairs(
     index: MultiIvfIndex,
-    user_id: int,
-    query_vector: Sequence[float],
-    k: int,
-    *,
-    num_probes: int | None = None,
-    centroid_distance_ratio: float | None = 0.1,
-    pre_filter=None,
+    user_ids: Sequence[int],
+    q,
+    num_probes: int,
+    centroid_distance_ratio: float | None,
 ) -> DataFrame:
-    """Search ONE user's index (per-user loop of snapshot.rs:50-58; the
-    multi-user merge is a union + the V16 window, see
-    multi_ivf_search_users)."""
-    if num_probes is None:
-        num_probes = k
-    q = F.lit([float(x) for x in query_vector]).cast("array<double>")
-    probed_rows = (
-        index.centroids.filter(F.col("user_id") == user_id)
+    """Phase 1 for ALL requested users AT ONCE: one window over the
+    centroid table yields the probed (user_id, centroid_id) pairs as a
+    DataFrame — no per-user driver collect, no per-user Spark job. For a
+    1,000-user request this is still exactly one job over a small table
+    (the set-based shape of snapshot.rs:39-64, where the reference loops
+    in-process; a driver loop here would be 1,000 jobs).
+
+    Ratio prune (V19, spann/index.rs:233-246) uses abs(d_min) — a
+    DELIBERATE deviation from the reference's `min * ratio`: for the
+    negated-dot metric d_min is negative, making the reference's
+    threshold negative so every non-nearest centroid is dropped; abs()
+    keeps the intended "within ratio of nearest" semantics for both
+    metrics (recall-safe superset of the reference's probe set)."""
+    scored = (
+        index.centroids.filter(F.col("user_id").isin([int(u) for u in user_ids]))
         .withColumn("d", score_expr(index.metric, F.col("centroid"), q))
-        .orderBy(F.col("d").asc(), F.col("centroid_id").asc())
-        .limit(num_probes)
-        .collect()
     )
-    if not probed_rows:
-        return index.postings.sparkSession.createDataFrame([], "id long, score double")
-    d_min = probed_rows[0]["d"]
-    probed = [
-        r["centroid_id"] for r in probed_rows
-        if centroid_distance_ratio is None
-        or r["d"] - d_min <= abs(d_min) * centroid_distance_ratio
-    ]
-    scan = index.postings.filter(
-        (F.col("user_id") == user_id) & F.col("centroid_id").isin(probed)
-    )
-    if pre_filter is not None:
-        scan = scan.filter(pre_filter)
-    return (
-        scan.select("id", score_expr(index.metric, F.col("vector"), q).alias("score"))
-        .groupBy("id").agg(F.min("score").alias("score"))
-        .orderBy(F.col("score").asc_nulls_last(), F.col("id").asc())
-        .limit(k)
-    )
+    w = Window.partitionBy("user_id").orderBy(F.col("d").asc(), F.col("centroid_id").asc())
+    probed = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= num_probes)
+    if centroid_distance_ratio is not None:
+        d_min = F.min("d").over(Window.partitionBy("user_id"))
+        probed = probed.withColumn("d_min", d_min).filter(
+            F.col("d") - F.col("d_min") <= F.abs(F.col("d_min")) * centroid_distance_ratio
+        )
+    return probed.select("user_id", "centroid_id")
 
 
 def multi_ivf_search_users(
@@ -161,19 +151,68 @@ def multi_ivf_search_users(
     user_ids: Sequence[int],
     query_vector: Sequence[float],
     k: int,
-    **kw,
+    *,
+    num_probes: int | None = None,
+    centroid_distance_ratio: float | None = 0.1,
+    pre_filter=None,
+    pre_filter_ids: DataFrame | None = None,
+    per_user: bool = False,
+    score_decimals: int | None = None,
 ) -> DataFrame:
-    """Across users: per-user top-k, then merge + truncate k
-    (snapshot.rs:39-64)."""
-    parts = [
-        multi_ivf_search(index, u, query_vector, k, **kw).withColumn("user_id", F.lit(u))
-        for u in user_ids
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    """Search N users' independent indexes in ONE plan (snapshot.rs:39-64
+    searches any number of users per request): windowed probe for all
+    users → one postings semi-join on (user_id, centroid_id) → score →
+    per-user dedup → top-k.
+
+    per_user=False: global top-k across users (the reference's cross-user
+    merge, snapshot.rs:60-61). per_user=True: top-k PER user (rnk <= k).
+
+    pre_filter_ids: F8 plan_with_ids as a leftsemi join on id — the match
+    set never collects to the driver."""
+    if num_probes is None:
+        num_probes = k
+    q = F.lit([float(x) for x in query_vector]).cast("array<double>")
+    pairs = _probed_pairs(index, user_ids, q, num_probes, centroid_distance_ratio)
+    # one semi join prunes the postings scan to the probed pairs — with
+    # postings partitioned by (user_id, centroid_id) this is the
+    # partition-pruning analog of per-user index-blob opens
+    scan = index.postings.join(
+        F.broadcast(pairs), on=["user_id", "centroid_id"], how="left_semi"
+    )
+    if pre_filter is not None:
+        scan = scan.filter(pre_filter)
+    if pre_filter_ids is not None:
+        scan = scan.join(pre_filter_ids.select("id").distinct(), on="id", how="left_semi")
+    score = score_expr(index.metric, F.col("vector"), q)
+    if score_decimals is not None:
+        score = F.round(score, score_decimals)
+    deduped = (
+        scan.select("user_id", "id", score.alias("score"))
+        .groupBy("user_id", "id").agg(F.min("score").alias("score"))  # V21 dedup
+    )
+    if per_user:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("score").asc_nulls_last(), F.col("id").asc()
+        )
+        return (
+            deduped.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("user_id", "id", "score")
+            .orderBy("user_id", F.col("score").asc_nulls_last(), "id")
+        )
     return (
-        out.orderBy(F.col("score").asc_nulls_last(), F.col("id").asc())
+        deduped.orderBy(F.col("score").asc_nulls_last(), F.col("id").asc())
         .limit(k)
         .select("user_id", "id", "score")
     )
+
+
+def multi_ivf_search(
+    index: MultiIvfIndex,
+    user_id: int,
+    query_vector: Sequence[float],
+    k: int,
+    **kw,
+) -> DataFrame:
+    """Search ONE user's index — the N=1 case of the set-based path."""
+    return multi_ivf_search_users(index, [user_id], query_vector, k, **kw).select("id", "score")

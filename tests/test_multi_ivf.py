@@ -63,6 +63,44 @@ def test_unknown_user_empty(index):
     assert multi_ivf_search(index, 99, [0.0] * DIM, 5).isEmpty()
 
 
+def test_many_users_one_plan(spark):
+    """50 users in ONE request — the set-based path (snapshot.rs:39-64)
+    probes all users with one window + one postings semi-join, no
+    per-user driver loop. Each user u clusters at u*10, so the global
+    top-k for a query at 250 is exactly user 25's points."""
+    rng = np.random.default_rng(7)
+    rows = []
+    did = 0
+    for user in range(50):
+        for p in np.full(DIM, user * 10.0) + rng.normal(0, 0.5, size=(20, DIM)):
+            rows.append((user, did, [float(x) for x in p]))
+            did += 1
+    df = spark.createDataFrame(rows, "user_id long, doc_id long, vector array<float>")
+    idx = build_multi_ivf(df, num_centroids=1, seed=3)
+    got = multi_ivf_search_users(idx, list(range(50)), [250.0] * DIM, 5,
+                                 num_probes=1, centroid_distance_ratio=None).collect()
+    assert len(got) == 5
+    assert all(r["user_id"] == 25 for r in got)
+    # per-user mode: top-2 for each of the 50 users in the same single plan
+    per = multi_ivf_search_users(idx, list(range(50)), [250.0] * DIM, 2,
+                                 num_probes=1, centroid_distance_ratio=None,
+                                 per_user=True)
+    counts = {r["user_id"]: r["n"] for r in
+              per.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert counts == {u: 2 for u in range(50)}
+
+
+def test_pre_filter_ids_semi_join(index, users_df):
+    """F8 plan_with_ids: the allowed-ids DataFrame is leftsemi-joined —
+    results are restricted without any driver-side id list."""
+    allowed = users_df.filter("user_id = 0 AND doc_id % 2 = 0").select(
+        F.col("doc_id").alias("id"))
+    got = multi_ivf_search(index, 0, [100.0] * DIM, 10,
+                           num_probes=2, centroid_distance_ratio=None,
+                           pre_filter_ids=allowed).collect()
+    assert got and all(r["id"] % 2 == 0 for r in got)
+
+
 def test_cross_user_merge(index):
     # query at 100: user 0's cluster @100 beats user 1's clusters @50/150
     got = multi_ivf_search_users(index, [0, 1], [100.0] * DIM, 6,
