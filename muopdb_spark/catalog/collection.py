@@ -69,6 +69,13 @@ class CollectionConfig:
         return cls(**json.loads(s))
 
 
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for dirpath, _, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
+    return total
+
+
 def _atomic_write(path: str, content: str) -> None:
     d = os.path.dirname(path)
     os.makedirs(d, exist_ok=True)
@@ -132,9 +139,26 @@ class Collection:
             json.dumps(toc, indent=2, sort_keys=True),
         )
 
-    def _commit_toc(self, segments: list[str], flushed_seq_no: int) -> int:
+    def _commit_toc(
+        self,
+        segments: list[str],
+        flushed_seq_no: int,
+        tomb_applied: dict[str, int] | None = None,
+    ) -> int:
+        """tomb_applied maps segment -> highest tombstone seq_no already
+        physically applied (rows dropped) when the segment was written:
+        -1 for fresh flushes, the rewrite-time tombstone high-water mark
+        for vacuum/merge outputs. Tombstones at or below every segment's
+        watermark are fully applied and can be dropped (the reference
+        clears invalidated ids the same way when optimizers rewrite a
+        segment)."""
         v = self.current_version() + 1
-        self._write_toc({"version": v, "segments": sorted(segments), "flushed_seq_no": flushed_seq_no})
+        prev = self.toc().get("tomb_applied", {})
+        applied = {s: (tomb_applied or {}).get(s, prev.get(s, -1)) for s in segments}
+        self._write_toc({
+            "version": v, "segments": sorted(segments),
+            "flushed_seq_no": flushed_seq_no, "tomb_applied": applied,
+        })
         return v
 
     # ---------------------------------------------------------- writes
@@ -145,8 +169,25 @@ class Collection:
     def _tombstone_dir(self) -> str:
         return os.path.join(self.root, "tombstones")
 
+    def _seq_path(self) -> str:
+        return os.path.join(self.root, "seq_counter.json")
+
     def _next_seq_no(self) -> int:
-        return self._max_seq_no() + 1
+        """Allocate the next monotonic seq_no from a persisted counter
+        file (atomic-rename update, same pattern as the TOC swap) — one
+        file read instead of a WAL+tombstone scan per write. Falls back
+        to a one-time scan when the counter file is absent (collections
+        created before the counter existed). Single-writer semantics,
+        like the reference's in-process AtomicU64; concurrent writers
+        need an external lock, which the reference gets from living in
+        one process (core.rs group commit)."""
+        if os.path.exists(self._seq_path()):
+            with open(self._seq_path()) as f:
+                nxt = json.load(f)["next"]
+        else:
+            nxt = self._max_seq_no() + 1
+        _atomic_write(self._seq_path(), json.dumps({"next": nxt + 1}))
+        return nxt
 
     def _max_seq_no(self) -> int:
         hi = -1
@@ -184,6 +225,32 @@ class Collection:
             return self.spark.read.parquet(d)
         return self.spark.createDataFrame([], "user_id long, doc_id long, seq_no long")
 
+    def _tomb_latest(self) -> DataFrame:
+        """Newest tombstone per (user, doc) — the only one that matters
+        for masking, since tombstone seq_nos are totally ordered."""
+        return (
+            self.tombstones()
+            .groupBy("user_id", "doc_id")
+            .agg(F.max("seq_no").alias("tomb_seq"))
+        )
+
+    def _apply_tombstones(self, df: DataFrame) -> DataFrame:
+        """V20 masking, seq_no-aware: a tombstone hides only doc rows
+        written AT OR BEFORE it (docs.seq_no <= tomb.seq_no), so a doc
+        re-inserted after a remove is searchable again — matching the
+        reference, which invalidates only ids present at remove time
+        (core.rs remove_impl guards on sequence_number). Planned as an
+        anti hash join on the (user_id, doc_id) equi keys with the
+        seq_no comparison as the join residual — no nested loop."""
+        t = self._tomb_latest().select(
+            F.col("user_id").alias("_tu"), F.col("doc_id").alias("_td"), "tomb_seq"
+        )
+        cond = (
+            (df["user_id"] == t["_tu"]) & (df["doc_id"] == t["_td"])
+            & (df["seq_no"] <= t["tomb_seq"])
+        )
+        return df.join(t, cond, "left_anti")
+
     # ----------------------------------------------------------- flush
 
     def _segment_dir(self, name: str) -> str:
@@ -193,9 +260,12 @@ class Collection:
         """S5 Flush: WAL rows above the flushed watermark become a new
         immutable segment (docs parquet partitioned by user_id); the TOC
         advances atomically; returns the new segment name (None if the
-        WAL has nothing new). Replays of the same WAL range are impossible
-        afterwards because the watermark moved with the same commit (W3
-        exactly-once)."""
+        WAL has nothing new). The watermark makes re-flushing an
+        already-flushed WAL range a no-op; end-to-end the guarantee is
+        at-least-once for the WRITE path (a crashed writer may re-append
+        with a fresh seq_no — same as any at-least-once producer; the
+        streaming path dedups replays by batch_id, see
+        streaming/ingest.py), exactly-once for flush itself."""
         toc = self.toc()
         wal = self._wal_dir()
         if not (os.path.isdir(wal) and any(p.endswith(".parquet") for p in os.listdir(wal))):
@@ -231,10 +301,7 @@ class Collection:
             df = df.unionByName(self.spark.read.parquet(
                 os.path.join(self._segment_dir(s), "docs")), allowMissingColumns=True)
         if not with_tombstones:
-            df = df.join(
-                self.tombstones().select("user_id", "doc_id").distinct(),
-                on=["user_id", "doc_id"], how="left_anti",
-            )
+            df = self._apply_tombstones(df)
         return df
 
     def search(self, user_ids, query_vector, k, *, pre_filter=None, version=None) -> DataFrame:
@@ -271,15 +338,44 @@ class Collection:
     # ------------------------------------------------------ maintenance
 
     def stats(self) -> dict:
-        """A1 doc counts: total / deleted per segment (drives vacuum)."""
+        """A1 doc counts + byte sizes per segment (drives vacuum; the
+        admin GetSegments parity — the reference returns segment sizes,
+        admin.proto / admin_server.rs). ONE Spark job for all segments:
+        segments union with a segment tag column, left join the latest
+        tombstones, one groupBy — not a pair of count jobs per segment."""
         toc = self.toc()
-        tomb = self.tombstones().select("user_id", "doc_id").distinct()
-        out = {}
+        out: dict = {}
+        if toc["segments"]:
+            parts = [
+                self.segment_docs(s)
+                .select("user_id", "doc_id", "seq_no")
+                .withColumn("_seg", F.lit(s))
+                for s in toc["segments"]
+            ]
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            t = self._tomb_latest().select(
+                F.col("user_id").alias("_tu"), F.col("doc_id").alias("_td"), "tomb_seq"
+            )
+            joined = df.join(
+                t, (df["user_id"] == t["_tu"]) & (df["doc_id"] == t["_td"]), "left"
+            )
+            agg = (
+                joined.groupBy("_seg")
+                .agg(
+                    F.count(F.lit(1)).alias("total"),
+                    F.sum(
+                        F.when(F.col("seq_no") <= F.col("tomb_seq"), 1).otherwise(0)
+                    ).alias("deleted"),
+                )
+                .collect()
+            )
+            for r in agg:
+                out[r["_seg"]] = {"total": r["total"], "deleted": int(r["deleted"] or 0)}
         for seg in toc["segments"]:
-            d = self.segment_docs(seg)
-            total = d.count()
-            deleted = d.join(tomb, on=["user_id", "doc_id"], how="left_semi").count()
-            out[seg] = {"total": total, "deleted": deleted}
+            info = out.setdefault(seg, {"total": 0, "deleted": 0})
+            info["size_bytes"] = _dir_bytes(self._segment_dir(seg))
         return out
 
     def merge_segments(self, seg_names: list[str] | None = None) -> str:
@@ -293,10 +389,8 @@ class Collection:
         df = self.segment_docs(segs[0])
         for s in segs[1:]:
             df = df.unionByName(self.segment_docs(s), allowMissingColumns=True)
-        df = df.join(
-            self.tombstones().select("user_id", "doc_id").distinct(),
-            on=["user_id", "doc_id"], how="left_anti",
-        )
+        df = self._apply_tombstones(df)
+        applied_hi = self._tombstone_hi()
         merged = f"segment_{uuid.uuid4().hex[:12]}"
         (
             df.repartition("user_id")
@@ -304,21 +398,26 @@ class Collection:
             .parquet(os.path.join(self._segment_dir(merged), "docs"))
         )
         remaining = [s for s in toc["segments"] if s not in set(segs)] + [merged]
-        self._commit_toc(remaining, toc["flushed_seq_no"])
+        self._commit_toc(remaining, toc["flushed_seq_no"], {merged: applied_hi})
+        self._prune_tombstones()
         return merged
 
     def vacuum(self) -> list[str]:
         """Rewrite any segment whose deleted ratio exceeds the config
-        threshold (default 0.1 — the reference's auto-vacuum trigger)."""
+        threshold (default 0.1 — the reference's auto-vacuum trigger).
+        stats() is computed ONCE up front (one Spark job for all
+        segments), not per segment."""
         rewritten = []
-        tomb = self.tombstones().select("user_id", "doc_id").distinct()
         toc = self.toc()
         segments = list(toc["segments"])
+        all_stats = self.stats()
+        applied_hi = self._tombstone_hi()
+        applied: dict[str, int] = {}
         for seg in toc["segments"]:
-            st = self.stats()[seg]
+            st = all_stats[seg]
             if st["total"] == 0 or st["deleted"] / st["total"] <= self.config.vacuum_deleted_ratio:
                 continue
-            clean = self.segment_docs(seg).join(tomb, on=["user_id", "doc_id"], how="left_anti")
+            clean = self._apply_tombstones(self.segment_docs(seg))
             new_seg = f"segment_{uuid.uuid4().hex[:12]}"
             (
                 clean.repartition("user_id")
@@ -326,10 +425,46 @@ class Collection:
                 .parquet(os.path.join(self._segment_dir(new_seg), "docs"))
             )
             segments = [s for s in segments if s != seg] + [new_seg]
+            applied[new_seg] = applied_hi
             rewritten.append(new_seg)
         if rewritten:
-            self._commit_toc(segments, toc["flushed_seq_no"])
+            self._commit_toc(segments, toc["flushed_seq_no"], applied)
+            self._prune_tombstones()
         return rewritten
+
+    def _tombstone_hi(self) -> int:
+        """Highest tombstone seq_no on disk (-1 when none)."""
+        m = self.tombstones().agg(F.max("seq_no")).first()[0]
+        return m if m is not None else -1
+
+    def _prune_tombstones(self) -> int:
+        """Drop tombstones fully applied to EVERY segment of the current
+        TOC (seq_no <= the minimum per-segment applied watermark) — the
+        analog of the reference clearing invalidated ids when optimizers
+        rewrite segments. Older MVCC versions may still reference
+        unrewritten segments only through their own TOCs; pruning keys
+        off the CURRENT version, matching the reference (snapshots there
+        hold invalidation bitmaps, not the tombstone log). Returns the
+        number of tombstone rows dropped."""
+        toc = self.toc()
+        applied = toc.get("tomb_applied", {})
+        if not toc["segments"]:
+            return 0
+        floor = min(applied.get(s, -1) for s in toc["segments"])
+        if floor < 0:
+            return 0
+        tomb = self.tombstones()
+        doomed = tomb.filter(F.col("seq_no") <= floor).count()
+        if not doomed:
+            return 0
+        survivors = tomb.filter(F.col("seq_no") > floor)
+        tmp = self._tombstone_dir() + ".rewrite"
+        survivors.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(self._tombstone_dir())
+        os.replace(tmp, self._tombstone_dir())
+        return doomed
 
     def auto_optimize(self) -> dict:
         """W7 background-loop policy: vacuum over-threshold segments,

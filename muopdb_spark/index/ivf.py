@@ -190,7 +190,13 @@ def probe_centroids(
     if centroid_distance_ratio is None:
         return [r["centroid_id"] for r in scored]
     d_min = scored[0]["d"]
-    # reference prune: score - min <= min * ratio (spann/index.rs:233-246)
+    # Ratio prune (V19). DELIBERATE deviation from the reference's
+    # `score - min <= min * ratio` (spann/index.rs:233-246): abs(d_min)
+    # instead of d_min, because under the negated-dot metric d_min is
+    # negative, which makes the reference's threshold negative and drops
+    # every centroid but the nearest. abs() preserves the intended
+    # "within ratio of the nearest" semantics for both metrics; the
+    # probe set is a recall-safe superset of the reference's.
     return [r["centroid_id"] for r in scored if r["d"] - d_min <= abs(d_min) * centroid_distance_ratio]
 
 

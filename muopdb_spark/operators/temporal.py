@@ -32,6 +32,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _private_names(taken: set[str], *bases: str) -> dict[str, str]:
+    """Internal working-column names guaranteed absent from the inputs —
+    a left table that already has a `_side` or `_b` column must not be
+    silently overwritten/joined on."""
+    out = {}
+    for base in bases:
+        name, i = base, 0
+        while name in taken:
+            i += 1
+            name = f"{base}_{i}"
+        taken = taken | {name}
+        out[base] = name
+    return out
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -50,34 +65,35 @@ def asof_join(
     Returns left's columns plus ``{prefix}{c}`` for each payload col.
     """
     out_cols = list(left.columns)
+    n = _private_names(set(left.columns) | set(right.columns), "_pay", "_side", "_tb", "_m")
     pay_struct = F.struct(*[F.col(c).alias(c) for c in payload])
     r_cols = [
         *[F.col(k) for k in keys],
         F.col(ts).alias(ts),
-        pay_struct.alias("_pay"),
-        F.lit(0).alias("_side"),
+        pay_struct.alias(n["_pay"]),
+        F.lit(0).alias(n["_side"]),
     ]
     if tiebreak is not None:
         # carry the RIGHT side's tiebreak under a private name — a bare
         # union would null it out (left owns the original column name)
-        r_cols.append(F.col(tiebreak).alias("_tb"))
+        r_cols.append(F.col(tiebreak).alias(n["_tb"]))
     r = right.select(*r_cols)
-    l = left.withColumn("_side", F.lit(1))
+    l = left.withColumn(n["_side"], F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
 
-    order = [F.col(ts).asc(), F.col("_side").asc()]
+    order = [F.col(ts).asc(), F.col(n["_side"]).asc()]
     if tiebreak is not None:
         # among equal-ts right rows the LAST in window order wins, so an
         # ascending tiebreak picks the max — pin it for determinism
-        order.append(F.col("_tb").asc_nulls_first())
+        order.append(F.col(n["_tb"]).asc_nulls_first())
     w = (
         Window.partitionBy(*keys)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    matched = u.withColumn("_m", F.last("_pay", ignorenulls=True).over(w))
-    return matched.filter(F.col("_side") == 1).select(
-        *out_cols, *[F.col("_m")[c].alias(f"{prefix}{c}") for c in payload]
+    matched = u.withColumn(n["_m"], F.last(n["_pay"], ignorenulls=True).over(w))
+    return matched.filter(F.col(n["_side"]) == 1).select(
+        *out_cols, *[F.col(n["_m"])[c].alias(f"{prefix}{c}") for c in payload]
     )
 
 
@@ -98,31 +114,35 @@ def range_count_join(
     shares an exact (keys, bucket) equi-key, then the precise range
     predicate filters.
     """
-    lw = left.withColumn("_us", F.unix_micros(F.col(left_ts)))
-    lb = lw.withColumn("_b", F.floor(F.col("_us") / F.lit(window_us)))
+    n = _private_names(
+        set(left.columns) | set(right.columns) | {count_alias}, "_us", "_rus", "_b"
+    )
+    US, RUS, B = n["_us"], n["_rus"], n["_b"]
+    lw = left.withColumn(US, F.unix_micros(F.col(left_ts)))
+    lb = lw.withColumn(B, F.floor(F.col(US) / F.lit(window_us)))
     rw = right.select(
-        *[F.col(k) for k in keys], F.unix_micros(F.col(right_ts)).alias("_rus")
+        *[F.col(k) for k in keys], F.unix_micros(F.col(right_ts)).alias(RUS)
     )
     rb = rw.select(
         *keys,
-        "_rus",
+        RUS,
         F.explode(
             F.array(
-                F.floor(F.col("_rus") / F.lit(window_us)),
-                F.floor(F.col("_rus") / F.lit(window_us)) + 1,
+                F.floor(F.col(RUS) / F.lit(window_us)),
+                F.floor(F.col(RUS) / F.lit(window_us)) + 1,
             )
-        ).alias("_b"),
+        ).alias(B),
     )
-    cond = (F.col("_rus") >= F.col("_us") - F.lit(window_us)) & (
-        F.col("_rus") < F.col("_us")
+    cond = (F.col(RUS) >= F.col(US) - F.lit(window_us)) & (
+        F.col(RUS) < F.col(US)
     )
     counts = (
-        lb.select(*keys, "_us", "_b").join(rb, on=[*keys, "_b"]).filter(cond)
-        .groupBy(*keys, "_us")
+        lb.select(*keys, US, B).join(rb, on=[*keys, B]).filter(cond)
+        .groupBy(*keys, US)
         .agg(F.count("*").alias(count_alias))
     )
     return (
-        lb.join(counts, on=[*keys, "_us"], how="left")
+        lb.join(counts, on=[*keys, US], how="left")
         .withColumn(count_alias, F.coalesce(F.col(count_alias), F.lit(0)))
-        .drop("_us", "_b")
+        .drop(US, B)
     )

@@ -40,23 +40,25 @@ def decode_packed_vectors(
     """Decode packed float32-LE blobs -> array<float>, validating length
     (the reference rejects mis-sized payloads at the API edge)."""
 
+    blob_len = num_features * 4
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            vecs = []
-            for b in pdf[packed_col]:
-                raw = bytes(b)
-                if len(raw) % 4:
-                    raise ValueError(
-                        f"packed blob of {len(raw)} bytes is not float32-aligned"
-                    )
-                arr = np.frombuffer(raw, dtype="<f4")
-                if len(arr) != num_features:
-                    raise ValueError(
-                        f"packed vector has {len(arr)} floats, expected {num_features}"
-                    )
-                vecs.append(arr.tolist())
+            # one frombuffer over the concatenated batch, not a per-row
+            # Python loop: length validation is a vectorized compare and
+            # the decode is a single zero-copy view + reshape
+            lens = pdf[packed_col].map(len).to_numpy()
+            if len(lens) and (lens != blob_len).any():
+                bad = int(lens[lens != blob_len][0])
+                raise ValueError(
+                    f"packed blob of {bad} bytes != {blob_len} "
+                    f"(num_features={num_features} float32s)"
+                )
+            mat = np.frombuffer(
+                b"".join(pdf[packed_col]), dtype="<f4"
+            ).reshape(-1, num_features)
             out = pdf.drop(columns=[packed_col]).copy()
-            out[out_col] = vecs
+            out[out_col] = list(mat)
             yield out
 
     fields = [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields

@@ -22,11 +22,36 @@ dedup — table stakes for a training-data ingest pipeline.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from muopdb_spark.catalog.collection import Collection
+from muopdb_spark.catalog.collection import Collection, _atomic_write
+
+
+def _ledger_path(collection: Collection) -> str:
+    return os.path.join(collection.root, "wal_ledger.json")
+
+
+def _batch_applied(collection: Collection, key: str) -> bool:
+    p = _ledger_path(collection)
+    if not os.path.exists(p):
+        return False
+    with open(p) as f:
+        return key in json.load(f)
+
+
+def _record_batch(collection: Collection, key: str, seq_no: int) -> None:
+    p = _ledger_path(collection)
+    ledger = {}
+    if os.path.exists(p):
+        with open(p) as f:
+            ledger = json.load(f)
+    ledger[key] = seq_no
+    _atomic_write(p, json.dumps(ledger, indent=0, sort_keys=True))
 
 
 def stream_insert(
@@ -40,16 +65,24 @@ def stream_insert(
     """Continuously ingest a stream into the collection WAL.
 
     Each micro-batch is one group-committed WAL append (one seq_no per
-    batch). Exactly-once: the streaming checkpoint replays uncommitted
-    batches after a crash, and since flush() only freezes rows above the
-    TOC watermark once, a duplicate append of batch N before its commit
-    is the only at-least-once window — identical to the reference's WAL
-    replay contract (re-applied ops keyed by seq_no).
+    batch). Replay idempotence: the streaming checkpoint replays
+    uncommitted batches after a crash; appends are keyed by
+    (checkpoint, batch_id) in a ledger file, so a replayed batch that
+    already reached the WAL is skipped instead of re-appended under a
+    fresh seq_no — the analog of the reference replaying WAL ops keyed
+    by seq_no. (The residual window — a crash between the WAL append
+    and the ledger record — is the same append-then-ack window every
+    log-based at-least-once producer has.)
     """
+    ck = os.path.abspath(checkpoint_dir)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        key = f"{ck}:{batch_id}"
+        if _batch_applied(collection, key):
+            return
         if not batch_df.isEmpty():
-            collection.insert(batch_df)
+            seq = collection.insert(batch_df)
+            _record_batch(collection, key, seq)
 
     writer = stream_df.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -79,12 +112,17 @@ def stream_insert_with_autoflush(
     wall-clock cadence comes from the processing-time trigger itself).
     """
     state = {"pending": 0, "batches": 0}
+    ck = os.path.abspath(checkpoint_dir)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        key = f"{ck}:{batch_id}"
+        if _batch_applied(collection, key):
+            return
         n = batch_df.count()
-        collection.insert(batch_df)
+        seq = collection.insert(batch_df)
+        _record_batch(collection, key, seq)
         state["pending"] += n
         state["batches"] += 1
         if state["pending"] >= max_pending_rows or (

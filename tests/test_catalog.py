@@ -121,15 +121,42 @@ def test_vacuum_threshold_and_rewrite(col, spark):
     col.flush()
     seg0 = col.toc()["segments"][0]
     st = col.stats()[seg0]
-    assert st == {"total": 3, "deleted": 0}
+    assert (st["total"], st["deleted"]) == (3, 0)
+    assert st["size_bytes"] > 0  # GetSegments parity: byte sizes reported
     col.remove([0], [1])  # 1/3 deleted > 0.1 threshold
     rewritten = col.vacuum()
     assert len(rewritten) == 1
     st = col.stats()
-    assert st[rewritten[0]] == {"total": 2, "deleted": 0}
+    assert (st[rewritten[0]]["total"], st[rewritten[0]]["deleted"]) == (2, 0)
     # searches unaffected
     got = col.search([0, 1], [0.0, 0.0, 1.0, 0.0], 5).collect()
     assert [r["doc_id"] for r in got] == [3, 2]
+
+
+def test_reinsert_after_remove_is_searchable(col, spark):
+    """Tombstones mask only rows at-or-below their seq_no (the reference
+    invalidates at remove time guarded by sequence_number): a doc
+    re-inserted AFTER a remove must be visible again."""
+    col.insert(_docs_df(spark, R1))
+    col.flush()
+    col.remove([0], [1])
+    col.insert(_docs_df(spark, [R1[0]]))  # re-insert doc 1 at a higher seq_no
+    col.flush()
+    got = col.search([0], [1.0, 0.0, 0.0, 0.0], 5).collect()
+    assert [r["doc_id"] for r in got] == [1, 2]
+    # and the older copy stays masked: only ONE row for doc 1 survives
+    assert col.docs().filter("doc_id = 1").count() == 1
+
+
+def test_tombstones_pruned_after_full_rewrite(col, spark):
+    """A merge covering every segment applies all tombstones physically,
+    so the tombstone log is pruned (invalidated-ids cleanup analog)."""
+    col.insert(_docs_df(spark, R1)); col.flush()
+    col.remove([0], [1])
+    col.merge_segments()
+    assert col.tombstones().count() == 0
+    # masking still correct: doc 1 was dropped by the rewrite itself
+    assert sorted(r["doc_id"] for r in col.docs().collect()) == [2, 3]
 
 
 def test_merge_segments(col, spark):

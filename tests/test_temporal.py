@@ -61,6 +61,23 @@ def test_asof_keeps_left_columns(quotes, trades):
     assert out.columns == ["k", "ts", "tid", "asof_px"]
 
 
+def test_reserved_column_names_survive(spark, quotes, trades):
+    """Inputs that already use the operators' former internal names
+    (_side, _b, _us...) must pass through untouched — internal working
+    columns are generated collision-free."""
+    t2 = trades.withColumn("_side", F.lit(77)).withColumn("_b", F.lit(88))
+    out = asof_join(t2, quotes, keys=["k"], payload=["px"], tiebreak="qid")
+    rows = {r["tid"]: r for r in out.collect()}
+    assert all(r["_side"] == 77 and r["_b"] == 88 for r in rows.values())
+    assert rows[202]["asof_px"] == 3.0
+    out2 = range_count_join(
+        t2, quotes, keys=["k"], left_ts="ts", right_ts="ts",
+        window_us=15_000_000,
+    )
+    rows2 = {r["tid"]: r for r in out2.collect()}
+    assert all(r["_side"] == 77 and r["_b"] == 88 for r in rows2.values())
+
+
 def test_range_count_halfopen_window(spark, trades, quotes):
     # count quotes in [trade.ts - 15s, trade.ts) per key
     out = range_count_join(
