@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "t3_lang_id",
     "v4_ann_ivf_fullprobe",
     "v19_ann_ivf_probed",
+    "v11_pq_adc_rerank",
     "x1_lsh_near_dup",
     "m1_media_bytes",
     "m2_frame_sample",

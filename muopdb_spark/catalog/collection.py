@@ -58,6 +58,8 @@ class CollectionConfig:
     max_clusters_per_vector: int = 1
     distance_threshold: float = 0.1
     quantizer: str = "none"                  # none | pq (enums.rs:4-9)
+    pq_subvectors: int = 4                   # collection.rs:43-63 subvector geometry
+    pq_centers: int = 16
     vacuum_deleted_ratio: float = 0.1        # immutable_segment.rs:75-82
     max_segments: int = 10                   # collection.rs:168-170
 
@@ -144,6 +146,7 @@ class Collection:
         segments: list[str],
         flushed_seq_no: int,
         tomb_applied: dict[str, int] | None = None,
+        indexes: dict[str, list[str]] | None = None,
     ) -> int:
         """tomb_applied maps segment -> highest tombstone seq_no already
         physically applied (rows dropped) when the segment was written:
@@ -151,13 +154,23 @@ class Collection:
         for vacuum/merge outputs. Tombstones at or below every segment's
         watermark are fully applied and can be dropped (the reference
         clears invalidated ids the same way when optimizers rewrite a
-        segment)."""
+        segment).
+
+        indexes maps segment -> list of durable index artifacts under
+        segments/<seg>/index/ ("ivf", "terms") — the TOC is the single
+        source of truth for what a reader may open (TableOfContent
+        analog, rs/index/src/collection/mod.rs:20-53). Entries for
+        unchanged segments carry forward; dropped segments drop theirs."""
         v = self.current_version() + 1
-        prev = self.toc().get("tomb_applied", {})
-        applied = {s: (tomb_applied or {}).get(s, prev.get(s, -1)) for s in segments}
+        prev = self.toc()
+        prev_applied = prev.get("tomb_applied", {})
+        prev_idx = prev.get("indexes", {})
+        applied = {s: (tomb_applied or {}).get(s, prev_applied.get(s, -1)) for s in segments}
+        idx = {s: (indexes or {}).get(s, prev_idx.get(s, [])) for s in segments}
         self._write_toc({
             "version": v, "segments": sorted(segments),
             "flushed_seq_no": flushed_seq_no, "tomb_applied": applied,
+            "indexes": idx,
         })
         return v
 
@@ -507,19 +520,260 @@ class Collection:
                     removed_segments.append(seg)
         return {"versions": removed_versions, "segments": sorted(removed_segments)}
 
-    def build_index(self) -> "object":
-        """S5's index-build half: IVF over all flushed docs (per-user
-        indexes come from partitioning — the per-user SPANN analog)."""
-        from muopdb_spark.index.ivf import build_ivf
+    # ------------------------------------------------- durable indexes
 
-        return build_ivf(
-            self.docs(), vec_col="vector", id_col="doc_id",
-            num_centroids=self.config.num_centroids,
-            metric=self.config.metric,
-            max_posting_size=self.config.max_posting_size,
-            distance_threshold=self.config.distance_threshold,
-            max_clusters_per_vector=self.config.max_clusters_per_vector,
+    def _seg_index_dir(self, seg: str, kind: str) -> str:
+        return os.path.join(self._segment_dir(seg), "index", kind)
+
+    def _codebook_path(self) -> str:
+        return os.path.join(self.root, "pq_codebook.json")
+
+    def _load_or_train_codebook(self):
+        """Collection-level PQ codebook (the reference selects the
+        quantizer per collection, rs/index/src/collection/mod.rs:145-149;
+        we also SCOPE the codebook per collection — one deviation from
+        the reference's per-segment training — so codes from different
+        segments score against one table and cross-segment merges need
+        no re-encoding). Trained once over a sample, persisted, reused."""
+        from muopdb_spark.index.pq import PqCodebook, train_pq
+
+        if os.path.exists(self._codebook_path()):
+            with open(self._codebook_path()) as f:
+                return PqCodebook.from_json(f.read())
+        cb = train_pq(
+            self.docs(with_tombstones=True), vec_col="vector",
+            num_subvectors=self.config.pq_subvectors,
+            num_centers=self.config.pq_centers,
         )
+        _atomic_write(self._codebook_path(), cb.to_json())
+        return cb
+
+    def build_index(self) -> dict:
+        """S5's index-build half, durable: for every current-TOC segment
+        lacking an index, build per-user IVF tables (+ PQ codes when the
+        collection quantizer is 'pq') and the inverted term index, write
+        them under segments/<seg>/index/{ivf,terms}/, and commit a TOC
+        version referencing them (the flush artifact of core.rs:867-976
+        / multi_spann/writer.rs + terms/writer.rs:22-56). A new session
+        reopens with Collection.open() + ann_search without rebuilding.
+        Incremental by construction: a later flush indexes ONLY the new
+        segment."""
+        from muopdb_spark.index.multi_ivf import build_multi_ivf, multi_ivf_save
+        from muopdb_spark.index.pq import pq_encode
+        from muopdb_spark.index.terms import build_term_index
+
+        toc = self.toc()
+        indexes = {s: list(v) for s, v in toc.get("indexes", {}).items()}
+        codebook = (
+            self._load_or_train_codebook() if self.config.quantizer == "pq" else None
+        )
+        term_fields = {
+            f: t for f, t in self.config.attribute_schema.items()
+            if t in ("text", "keyword")
+        }
+        built = []
+        for seg in toc["segments"]:
+            have = set(indexes.get(seg, []))
+            if "ivf" not in have:
+                docs = self.segment_docs(seg)
+                idx = build_multi_ivf(
+                    docs, user_col="user_id", vec_col="vector", id_col="doc_id",
+                    num_centroids=self.config.num_centroids,
+                    metric=self.config.metric,
+                    distance_threshold=self.config.distance_threshold,
+                    max_clusters_per_vector=self.config.max_clusters_per_vector,
+                    carry_cols=["seq_no"],
+                )
+                if codebook is not None:
+                    idx.postings = pq_encode(idx.postings, codebook, vec_col="vector")
+                    idx.codebook = codebook
+                multi_ivf_save(idx, self._seg_index_dir(seg, "ivf"))
+                have.add("ivf")
+            if term_fields and "terms" not in have:
+                tdf = build_term_index(
+                    self.segment_docs(seg), term_fields,
+                    id_col="doc_id", user_col="user_id",
+                )
+                tdf.write.mode("overwrite").partitionBy("user_id").parquet(
+                    self._seg_index_dir(seg, "terms"))
+                have.add("terms")
+            if have != set(indexes.get(seg, [])):
+                indexes[seg] = sorted(have)
+                built.append(seg)
+        if built:
+            self._commit_toc(toc["segments"], toc["flushed_seq_no"], indexes=indexes)
+        return {s: indexes.get(s, []) for s in toc["segments"]}
+
+    def load_segment_index(self, seg: str):
+        """Reopen one segment's persisted IVF index (reader.rs analog)."""
+        from muopdb_spark.index.multi_ivf import multi_ivf_load
+
+        return multi_ivf_load(self.spark, self._seg_index_dir(seg, "ivf"))
+
+    def _indexed_segments(self, kind: str, version: int | None = None) -> list[str]:
+        toc = self.toc(version)
+        idx = toc.get("indexes", {})
+        missing = [s for s in toc["segments"] if kind not in idx.get(s, [])]
+        if missing:
+            raise ValueError(
+                f"segments lack a {kind!r} index (run build_index() first): {missing}"
+            )
+        return toc["segments"]
+
+    def ann_search(
+        self,
+        user_ids,
+        query_vector,
+        k: int,
+        *,
+        num_probes: int | None = None,
+        centroid_distance_ratio: float | None = 0.1,
+        rerank: int | None = None,
+        pre_filter_ids: DataFrame | None = None,
+        per_user: bool = False,
+        version: int | None = None,
+        score_decimals: int | None = None,
+    ) -> DataFrame:
+        """§3.1 ANN search over the DURABLE per-segment per-user indexes:
+        the per-user / per-segment loops of snapshot.rs:39-109 collapse
+        into ONE plan — union the TOC's segment index tables tagged by
+        segment, window-probe every (segment, user) group at once,
+        semi-join the probed postings, tombstone-mask seq_no-aware,
+        score (ADC + exact re-rank when quantized), merge top-k.
+        No driver loop over users or segments; at 1,000 users x 50
+        segments this is still one job."""
+        from muopdb_spark.functions.distance import score_expr
+        from pyspark.sql.window import Window
+
+        if num_probes is None:
+            num_probes = k
+        segs = self._indexed_segments("ivf", version)
+        if not segs:
+            return self.spark.createDataFrame([], "user_id long, id long, score double")
+        idxs = {s: self.load_segment_index(s) for s in segs}
+        metric = self.config.metric
+        codebook = next(iter(idxs.values())).codebook
+
+        def tagged(dfs: dict[str, DataFrame], pick) -> DataFrame:
+            parts = [pick(ix).withColumn("_seg", F.lit(s)) for s, ix in dfs.items()]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+
+        users = [int(u) for u in user_ids]
+        q = F.lit([float(x) for x in query_vector]).cast("array<double>")
+        cents = tagged(idxs, lambda ix: ix.centroids).filter(F.col("user_id").isin(users))
+        scored_c = cents.withColumn("d", score_expr(metric, F.col("centroid"), q))
+        wp = Window.partitionBy("_seg", "user_id").orderBy(
+            F.col("d").asc(), F.col("centroid_id").asc())
+        probed = scored_c.withColumn("rnk", F.row_number().over(wp)).filter(
+            F.col("rnk") <= num_probes)
+        if centroid_distance_ratio is not None:
+            dmin = F.min("d").over(Window.partitionBy("_seg", "user_id"))
+            probed = probed.withColumn("d_min", dmin).filter(
+                F.col("d") - F.col("d_min")
+                <= F.abs(F.col("d_min")) * centroid_distance_ratio)
+        pairs = probed.select("_seg", "user_id", "centroid_id")
+
+        posts = tagged(idxs, lambda ix: ix.postings).filter(F.col("user_id").isin(users))
+        scan = posts.join(F.broadcast(pairs), on=["_seg", "user_id", "centroid_id"],
+                          how="left_semi")
+        # V20, seq_no-aware (tombstones mask only rows at-or-below them)
+        t = self._tomb_latest().select(
+            F.col("user_id").alias("_tu"), F.col("doc_id").alias("_td"), "tomb_seq")
+        scan = scan.join(
+            t,
+            (scan["user_id"] == t["_tu"]) & (scan["id"] == t["_td"])
+            & (scan["seq_no"] <= t["tomb_seq"]),
+            "left_anti",
+        )
+        if pre_filter_ids is not None:
+            scan = scan.join(pre_filter_ids.select("id").distinct(), on="id",
+                             how="left_semi")
+
+        exact = score_expr(metric, F.col("vector"), q)
+        if codebook is not None:
+            from muopdb_spark.index.pq import pq_adc_score
+
+            adc = pq_adc_score(query_vector, codebook)
+            wu = Window.partitionBy("user_id").orderBy(
+                F.col("adc").asc_nulls_last(), F.col("id").asc())
+            cand = (
+                scan.select("user_id", "id", "vector", adc.alias("adc"))
+                .groupBy("user_id", "id").agg(
+                    F.min("adc").alias("adc"), F.first("vector").alias("vector"))
+                .withColumn("crnk", F.row_number().over(wu))
+                .filter(F.col("crnk") <= (rerank if rerank is not None else k))
+            )
+            score = exact if rerank is not None else F.col("adc")
+            if score_decimals is not None:
+                score = F.round(score, score_decimals)
+            deduped = cand.select("user_id", "id", score.alias("score"))
+        else:
+            score = exact
+            if score_decimals is not None:
+                score = F.round(score, score_decimals)
+            deduped = (
+                scan.select("user_id", "id", score.alias("score"))
+                .groupBy("user_id", "id").agg(F.min("score").alias("score"))
+            )
+        if per_user:
+            w = Window.partitionBy("user_id").orderBy(
+                F.col("score").asc_nulls_last(), F.col("id").asc())
+            return (
+                deduped.withColumn("rnk", F.row_number().over(w))
+                .filter(F.col("rnk") <= k)
+                .select("user_id", "id", "score")
+                .orderBy("user_id", F.col("score").asc_nulls_last(), "id")
+            )
+        return (
+            deduped.orderBy(F.col("score").asc_nulls_last(), F.col("id").asc())
+            .limit(k)
+            .select("user_id", "id", "score")
+        )
+
+    def term_search_indexed(self, user_ids, terms, limit: int, *, mode: str = "and",
+                            version: int | None = None) -> DataFrame:
+        """§3.2 TermSearch over the DURABLE per-segment term indexes
+        (terms/writer.rs on-disk layout analog): union the segments'
+        term tables, filter to the queried (field, term) pairs, explode
+        postings, intersect/union, dedup across segments, sort + limit
+        (snapshot.rs:141-146)."""
+        segs = self._indexed_segments("terms", version)
+        users = [int(u) for u in user_ids]
+        parts = [
+            self.spark.read.parquet(self._seg_index_dir(s, "terms")) for s in segs
+        ]
+        index = parts[0]
+        for p in parts[1:]:
+            index = index.unionByName(p)
+        index = index.filter(F.col("user_id").isin(users))
+        cond = None
+        for f_, t_ in terms:
+            c = (F.col("field") == f_) & (F.col("term") == t_)
+            cond = c if cond is None else (cond | c)
+        if cond is None:
+            return self.spark.createDataFrame([], "doc_id long")
+        matched = index.filter(cond).select(
+            "user_id", "field", "term", F.explode("postings").alias("doc_id"))
+        if mode == "and":
+            hits = (
+                matched.groupBy("user_id", "doc_id")
+                .agg(F.countDistinct("field", "term").alias("n"))
+                .filter(F.col("n") == len(terms))
+                .select("user_id", "doc_id")
+            )
+        else:
+            hits = matched.select("user_id", "doc_id").distinct()
+        # visibility = the docs table's (seq_no-aware tombstone-masked)
+        # view; index postings carry no seq_no, so the mask is a semi
+        # join against the masked doc ids (2-column pruned scan)
+        hits = hits.join(
+            self.docs(version=version).select("user_id", "doc_id").distinct(),
+            on=["user_id", "doc_id"], how="left_semi",
+        )
+        return hits.orderBy("doc_id").limit(limit)
 
     def build_quantizer(self, num_subvectors: int = 4, num_centers: int = 16):
         """M5 / QuantizerType: train the collection's PQ codebook when

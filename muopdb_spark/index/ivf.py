@@ -49,11 +49,17 @@ from muopdb_spark.functions.distance import score_expr
 @dataclass
 class IvfIndex:
     """centroids: (centroid_id int, centroid array<double>)
-    postings:  (centroid_id int, id long, vector array<double>)"""
+    postings:  (centroid_id int, id long, vector array<double>
+                [, pq_code array<int> when quantized])
+    codebook:  PQ codebook when the index scores quantized distances in
+               the posting scan (the reference's per-collection quantizer,
+               rs/index/src/collection/mod.rs:145-149; scan-side scoring
+               at ivf/block_based/index.rs:202-209)."""
 
     centroids: DataFrame
     postings: DataFrame
     metric: str = "l2"
+    codebook: object | None = None
 
 
 def _fit_kmeans(df: DataFrame, vec_col: str, k: int, seed: int, max_iter: int):
@@ -127,10 +133,19 @@ def build_ivf(
     seed: int = 42,
     max_iter: int = 20,
     split_rounds: int = 4,
+    quantizer: str = "none",
+    pq_subvectors: int = 4,
+    pq_centers: int = 16,
+    pq_training_sample: int = 10_000,
 ) -> IvfIndex:
     """Build the IVF index. Defaults mirror the reference collection
     config (rs/config/src/collection.rs:65-115,176-210: 10 initial
-    centroids, 20k training sample, <=1 cluster/vector, reindex on)."""
+    centroids, 20k training sample, <=1 cluster/vector, reindex on).
+
+    quantizer="pq" (enums.rs:4-9 QuantizerType) trains a PQ codebook
+    and stores per-posting codes, so searches can score quantized
+    distances inside the posting scan (ivf/block_based/index.rs:202-209)
+    — the coded scan reads m bytes/vector instead of 4*d."""
     spark = df.sparkSession
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vector"))
     n = base.count()
@@ -164,7 +179,70 @@ def build_ivf(
         distance_threshold=distance_threshold,
         max_clusters_per_vector=max_clusters_per_vector,
     ).repartition(F.col("centroid_id")).sortWithinPartitions("centroid_id", "id")
-    return IvfIndex(centroids=centroids, postings=postings.persist(), metric=metric)
+
+    codebook = None
+    if quantizer == "pq":
+        from muopdb_spark.index.pq import pq_encode, train_pq
+
+        codebook = train_pq(
+            base, vec_col="vector", num_subvectors=pq_subvectors,
+            num_centers=pq_centers, training_sample=pq_training_sample, seed=seed,
+        )
+        postings = pq_encode(postings, codebook, vec_col="vector")
+    elif quantizer != "none":
+        raise ValueError(f"unknown quantizer {quantizer!r} (none|pq)")
+    return IvfIndex(
+        centroids=centroids, postings=postings.persist(), metric=metric,
+        codebook=codebook,
+    )
+
+
+def ivf_save(index: IvfIndex, path: str) -> None:
+    """Persist the index as on-disk tables + meta — the durable artifact
+    the reference writes per segment (multi_spann/writer.rs,
+    spann/writer.rs; reopened on demand by collection/reader.rs).
+    Postings are written partitioned by centroid_id so a probed search
+    reads only the probed centroids' files (partition pruning)."""
+    import json
+    import os
+
+    index.centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    (
+        index.postings.write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(os.path.join(path, "postings"))
+    )
+    meta = {"metric": index.metric, "quantizer": "pq" if index.codebook is not None else "none"}
+    if index.codebook is not None:
+        meta["codebook"] = index.codebook.as_lists()
+    tmp = os.path.join(path, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "meta.json"))  # meta last = commit mark
+
+
+def ivf_load(spark: SparkSession, path: str) -> IvfIndex:
+    """Reopen a persisted index without rebuilding (reader.rs analog).
+    DataFrames read lazily from parquet; callers may .persist() for
+    repeated queries."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    codebook = None
+    if meta.get("quantizer") == "pq":
+        import numpy as np
+
+        from muopdb_spark.index.pq import PqCodebook
+
+        codebook = PqCodebook([np.asarray(cb, dtype=np.float64) for cb in meta["codebook"]])
+    return IvfIndex(
+        centroids=spark.read.parquet(os.path.join(path, "centroids")),
+        postings=spark.read.parquet(os.path.join(path, "postings")),
+        metric=meta["metric"],
+        codebook=codebook,
+    )
 
 
 def probe_centroids(
@@ -211,6 +289,7 @@ def ivf_search(
     pre_filter_ids: DataFrame | None = None,
     tombstones: DataFrame | None = None,
     score_decimals: int | None = None,
+    rerank: int | None = None,
 ) -> DataFrame:
     """Two-phase ANN search returning (id, score) top-k.
 
@@ -225,6 +304,13 @@ def ivf_search(
     driver — at 100 TB the filter can select millions of ids and this
     stays a distributed semi join (broadcast if small, shuffled if not),
     where a collect+isin literal would OOM the driver.
+
+    When the index carries a PQ codebook, the posting scan scores
+    quantized ADC distances on the codes (the in-loop quantized scoring
+    of ivf/block_based/index.rs:202-209). With `rerank=N`, the ADC
+    top-N candidates are re-scored with exact distances and the final
+    top-k is exact — the standard IVF-PQ + re-rank plan (N bounds the
+    exact work to a constant per query regardless of corpus size).
     """
     if num_probes is None:
         num_probes = k
@@ -240,9 +326,35 @@ def ivf_search(
         scan = scan.join(pre_filter_ids.select("id").distinct(), on="id", how="left_semi")
     if tombstones is not None:
         scan = scan.join(tombstones.select("id").distinct(), on="id", how="left_anti")
-    score = score_expr(index.metric, F.col("vector"), q)
-    if score_decimals is not None:
-        score = F.round(score, score_decimals)
+    exact = score_expr(index.metric, F.col("vector"), q)
+    if index.codebook is not None:
+        if index.metric != "l2":
+            raise ValueError("PQ ADC scoring supports the l2 metric only")
+        from muopdb_spark.index.pq import pq_adc_score
+
+        adc = pq_adc_score(query_vector, index.codebook)
+        cand = (
+            scan.select("id", "vector", adc.alias("adc"))
+            # dedup multi-assignment by id before the candidate cut (V21)
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("id").orderBy(F.col("adc").asc())
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .orderBy(F.col("adc").asc_nulls_last(), F.col("id").asc())
+            .limit(rerank if rerank is not None else k)
+        )
+        score = exact if rerank is not None else F.col("adc")
+        if score_decimals is not None:
+            score = F.round(score, score_decimals)
+        return (
+            cand.select("id", score.alias("score"))
+            .orderBy(F.col("score").asc_nulls_last(), F.col("id").asc())
+            .limit(k)
+        )
+    score = F.round(exact, score_decimals) if score_decimals is not None else exact
     return (
         scan.select("id", score.alias("score"))
         .groupBy("id").agg(F.min("score").alias("score"))  # dedup multi-assignment

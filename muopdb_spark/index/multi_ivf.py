@@ -38,11 +38,13 @@ from muopdb_spark.functions.distance import score_expr
 @dataclass
 class MultiIvfIndex:
     """centroids: (user_id long, centroid_id int, centroid array<double>)
-    postings:  (user_id long, centroid_id int, id long, vector array<double>)"""
+    postings:  (user_id long, centroid_id int, id long, vector array<double>
+                [, carry cols][, pq_code array<int> when quantized])"""
 
     centroids: DataFrame
     postings: DataFrame
     metric: str = "l2"
+    codebook: object | None = None
 
 
 from muopdb_spark.index.kmeans import lloyd as _shared_lloyd
@@ -61,11 +63,16 @@ def build_multi_ivf(
     max_iter: int = 15,
     distance_threshold: float = 0.1,
     max_clusters_per_vector: int = 1,
+    carry_cols: Sequence[str] = (),
 ) -> MultiIvfIndex:
+    """carry_cols ride along into the postings rows unchanged (e.g.
+    seq_no, so tombstone masking can stay seq_no-aware at search time
+    without a join back to the docs table)."""
     base = df.select(
         F.col(user_col).alias("user_id"),
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vector"),
+        *[F.col(c) for c in carry_cols],
     )
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -105,11 +112,54 @@ def build_multi_ivf(
                 & (F.col("d") <= F.col("d_min") * (1 + distance_threshold))
             )
         )
-        .select("user_id", "centroid_id", "id", "vector")
+        .select("user_id", "centroid_id", "id", "vector", *carry_cols)
         .repartition(F.col("user_id"), F.col("centroid_id"))
         .sortWithinPartitions("user_id", "centroid_id", "id")
     )
     return MultiIvfIndex(centroids=centroids, postings=postings.persist(), metric=metric)
+
+
+def multi_ivf_save(index: MultiIvfIndex, path: str) -> None:
+    """Persist per-user index tables (multi_spann/writer.rs analog).
+    Postings are partitioned by user_id — the on-disk analog of the
+    reference's per-user index blobs (user_index_info.rs offsets): a
+    single-user search opens only that user's files. (At extreme user
+    cardinality switch the partitioning to bucketed user hash.)"""
+    import json
+    import os
+
+    index.centroids.write.mode("overwrite").partitionBy("user_id").parquet(
+        os.path.join(path, "centroids"))
+    index.postings.write.mode("overwrite").partitionBy("user_id", "centroid_id").parquet(
+        os.path.join(path, "postings"))
+    meta = {"metric": index.metric,
+            "quantizer": "pq" if index.codebook is not None else "none"}
+    if index.codebook is not None:
+        meta["codebook"] = index.codebook.as_lists()
+    tmp = os.path.join(path, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "meta.json"))
+
+
+def multi_ivf_load(spark, path: str) -> MultiIvfIndex:
+    """Reopen persisted per-user index tables without rebuilding."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    codebook = None
+    if meta.get("quantizer") == "pq":
+        from muopdb_spark.index.pq import PqCodebook
+
+        codebook = PqCodebook(
+            [np.asarray(cb, dtype=np.float64) for cb in meta["codebook"]])
+    return MultiIvfIndex(
+        centroids=spark.read.parquet(os.path.join(path, "centroids")),
+        postings=spark.read.parquet(os.path.join(path, "postings")),
+        metric=meta["metric"], codebook=codebook,
+    )
 
 
 def _probed_pairs(

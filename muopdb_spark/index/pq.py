@@ -48,6 +48,20 @@ class PqCodebook:
     def as_lists(self) -> list[list[list[float]]]:
         return [cb.tolist() for cb in self.codebooks]
 
+    def to_json(self) -> str:
+        """Durable form — the codebook is the index artifact the
+        reference persists inside the segment files
+        (posting_list/combined_file.rs header + codebook region)."""
+        import json
+
+        return json.dumps({"codebooks": self.as_lists()})
+
+    @classmethod
+    def from_json(cls, s: str) -> "PqCodebook":
+        import json
+
+        return cls([np.asarray(cb, dtype=np.float64) for cb in json.loads(s)["codebooks"]])
+
 
 def train_pq(
     df: DataFrame,

@@ -178,16 +178,107 @@ def test_auto_optimize_policies(col, spark):
     assert actions["merged"] is None  # only 1 segment < max_segments
 
 
-def test_build_index_end_to_end(col, spark):
+def test_build_index_durable_round_trip(col, spark, tmp_path):
+    """Durable index contract: build_index() writes per-segment artifacts
+    under segments/<seg>/index/, the TOC references them, and a NEW
+    Collection handle (fresh open, no in-memory state) searches them
+    without rebuilding — matching reader.rs reopening flush artifacts."""
+    import os
+
+    col.insert(_docs_df(spark, R1)); col.flush()
+    col.insert(_docs_df(spark, R2)); col.flush()
+    built = col.build_index()
+    toc = col.toc()
+    assert all(set(v) == {"ivf", "terms"} for v in built.values())
+    assert toc["indexes"] == {s: ["ivf", "terms"] for s in toc["segments"]}
+    for seg in toc["segments"]:
+        d = os.path.join(col.root, "segments", seg, "index")
+        assert os.path.exists(os.path.join(d, "ivf", "meta.json"))
+        assert os.path.isdir(os.path.join(d, "terms"))
+    before = col.ann_search([0, 1], [1.0, 0.0, 0.0, 0.0], 3,
+                            num_probes=col.config.num_centroids,
+                            centroid_distance_ratio=None).collect()
+    # "restart": brand-new handle reads only what's on disk
+    re = Collection.open(spark, str(tmp_path), "test_col")
+    after = re.ann_search([0, 1], [1.0, 0.0, 0.0, 0.0], 3,
+                          num_probes=re.config.num_centroids,
+                          centroid_distance_ratio=None).collect()
+    assert [(r["user_id"], r["id"]) for r in after] == \
+        [(r["user_id"], r["id"]) for r in before]
+    assert [r["id"] for r in after] == [1, 4, 5]
+    # full probe => exact: equals the brute-force docs-table search
+    exact = re.search([0, 1], [1.0, 0.0, 0.0, 0.0], 3).collect()
+    assert [r["id"] for r in after] == [r["doc_id"] for r in exact]
+    # incremental: a new flush leaves old artifacts; only the new
+    # segment builds
+    col.insert(_docs_df(spark, [(0, 9, [0.5, 0.5, 0.0, 0.0], "epsilon", "news", 5)]))
+    col.flush()
+    built2 = col.build_index()
+    assert sum(1 for s in built2 if built2[s]) == len(built2)
+    got = col.ann_search([0], [0.5, 0.5, 0.0, 0.0], 1,
+                         num_probes=col.config.num_centroids,
+                         centroid_distance_ratio=None).collect()
+    assert [r["id"] for r in got] == [9]
+
+
+def test_ann_search_tombstone_and_prefilter(col, spark):
     col.insert(_docs_df(spark, R1)); col.insert(_docs_df(spark, R2))
     col.flush()
-    idx = col.build_index()
-    from muopdb_spark.index.ivf import ivf_search
-
-    got = ivf_search(idx, [1.0, 0.0, 0.0, 0.0], 2,
-                     num_probes=col.config.num_centroids,
-                     centroid_distance_ratio=None).collect()
+    col.build_index()
+    col.remove([0], [1])
+    got = col.ann_search([0], [1.0, 0.0, 0.0, 0.0], 2,
+                         num_probes=col.config.num_centroids,
+                         centroid_distance_ratio=None).collect()
+    assert [r["id"] for r in got] == [4, 2]  # doc 1 masked
+    # re-insert after remove: visible again via the seq_no-aware mask
+    col.insert(_docs_df(spark, [R1[0]])); col.flush(); col.build_index()
+    got = col.ann_search([0], [1.0, 0.0, 0.0, 0.0], 2,
+                         num_probes=col.config.num_centroids,
+                         centroid_distance_ratio=None).collect()
     assert [r["id"] for r in got] == [1, 4]
+    # F8 pre-filter as a DataFrame semi join
+    allowed = spark.createDataFrame([(2,), (4,)], "id long")
+    got = col.ann_search([0], [1.0, 0.0, 0.0, 0.0], 5,
+                         num_probes=col.config.num_centroids,
+                         centroid_distance_ratio=None,
+                         pre_filter_ids=allowed).collect()
+    assert sorted(r["id"] for r in got) == [2, 4]
+
+
+def test_term_search_indexed_durable(col, spark):
+    col.insert(_docs_df(spark, R1)); col.insert(_docs_df(spark, R2))
+    col.flush()
+    col.build_index()
+    got = col.term_search_indexed([0, 1], [("title", "run")], 10)
+    assert [r["doc_id"] for r in got.collect()] == [1, 5]
+    col.remove([0], [1])
+    got = col.term_search_indexed([0, 1], [("title", "run")], 10)
+    assert [r["doc_id"] for r in got.collect()] == [5]
+
+
+def test_pq_collection_durable_index(spark, tmp_path):
+    """quantizer='pq' collections persist the codebook and store PQ
+    codes in the durable postings; ann_search scores ADC in the scan and
+    rerank returns the exact top-k."""
+    import os
+
+    cfg = CollectionConfig(
+        name="pq_durable", num_features=4, quantizer="pq",
+        pq_subvectors=2, pq_centers=4,
+        attribute_schema={"title": "text"},
+    )
+    col = Collection.create(spark, str(tmp_path), cfg)
+    col.insert(_docs_df(spark, R1)); col.insert(_docs_df(spark, R2))
+    col.flush()
+    col.build_index()
+    assert os.path.exists(os.path.join(col.root, "pq_codebook.json"))
+    idx = col.load_segment_index(col.toc()["segments"][0])
+    assert "pq_code" in idx.postings.columns and idx.codebook is not None
+    got = col.ann_search([0, 1], [0.0, 0.0, 1.0, 0.0], 2,
+                         num_probes=cfg.num_centroids,
+                         centroid_distance_ratio=None,
+                         rerank=5).collect()
+    assert [r["id"] for r in got] == [3, 5]  # exact after re-rank
 
 
 def test_gc_versions(col, spark):

@@ -76,6 +76,45 @@ def test_full_probe_equals_exact(index, clustered):
         assert a["score"] == pytest.approx(e["score"], rel=1e-12)
 
 
+def test_pq_in_scan_and_exact_rerank(clustered):
+    """quantizer='pq': the posting scan scores ADC on codes; with rerank
+    the final top-k is EXACT (full probe + generous candidate pool), so
+    it must equal brute force — the v11 contract query's recipe."""
+    idx = build_ivf(clustered, num_centroids=N_CLUSTERS, seed=7,
+                    quantizer="pq", pq_subvectors=4, pq_centers=16)
+    assert "pq_code" in idx.postings.columns and idx.codebook is not None
+    q = [205.0] * DIM
+    exact = knn(clustered, q, 10, id_col="vec_id").collect()
+    got = ivf_search(idx, q, 10, num_probes=N_CLUSTERS,
+                     centroid_distance_ratio=None, rerank=100).collect()
+    assert [r["id"] for r in got] == [r["vec_id"] for r in exact]
+    for a, e in zip(got, exact):
+        assert a["score"] == pytest.approx(e["score"], rel=1e-12)
+    # without rerank: ADC scores are approximate — within a tight
+    # cluster the coded distances can't micro-rank neighbors, but every
+    # returned point must come from the true (cluster-2) blob
+    adc = ivf_search(idx, q, 10, num_probes=N_CLUSTERS,
+                     centroid_distance_ratio=None).collect()
+    cluster2 = set(range(2 * PER_CLUSTER, 3 * PER_CLUSTER))
+    assert {r["id"] for r in adc} <= cluster2
+
+
+def test_save_load_round_trip(index, clustered, tmp_path):
+    """Durable index artifact: save -> load in a fresh handle -> same
+    results, no rebuild (reader.rs reopen contract)."""
+    from muopdb_spark.index.ivf import ivf_load, ivf_save
+
+    path = str(tmp_path / "ivf_idx")
+    ivf_save(index, path)
+    loaded = ivf_load(clustered.sparkSession, path)
+    q = [37.0] * DIM
+    a = ivf_search(index, q, 10, num_probes=N_CLUSTERS,
+                   centroid_distance_ratio=None).collect()
+    b = ivf_search(loaded, q, 10, num_probes=N_CLUSTERS,
+                   centroid_distance_ratio=None).collect()
+    assert [(r["id"], r["score"]) for r in a] == [(r["id"], r["score"]) for r in b]
+
+
 def test_recursive_split_bounds_posting_size(clustered):
     idx = build_ivf(
         clustered, num_centroids=2, seed=7, max_posting_size=150, split_rounds=6,
