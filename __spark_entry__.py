@@ -122,6 +122,51 @@ def q_filter_multi_token(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(cond).select("doc_id").orderBy("doc_id")
 
 
+def q_contains_stemmed_de(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2+F6: Contains on a German-language TEXT field. Both sides of the
+    match run the German Snowball stemmer (stemming_tokenizer.rs:22-44
+    language dispatch): the query value "filters orders" stems to
+    [filt, ord], matching docs whose tokens stem the same way — so the
+    inflected query hits documents containing "filter"/"order"."""
+    from muopdb_spark.filters.compiler import FilterSchema, compile_filter
+    from muopdb_spark.functions.text import stemmed_tokens
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text_tokens", stemmed_tokens("text", "de")
+    )
+    schema = FilterSchema({"text": ("text", "de"), "lang": "keyword"})
+    tree = {
+        "and": [
+            {"contains": {"path": "lang", "value": "de"}},
+            {"contains": {"path": "text", "value": "filters orders"}},
+        ]
+    }
+    cond = compile_filter(tree, schema, id_col="doc_id", stem=True)
+    return docs.filter(cond).select("doc_id").orderBy("doc_id")
+
+
+def q_multilang_stem_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 at corpus scale: per-ROW language stemming (en=Porter,
+    de/es/fr=Snowball, zh=identity) in ONE Arrow-batched pass — no
+    per-language job fan-out — then the A5 document-frequency rollup
+    per (lang, stem)."""
+    from muopdb_spark.functions.text import stemmed_tokens_by_lang
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        "doc_id",
+        F.explode(
+            F.array_distinct(stemmed_tokens_by_lang("text", "lang"))
+        ).alias("term"),
+    )
+    return (
+        toks.groupBy("lang", "term")
+        .agg(F.countDistinct("doc_id").cast("long").alias("ndocs"))
+        .orderBy("lang", "term")
+    )
+
+
 def q_filter_not_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7: NotContains — declared-but-todo!() in the reference; implemented here."""
     from muopdb_spark.filters.compiler import FilterSchema, compile_filter
@@ -807,6 +852,67 @@ def q_multi_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_ingest_batch_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1-W5 driver-checked end-to-end: stream the embeddings fixture
+    through the WAL ingest path — file-source micro-batches under an
+    availableNow trigger (W1 group commit: one seq_no per batch),
+    batch-keyed replay ledger (W3), auto-flush on the pending-rows
+    policy (W2, core.rs:484-529) — then read the flushed collection back
+    through the MVCC snapshot (W5: only flushed docs are visible). The
+    oracle is the batch twin, a plain SELECT over the same source table,
+    so this row is green iff streaming ingest is exactly-once and
+    flush-complete. Result is materialized before the temp collection is
+    removed (the driver collects after this returns)."""
+    import shutil
+    import tempfile
+
+    from muopdb_spark.catalog.collection import Collection, CollectionConfig
+    from muopdb_spark.streaming.ingest import stream_insert_with_autoflush
+
+    src_path = f"{sf_dir}/embeddings.parquet"
+    file_schema = spark.read.parquet(src_path).schema
+    dims = len(spark.read.parquet(src_path).select("embedding").first()["embedding"])
+    tmp = tempfile.mkdtemp(prefix="muopdb_w3_")
+    try:
+        # the file streaming source requires a DIRECTORY; expose the
+        # fixture file through a temp dir of symlinks
+        src_dir = os.path.join(tmp, "src")
+        os.makedirs(src_dir)
+        os.symlink(os.path.abspath(src_path), os.path.join(src_dir, "embeddings.parquet"))
+        col = Collection.create(
+            spark, tmp, CollectionConfig(name="w3_stream", num_features=dims)
+        )
+        stream = (
+            spark.readStream.schema(file_schema)
+            .parquet(src_dir)
+            .select(
+                F.lit(0).cast("long").alias("user_id"),
+                F.col("vec_id").cast("long").alias("doc_id"),
+                F.col("embedding").alias("vector"),
+            )
+        )
+        q = stream_insert_with_autoflush(
+            col, stream, os.path.join(tmp, "ck"), max_pending_rows=200,
+            trigger_available_now=True,
+        )
+        q.awaitTermination()
+        col.flush()  # flush any residual sub-threshold pending rows
+        out = col.docs().select(
+            "doc_id",
+            F.size("vector").cast("long").alias("n_dims"),
+            F.round(
+                F.aggregate(
+                    "vector", F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double"),
+                ), 6,
+            ).alias("checksum"),
+        ).orderBy("doc_id")
+        pdf = out.toPandas()  # materialize before the tempdir goes away
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(pdf, "doc_id long, n_dims long, checksum double")
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-minute-gap sessions per user via lag + running
     sum (the batch twin of streaming session windows)."""
@@ -996,6 +1102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v16_knn_batch_merge": q_knn_batch,
         "f1_filter_and_or_ids": q_filter_and_or_ids,
         "f6_filter_multi_token": q_filter_multi_token,
+        "t2_contains_stemmed_de": q_contains_stemmed_de,
+        "t2_multilang_stem_index": q_multilang_stem_index,
         "f7_filter_not_contains": q_filter_not_contains,
         "t_term_search": q_term_search,
         "a1_doc_counts": q_doc_counts,
@@ -1026,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h2_hybrid_ivf_prefilter": q_hybrid_ivf,
         "u1_multi_user_topk": q_multi_user_topk,
         "w2_sessionize": q_sessionize,
+        "w3_stream_ingest_batch_eq": q_stream_ingest_batch_eq,
         "i1_term_index": q_term_index,
         "i2_term_search_indexed": q_term_search_indexed,
         "mu1_multi_user_ann": q_multi_user_ann,
@@ -1040,6 +1149,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_asof_join": q_asof_join,
         "j7_range_count_join": q_range_count_join,
     }
+
+
+# Fixture vocabulary of documents.text (identical across sf dirs; pinned
+# by tests/test_snowball.py::test_vocab_guard). The stemmed-text oracles
+# embed literal token->stem maps computed over this list with the SAME
+# pure-Python stemmers the Spark queries use, so DuckDB replicates the
+# stemming without a stemmer extension. Stemmer outputs themselves are
+# pinned by the pytest vectors in tests/test_snowball.py.
+_DOC_VOCAB = (
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+)
+
+
+def _stem_class_sql(language: str, query_word: str) -> str:
+    """SQL condition: text contains ANY fixture token stemming to the
+    same value as `query_word` under `language`'s stemmer."""
+    from muopdb_spark.functions.text import stem_word
+
+    target = stem_word(query_word, language)
+    cls = sorted(v for v in _DOC_VOCAB if stem_word(v, language) == target)
+    if not cls:
+        return "FALSE"
+    toks = r"string_split_regex(lower(text), '\s+')"
+    return "(" + " OR ".join(f"list_contains({toks}, '{v}')" for v in cls) + ")"
+
+
+def _stem_case_sql(language: str) -> str:
+    """CASE expression mapping fixture token `tok` -> its stem."""
+    from muopdb_spark.functions.text import stem_word
+
+    arms = "".join(
+        f" WHEN '{v}' THEN '{stem_word(v, language)}'"
+        for v in _DOC_VOCAB
+        if stem_word(v, language) != v
+    )
+    return f"CASE tok{arms} ELSE tok END"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1112,6 +1260,46 @@ def oracle_sql() -> dict[str, str]:
               AND list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'join')
               AND list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'merge')
             ORDER BY doc_id
+        """,
+        # The batch twin of the streaming WAL ingest: identical output
+        # proves exactly-once + flush-complete (W1-W5).
+        "w3_stream_ingest_batch_eq": """
+            SELECT vec_id AS doc_id,
+                   CAST(len(embedding) AS BIGINT) AS n_dims,
+                   round(list_sum(embedding::DOUBLE[]), 6) AS checksum
+            FROM embeddings
+            ORDER BY doc_id
+        """,
+        # German Contains: the oracle expands the stemmed query tokens to
+        # their raw-token stem classes over the fixture vocabulary (see
+        # _stem_class_sql) — identical semantics to the Spark side's
+        # stem-both-sides match, without a stemmer in DuckDB.
+        "t2_contains_stemmed_de": f"""
+            SELECT doc_id FROM documents
+            WHERE lang = 'de'
+              AND {_stem_class_sql('de', 'filters')}
+              AND {_stem_class_sql('de', 'orders')}
+            ORDER BY doc_id
+        """,
+        "t2_multilang_stem_index": f"""
+            WITH toks AS (
+                SELECT lang, doc_id,
+                       unnest(string_split_regex(lower(text), '\\s+')) AS tok
+                FROM documents
+            ), stemmed AS (
+                SELECT lang, doc_id,
+                       CASE lang
+                           WHEN 'de' THEN {_stem_case_sql('de')}
+                           WHEN 'es' THEN {_stem_case_sql('es')}
+                           WHEN 'fr' THEN {_stem_case_sql('fr')}
+                           WHEN 'en' THEN {_stem_case_sql('en')}
+                           ELSE tok
+                       END AS term
+                FROM toks WHERE tok <> ''
+            )
+            SELECT lang, term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS ndocs
+            FROM stemmed GROUP BY lang, term
+            ORDER BY lang, term
         """,
         "f7_filter_not_contains": """
             SELECT doc_id FROM documents

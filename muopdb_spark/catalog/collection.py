@@ -339,12 +339,16 @@ class Collection:
 
         docs = self.docs(version=version)
         schema_fields = {
-            f: t for f, t in self.config.attribute_schema.items() if t in ("text", "keyword")
+            f: t for f, t in self.config.attribute_schema.items()
+            if (t[0] if isinstance(t, tuple) else t) in ("text", "keyword")
         }
         schema = FilterSchema(schema_fields)
-        for fld, kind in schema_fields.items():
-            if kind == "text":
-                docs = docs.withColumn(fld + "_tokens", stemmed_tokens(F.col(fld)))
+        for fld in schema.fields:
+            if schema.kind(fld) == "text":
+                docs = docs.withColumn(
+                    fld + "_tokens",
+                    stemmed_tokens(F.col(fld), schema.language(fld)),
+                )
         return term_search(docs, filter_tree, schema, limit,
                            id_col="doc_id", user_ids=user_ids)
 

@@ -41,7 +41,7 @@ from typing import Any
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from muopdb_spark.functions.text import porter_stem
+from muopdb_spark.functions.text import stem_word
 
 
 class FilterSchema:
@@ -73,8 +73,10 @@ class FilterSchema:
 
 def _tokenize_value(value: str, language: str, *, stem: bool) -> list[str]:
     toks = [t for t in value.lower().split() if t]
-    if stem and language in ("english", "en"):
-        toks = [porter_stem(t) for t in toks]
+    if stem:
+        # per-language stemming (en=Porter, de/es/fr=Snowball, else
+        # identity) — must match the index side, stemming_tokenizer.rs
+        toks = [stem_word(t, language) for t in toks]
     return toks
 
 

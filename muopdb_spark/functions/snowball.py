@@ -1,0 +1,590 @@
+"""Snowball stemmers: German, Spanish, French (pure Python).
+
+The reference stems 19 languages via the rust-stemmers Snowball port
+(rs/index/src/tokenizer/stemming_tokenizer.rs:22-44, language map).
+This environment has no stemmer package, so the three languages that
+appear in the fixtures beyond English (documents.lang: de/es/fr) are
+implemented here directly from the PUBLISHED Snowball algorithm
+descriptions (snowballstem.org: "German stemming algorithm", "Spanish
+stemming algorithm", "French stemming algorithm" — M.F. Porter's
+public-domain specifications). Deterministic, dependency-free, and
+Arrow-batch friendly (plain str -> str functions).
+
+Conformance: pinned by pytest vectors (tests/test_snowball.py) covering
+the algorithms' published examples and inflection-family collapses; not
+certified against the full official sample vocabularies (unavailable
+offline) — any residual deviation is deterministic and shared by index
+and query sides, so Contains semantics stay consistent.
+"""
+
+from __future__ import annotations
+
+# --------------------------------------------------------------- helpers
+
+
+def _standard_r1_r2(word: str, vowels: str) -> tuple[int, int]:
+    """R1: region after the first non-vowel following a vowel; R2: the
+    same, computed inside R1. Returned as start offsets (len(word) when
+    the region is empty)."""
+
+    def after_first_nonvowel_after_vowel(start: int) -> int:
+        i = start
+        n = len(word)
+        while i < n and word[i] not in vowels:
+            i += 1
+        while i < n and word[i] in vowels:
+            i += 1
+        return min(i + 1, n) if i < n else n
+
+    r1 = after_first_nonvowel_after_vowel(0)
+    r2 = after_first_nonvowel_after_vowel(r1)
+    return r1, r2
+
+
+# ---------------------------------------------------------------- German
+
+_DE_VOWELS = "aeiouyäöü"
+_DE_S_END = set("bdfghklmnrt")
+_DE_ST_END = set("bdfghklmnt")
+
+
+def german_stem(word: str) -> str:
+    w = word.lower().replace("ß", "ss")
+    # protect u/y between vowels (treated as consonants)
+    chars = list(w)
+    for i in range(1, len(chars) - 1):
+        if chars[i] in "uy" and chars[i - 1] in _DE_VOWELS and chars[i + 1] in _DE_VOWELS:
+            chars[i] = chars[i].upper()
+    w = "".join(chars)
+    vowels = _DE_VOWELS
+
+    r1, r2 = _standard_r1_r2(w, vowels)
+    r1 = max(r1, min(3, len(w)))  # R1 starts no earlier than position 3
+
+    def in_r1(pos: int) -> bool:
+        return pos >= r1
+
+    def in_r2(pos: int) -> bool:
+        return pos >= r2
+
+    # step 1
+    for suf in ("ern", "em", "er"):
+        if w.endswith(suf) and in_r1(len(w) - len(suf)):
+            w = w[: -len(suf)]
+            break
+    else:
+        for suf in ("en", "es", "e"):
+            if w.endswith(suf) and in_r1(len(w) - len(suf)):
+                w = w[: -len(suf)]
+                if w.endswith("niss"):
+                    w = w[:-1]
+                break
+        else:
+            if (
+                w.endswith("s")
+                and in_r1(len(w) - 1)
+                and len(w) >= 2
+                and w[-2] in _DE_S_END
+            ):
+                w = w[:-1]
+
+    # step 2
+    for suf in ("est", "en", "er"):
+        if w.endswith(suf) and in_r1(len(w) - len(suf)):
+            w = w[: -len(suf)]
+            break
+    else:
+        if (
+            w.endswith("st")
+            and in_r1(len(w) - 2)
+            and len(w) >= 6
+            and w[-3] in _DE_ST_END
+        ):
+            w = w[:-2]
+
+    # step 3 (d-suffixes)
+    if w.endswith(("end", "ung")):
+        if in_r2(len(w) - 3):
+            w = w[:-3]
+            if w.endswith("ig") and in_r2(len(w) - 2) and not w.endswith("eig"):
+                w = w[:-2]
+    elif w.endswith(("isch",)):
+        if in_r2(len(w) - 4) and not w.endswith("eisch"):
+            w = w[:-4]
+    elif w.endswith(("ig", "ik")):
+        if in_r2(len(w) - 2) and not (w.endswith("eig") or w.endswith("eik")):
+            w = w[:-2]
+    elif w.endswith(("lich", "heit")):
+        if in_r2(len(w) - 4):
+            w = w[:-4]
+            for pre in ("er", "en"):
+                if w.endswith(pre) and in_r1(len(w) - 2):
+                    w = w[:-2]
+                    break
+    elif w.endswith("keit"):
+        if in_r2(len(w) - 4):
+            w = w[:-4]
+            if w.endswith("lich") and in_r2(len(w) - 4):
+                w = w[:-4]
+            elif w.endswith("ig") and in_r2(len(w) - 2):
+                w = w[:-2]
+
+    w = w.lower()
+    return w.translate(str.maketrans("äöü", "aou"))
+
+
+# --------------------------------------------------------------- Spanish
+
+_ES_VOWELS = "aeiouáéíóúü"
+
+
+def _es_rv(w: str) -> int:
+    n = len(w)
+    if n < 3:
+        return n
+    if w[1] not in _ES_VOWELS:
+        i = 2
+        while i < n and w[i] not in _ES_VOWELS:
+            i += 1
+        return min(i + 1, n)
+    if w[0] in _ES_VOWELS and w[1] in _ES_VOWELS:
+        i = 2
+        while i < n and w[i] in _ES_VOWELS:
+            i += 1
+        return min(i + 1, n)
+    return 3
+
+
+_ES_PRON = (
+    "selas", "selos", "sela", "selo", "las", "les", "los", "nos",
+    "me", "se", "la", "le", "lo",
+)
+_ES_STEP1 = [
+    # (suffixes, action, region): action: "del" | replacement string
+    (("amientos", "imientos", "amiento", "imiento", "anzas", "ables",
+      "ibles", "istas", "anza", "icos", "icas", "ismo", "able", "ible",
+      "ista", "osos", "osas", "ico", "ica", "oso", "osa", "ismos"), "del"),
+    (("adoras", "adores", "aciones", "adora", "ación", "antes",
+      "ancias", "ador", "ante", "ancia"), "del_ic"),
+    (("logías", "logía"), "log"),
+    (("uciones", "ución"), "u"),
+    (("encias", "encia"), "ente"),
+]
+_ES_VERB_2B_GU = ("emos", "éis", "en", "es")
+_ES_VERB_2B = (
+    "aríamos", "eríamos", "iríamos", "iéramos", "iésemos", "aríais",
+    "aseis", "eríais", "iríais", "ierais", "ieseis", "asteis", "isteis",
+    "ábamos", "áramos", "ásemos", "arían", "arías", "aréis", "erían",
+    "erías", "eréis", "irían", "irías", "iréis", "ieran", "iesen",
+    "ieron", "iendo", "ieras", "ieses", "abais", "arais", "íamos",
+    "emos", "arán", "arás", "aría", "erán", "erás", "ería", "irán",
+    "irás", "iría", "iera", "iese", "aste", "iste", "aban", "aran",
+    "asen", "aron", "ando", "abas", "adas", "idas", "aras", "ases",
+    "íais", "ados", "idos", "amos", "imos", "ará", "aré", "erá", "eré",
+    "irá", "iré", "aba", "ada", "ida", "ara", "ase", "ían", "ado",
+    "ido", "ías", "áis", "ía", "ad", "ed", "id", "an", "ió", "ar",
+    "er", "ir", "as", "ís",
+)
+_ES_ACCENT = str.maketrans("áéíóúü", "aeiouu")
+
+
+def spanish_stem(word: str) -> str:
+    w = word.lower()
+    rv = _es_rv(w)
+    r1, r2 = _standard_r1_r2(w, _ES_VOWELS)
+
+    def in_rv(pos: int) -> bool:
+        return pos >= rv
+
+    def in_r1(pos: int) -> bool:
+        return pos >= r1
+
+    def in_r2(pos: int) -> bool:
+        return pos >= r2
+
+    # step 0: attached pronouns
+    for p in _ES_PRON:
+        if not w.endswith(p):
+            continue
+        base = w[: -len(p)]
+        for g, repl in (
+            ("iéndo", "iendo"), ("ándo", "ando"), ("ár", "ar"),
+            ("ér", "er"), ("ír", "ir"),
+            ("iendo", None), ("ando", None), ("ar", None), ("er", None),
+            ("ir", None),
+        ):
+            if base.endswith(g) and in_rv(len(base) - len(g)):
+                w = base[: -len(g)] + (repl if repl is not None else g)
+                break
+        else:
+            if base.endswith("yendo") and len(base) >= 6 and base[-6] == "u":
+                w = base
+            continue
+        break
+    rv = _es_rv(w)
+    r1, r2 = _standard_r1_r2(w, _ES_VOWELS)
+
+    # step 1
+    changed = False
+    done = False
+    for sufs, action in _ES_STEP1:
+        for suf in sufs:
+            if w.endswith(suf):
+                pos = len(w) - len(suf)
+                if action == "del" and in_r2(pos):
+                    w, changed = w[:pos], True
+                elif action == "del_ic" and in_r2(pos):
+                    w, changed = w[:pos], True
+                    if w.endswith("ic") and in_r2(len(w) - 2):
+                        w = w[:-2]
+                elif action in ("log", "u", "ente") and in_r2(pos):
+                    w, changed = w[:pos] + action, True
+                done = True
+                break
+        if done:
+            break
+    if not done:
+        if w.endswith("amente"):
+            pos = len(w) - 6
+            if in_r1(pos):
+                w, changed = w[:pos], True
+                if w.endswith("iv") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r2(len(w) - 2):
+                        w = w[:-2]
+                else:
+                    for pre in ("os", "ic", "ad"):
+                        if w.endswith(pre) and in_r2(len(w) - 2):
+                            w = w[:-2]
+                            break
+            done = True
+        elif w.endswith("mente"):
+            pos = len(w) - 5
+            if in_r2(pos):
+                w, changed = w[:pos], True
+                for pre in ("ante", "able", "ible"):
+                    if w.endswith(pre) and in_r2(len(w) - 4):
+                        w = w[:-4]
+                        break
+            done = True
+        elif w.endswith(("idades", "idad")):
+            suf = "idades" if w.endswith("idades") else "idad"
+            pos = len(w) - len(suf)
+            if in_r2(pos):
+                w, changed = w[:pos], True
+                for pre in ("abil", "ic", "iv"):
+                    if w.endswith(pre) and in_r2(len(w) - len(pre)):
+                        w = w[: -len(pre)]
+                        break
+            done = True
+        elif w.endswith(("ivas", "ivos", "iva", "ivo")):
+            suf = next(s for s in ("ivas", "ivos", "iva", "ivo") if w.endswith(s))
+            pos = len(w) - len(suf)
+            if in_r2(pos):
+                w, changed = w[:pos], True
+                if w.endswith("at") and in_r2(len(w) - 2):
+                    w = w[:-2]
+            done = True
+
+    # step 2a (only if step 1 removed nothing)
+    if not changed:
+        rv = _es_rv(w)
+        for suf in ("yeron", "yendo", "yamos", "yais", "yan", "yen",
+                    "yas", "yes", "ya", "ye", "yo", "yó"):
+            if w.endswith(suf) and in_rv(len(w) - len(suf)):
+                if len(w) > len(suf) and w[-len(suf) - 1] == "u":
+                    w, changed = w[: -len(suf)], True
+                break
+    # step 2b (if still nothing removed)
+    if not changed:
+        rv = _es_rv(w)
+        hit = False
+        for suf in _ES_VERB_2B_GU:
+            if w.endswith(suf) and in_rv(len(w) - len(suf)):
+                w, changed, hit = w[: -len(suf)], True, True
+                if w.endswith("gu"):
+                    w = w[:-1]
+                break
+        if not hit:
+            for suf in _ES_VERB_2B:
+                if w.endswith(suf) and in_rv(len(w) - len(suf)):
+                    w, changed = w[: -len(suf)], True
+                    break
+
+    # step 3 (residual)
+    rv = _es_rv(w)
+    for suf in ("os", "a", "o", "á", "í", "ó"):
+        if w.endswith(suf) and in_rv(len(w) - len(suf)):
+            w = w[: -len(suf)]
+            break
+    else:
+        if w.endswith(("e", "é")) and in_rv(len(w) - 1):
+            w = w[:-1]
+            if w.endswith("gu") and in_rv(len(w) - 1):
+                w = w[:-1]
+
+    return w.translate(_ES_ACCENT)
+
+
+# ---------------------------------------------------------------- French
+
+_FR_VOWELS = "aeiouyâàëéêèïîôûù"
+
+
+def _fr_mark(w: str) -> str:
+    """Protect u/i between vowels, y next to a vowel, u after q."""
+    chars = list(w)
+    n = len(chars)
+    for i in range(n):
+        c = chars[i]
+        prev_v = i > 0 and chars[i - 1].lower() in _FR_VOWELS
+        next_v = i + 1 < n and chars[i + 1].lower() in _FR_VOWELS
+        if c in "ui" and prev_v and next_v:
+            chars[i] = c.upper()
+        elif c == "y" and (prev_v or next_v):
+            chars[i] = "Y"
+        elif c == "u" and i > 0 and chars[i - 1] == "q":
+            chars[i] = "U"
+    return "".join(chars)
+
+
+def _fr_rv(w: str) -> int:
+    n = len(w)
+    if n >= 3 and w[0] in _FR_VOWELS and w[1] in _FR_VOWELS:
+        return 3
+    if w[:3] in ("par", "col", "tap"):
+        return 3
+    for i in range(1, n):
+        if w[i] in _FR_VOWELS:
+            return min(i + 1, n)
+    return n
+
+
+_FR_STEP1_R2_DEL = (
+    "ances", "iqUes", "ismes", "ables", "istes", "ance", "iqUe",
+    "isme", "able", "iste", "eux",
+)
+_FR_ATEUR = ("atrices", "ateurs", "ations", "atrice", "ateur", "ation")
+_FR_2A = (
+    "issaIent", "issantes", "iraIent", "issante", "issants", "issions",
+    "irions", "issais", "issait", "issant", "issent", "issiez", "issons",
+    "irais", "irait", "irent", "iriez", "irons", "iront", "isses",
+    "issez", "îmes", "îtes", "irai", "iras", "irez", "isse", "ira",
+    "ies", "ir", "is", "it", "ie", "ît", "i",
+)
+_FR_2B_ER = (
+    "eraIent", "erions", "èrent", "erais", "erait", "eriez", "erons",
+    "eront", "erai", "eras", "erez", "ées", "era", "iez", "ée", "és",
+    "er", "ez", "é",
+)
+_FR_2B_A = (
+    "assions", "assent", "assiez", "aIent", "antes", "asses", "âmes",
+    "âtes", "ante", "ants", "asse", "ais", "ait", "ant", "ât", "ai",
+    "as", "a",
+)
+
+
+def french_stem(word: str) -> str:
+    w = _fr_mark(word.lower())
+    rv = _fr_rv(w)
+    r1, r2 = _standard_r1_r2(w, _FR_VOWELS)
+
+    def in_rv(pos: int) -> bool:
+        return pos >= rv
+
+    def in_r1(pos: int) -> bool:
+        return pos >= r1
+
+    def in_r2(pos: int) -> bool:
+        return pos >= r2
+
+    orig = w
+    changed = False
+    went_234 = False  # suffix classes that still allow steps 2a/2b
+
+    # ---- step 1
+    def step1(w: str) -> tuple[str, bool, bool]:
+        # returns (word, changed, allow_step2)
+        for suf in _FR_STEP1_R2_DEL:
+            if w.endswith(suf):
+                if in_r2(len(w) - len(suf)):
+                    return w[: -len(suf)], True, False
+                return w, False, False
+        for suf in _FR_ATEUR:
+            if w.endswith(suf):
+                if in_r2(len(w) - len(suf)):
+                    w = w[: -len(suf)]
+                    if w.endswith("ic"):
+                        if in_r2(len(w) - 2):
+                            w = w[:-2]
+                        else:
+                            w = w[:-2] + "iqU"
+                    return w, True, False
+                return w, False, False
+        for suf, rep in (("logies", "log"), ("logie", "log"),
+                         ("usions", "u"), ("utions", "u"),
+                         ("usion", "u"), ("ution", "u"),
+                         ("ences", "ent"), ("ence", "ent")):
+            if w.endswith(suf):
+                if in_r2(len(w) - len(suf)):
+                    return w[: -len(suf)] + rep, True, False
+                return w, False, False
+        for suf in ("issements", "issement"):
+            if w.endswith(suf):
+                pos = len(w) - len(suf)
+                if in_r1(pos) and pos > 0 and w[pos - 1] not in _FR_VOWELS:
+                    return w[:pos], True, False
+                return w, False, False
+        for suf in ("ements", "ement"):
+            if w.endswith(suf):
+                pos = len(w) - len(suf)
+                if in_rv(pos):
+                    w = w[:pos]
+                    if w.endswith("iv") and in_r2(len(w) - 2):
+                        w = w[:-2]
+                        if w.endswith("at") and in_r2(len(w) - 2):
+                            w = w[:-2]
+                    elif w.endswith("eus"):
+                        if in_r2(len(w) - 3):
+                            w = w[:-3]
+                        elif in_r1(len(w) - 3):
+                            w = w[:-3] + "eux"
+                    elif w.endswith(("abl", "iqU")) and in_r2(len(w) - 3):
+                        w = w[:-3]
+                    elif w.endswith(("ièr", "Ièr")) and in_rv(len(w) - 3):
+                        w = w[:-3] + "i"
+                    return w, True, False
+                return w, False, False
+        for suf in ("ités", "ité"):
+            if w.endswith(suf):
+                if in_r2(len(w) - len(suf)):
+                    w = w[: -len(suf)]
+                    if w.endswith("abil"):
+                        if in_r2(len(w) - 4):
+                            w = w[:-4]
+                        else:
+                            w = w[:-4] + "abl"
+                    elif w.endswith("ic"):
+                        if in_r2(len(w) - 2):
+                            w = w[:-2]
+                        else:
+                            w = w[:-2] + "iqU"
+                    elif w.endswith("iv") and in_r2(len(w) - 2):
+                        w = w[:-2]
+                    return w, True, False
+                return w, False, False
+        for suf in ("ives", "ifs", "ive", "if"):
+            if w.endswith(suf):
+                if in_r2(len(w) - len(suf)):
+                    w = w[: -len(suf)]
+                    if w.endswith("at") and in_r2(len(w) - 2):
+                        w = w[:-2]
+                        if w.endswith("ic"):
+                            if in_r2(len(w) - 2):
+                                w = w[:-2]
+                            else:
+                                w = w[:-2] + "iqU"
+                    return w, True, False
+                return w, False, False
+        if w.endswith("eaux"):
+            return w[:-1], True, False
+        if w.endswith("aux") and in_r1(len(w) - 3):
+            return w[:-3] + "al", True, False
+        for suf in ("euses", "euse"):
+            if w.endswith(suf):
+                pos = len(w) - len(suf)
+                if in_r2(pos):
+                    return w[:pos], True, False
+                if in_r1(pos):
+                    return w[:pos] + "eux", True, False
+                return w, False, False
+        if w.endswith("amment") and in_rv(len(w) - 6):
+            return w[:-6] + "ant", True, True
+        if w.endswith("emment") and in_rv(len(w) - 6):
+            return w[:-6] + "ent", True, True
+        for suf in ("ments", "ment"):
+            if w.endswith(suf):
+                pos = len(w) - len(suf)
+                if pos > 0 and w[pos - 1] in _FR_VOWELS and in_rv(pos - 1):
+                    return w[:pos], True, True
+                return w, False, False
+        return w, False, True
+
+    w, changed, allow2 = step1(w)
+
+    # ---- steps 2a / 2b: run when step 1 removed nothing, or removed
+    # one of amment/emment/ment(s) (the spec's carve-out)
+    if allow2:
+        pre2 = w
+        hit2a = False
+        for suf in _FR_2A:
+            if w.endswith(suf):
+                pos = len(w) - len(suf)
+                if in_rv(pos) and pos > 0 and w[pos - 1] not in _FR_VOWELS \
+                        and in_rv(pos - 1):
+                    w, hit2a = w[:pos], True
+                break
+        if not hit2a:
+            if w.endswith("ions") and in_r2(len(w) - 4) and in_rv(len(w) - 4):
+                w = w[:-4]
+            else:
+                for suf in _FR_2B_ER:
+                    if w.endswith(suf) and in_rv(len(w) - len(suf)):
+                        w = w[: -len(suf)]
+                        break
+                else:
+                    for suf in _FR_2B_A:
+                        if w.endswith(suf):
+                            pos = len(w) - len(suf)
+                            if in_rv(pos):
+                                w = w[:pos]
+                                if w.endswith("e") and in_rv(len(w) - 1):
+                                    w = w[:-1]
+                            break
+        changed = changed or (w != pre2)
+
+    # ---- step 3 / step 4
+    if w != orig:
+        if w.endswith("Y"):
+            w = w[:-1] + "i"
+        elif w.endswith("ç"):
+            w = w[:-1] + "c"
+    else:
+        # step 4 residual
+        if w.endswith("s") and len(w) >= 2 and w[-2] not in "aiouès":
+            if not (w[-2] == "i" and len(w) >= 3 and w[-3] == "H"):
+                w = w[:-1]
+        if w.endswith("ion") and in_r2(len(w) - 3) and len(w) >= 4 \
+                and w[-4] in "st" and in_rv(len(w) - 4):
+            w = w[:-3]
+        else:
+            for suf in ("ière", "Ière", "ier", "Ier"):
+                if w.endswith(suf) and in_rv(len(w) - len(suf)):
+                    w = w[: -len(suf)] + "i"
+                    break
+            else:
+                if w.endswith("e") and in_rv(len(w) - 1):
+                    w = w[:-1]
+                elif w.endswith("guë") and in_rv(len(w) - 1):
+                    w = w[:-1]
+
+    # ---- step 5: undouble
+    for end in ("enn", "onn", "ett", "ell", "eill"):
+        if w.endswith(end):
+            w = w[:-1]
+            break
+    # ---- step 6: unaccent final é/è before trailing consonants
+    i = len(w) - 1
+    while i >= 0 and w[i].lower() not in _FR_VOWELS:
+        i -= 1
+    if i >= 0 and i < len(w) - 1 and w[i] in "éè":
+        w = w[:i] + "e" + w[i + 1:]
+
+    return w.lower()
+
+
+SNOWBALL_STEMMERS = {
+    "german": german_stem, "de": german_stem,
+    "spanish": spanish_stem, "es": spanish_stem,
+    "french": french_stem, "fr": french_stem,
+}

@@ -8,11 +8,22 @@ Reference semantics:
   - term index key is "{field}:{stemmed_token}" (mutable_segment.rs:92)
 
 Spark-first implementation: tokenization is a native Column expression
-(JVM-side). Stemming is an English Porter stemmer (classic public
-algorithm, Porter 1980) as an Arrow-batched pandas UDF — no stemmer
-package is available in this environment, and a deterministic pure
-implementation keeps the oracle reproducible. Non-English languages fall
-back to no-op stemming (the reference itself falls back for Vietnamese).
+(JVM-side). Stemming is pure-Python inside Arrow-batched pandas UDFs —
+no stemmer package is available in this environment, and deterministic
+pure implementations keep the oracle reproducible:
+
+  - English: the classic Porter (1980) stemmer (below);
+  - German / Spanish / French: the published Snowball algorithms
+    (muopdb_spark/functions/snowball.py), covering the non-English
+    languages present in the fixtures;
+  - everything else: lowercase identity (the reference itself falls
+    back for unsupported languages, stemming_tokenizer.rs:26).
+
+`stemmed_tokens(col, language=...)` stems a whole column in one
+language (the reference's per-collection language config), while
+`stemmed_tokens_by_lang(text, lang)` stems per ROW from a language
+column — the shape a multilingual corpus needs at 100 TB (one pass,
+no per-language job fan-out).
 """
 
 from __future__ import annotations
@@ -171,13 +182,22 @@ def porter_stem(word: str) -> str:
     return w
 
 
-def stem_word(word: str, language: str = "english") -> str:
-    """Stem one token. English → Porter; everything else is identity
-    (the reference falls back to English for Vietnamese —
-    stemming_tokenizer.rs:26; we degrade the same way)."""
+def _stemmer_for(language: str):
+    """str->str stem function for a language tag ('de'/'german'/...),
+    or None when the language has no stemmer (identity fallback)."""
     if language in ("english", "en"):
-        return porter_stem(word)
-    return word.lower()
+        return porter_stem
+    from muopdb_spark.functions.snowball import SNOWBALL_STEMMERS
+
+    return SNOWBALL_STEMMERS.get(language)
+
+
+def stem_word(word: str, language: str = "english") -> str:
+    """Stem one token with the language's stemmer; unsupported languages
+    degrade to lowercase identity (stemming_tokenizer.rs:26 falls back
+    the same way for Vietnamese)."""
+    fn = _stemmer_for(language)
+    return fn(word.lower()) if fn is not None else word.lower()
 
 
 @pandas_udf(ArrayType(StringType()))
@@ -186,10 +206,53 @@ def stem_tokens_udf(tokens: pd.Series) -> pd.Series:
     return tokens.map(lambda ts: None if ts is None else [porter_stem(t) for t in ts])
 
 
+_STEM_UDF_CACHE: dict[str, object] = {"english": stem_tokens_udf, "en": stem_tokens_udf}
+
+
+def stem_tokens_udf_for(language: str):
+    """Arrow-batched stemmer UDF for one fixed language (cached — a UDF
+    object is a JVM registration, don't mint one per call)."""
+    if language not in _STEM_UDF_CACHE:
+        fn = _stemmer_for(language)
+        if fn is None:
+            _STEM_UDF_CACHE[language] = None
+        else:
+
+            @pandas_udf(ArrayType(StringType()))
+            def _udf(tokens: pd.Series) -> pd.Series:
+                return tokens.map(
+                    lambda ts: None if ts is None else [fn(t) for t in ts]
+                )
+
+            _STEM_UDF_CACHE[language] = _udf
+    return _STEM_UDF_CACHE[language]
+
+
+@pandas_udf(ArrayType(StringType()))
+def stem_tokens_by_lang_udf(tokens: pd.Series, lang: pd.Series) -> pd.Series:
+    """Per-ROW language dispatch: stem each token array with the stemmer
+    named by its row's language column. One Arrow batch pass regardless
+    of how many languages the corpus mixes — the scale shape for a
+    multilingual 100 TB corpus (vs. one filtered job per language)."""
+    out = []
+    for ts, lg in zip(tokens, lang):
+        if ts is None:
+            out.append(None)
+            continue
+        fn = _stemmer_for((lg or "").lower())
+        out.append([fn(t) for t in ts] if fn is not None else list(ts))
+    return pd.Series(out, index=tokens.index)
+
+
 def stemmed_tokens(col: Column | str, language: str = "english") -> Column:
     """tokenize + stem in one expression: the TEXT-attribute pipeline
     (mutable_segment.rs:74-99)."""
     toks = whitespace_tokens(col)
-    if language in ("english", "en"):
-        return stem_tokens_udf(toks)
-    return toks
+    udf = stem_tokens_udf_for(language)
+    return udf(toks) if udf is not None else toks
+
+
+def stemmed_tokens_by_lang(col: Column | str, lang: Column | str) -> Column:
+    """tokenize + per-row-language stem (multilingual corpus pipeline)."""
+    lc = F.col(lang) if isinstance(lang, str) else lang
+    return stem_tokens_by_lang_udf(whitespace_tokens(col), lc)

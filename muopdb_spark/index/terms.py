@@ -24,23 +24,26 @@ from muopdb_spark.functions.text import simple_tokens, stemmed_tokens
 
 def build_term_index(
     df: DataFrame,
-    fields: dict[str, str],
+    fields: dict[str, str | tuple[str, str]],
     *,
     id_col: str = "doc_id",
     user_col: str | None = None,
     stem: bool = True,
 ) -> DataFrame:
-    """fields: {column: "text"|"keyword"}. TEXT columns are tokenized
-    (+stemmed); KEYWORD columns index the whole value
-    (mutable_segment.rs:74-99). Returns (field, term, postings, df) —
-    plus a leading user_id column when `user_col` is given, making each
-    user's term index independent (the MultiTermBuilder analog,
-    rs/index/src/multi_terms/builder.rs; postings never mix users)."""
+    """fields: {column: "text"|"keyword"} or {column: (kind, language)}.
+    TEXT columns are tokenized (+stemmed with the field's language —
+    en=Porter, de/es/fr=Snowball, stemming_tokenizer.rs:22-44); KEYWORD
+    columns index the whole value (mutable_segment.rs:74-99). Returns
+    (field, term, postings, df) — plus a leading user_id column when
+    `user_col` is given, making each user's term index independent (the
+    MultiTermBuilder analog, rs/index/src/multi_terms/builder.rs;
+    postings never mix users)."""
     group_prefix = [user_col] if user_col else []
     parts = []
-    for fld, kind in fields.items():
+    for fld, spec in fields.items():
+        kind, lang = (spec, "english") if isinstance(spec, str) else spec
         if kind == "text":
-            toks = stemmed_tokens(F.col(fld)) if stem else simple_tokens(F.col(fld))
+            toks = stemmed_tokens(F.col(fld), lang) if stem else simple_tokens(F.col(fld))
             staged = df.select(
                 *group_prefix, F.col(id_col).alias("id"), toks.alias("_toks")
             )

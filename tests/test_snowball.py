@@ -1,0 +1,185 @@
+"""Snowball stemmer conformance + multilingual pipeline tests.
+
+The de/es/fr stemmers implement the published Snowball algorithm
+descriptions (snowballstem.org); the vectors below pin inflection-family
+collapses and known outputs so any refactor that changes behavior is
+caught (and the contract oracles, which embed a literal token->stem map
+over the fixture vocabulary, stay in sync with the stemmers).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from muopdb_spark.functions.snowball import french_stem, german_stem, spanish_stem
+from muopdb_spark.functions.text import (
+    stem_word,
+    stemmed_tokens,
+    stemmed_tokens_by_lang,
+)
+
+# Fixture vocabulary (all sf dirs share it); the contract oracles for the
+# stemmed queries embed stem classes computed over this list, so it must
+# stay a superset of the real fixture tokens — test_vocab_guard pins that.
+DOC_VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+]
+
+
+@pytest.mark.parametrize("word,stem", [
+    ("aufeinander", "aufeinand"),
+    ("abhängen", "abhang"),
+    ("bücher", "buch"),
+    ("häuser", "haus"),
+    ("arbeiten", "arbeit"),
+    ("freundlichkeit", "freundlich"),
+    ("kategorie", "kategori"),
+    ("verständnisse", "verstandnis"),
+    ("sprechen", "sprech"),
+])
+def test_german_vectors(word, stem):
+    assert german_stem(word) == stem
+
+
+@pytest.mark.parametrize("word,stem", [
+    ("corriendo", "corr"),
+    ("gatos", "gat"),
+    ("nacionales", "nacional"),
+    ("naciones", "nacion"),
+    ("fácilmente", "facil"),
+    ("rápidamente", "rapid"),
+    ("trabajadores", "trabaj"),
+    ("comunicación", "comun"),
+    ("lógicas", "logic"),
+])
+def test_spanish_vectors(word, stem):
+    assert spanish_stem(word) == stem
+
+
+@pytest.mark.parametrize("word,stem", [
+    ("continuellement", "continuel"),
+    ("majestueusement", "majestu"),
+    ("majestueux", "majestu"),
+    ("nationale", "national"),
+    ("mangeraient", "mang"),
+    ("communication", "commun"),
+    ("abondamment", "abond"),
+    ("facilement", "facil"),
+])
+def test_french_vectors(word, stem):
+    assert french_stem(word) == stem
+
+
+@pytest.mark.parametrize("fn,family", [
+    (german_stem, ["abhängen", "abhängig", "abhängigkeit"]),
+    (spanish_stem, ["corriendo", "correr", "corre"]),
+    (spanish_stem, ["trabajando", "trabajar", "trabajadores"]),
+    (french_stem, ["mangeraient", "manger", "mangeant"]),
+    (french_stem, ["logique", "logiques"]),
+])
+def test_inflection_family_collapse(fn, family):
+    stems = {fn(w) for w in family}
+    assert len(stems) == 1, stems
+
+
+def test_stem_word_dispatch():
+    assert stem_word("running", "en") == "run"
+    assert stem_word("filters", "de") == "filt"
+    assert stem_word("gatos", "es") == "gat"
+    assert stem_word("nationale", "fr") == "national"
+    # unsupported language degrades to lowercase identity
+    assert stem_word("Running", "zh") == "running"
+
+
+def test_vocab_guard():
+    """Fixture tokens must stay within DOC_VOCAB at every sf the driver
+    touches — the stemmed-Contains oracles embed stem classes computed
+    over this list."""
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01"):
+        toks = {
+            r[0]
+            for r in con.execute(
+                "select distinct unnest(string_split_regex(lower(text), '\\s+'))"
+                f" from read_parquet('/root/testdata/{sf}/documents.parquet')"
+            ).fetchall()
+            if r[0]
+        }
+        assert toks <= set(DOC_VOCAB), toks - set(DOC_VOCAB)
+
+
+def test_stemmed_tokens_fixed_language(spark):
+    df = spark.createDataFrame(
+        [(1, "Filters orders merge"), (2, "fast scan")], "id long, text string"
+    )
+    rows = {
+        r["id"]: r["toks"]
+        for r in df.select(
+            "id", stemmed_tokens("text", "de").alias("toks")
+        ).collect()
+    }
+    assert rows[1] == ["filt", "ord", "merg"]
+    assert rows[2] == ["fast", "scan"]
+
+
+def test_stemmed_tokens_by_lang(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "de", "filters orders"),
+            (2, "en", "running connections"),
+            (3, "es", "gatos corriendo"),
+            (4, "fr", "logiques nationale"),
+            (5, "zh", "Filters Orders"),
+            (6, None, "filters"),
+        ],
+        "id long, lang string, text string",
+    )
+    rows = {
+        r["id"]: r["toks"]
+        for r in df.select(
+            "id", stemmed_tokens_by_lang("text", "lang").alias("toks")
+        ).collect()
+    }
+    assert rows[1] == ["filt", "ord"]
+    assert rows[2] == ["run", "connect"]
+    assert rows[3] == ["gat", "corr"]
+    assert rows[4] == ["logiqu", "national"]
+    assert rows[5] == ["filters", "orders"]  # identity fallback
+    assert rows[6] == ["filters"]  # null language -> identity
+
+
+def test_german_contains_filter(spark):
+    """Contains with a German-language TEXT field: the query value is
+    stemmed with the same stemmer as the index side, so 'filters'
+    matches documents containing 'filter' (query-time inflection)."""
+    from muopdb_spark.filters.compiler import FilterSchema, compile_filter
+
+    df = spark.createDataFrame(
+        [(1, "der filter läuft"), (2, "order scan"), (3, "filter order")],
+        "doc_id long, text string",
+    ).withColumn("text_tokens", stemmed_tokens("text", "de"))
+    schema = FilterSchema({"text": ("text", "de")})
+    cond = compile_filter(
+        {"contains": {"path": "text", "value": "filters orders"}},
+        schema, id_col="doc_id",
+    )
+    got = sorted(r["doc_id"] for r in df.filter(cond).collect())
+    assert got == [3]
+
+
+def test_term_index_language_spec(spark):
+    from muopdb_spark.index.terms import build_term_index
+
+    df = spark.createDataFrame(
+        [(1, "filters orders"), (2, "filter merge")], "doc_id long, text string"
+    )
+    idx = build_term_index(df, {"text": ("text", "de")}, id_col="doc_id")
+    terms = {r["term"]: r["postings"] for r in idx.collect()}
+    assert terms["filt"] == [1, 2]
+    assert terms["ord"] == [1]
+    assert terms["merg"] == [2]
