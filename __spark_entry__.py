@@ -471,6 +471,27 @@ def q_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("id", "vec_id")
 
 
+def q_rabitq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V13 (capability-exceeding — the reference ships RaBitQ,
+    rs/quantization/src/rabitq/mod.rs, but never wires it into search):
+    1-bit-per-dimension binary quantization with the SIGMOD'24 unbiased
+    estimator. Estimated top-300 candidates -> exact re-rank -> top-10,
+    EXACT end-to-end given containment (pytest-gated at sf0.01 and
+    sf0.1, tests/test_rabitq_contract.py), so brute force is the
+    oracle. At 100 TB the estimate pass reads ~D bits/vector (~32x less
+    than raw) and the exact pass touches a constant 300 candidates."""
+    from muopdb_spark.index.rabitq import rabitq_encode, rabitq_search, train_rabitq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    code = train_rabitq(emb, vec_col="embedding", seed=7)
+    enc = rabitq_encode(emb, code, vec_col="embedding")
+    qv = _query_vector(spark, sf_dir)
+    return rabitq_search(
+        enc, qv, code, 10, id_col="vec_id", vec_col="embedding",
+        rerank=300, score_decimals=6,
+    )
+
+
 def q_ann_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V19 ratio-pruned probe (the production ANN path) — approximate,
     so no SQL oracle (rows-only check); recall is pytest-verified against
@@ -1122,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t4_fingerprints": q_fingerprints,
         "v4_ann_ivf_fullprobe": q_ann_fullprobe,
         "v11_pq_adc_rerank": q_pq_adc_rerank,
+        "v13_rabitq_rerank": q_rabitq_rerank,
         "v19_ann_ivf_probed": q_ann_probed,
         "m1_media_bytes": q_media_bytes,
         "m2_frame_sample": q_frame_sample,
@@ -1212,6 +1234,15 @@ def oracle_sql() -> dict[str, str]:
         # PQ-ADC top-100 + exact re-rank is exact end-to-end (containment
         # pytest-gated), so the oracle is plain brute force
         "v11_pq_adc_rerank": f"""
+            SELECT vec_id,
+                   round(list_distance(embedding::DOUBLE[], {qvec}), 6) AS score
+            FROM embeddings
+            ORDER BY score ASC, vec_id ASC
+            LIMIT 10
+        """,
+        # RaBitQ estimate -> exact re-rank is exact end-to-end
+        # (containment pytest-gated), so the oracle is brute force
+        "v13_rabitq_rerank": f"""
             SELECT vec_id,
                    round(list_distance(embedding::DOUBLE[], {qvec}), 6) AS score
             FROM embeddings

@@ -23,9 +23,18 @@ def pack_vectors(df: DataFrame, *, vec_col: str = "embedding") -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.drop(columns=[vec_col]).copy()
-            out["packed"] = [
-                np.asarray(v, dtype="<f4").tobytes() for v in pdf[vec_col]
-            ]
+            vals = pdf[vec_col].tolist()
+            try:
+                # uniform-length fast path: ONE float32 conversion +
+                # tobytes for the whole batch, sliced per row (no
+                # per-row numpy allocs)
+                X = np.asarray(vals, dtype="<f4")
+                assert X.ndim == 2
+                buf = X.tobytes()
+                w = X.shape[1] * 4
+                out["packed"] = [buf[i * w:(i + 1) * w] for i in range(X.shape[0])]
+            except (ValueError, AssertionError):  # ragged input
+                out["packed"] = [np.asarray(v, dtype="<f4").tobytes() for v in vals]
             yield out
 
     fields = [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields

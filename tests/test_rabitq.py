@@ -1,0 +1,113 @@
+"""RaBitQ binary quantization: build/encode/estimate/search.
+
+Recall gates mirror the PQ suite's: the estimator is approximate, so
+the contract is candidate containment (true top-k inside the estimated
+top-N pool) + exact re-rank equality with brute force.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from muopdb_spark.index.rabitq import (
+    RabitQCodebook,
+    rabitq_encode,
+    rabitq_est_score,
+    rabitq_search,
+    train_rabitq,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+
+@pytest.fixture(scope="module")
+def code(emb):
+    return train_rabitq(emb, vec_col="embedding", seed=7)
+
+
+def test_rotation_orthogonal(code):
+    P = code.rotation
+    np.testing.assert_allclose(P @ P.T, np.eye(code.dim), atol=1e-10)
+
+
+def test_codebook_json_roundtrip(code):
+    rt = RabitQCodebook.from_json(code.to_json())
+    np.testing.assert_allclose(rt.centroid, code.centroid)
+    np.testing.assert_allclose(rt.rotation, code.rotation)
+
+
+def test_encode_artifacts(emb, code):
+    enc = rabitq_encode(emb, code, vec_col="embedding")
+    rows = enc.limit(50).collect()
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        assert len(r["rq_code"]) == code.dim
+        # rq_norm is the exact residual norm
+        assert r["rq_norm"] == pytest.approx(
+            float(np.linalg.norm(v - code.centroid)), rel=1e-6
+        )
+        # <o-bar, o_rot> lies in (0, 1] for non-degenerate vectors and
+        # concentrates near ~0.8 at D=64 (the paper's sqrt(2/pi) bound)
+        if r["rq_norm"] > 0:
+            assert 0.0 < r["rq_ip"] <= 1.0 + 1e-9
+        # sign bits match numpy's
+        o_rot = code.rotation @ ((v - code.centroid) / np.linalg.norm(v - code.centroid))
+        assert list(r["rq_code"]) == list(o_rot >= 0.0)
+
+
+def test_estimator_containment(emb, code):
+    """True top-10 must sit inside the estimated top-100 pool."""
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = {
+        r["vec_id"]
+        for r in emb.select(
+            "vec_id",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding").cast("array<double>"),
+                        F.lit(qv).cast("array<double>"),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda s, x: s + x,
+                )
+            ).alias("d"),
+        ).orderBy("d", "vec_id").limit(10).collect()
+    }
+    enc = rabitq_encode(emb, code, vec_col="embedding")
+    pool = {
+        r["vec_id"]
+        for r in enc.select(
+            "vec_id", rabitq_est_score(qv, code).alias("est")
+        ).orderBy("est", "vec_id").limit(100).collect()
+    }
+    missing = exact - pool
+    assert not missing, f"true neighbors missing from RaBitQ pool: {missing}"
+
+
+def test_search_exact_after_rerank(emb, code):
+    from muopdb_spark.operators.knn import knn
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    expected = [
+        (r["vec_id"], r["score"])
+        for r in knn(emb, qv, 10, vector_col="embedding", id_col="vec_id",
+                     metric="l2", score_decimals=6).collect()
+    ]
+    enc = rabitq_encode(emb, code, vec_col="embedding")
+    got = [
+        (r["vec_id"], r["score"])
+        for r in rabitq_search(
+            enc, qv, code, 10, id_col="vec_id", vec_col="embedding",
+            rerank=100, score_decimals=6,
+        ).collect()
+    ]
+    assert got == expected
