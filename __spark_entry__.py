@@ -873,6 +873,52 @@ def q_multi_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed Bernoulli sample (training-data
+    curation): keep docs whose md5(key) falls under the fraction
+    threshold — map-side, no RNG, identical membership on every run,
+    engine, and partitioning (operators/sampling.py)."""
+    from muopdb_spark.operators.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        hash_sample(docs, key_col="doc_id", fraction=0.25)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling — the language-rebalancing mix
+    step of corpus curation (keep all fr, half of de, 10% of en, drop
+    the rest). Still one map-side filter."""
+    from muopdb_spark.operators.sampling import stratified_hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        stratified_hash_sample(
+            docs, strata_col="lang", key_col="doc_id",
+            fractions={"en": 0.1, "de": 0.5, "fr": 1.0},
+        )
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
+def q_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-n-per-stratum deterministic reservoir: rank keys in each
+    language by md5 hash, keep the first 20 — one shuffle on the
+    stratum, O(1) window state."""
+    from muopdb_spark.operators.sampling import deterministic_reservoir
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        deterministic_reservoir(docs, strata_col="lang", key_col="doc_id", n=20)
+        .select("lang", "sample_rank", "doc_id")
+        .orderBy("lang", "sample_rank")
+    )
+
+
 def q_stream_ingest_batch_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1-W5 driver-checked end-to-end: stream the embeddings fixture
     through the WAL ingest path — file-source micro-batches under an
@@ -1157,6 +1203,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u1_multi_user_topk": q_multi_user_topk,
         "w2_sessionize": q_sessionize,
         "w3_stream_ingest_batch_eq": q_stream_ingest_batch_eq,
+        "smp1_hash_sample": q_hash_sample,
+        "smp2_stratified_sample": q_stratified_sample,
+        "smp3_reservoir_per_lang": q_reservoir_per_lang,
         "i1_term_index": q_term_index,
         "i2_term_search_indexed": q_term_search_indexed,
         "mu1_multi_user_ann": q_multi_user_ann,
@@ -1291,6 +1340,41 @@ def oracle_sql() -> dict[str, str]:
               AND list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'join')
               AND list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'merge')
             ORDER BY doc_id
+        """,
+        # Content-addressed sampling: md5 produces identical bytes in
+        # both engines and fixed-length lowercase hex compares
+        # lexicographically == numerically, so the oracle is a literal
+        # transcription of the Spark-side predicate.
+        "smp1_hash_sample": f"""
+            SELECT doc_id FROM documents
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  < '{format(int(0.25 * 2**32), "08x")}'
+            ORDER BY doc_id
+        """,
+        "smp2_stratified_sample": f"""
+            SELECT lang, doc_id FROM documents
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+                  CASE lang
+                      WHEN 'en' THEN '{format(int(0.1 * 2**32), "08x")}'
+                      WHEN 'de' THEN '{format(int(0.5 * 2**32), "08x")}'
+                      WHEN 'fr' THEN '{format(int(1.0 * 2**32) - 1, "08x")}'
+                      ELSE '00000000'
+                  END
+            ORDER BY lang, doc_id
+        """,
+        "smp3_reservoir_per_lang": """
+            WITH ranked AS (
+                SELECT lang, doc_id,
+                       CAST(row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                                    doc_id
+                       ) AS BIGINT) AS sample_rank
+                FROM documents
+            )
+            SELECT lang, sample_rank, doc_id FROM ranked
+            WHERE sample_rank <= 20
+            ORDER BY lang, sample_rank
         """,
         # The batch twin of the streaming WAL ingest: identical output
         # proves exactly-once + flush-complete (W1-W5).

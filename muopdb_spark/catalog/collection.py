@@ -57,7 +57,7 @@ class CollectionConfig:
     max_posting_size: int | None = None
     max_clusters_per_vector: int = 1
     distance_threshold: float = 0.1
-    quantizer: str = "none"                  # none | pq (enums.rs:4-9)
+    quantizer: str = "none"                  # none | pq | rabitq (enums.rs:4-9)
     pq_subvectors: int = 4                   # collection.rs:43-63 subvector geometry
     pq_centers: int = 16
     vacuum_deleted_ratio: float = 0.1        # immutable_segment.rs:75-82
@@ -530,25 +530,33 @@ class Collection:
         return os.path.join(self._segment_dir(seg), "index", kind)
 
     def _codebook_path(self) -> str:
-        return os.path.join(self.root, "pq_codebook.json")
+        return os.path.join(self.root, f"{self.config.quantizer}_codebook.json")
 
     def _load_or_train_codebook(self):
-        """Collection-level PQ codebook (the reference selects the
+        """Collection-level quantizer artifact (the reference selects the
         quantizer per collection, rs/index/src/collection/mod.rs:145-149;
         we also SCOPE the codebook per collection — one deviation from
         the reference's per-segment training — so codes from different
         segments score against one table and cross-segment merges need
         no re-encoding). Trained once over a sample, persisted, reused."""
-        from muopdb_spark.index.pq import PqCodebook, train_pq
+        if self.config.quantizer == "pq":
+            from muopdb_spark.index.pq import PqCodebook, train_pq
 
-        if os.path.exists(self._codebook_path()):
-            with open(self._codebook_path()) as f:
-                return PqCodebook.from_json(f.read())
-        cb = train_pq(
-            self.docs(with_tombstones=True), vec_col="vector",
-            num_subvectors=self.config.pq_subvectors,
-            num_centers=self.config.pq_centers,
-        )
+            if os.path.exists(self._codebook_path()):
+                with open(self._codebook_path()) as f:
+                    return PqCodebook.from_json(f.read())
+            cb = train_pq(
+                self.docs(with_tombstones=True), vec_col="vector",
+                num_subvectors=self.config.pq_subvectors,
+                num_centers=self.config.pq_centers,
+            )
+        else:  # rabitq
+            from muopdb_spark.index.rabitq import RabitQCodebook, train_rabitq
+
+            if os.path.exists(self._codebook_path()):
+                with open(self._codebook_path()) as f:
+                    return RabitQCodebook.from_json(f.read())
+            cb = train_rabitq(self.docs(with_tombstones=True), vec_col="vector")
         _atomic_write(self._codebook_path(), cb.to_json())
         return cb
 
@@ -563,14 +571,12 @@ class Collection:
         Incremental by construction: a later flush indexes ONLY the new
         segment."""
         from muopdb_spark.index.multi_ivf import build_multi_ivf, multi_ivf_save
-        from muopdb_spark.index.pq import pq_encode
         from muopdb_spark.index.terms import build_term_index
 
         toc = self.toc()
         indexes = {s: list(v) for s, v in toc.get("indexes", {}).items()}
-        codebook = (
-            self._load_or_train_codebook() if self.config.quantizer == "pq" else None
-        )
+        quant = self.config.quantizer
+        codebook = self._load_or_train_codebook() if quant != "none" else None
         term_fields = {
             f: t for f, t in self.config.attribute_schema.items()
             if t in ("text", "keyword")
@@ -589,8 +595,16 @@ class Collection:
                     carry_cols=["seq_no"],
                 )
                 if codebook is not None:
-                    idx.postings = pq_encode(idx.postings, codebook, vec_col="vector")
+                    if quant == "pq":
+                        from muopdb_spark.index.pq import pq_encode
+
+                        idx.postings = pq_encode(idx.postings, codebook, vec_col="vector")
+                    else:  # rabitq
+                        from muopdb_spark.index.rabitq import rabitq_encode
+
+                        idx.postings = rabitq_encode(idx.postings, codebook, vec_col="vector")
                     idx.codebook = codebook
+                    idx.quantizer = quant
                 multi_ivf_save(idx, self._seg_index_dir(seg, "ivf"))
                 have.add("ivf")
             if term_fields and "terms" not in have:
@@ -698,9 +712,14 @@ class Collection:
 
         exact = score_expr(metric, F.col("vector"), q)
         if codebook is not None:
-            from muopdb_spark.index.pq import pq_adc_score
+            if next(iter(idxs.values())).quantizer == "rabitq":
+                from muopdb_spark.index.rabitq import rabitq_est_score
 
-            adc = pq_adc_score(query_vector, codebook)
+                adc = rabitq_est_score(query_vector, codebook)
+            else:
+                from muopdb_spark.index.pq import pq_adc_score
+
+                adc = pq_adc_score(query_vector, codebook)
             wu = Window.partitionBy("user_id").orderBy(
                 F.col("adc").asc_nulls_last(), F.col("id").asc())
             cand = (

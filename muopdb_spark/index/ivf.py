@@ -50,16 +50,25 @@ from muopdb_spark.functions.distance import score_expr
 class IvfIndex:
     """centroids: (centroid_id int, centroid array<double>)
     postings:  (centroid_id int, id long, vector array<double>
-                [, pq_code array<int> when quantized])
-    codebook:  PQ codebook when the index scores quantized distances in
-               the posting scan (the reference's per-collection quantizer,
-               rs/index/src/collection/mod.rs:145-149; scan-side scoring
-               at ivf/block_based/index.rs:202-209)."""
+                [, pq_code array<int> | rq_code/rq_norm/rq_ip when
+                quantized])
+    codebook:  quantizer artifact when the index scores quantized
+               distances in the posting scan (the reference's
+               per-collection quantizer, rs/index/src/collection/
+               mod.rs:145-149; scan-side scoring at
+               ivf/block_based/index.rs:202-209): a PqCodebook for
+               quantizer="pq", a RabitQCodebook for quantizer="rabitq".
+    """
 
     centroids: DataFrame
     postings: DataFrame
     metric: str = "l2"
     codebook: object | None = None
+    quantizer: str = "none"  # none | pq | rabitq
+
+    def __post_init__(self) -> None:
+        if self.quantizer == "none" and self.codebook is not None:
+            self.quantizer = "pq"  # pre-rabitq callers pass codebook only
 
 
 def _fit_kmeans(df: DataFrame, vec_col: str, k: int, seed: int, max_iter: int):
@@ -145,7 +154,11 @@ def build_ivf(
     quantizer="pq" (enums.rs:4-9 QuantizerType) trains a PQ codebook
     and stores per-posting codes, so searches can score quantized
     distances inside the posting scan (ivf/block_based/index.rs:202-209)
-    — the coded scan reads m bytes/vector instead of 4*d."""
+    — the coded scan reads m bytes/vector instead of 4*d.
+    quantizer="rabitq" stores 1-bit-per-dimension sign codes + two
+    scalars (index/rabitq.py) and scores the binary estimator in the
+    scan — ~D bits/vector (capability-exceeding: the reference ships
+    RaBitQ but never wires it into an index path)."""
     spark = df.sparkSession
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vector"))
     n = base.count()
@@ -189,11 +202,16 @@ def build_ivf(
             num_centers=pq_centers, training_sample=pq_training_sample, seed=seed,
         )
         postings = pq_encode(postings, codebook, vec_col="vector")
+    elif quantizer == "rabitq":
+        from muopdb_spark.index.rabitq import rabitq_encode, train_rabitq
+
+        codebook = train_rabitq(base, vec_col="vector", seed=seed)
+        postings = rabitq_encode(postings, codebook, vec_col="vector")
     elif quantizer != "none":
-        raise ValueError(f"unknown quantizer {quantizer!r} (none|pq)")
+        raise ValueError(f"unknown quantizer {quantizer!r} (none|pq|rabitq)")
     return IvfIndex(
         centroids=centroids, postings=postings.persist(), metric=metric,
-        codebook=codebook,
+        codebook=codebook, quantizer=quantizer,
     )
 
 
@@ -212,9 +230,11 @@ def ivf_save(index: IvfIndex, path: str) -> None:
         .partitionBy("centroid_id")
         .parquet(os.path.join(path, "postings"))
     )
-    meta = {"metric": index.metric, "quantizer": "pq" if index.codebook is not None else "none"}
-    if index.codebook is not None:
+    meta = {"metric": index.metric, "quantizer": index.quantizer}
+    if index.quantizer == "pq":
         meta["codebook"] = index.codebook.as_lists()
+    elif index.quantizer == "rabitq":
+        meta["codebook"] = json.loads(index.codebook.to_json())
     tmp = os.path.join(path, "meta.json.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)
@@ -231,17 +251,23 @@ def ivf_load(spark: SparkSession, path: str) -> IvfIndex:
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     codebook = None
-    if meta.get("quantizer") == "pq":
+    quant = meta.get("quantizer", "none")
+    if quant == "pq":
         import numpy as np
 
         from muopdb_spark.index.pq import PqCodebook
 
         codebook = PqCodebook([np.asarray(cb, dtype=np.float64) for cb in meta["codebook"]])
+    elif quant == "rabitq":
+        from muopdb_spark.index.rabitq import RabitQCodebook
+
+        codebook = RabitQCodebook.from_json(json.dumps(meta["codebook"]))
     return IvfIndex(
         centroids=spark.read.parquet(os.path.join(path, "centroids")),
         postings=spark.read.parquet(os.path.join(path, "postings")),
         metric=meta["metric"],
         codebook=codebook,
+        quantizer=quant,
     )
 
 
@@ -305,12 +331,14 @@ def ivf_search(
     stays a distributed semi join (broadcast if small, shuffled if not),
     where a collect+isin literal would OOM the driver.
 
-    When the index carries a PQ codebook, the posting scan scores
-    quantized ADC distances on the codes (the in-loop quantized scoring
-    of ivf/block_based/index.rs:202-209). With `rerank=N`, the ADC
-    top-N candidates are re-scored with exact distances and the final
-    top-k is exact — the standard IVF-PQ + re-rank plan (N bounds the
-    exact work to a constant per query regardless of corpus size).
+    When the index carries a quantizer, the posting scan scores
+    quantized distances on the stored codes (the in-loop quantized
+    scoring of ivf/block_based/index.rs:202-209): PQ scores ADC
+    table-lookup distances, RaBitQ scores the SIGMOD'24 binary
+    estimator. With `rerank=N`, the quantized top-N candidates are
+    re-scored with exact distances and the final top-k is exact — the
+    standard IVF-quantize + re-rank plan (N bounds the exact work to a
+    constant per query regardless of corpus size).
     """
     if num_probes is None:
         num_probes = k
@@ -327,14 +355,19 @@ def ivf_search(
     if tombstones is not None:
         scan = scan.join(tombstones.select("id").distinct(), on="id", how="left_anti")
     exact = score_expr(index.metric, F.col("vector"), q)
-    if index.codebook is not None:
+    if index.quantizer != "none":
         if index.metric != "l2":
-            raise ValueError("PQ ADC scoring supports the l2 metric only")
-        from muopdb_spark.index.pq import pq_adc_score
+            raise ValueError("quantized scoring supports the l2 metric only")
+        if index.quantizer == "pq":
+            from muopdb_spark.index.pq import pq_adc_score
 
-        adc = pq_adc_score(query_vector, index.codebook)
+            approx = pq_adc_score(query_vector, index.codebook)
+        else:  # rabitq: the SIGMOD'24 estimator over the stored bit codes
+            from muopdb_spark.index.rabitq import rabitq_est_score
+
+            approx = rabitq_est_score(query_vector, index.codebook)
         cand = (
-            scan.select("id", "vector", adc.alias("adc"))
+            scan.select("id", "vector", approx.alias("adc"))
             # dedup multi-assignment by id before the candidate cut (V21)
             .withColumn(
                 "rn",

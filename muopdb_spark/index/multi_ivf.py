@@ -39,12 +39,18 @@ from muopdb_spark.functions.distance import score_expr
 class MultiIvfIndex:
     """centroids: (user_id long, centroid_id int, centroid array<double>)
     postings:  (user_id long, centroid_id int, id long, vector array<double>
-                [, carry cols][, pq_code array<int> when quantized])"""
+                [, carry cols][, pq_code array<int> |
+                rq_code/rq_norm/rq_ip when quantized])"""
 
     centroids: DataFrame
     postings: DataFrame
     metric: str = "l2"
     codebook: object | None = None
+    quantizer: str = "none"  # none | pq | rabitq
+
+    def __post_init__(self) -> None:
+        if self.quantizer == "none" and self.codebook is not None:
+            self.quantizer = "pq"  # pre-rabitq callers pass codebook only
 
 
 from muopdb_spark.index.kmeans import lloyd as _shared_lloyd
@@ -132,10 +138,11 @@ def multi_ivf_save(index: MultiIvfIndex, path: str) -> None:
         os.path.join(path, "centroids"))
     index.postings.write.mode("overwrite").partitionBy("user_id", "centroid_id").parquet(
         os.path.join(path, "postings"))
-    meta = {"metric": index.metric,
-            "quantizer": "pq" if index.codebook is not None else "none"}
-    if index.codebook is not None:
+    meta = {"metric": index.metric, "quantizer": index.quantizer}
+    if index.quantizer == "pq":
         meta["codebook"] = index.codebook.as_lists()
+    elif index.quantizer == "rabitq":
+        meta["codebook"] = json.loads(index.codebook.to_json())
     tmp = os.path.join(path, "meta.json.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)
@@ -150,15 +157,20 @@ def multi_ivf_load(spark, path: str) -> MultiIvfIndex:
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     codebook = None
-    if meta.get("quantizer") == "pq":
+    quant = meta.get("quantizer", "none")
+    if quant == "pq":
         from muopdb_spark.index.pq import PqCodebook
 
         codebook = PqCodebook(
             [np.asarray(cb, dtype=np.float64) for cb in meta["codebook"]])
+    elif quant == "rabitq":
+        from muopdb_spark.index.rabitq import RabitQCodebook
+
+        codebook = RabitQCodebook.from_json(json.dumps(meta["codebook"]))
     return MultiIvfIndex(
         centroids=spark.read.parquet(os.path.join(path, "centroids")),
         postings=spark.read.parquet(os.path.join(path, "postings")),
-        metric=meta["metric"], codebook=codebook,
+        metric=meta["metric"], codebook=codebook, quantizer=quant,
     )
 
 

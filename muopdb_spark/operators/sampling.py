@@ -1,0 +1,104 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+A 100 TB training-corpus pipeline needs samples that are (a) reproducible
+across runs and engines (no RNG state), (b) stable under re-partitioning,
+and (c) cheap — map-side, no extra shuffle for Bernoulli sampling. The
+standard trick is CONTENT-ADDRESSED sampling: hash a stable key, keep
+rows whose hash falls under the fraction threshold. Spark's built-in
+`df.sample()` is none of those (partition-RNG based, reshuffles change
+membership).
+
+All operators use md5 (identical bytes in every engine) and compare the
+first 8 hex chars LEXICOGRAPHICALLY — for fixed-length lowercase hex
+that equals numeric comparison, and it makes the DuckDB oracle a literal
+transcription (no hex->int conversion portability trap).
+
+Semantics notes:
+  - `hash_sample` keeps an expected `fraction` of DISTINCT KEYS (for a
+    unique key, of rows). Correlated keys sample together — which is the
+    desired behavior for e.g. "keep all chunks of a sampled document".
+  - `stratified_hash_sample` applies a per-stratum fraction map — the
+    up/down-sampling mix step of corpus curation (e.g. language
+    rebalancing).
+  - `deterministic_reservoir` takes exactly-n-per-stratum by ranking on
+    the key hash: one shuffle on the stratum key, window state O(1),
+    ties impossible for distinct keys (md5 collisions aside).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _hash_bucket(key: Column, salt: str) -> Column:
+    """First 8 lowercase-hex chars of md5(salt || key) — a uniform
+    32-bit bucket, compared as a string."""
+    return F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8)
+
+
+def _threshold_hex(fraction: float) -> str:
+    """fraction in [0,1] -> 8-hex-digit threshold such that a uniform
+    32-bit hex string is < threshold with probability ~= fraction."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction {fraction} outside [0, 1]")
+    return format(min(int(fraction * 2**32), 2**32 - 1), "08x")
+
+
+def hash_sample(
+    df: DataFrame,
+    *,
+    key_col: str,
+    fraction: float,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose key hashes under
+    the fraction threshold. Pure map-side filter — no shuffle, no RNG,
+    stable across runs/partitionings/engines; `salt` decorrelates
+    independent samples drawn from the same keys."""
+    return df.filter(
+        _hash_bucket(F.col(key_col), salt) < F.lit(_threshold_hex(fraction))
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    key_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the rebalancing mix step of
+    corpus curation (keep 100% of rare strata, x% of dominant ones).
+    Still map-side: the per-stratum threshold is a CASE expression."""
+    thr: Column = F.lit(_threshold_hex(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == F.lit(value), F.lit(_threshold_hex(frac))
+        ).otherwise(thr)
+    return df.filter(_hash_bucket(F.col(key_col), salt) < thr)
+
+
+def deterministic_reservoir(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    key_col: str,
+    n: int,
+    salt: str = "",
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Exactly-n-per-stratum sample: rank keys within each stratum by
+    their hash and keep the first n. One shuffle (on the stratum), O(1)
+    window state per row; the result is a uniform-without-replacement
+    sample that is identical on every run and engine."""
+    w = Window.partitionBy(strata_col).orderBy(
+        _hash_bucket(F.col(key_col), salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .filter(F.col(rank_col) <= n)
+    )

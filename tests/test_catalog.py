@@ -281,6 +281,32 @@ def test_pq_collection_durable_index(spark, tmp_path):
     assert [r["id"] for r in got] == [3, 5]  # exact after re-rank
 
 
+def test_rabitq_collection_durable_index(spark, tmp_path):
+    """quantizer='rabitq' collections persist the rotation/centroid
+    artifact and store bit codes in the durable postings; ann_search
+    scores the binary estimator in the scan and rerank returns the
+    exact top-k."""
+    import os
+
+    cfg = CollectionConfig(
+        name="rq_durable", num_features=4, quantizer="rabitq",
+        attribute_schema={"title": "text"},
+    )
+    col = Collection.create(spark, str(tmp_path), cfg)
+    col.insert(_docs_df(spark, R1)); col.insert(_docs_df(spark, R2))
+    col.flush()
+    col.build_index()
+    assert os.path.exists(os.path.join(col.root, "rabitq_codebook.json"))
+    idx = col.load_segment_index(col.toc()["segments"][0])
+    assert {"rq_code", "rq_norm", "rq_ip"} <= set(idx.postings.columns)
+    assert idx.quantizer == "rabitq"
+    got = col.ann_search([0, 1], [0.0, 0.0, 1.0, 0.0], 2,
+                         num_probes=cfg.num_centroids,
+                         centroid_distance_ratio=None,
+                         rerank=5).collect()
+    assert [r["id"] for r in got] == [3, 5]  # exact after re-rank
+
+
 def test_gc_versions(col, spark):
     col.insert(_docs_df(spark, R1)); col.flush()      # v1
     col.insert(_docs_df(spark, R2)); col.flush()      # v2

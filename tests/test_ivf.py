@@ -99,6 +99,34 @@ def test_pq_in_scan_and_exact_rerank(clustered):
     assert {r["id"] for r in adc} <= cluster2
 
 
+def test_rabitq_in_scan_and_exact_rerank(clustered, tmp_path):
+    """quantizer='rabitq': the posting scan scores the binary estimator
+    on the stored bit codes; with rerank the final top-k is EXACT (full
+    probe + generous pool), so it must equal brute force. Also exercises
+    the durable save/load roundtrip with a RaBitQ codebook."""
+    from muopdb_spark.index.ivf import ivf_load, ivf_save
+
+    idx = build_ivf(clustered, num_centroids=N_CLUSTERS, seed=7, quantizer="rabitq")
+    assert {"rq_code", "rq_norm", "rq_ip"} <= set(idx.postings.columns)
+    q = [205.0] * DIM
+    exact = knn(clustered, q, 10, id_col="vec_id").collect()
+    got = ivf_search(idx, q, 10, num_probes=N_CLUSTERS,
+                     centroid_distance_ratio=None, rerank=100).collect()
+    assert [r["id"] for r in got] == [r["vec_id"] for r in exact]
+    for a, e in zip(got, exact):
+        assert a["score"] == pytest.approx(e["score"], rel=1e-12)
+
+    path = str(tmp_path / "rq_idx")
+    ivf_save(idx, path)
+    loaded = ivf_load(clustered.sparkSession, path)
+    assert loaded.quantizer == "rabitq"
+    again = ivf_search(loaded, q, 10, num_probes=N_CLUSTERS,
+                       centroid_distance_ratio=None, rerank=100).collect()
+    assert [(r["id"], r["score"]) for r in again] == [
+        (r["id"], r["score"]) for r in got
+    ]
+
+
 def test_save_load_round_trip(index, clustered, tmp_path):
     """Durable index artifact: save -> load in a fresh handle -> same
     results, no rebuild (reader.rs reopen contract)."""
