@@ -7,9 +7,18 @@ from muopdb_spark.functions.distance import (  # noqa: F401
     neg_dot_distance,
     score_expr,
 )
+from muopdb_spark.functions.snowball import (  # noqa: F401
+    french_stem,
+    german_stem,
+    spanish_stem,
+)
 from muopdb_spark.functions.text import (  # noqa: F401
+    porter_stem,
     simple_tokens,
     stem_tokens_udf,
+    stem_word,
+    stemmed_tokens,
+    stemmed_tokens_by_lang,
     term_key,
     whitespace_tokens,
 )
