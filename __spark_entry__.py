@@ -343,6 +343,39 @@ _SHINGLES_CTE = f"""
 """
 
 
+def _pii_oracle() -> str:
+    """Staged PII-scrub oracle: identical planted text, identical
+    patterns (RE2-safe by construction, pytest-pinned), identical
+    count-then-redact staging as muopdb_spark.operators.pii."""
+    from muopdb_spark.operators.pii import PII_PATTERNS
+
+    planted = (
+        "text || ' contact user' || doc_id || '@example.com'"
+        " || ' ip 10.0.' || (doc_id % 256) || '.7'"
+        " || CASE WHEN doc_id % 3 = 0"
+        " THEN ' call +1 555-000 ' || (doc_id % 9000 + 1000) ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789' ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0"
+        " THEN ' acct ' || (doc_id + 900000000) ELSE '' END"
+    )
+    ctes = [f"p0 AS (SELECT doc_id, {planted} AS t0 FROM documents)"]
+    for i, (name, rx, repl) in enumerate(PII_PATTERNS):
+        rx_sql = rx.replace("'", "''")
+        ctes.append(
+            f"p{i + 1} AS (SELECT *,"
+            f" len(regexp_extract_all(t{i}, '{rx_sql}'))::BIGINT AS n_{name},"
+            f" regexp_replace(t{i}, '{rx_sql}', '{repl}', 'g') AS t{i + 1}"
+            f" FROM p{i})"
+        )
+    n = len(PII_PATTERNS)
+    cols = ", ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f" SELECT doc_id, {cols}, md5(t{n}) AS redacted_md5"
+        + f" FROM p{n} ORDER BY doc_id"
+    )
+
+
 def _minhash_oracle() -> str:
     hs = ",\n               ".join(
         f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min') AS h{i}"
@@ -1152,6 +1185,73 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------- round-2 pipeline operators (c/p)
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination: 3-gram overlap of each corpus doc vs a
+    benchmark slice (doc_id % 20 == 0) of the documents fixture. The
+    benchmark gram set is broadcast; the corpus side never shuffles."""
+    from muopdb_spark.operators.contamination import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    out = contamination_report(corpus, bench, n=3, threshold=0.2)
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_contaminated").cast("long").alias("n_contaminated"),
+        "contamination",
+        "is_contaminated",
+    ).orderBy("doc_id")
+
+
+def _planted_pii_text() -> F.Column:
+    """Deterministic synthetic PII appended per doc (fixture text is
+    verified digit- and @-free, so counts are fully determined)."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"), d.cast("string"), F.lit("@example.com"),
+        F.lit(" ip 10.0."), (d % 256).cast("string"), F.lit(".7"),
+        F.when(d % 3 == 0,
+               F.concat(F.lit(" call +1 555-000 "),
+                        (d % 9000 + 1000).cast("string"))).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+        F.when(d % 7 == 0,
+               F.concat(F.lit(" acct "),
+                        (d + 900000000).cast("string"))).otherwise(F.lit("")),
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails/phones/SSNs/IPv4/long digit runs): per-doc
+    category counts + md5 of the fully redacted text. Pure map-side
+    Column expressions; patterns are Java-regex/RE2 agnostic so the
+    oracle runs them verbatim."""
+    from muopdb_spark.operators.pii import PII_PATTERNS, scrub_pii
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", _planted_pii_text().alias("text"))
+    out = scrub_pii(docs)
+    return out.select(
+        "doc_id",
+        *[F.col(f"n_{name}").cast("long").alias(f"n_{name}") for name, _, _ in PII_PATTERNS],
+        F.md5("redacted").alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: contiguous-stream chunk assignment of documents
+    into 512-token training sequences per language (one window shuffle)."""
+    from muopdb_spark.operators.packing import pack_sequences
+    from muopdb_spark.operators.textstats import ws_token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", ws_token_count("text").cast("long").alias("n_tokens")
+    )
+    return pack_sequences(docs, group_col="lang", budget=512).orderBy("doc_id")
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1219,6 +1319,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_part_stats": q_part_stats,
         "j6_asof_join": q_asof_join,
         "j7_range_count_join": q_range_count_join,
+        "c1_contamination_ngram": q_contamination,
+        "p1_pii_scrub": q_pii_scrub,
+        "p2_sequence_pack": q_sequence_pack,
     }
 
 
@@ -1723,6 +1826,51 @@ def oracle_sql() -> dict[str, str]:
             FROM events l
             WHERE l.event_type = 'purchase'
             ORDER BY l.event_id
+        """,
+        "c1_contamination_ngram": f"""
+            WITH {_SHINGLES_CTE},
+            bench AS (
+                SELECT DISTINCT unnest(sh) AS gram FROM s WHERE doc_id % 20 = 0
+            ),
+            corpus AS (
+                SELECT doc_id, len(sh)::BIGINT AS n_grams, sh
+                FROM s WHERE doc_id % 20 <> 0
+            ),
+            hits AS (
+                SELECT doc_id, count(*)::BIGINT AS n_contaminated
+                FROM (SELECT doc_id, unnest(sh) AS gram FROM corpus) cg
+                JOIN bench USING (gram)
+                GROUP BY doc_id
+            )
+            SELECT c.doc_id, c.n_grams,
+                   coalesce(h.n_contaminated, 0)::BIGINT AS n_contaminated,
+                   round(CASE WHEN c.n_grams > 0
+                         THEN coalesce(h.n_contaminated, 0)::DOUBLE / c.n_grams
+                         ELSE 0.0 END, 6) AS contamination,
+                   round(CASE WHEN c.n_grams > 0
+                         THEN coalesce(h.n_contaminated, 0)::DOUBLE / c.n_grams
+                         ELSE 0.0 END, 6) >= 0.2 AS is_contaminated
+            FROM corpus c LEFT JOIN hits h USING (doc_id)
+            ORDER BY c.doc_id
+        """,
+        "p1_pii_scrub": _pii_oracle(),
+        "p2_sequence_pack": r"""
+            WITH t AS (
+                SELECT doc_id, lang,
+                       len(list_filter(string_split_regex(trim(text), '\s+'),
+                                       x -> x <> ''))::BIGINT AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, lang, n_tokens,
+                       (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                        - n_tokens)::BIGINT AS strt
+                FROM t
+            )
+            SELECT doc_id, lang, n_tokens,
+                   (strt // 512)::BIGINT AS seq_id,
+                   (strt % 512)::BIGINT AS seq_offset
+            FROM c ORDER BY doc_id
         """,
         "agg_tpch_q6": """
             SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue

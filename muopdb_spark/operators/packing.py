@@ -1,0 +1,112 @@
+"""Sequence packing: fill fixed-token-budget training sequences with
+documents — the step that turns a curated corpus into model-ready
+samples. Two strategies with different determinism/efficiency
+trade-offs:
+
+  - `pack_sequences` (default): contiguous token-stream chunking.
+    Documents are laid end-to-end in deterministic (group, id) order
+    and sequences are fixed windows over that stream; a document is
+    assigned to the sequence its first token lands in (it may straddle
+    the boundary, as concat-then-chunk pretraining pipelines do). One
+    window function — a single shuffle on the group key — and exactly
+    SQL-expressible, so it is oracle-checked end to end.
+  - `pack_sequences_greedy`: first-fit-in-order bin packing that never
+    splits a document across sequences (sample-isolation packing, for
+    SFT-style data). Needs per-group sequential state, so it runs as
+    grouped applyInPandas (Arrow-batched); invariants are pytest-gated
+    (no sequence over budget unless a single document alone exceeds
+    it, order preserved, offsets consistent).
+
+Scale notes (100 TB):
+  - Both strategies shuffle once, on the group key (e.g. language or
+    domain). Groups are coarse; within a group the window/pandas pass
+    is linear. For a skewed mega-group, pre-split by a salt column
+    that is itself part of the deterministic order.
+  - The greedy variant holds one group partition in memory per task —
+    bound group size via the salt pre-split, not executor memory.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    budget: int = 2048,
+) -> DataFrame:
+    """Contiguous-stream chunk assignment (see module docstring).
+
+    Returns the input id/group/token columns plus:
+      - seq_id      which fixed-size sequence the doc starts in
+      - seq_offset  token offset of the doc within that sequence
+    """
+    keys = [group_col] if group_col else []
+    w = Window.partitionBy(*[F.col(k) for k in keys] or [F.lit(0)]).orderBy(id_col)
+    start = (F.sum(token_col).over(w) - F.col(token_col)).cast("long")
+    cols = [id_col, *keys, token_col]
+    return df.select(
+        *cols,
+        F.floor(start / budget).alias("seq_id"),
+        (start % budget).alias("seq_offset"),
+    )
+
+
+def pack_sequences_greedy(
+    df: DataFrame,
+    *,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    budget: int = 2048,
+) -> DataFrame:
+    """First-fit-in-order packing that never splits a document.
+
+    Within each group (docs ordered by id), a document opens a new
+    sequence when appending it would exceed `budget` — unless the
+    sequence is empty, in which case an oversized document occupies a
+    sequence alone. seq_id restarts at 0 per group.
+    """
+    keys = [group_col] if group_col else []
+    slim = df.select(id_col, *keys, token_col)
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in slim.schema.fields
+    ) + ", seq_id long, seq_offset long"
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        seq_ids, offsets = [], []
+        seq, used = 0, 0
+        for t in pdf[token_col]:
+            t = int(t)
+            if used > 0 and used + t > budget:
+                seq, used = seq + 1, 0
+            seq_ids.append(seq)
+            offsets.append(used)
+            used += t
+        pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
+        pdf["seq_offset"] = pd.Series(offsets, dtype="int64")
+        return pdf
+
+    grouped = slim.groupBy(*keys) if keys else slim.groupBy(F.lit(0).alias("_g"))
+    out = grouped.applyInPandas(_pack, schema=schema)
+    return out.select(id_col, *keys, token_col, "seq_id", "seq_offset")
+
+
+def sequence_stats(packed: DataFrame, *, group_col: str | None = None,
+                   token_col: str = "n_tokens") -> DataFrame:
+    """Per-sequence fill report: (group?, seq_id, n_docs, sum_tokens)."""
+    keys: Iterable[str] = ([group_col] if group_col else []) + ["seq_id"]
+    return packed.groupBy(*keys).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_col).cast("long").alias("sum_tokens"),
+    )

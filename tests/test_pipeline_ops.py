@@ -1,0 +1,181 @@
+"""Tests for the round-2 pipeline operators: contamination detection,
+PII scrubbing, and sequence packing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from muopdb_spark.operators.contamination import contamination_report
+from muopdb_spark.operators.packing import (
+    pack_sequences,
+    pack_sequences_greedy,
+    sequence_stats,
+)
+from muopdb_spark.operators.pii import PII_PATTERNS, scrub_pii
+
+# ------------------------------------------------------ contamination
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_contamination_identical_doc_is_fully_contaminated(spark):
+    corpus = _docs(spark, [(1, "the quick brown fox jumps over the lazy dog")])
+    bench = _docs(spark, [(100, "the quick brown fox jumps over the lazy dog")])
+    row = contamination_report(corpus, bench, n=3).collect()[0]
+    assert row.contamination == 1.0 and row.is_contaminated
+    assert row.n_grams == row.n_contaminated == 7
+
+
+def test_contamination_disjoint_vocab_is_zero(spark):
+    corpus = _docs(spark, [(1, "alpha beta gamma delta epsilon")])
+    bench = _docs(spark, [(100, "one two three four five")])
+    row = contamination_report(corpus, bench, n=3).collect()[0]
+    assert row.contamination == 0.0 and not row.is_contaminated
+    assert row.n_contaminated == 0 and row.n_grams == 3
+
+
+def test_contamination_partial_overlap_fraction(spark):
+    # corpus doc: grams {a b c, b c d, c d e}; bench contains "a b c d" →
+    # grams {a b c, b c d}; overlap 2/3
+    corpus = _docs(spark, [(1, "a b c d e")])
+    bench = _docs(spark, [(100, "a b c d")])
+    row = contamination_report(corpus, bench, n=3, threshold=0.5).collect()[0]
+    assert row.n_grams == 3 and row.n_contaminated == 2
+    assert abs(row.contamination - round(2 / 3, 6)) < 1e-9
+    assert row.is_contaminated
+
+
+def test_contamination_keeps_short_docs(spark):
+    corpus = _docs(spark, [(1, "tiny doc"), (2, "a b c d")])
+    bench = _docs(spark, [(100, "a b c")])
+    rows = {r.doc_id: r for r in contamination_report(corpus, bench, n=3).collect()}
+    assert rows[1].n_grams == 0 and rows[1].contamination == 0.0
+    assert rows[2].n_contaminated == 1
+
+
+# --------------------------------------------------------------- PII
+
+
+def test_pii_categories_and_redaction(spark):
+    text = (
+        "mail a.user+tag@example.co.uk or root@host.io, "
+        "call +1 555-123 4567, ssn 123-45-6789, "
+        "host 192.168.0.1, card 12345678901234"
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = scrub_pii(df).collect()[0]
+    assert row.n_email == 2
+    assert row.n_phone == 1
+    assert row.n_ssn == 1
+    assert row.n_ip == 1
+    assert row.n_longnum == 1
+    for token in ("<EMAIL>", "<PHONE>", "<SSN>", "<IP>", "<NUM>"):
+        assert token in row.redacted
+    # nothing PII-shaped survives
+    assert "@" not in row.redacted
+    assert "123-45-6789" not in row.redacted
+
+
+def test_pii_no_double_count_across_stages(spark):
+    # the digits inside the email/IP must not count as longnum/ssn
+    # after those spans are redacted
+    df = spark.createDataFrame(
+        [(1, "x123456789@example.com and 10.0.0.255 only")],
+        "doc_id long, text string",
+    )
+    row = scrub_pii(df).collect()[0]
+    assert row.n_email == 1 and row.n_ip == 1
+    assert row.n_longnum == 0 and row.n_ssn == 0
+
+
+def test_pii_clean_text_untouched(spark):
+    df = spark.createDataFrame(
+        [(1, "perfectly ordinary prose with numbers 42 and 1 2 3")],
+        "doc_id long, text string",
+    )
+    row = scrub_pii(df).collect()[0]
+    assert row.redacted == "perfectly ordinary prose with numbers 42 and 1 2 3"
+    assert (row.n_email, row.n_phone, row.n_ssn, row.n_ip, row.n_longnum) == (
+        0, 0, 0, 0, 0,
+    )
+
+
+def test_pii_patterns_are_re2_safe():
+    # the oracle runs these under RE2: lookaround and backreferences
+    # must never creep in
+    for _, rx, _ in PII_PATTERNS:
+        assert "(?=" not in rx and "(?!" not in rx and "(?<" not in rx
+        assert "\\1" not in rx
+
+
+# ------------------------------------------------------------ packing
+
+
+def _tok_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+
+
+def test_pack_stream_chunking_offsets(spark):
+    df = _tok_df(
+        spark,
+        [(1, "en", 100), (2, "en", 100), (3, "en", 100), (4, "en", 100)],
+    )
+    got = {
+        r.doc_id: (r.seq_id, r.seq_offset)
+        for r in pack_sequences(df, group_col="lang", budget=256).collect()
+    }
+    # stream starts: 0,100,200,300 → seqs 0,0,0,1; offsets mod 256
+    assert got == {1: (0, 0), 2: (0, 100), 3: (0, 200), 4: (1, 44)}
+
+
+def test_pack_greedy_never_splits_and_caps_budget(spark):
+    df = _tok_df(
+        spark,
+        [
+            (1, "en", 200), (2, "en", 200), (3, "en", 200),
+            (4, "de", 600), (5, "de", 10),
+        ],
+    )
+    packed = pack_sequences_greedy(df, group_col="lang", budget=512)
+    rows = {r.doc_id: r for r in packed.collect()}
+    # en: 200+200 fit, 3rd overflows → new seq
+    assert (rows[1].seq_id, rows[1].seq_offset) == (0, 0)
+    assert (rows[2].seq_id, rows[2].seq_offset) == (0, 200)
+    assert (rows[3].seq_id, rows[3].seq_offset) == (1, 0)
+    # de: oversized 600 sits alone in seq 0; next doc opens seq 1
+    assert (rows[4].seq_id, rows[4].seq_offset) == (0, 0)
+    assert (rows[5].seq_id, rows[5].seq_offset) == (1, 0)
+    stats = sequence_stats(packed, group_col="lang").collect()
+    for s in stats:
+        assert s.sum_tokens <= 512 or s.n_docs == 1
+
+
+def test_pack_greedy_invariants_on_fixture(spark, sf_dir):
+    from muopdb_spark.operators.textstats import ws_token_count
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang", ws_token_count("text").cast("long").alias("n_tokens"))
+    )
+    packed = pack_sequences_greedy(docs, group_col="lang", budget=512)
+    bad = (
+        sequence_stats(packed, group_col="lang")
+        .filter((F.col("sum_tokens") > 512) & (F.col("n_docs") > 1))
+        .count()
+    )
+    assert bad == 0
+    assert packed.count() == docs.count()
+    # determinism: same input → same assignment
+    again = pack_sequences_greedy(docs, group_col="lang", budget=512)
+    assert packed.exceptAll(again).count() == 0
+
+
+def test_pack_stream_no_group(spark):
+    df = _tok_df(spark, [(1, "en", 300), (2, "de", 300)])
+    got = {
+        r.doc_id: (r.seq_id, r.seq_offset)
+        for r in pack_sequences(df, budget=512).collect()
+    }
+    assert got == {1: (0, 0), 2: (0, 300)}
