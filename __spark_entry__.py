@@ -1185,6 +1185,30 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_batch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN: 10 query vectors through the two-phase IVF plan in ONE
+    job — phase 1 broadcasts centroids across the query stream, phase 2
+    joins probed (query, centroid) pairs against the postings on their
+    partitioning key, per-query window top-k. The reference serves one
+    vector per Search call (muopdb.proto:124-131); at pipeline scale the
+    batch must be a single plan, not a driver loop. Full probe + no
+    ratio prune → exact, so brute-force SQL is the oracle; the pruned
+    variant is pytest-gated (tests/test_ivf.py batch==per-query)."""
+    from muopdb_spark.index.ivf import ivf_search_batch
+
+    idx = _ivf_index(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector"))
+    )
+    out = ivf_search_batch(idx, queries, 8, num_probes=10, centroid_distance_ratio=None)
+    return (
+        out.select("query_id", F.col("id").alias("vec_id"), F.round("score", 6).alias("score"))
+        .orderBy("query_id", "score", "vec_id")
+    )
+
+
 # ------------------------------------- round-2 pipeline operators (c/p)
 
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1319,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_part_stats": q_part_stats,
         "j6_asof_join": q_asof_join,
         "j7_range_count_join": q_range_count_join,
+        "v22_ann_batch_ivf": q_ann_batch_ivf,
         "c1_contamination_ngram": q_contamination,
         "p1_pii_scrub": q_pii_scrub,
         "p2_sequence_pack": q_sequence_pack,
@@ -1826,6 +1851,22 @@ def oracle_sql() -> dict[str, str]:
             FROM events l
             WHERE l.event_type = 'purchase'
             ORDER BY l.event_id
+        """,
+        "v22_ann_batch_ivf": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS query_vector
+                FROM embeddings WHERE vec_id >= 10 AND vec_id < 20
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       round(list_distance(e.embedding::DOUBLE[], q.query_vector), 6) AS score,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_distance(e.embedding::DOUBLE[], q.query_vector) ASC,
+                                    e.vec_id ASC
+                       ) AS rnk
+                FROM embeddings e CROSS JOIN q
+            )
+            SELECT query_id, vec_id, score FROM scored WHERE rnk <= 8
         """,
         "c1_contamination_ngram": f"""
             WITH {_SHINGLES_CTE},

@@ -56,6 +56,10 @@ BENCH_QUERIES = [
     "fn_json_props",
     "j6_asof_join",
     "j7_range_count_join",
+    "v22_ann_batch_ivf",
+    "c1_contamination_ngram",
+    "p1_pii_scrub",
+    "p2_sequence_pack",
 ]
 
 

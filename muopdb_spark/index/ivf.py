@@ -304,6 +304,96 @@ def probe_centroids(
     return [r["centroid_id"] for r in scored if r["d"] - d_min <= abs(d_min) * centroid_distance_ratio]
 
 
+def probe_centroids_batch(
+    index: IvfIndex,
+    queries: DataFrame,
+    *,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vector",
+    num_probes: int,
+    centroid_distance_ratio: float | None = 0.1,
+) -> DataFrame:
+    """Set-based phase 1 for N queries in ONE plan: returns probed
+    (query_id, qv, centroid_id) rows. The centroid table is broadcast,
+    the query table streams through it — no per-query driver round trip
+    (the batch analog of probe_centroids; same top-num_probes + ratio
+    prune semantics, including the documented abs() deviation for
+    negative-score metrics)."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("qv"),
+    )
+    scored = (
+        q.crossJoin(F.broadcast(index.centroids))
+        .withColumn("d", score_expr(index.metric, F.col("qv"), F.col("centroid")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("centroid_id").asc())
+    out = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= num_probes)
+    if centroid_distance_ratio is not None:
+        d_min = F.min("d").over(Window.partitionBy("query_id"))
+        out = out.withColumn("d_min", d_min).filter(
+            F.col("d") - F.col("d_min") <= F.abs(F.col("d_min")) * centroid_distance_ratio
+        )
+    return out.select("query_id", "qv", "centroid_id")
+
+
+def ivf_search_batch(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int,
+    *,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vector",
+    num_probes: int | None = None,
+    centroid_distance_ratio: float | None = 0.1,
+    tombstones: DataFrame | None = None,
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """Two-phase ANN for a WHOLE DataFrame of queries in one plan:
+    (query_id, id, score) top-k per query.
+
+    The reference serves one vector per Search call
+    (muopdb.proto:124-131); a training-data pipeline joins millions of
+    queries against the corpus, so the batch path must be one job, not a
+    driver loop. Phase 1 broadcasts the centroid table across the query
+    stream; phase 2 joins the probed (query_id, centroid_id) pairs with
+    the postings on centroid_id — the join key matches the postings'
+    hash partitioning, so postings shuffle zero times and only probed
+    centroids are read. Dedup (V21) and the (score, id) ordering
+    contract (utils.rs:95-113) are per query via one window.
+
+    With full probes and no ratio prune the result is exact — that
+    variant is DuckDB-oracle-checked; the pruned variant's recall is
+    pytest-gated. Quantized indexes are not supported here (ADC builds a
+    per-query lookup literal; use ivf_search per query or quantizer
+    "none")."""
+    if index.quantizer != "none":
+        raise ValueError("ivf_search_batch supports quantizer='none' indexes")
+    if num_probes is None:
+        num_probes = k
+    probes = probe_centroids_batch(
+        index, queries, query_id_col=query_id_col, query_vec_col=query_vec_col,
+        num_probes=num_probes, centroid_distance_ratio=centroid_distance_ratio,
+    )
+    cand = probes.join(index.postings, "centroid_id")
+    if tombstones is not None:
+        cand = cand.join(tombstones.select("id").distinct(), on="id", how="left_anti")
+    exact = score_expr(index.metric, F.col("vector"), F.col("qv"))
+    score = F.round(exact, score_decimals) if score_decimals is not None else exact
+    per_pair = (
+        cand.select("query_id", "id", score.alias("score"))
+        .groupBy("query_id", "id").agg(F.min("score").alias("score"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("score").asc_nulls_last(), F.col("id").asc()
+    )
+    return (
+        per_pair.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "id", "score")
+    )
+
+
 def ivf_search(
     index: IvfIndex,
     query_vector: Sequence[float],

@@ -164,3 +164,49 @@ def test_multi_assignment_closure(clustered):
     out = ivf_search(idx, [0.0] * DIM, 10, num_probes=3).collect()
     ids = [r["id"] for r in out]
     assert len(ids) == len(set(ids)) == 10
+
+
+def test_batch_search_one_plan_matches_per_query(index, clustered, spark):
+    """ivf_search_batch: N queries in one plan must equal N single-query
+    ivf_search results — both for the exact full-probe config and the
+    pruned production config."""
+    import numpy as np
+
+    from muopdb_spark.index.ivf import ivf_search_batch
+
+    rng = np.random.default_rng(3)
+    qs = [
+        (c, (np.full(DIM, c * 100.0) + rng.normal(0, 5.0, DIM)).tolist())
+        for c in range(N_CLUSTERS)
+    ]
+    queries = spark.createDataFrame(
+        qs, "query_id long, query_vector array<double>"
+    )
+    for cfg in (
+        dict(num_probes=N_CLUSTERS, centroid_distance_ratio=None),
+        dict(num_probes=2, centroid_distance_ratio=0.5),
+    ):
+        batch = ivf_search_batch(index, queries, 10, **cfg).collect()
+        got = {}
+        for r in batch:
+            got.setdefault(r["query_id"], []).append((r["id"], r["score"]))
+        for qid, qv in qs:
+            single = [
+                (r["id"], r["score"])
+                for r in ivf_search(index, qv, 10, **cfg).collect()
+            ]
+            assert got[qid] == single, f"query {qid} cfg {cfg}"
+
+
+def test_batch_search_rejects_quantized(clustered, spark):
+    import pytest as _pytest
+
+    from muopdb_spark.index.ivf import ivf_search_batch
+
+    idx = build_ivf(clustered, num_centroids=N_CLUSTERS, seed=7,
+                    quantizer="pq", pq_subvectors=4, pq_centers=16)
+    queries = spark.createDataFrame(
+        [(0, [0.0] * DIM)], "query_id long, query_vector array<double>"
+    )
+    with _pytest.raises(ValueError):
+        ivf_search_batch(idx, queries, 5)

@@ -77,6 +77,39 @@ CHECKS = {
          "nested-loop inequality join"),
         ("!BroadcastNestedLoopJoin", "no candidate-pair explosion"),
     ],
+    "v22_ann_batch_ivf": [
+        ("BroadcastHashJoin", "probed (query, centroid) pairs join the "
+         "postings with the small probe side broadcast — postings never "
+         "shuffle for the batch"),
+        ("BroadcastNestedLoopJoin", "phase 1 is the query-stream x "
+         "centroid-table cross product — intentional and bounded: the "
+         "broadcast side is the num_centroids-row centroid table"),
+        ("Window", "per-query dedup + top-k in one window pass"),
+        ("!INSET", "no driver-collected probe list: the batch path "
+         "derives probed pairs as a DataFrame, unlike the single-query "
+         "path's (tiny, bounded) centroid id list"),
+    ],
+    "c1_contamination_ngram": [
+        ("BroadcastHashJoin", "benchmark gram set broadcast — the corpus "
+         "side never shuffles for the overlap join"),
+        ("!SortMergeJoin", "no shuffled join anywhere: corpus grams meet "
+         "the benchmark only via the broadcast"),
+        ("HashAggregate", "per-doc hit rollup partially aggregates "
+         "map-side before the (id) shuffle"),
+    ],
+    "p1_pii_scrub": [
+        ("ReadSchema: struct<doc_id:bigint,text:string>",
+         "column pruning: 2 of 5 document columns read"),
+        ("!Exchange hashpartitioning", "fully map-side: staged regex "
+         "count+redact never shuffles (the only exchange is the final "
+         "presentation sort)"),
+        ("!BroadcastHashJoin", "no join in the scrub path"),
+    ],
+    "p2_sequence_pack": [
+        ("Window", "chunk assignment is one cumulative-sum window — a "
+         "single shuffle on the language group key"),
+        ("!BroadcastHashJoin", "no join: packing is order + running sum"),
+    ],
     "j7_range_count_join": [
         ("SortMergeJoin", "banded range join lands as an ordinary "
          "equi-join on (keys, time-bucket); replication factor is a "
