@@ -1276,6 +1276,68 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, group_col="lang", budget=512).orderBy("doc_id")
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/Dolma-style repetition signals per document (distinct-token
+    ratio, top-2-gram occurrence fraction, duplicate-3-gram fraction) —
+    the quality pass that drops boilerplate/spam before training. Gram
+    counting partially aggregates map-side; shuffles only on
+    (doc_id, gram) and doc_id."""
+    from muopdb_spark.operators.quality import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    out = repetition_stats(docs, top_n=2, dup_n=3)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+        "distinct_ratio", "top_gram", "top_gram_frac", "dup_gram_frac",
+    ).orderBy("doc_id")
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components (iterative
+    min-label propagation, one join+groupBy per round) over the exact
+    3-gram-Jaccard near-dup pairs — pair edges become transitive
+    clusters with a canonical keeper per cluster. Deterministic
+    (min-id labels), so the oracle is a recursive-CTE transitive
+    closure over the identical pair set."""
+    from muopdb_spark.operators.dedup import ngram_jaccard_pairs
+    from muopdb_spark.operators.graph import dup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    return dup_clusters(docs.select("doc_id"), pairs).orderBy("doc_id")
+
+
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8-analog ingest boundary, driver-checked: documents go out as
+    gzip JSONL (the ecosystem's interchange format) and come back
+    through the schema-enforced strict reader; the oracle reads the
+    original parquet — green iff the JSONL boundary is lossless.
+    Result is materialized before the temp dir is removed (the driver
+    collects after this returns)."""
+    import shutil
+    import tempfile
+
+    from muopdb_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="muopdb_jsonl_")
+    try:
+        out = os.path.join(tmp, "docs")
+        write_jsonl(docs, out, compression="gzip")
+        back = read_jsonl(
+            spark, out,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        result = back.select(
+            "doc_id", "lang", "source", "n_chars", F.md5("text").alias("text_md5")
+        ).orderBy("doc_id").toPandas()
+        return spark.createDataFrame(result)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1347,6 +1409,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c1_contamination_ngram": q_contamination,
         "p1_pii_scrub": q_pii_scrub,
         "p2_sequence_pack": q_sequence_pack,
+        "src1_jsonl_roundtrip": q_jsonl_roundtrip,
+        "t5_repetition_stats": q_repetition_stats,
+        "d6_dup_clusters": q_dup_clusters,
     }
 
 
@@ -1895,6 +1960,82 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY c.doc_id
         """,
         "p1_pii_scrub": _pii_oracle(),
+        "src1_jsonl_roundtrip": """
+            SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+            FROM documents ORDER BY doc_id
+        """,
+        "t5_repetition_stats": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            g2 AS (
+                SELECT doc_id, unnest(list_transform(
+                    range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]
+                )) AS gram
+                FROM t WHERE len(toks) >= 2
+            ),
+            c2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+            top2 AS (
+                SELECT doc_id, gram AS top_gram,
+                       c::DOUBLE / sum(c) OVER (PARTITION BY doc_id) AS frac,
+                       row_number() OVER (
+                           PARTITION BY doc_id ORDER BY c DESC, gram ASC
+                       ) AS rn
+                FROM c2
+            ),
+            g3 AS (
+                SELECT doc_id, unnest(list_transform(
+                    range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                )) AS gram
+                FROM t WHERE len(toks) >= 3
+            ),
+            c3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2),
+            d3 AS (
+                SELECT doc_id,
+                       sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE
+                         / sum(c) AS dupfrac
+                FROM c3 GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   len(toks)::BIGINT AS n_tokens,
+                   len(list_distinct(toks))::BIGINT AS n_distinct_tokens,
+                   round(len(list_distinct(toks))::DOUBLE / len(toks), 6)
+                       AS distinct_ratio,
+                   top2.top_gram,
+                   round(coalesce(top2.frac, 0), 6) AS top_gram_frac,
+                   round(coalesce(d3.dupfrac, 0), 6) AS dup_gram_frac
+            FROM t
+            LEFT JOIN (SELECT * FROM top2 WHERE rn = 1) top2 USING (doc_id)
+            LEFT JOIN d3 USING (doc_id)
+            ORDER BY t.doc_id
+        """,
+        "d6_dup_clusters": f"""
+            WITH RECURSIVE {_SHINGLES_CTE},
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM s2 a, s2 b
+                WHERE a.doc_id < b.doc_id
+                  AND len(list_intersect(a.sh, b.sh)) > 0
+                  AND len(list_intersect(a.sh, b.sh))::DOUBLE
+                        / (a.n + b.n - len(list_intersect(a.sh, b.sh))) >= 0.8
+            ),
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION
+                SELECT doc_b AS a, doc_a AS b FROM pairs
+            ),
+            reach AS (
+                SELECT doc_id AS id, doc_id AS lab FROM documents
+                UNION
+                SELECT e.b AS id, r.lab
+                FROM reach r JOIN edges e ON e.a = r.id
+            ),
+            comp AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
+            SELECT id AS doc_id, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id)::BIGINT
+                       AS cluster_size,
+                   id = cluster_id AS is_canonical
+            FROM comp ORDER BY doc_id
+        """,
         "p2_sequence_pack": r"""
             WITH t AS (
                 SELECT doc_id, lang,

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "c1_contamination_ngram",
     "p1_pii_scrub",
     "p2_sequence_pack",
+    "t5_repetition_stats",
 ]
 
 

@@ -583,8 +583,330 @@ def french_stem(word: str) -> str:
     return w.lower()
 
 
+# ------------------------------------------------------------ Portuguese
+
+_PT_VOWELS = "aeiouáéíóúâêô"
+
+# nasalised vowels become vowel + '~' (a consonant) for region purposes
+_PT_IN = (("ã", "a~"), ("õ", "o~"))
+
+
+def _pt_rv(w: str) -> int:
+    n = len(w)
+    if n < 3:
+        return n
+    if w[1] not in _PT_VOWELS:
+        i = 2
+        while i < n and w[i] not in _PT_VOWELS:
+            i += 1
+        return min(i + 1, n)
+    if w[0] in _PT_VOWELS and w[1] in _PT_VOWELS:
+        i = 2
+        while i < n and w[i] in _PT_VOWELS:
+            i += 1
+        return min(i + 1, n)
+    return 3
+
+
+# (suffix, action) — longest match across ALL entries; action encodes the
+# region test + replacement of the published spec
+_PT_STEP1 = sorted(
+    [
+        *[(s, ("r2", "")) for s in (
+            "eza", "ezas", "ico", "ica", "icos", "icas", "ismo", "ismos",
+            "ável", "ível", "ista", "istas", "oso", "osa", "osos", "osas",
+            "amento", "amentos", "imento", "imentos", "adora", "ador",
+            "aça~o", "adoras", "adores", "aço~es", "ante", "antes", "ância",
+        )],
+        ("logia", ("r2", "log")), ("logias", ("r2", "log")),
+        ("uça~o", ("r2", "u")), ("uço~es", ("r2", "u")),
+        ("ência", ("r2", "ente")), ("ências", ("r2", "ente")),
+        ("amente", ("amente", None)),
+        ("mente", ("mente", None)),
+        ("idade", ("idade", None)), ("idades", ("idade", None)),
+        ("iva", ("iv", None)), ("ivo", ("iv", None)),
+        ("ivas", ("iv", None)), ("ivos", ("iv", None)),
+        ("ira", ("ira", None)), ("iras", ("ira", None)),
+    ],
+    key=lambda e: -len(e[0]),
+)
+
+_PT_VERB = tuple(sorted((
+    "ada", "ida", "ia", "aria", "eria", "iria", "ará", "ara", "erá",
+    "era", "irá", "ava", "asse", "esse", "isse", "aste", "este", "iste",
+    "ei", "arei", "erei", "irei", "am", "ado", "ido", "ando", "endo",
+    "indo", "ara~o", "era~o", "ira~o", "ar", "er", "ir", "as", "adas",
+    "idas", "ias", "arias", "erias", "irias", "arás", "aras", "erás",
+    "eras", "irás", "avas", "es", "ardes", "erdes", "irdes", "ares",
+    "eres", "ires", "asses", "esses", "isses", "astes", "estes",
+    "istes", "is", "ais", "eis", "íeis", "aríeis", "eríeis", "iríeis",
+    "áreis", "areis", "éreis", "ereis", "íreis", "ireis", "ásseis",
+    "ésseis", "ísseis", "áveis", "ados", "idos", "ámos", "amos",
+    "íamos", "aríamos", "eríamos", "iríamos", "áramos", "éramos",
+    "íramos", "ávamos", "emos", "aremos", "eremos", "iremos",
+    "ássemos", "êssemos", "íssemos", "imos", "armos", "ermos", "irmos",
+    "eu", "iu", "ou", "ira", "iras",
+), key=len, reverse=True))
+
+
+def portuguese_stem(word: str) -> str:
+    """Snowball Portuguese (published algorithm description,
+    snowballstem.org)."""
+    w = word.lower()
+    for src, dst in _PT_IN:
+        w = w.replace(src, dst)
+    rv = _pt_rv(w)
+    r1, r2 = _standard_r1_r2(w, _PT_VOWELS)
+
+    def in_rv(p: int) -> bool:
+        return p >= rv
+
+    def in_r1(p: int) -> bool:
+        return p >= r1
+
+    def in_r2(p: int) -> bool:
+        return p >= r2
+
+    orig = w
+    # ---- step 1: standard suffix (longest match, then its rule)
+    for suf, (kind, repl) in _PT_STEP1:
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if kind == "r2" and in_r2(pos):
+            w = w[:pos] + (repl or "")
+        elif kind == "amente" and in_r1(pos):
+            w = w[:pos]
+            if w.endswith("iv") and in_r2(len(w) - 2):
+                w = w[:-2]
+                if w.endswith("at") and in_r2(len(w) - 2):
+                    w = w[:-2]
+            else:
+                for pre in ("os", "ic", "ad"):
+                    if w.endswith(pre) and in_r2(len(w) - 2):
+                        w = w[:-2]
+                        break
+        elif kind == "mente" and in_r2(pos):
+            w = w[:pos]
+            for pre in ("ante", "avel", "ível"):
+                if w.endswith(pre) and in_r2(len(w) - 4):
+                    w = w[:-4]
+                    break
+        elif kind == "idade" and in_r2(pos):
+            w = w[:pos]
+            for pre in ("abil", "ic", "iv"):
+                if w.endswith(pre) and in_r2(len(w) - len(pre)):
+                    w = w[: -len(pre)]
+                    break
+        elif kind == "iv" and in_r2(pos):
+            w = w[:pos]
+            if w.endswith("at") and in_r2(len(w) - 2):
+                w = w[:-2]
+        elif kind == "ira" and in_rv(pos) and pos > 0 and w[pos - 1] == "e":
+            w = w[:pos] + "ir"
+        break
+
+    # ---- step 2: verb suffixes, only if step 1 changed nothing
+    if w == orig:
+        for suf in _PT_VERB:
+            if w.endswith(suf) and in_rv(len(w) - len(suf)):
+                w = w[: -len(suf)]
+                break
+
+    # ---- step 3: if steps 1-2 changed, drop c-preceded final i in RV
+    if w != orig:
+        if w.endswith("i") and in_rv(len(w) - 1) and len(w) >= 2 and w[-2] == "c":
+            w = w[:-1]
+    else:
+        # ---- step 4: residual suffix
+        for suf in ("os", "a", "i", "o", "á", "í", "ó"):
+            if w.endswith(suf) and in_rv(len(w) - len(suf)):
+                w = w[: -len(suf)]
+                break
+
+    # ---- step 5: residual form (always runs)
+    if w.endswith(("e", "é", "ê")) and in_rv(len(w) - 1):
+        w = w[:-1]
+        if (w.endswith("gu") and in_rv(len(w) - 1)) or (
+            w.endswith("ci") and in_rv(len(w) - 1)
+        ):
+            w = w[:-1]
+    elif w.endswith("ç"):
+        w = w[:-1] + "c"
+
+    for src, dst in _PT_IN:
+        w = w.replace(dst, src)
+    return w
+
+
+# -------------------------------------------------------------- Italian
+
+_IT_VOWELS = "aeiouàèìòù"
+_IT_ACUTE = str.maketrans("áéíóú", "àèìòù")
+
+_IT_PRON = tuple(sorted((
+    "ci", "gli", "la", "le", "li", "lo", "mi", "ne", "si", "ti", "vi",
+    "sene", "gliela", "gliele", "glieli", "glielo", "gliene", "mela",
+    "mele", "meli", "melo", "mene", "tela", "tele", "teli", "telo",
+    "tene", "cela", "cele", "celi", "celo", "cene", "vela", "vele",
+    "veli", "velo", "vene",
+), key=len, reverse=True))
+
+_IT_STEP1 = sorted(
+    [
+        *[(s, ("r2", "")) for s in (
+            "anza", "anze", "ico", "ici", "ica", "ice", "iche", "ichi",
+            "ismo", "ismi", "abile", "abili", "ibile", "ibili", "ista",
+            "iste", "isti", "istà", "istè", "istì", "oso", "osi", "osa",
+            "ose", "mente", "atrice", "atrici", "ante", "anti",
+        )],
+        *[(s, ("azione", None)) for s in ("azione", "azioni", "atore", "atori")],
+        ("logia", ("r2", "log")), ("logie", ("r2", "log")),
+        *[(s, ("r2", "u")) for s in ("uzione", "uzioni", "usione", "usioni")],
+        ("enza", ("r2", "ente")), ("enze", ("r2", "ente")),
+        *[(s, ("rv", "")) for s in ("amento", "amenti", "imento", "imenti")],
+        ("amente", ("amente", None)),
+        ("ità", ("ità", None)),
+        *[(s, ("iv", None)) for s in ("ivo", "ivi", "iva", "ive")],
+    ],
+    key=lambda e: -len(e[0]),
+)
+
+_IT_VERB = tuple(sorted((
+    "ammo", "ando", "ano", "are", "arono", "asse", "assero", "assi",
+    "assimo", "ata", "ate", "ati", "ato", "ava", "avamo", "avano",
+    "avate", "avi", "avo", "emmo", "enda", "ende", "endi", "endo",
+    "erà", "erai", "eranno", "ere", "erebbe", "erebbero", "erei",
+    "eremmo", "eremo", "ereste", "eresti", "erete", "erò", "erono",
+    "essero", "ete", "eva", "evamo", "evano", "evate", "evi", "evo",
+    "Yamo", "iamo", "immo", "irà", "irai", "iranno", "ire", "irebbe",
+    "irebbero", "irei", "iremmo", "iremo", "ireste", "iresti", "irete",
+    "irò", "irono", "isca", "iscano", "isce", "isci", "isco", "iscono",
+    "issero", "ita", "ite", "iti", "ito", "iva", "ivamo", "ivano",
+    "ivate", "ivi", "ivo", "ono", "uta", "ute", "uti", "uto", "ar", "ir",
+), key=len, reverse=True))
+
+
+def italian_stem(word: str) -> str:
+    """Snowball Italian (published algorithm description,
+    snowballstem.org)."""
+    w = word.lower().translate(_IT_ACUTE)
+    # mark u after q, and i/u between vowels, as consonants
+    chars = list(w)
+    for i in range(1, len(chars)):
+        if chars[i] == "u" and chars[i - 1] == "q":
+            chars[i] = "U"
+        elif chars[i] in "iu" and i + 1 < len(chars) \
+                and chars[i - 1] in _IT_VOWELS and chars[i + 1] in _IT_VOWELS:
+            chars[i] = chars[i].upper()
+    w = "".join(chars)
+    rv = _es_rv_generic(w, _IT_VOWELS)
+    r1, r2 = _standard_r1_r2(w, _IT_VOWELS)
+
+    def in_rv(p: int) -> bool:
+        return p >= rv
+
+    def in_r1(p: int) -> bool:
+        return p >= r1
+
+    def in_r2(p: int) -> bool:
+        return p >= r2
+
+    # ---- step 0: attached pronoun
+    for p in _IT_PRON:
+        if not w.endswith(p):
+            continue
+        base = w[: -len(p)]
+        if base.endswith(("ando", "endo")) and in_rv(len(base) - 4):
+            w = base
+        elif base.endswith(("ar", "er", "ir")) and in_rv(len(base) - 2):
+            w = base + "e"
+        break
+
+    orig = w
+    # ---- step 1: standard suffix (longest match, then its rule)
+    for suf, (kind, repl) in _IT_STEP1:
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if kind == "r2" and in_r2(pos):
+            w = w[:pos] + (repl or "")
+        elif kind == "rv" and in_rv(pos):
+            w = w[:pos]
+        elif kind == "azione" and in_r2(pos):
+            w = w[:pos]
+            if w.endswith("ic") and in_r2(len(w) - 2):
+                w = w[:-2]
+        elif kind == "amente" and in_r1(pos):
+            w = w[:pos]
+            if w.endswith("iv") and in_r2(len(w) - 2):
+                w = w[:-2]
+                if w.endswith("at") and in_r2(len(w) - 2):
+                    w = w[:-2]
+            else:
+                for pre in ("os", "ic"):
+                    if w.endswith(pre) and in_r2(len(w) - 2):
+                        w = w[:-2]
+                        break
+                else:
+                    if w.endswith("abil") and in_r2(len(w) - 4):
+                        w = w[:-4]
+        elif kind == "ità" and in_r2(pos):
+            w = w[:pos]
+            for pre in ("abil", "ic", "iv"):
+                if w.endswith(pre) and in_r2(len(w) - len(pre)):
+                    w = w[: -len(pre)]
+                    break
+        elif kind == "iv" and in_r2(pos):
+            w = w[:pos]
+            if w.endswith("at") and in_r2(len(w) - 2):
+                w = w[:-2]
+                if w.endswith("ic") and in_r2(len(w) - 2):
+                    w = w[:-2]
+        break
+
+    # ---- step 2: verb suffixes, only if step 1 changed nothing
+    if w == orig:
+        for suf in _IT_VERB:
+            if w.endswith(suf) and in_rv(len(w) - len(suf)):
+                w = w[: -len(suf)]
+                break
+
+    # ---- step 3a: final vowel (then a preceding i), both in RV
+    if w and w[-1] in "aeioàèìò" and in_rv(len(w) - 1):
+        w = w[:-1]
+        if w.endswith("i") and in_rv(len(w) - 1):
+            w = w[:-1]
+    # ---- step 3b: ch/gh -> c/g in RV
+    if w.endswith(("ch", "gh")) and in_rv(len(w) - 2):
+        w = w[:-1]
+
+    return w.lower()
+
+
+def _es_rv_generic(w: str, vowels: str) -> int:
+    """The Spanish/Italian/Portuguese RV rule with a caller-supplied
+    vowel set."""
+    n = len(w)
+    if n < 3:
+        return n
+    if w[1] not in vowels:
+        i = 2
+        while i < n and w[i] not in vowels:
+            i += 1
+        return min(i + 1, n)
+    if w[0] in vowels and w[1] in vowels:
+        i = 2
+        while i < n and w[i] in vowels:
+            i += 1
+        return min(i + 1, n)
+    return 3
+
+
 SNOWBALL_STEMMERS = {
     "german": german_stem, "de": german_stem,
     "spanish": spanish_stem, "es": spanish_stem,
     "french": french_stem, "fr": french_stem,
+    "portuguese": portuguese_stem, "pt": portuguese_stem,
+    "italian": italian_stem, "it": italian_stem,
 }

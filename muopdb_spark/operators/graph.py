@@ -1,0 +1,108 @@
+"""Duplicate-cluster resolution: connected components over near-dup
+pairs. Pair-finding (exact/MinHash/SimHash/Jaccard — operators/dedup.py)
+yields EDGES; a curation pipeline needs the transitive CLUSTERS ("A~B,
+B~C => keep one of {A,B,C}"), i.e. connected components with the
+minimum member id as the cluster label.
+
+Spark-first shape: iterative min-label propagation —
+    label(v) <- min(label(v), min over neighbors u of label(u))
+repeated to fixpoint. Each iteration is one equi-join + one groupBy
+(both on id — partial aggregation applies); the driver loop only checks
+a converged-count, mirroring the bounded driver loops the engine
+already uses for k-means splitting (index/ivf.py V7). Convergence takes
+O(component diameter) rounds; near-dup clusters are shallow (dozens of
+docs), so a handful of rounds suffices — `max_iter` bounds pathological
+chains and raises rather than returning a half-propagated labelling.
+
+Scale notes (100 TB):
+  - Edges for dedup are SPARSE (candidate pairs post-verification), so
+    each round shuffles |V|+|E| slim (id, label) rows, nothing else.
+  - For adversarial graphs (long chains), swap the propagation body for
+    the large-star/small-star rounds of Kiveris et al. "Connected
+    Components in MapReduce" — same join/groupBy primitives, fewer
+    rounds; the fixpoint check below is already the required harness.
+  - The result is deterministic (min id), so it is oracle-checkable
+    via a recursive-CTE transitive closure on the same pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id_col, component) — component = min node id transitively
+    reachable. `nodes` may include isolated ids (their own component).
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .distinct()
+    )
+    labels = nodes.select(F.col(id_col).alias("a")).distinct() \
+        .withColumn("label", F.col("a"))
+    for _ in range(max_iter):
+        # min label among self and neighbors
+        neighbor = (
+            sym.join(labels, "a")
+            .select(F.col("b").alias("a"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("a").agg(F.min("label").alias("label"))
+        )
+        new_labels = new_labels.persist()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "a")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist() if hasattr(labels, "unpersist") else None
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("a").alias(id_col), F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(component diameter exceeds the bound; raise max_iter or use "
+        "star-contraction rounds)"
+    )
+
+
+def dup_clusters(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    pair_a: str = "doc_a",
+    pair_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster report over near-dup pairs:
+    (id_col, cluster_id, cluster_size, is_canonical) — canonical = the
+    minimum id of the cluster (the doc a dedup pass would keep)."""
+    comp = connected_components(
+        nodes.select(F.col(id_col).alias("id")),
+        pairs.select(F.col(pair_a).alias("src"), F.col(pair_b).alias("dst")),
+        max_iter=max_iter,
+    )
+    w = Window.partitionBy("component")
+    return (
+        comp.withColumn("cluster_size", F.count("*").over(w))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("component").alias("cluster_id"),
+            F.col("cluster_size"),
+            (F.col("id") == F.col("component")).alias("is_canonical"),
+        )
+    )

@@ -1,0 +1,89 @@
+"""Tests for repetition-based quality stats and duplicate-cluster
+connected components."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from muopdb_spark.operators.graph import connected_components, dup_clusters
+from muopdb_spark.operators.quality import repetition_stats
+
+# ---------------------------------------------------------- repetition
+
+
+def test_repetition_stats_hand_computed(spark):
+    # "a b a b a": tokens 5, distinct 2; 2-grams: "a b" x2, "b a" x2 →
+    # top is "a b" (tie broken by gram asc), frac 2/4; 3-grams:
+    # "a b a" x2? -> grams: aba, bab, aba → dup occurrences 2 of 3
+    df = spark.createDataFrame([(1, "a b a b a")], "doc_id long, text string")
+    r = repetition_stats(df, top_n=2, dup_n=3).collect()[0]
+    assert r.n_tokens == 5 and r.n_distinct_tokens == 2
+    assert r.distinct_ratio == 0.4
+    assert r.top_gram == "a b" and r.top_gram_frac == 0.5
+    assert r.dup_gram_frac == pytest.approx(round(2 / 3, 6))
+
+
+def test_repetition_stats_no_repeats(spark):
+    df = spark.createDataFrame([(1, "one two three four")], "doc_id long, text string")
+    r = repetition_stats(df, top_n=2, dup_n=3).collect()[0]
+    assert r.distinct_ratio == 1.0
+    assert r.top_gram_frac == pytest.approx(round(1 / 3, 6))
+    assert r.dup_gram_frac == 0.0
+
+
+def test_repetition_stats_short_doc_kept(spark):
+    df = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    r = repetition_stats(df, top_n=2, dup_n=3).collect()[0]
+    assert r.n_tokens == 1 and r.top_gram is None
+    assert r.top_gram_frac == 0.0 and r.dup_gram_frac == 0.0
+
+
+# ---------------------------------------------------------- components
+
+
+def _nodes(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id long")
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_components_chain_and_isolated(spark):
+    # chain 1-2-3-4 plus isolated 9: one component labeled 1, one {9}
+    comp = connected_components(
+        _nodes(spark, [1, 2, 3, 4, 9]),
+        _edges(spark, [(1, 2), (2, 3), (3, 4)]),
+    )
+    got = {r.id: r.component for r in comp.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9}
+
+
+def test_components_merge_two_clusters(spark):
+    # two triangles bridged by one edge collapse to min id 1
+    edges = [(1, 2), (2, 3), (5, 6), (6, 7), (3, 5)]
+    comp = connected_components(_nodes(spark, [1, 2, 3, 5, 6, 7]), _edges(spark, edges))
+    assert {r.component for r in comp.collect()} == {1}
+
+
+def test_components_nonconvergence_raises(spark):
+    with pytest.raises(RuntimeError):
+        connected_components(
+            _nodes(spark, list(range(10))),
+            _edges(spark, [(i, i + 1) for i in range(9)]),
+            max_iter=2,
+        )
+
+
+def test_dup_clusters_report(spark):
+    nodes = spark.createDataFrame([(i,) for i in [10, 11, 12, 20, 21, 30]], "doc_id long")
+    pairs = spark.createDataFrame([(10, 11), (11, 12), (20, 21)], "doc_a long, doc_b long")
+    rows = {r.doc_id: r for r in dup_clusters(nodes, pairs).collect()}
+    assert rows[10].cluster_id == 10 and rows[12].cluster_id == 10
+    assert rows[10].cluster_size == 3 and rows[20].cluster_size == 2
+    assert rows[30].cluster_size == 1 and rows[30].is_canonical
+    assert rows[10].is_canonical and not rows[11].is_canonical
+    # exactly one canonical per cluster
+    canon = [r for r in rows.values() if r.is_canonical]
+    assert len(canon) == 3

@@ -183,3 +183,77 @@ def test_term_index_language_spec(spark):
     assert terms["filt"] == [1, 2]
     assert terms["ord"] == [1]
     assert terms["merg"] == [2]
+
+
+# ------------------------------------------------- Portuguese / Italian
+
+
+@pytest.mark.parametrize("word,stem", [
+    ("gostou", "gost"),
+    ("gostaria", "gost"),
+    ("gostando", "gost"),
+    ("meninas", "menin"),
+    ("menino", "menin"),
+    ("amoroso", "amor"),
+    ("amorosa", "amor"),
+    ("associação", "assoc"),
+    ("associações", "assoc"),
+    ("nacionalidade", "nacional"),
+    ("possibilidade", "possibil"),
+    ("rapidamente", "rapid"),
+    ("bonitas", "bonit"),
+])
+def test_portuguese_vectors(word, stem):
+    from muopdb_spark.functions.snowball import portuguese_stem
+
+    assert portuguese_stem(word) == stem
+
+
+@pytest.mark.parametrize("word,stem", [
+    ("guardare", "guard"),
+    ("guardarli", "guard"),        # step-0 pronoun (spec example)
+    ("abbandonata", "abbandon"),
+    ("abbandonati", "abbandon"),
+    ("cantavano", "cant"),
+    ("cantando", "cant"),
+    ("felicità", "felic"),
+    ("nazionale", "nazional"),
+    ("nazionali", "nazional"),
+    ("organizzazione", "organizz"),
+    ("possibilità", "possibil"),
+    ("pronuncia", "pronunc"),      # step-3a i-after-vowel (crocchio rule)
+])
+def test_italian_vectors(word, stem):
+    from muopdb_spark.functions.snowball import italian_stem
+
+    assert italian_stem(word) == stem
+
+
+def test_pt_it_family_collapse():
+    """Inflection families collapse to one stem — the property Contains
+    filters rely on (same stem on index and query side)."""
+    from muopdb_spark.functions.snowball import italian_stem, portuguese_stem
+
+    for fam in (["cantando", "cantava", "cantavas", "cantar", "cantaria"],
+                ["bonita", "bonitas", "bonito", "bonitos"]):
+        assert len({portuguese_stem(w) for w in fam}) == 1, fam
+    for fam in (["cantare", "cantavano", "cantando", "cantata", "cantate"],
+                ["abbandonata", "abbandonate", "abbandonati", "abbandonato"]):
+        assert len({italian_stem(w) for w in fam}) == 1, fam
+
+
+def test_pt_it_in_lang_dispatch(spark):
+    """stemmed_tokens_by_lang picks up pt/it rows (no identity fallback)."""
+    df = spark.createDataFrame(
+        [(1, "meninas bonitas", "pt"), (2, "abbandonati cantavano", "it")],
+        "doc_id long, text string, lang string",
+    )
+    rows = {
+        r.doc_id: r.toks
+        for r in df.select(
+            "doc_id",
+            stemmed_tokens_by_lang(F.col("text"), F.col("lang")).alias("toks"),
+        ).collect()
+    }
+    assert rows[1] == ["menin", "bonit"]
+    assert rows[2] == ["abbandon", "cant"]
