@@ -1215,12 +1215,12 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test contamination: 3-gram overlap of each corpus doc vs a
     benchmark slice (doc_id % 20 == 0) of the documents fixture. The
     benchmark gram set is broadcast; the corpus side never shuffles."""
-    from muopdb_spark.operators.contamination import contamination_report
+    from muopdb_spark.operators.contamination import contamination_report_split
 
     docs = _t(spark, sf_dir, "documents")
-    bench = docs.filter(F.col("doc_id") % 20 == 0)
-    corpus = docs.filter(F.col("doc_id") % 20 != 0)
-    out = contamination_report(corpus, bench, n=3, threshold=0.2)
+    out = contamination_report_split(
+        docs, F.col("id") % 20 == 0, n=3, threshold=0.2
+    )
     return out.select(
         "doc_id",
         F.col("n_grams").cast("long").alias("n_grams"),

@@ -1,0 +1,117 @@
+"""End-to-end training-data curation pipeline over the documents
+fixture — the full pass a pretraining corpus goes through before
+tokenization, each stage one of the engine's operators:
+
+    JSONL ingest -> exact dedup -> near-dup clustering -> benchmark
+    decontamination -> PII scrub -> repetition-quality filter ->
+    stratified sampling -> sequence packing -> parquet out
+
+Run: python examples/curation_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from muopdb_spark.operators.contamination import contamination_report_split  # noqa: E402
+from muopdb_spark.operators.dedup import exact_dedup, ngram_jaccard_pairs  # noqa: E402
+from muopdb_spark.operators.graph import dup_clusters  # noqa: E402
+from muopdb_spark.operators.packing import pack_sequences, sequence_stats  # noqa: E402
+from muopdb_spark.operators.pii import scrub_pii  # noqa: E402
+from muopdb_spark.operators.quality import repetition_stats  # noqa: E402
+from muopdb_spark.operators.sampling import stratified_hash_sample  # noqa: E402
+from muopdb_spark.operators.textstats import ws_token_count  # noqa: E402
+from muopdb_spark.session import get_spark  # noqa: E402
+from muopdb_spark.sources.jsonl import read_jsonl, write_jsonl  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("curation-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="curation_")
+    try:
+        # 0. land the corpus as JSONL (the interchange format), read it
+        #    back schema-enforced — storage from here on is parquet
+        raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        write_jsonl(raw, os.path.join(tmp, "landing"), compression="gzip")
+        docs = read_jsonl(
+            spark, os.path.join(tmp, "landing"),
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        n0 = docs.count()
+
+        # 1. exact dedup: keep the canonical copy of byte-identical docs
+        canon = exact_dedup(docs).filter("is_canonical").select("doc_id")
+        docs = docs.join(canon, "doc_id", "left_semi")
+        n1 = docs.count()
+
+        # 2. near-dup clustering: transitive clusters over 3-gram
+        #    Jaccard pairs; keep each cluster's canonical member
+        pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+        clusters = dup_clusters(docs.select("doc_id"), pairs)
+        docs = docs.join(
+            clusters.filter("is_canonical").select("doc_id"), "doc_id", "left_semi"
+        )
+        n2 = docs.count()
+
+        # 3. decontamination: drop docs overlapping the "benchmark"
+        #    slice (stand-in for a held-out eval set)
+        report = contamination_report_split(docs, F.col("id") % 20 == 0)
+        clean_ids = report.filter(~F.col("is_contaminated")).select("doc_id")
+        docs = docs.filter(F.col("doc_id") % 20 != 0) \
+                   .join(clean_ids, "doc_id", "left_semi")
+        n3 = docs.count()
+
+        # 4. PII scrub: redact, keep the redacted text
+        docs = scrub_pii(docs).withColumn("text", F.col("redacted")).drop("redacted")
+
+        # 5. repetition-quality filter (Gopher-style): drop degenerate docs
+        rep = repetition_stats(docs)
+        keep = rep.filter(
+            (F.col("distinct_ratio") >= 0.2) & (F.col("dup_gram_frac") <= 0.5)
+        ).select("doc_id")
+        docs = docs.join(keep, "doc_id", "left_semi")
+        n5 = docs.count()
+
+        # 6. language rebalancing: deterministic stratified sample
+        docs = stratified_hash_sample(
+            docs, strata_col="lang", key_col="doc_id",
+            fractions={"en": 1.0, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 0.5},
+        )
+        n6 = docs.count()
+
+        # 7. sequence packing: 512-token training sequences per language
+        sized = docs.select(
+            "doc_id", "lang", "text",
+            ws_token_count("text").cast("long").alias("n_tokens"),
+        )
+        packed = pack_sequences(sized, group_col="lang", budget=512)
+        fill = sequence_stats(packed, group_col="lang")
+
+        # 8. model-ready parquet, partitioned by language
+        out = os.path.join(tmp, "curated")
+        sized.join(packed.select("doc_id", "seq_id", "seq_offset"), "doc_id") \
+             .write.mode("overwrite").partitionBy("lang").parquet(out)
+
+        n_seqs = fill.count()
+        print(f"ingested={n0} exact_dedup={n1} near_dup={n2} "
+              f"decontaminated={n3} quality={n5} sampled={n6} "
+              f"sequences={n_seqs}")
+        print("sample sequence fill:",
+              [(r.lang, r.seq_id, r.n_docs, r.sum_tokens)
+               for r in fill.orderBy("lang", "seq_id").limit(5).collect()])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

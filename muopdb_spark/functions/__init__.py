@@ -10,6 +10,8 @@ from muopdb_spark.functions.distance import (  # noqa: F401
 from muopdb_spark.functions.snowball import (  # noqa: F401
     french_stem,
     german_stem,
+    italian_stem,
+    portuguese_stem,
     spanish_stem,
 )
 from muopdb_spark.functions.text import (  # noqa: F401

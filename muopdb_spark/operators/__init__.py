@@ -5,3 +5,16 @@ from muopdb_spark.operators.sampling import (  # noqa: F401
     stratified_hash_sample,
 )
 from muopdb_spark.operators.temporal import asof_join, range_count_join  # noqa: F401
+from muopdb_spark.operators.contamination import (  # noqa: F401
+    benchmark_grams,
+    contamination_report,
+    contamination_report_split,
+)
+from muopdb_spark.operators.graph import connected_components, dup_clusters  # noqa: F401
+from muopdb_spark.operators.packing import (  # noqa: F401
+    pack_sequences,
+    pack_sequences_greedy,
+    sequence_stats,
+)
+from muopdb_spark.operators.pii import PII_PATTERNS, scrub_pii  # noqa: F401
+from muopdb_spark.operators.quality import repetition_stats  # noqa: F401

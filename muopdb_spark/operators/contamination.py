@@ -42,6 +42,50 @@ def benchmark_grams(
     return sh.select(F.explode("sh").alias("gram")).distinct()
 
 
+def contamination_report_split(
+    df: DataFrame,
+    bench_pred,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """contamination_report when benchmark and corpus are slices of ONE
+    table (`bench_pred` over the id column picks the benchmark rows):
+    shingles the table once — a single Arrow pass, persisted so the
+    bench/corpus branches don't re-tokenize (measured 2x at sf0.1) —
+    instead of once per side."""
+    sh = shingle_df(df, text_col=text_col, id_col=id_col, n=n).persist()
+    bench = sh.filter(bench_pred).select(F.explode("sh").alias("gram")).distinct()
+    corpus_sh = sh.filter(~bench_pred)
+    return _report(corpus_sh, bench, id_col=id_col, threshold=threshold)
+
+
+def _report(
+    corpus_sh: DataFrame, bench_grams: DataFrame, *, id_col: str, threshold: float,
+) -> DataFrame:
+    per_doc = corpus_sh.select("id", F.size("sh").alias("n_grams"), "sh")
+    hits = (
+        per_doc.select("id", F.explode("sh").alias("gram"))
+        .join(F.broadcast(bench_grams), "gram", "inner")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    frac = F.when(
+        F.col("n_grams") > 0,
+        F.col("n_contaminated").cast("double") / F.col("n_grams"),
+    ).otherwise(F.lit(0.0))
+    return (
+        per_doc.drop("sh")
+        .join(hits, "id", "left")
+        .fillna(0, subset=["n_contaminated"])
+        .withColumn("contamination", F.round(frac, 6))
+        .withColumn("is_contaminated", F.col("contamination") >= F.lit(threshold))
+        .withColumnRenamed("id", id_col)
+    )
+
+
 def contamination_report(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -66,24 +110,5 @@ def contamination_report(
     a decontamination pass needs the full verdict list, not only hits.
     """
     bench = benchmark_grams(benchmark, text_col=text_col, id_col=id_col, n=n)
-
     sh = shingle_df(corpus, text_col=text_col, id_col=id_col, n=n)
-    per_doc = sh.select("id", F.size("sh").alias("n_grams"), "sh")
-    hits = (
-        per_doc.select("id", F.explode("sh").alias("gram"))
-        .join(F.broadcast(bench), "gram", "inner")
-        .groupBy("id")
-        .agg(F.count("*").alias("n_contaminated"))
-    )
-    frac = F.when(
-        F.col("n_grams") > 0,
-        F.col("n_contaminated").cast("double") / F.col("n_grams"),
-    ).otherwise(F.lit(0.0))
-    return (
-        per_doc.drop("sh")
-        .join(hits, "id", "left")
-        .fillna(0, subset=["n_contaminated"])
-        .withColumn("contamination", F.round(frac, 6))
-        .withColumn("is_contaminated", F.col("contamination") >= F.lit(threshold))
-        .withColumnRenamed("id", id_col)
-    )
+    return _report(sh, bench, id_col=id_col, threshold=threshold)
