@@ -721,13 +721,11 @@ def q_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- multi-user & packed
 
-def q_multi_user_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user INDEPENDENT IVF indexes (the MultiSpann analog) searched
-    for two users and merged (snapshot.rs:39-64). Full probe per user =>
-    exact per user => the merge equals the global filtered top-k, which
-    is the oracle."""
+def _multi_ivf_index(spark: SparkSession, sf_dir: str):
+    """Durable per-user IVF index over embeddings (user = vec_id % 5):
+    built once, saved, reloaded from parquet; cached per session."""
     from muopdb_spark.index.multi_ivf import (
-        build_multi_ivf, multi_ivf_load, multi_ivf_save, multi_ivf_search_users,
+        build_multi_ivf, multi_ivf_load, multi_ivf_save,
     )
 
     key = ("multi", sf_dir)
@@ -746,7 +744,17 @@ def q_multi_user_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx = multi_ivf_load(spark, path)
         idx.postings = idx.postings.persist()
         _IVF_CACHE[key] = idx
-    idx = _IVF_CACHE[key]
+    return _IVF_CACHE[key]
+
+
+def q_multi_user_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user INDEPENDENT IVF indexes (the MultiSpann analog) searched
+    for two users and merged (snapshot.rs:39-64). Full probe per user =>
+    exact per user => the merge equals the global filtered top-k, which
+    is the oracle."""
+    from muopdb_spark.index.multi_ivf import multi_ivf_search_users
+
+    idx = _multi_ivf_index(spark, sf_dir)
     qv = _query_vector(spark, sf_dir)
     out = multi_ivf_search_users(idx, [0, 2], qv, 5,
                                  num_probes=4, centroid_distance_ratio=None)
@@ -1185,6 +1193,32 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multi_user_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A BATCH of full Search requests (one vector + N user_ids each,
+    the muopdb.proto:124-131 request shape) through the per-user index
+    tier in ONE plan: requests equi-join the per-user centroid tables,
+    probed (request, user, centroid) rows join the postings on their
+    partitioning key, per-request top-k in one window. Full probe + no
+    prune => exact per request => SQL oracle."""
+    from muopdb_spark.index.multi_ivf import multi_ivf_search_batch
+
+    idx = _multi_ivf_index(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = spark.createDataFrame(
+        [(0, 0), (0, 2), (1, 1), (1, 3), (2, 4)], "request_id long, user_id long"
+    )
+    qvs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("request_id"), F.col("embedding").alias("query_vector")
+    )
+    req_df = pairs.join(qvs, "request_id")
+    out = multi_ivf_search_batch(idx, req_df, 5, num_probes=4,
+                                 centroid_distance_ratio=None)
+    return (
+        out.select("request_id", "user_id", "id", F.round("score", 6).alias("score"))
+        .orderBy("request_id", "score", "id")
+    )
+
+
 def q_ann_batch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch ANN: 10 query vectors through the two-phase IVF plan in ONE
     job — phase 1 broadcasts centroids across the query stream, phase 2
@@ -1406,6 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_asof_join": q_asof_join,
         "j7_range_count_join": q_range_count_join,
         "v22_ann_batch_ivf": q_ann_batch_ivf,
+        "mu2_batch_requests": q_multi_user_batch,
         "c1_contamination_ngram": q_contamination,
         "p1_pii_scrub": q_pii_scrub,
         "p2_sequence_pack": q_sequence_pack,
@@ -1916,6 +1951,35 @@ def oracle_sql() -> dict[str, str]:
             FROM events l
             WHERE l.event_type = 'purchase'
             ORDER BY l.event_id
+        """,
+        "mu2_batch_requests": """
+            WITH req AS (
+                SELECT * FROM (VALUES (0, 0), (0, 2), (1, 1), (1, 3), (2, 4))
+                    AS t(request_id, user_id)
+            ),
+            qv AS (
+                SELECT vec_id AS request_id, embedding::DOUBLE[] AS v
+                FROM embeddings WHERE vec_id < 3
+            ),
+            docs AS (
+                SELECT vec_id, vec_id % 5 AS user_id,
+                       embedding::DOUBLE[] AS emb
+                FROM embeddings
+            ),
+            scored AS (
+                SELECT r.request_id, d.user_id, d.vec_id AS id,
+                       round(list_distance(d.emb, q.v), 6) AS score,
+                       row_number() OVER (
+                           PARTITION BY r.request_id
+                           ORDER BY list_distance(d.emb, q.v) ASC, d.vec_id ASC
+                       ) AS rnk
+                FROM req r
+                JOIN docs d USING (user_id)
+                JOIN qv q ON q.request_id = r.request_id
+            )
+            SELECT request_id, user_id, id, score
+            FROM scored WHERE rnk <= 5
+            ORDER BY request_id, score, id
         """,
         "v22_ann_batch_ivf": """
             WITH q AS (

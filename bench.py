@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "p1_pii_scrub",
     "p2_sequence_pack",
     "t5_repetition_stats",
+    "mu2_batch_requests",
 ]
 
 

@@ -278,3 +278,76 @@ def multi_ivf_search(
 ) -> DataFrame:
     """Search ONE user's index — the N=1 case of the set-based path."""
     return multi_ivf_search_users(index, [user_id], query_vector, k, **kw).select("id", "score")
+
+
+def multi_ivf_search_batch(
+    index: MultiIvfIndex,
+    requests: DataFrame,
+    k: int,
+    *,
+    request_id_col: str = "request_id",
+    user_col: str = "user_id",
+    vec_col: str = "query_vector",
+    num_probes: int | None = None,
+    centroid_distance_ratio: float | None = 0.1,
+    per_user: bool = False,
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """A whole BATCH of Search requests in one plan. `requests` has one
+    row per (request_id, user_id, query_vector) — exactly the reference
+    request shape (muopdb.proto:124-131: one vector + N user_ids per
+    call), vectorized across requests the way a pipeline replays a query
+    log or serves a request queue.
+
+    Phase 1 equi-joins requests to the per-user centroid tables on
+    user_id (small per user) and windows per (request, user) — the
+    batched `_probed_pairs`. Phase 2 joins the probed (request, user,
+    centroid) rows to the postings ON THE POSTINGS' PARTITIONING KEY
+    (user_id, centroid_id) — postings never shuffle, only the slim probe
+    table moves. Per-request dedup and top-k (global across the
+    request's users, per_user=True for per-user cuts) in one window.
+
+    Returns (request_id, user_id, id, score). Full probes + no ratio
+    prune => exact per request (DuckDB-oracle-able); quantized indexes
+    take the per-query ivf path (ADC needs a per-query literal)."""
+    if index.quantizer != "none":
+        raise ValueError("multi_ivf_search_batch supports quantizer='none' indexes")
+    if num_probes is None:
+        num_probes = k
+    req = requests.select(
+        F.col(request_id_col).alias("request_id"),
+        F.col(user_col).alias("user_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    scored = (
+        req.join(index.centroids, "user_id")
+        .withColumn("d", score_expr(index.metric, F.col("centroid"), F.col("qv")))
+    )
+    w = Window.partitionBy("request_id", "user_id").orderBy(
+        F.col("d").asc(), F.col("centroid_id").asc()
+    )
+    probes = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= num_probes)
+    if centroid_distance_ratio is not None:
+        d_min = F.min("d").over(Window.partitionBy("request_id", "user_id"))
+        probes = probes.withColumn("d_min", d_min).filter(
+            F.col("d") - F.col("d_min") <= F.abs(F.col("d_min")) * centroid_distance_ratio
+        )
+    cand = probes.select("request_id", "user_id", "centroid_id", "qv").join(
+        index.postings, ["user_id", "centroid_id"]
+    )
+    score = score_expr(index.metric, F.col("vector"), F.col("qv"))
+    if score_decimals is not None:
+        score = F.round(score, score_decimals)
+    deduped = (
+        cand.select("request_id", "user_id", "id", score.alias("score"))
+        .groupBy("request_id", "user_id", "id").agg(F.min("score").alias("score"))
+    )
+    keys = ["request_id", "user_id"] if per_user else ["request_id"]
+    wk = Window.partitionBy(*keys).orderBy(
+        F.col("score").asc_nulls_last(), F.col("id").asc()
+    )
+    return (
+        deduped.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= k)
+        .select("request_id", "user_id", "id", "score")
+    )

@@ -3,3 +3,4 @@ from muopdb_spark.streaming.ingest import (  # noqa: F401
     streaming_dedup,
     windowed_event_counts,
 )
+from muopdb_spark.streaming.serving import stream_ann_search  # noqa: F401

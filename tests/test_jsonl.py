@@ -68,8 +68,13 @@ def test_gzip_write_and_read(spark, tmp_path):
     write_jsonl(df, out, compression="gzip")
     files = [f for f in os.listdir(out) if f.endswith(".json.gz")]
     assert files, "expected gzip part files"
-    with gzip.open(os.path.join(out, files[0]), "rt") as f:
-        assert f.readline().startswith("{")
+    # one file per partition, and partitions holding no rows write empty
+    # parts — check the concatenated content, not an arbitrary part
+    lines = []
+    for name in files:
+        with gzip.open(os.path.join(out, name), "rt") as f:
+            lines.extend(line for line in f if line.strip())
+    assert len(lines) == 2 and all(line.startswith("{") for line in lines)
     back = read_jsonl(spark, out, "doc_id long, text string")
     assert sorted(r.doc_id for r in back.collect()) == [1, 2]
 

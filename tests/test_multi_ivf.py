@@ -111,3 +111,46 @@ def test_cross_user_merge(index):
     got = multi_ivf_search_users(index, [0, 1], [150.0] * DIM, 6,
                                  num_probes=2, centroid_distance_ratio=None).collect()
     assert all(r["user_id"] == 1 for r in got)
+
+
+def test_batch_requests_match_per_request(index, spark):
+    """multi_ivf_search_batch: a batch of Search requests in one plan
+    equals per-request multi_ivf_search_users, global and per-user."""
+    from muopdb_spark.index.multi_ivf import multi_ivf_search_batch
+
+    reqs = [
+        (0, [0], [1.0] * DIM),
+        (1, [0, 1], [50.0] * DIM),
+        (2, [1], [149.0] * DIM),
+    ]
+    rows = [(rid, u, qv) for rid, users, qv in reqs for u in users]
+    req_df = spark.createDataFrame(
+        rows, "request_id long, user_id long, query_vector array<double>"
+    )
+    for cfg in (
+        dict(num_probes=2, centroid_distance_ratio=None),  # full probe
+        dict(num_probes=1, centroid_distance_ratio=0.3),
+    ):
+        batch = multi_ivf_search_batch(index, req_df, 5, **cfg).collect()
+        got = {}
+        for r in batch:
+            got.setdefault(r["request_id"], []).append((r["user_id"], r["id"], r["score"]))
+        for rid, users, qv in reqs:
+            single = [
+                (r["user_id"], r["id"], r["score"])
+                for r in multi_ivf_search_users(index, users, qv, 5, **cfg).collect()
+            ]
+            assert sorted(got[rid]) == sorted(single), f"req {rid} cfg {cfg}"
+
+
+def test_batch_requests_user_isolation(index, spark):
+    from muopdb_spark.index.multi_ivf import multi_ivf_search_batch
+
+    req_df = spark.createDataFrame(
+        [(0, 0, [50.0] * DIM)],
+        "request_id long, user_id long, query_vector array<double>",
+    )
+    out = multi_ivf_search_batch(index, req_df, 5, num_probes=2,
+                                 centroid_distance_ratio=None).collect()
+    assert {r["user_id"] for r in out} == {0}
+    assert all(r["id"] < 100 for r in out)  # user 0 owns ids 0..99

@@ -176,3 +176,49 @@ def test_autoflush_policy(spark, tmp_path):
     q.awaitTermination(120)
     assert len(col.toc()["segments"]) == 1
     assert col.docs().count() == 6
+
+
+def test_stream_ann_search_matches_batch(spark, tmp_path):
+    """Continuous ANN: a stream of query vectors scored per micro-batch
+    via ivf_search_batch must equal the batch answer for the same
+    queries (availableNow drains the source)."""
+    import json
+
+    import numpy as np
+
+    from muopdb_spark.index.ivf import build_ivf, ivf_search_batch
+    from muopdb_spark.streaming.serving import stream_ann_search
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for c in range(4):
+        for j, p in enumerate(np.full(6, c * 100.0) + rng.normal(0, 3.0, (30, 6))):
+            rows.append((c * 30 + j, [float(x) for x in p]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    index = build_ivf(corpus, num_centroids=4, seed=3)
+
+    qdir = tmp_path / "queries"
+    qdir.mkdir()
+    queries = [(qid, [float(x) for x in np.full(6, (qid % 4) * 100.0)])
+               for qid in range(6)]
+    with open(qdir / "q.jsonl", "w") as f:
+        for qid, v in queries:
+            f.write(json.dumps({"query_id": qid, "query_vector": v}) + "\n")
+
+    stream = spark.readStream.schema("query_id long, query_vector array<double>") \
+        .json(str(qdir))
+    q = stream_ann_search(
+        index, stream, str(tmp_path / "results"), str(tmp_path / "ckpt"),
+        k=3, num_probes=4, centroid_distance_ratio=None,
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(tmp_path / "results"))
+    assert "batch_id" in got.columns
+    qdf = spark.createDataFrame(queries, "query_id long, query_vector array<double>")
+    want = ivf_search_batch(index, qdf, 3, num_probes=4,
+                            centroid_distance_ratio=None)
+    assert got.select("query_id", "id", "score") \
+              .exceptAll(want).count() == 0
+    assert want.exceptAll(got.select("query_id", "id", "score")).count() == 0

@@ -89,6 +89,14 @@ CHECKS = {
          "derives probed pairs as a DataFrame, unlike the single-query "
          "path's (tiny, bounded) centroid id list"),
     ],
+    "mu2_batch_requests": [
+        ("Window", "per-request probe ranking and top-k are windows — "
+         "no per-request driver loop"),
+        ("!INSET", "no driver-collected user/probe lists anywhere in "
+         "the batched request path"),
+        ("!CartesianProduct", "requests meet centroids/postings only "
+         "via equi joins on (user_id[, centroid_id])"),
+    ],
     "c1_contamination_ngram": [
         ("BroadcastHashJoin", "benchmark gram set broadcast — the corpus "
          "side never shuffles for the overlap join"),
