@@ -8,11 +8,15 @@ from muopdb_spark.functions.distance import (  # noqa: F401
     score_expr,
 )
 from muopdb_spark.functions.snowball import (  # noqa: F401
+    danish_stem,
+    dutch_stem,
     french_stem,
     german_stem,
     italian_stem,
+    norwegian_stem,
     portuguese_stem,
     spanish_stem,
+    swedish_stem,
 )
 from muopdb_spark.functions.text import (  # noqa: F401
     porter_stem,

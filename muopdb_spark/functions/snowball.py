@@ -903,10 +903,271 @@ def _es_rv_generic(w: str, vowels: str) -> int:
     return 3
 
 
+# -------------------------------------------- Scandinavian (sv/no/da)
+# The Scandinavian Snowball algorithms share one shape: R1 (with the
+# "at least 3 letters before R1" adjustment), a longest-match suffix
+# drop in R1, an s-drop behind a valid s-ending, and small cleanup
+# steps. Published descriptions: snowballstem.org Swedish / Norwegian /
+# Danish stemming algorithms.
+
+
+def _r1_min3(w: str, vowels: str) -> int:
+    r1, _ = _standard_r1_r2(w, vowels)
+    return max(r1, 3) if len(w) >= 3 else len(w)
+
+
+_SV_VOWELS = "aeiouyäåö"
+_SV_STEP1 = tuple(sorted((
+    "a", "arna", "erna", "heterna", "orna", "ad", "e", "ade", "ande",
+    "arne", "are", "aste", "en", "anden", "aren", "heten", "ern", "ar",
+    "er", "heter", "or", "as", "arnas", "ernas", "ornas", "es", "ades",
+    "andes", "ens", "arens", "hetens", "erns", "at", "andet", "het", "ast",
+), key=len, reverse=True))
+_SV_S_END = set("bcdfghjklmnoprtvy")
+
+
+def swedish_stem(word: str) -> str:
+    w = word.lower()
+    r1 = _r1_min3(w, _SV_VOWELS)
+
+    def in_r1(p: int) -> bool:
+        return p >= r1
+
+    # step 1a/1b
+    for suf in _SV_STEP1:
+        if w.endswith(suf) and in_r1(len(w) - len(suf)):
+            w = w[: -len(suf)]
+            break
+    else:
+        if w.endswith("s") and in_r1(len(w) - 1) and len(w) >= 2 \
+                and w[-2] in _SV_S_END:
+            w = w[:-1]
+    # step 2
+    if any(w.endswith(e) and in_r1(len(w) - 2)
+           for e in ("dd", "gd", "nn", "dt", "gt", "kt", "tt")):
+        w = w[:-1]
+    # step 3
+    if w.endswith("fullt") and in_r1(len(w) - 5):
+        w = w[:-1]
+    elif w.endswith("löst") and in_r1(len(w) - 4):
+        w = w[:-1]
+    else:
+        for suf in ("elig", "lig", "els", "ig"):
+            if w.endswith(suf) and in_r1(len(w) - len(suf)):
+                w = w[: -len(suf)]
+                break
+    return w
+
+
+_NO_VOWELS = "aeiouyæåø"
+_NO_STEP1 = tuple(sorted((
+    "a", "e", "ede", "ande", "ende", "ane", "ene", "hetene", "en",
+    "heten", "ar", "er", "heter", "as", "es", "edes", "endes", "enes",
+    "hetenes", "ens", "hetens", "ers", "ets", "et", "het", "ast",
+), key=len, reverse=True))
+_NO_S_END = set("bcdfghjlmnoprtvyz")
+_NO_STEP3 = tuple(sorted((
+    "leg", "eleg", "ig", "eig", "lig", "elig", "els", "lov", "elov",
+    "slov", "hetslov",
+), key=len, reverse=True))
+
+
+def norwegian_stem(word: str) -> str:
+    w = word.lower()
+    r1 = _r1_min3(w, _NO_VOWELS)
+
+    def in_r1(p: int) -> bool:
+        return p >= r1
+
+    # step 1: longest among suffix list / erte-ert / s-ending
+    matched = False
+    for suf in ("erte", "ert"):
+        if w.endswith(suf) and in_r1(len(w) - len(suf)):
+            w, matched = w[: -len(suf)] + "er", True
+            break
+    if not matched:
+        for suf in _NO_STEP1:
+            if w.endswith(suf) and in_r1(len(w) - len(suf)):
+                w, matched = w[: -len(suf)], True
+                break
+    if not matched and w.endswith("s") and in_r1(len(w) - 1) and len(w) >= 2:
+        prev = w[-2]
+        ok = prev in _NO_S_END or (
+            prev == "k" and len(w) >= 3 and w[-3] not in _NO_VOWELS
+        )
+        if ok:
+            w = w[:-1]
+    # step 2
+    if (w.endswith("dt") or w.endswith("vt")) and in_r1(len(w) - 2):
+        w = w[:-1]
+    # step 3
+    for suf in _NO_STEP3:
+        if w.endswith(suf) and in_r1(len(w) - len(suf)):
+            w = w[: -len(suf)]
+            break
+    return w
+
+
+_DA_VOWELS = "aeiouyæåø"
+_DA_STEP1 = tuple(sorted((
+    "hed", "ethed", "ered", "e", "erede", "ende", "erende", "ene",
+    "erne", "ere", "en", "heden", "eren", "er", "heder", "erer", "heds",
+    "es", "endes", "erendes", "enes", "ernes", "eres", "ens", "hedens",
+    "erens", "ers", "ets", "erets", "et", "eret",
+), key=len, reverse=True))
+_DA_S_END = set("abcdfghjklmnoprtvyzå")
+
+
+def danish_stem(word: str) -> str:
+    w = word.lower()
+    r1 = _r1_min3(w, _DA_VOWELS)
+
+    def in_r1(p: int) -> bool:
+        return p >= r1
+
+    def step2(w: str) -> str:
+        if any(w.endswith(e) and in_r1(len(w) - 2)
+               for e in ("gd", "dt", "gt", "kt")):
+            return w[:-1]
+        return w
+
+    # step 1
+    for suf in _DA_STEP1:
+        if w.endswith(suf) and in_r1(len(w) - len(suf)):
+            w = w[: -len(suf)]
+            break
+    else:
+        if w.endswith("s") and in_r1(len(w) - 1) and len(w) >= 2 \
+                and w[-2] in _DA_S_END:
+            w = w[:-1]
+    # step 2
+    w = step2(w)
+    # step 3
+    if w.endswith("igst"):
+        w = w[:-2]
+    if w.endswith("løst"):
+        w = w[:-1]
+    else:
+        for suf in ("elig", "lig", "els", "ig"):
+            if w.endswith(suf) and in_r1(len(w) - len(suf)):
+                w = w[: -len(suf)]
+                w = step2(w)
+                break
+    # step 4: undouble final identical consonants in R1
+    if len(w) >= 2 and w[-1] == w[-2] and w[-1] not in _DA_VOWELS \
+            and in_r1(len(w) - 1):
+        w = w[:-1]
+    return w
+
+
+# ----------------------------------------------------------------- Dutch
+
+_NL_VOWELS = "aeiouyè"
+_NL_UNACCENT = str.maketrans("äëïöüáéíóú", "aeiouaeiou")
+
+
+def dutch_stem(word: str) -> str:
+    """Snowball Dutch (published algorithm description,
+    snowballstem.org)."""
+    w = word.lower().translate(_NL_UNACCENT)
+    # mark consonantal i/y: initial y, y after vowel, i between vowels
+    chars = list(w)
+    if chars and chars[0] == "y":
+        chars[0] = "Y"
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and chars[i - 1] in _NL_VOWELS:
+            chars[i] = "Y"
+        elif chars[i] == "i" and i + 1 < len(chars) \
+                and chars[i - 1] in _NL_VOWELS and chars[i + 1] in _NL_VOWELS:
+            chars[i] = "I"
+    w = "".join(chars)
+    r1 = _r1_min3(w, _NL_VOWELS)
+    _, r2 = _standard_r1_r2(w, _NL_VOWELS)
+
+    def in_r1(p: int) -> bool:
+        return p >= r1
+
+    def in_r2(p: int) -> bool:
+        return p >= r2
+
+    def undouble(w: str) -> str:
+        return w[:-1] if w.endswith(("kk", "dd", "tt")) else w
+
+    # step 1
+    if w.endswith("heden") and in_r1(len(w) - 5):
+        w = w[:-5] + "heid"
+    else:
+        done = False
+        for suf in ("ene", "en"):
+            if w.endswith(suf):
+                pos = len(w) - len(suf)
+                if in_r1(pos) and pos > 0 and w[pos - 1] not in _NL_VOWELS \
+                        and w[max(0, pos - 3):pos] != "gem":
+                    w = undouble(w[:pos])
+                done = True
+                break
+        if not done:
+            for suf in ("se", "s"):
+                if w.endswith(suf):
+                    pos = len(w) - len(suf)
+                    if in_r1(pos) and pos > 0 and w[pos - 1] not in _NL_VOWELS \
+                            and w[pos - 1] != "j":
+                        w = w[:pos]
+                    break
+    # step 2
+    e_removed = False
+    if w.endswith("e") and in_r1(len(w) - 1) and len(w) >= 2 \
+            and w[-2] not in _NL_VOWELS:
+        w = undouble(w[:-1])
+        e_removed = True
+    # step 3a
+    if w.endswith("heid") and in_r2(len(w) - 4) and not (
+        len(w) >= 5 and w[-5] == "c"
+    ):
+        w = w[:-4]
+        if w.endswith("en"):
+            pos = len(w) - 2
+            if in_r1(pos) and pos > 0 and w[pos - 1] not in _NL_VOWELS \
+                    and w[max(0, pos - 3):pos] != "gem":
+                w = undouble(w[:pos])
+    # step 3b
+    if w.endswith(("end", "ing")) and in_r2(len(w) - 3):
+        w = w[:-3]
+        if w.endswith("ig") and in_r2(len(w) - 2) and not (
+            len(w) >= 3 and w[-3] == "e"
+        ):
+            w = w[:-2]
+        else:
+            w = undouble(w)
+    elif w.endswith("ig") and in_r2(len(w) - 2) and not (
+        len(w) >= 3 and w[-3] == "e"
+    ):
+        w = w[:-2]
+    elif w.endswith("lijk") and in_r2(len(w) - 4):
+        w = w[:-4]
+        if w.endswith("e") and in_r1(len(w) - 1) and len(w) >= 2 \
+                and w[-2] not in _NL_VOWELS:
+            w = undouble(w[:-1])
+    elif w.endswith("baar") and in_r2(len(w) - 4):
+        w = w[:-4]
+    elif w.endswith("bar") and in_r2(len(w) - 3) and e_removed:
+        w = w[:-3]
+    # step 4: undouble vowel — C v v D (D a consonant other than I)
+    if len(w) >= 4 and w[-1] not in _NL_VOWELS and w[-1] != "I" \
+            and w[-2] == w[-3] and w[-2] in "aeou" \
+            and w[-4] not in _NL_VOWELS:
+        w = w[:-2] + w[-1]
+    return w.lower()
+
+
 SNOWBALL_STEMMERS = {
     "german": german_stem, "de": german_stem,
     "spanish": spanish_stem, "es": spanish_stem,
     "french": french_stem, "fr": french_stem,
     "portuguese": portuguese_stem, "pt": portuguese_stem,
     "italian": italian_stem, "it": italian_stem,
+    "swedish": swedish_stem, "sv": swedish_stem,
+    "norwegian": norwegian_stem, "no": norwegian_stem,
+    "danish": danish_stem, "da": danish_stem,
+    "dutch": dutch_stem, "nl": dutch_stem,
 }

@@ -257,3 +257,93 @@ def test_pt_it_in_lang_dispatch(spark):
     }
     assert rows[1] == ["menin", "bonit"]
     assert rows[2] == ["abbandon", "cant"]
+
+
+# -------------------------------------- Scandinavian + Dutch (sv/no/da/nl)
+
+
+@pytest.mark.parametrize("word,stem", [
+    ("jackor", "jack"),
+    ("klockor", "klock"),
+    ("stockholmare", "stockholm"),
+    ("snabbaste", "snabb"),
+    ("snabbare", "snabb"),
+    ("vänligt", "vän"),          # step2 gt-undouble then step3 lig
+])
+def test_swedish_vectors(word, stem):
+    from muopdb_spark.functions.snowball import swedish_stem
+
+    assert swedish_stem(word) == stem
+
+
+@pytest.mark.parametrize("word,stem", [
+    ("hustruer", "hustru"),
+    ("hustruene", "hustru"),
+    ("viktigste", "viktigst"),
+    ("naturlige", "natur"),
+    ("naturlig", "natur"),
+    ("forsker", "forsk"),
+])
+def test_norwegian_vectors(word, stem):
+    from muopdb_spark.functions.snowball import norwegian_stem
+
+    assert norwegian_stem(word) == stem
+
+
+@pytest.mark.parametrize("word,stem", [
+    ("undersøgelse", "undersøg"),
+    ("undersøgelsen", "undersøg"),
+    ("mulighederne", "mulighed"),
+    ("hurtigste", "hurt"),       # igst -> ig -> (step3b ig)
+    ("venlige", "ven"),
+    ("venlig", "ven"),
+])
+def test_danish_vectors(word, stem):
+    from muopdb_spark.functions.snowball import danish_stem
+
+    assert danish_stem(word) == stem
+
+
+@pytest.mark.parametrize("word,stem", [
+    ("lichamelijk", "licham"),
+    ("lichamelijke", "licham"),
+    ("mogelijkheden", "mogelijk"),   # heden->heid, heid dropped in R2
+    ("mogelijkheid", "mogelijk"),
+    ("gekken", "gek"),               # en-drop + kk undouble
+    ("huizen", "huiz"),
+    ("lopen", "lop"),
+])
+def test_dutch_vectors(word, stem):
+    from muopdb_spark.functions.snowball import dutch_stem
+
+    assert dutch_stem(word) == stem
+
+
+def test_nordic_dutch_family_collapse():
+    from muopdb_spark.functions.snowball import (
+        danish_stem, dutch_stem, norwegian_stem, swedish_stem,
+    )
+
+    assert len({swedish_stem(w) for w in ["klockor", "klocka", "klockas"]}) == 1
+    assert len({norwegian_stem(w) for w in ["hustruer", "hustruene", "hustrua"]}) == 1
+    assert len({danish_stem(w) for w in ["venlig", "venlige", "venligst"]}) == 1
+    assert len({dutch_stem(w) for w in ["lichamelijk", "lichamelijke"]}) == 1
+
+
+def test_nine_language_dispatch(spark):
+    """All nine Snowball languages + English resolve through the
+    registry (no identity fallback for the covered set)."""
+    from muopdb_spark.functions.snowball import SNOWBALL_STEMMERS
+
+    for code in ("de", "es", "fr", "pt", "it", "sv", "no", "da", "nl"):
+        assert code in SNOWBALL_STEMMERS
+    rows = spark.createDataFrame(
+        [(1, "klockor", "sv"), (2, "hustruene", "no"),
+         (3, "venlige", "da"), (4, "gekken", "nl")],
+        "doc_id long, text string, lang string",
+    ).select(
+        "doc_id",
+        stemmed_tokens_by_lang(F.col("text"), F.col("lang")).alias("toks"),
+    ).collect()
+    got = {r.doc_id: r.toks for r in rows}
+    assert got == {1: ["klock"], 2: ["hustru"], 3: ["ven"], 4: ["gek"]}
