@@ -1343,6 +1343,49 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(docs.select("doc_id"), pairs).orderBy("doc_id")
 
 
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval over the documents table (the ranked
+    upgrade of the reference's boolean term search) — pure DataFrame
+    math, broadcast df table, map-side partial counts."""
+    from muopdb_spark.functions.text import simple_tokens
+    from muopdb_spark.operators.relevance import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", simple_tokens("text").alias("toks")
+    )
+    out = bm25_scores(docs, ["customer", "vector"], tokens_col="toks")
+    return out.select("doc_id", F.round("bm25", 6).alias("bm25")).orderBy("doc_id")
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal rank fusion: exact vector top-50
+    fused with BM25 top-50 (rank-based — no score calibration), the
+    industry-standard lexical+vector merge. Rankings are deterministic
+    (rounded score, id tiebreak), so the fusion is SQL-oracle-able."""
+    from muopdb_spark.functions.text import simple_tokens
+    from muopdb_spark.operators.knn import knn
+    from muopdb_spark.operators.relevance import bm25_scores, rrf_fuse
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    vec = knn(emb, qv, 50, vector_col="embedding", id_col="vec_id",
+              metric="l2", score_decimals=6).withColumnRenamed("vec_id", "doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", simple_tokens("text").alias("toks")
+    )
+    lex_top = (
+        bm25_scores(docs, ["customer", "vector"], tokens_col="toks")
+        .select("doc_id", F.round("bm25", 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id").limit(50)
+    )
+    fused = rrf_fuse(vec, lex_top, score_a="score", score_b="bm25",
+                     ascending_a=True, ascending_b=False, k=60)
+    return (
+        fused.select("doc_id", "rank_a", "rank_b", F.round("rrf", 6).alias("rrf"))
+        .orderBy(F.col("rrf").desc(), "doc_id").limit(20)
+    )
+
+
 def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8-analog ingest boundary, driver-checked: documents go out as
     gzip JSONL (the ecosystem's interchange format) and come back
@@ -1447,6 +1490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src1_jsonl_roundtrip": q_jsonl_roundtrip,
         "t5_repetition_stats": q_repetition_stats,
         "d6_dup_clusters": q_dup_clusters,
+        "t6_bm25": q_bm25,
+        "h3_hybrid_rrf": q_hybrid_rrf,
     }
 
 
@@ -2027,6 +2072,95 @@ def oracle_sql() -> dict[str, str]:
         "src1_jsonl_roundtrip": """
             SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
             FROM documents ORDER BY doc_id
+        """,
+        "t6_bm25": rf"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            stats AS (
+                SELECT count(*)::DOUBLE AS n, avg(len(toks))::DOUBLE AS avgdl
+                FROM t
+            ),
+            e AS (
+                SELECT doc_id, len(toks)::DOUBLE AS dl, unnest(toks) AS term
+                FROM t
+            ),
+            tf AS (
+                SELECT doc_id, term, count(*)::DOUBLE AS tf, first(dl) AS dl
+                FROM e WHERE term IN ('customer', 'vector')
+                GROUP BY doc_id, term
+            ),
+            dfq AS (
+                SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+                FROM tf GROUP BY term
+            )
+            SELECT doc_id,
+                   round(sum(
+                       ln(1 + (n - df + 0.5) / (df + 0.5))
+                       * tf * 2.2
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                   ), 6) AS bm25
+            FROM tf JOIN dfq USING (term) CROSS JOIN stats
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "h3_hybrid_rrf": rf"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            stats AS (
+                SELECT count(*)::DOUBLE AS n, avg(len(toks))::DOUBLE AS avgdl
+                FROM t
+            ),
+            e AS (
+                SELECT doc_id, len(toks)::DOUBLE AS dl, unnest(toks) AS term
+                FROM t
+            ),
+            tf AS (
+                SELECT doc_id, term, count(*)::DOUBLE AS tf, first(dl) AS dl
+                FROM e WHERE term IN ('customer', 'vector')
+                GROUP BY doc_id, term
+            ),
+            dfq AS (
+                SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+                FROM tf GROUP BY term
+            ),
+            lex AS (
+                SELECT doc_id,
+                       round(sum(
+                           ln(1 + (n - df + 0.5) / (df + 0.5))
+                           * tf * 2.2
+                           / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                       ), 6) AS bm25
+                FROM tf JOIN dfq USING (term) CROSS JOIN stats
+                GROUP BY doc_id
+            ),
+            lex_top AS (
+                SELECT doc_id, bm25 FROM lex
+                ORDER BY bm25 DESC, doc_id LIMIT 50
+            ),
+            vec AS (
+                SELECT e2.vec_id AS doc_id,
+                       round(list_distance(e2.embedding::DOUBLE[], q.qv), 6) AS score
+                FROM embeddings e2,
+                     (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                      WHERE vec_id = 0) q
+                ORDER BY list_distance(e2.embedding::DOUBLE[], q.qv) ASC,
+                         e2.vec_id ASC
+                LIMIT 50
+            ),
+            ra AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY score ASC, doc_id ASC)::BIGINT
+                           AS rank_a
+                FROM vec
+            ),
+            rb AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)::BIGINT
+                           AS rank_b
+                FROM lex_top
+            )
+            SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id, rank_a, rank_b,
+                   round(coalesce(1.0 / (60 + rank_a), 0)
+                         + coalesce(1.0 / (60 + rank_b), 0), 6) AS rrf
+            FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+            ORDER BY rrf DESC, doc_id LIMIT 20
         """,
         "t5_repetition_stats": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "p2_sequence_pack",
     "t5_repetition_stats",
     "mu2_batch_requests",
+    "t6_bm25",
+    "h3_hybrid_rrf",
 ]
 
 

@@ -185,22 +185,51 @@ class Collection:
     def _seq_path(self) -> str:
         return os.path.join(self.root, "seq_counter.json")
 
+    def _seq_claims_dir(self) -> str:
+        return os.path.join(self.root, self.config.name, "seq_claims")
+
     def _next_seq_no(self) -> int:
-        """Allocate the next monotonic seq_no from a persisted counter
-        file (atomic-rename update, same pattern as the TOC swap) — one
-        file read instead of a WAL+tombstone scan per write. Falls back
-        to a one-time scan when the counter file is absent (collections
-        created before the counter existed). Single-writer semantics,
-        like the reference's in-process AtomicU64; concurrent writers
-        need an external lock, which the reference gets from living in
-        one process (core.rs group commit)."""
+        """Allocate the next monotonic seq_no, SAFE FOR CONCURRENT
+        WRITERS: the persisted counter file is only a hint; the actual
+        allocation is an exclusive-create claim file (O_EXCL is atomic
+        on POSIX and on HDFS-style create-if-absent), so two racing
+        writers can never mint the same seq_no — the filesystem
+        arbitrates, the way the reference's in-process AtomicU64 does
+        (core.rs group commit). Falls back to a one-time WAL scan when
+        the counter is absent (pre-counter collections). Claim files at
+        or below the flushed watermark are pruned at flush."""
         if os.path.exists(self._seq_path()):
             with open(self._seq_path()) as f:
-                nxt = json.load(f)["next"]
+                n = json.load(f)["next"]
         else:
-            nxt = self._max_seq_no() + 1
-        _atomic_write(self._seq_path(), json.dumps({"next": nxt + 1}))
-        return nxt
+            n = self._max_seq_no() + 1
+        claims = self._seq_claims_dir()
+        os.makedirs(claims, exist_ok=True)
+        while True:
+            try:
+                fd = os.open(
+                    os.path.join(claims, f"{n:020d}"),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+                os.close(fd)
+                break
+            except FileExistsError:
+                n += 1
+        # hint update may race; harmless — claims arbitrate, the hint
+        # only shortens the probe walk
+        _atomic_write(self._seq_path(), json.dumps({"next": n + 1}))
+        return n
+
+    def _prune_seq_claims(self, upto: int) -> None:
+        claims = self._seq_claims_dir()
+        if not os.path.isdir(claims):
+            return
+        for name in os.listdir(claims):
+            try:
+                if int(name) <= upto:
+                    os.unlink(os.path.join(claims, name))
+            except (ValueError, FileNotFoundError):
+                continue
 
     def _max_seq_no(self) -> int:
         hi = -1
@@ -294,6 +323,7 @@ class Collection:
             .parquet(os.path.join(self._segment_dir(seg), "docs"))
         )
         self._commit_toc(toc["segments"] + [seg], new_hi)
+        self._prune_seq_claims(new_hi)
         return seg
 
     # ------------------------------------------------------------ reads

@@ -18,3 +18,4 @@ from muopdb_spark.operators.packing import (  # noqa: F401
 )
 from muopdb_spark.operators.pii import PII_PATTERNS, scrub_pii  # noqa: F401
 from muopdb_spark.operators.quality import repetition_stats  # noqa: F401
+from muopdb_spark.operators.relevance import bm25_scores, rrf_fuse  # noqa: F401

@@ -1,0 +1,130 @@
+"""Text relevance scoring and hybrid rank fusion.
+
+The reference's term search is boolean (DocumentFilter Contains —
+muopdb.proto:83-114); ranked retrieval on top of it is what a hybrid
+search user actually consumes. Two capability-exceeding operators:
+
+  - `bm25_scores`: Okapi BM25 over a token column — the standard
+    lexical relevance function. Pure DataFrame math: one explode +
+    per-(doc, term) count (map-side combinable), a broadcast-sized
+    per-term document-frequency table, and a scalar avgdl join. No
+    Python in the plan.
+  - `rrf_fuse`: reciprocal rank fusion (Cormack et al., SIGIR'09) of
+    any two rankings — the industry-standard way to merge lexical and
+    vector rankings without score calibration. Rank-based, so results
+    are exactly reproducible and oracle-checkable.
+
+Scale notes (100 TB):
+  - BM25's per-term df table is vocabulary-of-the-query sized (a few
+    rows) — broadcast. The only corpus-wide shuffles are the
+    (doc, term) count and the per-doc rollup, both partially
+    aggregated map-side. avgdl is one scalar agg, reused across
+    queries of the same corpus snapshot in practice (precompute and
+    pass `avgdl=` to skip the job).
+  - RRF joins two top-N id lists (N ~ hundreds) — trivially broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    tokens_col: str = "toks",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    avgdl: float | None = None,
+) -> DataFrame:
+    """(id_col, bm25) for every document matching >= 1 query term.
+
+    idf = ln(1 + (N - df + 0.5) / (df + 0.5))  (Robertson-Sparck Jones,
+    the Lucene formulation — always positive). tf saturation and length
+    normalization per Okapi BM25.
+    """
+    base = docs.select(F.col(id_col).alias("id"), F.col(tokens_col).alias("toks"))
+    n_docs = base.count()
+    if avgdl is None:
+        avgdl = base.select(F.avg(F.size("toks"))).first()[0] or 0.0
+
+    terms = [t for t in dict.fromkeys(query_terms)]  # dedupe, keep order
+    exploded = (
+        base.select("id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+    )
+    tf = exploded.groupBy("id", "term").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+    df_t = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    per_term = (
+        tf.join(F.broadcast(df_t), "term")
+        .withColumn(
+            "s",
+            idf
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))),
+        )
+    )
+    return (
+        per_term.groupBy("id").agg(F.sum("s").alias("bm25"))
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def rrf_fuse(
+    ranking_a: DataFrame,
+    ranking_b: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    score_a: str = "score",
+    score_b: str = "score",
+    ascending_a: bool = True,
+    ascending_b: bool = False,
+    k: int = 60,
+) -> DataFrame:
+    """Fuse two rankings by reciprocal rank: rrf = sum over rankings of
+    1/(k + rank). A doc absent from one ranking contributes only the
+    other's term (standard RRF over top-N lists). Ties inside a ranking
+    break by id — fully deterministic.
+
+    ascending_*: True when lower score = better (distances), False when
+    higher = better (BM25).
+
+    Inputs are expected to be PRE-CUT top-N lists (N ~ hundreds): the
+    rank window is global (single partition) by design — correct and
+    cheap over N rows, wrong for a full corpus. Cut with limit/top-k
+    before fusing.
+    """
+
+    def ranked(df: DataFrame, score_col: str, asc: bool) -> DataFrame:
+        order = [
+            F.col(score_col).asc_nulls_last() if asc else F.col(score_col).desc_nulls_last(),
+            F.col(id_col).asc(),
+        ]
+        return df.select(
+            id_col,
+            F.row_number().over(Window.orderBy(*order)).cast("long").alias("rank"),
+        )
+
+    ra = ranked(ranking_a, score_a, ascending_a).withColumnRenamed("rank", "rank_a")
+    rb = ranked(ranking_b, score_b, ascending_b).withColumnRenamed("rank", "rank_b")
+    joined = ra.join(rb, id_col, "full_outer")
+    contrib = (
+        F.when(F.col("rank_a").isNotNull(), 1.0 / (k + F.col("rank_a"))).otherwise(0.0)
+        + F.when(F.col("rank_b").isNotNull(), 1.0 / (k + F.col("rank_b"))).otherwise(0.0)
+    )
+    return joined.select(
+        id_col,
+        "rank_a",
+        "rank_b",
+        contrib.alias("rrf"),
+    )

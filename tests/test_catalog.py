@@ -342,3 +342,35 @@ def test_pq_quantizer_gated_and_search(spark, tmp_path):
     raw = Collection.create(spark, str(tmp_path), cfg2)
     with pytest.raises(ValueError, match="quantizer"):
         raw.build_quantizer()
+
+
+def test_concurrent_writers_mint_distinct_seq_nos(spark, tmp_path):
+    """Reference pattern-3 analog (core.rs concurrent group-commit
+    tests): racing writers must never share a seq_no — the claim-file
+    allocation arbitrates via exclusive create, no external lock."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from muopdb_spark.catalog.collection import Collection, CollectionConfig
+
+    col = Collection.create(
+        spark, str(tmp_path), CollectionConfig(name="conc", num_features=2)
+    )
+
+    def write(i: int) -> int:
+        return col.insert(spark.createDataFrame(
+            [(0, i, [float(i), 0.0])],
+            "user_id long, doc_id long, vector array<float>",
+        ))
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        seqs = list(ex.map(write, range(16)))
+    assert len(set(seqs)) == 16, f"duplicate seq_nos: {sorted(seqs)}"
+    # all rows landed, each batch with its own seq_no
+    col.flush()
+    docs = col.docs()
+    assert docs.count() == 16
+    assert docs.select("seq_no").distinct().count() == 16
+    # claims pruned up to the flushed watermark
+    import os
+    claims = col._seq_claims_dir()
+    assert not os.path.isdir(claims) or not os.listdir(claims)
