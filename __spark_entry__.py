@@ -257,12 +257,20 @@ def q_join_cust_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS) which Spark 4 rejects;
-    read nanos as long and convert (integer division — double math loses
-    precision at 1e18 epoch-nanos)."""
+    """events.parquet `ts` column, normalized to TimestampType.
+
+    Fixture generations differ: some store TIMESTAMP(NANOS) (which Spark
+    4 rejects unless read as long — integer division, double math loses
+    precision at 1e18 epoch-nanos), newer ones store TIMESTAMP(MICROS)
+    read natively as TIMESTAMP_NTZ. Handle both; session tz is UTC so
+    the NTZ→LTZ cast is wall-clock identity, matching DuckDB's
+    naive-as-UTC epoch()."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type == "bigint":
+        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -115,15 +115,19 @@ def register_functions(spark: SparkSession) -> None:
 
 def register_tables(spark: SparkSession, sf_dir: str) -> None:
     """Mount the parquet tables as temp views for pure-SQL sessions.
-    events.parquet stores TIMESTAMP(NANOS), which Spark 4 rejects —
-    read nanos as long and convert (integer division: double math loses
-    precision at 1e18 epoch-nanos)."""
+    events.parquet `ts` varies by fixture generation: TIMESTAMP(NANOS)
+    (which Spark 4 rejects — read nanos as long and convert; integer
+    division, double math loses precision at 1e18 epoch-nanos) or
+    TIMESTAMP(MICROS) read natively as TIMESTAMP_NTZ (cast to session-tz
+    timestamp; session tz is UTC so the cast is wall-clock identity)."""
     for name in FIXTURE_TABLES:
         if name == "events":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            df = spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            if dict(df.dtypes)["ts"] == "bigint":
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            else:
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         else:
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         df.createOrReplaceTempView(name)
