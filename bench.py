@@ -96,23 +96,26 @@ def main() -> None:
     ).collect()
 
     timings: dict[str, float] = {}
+    all_reps: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         # best-of-2: single-shot timings on this box swing up to 2x from
         # unrelated load (measured: d3 3.5s vs 8.4s across clean runs);
         # the min of two identical executions is the standard
-        # noise-robust estimator and changes no work done per run
-        best = None
+        # noise-robust estimator and changes no work done per run.
+        # Per-rep times are reported alongside (top-level "reps") so a
+        # regression can't hide behind the min.
+        reps: list[float] = []
         for _ in range(2):
             t0 = time.time()
             qs[name](spark, sf_dir).collect()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+            reps.append(round(time.time() - t0, 3))
             # isolate queries: index builds persist intermediates for
             # reuse, and leaving them cached makes later queries pay
             # eviction + GC for earlier ones' storage (measured: v4 4.2s
             # clean vs 11.2s after d2/d3's leftovers in an 8g heap)
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        timings[name] = min(reps)
+        all_reps[name] = reps
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -120,6 +123,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "reps": all_reps,
         "sf": sf,
     }))
     spark.stop()

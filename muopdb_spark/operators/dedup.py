@@ -188,8 +188,14 @@ def ngram_jaccard_pairs(
     # ranked feeds three branches (prefix index + both verification
     # sides); without a cache the whole upstream pipeline re-runs per
     # branch (measured 25s vs 5s at sf0.1 — AQE does not reuse the
-    # aggregate's exchange across the self-join's sides)
+    # aggregate's exchange across the self-join's sides). The count()
+    # is a materialization BARRIER, not bookkeeping: the final action
+    # launches the three consuming shuffle-map stages concurrently, and
+    # an unpopulated cache makes each of them recompute every partition
+    # of the shingle+rank subtree (cache writes don't dedupe across
+    # in-flight stages) — measured 14-22s vs 3.5s at sf0.1.
     ranked = ranked.persist()
+    ranked.count()
     inv = ranked.select(
         "id", "n_sh", F.explode(F.slice("sh_ranked", 1, prefix_len)).alias("shingle")
     )
@@ -244,8 +250,7 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
 
-    # persist before filter — see ngram_jaccard_pairs for why
-    sh = shingle_df(df, text_col=text_col, id_col=id_col, n=n).persist()
+    sh = shingle_df(df, text_col=text_col, id_col=id_col, n=n)
     sh = sh.filter(F.size("sh") > 0)
     sig = sh.select(
         "id", "sh",
@@ -258,8 +263,15 @@ def minhash_lsh_pairs(
     sig = sig.select("id", "sh", *[F.col(f"h{i}") for i in range(num_hashes)], *band_cols)
     # the signature subtree feeds three plan branches (bucket explode +
     # both verification sides); persist so the md5-heavy minhash pass
-    # runs once instead of three times
+    # runs once instead of three times. count() is a materialization
+    # barrier: without it the final action schedules the consuming
+    # shuffle-map stages concurrently and each races to (re)compute the
+    # uncached signature partitions — the bimodal 6-14s timings in
+    # BENCH_r02 were exactly this; with the barrier the subtree runs
+    # once, in one stage (it also makes the upstream shingle persist
+    # redundant, so sh is no longer cached)
     sig = sig.persist()
+    sig.count()
 
     # candidates: explode bands, equi-join within (band_idx, band_hash) buckets
     buckets = sig.select(

@@ -35,7 +35,7 @@ spark.range(spark.sparkContext.defaultParallelism * 4).select(_warm(F.col("id"))
 reps = []
 for i in range(3):
     t0 = time.time()
-    n = len(qs["d3_dedup_minhash_lsh"](spark, sf_dir).collect())
+    n = len(qs[sys.argv[1] if len(sys.argv) > 1 else "d3_dedup_minhash_lsh"](spark, sf_dir).collect())
     dt = time.time() - t0
     reps.append(round(dt, 3))
     print(f"rep{i}: {dt:.3f}s rows={n}", flush=True)
