@@ -346,8 +346,10 @@ def ivf_search_batch(
     query_vec_col: str = "query_vector",
     num_probes: int | None = None,
     centroid_distance_ratio: float | None = 0.1,
+    pre_filter_ids: DataFrame | None = None,
     tombstones: DataFrame | None = None,
     score_decimals: int | None = None,
+    rerank: int | None = None,
 ) -> DataFrame:
     """Two-phase ANN for a WHOLE DataFrame of queries in one plan:
     (query_id, id, score) top-k per query.
@@ -362,13 +364,24 @@ def ivf_search_batch(
     centroids are read. Dedup (V21) and the (score, id) ordering
     contract (utils.rs:95-113) are per query via one window.
 
-    With full probes and no ratio prune the result is exact — that
-    variant is DuckDB-oracle-checked; the pruned variant's recall is
-    pytest-gated. Quantized indexes are not supported here (ADC builds a
-    per-query lookup literal; use ivf_search per query or quantizer
-    "none")."""
-    if index.quantizer != "none":
-        raise ValueError("ivf_search_batch supports quantizer='none' indexes")
+    pre_filter_ids is the PER-QUERY F8 `plan_with_ids` contract
+    (planner.rs:45-61 — the reference's hybrid Search RPC carries one
+    filter per request): a (query_id, id) DataFrame semi-joined into the
+    candidate scan on BOTH keys before scoring/top-k, so each query sees
+    only its own allowed ids. The match sets never touch the driver.
+
+    Quantized indexes score the stored codes inside the scan via the
+    batch estimators (pq_adc_score_batch / rabitq_est_score_batch — the
+    codebook broadcasts in the UDF closure, queries stream through as
+    (qv, code) pairs), mirroring the reference's quantizer-always-on
+    serving (rs/index/src/collection/mod.rs:145-149). With `rerank=N`
+    the quantized top-N pool per query is re-scored exactly, so full
+    probes + no ratio prune stays DuckDB-oracle-able; without rerank the
+    approximate scores are final.
+
+    With full probes and no ratio prune the unquantized result is exact —
+    that variant is DuckDB-oracle-checked; pruned-variant recall is
+    pytest-gated."""
     if num_probes is None:
         num_probes = k
     probes = probe_centroids_batch(
@@ -376,9 +389,52 @@ def ivf_search_batch(
         num_probes=num_probes, centroid_distance_ratio=centroid_distance_ratio,
     )
     cand = probes.join(index.postings, "centroid_id")
+    if pre_filter_ids is not None:
+        cand = cand.join(
+            pre_filter_ids.select(
+                F.col(query_id_col).alias("query_id"), "id"
+            ).distinct(),
+            on=["query_id", "id"], how="left_semi",
+        )
     if tombstones is not None:
         cand = cand.join(tombstones.select("id").distinct(), on="id", how="left_anti")
     exact = score_expr(index.metric, F.col("vector"), F.col("qv"))
+    if index.quantizer != "none":
+        if index.metric != "l2":
+            raise ValueError("quantized scoring supports the l2 metric only")
+        if index.quantizer == "pq":
+            from muopdb_spark.index.pq import pq_adc_score_batch
+
+            approx = pq_adc_score_batch(index.codebook)
+        else:  # rabitq
+            from muopdb_spark.index.rabitq import rabitq_est_score_batch
+
+            approx = rabitq_est_score_batch(index.codebook)
+        carry = ["qv", "vector"] if rerank is not None else []
+        scored = cand.select("query_id", "id", *carry, approx.alias("adc"))
+        # V21 dedup per (query, id), then per-query candidate cut
+        wdup = Window.partitionBy("query_id", "id").orderBy(F.col("adc").asc())
+        wcut = Window.partitionBy("query_id").orderBy(
+            F.col("adc").asc_nulls_last(), F.col("id").asc()
+        )
+        pool = (
+            scored.withColumn("rn", F.row_number().over(wdup))
+            .filter(F.col("rn") == 1)
+            .withColumn("rk", F.row_number().over(wcut))
+            .filter(F.col("rk") <= (rerank if rerank is not None else k))
+        )
+        score = exact if rerank is not None else F.col("adc")
+        if score_decimals is not None:
+            score = F.round(score, score_decimals)
+        wk = Window.partitionBy("query_id").orderBy(
+            F.col("score").asc_nulls_last(), F.col("id").asc()
+        )
+        return (
+            pool.select("query_id", "id", score.alias("score"))
+            .withColumn("rn2", F.row_number().over(wk))
+            .filter(F.col("rn2") <= k)
+            .select("query_id", "id", "score")
+        )
     score = F.round(exact, score_decimals) if score_decimals is not None else exact
     per_pair = (
         cand.select("query_id", "id", score.alias("score"))

@@ -70,10 +70,20 @@ def build_multi_ivf(
     distance_threshold: float = 0.1,
     max_clusters_per_vector: int = 1,
     carry_cols: Sequence[str] = (),
+    quantizer: str = "none",
+    pq_subvectors: int = 4,
+    pq_centers: int = 16,
+    pq_training_sample: int = 10_000,
 ) -> MultiIvfIndex:
     """carry_cols ride along into the postings rows unchanged (e.g.
     seq_no, so tombstone masking can stay seq_no-aware at search time
-    without a join back to the docs table)."""
+    without a join back to the docs table).
+
+    quantizer="pq"|"rabitq" trains ONE codebook across all users (the
+    reference's quantizer is per-collection, not per-user —
+    rs/index/src/collection/mod.rs:145-149 binds a single quantizer type
+    to the whole collection) and stores per-posting codes so searches
+    score quantized distances inside the scan."""
     base = df.select(
         F.col(user_col).alias("user_id"),
         F.col(id_col).alias("id"),
@@ -122,7 +132,26 @@ def build_multi_ivf(
         .repartition(F.col("user_id"), F.col("centroid_id"))
         .sortWithinPartitions("user_id", "centroid_id", "id")
     )
-    return MultiIvfIndex(centroids=centroids, postings=postings.persist(), metric=metric)
+    codebook = None
+    if quantizer == "pq":
+        from muopdb_spark.index.pq import pq_encode, train_pq
+
+        codebook = train_pq(
+            base, vec_col="vector", num_subvectors=pq_subvectors,
+            num_centers=pq_centers, training_sample=pq_training_sample, seed=seed,
+        )
+        postings = pq_encode(postings, codebook, vec_col="vector")
+    elif quantizer == "rabitq":
+        from muopdb_spark.index.rabitq import rabitq_encode, train_rabitq
+
+        codebook = train_rabitq(base, vec_col="vector", seed=seed)
+        postings = rabitq_encode(postings, codebook, vec_col="vector")
+    elif quantizer != "none":
+        raise ValueError(f"unknown quantizer {quantizer!r} (none|pq|rabitq)")
+    return MultiIvfIndex(
+        centroids=centroids, postings=postings.persist(), metric=metric,
+        codebook=codebook, quantizer=quantizer,
+    )
 
 
 def multi_ivf_save(index: MultiIvfIndex, path: str) -> None:
@@ -290,8 +319,10 @@ def multi_ivf_search_batch(
     vec_col: str = "query_vector",
     num_probes: int | None = None,
     centroid_distance_ratio: float | None = 0.1,
+    pre_filter_ids: DataFrame | None = None,
     per_user: bool = False,
     score_decimals: int | None = None,
+    rerank: int | None = None,
 ) -> DataFrame:
     """A whole BATCH of Search requests in one plan. `requests` has one
     row per (request_id, user_id, query_vector) — exactly the reference
@@ -307,11 +338,19 @@ def multi_ivf_search_batch(
     table moves. Per-request dedup and top-k (global across the
     request's users, per_user=True for per-user cuts) in one window.
 
+    pre_filter_ids: PER-REQUEST F8 plan_with_ids (planner.rs:45-61; the
+    Search RPC carries one filter per request) — a (request_id, id)
+    DataFrame semi-joined into the candidate scan on both keys.
+
+    Quantized indexes score stored codes inside the scan via the batch
+    estimators (codebook in the UDF closure, requests stream through as
+    (qv, code) pairs — the reference's quantizer-always-on serving,
+    rs/index/src/collection/mod.rs:145-149); `rerank=N` re-scores the
+    per-request quantized top-N exactly.
+
     Returns (request_id, user_id, id, score). Full probes + no ratio
-    prune => exact per request (DuckDB-oracle-able); quantized indexes
-    take the per-query ivf path (ADC needs a per-query literal)."""
-    if index.quantizer != "none":
-        raise ValueError("multi_ivf_search_batch supports quantizer='none' indexes")
+    prune (+ rerank when quantized) => exact per request
+    (DuckDB-oracle-able)."""
     if num_probes is None:
         num_probes = k
     req = requests.select(
@@ -335,14 +374,57 @@ def multi_ivf_search_batch(
     cand = probes.select("request_id", "user_id", "centroid_id", "qv").join(
         index.postings, ["user_id", "centroid_id"]
     )
-    score = score_expr(index.metric, F.col("vector"), F.col("qv"))
-    if score_decimals is not None:
-        score = F.round(score, score_decimals)
+    if pre_filter_ids is not None:
+        cand = cand.join(
+            pre_filter_ids.select("request_id", "id").distinct(),
+            on=["request_id", "id"], how="left_semi",
+        )
+    exact = score_expr(index.metric, F.col("vector"), F.col("qv"))
+    keys = ["request_id", "user_id"] if per_user else ["request_id"]
+    if index.quantizer != "none":
+        if index.metric != "l2":
+            raise ValueError("quantized scoring supports the l2 metric only")
+        if index.quantizer == "pq":
+            from muopdb_spark.index.pq import pq_adc_score_batch
+
+            approx = pq_adc_score_batch(index.codebook)
+        else:  # rabitq
+            from muopdb_spark.index.rabitq import rabitq_est_score_batch
+
+            approx = rabitq_est_score_batch(index.codebook)
+        carry = ["qv", "vector"] if rerank is not None else []
+        scored = cand.select(
+            "request_id", "user_id", "id", *carry, approx.alias("adc")
+        )
+        wdup = Window.partitionBy("request_id", "user_id", "id").orderBy(
+            F.col("adc").asc()
+        )
+        wcut = Window.partitionBy(*keys).orderBy(
+            F.col("adc").asc_nulls_last(), F.col("id").asc()
+        )
+        pool = (
+            scored.withColumn("rn", F.row_number().over(wdup))
+            .filter(F.col("rn") == 1)
+            .withColumn("rk", F.row_number().over(wcut))
+            .filter(F.col("rk") <= (rerank if rerank is not None else k))
+        )
+        score = exact if rerank is not None else F.col("adc")
+        if score_decimals is not None:
+            score = F.round(score, score_decimals)
+        wk = Window.partitionBy(*keys).orderBy(
+            F.col("score").asc_nulls_last(), F.col("id").asc()
+        )
+        return (
+            pool.select("request_id", "user_id", "id", score.alias("score"))
+            .withColumn("rn2", F.row_number().over(wk))
+            .filter(F.col("rn2") <= k)
+            .select("request_id", "user_id", "id", "score")
+        )
+    score = F.round(exact, score_decimals) if score_decimals is not None else exact
     deduped = (
         cand.select("request_id", "user_id", "id", score.alias("score"))
         .groupBy("request_id", "user_id", "id").agg(F.min("score").alias("score"))
     )
-    keys = ["request_id", "user_id"] if per_user else ["request_id"]
     wk = Window.partitionBy(*keys).orderBy(
         F.col("score").asc_nulls_last(), F.col("id").asc()
     )

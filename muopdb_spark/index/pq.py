@@ -161,6 +161,45 @@ def pq_adc_score(
     return adc(F.col(code_col))
 
 
+def pq_adc_score_batch(
+    codebook: PqCodebook,
+    *,
+    qv_col: str = "qv",
+    code_col: str = "pq_code",
+) -> Column:
+    """Batch-of-queries ADC (V11 for N queries in ONE plan): one Arrow
+    pandas UDF over (query_vector, code) pairs with the codebook shipped
+    in the closure — the batch analog of pq_adc_score, which bakes a
+    single query's m x k lookup table into the UDF and therefore can't
+    serve a query DataFrame (the limitation this lifts; the reference
+    serves every search through its per-collection quantizer,
+    rs/index/src/collection/mod.rs:145-149).
+
+    Per batch the distance is computed as vectorized residuals against
+    the gathered code centers: d2 = sum_m ||q_sub - cb[m][code_m]||^2 —
+    bit-identical to the single-query table lookup (same float ops in
+    the same order per subvector). The scan-side win is unchanged:
+    candidates carry m int codes, not the 4*d-byte raw vector, so the
+    posting scan stays code-only and the raw vectors are read only for
+    the re-rank pool."""
+    books = [cb.copy() for cb in codebook.codebooks]
+    d_sub = codebook.sub_dim
+
+    @pandas_udf(DoubleType())
+    def adc(qvs, codes):
+        import pandas as pd
+
+        Q = np.array(qvs.tolist(), dtype=np.float64)      # (n, d)
+        C = np.array(codes.tolist(), dtype=np.int64)      # (n, m)
+        d2 = np.zeros(C.shape[0], dtype=np.float64)
+        for m, cb in enumerate(books):
+            diff = Q[:, m * d_sub:(m + 1) * d_sub] - cb[C[:, m]]
+            d2 += (diff * diff).sum(axis=1)
+        return pd.Series(np.sqrt(d2))
+
+    return adc(F.col(qv_col).cast("array<double>"), F.col(code_col))
+
+
 def pq_search(
     encoded: DataFrame,
     query_vector,

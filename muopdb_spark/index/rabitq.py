@@ -190,6 +190,51 @@ def rabitq_est_score(
     return est(F.col(code_col), F.col(norm_col), F.col(ip_col))
 
 
+def rabitq_est_score_batch(
+    code: RabitQCodebook,
+    *,
+    qv_col: str = "qv",
+    code_col: str = "rq_code",
+    norm_col: str = "rq_norm",
+    ip_col: str = "rq_ip",
+) -> Column:
+    """Batch-of-queries estimator (the batch analog of rabitq_est_score,
+    whose query-side constants are baked into the closure and therefore
+    can't serve a query DataFrame). Per Arrow batch the query residuals
+    are rotated as one matmul ((n,D) @ P.T) and the masked sign-sum runs
+    as one elementwise product — identical arithmetic to the
+    single-query path for equal query vectors (rows with a zero query
+    residual fall back to est = rq_norm, same as the single-query
+    q_norm == 0 branch)."""
+    c = code.centroid.copy()
+    P = code.rotation.copy()
+    sqrt_d = float(np.sqrt(code.dim))
+
+    @pandas_udf(DoubleType())
+    def est(qvs, codes, norms, ips):
+        import pandas as pd
+
+        Q = np.array(qvs.tolist(), dtype=np.float64) - c   # (n, D) residuals
+        qn = np.linalg.norm(Q, axis=1)
+        safe = np.where(qn == 0.0, 1.0, qn)
+        Qr = (Q / safe[:, None]) @ P.T                     # rotated unit queries
+        S = np.array(codes.tolist(), dtype=bool)           # (n, D)
+        pos = (S * Qr).sum(axis=1)
+        obar_qrot = (2.0 * pos - Qr.sum(axis=1)) / sqrt_d
+        n = norms.to_numpy(dtype=np.float64)
+        ip = ips.to_numpy(dtype=np.float64)
+        est_ip = np.divide(
+            obar_qrot, ip, out=np.zeros_like(obar_qrot), where=ip != 0.0
+        )
+        d2 = n * n + qn * qn - 2.0 * n * qn * est_ip
+        return pd.Series(np.sqrt(np.maximum(d2, 0.0)))
+
+    return est(
+        F.col(qv_col).cast("array<double>"),
+        F.col(code_col), F.col(norm_col), F.col(ip_col),
+    )
+
+
 def rabitq_search(
     encoded: DataFrame,
     query_vector,
