@@ -78,7 +78,10 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
 
-    qs = entry_mod.queries()
+    # merged: driver-witnessed queries + extra (pytest-gated) queries —
+    # the benchmark surface is independent of the driver's 50-slot
+    # correctness window
+    qs = {**entry_mod.queries(), **entry_mod.extra_queries()}
 
     # warm-up: JVM classloading + parquet footer reads, then one tiny
     # Arrow pandas_udf pass so the Python worker daemons (forked once per
@@ -118,15 +121,26 @@ def main() -> None:
         all_reps[name] = reps
 
     total = round(sum(timings.values()), 3)
+    # Per-rep timings go to a side file, NOT the contract line: the
+    # driver tail-captures stdout and a reps-inflated line overflowed it
+    # in round 3 (BENCH_r03 parsed: null). The compact contract line is
+    # printed LAST so it is always inside the tail window.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LOCAL.json"), "w"
+        ) as f:
+            json.dump({"reps": all_reps, "sf": sf}, f, indent=1)
+    except OSError:
+        pass
+    spark.stop()
     print(json.dumps({
         "metric": "headline_query_wall_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "reps": all_reps,
         "sf": sf,
     }))
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -94,6 +94,19 @@ class Collection:
         self.spark = spark
         self.root = os.path.join(root, config.name)
         self.config = config
+        # Serializes in-process WAL/tombstone appends: Spark's Hadoop
+        # FileOutputCommitter stages every job under <dir>/_temporary/0,
+        # so two concurrent appends to the SAME directory can race —
+        # one job's commit-cleanup deletes the other's in-flight task
+        # files and rows are silently lost. seq_no uniqueness is still
+        # claim-file-arbitrated (works cross-process); only the physical
+        # append is serialized, matching the reference's in-process
+        # group commit (core.rs AtomicU64 + single WAL appender). On a
+        # real cluster, cross-process writers would instead use a
+        # manifest-committing table format or per-batch output dirs.
+        import threading
+
+        self._append_lock = threading.Lock()
 
     # ------------------------------------------------------------ DDL
 
@@ -247,10 +260,11 @@ class Collection:
         vec_len_ok = df.filter(F.size("vector") != self.config.num_features).isEmpty()
         if not vec_len_ok:
             raise ValueError(f"vector length != num_features={self.config.num_features}")
-        (
-            df.withColumn("seq_no", F.lit(seq).cast("long"))
-            .write.mode("append").parquet(self._wal_dir())
-        )
+        with self._append_lock:
+            (
+                df.withColumn("seq_no", F.lit(seq).cast("long"))
+                .write.mode("append").parquet(self._wal_dir())
+            )
         return seq
 
     def remove(self, user_ids: list[int], doc_ids: list[int]) -> int:
@@ -258,7 +272,8 @@ class Collection:
         seq = self._next_seq_no()
         rows = [(u, d, seq) for u in user_ids for d in doc_ids]
         tdf = self.spark.createDataFrame(rows, "user_id long, doc_id long, seq_no long")
-        tdf.write.mode("append").parquet(self._tombstone_dir())
+        with self._append_lock:
+            tdf.write.mode("append").parquet(self._tombstone_dir())
         return seq
 
     def tombstones(self) -> DataFrame:

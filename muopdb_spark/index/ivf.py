@@ -375,8 +375,10 @@ def ivf_search_batch(
     codebook broadcasts in the UDF closure, queries stream through as
     (qv, code) pairs), mirroring the reference's quantizer-always-on
     serving (rs/index/src/collection/mod.rs:145-149). With `rerank=N`
-    the quantized top-N pool per query is re-scored exactly, so full
-    probes + no ratio prune stays DuckDB-oracle-able; without rerank the
+    the quantized top-N pool per query is re-scored exactly; full probes
+    + no ratio prune is then exact GIVEN the quantized top-N contains
+    the true top-k (candidate containment — recall-pytest-gated, since
+    quantization error can violate it for small N). Without rerank the
     approximate scores are final.
 
     With full probes and no ratio prune the unquantized result is exact —

@@ -349,8 +349,11 @@ def multi_ivf_search_batch(
     per-request quantized top-N exactly.
 
     Returns (request_id, user_id, id, score). Full probes + no ratio
-    prune (+ rerank when quantized) => exact per request
-    (DuckDB-oracle-able)."""
+    prune => exact per request (DuckDB-oracle-able) for unquantized
+    indexes; quantized-with-rerank is exact GIVEN the quantized top-
+    rerank pool contains the true top-k (the standard candidate-
+    containment condition — quantization error can violate it for small
+    rerank, so containment is recall-pytest-gated, not assumed)."""
     if num_probes is None:
         num_probes = k
     req = requests.select(
@@ -376,7 +379,9 @@ def multi_ivf_search_batch(
     )
     if pre_filter_ids is not None:
         cand = cand.join(
-            pre_filter_ids.select("request_id", "id").distinct(),
+            pre_filter_ids.select(
+                F.col(request_id_col).alias("request_id"), "id"
+            ).distinct(),
             on=["request_id", "id"], how="left_semi",
         )
     exact = score_expr(index.metric, F.col("vector"), F.col("qv"))

@@ -198,13 +198,53 @@ def test_batch_search_one_plan_matches_per_query(index, clustered, spark):
             assert got[qid] == single, f"query {qid} cfg {cfg}"
 
 
-def test_batch_search_rejects_quantized(clustered, spark):
+@pytest.mark.parametrize("quantizer", ["pq", "rabitq"])
+@pytest.mark.parametrize("rerank", [None, 50])
+def test_batch_search_quantized_matches_per_query(clustered, spark, quantizer, rerank):
+    """Quantized batch path (pq_adc_score_batch / rabitq_est_score_batch
+    wired into ivf_search_batch): N queries in one plan must equal N
+    single-query ivf_search results for the SAME index, with and without
+    exact re-rank — the batch estimator and per-query estimator score
+    the same codes, so the results must be bit-identical."""
+    import numpy as np
+
+    from muopdb_spark.index.ivf import ivf_search_batch
+
+    kwargs = dict(pq_subvectors=4, pq_centers=16) if quantizer == "pq" else {}
+    idx = build_ivf(clustered, num_centroids=N_CLUSTERS, seed=7,
+                    quantizer=quantizer, **kwargs)
+    rng = np.random.default_rng(11)
+    qs = [
+        (c, (np.full(DIM, c * 100.0) + rng.normal(0, 5.0, DIM)).tolist())
+        for c in (0, 2, 5)
+    ]
+    queries = spark.createDataFrame(
+        qs, "query_id long, query_vector array<double>"
+    )
+    cfg = dict(num_probes=N_CLUSTERS, centroid_distance_ratio=None,
+               rerank=rerank, score_decimals=6)
+    batch = ivf_search_batch(idx, queries, 10, **cfg).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append((r["id"], r["score"]))
+    for qid, qv in qs:
+        single = [
+            (r["id"], r["score"])
+            for r in ivf_search(idx, qv, 10, **cfg).collect()
+        ]
+        assert got[qid] == single, f"query {qid} {quantizer} rerank={rerank}"
+
+
+def test_batch_search_rejects_non_l2_quantized(clustered, spark):
+    # quantized scoring is l2-only (both estimators are l2 estimators);
+    # a non-l2 quantized index must still be rejected loudly
     import pytest as _pytest
 
     from muopdb_spark.index.ivf import ivf_search_batch
 
     idx = build_ivf(clustered, num_centroids=N_CLUSTERS, seed=7,
                     quantizer="pq", pq_subvectors=4, pq_centers=16)
+    idx.metric = "dot"
     queries = spark.createDataFrame(
         [(0, [0.0] * DIM)], "query_id long, query_vector array<double>"
     )

@@ -41,7 +41,8 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     spark = get_spark("correctness-check")
-    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    qs = {**entry_mod.queries(), **entry_mod.extra_queries()}
+    oracles = entry_mod.oracle_sql()
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

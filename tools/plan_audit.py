@@ -134,7 +134,7 @@ def main() -> None:
 
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = m.queries()
+    qs = {**m.queries(), **m.extra_queries()}
     sf = "/root/testdata/sf0.01"
 
     out = [

@@ -18,7 +18,7 @@ spark.sparkContext.setLogLevel("ERROR")
 
 import __spark_entry__ as entry_mod
 
-qs = entry_mod.queries()
+qs = {**entry_mod.queries(), **entry_mod.extra_queries()}
 
 # same warm-up as bench.py
 qs["v1_knn_l2"](spark, sf_dir).collect()

@@ -16,7 +16,7 @@ spark.sparkContext.setLogLevel("ERROR")
 import __spark_entry__ as entry_mod
 from bench import BENCH_QUERIES
 
-qs = entry_mod.queries()
+qs = {**entry_mod.queries(), **entry_mod.extra_queries()}
 
 qs["v1_knn_l2"](spark, sf_dir).collect()
 from pyspark.sql import functions as F
