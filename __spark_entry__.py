@@ -145,6 +145,55 @@ def q_contains_stemmed_de(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(cond).select("doc_id").orderBy("doc_id")
 
 
+# Deterministic token->Russian lexicon over the fixture vocabulary
+# (_DOC_VOCAB): several English tokens map to DIFFERENT inflected forms
+# of one Russian lemma, so the Cyrillic Contains match only works if the
+# Russian Snowball stemmer actually collapses the inflections. The
+# oracle inverts the map at SQL-generation time (same trick as
+# _stem_class_sql) — DuckDB needs no Cyrillic stemmer.
+_RU_MAP = {
+    "join": "книгами", "merge": "книги", "group": "книга",
+    "filter": "вагоном", "sort": "вагонов", "order": "вагон",
+    "fast": "красивый", "slow": "красивая", "big": "красивые",
+    "query": "читала", "scan": "читали", "stream": "читать",
+    "a": "и", "agg": "окно", "batch": "стол", "column": "колонна",
+    "customer": "клиент", "data": "данные", "dup": "копия",
+    "hash": "хеш", "key": "ключ", "line": "линия", "part": "часть",
+    "row": "строка", "small": "малый", "spark": "искра",
+    "table": "таблица", "the": "это", "value": "значение",
+    "vector": "вектор", "window": "окна",
+}
+
+
+def q_contains_stemmed_ru(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 Russian: Contains on a CYRILLIC text field with the Russian
+    Snowball stemmer on both sides (stemming_tokenizer.rs:22-44 maps
+    "ru" -> Russian). The fixture text is English, so the query first
+    derives a deterministic Cyrillic shadow corpus via _RU_MAP (inflected
+    forms of shared lemmas), then matches the inflected query
+    "книгу вагона" (stems: книг, вагон) against the stemmed shadow
+    tokens — hitting docs that contain join|merge|group AND
+    filter|sort|order. The driver's oracle replicates the collapse with
+    the SAME pure-Python stemmer at SQL-generation time."""
+    from muopdb_spark.filters.compiler import FilterSchema, compile_filter
+    from muopdb_spark.functions.text import stemmed_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.create_map(*[F.lit(x) for kv in sorted(_RU_MAP.items()) for x in kv])
+    ru_text = F.array_join(
+        F.transform(
+            F.split(F.lower(F.col("text")), r"\s+"),
+            lambda t: F.coalesce(m[t], t),
+        ),
+        " ",
+    )
+    docs = docs.withColumn("text_tokens", stemmed_tokens(ru_text, "ru"))
+    schema = FilterSchema({"text": ("text", "ru")})
+    tree = {"contains": {"path": "text", "value": "книгу вагона"}}
+    cond = compile_filter(tree, schema, id_col="doc_id", stem=True)
+    return docs.filter(cond).select("doc_id").orderBy("doc_id")
+
+
 def q_multilang_stem_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2 at corpus scale: per-ROW language stemming (en=Porter,
     de/es/fr=Snowball, zh=identity) in ONE Arrow-batched pass — no
@@ -1472,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f1_filter_and_or_ids": q_filter_and_or_ids,
         "f6_filter_multi_token": q_filter_multi_token,
         "t2_multilang_stem_index": q_multilang_stem_index,
+        "t2_contains_stemmed_ru": q_contains_stemmed_ru,
         "f7_filter_not_contains": q_filter_not_contains,
         "a1_doc_counts": q_doc_counts,
         "o1_topk_orders": q_topk_orders,
@@ -1568,6 +1618,24 @@ _DOC_VOCAB = (
     "order", "part", "query", "row", "scan", "slow", "small", "sort",
     "spark", "stream", "table", "the", "value", "vector", "window",
 )
+
+
+def _ru_stem_class_sql(query_word: str) -> str:
+    """SQL condition: text contains ANY fixture token whose _RU_MAP
+    image stems (Russian Snowball) to the same value as `query_word` —
+    the DuckDB-side inversion of q_contains_stemmed_ru's Cyrillic
+    shadow-corpus match."""
+    from muopdb_spark.functions.text import stem_word
+
+    target = stem_word(query_word, "ru")
+    cls = sorted(
+        v for v in _DOC_VOCAB if stem_word(_RU_MAP.get(v, v), "ru") == target
+    )
+    if not cls:
+        return "FALSE"
+    toks = r"string_split_regex(lower(text), '\s+')"
+    quoted = ", ".join(f"'{w}'" for w in cls)
+    return f"len(list_intersect({toks}, [{quoted}])) > 0"
 
 
 def _stem_class_sql(language: str, query_word: str) -> str:
@@ -1728,6 +1796,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE lang = 'de'
               AND {_stem_class_sql('de', 'filters')}
               AND {_stem_class_sql('de', 'orders')}
+            ORDER BY doc_id
+        """,
+        # Cyrillic Contains: the stem classes are computed at SQL-
+        # generation time with the SAME Russian Snowball stemmer the
+        # Spark side runs (see _ru_stem_class_sql)
+        "t2_contains_stemmed_ru": f"""
+            SELECT doc_id FROM documents
+            WHERE {_ru_stem_class_sql('книгу')}
+              AND {_ru_stem_class_sql('вагона')}
             ORDER BY doc_id
         """,
         "t2_multilang_stem_index": f"""

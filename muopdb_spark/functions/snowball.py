@@ -1160,6 +1160,304 @@ def dutch_stem(word: str) -> str:
     return w.lower()
 
 
+# --------------------------------------------------------------- Russian
+
+_RU_VOWELS = "аеиоуыэюя"
+
+# ending tables from the published Snowball Russian algorithm
+# (snowballstem.org "Russian stemming algorithm"). Group-1 endings must
+# directly follow а or я (the а/я stays); matching is longest-first
+# within each class, and — like Snowball's `among` — a longest literal
+# match whose group condition fails makes the whole class fail (no
+# fallback to shorter alternatives).
+_RU_PERF_GERUND = (
+    [("ившись", 2), ("ывшись", 2), ("вшись", 1), ("ивши", 2), ("ывши", 2),
+     ("вши", 1), ("ив", 2), ("ыв", 2), ("в", 1)]
+)
+_RU_ADJECTIVE = [
+    (e, 0) for e in (
+        "ими", "ыми", "его", "ого", "ему", "ому",
+        "ее", "ие", "ые", "ое", "ей", "ий", "ый", "ой", "ем", "им",
+        "ым", "ом", "их", "ых", "ею", "ою", "ую", "юю", "ая", "яя",
+    )
+]
+_RU_PARTICIPLE = [
+    ("ивш", 2), ("ывш", 2), ("ующ", 2),
+    ("ем", 1), ("нн", 1), ("вш", 1), ("ющ", 1), ("щ", 1),
+]
+_RU_VERB = [
+    ("ейте", 2), ("уйте", 2), ("ете", 1), ("йте", 1), ("ешь", 1),
+    ("нно", 1), ("ила", 2), ("ыла", 2), ("ена", 2), ("ите", 2),
+    ("или", 2), ("ыли", 2), ("ило", 2), ("ыло", 2), ("ено", 2),
+    ("ует", 2), ("уют", 2), ("ены", 2), ("ить", 2), ("ыть", 2),
+    ("ишь", 2),
+    ("ла", 1), ("на", 1), ("ли", 1), ("ем", 1), ("ло", 1), ("но", 1),
+    ("ет", 1), ("ют", 1), ("ны", 1), ("ть", 1),
+    ("ей", 2), ("уй", 2), ("ил", 2), ("ыл", 2), ("им", 2), ("ым", 2),
+    ("ен", 2), ("ят", 2), ("ит", 2), ("ыт", 2), ("ую", 2),
+    ("й", 1), ("л", 1), ("н", 1), ("ю", 2),
+]
+_RU_NOUN = [
+    (e, 0) for e in (
+        "иями", "ями", "ами", "ией", "иям", "ием", "иях",
+        "ев", "ов", "ие", "ье", "еи", "ии", "ей", "ой", "ий", "ям",
+        "ем", "ам", "ом", "ах", "ях", "ию", "ью", "ия", "ья",
+        "а", "е", "и", "й", "о", "у", "ы", "ь", "ю", "я",
+    )
+]
+
+
+def _ru_regions(w: str) -> tuple[int, int]:
+    """(RV, R2) start offsets: RV after the first vowel; R2 standard."""
+    rv = len(w)
+    for i, ch in enumerate(w):
+        if ch in _RU_VOWELS:
+            rv = i + 1
+            break
+    r1 = len(w)
+    for i in range(1, len(w)):
+        if w[i] not in _RU_VOWELS and w[i - 1] in _RU_VOWELS:
+            r1 = i + 1
+            break
+    r2 = len(w)
+    for i in range(r1 + 1, len(w)):
+        if w[i] not in _RU_VOWELS and w[i - 1] in _RU_VOWELS:
+            r2 = i + 1
+            break
+    return rv, r2
+
+
+def _ru_match(w: str, rv: int, table) -> str | None:
+    """Longest ending from `table` that matches inside RV; group-1
+    entries additionally require a directly preceding а/я (also inside
+    RV). Returns the matched ending, or None — a longest match with a
+    failed condition fails the class (Snowball `among` semantics)."""
+    for e, g in sorted(table, key=lambda t: -len(t[0])):
+        start = len(w) - len(e)
+        if start >= rv and w.endswith(e):
+            if g == 1:
+                p = start - 1
+                if p >= rv and w[p] in "ая":
+                    return e
+                return None
+            return e
+    return None
+
+
+def russian_stem(word: str) -> str:
+    """Snowball Russian (published algorithm description,
+    snowballstem.org "Russian stemming algorithm"). All steps operate
+    inside RV; derivational endings require R2."""
+    w = word.lower().replace("ё", "е")
+    rv, r2 = _ru_regions(w)
+    # step 1: perfective gerund, else [reflexive] adjectival|verb|noun
+    e = _ru_match(w, rv, _RU_PERF_GERUND)
+    if e is not None:
+        w = w[: len(w) - len(e)]
+    else:
+        for refl in ("ся", "сь"):
+            if w.endswith(refl) and len(w) - 2 >= rv:
+                w = w[:-2]
+                break
+        adj = _ru_match(w, rv, _RU_ADJECTIVE)
+        if adj is not None:
+            w = w[: len(w) - len(adj)]
+            part = _ru_match(w, rv, _RU_PARTICIPLE)
+            if part is not None:
+                w = w[: len(w) - len(part)]
+        else:
+            verb = _ru_match(w, rv, _RU_VERB)
+            if verb is not None:
+                w = w[: len(w) - len(verb)]
+            else:
+                noun = _ru_match(w, rv, _RU_NOUN)
+                if noun is not None:
+                    w = w[: len(w) - len(noun)]
+    # step 2: trailing и
+    if w.endswith("и") and len(w) - 1 >= rv:
+        w = w[:-1]
+    # step 3: derivational ость/ост in R2
+    for e in ("ость", "ост"):
+        if w.endswith(e) and len(w) - len(e) >= r2:
+            w = w[: len(w) - len(e)]
+            break
+    # step 4: superlative + undouble н, or undouble н, or drop ь
+    if w.endswith(("ейше", "ейш")) and len(w) - 3 >= rv:
+        w = w[:-4] if w.endswith("ейше") else w[:-3]
+        if w.endswith("нн") and len(w) - 1 >= rv:
+            w = w[:-1]
+    elif w.endswith("нн") and len(w) - 1 >= rv and len(w) - 2 >= rv:
+        w = w[:-1]
+    elif w.endswith("ь") and len(w) - 1 >= rv:
+        w = w[:-1]
+    return w
+
+
+# --------------------------------------------------------------- Turkish
+
+_TR_VOWELS = "aeıioöuü"
+# progressive vowel harmony: last stem vowel -> admissible suffix vowels
+_TR_HARMONY = {
+    "a": "aı", "e": "ei", "ı": "aı", "i": "ei",
+    "o": "au", "ö": "eü", "u": "au", "ü": "eü",
+}
+# suffix families as concrete surface forms (A = a/e, U = ı/i/u/ü,
+# D = d/t, C = c/ç), expanded here instead of runtime templating
+_TR_A = "ae"
+_TR_U = "ıiuü"
+
+
+def _tr_forms(pattern: str) -> list[str]:
+    """Expand a suffix template to surface forms. All A positions take
+    the SAME vowel, as do all U positions (suffix-internal harmony:
+    sUnUz -> sınız/siniz/sunuz/sünüz, never sınuz); D/C expand
+    per-position."""
+    outs = []
+    a_choices = _TR_A if "A" in pattern else "a"
+    u_choices = _TR_U if "U" in pattern else "ı"
+    for a in a_choices:
+        for u in u_choices:
+            out = [""]
+            for ch in pattern:
+                letters = {
+                    "A": a, "U": u, "D": "dt", "C": "cç",
+                    # I: the high vowel tied to A's front/backness
+                    # (lArI -> ları/leri, cAsInA -> casına/cesine)
+                    "I": "ı" if a == "a" else "i",
+                }.get(ch, ch)
+                out = [p + l for p in out for l in letters]
+            outs.extend(out)
+    # dedupe, preserve order
+    seen, uniq = set(), []
+    for f in outs:
+        if f not in seen:
+            seen.add(f)
+            uniq.append(f)
+    return uniq
+
+
+def _tr_last_vowel(w: str) -> str | None:
+    for ch in reversed(w):
+        if ch in _TR_VOWELS:
+            return ch
+    return None
+
+
+def _tr_strip(w: str, pattern: str, *, opt: str | None = None) -> str | None:
+    """Strip one suffix family from `w`. `pattern` uses the A/U/D/C
+    metavowels; `opt` is the optional buffer letter of -(y)/(n)/(s)
+    suffixes: when present it must follow a vowel (Snowball's
+    mark_suffix_with_optional_*). Vowel-harmony is checked between the
+    suffix's first vowel and the last stem vowel. Returns the stripped
+    word or None."""
+    for form in sorted(_tr_forms(pattern), key=len, reverse=True):
+        if not w.endswith(form) or len(w) <= len(form):
+            continue
+        stem = w[: len(w) - len(form)]
+        if opt is not None and stem.endswith(opt):
+            if len(stem) >= 2 and stem[-2] in _TR_VOWELS:
+                stem = stem[:-1]
+            else:
+                continue
+        sv = next((c for c in form if c in _TR_VOWELS), None)
+        if sv is not None:
+            lv = _tr_last_vowel(stem)
+            if lv is None or sv not in _TR_HARMONY[lv]:
+                continue
+        if _tr_last_vowel(stem) is None:
+            continue
+        return stem
+    return None
+
+
+def _tr_noun_pass(w: str, depth: int = 0) -> str:
+    """One pass of the noun-suffix cascade (stem_noun_suffixes):
+    the ki-chain first (ki marks a whole preceding suffix chain:
+    evdeki -> evde -> ev), then possessives and plural (with their
+    chains), then case suffixes (with an optional possessive before
+    them)."""
+    if w.endswith("ki") and depth < 4:
+        inner = _tr_noun_pass(w[:-2], depth + 1)
+        if _tr_last_vowel(inner):
+            return inner
+    s = _tr_strip(w, "lArI")
+    if s is not None:
+        return s
+    # -(U)mUz / -(U)nUz: buffer vowel present after consonant-final
+    # stems (evimiz), absent after vowel-final stems (arabamız)
+    for poss in ("UmUz", "mUz", "UnUz", "nUz"):
+        s = _tr_strip(w, poss)
+        if s is not None:
+            return _tr_strip(s, "lAr") or s
+    s = _tr_strip(w, "U", opt="s")
+    if s is not None:
+        return _tr_strip(s, "lAr") or s
+    s = _tr_strip(w, "lAr")
+    if s is not None:
+        if s.endswith("ki") and depth < 4:
+            chained = _tr_noun_pass(s, depth + 1)
+            if chained != s:
+                return chained
+        return s
+    for case, opt in (
+        ("nDAn", None), ("nDA", None), ("nUn", None), ("DAn", None),
+        ("DA", None), ("lA", "y"), ("nA", None), ("nU", None),
+        ("Un", None), ("A", "y"), ("U", "y"), ("CA", None),
+    ):
+        s = _tr_strip(w, case, opt=opt)
+        if s is not None:
+            for poss in ("lArU", "UmUz", "UnUz"):
+                p = _tr_strip(s, poss)
+                if p is not None:
+                    return _tr_strip(p, "lAr") or p
+            p = _tr_strip(s, "U", opt="s")
+            if p is not None:
+                return _tr_strip(p, "lAr") or p
+            return _tr_strip(s, "lAr") or s
+    return w
+
+
+def turkish_stem(word: str) -> str:
+    """Snowball Turkish (published algorithm description,
+    snowballstem.org "Turkish stemming algorithm", E. Kapusuz Cilden):
+    strips nominal-verb suffixes then noun suffixes, every strip gated
+    by progressive vowel harmony and the -(y)/(n)/(s) buffer-letter
+    rules, then devoices a final b/c/d/ğ (post_process_last_consonants).
+
+    Pragmatic linearization of the published cascade: the branch chains
+    are flattened into ordered passes and the rarely-hit
+    append-vowel-to-d/g postlude is omitted — deviations are
+    deterministic and shared by the index and query sides, so Contains
+    semantics stay consistent (same caveat as the module header)."""
+    w = word.lower()
+    if sum(c in _TR_VOWELS for c in w) < 2:
+        return w  # single-syllable words are never stripped
+    # nominal verb suffixes
+    for pat, opt in (
+        ("cAsInA", None), ("sUnUz", None), ("mUş", "y"), ("DU", "y"),
+        ("sA", "y"), ("ken", None), ("DUr", None), ("lAr", None),
+        ("Um", "y"), ("sUn", None), ("Uz", "y"),
+    ):
+        s = _tr_strip(w, pat, opt=opt)
+        if pat == "Uz" and s is not None and s[-1:] in ("m", "n"):
+            # ...mUz/...nUz is the possessive -(U)mUz/-(U)nUz, not the
+            # 1pl copula -(y)Uz — leave it for the noun pass
+            s = None
+        if s is not None:
+            w = s
+            extra = _tr_strip(w, "DUr")
+            if extra is not None:
+                w = extra
+            break
+    # noun suffixes (single pass with chains, like stem_noun_suffixes)
+    w = _tr_noun_pass(w)
+    # post_process_last_consonants
+    final = {"b": "p", "c": "ç", "d": "t", "ğ": "k"}
+    if w and w[-1] in final:
+        w = w[:-1] + final[w[-1]]
+    return w
+
+
 SNOWBALL_STEMMERS = {
     "german": german_stem, "de": german_stem,
     "spanish": spanish_stem, "es": spanish_stem,
@@ -1170,4 +1468,6 @@ SNOWBALL_STEMMERS = {
     "norwegian": norwegian_stem, "no": norwegian_stem,
     "danish": danish_stem, "da": danish_stem,
     "dutch": dutch_stem, "nl": dutch_stem,
+    "russian": russian_stem, "ru": russian_stem,
+    "turkish": turkish_stem, "tr": turkish_stem,
 }

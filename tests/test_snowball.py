@@ -347,3 +347,73 @@ def test_nine_language_dispatch(spark):
     ).collect()
     got = {r.doc_id: r.toks for r in rows}
     assert got == {1: ["klock"], 2: ["hustru"], 3: ["ven"], 4: ["gek"]}
+
+
+# ------------------------------------------------------ Russian / Turkish
+
+@pytest.mark.parametrize("word,stem", [
+    # noun declensions collapse with their nominative
+    ("вагона", "вагон"), ("вагоном", "вагон"), ("вагонов", "вагон"),
+    ("вагон", "вагон"),
+    ("книга", "книг"), ("книги", "книг"), ("книгами", "книг"),
+    ("книгу", "книг"),
+    # adjectives: gender/number/case endings removed
+    ("красивый", "красив"), ("красивая", "красив"),
+    ("красивые", "красив"), ("красивым", "красив"),
+    # verbs: group-1 endings require the preceding а/я (kept)
+    ("читала", "чита"), ("читали", "чита"), ("читать", "чита"),
+    # superlative ейш removed after the adjective ending (step 4)
+    ("быстрый", "быстр"), ("быстрейший", "быстр"),
+    # reflexive + perfective-gerund path
+    ("делавшись", "дела"),
+    # ё normalizes to е before stemming
+    ("ёлка", "елк"),
+])
+def test_russian_vectors(word, stem):
+    from muopdb_spark.functions.snowball import russian_stem
+
+    assert russian_stem(word) == stem
+
+
+@pytest.mark.parametrize("word,stem", [
+    # plural / ablative / accusative all reach the devoiced nominative
+    ("kitaplar", "kitap"), ("kitaplardan", "kitap"),
+    ("kitabı", "kitap"), ("kitap", "kitap"),
+    # possessive chains: (s)U, nDAn, (U)mUz (+lAr)
+    ("arabası", "araba"), ("arabasından", "araba"),
+    ("arabalarımız", "araba"), ("arabamız", "araba"),
+    # ki-chain: evdeki -> evde -> ev
+    ("evdeki", "ev"), ("evdekiler", "ev"), ("evinizde", "ev"),
+    ("evde", "ev"), ("ev", "ev"),
+    # nominal verb suffixes: DUr, sUnUz, (y)mUş, (y)Um, (y)DU
+    ("güzeldir", "güzel"), ("güzelsiniz", "güzel"),
+    ("gelmiş", "gel"), ("geliyorum", "geliyor"),
+    ("elmalardı", "elma"),
+    # single-syllable words are never stripped
+    ("at", "at"),
+])
+def test_turkish_vectors(word, stem):
+    from muopdb_spark.functions.snowball import turkish_stem
+
+    assert turkish_stem(word) == stem
+
+
+def test_ru_tr_family_collapse_and_dispatch(spark):
+    from muopdb_spark.functions.snowball import (
+        SNOWBALL_STEMMERS, russian_stem, turkish_stem,
+    )
+
+    assert "ru" in SNOWBALL_STEMMERS and "tr" in SNOWBALL_STEMMERS
+    assert len({russian_stem(w) for w in
+                ["вагона", "вагоном", "вагонов", "вагон"]}) == 1
+    assert len({turkish_stem(w) for w in
+                ["kitaplar", "kitaplardan", "kitabı", "kitap"]}) == 1
+    rows = spark.createDataFrame(
+        [(1, "книгами", "ru"), (2, "kitaplardan", "tr")],
+        "doc_id long, text string, lang string",
+    ).select(
+        "doc_id",
+        stemmed_tokens_by_lang(F.col("text"), F.col("lang")).alias("toks"),
+    ).collect()
+    got = {r.doc_id: r.toks for r in rows}
+    assert got == {1: ["книг"], 2: ["kitap"]}
