@@ -1428,17 +1428,49 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(docs.select("doc_id"), pairs).orderBy("doc_id")
 
 
-def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 ranked retrieval over the documents table (the ranked
-    upgrade of the reference's boolean term search) — pure DataFrame
-    math, broadcast df table, map-side partial counts."""
+_BM25_STATS: dict = {}
+
+
+def _bm25_docs_and_stats(spark: SparkSession, sf_dir: str):
+    """Tokenized documents + durable (n_docs, avgdl): the corpus stats
+    are computed once (one aggregate job), persisted as a JSON artifact
+    next to the index artifacts, and reloaded thereafter — the serving
+    path never re-counts the corpus per query (round-2/3 ask; reference
+    analog: per-segment doc counts live in the TOC, not a re-scan)."""
+    import json
+
     from muopdb_spark.functions.text import simple_tokens
-    from muopdb_spark.operators.relevance import bm25_scores
+    from muopdb_spark.index.terms import corpus_stats
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", simple_tokens("text").alias("toks")
     )
-    out = bm25_scores(docs, ["customer", "vector"], tokens_col="toks")
+    if sf_dir not in _BM25_STATS:
+        path = _index_artifact_dir(sf_dir, "bm25_stats")
+        fp = os.path.join(path, "stats.json")
+        if os.path.exists(fp):
+            with open(fp) as f:
+                d = json.load(f)
+        else:
+            n, avgdl = corpus_stats(docs, tokens_col="toks")
+            d = {"n_docs": n, "avgdl": avgdl}
+            os.makedirs(path, exist_ok=True)
+            with open(fp, "w") as f:
+                json.dump(d, f)
+        _BM25_STATS[sf_dir] = (d["n_docs"], d["avgdl"])
+    return docs, _BM25_STATS[sf_dir]
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval over the documents table (the ranked
+    upgrade of the reference's boolean term search) — pure DataFrame
+    math, broadcast df table, map-side partial counts; corpus stats
+    (N, avgdl) read from the durable artifact, zero stats jobs."""
+    from muopdb_spark.operators.relevance import bm25_scores
+
+    docs, (n_docs, avgdl) = _bm25_docs_and_stats(spark, sf_dir)
+    out = bm25_scores(docs, ["customer", "vector"], tokens_col="toks",
+                      n_docs=n_docs, avgdl=avgdl)
     return out.select("doc_id", F.round("bm25", 6).alias("bm25")).orderBy("doc_id")
 
 
@@ -1447,7 +1479,6 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused with BM25 top-50 (rank-based — no score calibration), the
     industry-standard lexical+vector merge. Rankings are deterministic
     (rounded score, id tiebreak), so the fusion is SQL-oracle-able."""
-    from muopdb_spark.functions.text import simple_tokens
     from muopdb_spark.operators.knn import knn
     from muopdb_spark.operators.relevance import bm25_scores, rrf_fuse
 
@@ -1455,11 +1486,10 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _query_vector(spark, sf_dir)
     vec = knn(emb, qv, 50, vector_col="embedding", id_col="vec_id",
               metric="l2", score_decimals=6).withColumnRenamed("vec_id", "doc_id")
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", simple_tokens("text").alias("toks")
-    )
+    docs, (n_docs, avgdl) = _bm25_docs_and_stats(spark, sf_dir)
     lex_top = (
-        bm25_scores(docs, ["customer", "vector"], tokens_col="toks")
+        bm25_scores(docs, ["customer", "vector"], tokens_col="toks",
+                    n_docs=n_docs, avgdl=avgdl)
         .select("doc_id", F.round("bm25", 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), "doc_id").limit(50)
     )

@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "mu2_batch_requests",
     "t6_bm25",
     "h3_hybrid_rrf",
+    "v23_ann_batch_pq_rerank",
+    "t2_contains_stemmed_ru",
 ]
 
 

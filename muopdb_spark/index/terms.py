@@ -76,6 +76,21 @@ def build_term_index(
     )
 
 
+def corpus_stats(
+    docs: DataFrame, *, tokens_col: str = "toks",
+) -> tuple[int, float]:
+    """(n_docs, avgdl) in ONE aggregate job — the BM25 corpus statistics
+    that belong with the term-index artifact, the way the reference
+    keeps per-segment doc counts in the TOC rather than re-scanning
+    (segment metadata, rs/index/src/terms/index.rs). Callers persist the
+    pair next to the saved index and feed bm25_scores(n_docs=, avgdl=)
+    so scoring pays zero stats jobs per query."""
+    row = docs.agg(
+        F.count("*").alias("n"), F.avg(F.size(tokens_col)).alias("avgdl")
+    ).first()
+    return int(row["n"]), float(row["avgdl"] or 0.0)
+
+
 def term_lookup(index: DataFrame, field: str, term: str) -> DataFrame:
     """J2: single-term posting-list fetch."""
     return index.filter((F.col("field") == field) & (F.col("term") == term))

@@ -40,17 +40,28 @@ def bm25_scores(
     k1: float = 1.2,
     b: float = 0.75,
     avgdl: float | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """(id_col, bm25) for every document matching >= 1 query term.
 
     idf = ln(1 + (N - df + 0.5) / (df + 0.5))  (Robertson-Sparck Jones,
     the Lucene formulation — always positive). tf saturation and length
     normalization per Okapi BM25.
+
+    Pass `n_docs` and `avgdl` (precomputed corpus stats — see
+    muopdb_spark.index.terms.corpus_stats, persisted with the term-index
+    artifact) to skip the stats job entirely; when either is missing,
+    BOTH are computed in one aggregate job, not two.
     """
     base = docs.select(F.col(id_col).alias("id"), F.col(tokens_col).alias("toks"))
-    n_docs = base.count()
-    if avgdl is None:
-        avgdl = base.select(F.avg(F.size("toks"))).first()[0] or 0.0
+    if n_docs is None or avgdl is None:
+        row = base.agg(
+            F.count("*").alias("n"), F.avg(F.size("toks")).alias("avgdl")
+        ).first()
+        if n_docs is None:
+            n_docs = int(row["n"])
+        if avgdl is None:
+            avgdl = float(row["avgdl"] or 0.0)
 
     terms = [t for t in dict.fromkeys(query_terms)]  # dedupe, keep order
     exploded = (

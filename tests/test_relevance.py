@@ -77,3 +77,31 @@ def test_rrf_deterministic_tiebreak(spark):
     # equal scores: lower id ranks first in BOTH orderings
     assert rows[2].rank_a == 1 and rows[2].rank_b == 1
     assert rows[5].rank_a == 2 and rows[5].rank_b == 2
+
+
+def test_bm25_precomputed_stats_skip_jobs_and_match(spark):
+    """corpus_stats + n_docs/avgdl passthrough: same scores as the
+    self-computed path, and building the scoring plan schedules NO
+    driver-side stats job (the count()/first() calls of the old shape)."""
+    from muopdb_spark.index.terms import corpus_stats
+
+    docs = spark.createDataFrame(
+        [(1, ["cat", "dog"]), (2, ["cat", "cat", "fish"]), (3, ["bird"])],
+        "doc_id long, toks array<string>",
+    )
+    n, avgdl = corpus_stats(docs, tokens_col="toks")
+    assert n == 3 and avgdl == pytest.approx((2 + 3 + 1) / 3)
+    auto = {r.doc_id: r.bm25 for r in bm25_scores(docs, ["cat"]).collect()}
+    pre = {
+        r.doc_id: r.bm25
+        for r in bm25_scores(docs, ["cat"], n_docs=n, avgdl=avgdl).collect()
+    }
+    assert auto.keys() == pre.keys()
+    for k in auto:
+        assert auto[k] == pytest.approx(pre[k])
+    # plan construction with precomputed stats launches zero Spark jobs
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    bm25_scores(docs, ["cat"], n_docs=n, avgdl=avgdl)
+    after = tracker.getJobIdsForGroup(None)
+    assert len(after) == len(before), "stats job ran despite precomputed stats"
