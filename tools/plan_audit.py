@@ -118,6 +118,25 @@ CHECKS = {
          "single shuffle on the language group key"),
         ("!BroadcastHashJoin", "no join: packing is order + running sum"),
     ],
+    "v23_ann_batch_pq_rerank": [
+        ("BroadcastNestedLoopJoin", "phase 1 is the query-stream x "
+         "centroid-table cross product — intentional and bounded: the "
+         "broadcast side is the num_centroids-row centroid table"),
+        ("Window", "per-query ADC dedup, candidate cut, and exact "
+         "re-ranked top-k are windows — one plan, no driver loop"),
+        ("ArrowEvalPython", "PQ ADC batch scoring is an Arrow-batched "
+         "pandas UDF (codebook broadcast in the closure), never "
+         "row-at-a-time"),
+        ("!BatchEvalPython", "no pickled row-at-a-time Python UDF in "
+         "the quantized scan"),
+        ("!INSET", "no driver-collected probe or candidate list"),
+    ],
+    "t2_contains_stemmed_ru": [
+        ("ArrowEvalPython", "Cyrillic stemming of the shadow corpus is "
+         "one Arrow-batched pandas UDF pass"),
+        ("ReadSchema: struct<doc_id:bigint,text:string>",
+         "column pruning: 2 of 5 document columns read"),
+    ],
     "j7_range_count_join": [
         ("SortMergeJoin", "banded range join lands as an ordinary "
          "equi-join on (keys, time-bucket); replication factor is a "
