@@ -62,6 +62,14 @@ class CollectionConfig:
     pq_centers: int = 16
     vacuum_deleted_ratio: float = 0.1        # immutable_segment.rs:75-82
     max_segments: int = 10                   # collection.rs:168-170
+    # Parquet bloom filter on doc_id in flushed segments (0 disables).
+    # The delete/lookup path probes segments by doc_id equality; row-
+    # group min/max stats rarely prune on a hash-distributed id, so the
+    # bloom filter is what lets a point probe skip row groups — the
+    # columnar analog of the reference's per-segment id set
+    # (multi_spann/builder.rs:16-26). ndv sizes the filter per the
+    # parquet-mr writer contract (expected distinct doc_ids per file).
+    bloom_filter_ndv: int = 100_000
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), indent=2, sort_keys=True)
@@ -332,11 +340,22 @@ class Collection:
             return None
         seg = f"segment_{uuid.uuid4().hex[:12]}"
         new_hi = pending.agg(F.max("seq_no")).first()[0]
-        (
+        writer = (
             pending.repartition("user_id")
             .write.partitionBy("user_id").mode("errorifexists")
-            .parquet(os.path.join(self._segment_dir(seg), "docs"))
         )
+        if self.config.bloom_filter_ndv > 0:
+            # per-column parquet-mr writer options: a bloom filter on
+            # doc_id lets point probes (delete path, id lookup) skip row
+            # groups that min/max stats can't prune (docs/SCALE.md §bloom)
+            writer = (
+                writer.option("parquet.bloom.filter.enabled#doc_id", "true")
+                .option(
+                    "parquet.bloom.filter.expected.ndv#doc_id",
+                    str(self.config.bloom_filter_ndv),
+                )
+            )
+        writer.parquet(os.path.join(self._segment_dir(seg), "docs"))
         self._commit_toc(toc["segments"] + [seg], new_hi)
         self._prune_seq_claims(new_hi)
         return seg

@@ -374,3 +374,42 @@ def test_concurrent_writers_mint_distinct_seq_nos(spark, tmp_path):
     import os
     claims = col._seq_claims_dir()
     assert not os.path.isdir(claims) or not os.listdir(claims)
+
+
+def test_flush_writes_doc_id_bloom_filter(spark, tmp_path):
+    """Flushed segments carry a parquet bloom filter on doc_id
+    (multi_spann/builder.rs:16-26 analog — the delete path's point
+    probes skip row groups min/max stats can't prune). pyarrow doesn't
+    surface bloom metadata, so the gate is mechanical: the per-column
+    writer option must grow the segment files vs a bloom-disabled twin
+    of the same data, and reads must be identical."""
+    import os
+
+    from muopdb_spark.catalog.collection import Collection, CollectionConfig
+
+    def build(name: str, ndv: int) -> tuple[int, list[int]]:
+        col = Collection.create(
+            spark, str(tmp_path), CollectionConfig(
+                name=name, num_features=2, bloom_filter_ndv=ndv,
+            )
+        )
+        rows = [(0, d, [float(d), 1.0]) for d in range(2000)]
+        col.insert(spark.createDataFrame(
+            rows, "user_id long, doc_id long, vector array<float>"
+        ))
+        seg = col.flush()
+        seg_dir = os.path.join(col._segment_dir(seg), "docs")
+        size = 0
+        for dp, _, fs in os.walk(seg_dir):
+            size += sum(os.path.getsize(os.path.join(dp, f))
+                        for f in fs if f.endswith(".parquet"))
+        ids = sorted(r["doc_id"] for r in
+                     col.docs().filter("doc_id IN (7, 1234, 1999)").collect())
+        return size, ids
+
+    size_bloom, ids_bloom = build("with_bloom", 2048)
+    size_plain, ids_plain = build("no_bloom", 0)
+    assert ids_bloom == ids_plain == [7, 1234, 1999]
+    assert size_bloom > size_plain, (
+        f"bloom option did not reach the writer: {size_bloom} <= {size_plain}"
+    )
