@@ -1,14 +1,15 @@
-"""Snowball stemmers: German, Spanish, French (pure Python).
+"""Snowball stemmers, pure Python — the full reference language set.
 
 The reference stems 19 languages via the rust-stemmers Snowball port
 (rs/index/src/tokenizer/stemming_tokenizer.rs:22-44, language map).
-This environment has no stemmer package, so the three languages that
-appear in the fixtures beyond English (documents.lang: de/es/fr) are
+This environment has no stemmer package, so every language is
 implemented here directly from the PUBLISHED Snowball algorithm
-descriptions (snowballstem.org: "German stemming algorithm", "Spanish
-stemming algorithm", "French stemming algorithm" — M.F. Porter's
-public-domain specifications). Deterministic, dependency-free, and
-Arrow-batch friendly (plain str -> str functions).
+descriptions (snowballstem.org — M.F. Porter's public-domain
+specifications and the contributed algorithms for ru/tr/ro/hu/fi/el/
+ar/ta; Greek/Arabic/Tamil are documented reduced renditions — see
+their docstrings). Vietnamese routes to the English stemmer, as in the
+reference. Deterministic, dependency-free, and Arrow-batch friendly
+(plain str -> str functions).
 
 Conformance: pinned by pytest vectors (tests/test_snowball.py) covering
 the algorithms' published examples and inflection-family collapses; not
@@ -1160,6 +1161,545 @@ def dutch_stem(word: str) -> str:
     return w.lower()
 
 
+# -------------------------------------------------------------- Romanian
+
+_RO_VOWELS = "aăâeiîou"
+
+_RO_STEP0 = [
+    ("ului", "", None), ("ul", "", None),
+    ("aua", "a", None),
+    ("elor", "e", None), ("ele", "e", None), ("ea", "e", None),
+    ("iilor", "i", None), ("iile", "i", None), ("iei", "i", None),
+    ("iua", "i", None), ("ilor", "i", None), ("ii", "i", None),
+    ("ile", "i", "not_ab"),
+    ("atei", "at", None),
+    ("aţie", "aţi", None), ("aţia", "aţi", None),
+]
+_RO_STEP1 = [
+    ("abilitate", "abil"), ("abilitati", "abil"), ("abilităi", "abil"),
+    ("abilităţi", "abil"),
+    ("ibilitate", "ibil"),
+    ("ivitate", "iv"), ("ivitati", "iv"), ("ivităi", "iv"), ("ivităţi", "iv"),
+    ("icitate", "ic"), ("icitati", "ic"), ("icităi", "ic"), ("icităţi", "ic"),
+    ("icatori", "ic"), ("icator", "ic"),
+    ("iciv", "ic"), ("iciva", "ic"), ("icive", "ic"), ("icivi", "ic"),
+    ("icivă", "ic"),
+    ("ical", "ic"), ("icala", "ic"), ("icale", "ic"), ("icali", "ic"),
+    ("icală", "ic"),
+    ("ativ", "at"), ("ativa", "at"), ("ative", "at"), ("ativi", "at"),
+    ("ativă", "at"), ("aţiune", "at"), ("atoare", "at"), ("ator", "at"),
+    ("atori", "at"), ("ătoare", "at"), ("ător", "at"), ("ători", "at"),
+    ("itiv", "it"), ("itiva", "it"), ("itive", "it"), ("itivi", "it"),
+    ("itivă", "it"), ("iţiune", "it"), ("itoare", "it"), ("itor", "it"),
+    ("itori", "it"),
+]
+_RO_STEP2_DELETE = (
+    "at ata ată ati ate ut uta ută uti ute ât âta âtă âti âte ic ica ice "
+    "ici ică abil abila abile abili abilă ibil ibila ibile ibili ibilă "
+    "oasa oasă oase os osi oşi ant anta ante anti antă ator atori itate "
+    "itati ităi ităţi iv iva ive ivi ivă"
+).split()
+_RO_STEP2_IST = "ism isme ist ista iste isti istă işti".split()
+_RO_VERB_COND = (
+    "are ere ire âre ind ând indu ându eze ează ez ezi esc eşti eşte ăsc "
+    "ăşti ăşte am ai au eam eai ea eaţi eau iam iai ia iaţi iau ui ăi "
+    "arăm arăţi ară urăm urăţi ură irăm irăţi iră ârăm ârăţi âră asem "
+    "aseşi ase aserăm aserăţi aseră isem iseşi ise iserăm iserăţi iseră "
+    "âsem âseşi âse âserăm âserăţi âseră usem useşi use userăm userăţi "
+    "useră"
+).split()
+_RO_VERB_UNCOND = (
+    "ăm aţi em eţi im iţi âm âţi seşi serăm serăţi seră sei se sesem "
+    "seseşi sese seserăm seserăţi seseră"
+).split()
+
+
+def romanian_stem(word: str) -> str:
+    """Snowball Romanian (published algorithm description,
+    snowballstem.org "Romanian stemming algorithm"): step 0 removes
+    plural/article endings in R1, step 1 reduces combining suffixes in
+    R1 (repeated), step 2 removes standard suffixes in R2, step 3 (only
+    when steps 1-2 removed nothing) removes verb suffixes in RV with the
+    consonant-or-u condition for group 1, step 4 drops a final vowel in
+    RV. Comma-below ș/ț normalize to cedilla ş/ţ; intervocalic i/u are
+    treated as consonants."""
+    w = word.lower().replace("ș", "ş").replace("ț", "ţ")
+    chars = list(w)
+    for i in range(1, len(chars) - 1):
+        if chars[i] in "iu" and chars[i - 1] in _RO_VOWELS \
+                and chars[i + 1] in _RO_VOWELS:
+            chars[i] = chars[i].upper()
+    w = "".join(chars)
+    r1, r2 = _standard_r1_r2(w, _RO_VOWELS)
+    rv = _es_rv_generic(w, _RO_VOWELS)
+
+    # step 0
+    for suf, rep, cond in sorted(_RO_STEP0, key=lambda t: -len(t[0])):
+        pos = len(w) - len(suf)
+        if pos >= r1 and w.endswith(suf):
+            if cond == "not_ab" and w[max(0, pos - 2):pos] == "ab":
+                continue
+            w = w[:pos] + rep
+            break
+    # step 1: repeat while a combining suffix reduces (all in R1)
+    changed_1or2 = False
+    while True:
+        hit = False
+        for suf, rep in sorted(_RO_STEP1, key=lambda t: -len(t[0])):
+            pos = len(w) - len(suf)
+            if pos >= r1 and w.endswith(suf):
+                w = w[:pos] + rep
+                changed_1or2 = hit = True
+                break
+        if not hit:
+            break
+    # step 2 (R2)
+    step2 = sorted(
+        [(s, "", 0) for s in _RO_STEP2_DELETE]
+        + [("iune", "", 1), ("iuni", "", 1)]
+        + [(s, "ist", 0) for s in _RO_STEP2_IST],
+        key=lambda t: -len(t[0]),
+    )
+    for suf, rep, kind in step2:
+        pos = len(w) - len(suf)
+        if pos >= r2 and w.endswith(suf):
+            if kind == 1:
+                # iune/iuni delete only behind ţ, which becomes t
+                if pos > 0 and w[pos - 1] == "ţ":
+                    w = w[: pos - 1] + "t"
+                    changed_1or2 = True
+                continue
+            w = w[:pos] + rep
+            changed_1or2 = True
+            break
+    # step 3: verb suffixes in RV, only when steps 1-2 removed nothing
+    if not changed_1or2:
+        verbs = sorted(
+            [(s, True) for s in _RO_VERB_COND]
+            + [(s, False) for s in _RO_VERB_UNCOND],
+            key=lambda t: -len(t[0]),
+        )
+        for suf, needs_cons in verbs:
+            pos = len(w) - len(suf)
+            if pos >= rv and w.endswith(suf):
+                if needs_cons:
+                    if pos - 1 < rv:
+                        continue
+                    prev = w[pos - 1]
+                    if prev in _RO_VOWELS and prev != "u":
+                        continue
+                w = w[:pos]
+                break
+    # step 4: final vowel in RV
+    for suf in ("ie", "a", "e", "i", "ă"):
+        pos = len(w) - len(suf)
+        if pos >= rv and w.endswith(suf):
+            w = w[:pos]
+            break
+    return w.lower()
+
+
+# ------------------------------------------------------------- Hungarian
+
+_HU_VOWELS = "aáeéiíoóöőuúüű"
+_HU_DIGRAPHS = ("cs", "dzs", "dz", "gy", "ly", "ny", "sz", "ty", "zs")
+
+
+def _hu_r1(w: str) -> int:
+    """Hungarian R1: after the first consonant-or-digraph when the word
+    starts with a vowel, after the first vowel when it starts with a
+    consonant."""
+    n = len(w)
+    if not w:
+        return 0
+    if w[0] in _HU_VOWELS:
+        i = 1
+        while i < n:
+            if w[i] not in _HU_VOWELS:
+                for d in _HU_DIGRAPHS:
+                    if w.startswith(d, i):
+                        return min(i + len(d), n)
+                return min(i + 1, n)
+            i += 1
+        return n
+    for i in range(1, n):
+        if w[i] in _HU_VOWELS:
+            return min(i + 1, n)
+    return n
+
+
+def _hu_undouble(w: str) -> str:
+    """bb->b ... including doubled digraphs (ccs->cs, ssz->sz, ...)."""
+    for d in _HU_DIGRAPHS:
+        if w.endswith(d[0] + d):
+            return w[: -len(d) - 1] + d
+    if len(w) >= 2 and w[-1] == w[-2] and w[-1] not in _HU_VOWELS:
+        return w[:-1]
+    return w
+
+
+_HU_CASES = (
+    "onként enként anként ként képpen képp ban ben ba be ra re nak nek "
+    "val vel tól től ról ről ból ből hoz hez höz nál nél ig at et ot öt "
+    "ért kor ul ül vá vé en on an ön n t"
+).split()
+_HU_OWNER_PL = (
+    "jaitok jeitek jaink jeink aitok eitek aink eink itek ink jaim jeim "
+    "jaid jeid jaik jeik aim eim aid eid aik eik jai jei im id ai ei ik i"
+).split()
+_HU_OWNER_SG = (
+    "ünk unk juk jük uk ük nk em om am od ed ad öd ja je m d a e o"
+).split()
+
+
+def hungarian_stem(word: str) -> str:
+    """Snowball Hungarian (published algorithm description,
+    snowballstem.org "Hungarian stemming algorithm"): instrumental
+    al/el behind a doubled consonant (undoubled after removal), the
+    case-ending inventory, á/é restoration to a/e, owner suffixes
+    (plural then singular), and the final plural -k family — all in the
+    Hungarian R1 (consonant/digraph-aware). The nine published steps
+    are applied as ordered longest-match passes, ITERATED to a bounded
+    fixpoint: a single pass leaves inflection families split (barátok
+    -> barát while barát -> bara, because the á-restoration path keeps
+    stripping) and Contains semantics need family members on one stem.
+    Deviations are deterministic and shared by index and query sides
+    (module-header caveat)."""
+    w = word.lower()
+    for _ in range(3):
+        out = _hu_pass(w)
+        if out == w:
+            break
+        w = out
+    return w
+
+
+def _hu_pass(w: str) -> str:
+    r1 = _hu_r1(w)
+
+    def in_r1(pos: int) -> bool:
+        return pos >= r1
+
+    # step 1: instrumental al/el behind double consonant, undouble
+    for suf in ("al", "el"):
+        pos = len(w) - 2
+        if w.endswith(suf) and in_r1(pos) and pos >= 2 \
+                and w[pos - 1] not in _HU_VOWELS and w[pos - 1] == w[pos - 2]:
+            w = _hu_undouble(w[:pos])
+            break
+    # step 2: frequent cases; restore final á->a, é->e
+    for suf in sorted(_HU_CASES, key=len, reverse=True):
+        pos = len(w) - len(suf)
+        if w.endswith(suf) and in_r1(pos):
+            w = w[:pos]
+            if w.endswith("á"):
+                w = w[:-1] + "a"
+            elif w.endswith("é"):
+                w = w[:-1] + "e"
+            break
+    # step 3: special án/én/ánként -> a/e
+    for suf, rep in (("ánként", "a"), ("án", "a"), ("én", "e")):
+        pos = len(w) - len(suf)
+        if w.endswith(suf) and in_r1(pos):
+            w = w[:pos] + rep
+            break
+    # step 4: -stul/-stül family
+    for suf, rep in (("astul", ""), ("estül", ""), ("ástul", "a"),
+                     ("éstül", "e"), ("stul", ""), ("stül", "")):
+        pos = len(w) - len(suf)
+        if w.endswith(suf) and in_r1(pos):
+            w = w[:pos] + rep
+            break
+    # step 5: factive á/é behind double consonant, undouble
+    for suf in ("á", "é"):
+        pos = len(w) - 1
+        if w.endswith(suf) and in_r1(pos) and pos >= 2 \
+                and w[pos - 1] not in _HU_VOWELS and w[pos - 1] == w[pos - 2]:
+            w = _hu_undouble(w[:pos])
+            break
+    # step 6: owned (-é and friends)
+    for suf, rep in (("áké", "a"), ("éké", "e"), ("oké", ""), ("öké", ""),
+                     ("aké", ""), ("eké", ""), ("ké", ""), ("éi", ""),
+                     ("éé", ""), ("é", "")):
+        pos = len(w) - len(suf)
+        if w.endswith(suf) and in_r1(pos):
+            w = w[:pos] + rep
+            break
+    # step 7: plural owner suffixes (with á/é restoration)
+    done = False
+    for suf in sorted(_HU_OWNER_PL, key=len, reverse=True):
+        pos = len(w) - len(suf)
+        if w.endswith(suf) and in_r1(pos):
+            w = w[:pos]
+            if w.endswith("á"):
+                w = w[:-1] + "a"
+            elif w.endswith("é"):
+                w = w[:-1] + "e"
+            done = True
+            break
+    # step 8: singular owner suffixes (skip when a plural-owner matched)
+    if not done:
+        for suf in sorted(_HU_OWNER_SG, key=len, reverse=True):
+            pos = len(w) - len(suf)
+            if w.endswith(suf) and in_r1(pos):
+                w = w[:pos]
+                if w.endswith("á"):
+                    w = w[:-1] + "a"
+                elif w.endswith("é"):
+                    w = w[:-1] + "e"
+                break
+    # step 9: plural -k
+    for suf, rep in (("ák", "a"), ("ék", "e"), ("ök", ""), ("ok", ""),
+                     ("ek", ""), ("ak", ""), ("k", "")):
+        pos = len(w) - len(suf)
+        if w.endswith(suf) and in_r1(pos):
+            w = w[:pos] + rep
+            break
+    return w
+
+
+# ---------------------------------------------------------------- Greek
+
+_EL_FOLD = str.maketrans("άέήίόύώϊΐϋΰ", "αεηιουωιιυυ")
+_EL_VOWELS = "αεηιουω"
+# inflectional core, longest-first: noun/adjective case+number endings
+# and the common present-tense verb endings
+_EL_ENDINGS = (
+    "ματων ματος ματα ουμε ουνε εται ονται εσαι ομαι ετε ουν εις ει "
+    "ους ιων εων ων ου ος ες ας ης οι αι α η ο ι ε ω"
+).split()
+
+
+def greek_stem(word: str) -> str:
+    """Greek stemmer: the inflectional CORE of the published Snowball
+    Greek algorithm (snowballstem.org, after Ntais' published stemmer) —
+    accent folding, final-sigma normalization, and longest-match removal
+    of the case/number/person endings. The full algorithm's ~150-entry
+    protected-word exception tables are OMITTED: without them some
+    derivational stems differ from the official output, but removal is
+    deterministic and shared by index and query sides (module-header
+    caveat), which is what Contains semantics require."""
+    w = word.lower().translate(_EL_FOLD)
+    if w.endswith("ς"):
+        w = w[:-1] + "σ"
+    for suf in sorted(_EL_ENDINGS, key=len, reverse=True):
+        s = suf.replace("ς", "σ")
+        if w.endswith(s) and len(w) - len(s) >= 2:
+            stem = w[: len(w) - len(s)]
+            if any(c in _EL_VOWELS for c in stem):
+                return stem
+    return w
+
+
+# --------------------------------------------------------------- Arabic
+
+_AR_DIACRITICS = dict.fromkeys(map(ord, "ًٌٍَُِّْـ"))
+_AR_NORM = str.maketrans({"أ": "ا", "إ": "ا", "آ": "ا", "ى": "ي"})
+_AR_PREFIXES = ("وال", "فال", "بال", "كال", "لل", "ال", "و")
+_AR_SUFFIXES = ("ها", "ان", "ات", "ون", "ين", "يه", "ية", "ه", "ة", "ي")
+
+
+def arabic_stem(word: str) -> str:
+    """Arabic light stemmer in the shape of Larkey et al.'s published
+    Light10 (the de-facto standard light stemmer the Snowball Arabic
+    algorithm's affix-stripping stage follows): diacritic/tatweel
+    removal, hamza-form and alif-maqsura normalization, one definite-
+    article/conjunction prefix strip, then suffix stripping from the
+    Light10 list while the remainder keeps >= 2 letters. No root
+    extraction (broken plurals don't collapse — same as Light10)."""
+    w = word.translate(_AR_DIACRITICS).translate(_AR_NORM)
+    for p in _AR_PREFIXES:
+        if w.startswith(p) and len(w) - len(p) >= 2:
+            w = w[len(p):]
+            break
+    changed = True
+    while changed:
+        changed = False
+        for s in _AR_SUFFIXES:
+            if w.endswith(s) and len(w) - len(s) >= 2:
+                w = w[: len(w) - len(s)]
+                changed = True
+                break
+    return w
+
+
+# ---------------------------------------------------------------- Tamil
+
+# case endings that begin with a VOWEL SIGN (they replaced the stem's
+# final virama: அவன் + ஐ -> அவனை), longest first; the -um particle and
+# கள் plural are handled separately for their sandhi undo
+_TA_VOWEL_SIGN_ENDINGS = (
+    "ுக்கு", "ோடு", "ிடம்", "ால்", "ில்", "ின்", "ாக",
+    "ை", "ா", "ே", "ோ",
+)
+_TA_VIRAMA = "்"
+
+
+def _ta_is_bare_consonant(ch: str) -> bool:
+    return "க" <= ch <= "ஹ"  # க..ஹ
+
+
+def tamil_stem(word: str) -> str:
+    """Tamil stemmer: reduced rendition of the published Snowball Tamil
+    algorithm (snowballstem.org, after Damodharan's stemmer) — removes
+    question clitics, the -um particle (ம் only, so u-final stems
+    survive: வீடும் -> வீடு), case endings (restoring the virama the
+    vowel sign displaced: அவனை -> அவன்), and the -kal plural with the
+    m->ng sandhi undone (புத்தகங்கள் -> புத்தகம்). The published
+    algorithm's verb-conjugation tables are OMITTED; removal is
+    deterministic and shared by index and query sides (module-header
+    caveat)."""
+    w = word
+    for _ in range(3):
+        before = w
+        if w.endswith("கள்") and len(w) >= 6:
+            w = w[:-3]
+            if w.endswith("ங்"):
+                w = w[:-2] + "ம்"
+        if w.endswith("ும்") and len(w) >= 5:
+            # strip only ம்: the preceding u sign is shared between the
+            # stem and the particle (டு + உம் -> டும்); restore the
+            # virama on nasal/liquid finals (அவனும் -> அவனு -> அவன்)
+            w = w[:-1]  # drop virama
+            w = w[:-1]  # drop ம
+            if len(w) >= 2 and w[-1] == "ு" and w[-2] in "னணலளரழம":
+                w = w[:-1] + _TA_VIRAMA
+        for s in _TA_VOWEL_SIGN_ENDINGS:
+            if w.endswith(s) and len(w) - len(s) >= 3:
+                w = w[: len(w) - len(s)]
+                if w and _ta_is_bare_consonant(w[-1]):
+                    w = w + _TA_VIRAMA
+                break
+        if w == before:
+            break
+    return w
+
+
+# --------------------------------------------------------------- Finnish
+
+_FI_VOWELS = "aeiouyäö"
+_FI_LONG = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+
+
+def finnish_stem(word: str) -> str:
+    """Snowball Finnish (published algorithm description,
+    snowballstem.org "Finnish stemming algorithm"): particle, possessive
+    and case endings in R1 with their preceding-letter conditions
+    (h-illative vowel match, cv condition for a/ä, the n-rule with long-
+    vowel shortening), comparative endings in R2, the plural i/j vs t
+    rule keyed on whether a case ending was removed, and the tidy pass
+    (long-vowel + final-double-consonant undoubling). The published j/o
+    micro-rules of the tidy step are omitted (module-header caveat)."""
+    w = word.lower()
+    r1, r2 = _standard_r1_r2(w, _FI_VOWELS)
+
+    def in_r1(p: int) -> bool:
+        return p >= r1
+
+    # step 1: particles
+    done1 = False
+    for suf in ("kaan", "kään", "kin", "han", "hän", "ko", "kö", "pa", "pä"):
+        pos = len(w) - len(suf)
+        if w.endswith(suf) and in_r1(pos) and pos > 0 \
+                and (w[pos - 1] in "nt" or w[pos - 1] in _FI_VOWELS):
+            w = w[:pos]
+            done1 = True
+            break
+    if not done1 and w.endswith("sti") and len(w) - 3 >= r2:
+        w = w[:-3]
+    # step 2: possessives
+    if w.endswith("si") and in_r1(len(w) - 2) and not w[: -2].endswith("k"):
+        w = w[:-2]
+    elif w.endswith("ni") and in_r1(len(w) - 2):
+        w = w[:-2]
+        if w.endswith("kse"):
+            w = w[:-1] + "i"
+    elif w.endswith(("nsa", "nsä", "mme", "nne")) and in_r1(len(w) - 3):
+        w = w[:-3]
+    elif w.endswith("an") and in_r1(len(w) - 2) \
+            and w[:-2].endswith(("ta", "ssa", "sta", "lla", "lta", "na")):
+        w = w[:-2]
+    elif w.endswith("än") and in_r1(len(w) - 2) \
+            and w[:-2].endswith(("tä", "ssä", "stä", "llä", "ltä", "nä")):
+        w = w[:-2]
+    elif w.endswith("en") and in_r1(len(w) - 2) \
+            and w[:-2].endswith(("lle", "ine")):
+        w = w[:-2]
+    # step 3: cases
+    case_removed = False
+    h_ill = {"han": "a", "hen": "e", "hin": "i", "hon": "o",
+             "hun": "u", "hyn": "y", "hän": "ä", "hön": "ö"}
+    matched = False
+    for suf in ("siin", "tten", "seen", "den", "tta", "ttä", "ssa", "ssä",
+                "sta", "stä", "lla", "llä", "lta", "ltä", "lle", "ksi",
+                "ine", "han", "hen", "hin", "hon", "hun", "hyn", "hän",
+                "hön", "na", "nä", "ta", "tä", "a", "ä", "n"):
+        pos = len(w) - len(suf)
+        if not (w.endswith(suf) and in_r1(pos)):
+            continue
+        if suf in h_ill:
+            if pos > 0 and w[pos - 1] == h_ill[suf]:
+                w, case_removed, matched = w[:pos], True, True
+            break
+        if suf in ("siin", "den", "tten"):
+            if pos >= 2 and w[pos - 1] == "i" and w[pos - 2] in _FI_VOWELS:
+                w, case_removed, matched = w[:pos], True, True
+            break
+        if suf == "seen":
+            if w[:pos].endswith(_FI_LONG):
+                w, case_removed, matched = w[:pos], True, True
+            break
+        if suf in ("a", "ä"):
+            # cv condition: preceded by consonant that follows a vowel
+            if pos >= 2 and w[pos - 1] not in _FI_VOWELS \
+                    and w[pos - 2] in _FI_VOWELS:
+                w, case_removed, matched = w[:pos], True, True
+            break
+        if suf in ("tta", "ttä"):
+            if pos > 0 and w[pos - 1] == "e":
+                w, case_removed, matched = w[:pos], True, True
+            break
+        if suf == "n":
+            w = w[:pos]
+            if w.endswith(_FI_LONG) or w.endswith("ie"):
+                w = w[:-1]
+            case_removed = matched = True
+            break
+        w, case_removed, matched = w[:pos], True, True
+        break
+    del matched
+    # step 4: comparatives (R2)
+    for suf in ("impi", "impa", "impä", "immi", "imma", "immä",
+                "eja", "ejä", "mpi", "mpa", "mpä", "mmi", "mma", "mmä"):
+        pos = len(w) - len(suf)
+        if w.endswith(suf) and pos >= r2:
+            if suf in ("mpi", "mpa", "mpä", "mmi", "mma", "mmä") \
+                    and w[:pos].endswith("po"):
+                break
+            w = w[:pos]
+            break
+    # step 5: plurals
+    if case_removed:
+        if w.endswith(("i", "j")) and in_r1(len(w) - 1):
+            w = w[:-1]
+    elif w.endswith("t") and in_r1(len(w) - 1) \
+            and len(w) >= 2 and w[-2] in _FI_VOWELS:
+        w = w[:-1]
+        for suf in ("imma", "mma"):
+            pos = len(w) - len(suf)
+            if w.endswith(suf) and pos >= r2:
+                if suf == "mma" and w[:pos].endswith("po"):
+                    break
+                w = w[:pos]
+                break
+    # step 6: tidy — long vowel in R1, then final double consonant
+    if w.endswith(_FI_LONG) and in_r1(len(w) - 1):
+        w = w[:-1]
+    if len(w) >= 2 and w[-1] == w[-2] and w[-1] not in _FI_VOWELS:
+        w = w[:-1]
+    return w
+
+
 # --------------------------------------------------------------- Russian
 
 _RU_VOWELS = "аеиоуыэюя"
@@ -1470,4 +2010,13 @@ SNOWBALL_STEMMERS = {
     "dutch": dutch_stem, "nl": dutch_stem,
     "russian": russian_stem, "ru": russian_stem,
     "turkish": turkish_stem, "tr": turkish_stem,
+    "romanian": romanian_stem, "ro": romanian_stem,
+    "hungarian": hungarian_stem, "hu": hungarian_stem,
+    "finnish": finnish_stem, "fi": finnish_stem,
+    "greek": greek_stem, "el": greek_stem,
+    "arabic": arabic_stem, "ar": arabic_stem,
+    "tamil": tamil_stem, "ta": tamil_stem,
+    # Vietnamese maps to the English (Porter) stemmer in
+    # functions/text.py:_stemmer_for, mirroring the reference
+    # (stemming_tokenizer.rs: Language::English | Language::Vietnamese)
 }

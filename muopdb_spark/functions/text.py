@@ -185,7 +185,9 @@ def porter_stem(word: str) -> str:
 def _stemmer_for(language: str):
     """str->str stem function for a language tag ('de'/'german'/...),
     or None when the language has no stemmer (identity fallback)."""
-    if language in ("english", "en"):
+    if language in ("english", "en", "vietnamese", "vi"):
+        # the reference routes Vietnamese to the English stemmer
+        # (stemming_tokenizer.rs: Language::English | Language::Vietnamese)
         return porter_stem
     from muopdb_spark.functions.snowball import SNOWBALL_STEMMERS
 

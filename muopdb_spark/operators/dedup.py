@@ -160,6 +160,13 @@ def ngram_jaccard_pairs(
     exact (never misses a pair), and the inverted-index self-join fans
     out over rare shingles only. Verification joins the full shingle
     sets back and computes exact Jaccard.
+
+    EAGER: calling this launches the shingle+rank subtree immediately
+    (persist + count barrier — see the inline comment for why) and the
+    persisted intermediate lives until the cache is cleared. Downstream
+    operators (e.g. .limit()) therefore cannot avoid the upstream work.
+    Long-lived sessions issuing many dedup calls should
+    spark.catalog.clearCache() (or unpersist) between corpora.
     """
     # One linear pass up to the ranked table: shingle -> explode (which
     # drops empty-shingle docs for free) -> window df-count (one shuffle
@@ -246,6 +253,11 @@ def minhash_lsh_pairs(
     Output: (doc_a, doc_b, est_jaccard, jaccard) for candidate pairs
     that share >= 1 LSH band AND pass exact Jaccard >= threshold.
     est_jaccard = fraction of matching minhashes.
+
+    EAGER: calling this materializes the signature subtree immediately
+    (persist + count barrier, rationale inline) and the persisted
+    signatures live until the cache is cleared — clearCache()/unpersist
+    between corpora in long-lived sessions.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands

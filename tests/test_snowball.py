@@ -417,3 +417,98 @@ def test_ru_tr_family_collapse_and_dispatch(spark):
     ).collect()
     got = {r.doc_id: r.toks for r in rows}
     assert got == {1: ["книг"], 2: ["kitap"]}
+
+
+# ----------------------------------- remaining reference languages (r4)
+
+@pytest.mark.parametrize("word,stem", [
+    ("român", "român"), ("română", "român"), ("români", "român"),
+    ("românilor", "român"), ("românesc", "român"),
+    ("lucrare", "lucr"), ("lucrarea", "lucr"),
+    ("cântând", "cânt"), ("cântam", "cânt"),
+    ("abilitate", "abil"), ("copilului", "copil"),
+])
+def test_romanian_vectors(word, stem):
+    from muopdb_spark.functions.snowball import romanian_stem
+
+    assert romanian_stem(word) == stem
+
+
+@pytest.mark.parametrize("word,stem", [
+    ("ház", "ház"), ("házak", "ház"), ("házat", "ház"), ("házban", "ház"),
+    ("házakat", "ház"), ("háza", "ház"), ("házaim", "ház"),
+    ("könyv", "könyv"), ("könyvek", "könyv"), ("könyvvel", "könyv"),
+    ("könyveink", "könyv"),
+    ("asztal", "asztal"), ("asztalon", "asztal"),
+    ("emberek", "ember"),
+])
+def test_hungarian_vectors(word, stem):
+    from muopdb_spark.functions.snowball import hungarian_stem
+
+    assert hungarian_stem(word) == stem
+
+
+@pytest.mark.parametrize("word,stem", [
+    ("talo", "talo"), ("talon", "talo"), ("talossa", "talo"),
+    ("talosta", "talo"), ("taloon", "talo"), ("talot", "talo"),
+    ("taloja", "talo"),
+    ("kirja", "kirja"), ("kirjan", "kirja"), ("kirjassa", "kirja"),
+    ("kirjat", "kirja"),
+    ("autoon", "auto"), ("autot", "auto"),
+])
+def test_finnish_vectors(word, stem):
+    from muopdb_spark.functions.snowball import finnish_stem
+
+    assert finnish_stem(word) == stem
+
+
+@pytest.mark.parametrize("word,stem", [
+    ("λόγος", "λογ"), ("λόγου", "λογ"), ("λόγους", "λογ"),
+    ("λόγων", "λογ"), ("λόγοι", "λογ"),
+    ("γλώσσα", "γλωσσ"), ("γλώσσας", "γλωσσ"), ("γλώσσες", "γλωσσ"),
+    ("γλωσσών", "γλωσσ"),
+    ("γράφω", "γραφ"), ("γράφεις", "γραφ"), ("γράφει", "γραφ"),
+])
+def test_greek_vectors(word, stem):
+    from muopdb_spark.functions.snowball import greek_stem
+
+    assert greek_stem(word) == stem
+
+
+@pytest.mark.parametrize("word,stem", [
+    ("كتاب", "كتاب"), ("الكتاب", "كتاب"), ("كتابه", "كتاب"),
+    ("وكتاب", "كتاب"),
+    ("مسلم", "مسلم"), ("مسلمون", "مسلم"), ("مسلمين", "مسلم"),
+    ("المسلمون", "مسلم"),
+])
+def test_arabic_vectors(word, stem):
+    from muopdb_spark.functions.snowball import arabic_stem
+
+    assert arabic_stem(word) == stem
+
+
+@pytest.mark.parametrize("word,stem", [
+    ("புத்தகம்", "புத்தகம்"), ("புத்தகங்கள்", "புத்தகம்"),
+    ("வீடு", "வீடு"), ("வீடுகள்", "வீடு"), ("வீடும்", "வீடு"),
+    ("அவன்", "அவன்"), ("அவனை", "அவன்"), ("அவனால்", "அவன்"),
+    ("அவனும்", "அவன்"),
+])
+def test_tamil_vectors(word, stem):
+    from muopdb_spark.functions.snowball import tamil_stem
+
+    assert tamil_stem(word) == stem
+
+
+def test_full_reference_language_dispatch():
+    """Every language of stemming_tokenizer.rs:22-44 resolves to a real
+    stemmer — the identity fallback is gone for the reference set
+    (Vietnamese routes to English, as in the reference)."""
+    from muopdb_spark.functions.text import _stemmer_for, porter_stem
+
+    for code in ("ar", "da", "nl", "en", "fi", "fr", "de", "el", "hu",
+                 "it", "no", "pt", "ro", "ru", "es", "sv", "ta", "tr",
+                 "vi"):
+        assert _stemmer_for(code) is not None, code
+    assert _stemmer_for("vi") is porter_stem
+    # unsupported tags still degrade to identity, not an error
+    assert _stemmer_for("zz") is None
