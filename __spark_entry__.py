@@ -1530,6 +1530,37 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_fvecs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """src2 (S8 offline ingest): embeddings exported to the standard
+    .fvecs on-disk vector format (TexMex/ann-benchmarks) and re-read
+    through the distributed byte-range reader (sources/fvecs.py —
+    executors pread disjoint chunks; the driver reads 4 bytes). Green
+    iff the binary boundary is lossless: the oracle reads the original
+    parquet."""
+    import shutil
+    import tempfile
+
+    from muopdb_spark.sources.fvecs import read_vecs, write_vecs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="muopdb_fvecs_")
+    try:
+        p = os.path.join(tmp, "emb.fvecs")
+        write_vecs(emb, p, kind="fvecs")
+        back = read_vecs(spark, p, kind="fvecs", rows_per_task=1024)
+        result = back.select(
+            "vec_id",
+            F.size("embedding").cast("long").alias("n_dims"),
+            F.round(
+                F.aggregate("embedding", F.lit(0.0),
+                            lambda a, x: a + x.cast("double")), 6
+            ).alias("checksum"),
+        ).orderBy("vec_id").toPandas()
+        return spark.createDataFrame(result)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1633,6 +1664,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o3_above_nation_avg": q_above_nation_avg,
         "j5_tpch_q5": q_tpch_q5ish,
         "a2_part_stats": q_part_stats,
+        "src2_fvecs_roundtrip": q_fvecs_roundtrip,
     }
 
 
@@ -1816,6 +1848,15 @@ def oracle_sql() -> dict[str, str]:
                    round(list_sum(embedding::DOUBLE[]), 6) AS checksum
             FROM embeddings
             ORDER BY doc_id
+        """,
+        # fvecs boundary is lossless iff the re-read vectors checksum
+        # identically to the original parquet (float32 both sides)
+        "src2_fvecs_roundtrip": """
+            SELECT vec_id,
+                   CAST(len(embedding) AS BIGINT) AS n_dims,
+                   round(list_sum(embedding::DOUBLE[]), 6) AS checksum
+            FROM embeddings
+            ORDER BY vec_id
         """,
         # German Contains: the oracle expands the stemmed query tokens to
         # their raw-token stem classes over the fixture vocabulary (see

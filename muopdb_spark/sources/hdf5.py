@@ -4,8 +4,9 @@ driver index_writer.rs:429).
 
 This environment ships no HDF5 bindings (h5py/pytables absent), so the
 reader is gated: it fails loudly at call time with the exact dependency
-needed. The conversion shape — local reader → Arrow batches →
-distributed DataFrame — is the same pattern as sources/packed.py, and
+needed. The offline-ingest ROLE is filled by sources/fvecs.py (the
+standard fvecs/bvecs/ivecs corpus format, distributed byte-range
+reader, oracle-gated by src2_fvecs_roundtrip) and sources/jsonl.py;
 Parquet is the native fixture format everywhere else (SURVEY §2.1 S8).
 """
 

@@ -1,0 +1,89 @@
+"""fvecs/bvecs/ivecs source: roundtrip, distributed chunking, and
+format validation (sources/fvecs.py; S8 offline-ingest role,
+rs/index_writer/src/input/hdf5.rs analog)."""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from muopdb_spark.sources.fvecs import read_vecs, write_vecs
+
+
+@pytest.mark.parametrize("kind,dtype", [
+    ("fvecs", np.float32), ("bvecs", np.uint8), ("ivecs", np.int32),
+])
+def test_roundtrip_all_kinds(spark, tmp_path, kind, dtype):
+    rng = np.random.default_rng(7)
+    n, dim = 257, 12  # not a multiple of rows_per_task on purpose
+    if kind == "fvecs":
+        mat = rng.normal(size=(n, dim)).astype(dtype)
+    else:
+        mat = rng.integers(0, 100, size=(n, dim)).astype(dtype)
+    p = str(tmp_path / f"v.{kind}")
+    with open(p, "wb") as f:
+        for row in mat:
+            f.write(struct.pack("<i", dim))
+            f.write(row.tobytes())
+
+    df = read_vecs(spark, p, kind=kind, rows_per_task=100)
+    rows = {r["vec_id"]: r["embedding"] for r in df.collect()}
+    assert len(rows) == n
+    assert np.allclose(rows[0], mat[0].astype(np.float32))
+    assert np.allclose(rows[n - 1], mat[n - 1].astype(np.float32))
+    # ids are dense and chunk boundaries do not duplicate or drop rows
+    assert sorted(rows) == list(range(n))
+
+
+def test_write_then_read(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i) + 0.5]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    p = str(tmp_path / "out.fvecs")
+    assert write_vecs(df, p, kind="fvecs") == 10
+    back = {r["vec_id"]: r["embedding"] for r in
+            read_vecs(spark, p, kind="fvecs").collect()}
+    assert back[3] == [3.0, 3.5]
+
+
+def test_id_offset(spark, tmp_path):
+    p = str(tmp_path / "o.fvecs")
+    with open(p, "wb") as f:
+        for i in range(5):
+            f.write(struct.pack("<i", 2))
+            f.write(np.array([i, i], dtype=np.float32).tobytes())
+    ids = sorted(r["vec_id"] for r in
+                 read_vecs(spark, p, kind="fvecs", id_offset=100).collect())
+    assert ids == [100, 101, 102, 103, 104]
+
+
+def test_truncated_file_rejected(spark, tmp_path):
+    p = str(tmp_path / "bad.fvecs")
+    with open(p, "wb") as f:
+        f.write(struct.pack("<i", 4))
+        f.write(np.zeros(3, dtype=np.float32).tobytes())  # 1 value short
+    with pytest.raises(ValueError, match="not a multiple"):
+        read_vecs(spark, p, kind="fvecs")
+
+
+def test_mixed_dims_rejected(spark, tmp_path):
+    # two records whose sizes happen to sum compatibly but differ in dim
+    p = str(tmp_path / "mixed.fvecs")
+    with open(p, "wb") as f:
+        f.write(struct.pack("<i", 2))
+        f.write(np.zeros(2, dtype=np.float32).tobytes())
+        f.write(struct.pack("<i", 3))
+        f.write(np.zeros(3, dtype=np.float32).tobytes())
+        f.write(struct.pack("<i", 1))
+        f.write(np.zeros(1, dtype=np.float32).tobytes())
+    with pytest.raises(Exception):
+        read_vecs(spark, p, kind="fvecs").collect()
+
+
+def test_bad_kind_rejected(spark, tmp_path):
+    with pytest.raises(ValueError, match="kind"):
+        read_vecs(spark, str(tmp_path / "x"), kind="npy")
