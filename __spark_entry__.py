@@ -1530,6 +1530,16 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t7: Gopher-rule quality flags (Rae et al. 2021 table A1) — every
+    published signal as a JVM-side expression, one map pass, no Python
+    in the plan (operators/quality.py:gopher_quality_flags)."""
+    from muopdb_spark.operators.quality import gopher_quality_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_quality_flags(docs).orderBy("doc_id")
+
+
 def q_fvecs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """src2 (S8 offline ingest): embeddings exported to the standard
     .fvecs on-disk vector format (TexMex/ann-benchmarks) and re-read
@@ -1665,6 +1675,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j5_tpch_q5": q_tpch_q5ish,
         "a2_part_stats": q_part_stats,
         "src2_fvecs_roundtrip": q_fvecs_roundtrip,
+        "t7_gopher_flags": q_gopher_flags,
     }
 
 
@@ -1848,6 +1859,59 @@ def oracle_sql() -> dict[str, str]:
                    round(list_sum(embedding::DOUBLE[]), 6) AS checksum
             FROM embeddings
             ORDER BY doc_id
+        """,
+        # Gopher table-A1 flags, each signal transcribed to DuckDB list
+        # ops; passes is the conjunction over the ROUNDED signals on
+        # both sides
+        "t7_gopher_flags": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       coalesce(text, '') AS t,
+                       list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                                   w -> w <> '') AS ws,
+                       string_split(coalesce(text, ''), chr(10)) AS ls
+                FROM documents
+            ), m AS (
+                SELECT doc_id,
+                       CAST(len(ws) AS BIGINT) AS n_words,
+                       CASE WHEN len(ws) > 0 THEN
+                           list_aggregate(list_transform(ws, w -> length(w)), 'sum')::DOUBLE / len(ws)
+                       ELSE 0.0 END AS mean_word_len,
+                       CASE WHEN len(ws) > 0 THEN
+                           ((length(t) - length(replace(t, '#', '')))
+                            + (length(t) - length(replace(t, '...', ''))) / 3
+                            + (length(t) - length(replace(t, '…', ''))))::DOUBLE / len(ws)
+                       ELSE 0.0 END AS symbol_ratio,
+                       CASE WHEN len(ls) > 0 THEN
+                           len(list_filter(ls, l -> regexp_matches(ltrim(l), '^(•|-|\*)')))::DOUBLE / len(ls)
+                       ELSE 0.0 END AS bullet_ratio,
+                       CASE WHEN len(ls) > 0 THEN
+                           len(list_filter(ls, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$')))::DOUBLE / len(ls)
+                       ELSE 0.0 END AS ellipsis_ratio,
+                       CASE WHEN len(ws) > 0 THEN
+                           len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE / len(ws)
+                       ELSE 0.0 END AS alpha_frac,
+                       CAST(len(list_intersect(
+                           list_distinct(list_transform(ws, w -> lower(w))),
+                           ['the','be','to','of','and','that','have','with']
+                       )) AS BIGINT) AS stop_hits
+                FROM base
+            )
+            SELECT doc_id, n_words,
+                   round(mean_word_len, 6) AS mean_word_len,
+                   round(symbol_ratio, 6) AS symbol_ratio,
+                   round(bullet_ratio, 6) AS bullet_ratio,
+                   round(ellipsis_ratio, 6) AS ellipsis_ratio,
+                   round(alpha_frac, 6) AS alpha_frac,
+                   stop_hits,
+                   (n_words BETWEEN 50 AND 100000
+                    AND round(mean_word_len, 6) BETWEEN 3 AND 10
+                    AND round(symbol_ratio, 6) <= 0.1
+                    AND round(bullet_ratio, 6) <= 0.9
+                    AND round(ellipsis_ratio, 6) <= 0.3
+                    AND round(alpha_frac, 6) >= 0.8
+                    AND stop_hits >= 2) AS passes
+            FROM m ORDER BY doc_id
         """,
         # fvecs boundary is lossless iff the re-read vectors checksum
         # identically to the original parquet (float32 both sides)

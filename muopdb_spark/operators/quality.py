@@ -101,3 +101,73 @@ def repetition_stats(
     slim = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
     out = slim.mapInPandas(gen, schema=schema)
     return out.withColumnRenamed("id", id_col)
+
+
+def gopher_quality_flags(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
+    min_words: int = 50, max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher-rule quality flags (Rae et al. 2021, "Scaling Language
+    Models", table A1 — the published pretraining-corpus filter), one
+    row per document with every signal surfaced so downstream policy can
+    threshold differently per source:
+
+      n_words, mean_word_len, symbol_ratio (#/... per word),
+      bullet_ratio / ellipsis_ratio (of lines), alpha_frac (words with
+      at least one letter), stop_hits (of the canonical 8 stopwords),
+      passes (the conjunction at the published thresholds).
+
+    Entirely JVM-side Catalyst expressions — split/filter/aggregate
+    over arrays, zero Python in the plan, so the pass is map-side only
+    and whole-stage-codegen eligible at any scale."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    lines = F.split(text, r"\n")
+    n_words = F.size(words).cast("long")
+    sum_len = F.aggregate(
+        F.transform(words, F.length), F.lit(0.0), lambda a, x: a + x
+    )
+    mean_wl = F.when(n_words > 0, sum_len / n_words).otherwise(F.lit(0.0))
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ell = (
+        (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3
+        + (F.length(text) - F.length(F.replace(text, F.lit("…"), F.lit(""))))
+    )
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_ell) / n_words
+    ).otherwise(F.lit(0.0))
+    n_lines = F.size(lines)
+    bullet_ratio = F.when(n_lines > 0, F.size(
+        F.filter(lines, lambda l: F.ltrim(l).rlike(r"^(•|-|\*)"))
+    ) / n_lines).otherwise(F.lit(0.0))
+    ellipsis_ratio = F.when(n_lines > 0, F.size(
+        F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))
+    ) / n_lines).otherwise(F.lit(0.0))
+    alpha_frac = F.when(n_words > 0, F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ) / n_words).otherwise(F.lit(0.0))
+    stops = F.array(*[F.lit(s) for s in
+                      ("the", "be", "to", "of", "and", "that", "have", "with")])
+    stop_hits = F.size(
+        F.array_intersect(F.array_distinct(F.transform(words, F.lower)), stops)
+    ).cast("long")
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_ratio, 6).alias("bullet_ratio"),
+        F.round(ellipsis_ratio, 6).alias("ellipsis_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    passes = (
+        (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("bullet_ratio") <= 0.9)
+        & (F.col("ellipsis_ratio") <= 0.3)
+        & (F.col("alpha_frac") >= 0.8)
+        & (F.col("stop_hits") >= 2)
+    )
+    return out.withColumn("passes", passes)

@@ -179,3 +179,31 @@ def test_pack_stream_no_group(spark):
         for r in pack_sequences(df, budget=512).collect()
     }
     assert got == {1: (0, 0), 2: (0, 300)}
+
+
+def test_gopher_quality_flags(spark):
+    """Gopher table-A1 signals on crafted docs: a clean passing doc,
+    a bullet list, an ellipsis-heavy doc, a symbol-heavy doc, and an
+    empty doc."""
+    from muopdb_spark.operators.quality import gopher_quality_flags
+
+    clean = ("the quick brown fox jumps over the lazy dog and then "
+             "runs back home to rest with friends that have apples "
+             "of every kind be they red or green to share and enjoy "
+             "all day long while the sun shines warm and bright over "
+             "the quiet valley where children play games") + " end"
+    bullets = "\n".join("- item %d" % i for i in range(10))
+    dots = "\n".join("so it goes..." for _ in range(4))
+    symbols = "# " * 30
+    docs = spark.createDataFrame(
+        [(1, clean), (2, bullets), (3, dots), (4, symbols), (5, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in
+           gopher_quality_flags(docs).collect()}
+    assert out[1]["passes"] is True
+    assert out[1]["stop_hits"] >= 2 and out[1]["alpha_frac"] == 1.0
+    assert out[2]["bullet_ratio"] == 1.0 and out[2]["passes"] is False
+    assert out[3]["ellipsis_ratio"] == 1.0 and out[3]["passes"] is False
+    assert out[4]["symbol_ratio"] > 0.1 and out[4]["passes"] is False
+    assert out[5]["n_words"] == 0 and out[5]["passes"] is False
