@@ -1540,6 +1540,27 @@ def q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_flags(docs).orderBy("doc_id")
 
 
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t8: C4-rule line cleaning (Raffel et al. 2020) over a derived
+    multi-line corpus: the single-line fixture docs are framed with
+    deterministic boilerplate lines (a javascript notice, a short
+    fragment, a brace line) plus a terminal period on the payload, so
+    the filter must keep exactly the payload line."""
+    from muopdb_spark.operators.quality import c4_line_filter
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("Please enable javascript to continue.\n"),
+            F.lit("short line\n"),
+            F.col("text"), F.lit(".\n"),
+            F.lit("config = {debug}\n"),
+            F.lit("We use cookie tracking for analytics."),
+        ).alias("text"),
+    )
+    return c4_line_filter(docs).orderBy("doc_id")
+
+
 def q_fvecs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """src2 (S8 offline ingest): embeddings exported to the standard
     .fvecs on-disk vector format (TexMex/ann-benchmarks) and re-read
@@ -1676,6 +1697,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_part_stats": q_part_stats,
         "src2_fvecs_roundtrip": q_fvecs_roundtrip,
         "t7_gopher_flags": q_gopher_flags,
+        "t8_c4_line_filter": q_c4_line_filter,
     }
 
 
@@ -1859,6 +1881,40 @@ def oracle_sql() -> dict[str, str]:
                    round(list_sum(embedding::DOUBLE[]), 6) AS checksum
             FROM embeddings
             ORDER BY doc_id
+        """,
+        # C4 line rules transcribed to DuckDB list ops over the same
+        # deterministically framed corpus
+        "t8_c4_line_filter": r"""
+            WITH framed AS (
+                SELECT doc_id,
+                       'Please enable javascript to continue.' || chr(10) ||
+                       'short line' || chr(10) ||
+                       text || '.' || chr(10) ||
+                       'config = {debug}' || chr(10) ||
+                       'We use cookie tracking for analytics.' AS t
+                FROM documents
+            ), split_lines AS (
+                SELECT doc_id, string_split(t, chr(10)) AS ls FROM framed
+            ), kept AS (
+                SELECT doc_id, ls,
+                       list_filter(ls, x ->
+                           regexp_matches(trim(x), '[.!?"]$')
+                           AND len(list_filter(
+                                   string_split_regex(trim(x), '\s+'),
+                                   w -> w <> '')) >= 5
+                           AND NOT contains(lower(trim(x)), 'javascript')
+                           AND NOT contains(lower(trim(x)), 'cookie')
+                           AND NOT contains(lower(trim(x)), 'lorem ipsum')
+                           AND NOT contains(trim(x), '{')
+                       ) AS ks
+                FROM split_lines
+            )
+            SELECT doc_id,
+                   array_to_string(ks, chr(10)) AS clean_text,
+                   CAST(len(ls) AS BIGINT) AS n_lines,
+                   CAST(len(ks) AS BIGINT) AS n_kept,
+                   len(ks) >= 1 AS kept
+            FROM kept ORDER BY doc_id
         """,
         # Gopher table-A1 flags, each signal transcribed to DuckDB list
         # ops; passes is the conjunction over the ROUNDED signals on

