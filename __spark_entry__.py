@@ -1170,17 +1170,41 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "frame_idx")
 
 
+def _lsh_index(spark: SparkSession, sf_dir: str):
+    """DURABLE build-once RP-LSH index (same deployment shape as
+    _ivf_index): built, saved to on-disk tables, reloaded — every
+    near-dup query serves from the artifact instead of re-hashing the
+    corpus."""
+    from muopdb_spark.index.ann_lsh import build_rp_lsh, lsh_load, lsh_save
+
+    key = ("lsh", sf_dir)
+    if key not in _IVF_CACHE:
+        path = _index_artifact_dir(sf_dir, "lsh_v1")
+        if not os.path.exists(os.path.join(path, "planes.json")):
+            built = build_rp_lsh(
+                _t(spark, sf_dir, "embeddings"), num_planes=4, num_tables=8
+            )
+            lsh_save(built, path)
+            built.buckets.unpersist()
+            built.vectors.unpersist()
+        idx = lsh_load(spark, path)
+        idx.buckets = idx.buckets.persist()
+        _IVF_CACHE[key] = idx
+    return _IVF_CACHE[key]
+
+
 def q_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path near-dup: random-hyperplane LSH buckets -> exact cosine
-    verify. Approximate (plane RNG not SQL-expressible) -> rows-only
-    check; recall vs brute force is pytest-verified (tests/test_ann_lsh)."""
-    from muopdb_spark.index.ann_lsh import build_rp_lsh, lsh_near_dup_pairs
+    verify, served from the durable artifact (_lsh_index). Approximate
+    (plane RNG not SQL-expressible) -> rows-only check; recall vs brute
+    force is pytest-verified (tests/test_ann_lsh)."""
+    from muopdb_spark.index.ann_lsh import lsh_near_dup_pairs
 
     # collision prob per table = (1 - theta/pi)^planes; the fixture's
     # "near dups" sit at cosine ~0.4 (theta ~66 deg), so shorter
     # signatures + more tables are needed for recall in this regime
     # (true near-dups at cosine >= 0.9 need far fewer tables)
-    idx = build_rp_lsh(_t(spark, sf_dir, "embeddings"), num_planes=4, num_tables=8)
+    idx = _lsh_index(spark, sf_dir)
     return lsh_near_dup_pairs(idx, threshold=0.4).orderBy("id_a", "id_b")
 
 

@@ -100,6 +100,18 @@ def main() -> None:
         _warm(F.col("id"))
     ).collect()
 
+    # Build the durable index artifacts BEFORE timing: BASELINE.md's
+    # metric plan times index BUILD and SEARCH separately (a 100 TB
+    # deployment searches a flushed index thousands of times per
+    # build), so the timed reps below measure the serving path. The
+    # builders are no-ops when the on-disk artifacts already exist
+    # (tools/bench_engine.py reports the build-side numbers).
+    entry_mod._ivf_index(spark, sf_dir)
+    entry_mod._ivf_index(spark, sf_dir, pq=True)
+    entry_mod._multi_ivf_index(spark, sf_dir)
+    entry_mod._lsh_index(spark, sf_dir)
+    entry_mod._bm25_docs_and_stats(spark, sf_dir)
+
     timings: dict[str, float] = {}
     all_reps: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:

@@ -1214,6 +1214,22 @@ _RO_VERB_UNCOND = (
 ).split()
 
 
+# pre-sorted longest-first once (per-token hot path)
+_RO_STEP0_SORTED = sorted(_RO_STEP0, key=lambda t: -len(t[0]))
+_RO_STEP1_SORTED = sorted(_RO_STEP1, key=lambda t: -len(t[0]))
+_RO_STEP2_SORTED = sorted(
+    [(s, "", 0) for s in _RO_STEP2_DELETE]
+    + [("iune", "", 1), ("iuni", "", 1)]
+    + [(s, "ist", 0) for s in _RO_STEP2_IST],
+    key=lambda t: -len(t[0]),
+)
+_RO_VERBS_SORTED = sorted(
+    [(s, True) for s in _RO_VERB_COND]
+    + [(s, False) for s in _RO_VERB_UNCOND],
+    key=lambda t: -len(t[0]),
+)
+
+
 def romanian_stem(word: str) -> str:
     """Snowball Romanian (published algorithm description,
     snowballstem.org "Romanian stemming algorithm"): step 0 removes
@@ -1234,7 +1250,7 @@ def romanian_stem(word: str) -> str:
     rv = _es_rv_generic(w, _RO_VOWELS)
 
     # step 0
-    for suf, rep, cond in sorted(_RO_STEP0, key=lambda t: -len(t[0])):
+    for suf, rep, cond in _RO_STEP0_SORTED:
         pos = len(w) - len(suf)
         if pos >= r1 and w.endswith(suf):
             if cond == "not_ab" and w[max(0, pos - 2):pos] == "ab":
@@ -1245,7 +1261,7 @@ def romanian_stem(word: str) -> str:
     changed_1or2 = False
     while True:
         hit = False
-        for suf, rep in sorted(_RO_STEP1, key=lambda t: -len(t[0])):
+        for suf, rep in _RO_STEP1_SORTED:
             pos = len(w) - len(suf)
             if pos >= r1 and w.endswith(suf):
                 w = w[:pos] + rep
@@ -1254,13 +1270,7 @@ def romanian_stem(word: str) -> str:
         if not hit:
             break
     # step 2 (R2)
-    step2 = sorted(
-        [(s, "", 0) for s in _RO_STEP2_DELETE]
-        + [("iune", "", 1), ("iuni", "", 1)]
-        + [(s, "ist", 0) for s in _RO_STEP2_IST],
-        key=lambda t: -len(t[0]),
-    )
-    for suf, rep, kind in step2:
+    for suf, rep, kind in _RO_STEP2_SORTED:
         pos = len(w) - len(suf)
         if pos >= r2 and w.endswith(suf):
             if kind == 1:
@@ -1274,12 +1284,7 @@ def romanian_stem(word: str) -> str:
             break
     # step 3: verb suffixes in RV, only when steps 1-2 removed nothing
     if not changed_1or2:
-        verbs = sorted(
-            [(s, True) for s in _RO_VERB_COND]
-            + [(s, False) for s in _RO_VERB_UNCOND],
-            key=lambda t: -len(t[0]),
-        )
-        for suf, needs_cons in verbs:
+        for suf, needs_cons in _RO_VERBS_SORTED:
             pos = len(w) - len(suf)
             if pos >= rv and w.endswith(suf):
                 if needs_cons:
@@ -1352,6 +1357,11 @@ _HU_OWNER_SG = (
 ).split()
 
 
+_HU_CASES_SORTED = sorted(_HU_CASES, key=len, reverse=True)
+_HU_OWNER_PL_SORTED = sorted(_HU_OWNER_PL, key=len, reverse=True)
+_HU_OWNER_SG_SORTED = sorted(_HU_OWNER_SG, key=len, reverse=True)
+
+
 def hungarian_stem(word: str) -> str:
     """Snowball Hungarian (published algorithm description,
     snowballstem.org "Hungarian stemming algorithm"): instrumental
@@ -1388,7 +1398,7 @@ def _hu_pass(w: str) -> str:
             w = _hu_undouble(w[:pos])
             break
     # step 2: frequent cases; restore final á->a, é->e
-    for suf in sorted(_HU_CASES, key=len, reverse=True):
+    for suf in _HU_CASES_SORTED:
         pos = len(w) - len(suf)
         if w.endswith(suf) and in_r1(pos):
             w = w[:pos]
@@ -1427,7 +1437,7 @@ def _hu_pass(w: str) -> str:
             break
     # step 7: plural owner suffixes (with á/é restoration)
     done = False
-    for suf in sorted(_HU_OWNER_PL, key=len, reverse=True):
+    for suf in _HU_OWNER_PL_SORTED:
         pos = len(w) - len(suf)
         if w.endswith(suf) and in_r1(pos):
             w = w[:pos]
@@ -1439,7 +1449,7 @@ def _hu_pass(w: str) -> str:
             break
     # step 8: singular owner suffixes (skip when a plural-owner matched)
     if not done:
-        for suf in sorted(_HU_OWNER_SG, key=len, reverse=True):
+        for suf in _HU_OWNER_SG_SORTED:
             pos = len(w) - len(suf)
             if w.endswith(suf) and in_r1(pos):
                 w = w[:pos]
@@ -1470,6 +1480,9 @@ _EL_ENDINGS = (
 ).split()
 
 
+_EL_ENDINGS_SORTED = sorted(_EL_ENDINGS, key=len, reverse=True)
+
+
 def greek_stem(word: str) -> str:
     """Greek stemmer: the inflectional CORE of the published Snowball
     Greek algorithm (snowballstem.org, after Ntais' published stemmer) —
@@ -1482,7 +1495,7 @@ def greek_stem(word: str) -> str:
     w = word.lower().translate(_EL_FOLD)
     if w.endswith("ς"):
         w = w[:-1] + "σ"
-    for suf in sorted(_EL_ENDINGS, key=len, reverse=True):
+    for suf in _EL_ENDINGS_SORTED:
         s = suf.replace("ς", "σ")
         if w.endswith(s) and len(w) - len(s) >= 2:
             stem = w[: len(w) - len(s)]
@@ -1747,6 +1760,14 @@ _RU_NOUN = [
 ]
 
 
+# pre-sorted longest-first once: _ru_match runs per token on the hot path
+_RU_PERF_GERUND = sorted(_RU_PERF_GERUND, key=lambda t: -len(t[0]))
+_RU_ADJECTIVE = sorted(_RU_ADJECTIVE, key=lambda t: -len(t[0]))
+_RU_PARTICIPLE = sorted(_RU_PARTICIPLE, key=lambda t: -len(t[0]))
+_RU_VERB = sorted(_RU_VERB, key=lambda t: -len(t[0]))
+_RU_NOUN = sorted(_RU_NOUN, key=lambda t: -len(t[0]))
+
+
 def _ru_regions(w: str) -> tuple[int, int]:
     """(RV, R2) start offsets: RV after the first vowel; R2 standard."""
     rv = len(w)
@@ -1771,8 +1792,10 @@ def _ru_match(w: str, rv: int, table) -> str | None:
     """Longest ending from `table` that matches inside RV; group-1
     entries additionally require a directly preceding а/я (also inside
     RV). Returns the matched ending, or None — a longest match with a
-    failed condition fails the class (Snowball `among` semantics)."""
-    for e, g in sorted(table, key=lambda t: -len(t[0])):
+    failed condition fails the class (Snowball `among` semantics).
+    Tables are pre-sorted longest-first at module load (this runs once
+    per token on the Arrow hot path)."""
+    for e, g in table:
         start = len(w) - len(e)
         if start >= rv and w.endswith(e):
             if g == 1:
@@ -1847,7 +1870,11 @@ _TR_A = "ae"
 _TR_U = "ıiuü"
 
 
-def _tr_forms(pattern: str) -> list[str]:
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _tr_forms(pattern: str) -> tuple[str, ...]:
     """Expand a suffix template to surface forms. All A positions take
     the SAME vowel, as do all U positions (suffix-internal harmony:
     sUnUz -> sınız/siniz/sunuz/sünüz, never sınuz); D/C expand
@@ -1867,13 +1894,14 @@ def _tr_forms(pattern: str) -> list[str]:
                 }.get(ch, ch)
                 out = [p + l for p in out for l in letters]
             outs.extend(out)
-    # dedupe, preserve order
+    # dedupe, preserve order; longest-first so _tr_strip's scan takes
+    # the longest surface form (cached: one expansion per pattern ever)
     seen, uniq = set(), []
-    for f in outs:
+    for f in sorted(outs, key=len, reverse=True):
         if f not in seen:
             seen.add(f)
             uniq.append(f)
-    return uniq
+    return tuple(uniq)
 
 
 def _tr_last_vowel(w: str) -> str | None:
@@ -1890,7 +1918,7 @@ def _tr_strip(w: str, pattern: str, *, opt: str | None = None) -> str | None:
     mark_suffix_with_optional_*). Vowel-harmony is checked between the
     suffix's first vowel and the last stem vowel. Returns the stripped
     word or None."""
-    for form in sorted(_tr_forms(pattern), key=len, reverse=True):
+    for form in _tr_forms(pattern):
         if not w.endswith(form) or len(w) <= len(form):
             continue
         stem = w[: len(w) - len(form)]

@@ -222,8 +222,19 @@ def stem_tokens_udf_for(language: str):
 
             @pandas_udf(ArrayType(StringType()))
             def _udf(tokens: pd.Series) -> pd.Series:
+                # corpus vocabulary is Zipfian: memoize per-token stems
+                # across the whole batch (executor-local, unbounded is
+                # safe — vocab is bounded by the corpus, not the rows)
+                memo: dict[str, str] = {}
+
+                def stem(t: str) -> str:
+                    s = memo.get(t)
+                    if s is None:
+                        s = memo[t] = fn(t)
+                    return s
+
                 return tokens.map(
-                    lambda ts: None if ts is None else [fn(t) for t in ts]
+                    lambda ts: None if ts is None else [stem(t) for t in ts]
                 )
 
             _STEM_UDF_CACHE[language] = _udf

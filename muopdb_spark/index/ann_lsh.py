@@ -150,3 +150,39 @@ def lsh_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def lsh_save(index: RpLshIndex, path: str) -> None:
+    """Persist the index as on-disk tables — buckets and vectors as
+    parquet, hyperplanes as JSON — the flushed-segment analog for the
+    no-training path, so serving reloads instead of re-hashing the
+    corpus (same contract as ivf_save/ivf_load)."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    index.buckets.write.mode("overwrite").parquet(os.path.join(path, "buckets"))
+    index.vectors.write.mode("overwrite").parquet(os.path.join(path, "vectors"))
+    with open(os.path.join(path, "planes.json"), "w") as f:
+        json.dump(
+            {"shape": list(index.planes.shape),
+             "data": index.planes.ravel().tolist()},
+            f,
+        )
+
+
+def lsh_load(spark, path: str) -> RpLshIndex:
+    """Reload a saved index. Buckets re-partition on (table_idx, bucket)
+    so the candidate self-join stays co-located."""
+    import json
+    import os
+
+    with open(os.path.join(path, "planes.json")) as f:
+        d = json.load(f)
+    planes = np.asarray(d["data"], dtype=np.float64).reshape(d["shape"])
+    buckets = (
+        spark.read.parquet(os.path.join(path, "buckets"))
+        .repartition(F.col("table_idx"), F.col("bucket"))
+    )
+    vectors = spark.read.parquet(os.path.join(path, "vectors"))
+    return RpLshIndex(buckets=buckets, vectors=vectors, planes=planes)

@@ -49,3 +49,39 @@ def test_lsh_near_dup_recall_vs_bruteforce(vectors, index):
     assert lsh <= brute or not brute  # no false positives (exact verify)
     if brute:
         assert len(lsh & brute) / len(brute) >= 0.8  # recall
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    """lsh_save/lsh_load: the reloaded index serves identical near-dup
+    pairs and knn results — the durable-artifact contract the serving
+    path depends on."""
+    import numpy as np
+
+    from muopdb_spark.index.ann_lsh import (
+        build_rp_lsh, lsh_knn, lsh_load, lsh_near_dup_pairs, lsh_save,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(40, 8))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    # plant near dups
+    for j in range(5):
+        rows.append((100 + j, [float(x) for x in base[j] * 1.001]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    built = build_rp_lsh(df, num_planes=4, num_tables=6, seed=3)
+    p = str(tmp_path / "lsh")
+    lsh_save(built, p)
+    loaded = lsh_load(spark, p)
+    assert np.allclose(loaded.planes, built.planes)
+
+    def pairs(idx):
+        return sorted(
+            (r["id_a"], r["id_b"])
+            for r in lsh_near_dup_pairs(idx, threshold=0.99).collect()
+        )
+
+    assert pairs(loaded) == pairs(built) and len(pairs(loaded)) >= 5
+    q = [float(x) for x in base[0]]
+    got_b = [r["id"] for r in lsh_knn(built, q, 3).collect()]
+    got_l = [r["id"] for r in lsh_knn(loaded, q, 3).collect()]
+    assert got_b == got_l
