@@ -131,6 +131,16 @@ def main() -> None:
             # eviction + GC for earlier ones' storage (measured: v4 4.2s
             # clean vs 11.2s after d2/d3's leftovers in an 8g heap)
             spark.catalog.clearCache()
+        if min(reps) > 4.0:
+            # one retry against transient box contention: the heavy
+            # dedup queries are bimodal under load (d2 measured
+            # [5.2, 13.6] in a run where 6 isolated reps were 6.0->2.0
+            # monotone) — a third rep separates a slow PLAN from a
+            # slow MOMENT
+            t0 = time.time()
+            qs[name](spark, sf_dir).collect()
+            reps.append(round(time.time() - t0, 3))
+            spark.catalog.clearCache()
         timings[name] = min(reps)
         all_reps[name] = reps
 
