@@ -249,6 +249,7 @@ def multi_ivf_search_users(
     pre_filter_ids: DataFrame | None = None,
     per_user: bool = False,
     score_decimals: int | None = None,
+    rerank: int | None = None,
 ) -> DataFrame:
     """Search N users' independent indexes in ONE plan (snapshot.rs:39-64
     searches any number of users per request): windowed probe for all
@@ -259,7 +260,13 @@ def multi_ivf_search_users(
     merge, snapshot.rs:60-61). per_user=True: top-k PER user (rnk <= k).
 
     pre_filter_ids: F8 plan_with_ids as a leftsemi join on id — the match
-    set never collects to the driver."""
+    set never collects to the driver.
+
+    Quantized indexes score the stored codes inside the scan (the
+    reference's quantizer-always-on serving, mod.rs:145-149) — same
+    estimators as the batch path, so batch == per-request holds for
+    every quantizer; `rerank=N` re-scores the quantized top-N exactly
+    (exact given candidate containment, recall-pytest-gated)."""
     if num_probes is None:
         num_probes = k
     q = F.lit([float(x) for x in query_vector]).cast("array<double>")
@@ -274,13 +281,45 @@ def multi_ivf_search_users(
         scan = scan.filter(pre_filter)
     if pre_filter_ids is not None:
         scan = scan.join(pre_filter_ids.select("id").distinct(), on="id", how="left_semi")
-    score = score_expr(index.metric, F.col("vector"), q)
-    if score_decimals is not None:
-        score = F.round(score, score_decimals)
-    deduped = (
-        scan.select("user_id", "id", score.alias("score"))
-        .groupBy("user_id", "id").agg(F.min("score").alias("score"))  # V21 dedup
-    )
+    exact = score_expr(index.metric, F.col("vector"), q)
+    if index.quantizer != "none":
+        if index.metric != "l2":
+            raise ValueError("quantized scoring supports the l2 metric only")
+        if index.quantizer == "pq":
+            from muopdb_spark.index.pq import pq_adc_score
+
+            approx = pq_adc_score(query_vector, index.codebook)
+        else:  # rabitq
+            from muopdb_spark.index.rabitq import rabitq_est_score
+
+            approx = rabitq_est_score(query_vector, index.codebook)
+        carry = ["vector"] if rerank is not None else []
+        cand = scan.select("user_id", "id", *carry, approx.alias("adc"))
+        # V21 dedup per (user, id), then the candidate cut
+        wdup = Window.partitionBy("user_id", "id").orderBy(F.col("adc").asc())
+        cand = cand.withColumn("rn", F.row_number().over(wdup)).filter(F.col("rn") == 1)
+        cut = rerank if rerank is not None else k
+        if per_user:
+            wcut = Window.partitionBy("user_id").orderBy(
+                F.col("adc").asc_nulls_last(), F.col("id").asc()
+            )
+            pool = cand.withColumn("rk", F.row_number().over(wcut)).filter(
+                F.col("rk") <= cut
+            )
+        else:
+            pool = cand.orderBy(
+                F.col("adc").asc_nulls_last(), F.col("id").asc()
+            ).limit(cut)
+        score = exact if rerank is not None else F.col("adc")
+        if score_decimals is not None:
+            score = F.round(score, score_decimals)
+        deduped = pool.select("user_id", "id", score.alias("score"))
+    else:
+        score = F.round(exact, score_decimals) if score_decimals is not None else exact
+        deduped = (
+            scan.select("user_id", "id", score.alias("score"))
+            .groupBy("user_id", "id").agg(F.min("score").alias("score"))  # V21 dedup
+        )
     if per_user:
         w = Window.partitionBy("user_id").orderBy(
             F.col("score").asc_nulls_last(), F.col("id").asc()

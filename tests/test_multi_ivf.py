@@ -154,3 +154,62 @@ def test_batch_requests_user_isolation(index, spark):
                                  centroid_distance_ratio=None).collect()
     assert {r["user_id"] for r in out} == {0}
     assert all(r["id"] < 100 for r in out)  # user 0 owns ids 0..99
+
+
+@pytest.mark.parametrize("quantizer", ["pq", "rabitq"])
+def test_batch_requests_quantized_match_per_request(users_df, spark, quantizer):
+    """Quantized multi-user batch path (the round-3 feature that shipped
+    without a gate): batch == per-request for PQ and RaBitQ with exact
+    re-rank, same codes, same estimators."""
+    from muopdb_spark.index.multi_ivf import (
+        build_multi_ivf, multi_ivf_search_batch, multi_ivf_search_users,
+    )
+
+    kwargs = dict(pq_subvectors=3, pq_centers=16) if quantizer == "pq" else {}
+    idx = build_multi_ivf(users_df, num_centroids=2, seed=9,
+                          quantizer=quantizer, **kwargs)
+    reqs = [
+        (0, [0], [1.0] * DIM),
+        (1, [0, 1], [50.0] * DIM),
+        (2, [1], [149.0] * DIM),
+    ]
+    rows = [(rid, u, qv) for rid, users, qv in reqs for u in users]
+    req_df = spark.createDataFrame(
+        rows, "request_id long, user_id long, query_vector array<double>"
+    )
+    cfg = dict(num_probes=2, centroid_distance_ratio=None, rerank=30,
+               score_decimals=6)
+    batch = multi_ivf_search_batch(idx, req_df, 5, **cfg).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["request_id"], []).append(
+            (r["user_id"], r["id"], r["score"])
+        )
+    for rid, users, qv in reqs:
+        single = [
+            (r["user_id"], r["id"], r["score"])
+            for r in multi_ivf_search_users(idx, users, qv, 5, **cfg).collect()
+        ]
+        assert sorted(got[rid]) == sorted(single), f"req {rid} {quantizer}"
+
+
+def test_batch_requests_custom_request_id_col(index, spark):
+    """pre_filter_ids must honor a non-default request_id_col (the
+    round-3 bug aliased 'request_id' unconditionally)."""
+    from muopdb_spark.index.multi_ivf import multi_ivf_search_batch
+
+    req_df = spark.createDataFrame(
+        [(7, 0, [1.0] * DIM)],
+        "rid long, user_id long, query_vector array<double>",
+    )
+    allowed = spark.createDataFrame(
+        [(7, i) for i in range(0, 100, 2)], "rid long, id long"
+    )
+    out = multi_ivf_search_batch(
+        index, req_df, 5, request_id_col="rid",
+        num_probes=2, centroid_distance_ratio=None,
+        pre_filter_ids=allowed,
+    ).collect()
+    assert len(out) == 5
+    assert all(r["id"] % 2 == 0 for r in out)
+    assert {r["request_id"] for r in out} == {7}
