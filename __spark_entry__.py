@@ -1651,11 +1651,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t1_token_counts": q_token_counts,
         "t2_quality_score": q_quality,
         "t3_lang_id": q_lang_id,
-        "t4_fingerprints": q_fingerprints,
         "v4_ann_ivf_fullprobe": q_ann_fullprobe,
         "v11_pq_adc_rerank": q_pq_adc_rerank,
         "v13_rabitq_rerank": q_rabitq_rerank,
-        "m2_frame_sample": q_frame_sample,
         "x1_lsh_near_dup": q_lsh_near_dup,
         "t4_u128_ids": q_u128_ids,
         "s1_set_ops": q_set_ops,
@@ -1665,7 +1663,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h2_hybrid_ivf_prefilter": q_hybrid_ivf,
         "w2_sessionize": q_sessionize,
         "w3_stream_ingest_batch_eq": q_stream_ingest_batch_eq,
-        "smp3_reservoir_per_lang": q_reservoir_per_lang,
         "i2_term_search_indexed": q_term_search_indexed,
         "mu1_multi_user_ann": q_multi_user_ann,
         "s3_insert_packed": q_insert_packed,
@@ -1683,6 +1680,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d6_dup_clusters": q_dup_clusters,
         "t6_bm25": q_bm25,
         "h3_hybrid_rrf": q_hybrid_rrf,
+        # r5 rotation: the three r4-new operators take driver slots this
+        # round so each gets a driver-green correctness row; the three
+        # rows they displaced (t4_fingerprints, m2_frame_sample,
+        # smp3_reservoir_per_lang — each family multiply-witnessed or
+        # driver-green r1-r4) moved to extra_queries().
+        "src2_fvecs_roundtrip": q_fvecs_roundtrip,
+        "t7_gopher_flags": q_gopher_flags,
+        "t8_c4_line_filter": q_c4_line_filter,
     }
 
 
@@ -1695,11 +1700,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sampling variants (smp3 witnesses sampling), and the no-oracle
     ratio-pruned probe v19 (recall pytest-gated in tests/test_ivf.py).
 
-    Every entry here was driver-green in rounds 1-3 (CORRECTNESS_r01-
-    r03) and stays oracle-gated locally: tests/test_extra_queries.py
-    runs each against its oracle_sql() twin on DuckDB at sf0.001, the
-    same compare the driver does. bench.py runs them via the merged
-    dict, so the benchmark surface is unchanged."""
+    Every entry here has at least one driver-green correctness row in
+    a prior round (t4_fingerprints / m2_frame_sample /
+    smp3_reservoir_per_lang were green r1-r4 and rotated out in r5 to
+    make room for src2/t7/t8's first driver rows) and stays
+    oracle-gated locally: tests/test_extra_queries.py runs each against
+    its oracle_sql() twin on DuckDB at sf0.001, the same compare the
+    driver does. bench.py runs them via the merged dict, so the
+    benchmark surface is unchanged."""
     return {
         "v15_knn_dot": q_knn_dot,
         "knn_cosine": q_knn_cosine,
@@ -1719,9 +1727,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o3_above_nation_avg": q_above_nation_avg,
         "j5_tpch_q5": q_tpch_q5ish,
         "a2_part_stats": q_part_stats,
-        "src2_fvecs_roundtrip": q_fvecs_roundtrip,
-        "t7_gopher_flags": q_gopher_flags,
-        "t8_c4_line_filter": q_c4_line_filter,
+        "t4_fingerprints": q_fingerprints,
+        "m2_frame_sample": q_frame_sample,
+        "smp3_reservoir_per_lang": q_reservoir_per_lang,
     }
 
 

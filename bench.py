@@ -112,6 +112,16 @@ def main() -> None:
     entry_mod._lsh_index(spark, sf_dir)
     entry_mod._bm25_docs_and_stats(spark, sf_dir)
 
+    # Compile the dedup pipeline at the smoke SF so the first timed d2
+    # rep doesn't bill whole-stage codegen + the shingle-UDF pipeline's
+    # first execution (measured r5: isolated d2 rep0 is 7-9 s vs a ~2 s
+    # warm floor in EVERY plan shape; in-bench r4 rep0 was 4.01 s, which
+    # tripped the >4 s third-rep rule and handed the load-spike lottery
+    # two extra draws — [4.01, 11.45, 6.89]). JIT/codegen warm-up only:
+    # the cache is cleared so no sf0.1 data survives into the timed reps.
+    qs["d2_dedup_ngram_jaccard"](spark, entry_mod.SF_SMOKE).collect()
+    spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     all_reps: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:

@@ -11,10 +11,15 @@ users is one shuffle, not a million driver-launched jobs). Per-user
 posting assignment is an equi-join on user_id + a per-(user, point)
 window — no cross-user data movement.
 
-Skew: a whale user's group must fit one task's memory for the fit; the
-solver samples down to `training_sample` rows per user, so state is
-bounded at k*dim + sample regardless of user size. AQE skew-join
-handles the assignment join.
+Skew: the training pass pre-samples each user DISTRIBUTEDLY (seeded
+row_number over xxhash64(id) <= training_sample, computed before the
+grouped fit) so no task ever materializes more than `training_sample`
+vectors for one user — a whale user with 10M vectors costs the same
+task memory as one with 20k. The window's hash-partitioning on user_id
+is reused by the groupBy (no extra shuffle; only the training
+projection (user_id, id, vector) flows through it). The fit asserts
+the bound, so a regression fails loudly instead of OOMing. AQE
+skew-join handles the assignment join.
 
 Search prunes to the queried user's centroids/postings first (the
 partition-pruning analog of per-user index-blob opens,
@@ -92,11 +97,17 @@ def build_multi_ivf(
     )
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        # The distributed pre-sample below bounds the group BY
+        # CONSTRUCTION; this assert is the regression tripwire — a whale
+        # user (10M x 768-dim ~ 60 GB in one Arrow batch at 100x scale)
+        # must fail loudly here, never OOM an executor.
+        if len(pdf) > training_sample:
+            raise AssertionError(
+                f"fit group for user {pdf['user_id'].iat[0]} has {len(pdf)} rows"
+                f" > training_sample={training_sample}; pre-sample missing"
+            )
         user = int(pdf["user_id"].iat[0])
         X = np.array(pdf["vector"].tolist(), dtype=np.float64)
-        rng = np.random.default_rng(seed + user)
-        if len(X) > training_sample:
-            X = X[rng.choice(len(X), size=training_sample, replace=False)]
         centers = _shared_lloyd(X, num_centroids, seed=seed + user, max_iter=max_iter)
         return pd.DataFrame({
             "user_id": user,
@@ -104,8 +115,25 @@ def build_multi_ivf(
             "centroid": list(centers),
         })
 
+    # Per-user training pre-sample, computed DISTRIBUTEDLY before the
+    # grouped fit (multi_spann/builder.rs:21-69 builds each user's index
+    # from bounded memory; the old shape materialized the user's entire
+    # vector set in one Arrow batch *before* down-sampling — an OOM at
+    # whale-user scale). Seeded xxhash64 order makes the sample
+    # deterministic, and the window's partitionBy("user_id") exchange is
+    # exactly the distribution the groupBy needs, so Catalyst inserts no
+    # second shuffle — only the training projection pays the sort.
+    sample_w = Window.partitionBy("user_id").orderBy(
+        F.xxhash64(F.col("id"), F.lit(seed)).asc(), F.col("id").asc()
+    )
+    train = (
+        base.select("user_id", "id", "vector")
+        .withColumn("_rn", F.row_number().over(sample_w))
+        .filter(F.col("_rn") <= training_sample)
+        .drop("_rn", "id")
+    )
     centroids = (
-        base.groupBy("user_id")
+        train.groupBy("user_id")
         .applyInPandas(fit, schema="user_id long, centroid_id int, centroid array<double>")
         .persist()
     )

