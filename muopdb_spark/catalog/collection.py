@@ -86,6 +86,24 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+_APPEND_LOCKS: dict[str, "threading.Lock"] = {}
+_APPEND_LOCKS_GUARD = None  # created lazily (threading imported in-function)
+
+
+def _append_lock_for(root: str) -> "threading.Lock":
+    """Process-wide lock per collection directory (normalized path).
+    The FileOutputCommitter `_temporary/0` staging race this guards is a
+    property of the DIRECTORY, not of a Collection instance."""
+    import threading
+
+    global _APPEND_LOCKS_GUARD
+    if _APPEND_LOCKS_GUARD is None:
+        _APPEND_LOCKS_GUARD = threading.Lock()
+    key = os.path.realpath(root)
+    with _APPEND_LOCKS_GUARD:
+        return _APPEND_LOCKS.setdefault(key, threading.Lock())
+
+
 def _atomic_write(path: str, content: str) -> None:
     d = os.path.dirname(path)
     os.makedirs(d, exist_ok=True)
@@ -112,9 +130,12 @@ class Collection:
         # group commit (core.rs AtomicU64 + single WAL appender). On a
         # real cluster, cross-process writers would instead use a
         # manifest-committing table format or per-batch output dirs.
-        import threading
-
-        self._append_lock = threading.Lock()
+        # The lock is keyed on the collection ROOT in a module-level
+        # registry: the _temporary/0 race is per-directory, and one
+        # process commonly holds several Collection objects on the same
+        # directory (Collection.create then Collection.open), which
+        # per-instance locks would not serialize.
+        self._append_lock = _append_lock_for(self.root)
 
     # ------------------------------------------------------------ DDL
 

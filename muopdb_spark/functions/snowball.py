@@ -1845,8 +1845,13 @@ def russian_stem(word: str) -> str:
             w = w[: len(w) - len(e)]
             break
     # step 4: superlative + undouble н, or undouble н, or drop ь
-    if w.endswith(("ейше", "ейш")) and len(w) - 3 >= rv:
-        w = w[:-4] if w.endswith("ейше") else w[:-3]
+    # (per-suffix RV check: 'ейше' starts at len-4, 'ейш' at len-3)
+    if w.endswith("ейше") and len(w) - 4 >= rv:
+        w = w[:-4]
+        if w.endswith("нн") and len(w) - 1 >= rv:
+            w = w[:-1]
+    elif w.endswith("ейш") and len(w) - 3 >= rv:
+        w = w[:-3]
         if w.endswith("нн") and len(w) - 1 >= rv:
             w = w[:-1]
     elif w.endswith("нн") and len(w) - 1 >= rv and len(w) - 2 >= rv:

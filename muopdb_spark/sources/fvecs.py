@@ -71,7 +71,12 @@ def read_vecs(
 ) -> DataFrame:
     """Distributed (vec_id long, embedding array<float>) over a
     .fvecs/.bvecs/.ivecs file. Executors read disjoint byte ranges;
-    the driver touches 4 bytes."""
+    the driver touches 4 bytes.
+
+    vec_ids are SYNTHESIZED as id_offset + file position — the format
+    carries no ids (a write_vecs→read_vecs roundtrip preserves ids only
+    when the written ids were contiguous from id_offset; write_vecs
+    asserts that)."""
     if kind not in _KINDS:
         raise ValueError(f"kind must be one of {sorted(_KINDS)}, got {kind!r}")
     dim, rec, n = _probe(path, kind)
@@ -116,14 +121,28 @@ def write_vecs(df: DataFrame, path: str, *, kind: str = "fvecs",
     """Export a vector DataFrame to a single .fvecs/.bvecs/.ivecs file,
     id-ordered. Streams through toLocalIterator — one partition
     driver-resident at a time; a test/export utility (the serving path
-    is parquet), not a bulk sink. Returns the row count."""
+    is parquet), not a bulk sink. Returns the row count.
+
+    The format carries NO ids: a later read_vecs synthesizes them from
+    file position, so ids are asserted contiguous here (0, 1, 2, ...) —
+    otherwise the roundtrip would silently renumber rows. Re-key a
+    non-contiguous frame with row_number() before export, and pass the
+    first id as read_vecs' id_offset."""
     if kind not in _KINDS:
         raise ValueError(f"kind must be one of {sorted(_KINDS)}, got {kind!r}")
     dtype, _ = _KINDS[kind]
     n = 0
+    prev_id = None
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as f:
         for row in df.select(id_col, vec_col).orderBy(id_col).toLocalIterator():
+            if prev_id is not None and row[id_col] != prev_id + 1:
+                raise ValueError(
+                    f"write_vecs requires contiguous {id_col}s (format carries"
+                    f" no ids; read_vecs re-synthesizes from position): gap"
+                    f" {prev_id} -> {row[id_col]}"
+                )
+            prev_id = row[id_col]
             vec = np.asarray(row[vec_col], dtype=dtype)
             f.write(struct.pack("<i", len(vec)))
             f.write(vec.astype(np.dtype(dtype).newbyteorder("<")).tobytes())

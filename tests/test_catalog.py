@@ -413,3 +413,12 @@ def test_flush_writes_doc_id_bloom_filter(spark, tmp_path):
     assert size_bloom > size_plain, (
         f"bloom option did not reach the writer: {size_bloom} <= {size_plain}"
     )
+
+
+def test_append_lock_shared_across_instances(col, spark, tmp_path):
+    """The FileOutputCommitter staging race is per-DIRECTORY: a second
+    Collection object opened on the same collection must share the same
+    append lock (a per-instance lock would not serialize their
+    concurrent WAL appends)."""
+    re = Collection.open(spark, str(tmp_path), "test_col")
+    assert re._append_lock is col._append_lock

@@ -87,3 +87,13 @@ def test_mixed_dims_rejected(spark, tmp_path):
 def test_bad_kind_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="kind"):
         read_vecs(spark, str(tmp_path / "x"), kind="npy")
+
+
+def test_noncontiguous_ids_rejected(spark, tmp_path):
+    """The format carries no ids; write_vecs must refuse a frame whose
+    ids a read-side positional renumbering would silently change."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (2, [3.0, 4.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="contiguous"):
+        write_vecs(df, str(tmp_path / "gap.fvecs"))
