@@ -1078,6 +1078,60 @@ def q_stream_ingest_batch_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf, "doc_id long, n_dims long, checksum double")
 
 
+def q_stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 driver witness for the SERVING half of streaming (w3 witnesses
+    ingest): a stream of query vectors (file source split across 3
+    files, maxFilesPerTrigger=1, availableNow → 3 real micro-batches)
+    runs through streaming/serving.py's stream_ann_search against the
+    DURABLE IVF index — each micro-batch is one ivf_search_batch job,
+    results append to a parquet sink with the batch id (index_server.rs
+    Search re-expressed as Structured Streaming). Full probe + no ratio
+    prune → every per-query top-k is exact, so brute-force SQL over the
+    same query ids is the oracle; the batch_id column is dropped for
+    the compare but its presence (and the multi-batch split) is what
+    makes this a streaming witness rather than a batch twin."""
+    import shutil
+    import tempfile
+
+    from muopdb_spark.streaming.serving import stream_ann_search
+
+    idx = _ivf_index(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter((F.col("vec_id") >= 30) & (F.col("vec_id") < 42)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    tmp = tempfile.mkdtemp(prefix="muopdb_w4_")
+    try:
+        src_dir = os.path.join(tmp, "queries")
+        queries.repartition(3).write.parquet(src_dir)
+        stream = (
+            spark.readStream.schema(queries.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        q = stream_ann_search(
+            idx, stream,
+            result_path=os.path.join(tmp, "results"),
+            checkpoint_path=os.path.join(tmp, "ck"),
+            k=8, num_probes=10, centroid_distance_ratio=None,
+            trigger_available_now=True,
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(os.path.join(tmp, "results"))
+            .select(
+                "query_id",
+                F.col("id").alias("vec_id"),
+                F.round("score", 6).alias("score"),
+            )
+            .orderBy("query_id", "score", "vec_id")
+        )
+        pdf = out.toPandas()  # materialize before the tempdir goes away
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(pdf, "query_id long, vec_id long, score double")
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-minute-gap sessions per user via lag + running
     sum (the batch twin of streaming session windows)."""
@@ -1663,10 +1717,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h2_hybrid_ivf_prefilter": q_hybrid_ivf,
         "w2_sessionize": q_sessionize,
         "w3_stream_ingest_batch_eq": q_stream_ingest_batch_eq,
+        "w4_stream_ann_serving": q_stream_ann_serving,
         "i2_term_search_indexed": q_term_search_indexed,
         "mu1_multi_user_ann": q_multi_user_ann,
         "s3_insert_packed": q_insert_packed,
-        "j3_semi_anti": q_semi_anti_join,
+        # j3_semi_anti rotated to extra_queries() in r5 (J1 semi-join
+        # family also witnessed by h2's in-scan LeftSemi; driver-green
+        # r1-r4) to free the slot for w4's first driver row.
         "j6_asof_join": q_asof_join,
         "j7_range_count_join": q_range_count_join,
         "v22_ann_batch_ivf": q_ann_batch_ivf,
@@ -1730,6 +1787,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t4_fingerprints": q_fingerprints,
         "m2_frame_sample": q_frame_sample,
         "smp3_reservoir_per_lang": q_reservoir_per_lang,
+        "j3_semi_anti": q_semi_anti_join,
     }
 
 
@@ -2386,6 +2444,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT request_id, user_id, id, score
             FROM scored WHERE rnk <= 5
             ORDER BY request_id, score, id
+        """,
+        # streaming serving over the durable index: full probe is exact
+        # per micro-batch, so the union of batches equals brute force
+        "w4_stream_ann_serving": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS query_vector
+                FROM embeddings WHERE vec_id >= 30 AND vec_id < 42
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       round(list_distance(e.embedding::DOUBLE[], q.query_vector), 6) AS score,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_distance(e.embedding::DOUBLE[], q.query_vector) ASC,
+                                    e.vec_id ASC
+                       ) AS rnk
+                FROM embeddings e CROSS JOIN q
+            )
+            SELECT query_id, vec_id, score FROM scored WHERE rnk <= 8
         """,
         "v22_ann_batch_ivf": """
             WITH q AS (
