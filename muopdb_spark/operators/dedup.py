@@ -254,6 +254,40 @@ def ngram_jaccard_pairs(
     )
 
 
+def minhash_signature_df(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, sh, h0..h{H-1}, b0..b{B-1}): distinct shingle sets, MinHash
+    signature, and banded LSH keys — one Arrow shingle pass, then pure
+    JVM md5 folds; no shuffle.
+
+    The (id, h*, b*) projection (drop `sh`) is the durable corpus
+    artifact for INCREMENTAL dedup: a fixed ~[num_hashes + bands] hashes
+    per document regardless of document size, so at 100 TB of corpus
+    text the signature index is a few hundred GB that dedup of an
+    incoming batch scans INSTEAD of the corpus text (see
+    incremental_minhash_pairs)."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sh = shingle_df(df, text_col=text_col, id_col=id_col, n=n)
+    sh = sh.filter(F.size("sh") > 0)
+    sig = sh.select(
+        "id", "sh",
+        *[h.alias(f"h{i}") for i, h in enumerate(minhash_signature(F.col("sh"), num_hashes))],
+    )
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"h{j}") for j in range(b * rows_per_band, (b + 1) * rows_per_band)])).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    return sig.select("id", "sh", *[F.col(f"h{i}") for i in range(num_hashes)], *band_cols)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     *,
@@ -278,20 +312,10 @@ def minhash_lsh_pairs(
     signatures live until the cache is cleared — clearCache()/unpersist
     between corpora in long-lived sessions.
     """
-    assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
-
-    sh = shingle_df(df, text_col=text_col, id_col=id_col, n=n)
-    sh = sh.filter(F.size("sh") > 0)
-    sig = sh.select(
-        "id", "sh",
-        *[h.alias(f"h{i}") for i, h in enumerate(minhash_signature(F.col("sh"), num_hashes))],
+    sig = minhash_signature_df(
+        df, text_col=text_col, id_col=id_col, n=n,
+        num_hashes=num_hashes, bands=bands,
     )
-    band_cols = [
-        F.md5(F.concat_ws("|", *[F.col(f"h{j}") for j in range(b * rows_per_band, (b + 1) * rows_per_band)])).alias(f"b{b}")
-        for b in range(bands)
-    ]
-    sig = sig.select("id", "sh", *[F.col(f"h{i}") for i in range(num_hashes)], *band_cols)
     # the signature subtree feeds three plan branches (bucket explode +
     # both verification sides); persist so the md5-heavy minhash pass
     # runs once instead of three times. count() is a materialization
@@ -343,6 +367,153 @@ def minhash_lsh_pairs(
         "doc_a", "doc_b",
         F.round("est_jaccard", 6).alias("est_jaccard"),
         F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def incremental_minhash_pairs(
+    new_df: DataFrame,
+    corpus_sigs: DataFrame,
+    corpus_df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Dedup an INCOMING batch against an EXISTING corpus using the
+    corpus's durable signature artifact — the incremental flavor that
+    matters at 100 TB, where re-running corpus-wide dedup per ingest
+    batch (minhash_lsh_pairs over old ∪ new) would re-shingle 100 TB to
+    admit a few GB:
+
+      - corpus text is NOT rescanned for signatures; only the compact
+        (id, h*, b*) artifact (built once by minhash_signature_df,
+        appended to as batches are admitted) streams through candidate
+        generation
+      - the new batch is the small side by construction, so its band
+        table is BROADCAST to the corpus-signature scan: candidate
+        generation shuffles nothing
+      - exact-Jaccard verification re-reads corpus text ONLY for
+        candidate ids (broadcast semi join into the corpus scan — the
+        parquet bloom-filter / row-group-pruning point-lookup path)
+
+    Output: (new_id, corpus_id, est_jaccard, jaccard) for cross pairs
+    sharing >= 1 LSH band with exact Jaccard >= threshold. Same
+    candidate rule + verification as minhash_lsh_pairs, restricted to
+    new × corpus.
+
+    EAGER: persists the new batch's signature subtree (it feeds the
+    band join, the est-jaccard join, and the verification join);
+    clearCache()/unpersist between batches in long-lived sessions.
+    """
+    nsig = minhash_signature_df(
+        new_df, text_col=text_col, id_col=id_col, n=n,
+        num_hashes=num_hashes, bands=bands,
+    )
+    # same barrier rationale as minhash_lsh_pairs: three consumers race
+    # an unpopulated cache without the count()
+    nsig = nsig.persist()
+    nsig.count()
+
+    def _bands(sig: DataFrame, out_id: str) -> DataFrame:
+        return sig.select(
+            F.col("id").alias(out_id),
+            F.posexplode(
+                F.array(*[F.col(f"b{b}") for b in range(bands)])
+            ).alias("band_idx", "band_hash"),
+        )
+
+    cand = (
+        _bands(corpus_sigs, "corpus_id")
+        .join(F.broadcast(_bands(nsig, "new_id")), ["band_idx", "band_hash"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    na = nsig.select(
+        F.col("id").alias("new_id"), F.col("sh").alias("sh_a"),
+        *[F.col(f"h{i}").alias(f"ha{i}") for i in range(num_hashes)],
+    )
+    cb = corpus_sigs.select(
+        F.col("id").alias("corpus_id"),
+        *[F.col(f"h{i}").alias(f"hb{i}") for i in range(num_hashes)],
+    )
+    cand_ids = cand.select(F.col("corpus_id").alias(id_col)).distinct()
+    csh = shingle_df(
+        corpus_df.join(F.broadcast(cand_ids), on=id_col, how="semi"),
+        text_col=text_col, id_col=id_col, n=n,
+    ).select(F.col("id").alias("corpus_id"), F.col("sh").alias("sh_b"))
+    est = sum(
+        F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    ) / float(num_hashes)
+    return (
+        cand.join(na, "new_id").join(cb, "corpus_id").join(csh, "corpus_id")
+        .withColumn("est_jaccard", est)
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "new_id", "corpus_id",
+            F.round("est_jaccard", 6).alias("est_jaccard"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
+def passage_dedup_stats(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Passage-level duplication profile at fixed k-token granularity
+    (the window-level view of Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better": duplication lives INSIDE
+    documents that are not whole-document duplicates).
+
+    Each document is split into non-overlapping k-token passages (the
+    tail passage may be short); a passage is DUPLICATED if its text
+    occurs in >= 2 distinct documents. Output per surviving doc
+    (>= 1 token): (doc_id, n_passages, n_dup_passages, dup_frac).
+
+    Scale: passage hashing is map-side expression work (tokens
+    materialized once per row, md5 per window); the shuffles are the
+    groupBy(passage_hash) distinct-doc count, the hash join back, and
+    the per-doc rollup — linear in corpus size, no quadratic step, and
+    the join-back key (md5) is uniformly distributed so no salting is
+    needed even on repetitive corpora."""
+    staged = df.select(
+        F.col(id_col).alias("doc_id"), simple_tokens(text_col).alias("toks")
+    ).filter(F.size("toks") > 0)
+    npass = F.ceil(F.size("toks") / F.lit(float(k))).cast("int")
+    passages = staged.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), npass - 1),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(F.col("toks"), i * k + 1, k))
+                ),
+            )
+        ).alias("ph"),
+    )
+    counts = passages.groupBy("ph").agg(
+        F.count_distinct("doc_id").alias("ndocs")
+    )
+    return (
+        passages.join(counts, "ph")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+            .cast("long").alias("n_dup_passages"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("n_dup_passages") / F.col("n_passages"), 6),
+        )
     )
 
 

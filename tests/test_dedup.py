@@ -87,3 +87,87 @@ def test_embedding_near_dup(spark):
     out = {(r["id_a"], r["id_b"]) for r in
            embedding_near_dup_pairs(df, threshold=0.95).collect()}
     assert out == {(1, 2)}
+
+
+def test_incremental_minhash_vs_full(docs):
+    """Incremental (new batch vs corpus artifact) must agree exactly with
+    the corpus-wide run restricted to cross pairs: same candidate rule,
+    same verification."""
+    from muopdb_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_signature_df,
+    )
+
+    corpus = docs.filter(F.col("doc_id") <= 3)
+    new = docs.filter(F.col("doc_id") > 3)
+    sigs = minhash_signature_df(corpus).drop("sh")
+    inc = {
+        (r["new_id"], r["corpus_id"]): (r["est_jaccard"], r["jaccard"])
+        for r in incremental_minhash_pairs(
+            new, sigs, corpus, threshold=0.5
+        ).collect()
+    }
+    full = {
+        (r["doc_b"], r["doc_a"]): (r["est_jaccard"], r["jaccard"])
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+        if r["doc_a"] <= 3 < r["doc_b"]
+    }
+    assert inc == full
+    # doc 4 is the near-dup of 1/2/3; 5 and 6 must never pair
+    assert all(nid == 4 for nid, _ in inc)
+
+
+def test_incremental_minhash_exact_dup_across_batches(spark):
+    from muopdb_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_signature_df,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, BASE), (2, OTHER)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame([(10, BASE)], "doc_id long, text string")
+    out = incremental_minhash_pairs(
+        new, minhash_signature_df(corpus).drop("sh"), corpus, threshold=0.8
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["new_id"], r["corpus_id"]) == (10, 1)
+    assert r["est_jaccard"] == 1.0 and r["jaccard"] == 1.0
+
+
+def test_passage_dedup_stats(spark):
+    from muopdb_spark.operators.dedup import passage_dedup_stats
+
+    p1 = "a b c d e"           # one passage (k=5)
+    p2 = "f g h i j"
+    p3 = "k l m n o"
+    rows = [
+        (1, f"{p1} {p2}"),     # shares p1 with doc 2, p2 with nobody
+        (2, f"{p1} {p3}"),     # shares p1 with doc 1
+        (3, p3),               # shares p3 with doc 2
+        (4, "z z z"),          # 3 tokens -> 1 short passage, unique
+        (5, ""),               # no tokens -> excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in passage_dedup_stats(df, k=5).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert (out[1]["n_passages"], out[1]["n_dup_passages"]) == (2, 1)
+    assert out[1]["dup_frac"] == 0.5
+    assert (out[2]["n_passages"], out[2]["n_dup_passages"]) == (2, 2)
+    assert out[2]["dup_frac"] == 1.0
+    assert (out[3]["n_passages"], out[3]["n_dup_passages"]) == (1, 1)
+    assert (out[4]["n_passages"], out[4]["n_dup_passages"]) == (1, 0)
+
+
+def test_passage_dedup_tail_passage_is_its_own_window(spark):
+    """Tail shorter than k is a distinct passage, not merged/dropped —
+    'a b c | d' with k=3 shares nothing with 'd a b c' windows."""
+    from muopdb_spark.operators.dedup import passage_dedup_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "d a b c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in passage_dedup_stats(df, k=3).collect()}
+    assert out[1]["n_passages"] == 2 and out[1]["n_dup_passages"] == 0
+    assert out[2]["n_passages"] == 2 and out[2]["n_dup_passages"] == 0

@@ -512,3 +512,38 @@ def test_full_reference_language_dispatch():
     assert _stemmer_for("vi") is porter_stem
     # unsupported tags still degrade to identity, not an error
     assert _stemmer_for("zz") is None
+
+
+@pytest.mark.parametrize("lang,word,ours,published", [
+    # Greek: the published Snowball Greek stemmer resolves step-1
+    # exception entries (φαγιά -> φα, σκουλήκια -> σκουληκ); our reduced
+    # rendition omits the exception tables, so these retain a final
+    # vowel. Index and query share the function, so Contains semantics
+    # are self-consistent.
+    ("el", "φαγιά", "φαγι", "φα"),
+    ("el", "σκουλήκια", "σκουληκι", "σκουληκ"),
+    # Arabic: the published algorithm's verb-form tables conjoin
+    # prefixed imperfect forms to the root (كتب); our reduced rendition
+    # strips affixes positionally only.
+    ("ar", "فسيكتبونها", "فسيكتب", "كتب"),
+    # Tamil: the published pipeline ends with root extraction; ours
+    # stops at suffix stripping, so inflected verbs keep their tense
+    # marker.
+    ("ta", "படித்தான்", "படித்தான்", "படி"),
+    # Hungarian: we iterate the published single-pass algorithm to a
+    # fixpoint, which over-strips noun stems the single pass leaves
+    # intact (published: barát).
+    ("hu", "barátok", "bar", "barát"),
+    ("hu", "barátaim", "bar", "barát"),
+])
+def test_known_deviations_from_published_snowball(lang, word, ours, published):
+    """KNOWN-DEVIATION pins (advisor r4): these inputs stem differently
+    from the published Snowball / rust-stemmers output. The pins make
+    the divergence explicit and catch accidental drift in either
+    direction; `published` documents what reference-exact behavior
+    would return (asserted different, not equal)."""
+    from muopdb_spark.functions.text import stem_word
+
+    got = stem_word(word, lang)
+    assert got == ours
+    assert got != published
