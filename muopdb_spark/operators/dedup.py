@@ -479,11 +479,15 @@ def passage_dedup_stats(
     (>= 1 token): (doc_id, n_passages, n_dup_passages, dup_frac).
 
     Scale: passage hashing is map-side expression work (tokens
-    materialized once per row, md5 per window); the shuffles are the
-    groupBy(passage_hash) distinct-doc count, the hash join back, and
-    the per-doc rollup — linear in corpus size, no quadratic step, and
-    the join-back key (md5) is uniformly distributed so no salting is
-    needed even on repetitive corpora."""
+    materialized once per row, md5 per window); ONE text scan total.
+    "occurs in >= 2 distinct docs" is computed as min(doc_id) !=
+    max(doc_id) over a window by passage hash — O(1) window state, no
+    distinct-count set, and no groupBy+join-back (which would scan and
+    re-tokenize the corpus twice). Shuffles: once on the md5 passage
+    hash (uniform — no salting needed even on repetitive corpora),
+    once on doc_id for the rollup. Linear, no quadratic step."""
+    from pyspark.sql.window import Window
+
     staged = df.select(
         F.col(id_col).alias("doc_id"), simple_tokens(text_col).alias("toks")
     ).filter(F.size("toks") > 0)
@@ -499,16 +503,16 @@ def passage_dedup_stats(
             )
         ).alias("ph"),
     )
-    counts = passages.groupBy("ph").agg(
-        F.count_distinct("doc_id").alias("ndocs")
-    )
+    w = Window.partitionBy("ph")
     return (
-        passages.join(counts, "ph")
+        passages
+        .withColumn(
+            "is_dup", F.min("doc_id").over(w) != F.max("doc_id").over(w)
+        )
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_passages"),
-            F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
-            .cast("long").alias("n_dup_passages"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dup_passages"),
         )
         .withColumn(
             "dup_frac",

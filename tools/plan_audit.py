@@ -137,6 +137,29 @@ CHECKS = {
         ("ReadSchema: struct<doc_id:bigint,text:string>",
          "column pruning: 2 of 5 document columns read"),
     ],
+    "d7_incremental_minhash": [
+        ("BroadcastHashJoin", "the new batch's band table broadcasts to "
+         "the corpus-signature artifact scan — candidate generation "
+         "never shuffles the corpus side"),
+        ("LeftSemi", "verification re-reads corpus text only for "
+         "candidate ids via a semi join (the bloom/row-group "
+         "point-lookup path at scale)"),
+        ("!SortMergeJoin", "no shuffled join anywhere: every join side "
+         "that meets the corpus is broadcast-sized by construction"),
+        ("InMemoryTableScan", "the new batch's signature subtree is "
+         "persisted once and feeds the band/est/verify branches"),
+    ],
+    "p3_passage_dedup": [
+        ("Window", "distinct-doc test is min(doc_id) != max(doc_id) "
+         "over a window by passage hash — O(1) state, no "
+         "collect_set, no groupBy+join-back double scan"),
+        ("!ArrowEvalPython", "fully JVM: tokenize/window/md5 are "
+         "Catalyst expressions, no Python in the plan"),
+        ("!BroadcastHashJoin", "no join: one text scan, window, "
+         "rollup"),
+        ("ReadSchema: struct<doc_id:bigint,text:string>",
+         "column pruning: 2 of 5 document columns read"),
+    ],
     "j7_range_count_join": [
         ("SortMergeJoin", "banded range join lands as an ordinary "
          "equi-join on (keys, time-bucket); replication factor is a "
