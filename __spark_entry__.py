@@ -1079,6 +1079,67 @@ def q_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIXTURE_WEIGHTS = {"en": 0.3, "de": 0.5, "es": 0.15, "fr": 0.05}
+_MIXTURE_BUDGET = 9000
+
+
+def q_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling under a token budget: allocate 9,000
+    tokens across languages by target weights (zh weighted 0 — dropped),
+    cap oversubscribed strata at fraction 1 (de is capped at both test
+    SFs), and hash-sample deterministically. Sampled rows carry the
+    applied fraction for audit."""
+    from muopdb_spark.operators.sampling import token_budget_mixture
+    from muopdb_spark.operators.textstats import ws_token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        ws_token_count("text").cast("long").alias("n_tokens"),
+    )
+    return token_budget_mixture(
+        docs, strata_col="lang", key_col="doc_id", token_col="n_tokens",
+        weights=_MIXTURE_WEIGHTS, budget_tokens=_MIXTURE_BUDGET,
+    ).select("doc_id", "lang", "n_tokens", "fraction").orderBy("doc_id")
+
+
+def _token_mixture_oracle() -> str:
+    """Transcribes token_budget_mixture's arithmetic: same float64
+    expression order, round-6 fraction pin, floor+cap threshold, and
+    the md5 content-addressed membership test."""
+    sum_w = sum(_MIXTURE_WEIGHTS.values())
+    case = " ".join(
+        f"WHEN '{s}' THEN {w}" for s, w in sorted(_MIXTURE_WEIGHTS.items())
+    )
+    langs = ", ".join(f"'{s}'" for s in sorted(_MIXTURE_WEIGHTS))
+    return rf"""
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   len(list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> x <> ''))::BIGINT AS n_tokens
+            FROM documents
+        ),
+        tot AS (SELECT lang, sum(n_tokens)::DOUBLE AS toks
+                FROM tok GROUP BY lang),
+        fr AS (
+            SELECT lang,
+                   round(least(1.0,
+                       ({_MIXTURE_BUDGET} * (CASE lang {case} END) / {sum_w})
+                       / toks), 6) AS fraction
+            FROM tot WHERE lang IN ({langs})
+        ),
+        thr AS (
+            SELECT lang, fraction,
+                   printf('%08x', CAST(least(floor(fraction * 4294967296.0),
+                       4294967295.0) AS BIGINT)) AS th
+            FROM fr
+        )
+        SELECT t.doc_id, t.lang, t.n_tokens, h.fraction
+        FROM tok t JOIN thr h USING (lang)
+        WHERE substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 8) < h.th
+        ORDER BY t.doc_id
+    """
+
+
 def q_stream_ingest_batch_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1-W5 driver-checked end-to-end: stream the embeddings fixture
     through the WAL ingest path — file-source micro-batches under an
@@ -1876,10 +1937,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sampling variants (smp3 witnesses sampling), and the no-oracle
     ratio-pruned probe v19 (recall pytest-gated in tests/test_ivf.py).
 
-    Every entry here has at least one driver-green correctness row in
-    a prior round (t4_fingerprints / m2_frame_sample /
-    smp3_reservoir_per_lang were green r1-r4 and rotated out in r5 to
-    make room for src2/t7/t8's first driver rows) and stays
+    Every entry here except where noted inline has at least one
+    driver-green correctness row in a prior round (t4_fingerprints /
+    m2_frame_sample / smp3_reservoir_per_lang were green r1-r4 and
+    rotated out in r5 to make room for src2/t7/t8's first driver rows)
+    and stays
     oracle-gated locally: tests/test_extra_queries.py runs each against
     its oracle_sql() twin on DuckDB at sf0.001, the same compare the
     driver does. bench.py runs them via the merged dict, so the
@@ -1909,6 +1971,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_semi_anti": q_semi_anti_join,
         "h1_hybrid_search": q_hybrid_search,
         "v22_ann_batch_ivf": q_ann_batch_ivf,
+        # NEW in r5 (no prior driver row; oracle-gated in pytest like
+        # all extras): domain-mixture sampling under a token budget.
+        "smp4_token_mixture": q_token_mixture,
     }
 
 
@@ -2309,6 +2374,7 @@ def oracle_sql() -> dict[str, str]:
         "d3_dedup_minhash_lsh": _minhash_oracle(),
         "d7_incremental_minhash": _incremental_minhash_oracle(),
         "p3_passage_dedup": _passage_dedup_oracle(),
+        "smp4_token_mixture": _token_mixture_oracle(),
         "d4_dedup_simhash": _simhash_oracle(),
         "d5_dedup_embedding_cosine": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -2,9 +2,11 @@
 fixture — the full pass a pretraining corpus goes through before
 tokenization, each stage one of the engine's operators:
 
-    JSONL ingest -> exact dedup -> near-dup clustering -> benchmark
-    decontamination -> PII scrub -> repetition-quality filter ->
-    stratified sampling -> sequence packing -> parquet out
+    JSONL ingest -> exact dedup -> near-dup clustering -> passage-dup
+    filter -> benchmark decontamination -> PII scrub ->
+    repetition-quality filter -> stratified sampling -> sequence
+    packing -> parquet out -> DAY 2: incremental dedup of a new batch
+    against the curated corpus's durable signature artifact
 
 Run: python examples/curation_pipeline.py [sf_dir]
 """
@@ -21,7 +23,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from pyspark.sql import functions as F  # noqa: E402
 
 from muopdb_spark.operators.contamination import contamination_report_split  # noqa: E402
-from muopdb_spark.operators.dedup import exact_dedup, ngram_jaccard_pairs  # noqa: E402
+from muopdb_spark.operators.dedup import (  # noqa: E402
+    exact_dedup,
+    incremental_minhash_pairs,
+    minhash_signature_df,
+    ngram_jaccard_pairs,
+    passage_dedup_stats,
+)
 from muopdb_spark.operators.graph import dup_clusters  # noqa: E402
 from muopdb_spark.operators.packing import pack_sequences, sequence_stats  # noqa: E402
 from muopdb_spark.operators.pii import scrub_pii  # noqa: E402
@@ -32,6 +40,21 @@ from muopdb_spark.operators.sampling import stratified_hash_sample  # noqa: E402
 from muopdb_spark.operators.textstats import ws_token_count  # noqa: E402
 from muopdb_spark.session import get_spark  # noqa: E402
 from muopdb_spark.sources.jsonl import read_jsonl, write_jsonl  # noqa: E402
+
+
+def _pin(df, prev=None):
+    """Materialize a pipeline stage and TRUNCATE its lineage
+    (localCheckpoint): by stage 9 the logical plan is ~10 stages of
+    joins/UDFs deep and every later action re-plans all of it —
+    Catalyst analysis cost is super-linear in plan size, and the
+    un-truncated example spent minutes in the driver planning hundreds
+    of micro-jobs. Checkpointing each stage keeps every plan shallow.
+    (In a production pipeline this is a parquet write per stage — same
+    effect, plus restartability.)"""
+    df = df.localCheckpoint(eager=True)
+    if prev is not None:
+        prev.unpersist()
+    return df
 
 
 def main() -> None:
@@ -52,24 +75,37 @@ def main() -> None:
 
         # 1. exact dedup: keep the canonical copy of byte-identical docs
         canon = exact_dedup(docs).filter("is_canonical").select("doc_id")
-        docs = docs.join(canon, "doc_id", "left_semi")
+        docs = _pin(docs.join(canon, "doc_id", "left_semi"))
         n1 = docs.count()
 
         # 2. near-dup clustering: transitive clusters over 3-gram
         #    Jaccard pairs; keep each cluster's canonical member
         pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
         clusters = dup_clusters(docs.select("doc_id"), pairs)
-        docs = docs.join(
+        prev = docs
+        docs = _pin(docs.join(
             clusters.filter("is_canonical").select("doc_id"), "doc_id", "left_semi"
-        )
+        ), prev)
         n2 = docs.count()
+
+        # 2b. passage-level dup filter: drop docs whose k-token windows
+        #     are mostly copies of other docs' windows (document-level
+        #     dedup misses these — Lee et al. 2021)
+        prof = passage_dedup_stats(docs, k=10)
+        prev = docs
+        docs = _pin(docs.join(
+            prof.filter(F.col("dup_frac") <= 0.6).select("doc_id"),
+            "doc_id", "left_semi",
+        ), prev)
+        n2b = docs.count()
 
         # 3. decontamination: drop docs overlapping the "benchmark"
         #    slice (stand-in for a held-out eval set)
         report = contamination_report_split(docs, F.col("id") % 20 == 0)
         clean_ids = report.filter(~F.col("is_contaminated")).select("doc_id")
-        docs = docs.filter(F.col("doc_id") % 20 != 0) \
-                   .join(clean_ids, "doc_id", "left_semi")
+        prev = docs
+        docs = _pin(docs.filter(F.col("doc_id") % 20 != 0)
+                    .join(clean_ids, "doc_id", "left_semi"), prev)
         n3 = docs.count()
 
         # 4. PII scrub: redact, keep the redacted text
@@ -99,14 +135,16 @@ def main() -> None:
                 & (F.col("alpha_frac") >= 0.8)
             ).select("doc_id")
         )
-        docs = docs.join(keep, "doc_id", "left_semi")
+        prev = docs
+        docs = _pin(docs.join(keep, "doc_id", "left_semi"), prev)
         n5 = docs.count()
 
         # 6. language rebalancing: deterministic stratified sample
-        docs = stratified_hash_sample(
+        prev = docs
+        docs = _pin(stratified_hash_sample(
             docs, strata_col="lang", key_col="doc_id",
             fractions={"en": 1.0, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 0.5},
-        )
+        ), prev)
         n6 = docs.count()
 
         # 7. sequence packing: 512-token training sequences per language
@@ -123,9 +161,26 @@ def main() -> None:
              .write.mode("overwrite").partitionBy("lang").parquet(out)
 
         n_seqs = fill.count()
+
+        # 9. DAY 2: a new ingest batch arrives. Write the curated
+        #    corpus's signature artifact ONCE (fixed-width per doc),
+        #    then admit the batch against it — corpus text is only
+        #    re-read for verified candidates, never re-shingled.
+        sig_path = os.path.join(tmp, "corpus_sigs")
+        minhash_signature_df(docs).drop("sh").write.parquet(sig_path)
+        new_batch = raw.join(docs.select("doc_id"), "doc_id", "left_anti") \
+                       .orderBy("doc_id").limit(200)
+        dups = incremental_minhash_pairs(
+            new_batch, spark.read.parquet(sig_path), docs, threshold=0.8,
+        )
+        n_new = new_batch.count()
+        n_rejected = dups.select("new_id").distinct().count()
+
         print(f"ingested={n0} exact_dedup={n1} near_dup={n2} "
-              f"decontaminated={n3} quality={n5} sampled={n6} "
-              f"sequences={n_seqs}")
+              f"passage_dup={n2b} decontaminated={n3} quality={n5} "
+              f"sampled={n6} sequences={n_seqs}")
+        print(f"day2: batch={n_new} near-dup-of-corpus={n_rejected} "
+              f"admitted={n_new - n_rejected}")
         print("sample sequence fill:",
               [(r.lang, r.seq_id, r.n_docs, r.sum_tokens)
                for r in fill.orderBy("lang", "seq_id").limit(5).collect()])

@@ -82,6 +82,68 @@ def stratified_hash_sample(
     return df.filter(_hash_bucket(F.col(key_col), salt) < thr)
 
 
+def token_budget_mixture(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    key_col: str,
+    token_col: str,
+    weights: dict[str, float],
+    budget_tokens: int,
+    salt: str = "",
+) -> DataFrame:
+    """Domain-mixture sampling under a token budget — the mixture-
+    weighting step of pretraining-data assembly: allocate
+    `budget_tokens` across strata proportionally to `weights`
+    (normalized over the strata present in `weights`; others get 0),
+    convert each stratum's allocation into a deterministic
+    content-addressed sampling fraction, and sample.
+
+    fraction_s = round(min(1, (budget * w_s / sum_w) / tokens_s), 6)
+
+    The cap at 1 means an undersized stratum contributes everything it
+    has and its surplus allocation is left UNSPENT (single-round
+    semantics — no redistribution; callers wanting water-filling loop
+    with the surplus, which keeps every round reproducible). The round
+    to 6 decimals pins the threshold across engines, so the DuckDB
+    oracle can transcribe the same arithmetic.
+
+    Two passes: one per-stratum token-sum aggregate (collected — one
+    row per stratum, bounded by the domain vocabulary, ~100s at any
+    corpus size), then a pure map-side filter; sampled rows carry the
+    applied `fraction` for audit.
+
+    Expected kept tokens per stratum ≈ fraction_s × tokens_s (hash
+    membership is independent of document length); exact-budget
+    packing is deterministic_reservoir + pack_sequences downstream.
+    """
+    sum_w = float(sum(weights.values()))
+    if sum_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    totals = {
+        r["s"]: float(r["toks"])
+        for r in df.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.sum(F.col(token_col)).alias("toks"))
+        .collect()
+    }
+    fractions = {
+        s: round(min(1.0, (budget_tokens * w / sum_w) / totals[s]), 6)
+        for s, w in weights.items()
+        if totals.get(s)
+    }
+    frac_col: Column = F.lit(None).cast("double")
+    thr_col: Column = F.lit(None).cast("string")
+    for value, frac in sorted(fractions.items()):
+        is_s = F.col(strata_col) == F.lit(value)
+        frac_col = F.when(is_s, F.lit(frac)).otherwise(frac_col)
+        thr_col = F.when(is_s, F.lit(_threshold_hex(frac))).otherwise(thr_col)
+    return (
+        df.withColumn("fraction", frac_col)
+        .filter(F.col("fraction").isNotNull())
+        .filter(_hash_bucket(F.col(key_col), salt) < thr_col)
+    )
+
+
 def deterministic_reservoir(
     df: DataFrame,
     *,

@@ -99,3 +99,49 @@ def test_reservoir_exact_n_and_deterministic(docs):
     assert sorted(map(tuple, out.select("lang", "doc_id").collect())) == sorted(
         map(tuple, again.select("lang", "doc_id").collect())
     )
+
+
+def test_token_budget_mixture(spark):
+    """Hand-crafted strata: stratum 'big' has 1000 tokens over 100 docs,
+    'tiny' has 40 tokens over 4 docs. Budget 200 split 50/50 ->
+    'big' gets fraction 0.1, 'tiny' is oversubscribed (100 wanted, 40
+    exist) and capped at 1.0; a stratum with no weight is dropped."""
+    from muopdb_spark.operators.sampling import token_budget_mixture
+
+    rows = (
+        [(i, "big", 10) for i in range(100)]
+        + [(1000 + i, "tiny", 10) for i in range(4)]
+        + [(2000 + i, "unweighted", 10) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    out = token_budget_mixture(
+        df, strata_col="lang", key_col="doc_id", token_col="n_tokens",
+        weights={"big": 0.5, "tiny": 0.5}, budget_tokens=200,
+    ).collect()
+    by_lang: dict = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(by_lang) <= {"big", "tiny"}
+    # capped stratum keeps EVERYTHING at fraction 1.0
+    assert len(by_lang["tiny"]) == 4
+    assert all(r["fraction"] == 1.0 for r in by_lang["tiny"])
+    # fraction 0.1 over 100 uniform hash buckets: exact membership is
+    # the content-addressed rule, so pin it against the reference md5
+    assert all(r["fraction"] == 0.1 for r in by_lang["big"])
+    expect_big = _expected_keys(range(100), 0.1)
+    assert {r["doc_id"] for r in by_lang["big"]} == expect_big
+
+
+def test_token_budget_mixture_partitioning_invariant(spark):
+    from muopdb_spark.operators.sampling import token_budget_mixture
+
+    rows = [(i, "a" if i % 2 else "b", 5 + i % 7) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    kw = dict(
+        strata_col="lang", key_col="doc_id", token_col="n_tokens",
+        weights={"a": 0.7, "b": 0.3}, budget_tokens=300,
+    )
+    a = {r["doc_id"] for r in token_budget_mixture(df, **kw).collect()}
+    b = {r["doc_id"] for r in
+         token_budget_mixture(df.repartition(13), **kw).collect()}
+    assert a == b and a
