@@ -1,0 +1,153 @@
+"""Continuous corpus admission: stream documents in, admit only those
+that are not near-duplicates of the corpus admitted so far.
+
+This is the streaming face of incremental dedup
+(operators/dedup.incremental_minhash_pairs): the corpus state that
+matters is the FIXED-WIDTH MinHash signature artifact, which grows
+monotonically as batches are admitted — exactly the LSM/WAL admission
+shape of the reference's ingest path (wal append -> flush), applied to
+corpus curation:
+
+  - per micro-batch: dedup within the batch, then against the
+    signature artifact; admitted text appends to the corpus, admitted
+    SIGNATURES append to the artifact, so the next batch dedups
+    against old ∪ previously-admitted with no corpus re-shingling
+  - rejected docs land in a side parquet with the corpus doc they
+    matched and the batch id — at-least-once foreachBatch replays are
+    deduplicable downstream by (batch_id, new_id), the same idempotency
+    contract as streaming/serving.py
+  - at 100 TB the per-batch cost is one scan of the signature parquet
+    (columnar, ~400 bytes/doc) + point reads of candidate corpus text;
+    the batch side is broadcast throughout (see docs/SCALE.md, d7)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from muopdb_spark.operators.dedup import (
+    incremental_minhash_pairs,
+    minhash_lsh_pairs,
+    minhash_signature_df,
+)
+
+
+def bootstrap_corpus(
+    docs: DataFrame,
+    corpus_path: str,
+    sig_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> None:
+    """Seed the admission state: write the initial corpus and its
+    signature artifact (the one-time cost; every later batch appends)."""
+    docs.write.mode("overwrite").parquet(corpus_path)
+    minhash_signature_df(
+        docs, text_col=text_col, id_col=id_col, n=n,
+        num_hashes=num_hashes, bands=bands,
+    ).drop("sh").write.mode("overwrite").parquet(sig_path)
+
+
+def admit_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    corpus_path: str,
+    sig_path: str,
+    rejected_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> None:
+    """One admission round (callable directly for batch pipelines, or
+    from the stream's foreachBatch): intra-batch dedup (keep the
+    lowest id of any near-dup pair), then cross dedup vs the artifact;
+    append admitted text + signatures, record rejections."""
+    spark = batch_df.sparkSession
+    batch_df = batch_df.localCheckpoint(eager=True)
+
+    # intra-batch: a batch can carry near-dups of itself that the
+    # corpus artifact knows nothing about
+    intra = minhash_lsh_pairs(
+        batch_df, text_col=text_col, id_col=id_col, n=n,
+        num_hashes=num_hashes, bands=bands, threshold=threshold,
+    )
+    batch_df = batch_df.join(
+        intra.select(F.col("doc_b").alias(id_col)).distinct(),
+        on=id_col, how="left_anti",
+    )
+
+    dups = incremental_minhash_pairs(
+        batch_df,
+        spark.read.parquet(sig_path),
+        spark.read.parquet(corpus_path),
+        text_col=text_col, id_col=id_col, n=n,
+        num_hashes=num_hashes, bands=bands, threshold=threshold,
+    ).localCheckpoint(eager=True)
+
+    admitted = batch_df.join(
+        dups.select(F.col("new_id").alias(id_col)).distinct(),
+        on=id_col, how="left_anti",
+    ).localCheckpoint(eager=True)
+    # order matters for crash-consistency: corpus text first, then the
+    # signatures that make those docs visible to future dedup rounds —
+    # a crash between the writes can only produce corpus docs that are
+    # re-admittable duplicates, never signatures pointing at missing
+    # text (same WAL-before-flush ordering as catalog/collection.py)
+    admitted.write.mode("append").parquet(corpus_path)
+    minhash_signature_df(
+        admitted, text_col=text_col, id_col=id_col, n=n,
+        num_hashes=num_hashes, bands=bands,
+    ).drop("sh").write.mode("append").parquet(sig_path)
+    dups.withColumn("batch_id", F.lit(batch_id)).write.mode(
+        "append"
+    ).parquet(rejected_path)
+
+
+def stream_admission(
+    doc_stream: DataFrame,
+    corpus_path: str,
+    sig_path: str,
+    rejected_path: str,
+    checkpoint_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.8,
+    trigger_available_now: bool = False,
+    processing_time: str = "1 second",
+):
+    """Start the continuous admission query; returns the
+    StreamingQuery. `doc_stream` is any streaming DataFrame with
+    (id_col, text_col); state must be seeded with bootstrap_corpus."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        admit_batch(
+            batch_df, batch_id, corpus_path, sig_path, rejected_path,
+            text_col=text_col, id_col=id_col, n=n,
+            num_hashes=num_hashes, bands=bands, threshold=threshold,
+        )
+        batch_df.sparkSession.catalog.clearCache()
+
+    writer = (
+        doc_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

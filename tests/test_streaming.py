@@ -222,3 +222,86 @@ def test_stream_ann_search_matches_batch(spark, tmp_path):
     assert got.select("query_id", "id", "score") \
               .exceptAll(want).count() == 0
     assert want.exceptAll(got.select("query_id", "id", "score")).count() == 0
+
+
+def test_stream_admission_incremental_dedup(spark, tmp_path):
+    """Continuous corpus admission: batch 2's near-dup of a doc ADMITTED
+    in batch 1 must be rejected — the signature artifact grows across
+    micro-batches — and intra-batch near-dups resolve to the lowest id."""
+    from muopdb_spark.streaming.admission import (
+        bootstrap_corpus,
+        stream_admission,
+    )
+
+    fam_x = "the quick brown fox jumps over the lazy dog again and again today"
+    fam_x_near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    fam_y = "completely different content about spark dataframes and shuffles everywhere"
+    z = "rivers carve canyons slowly over millions of patient years downstream"
+    z_near = "rivers carve canyons slowly over millions of patient years upstream"
+    w = "orchestras tune their instruments before every single evening performance"
+    w_near = "orchestras tune their instruments before every single morning performance"
+
+    corpus_path = str(tmp_path / "corpus")
+    sig_path = str(tmp_path / "sigs")
+    rejected_path = str(tmp_path / "rejected")
+    seed = spark.createDataFrame(
+        [(1, fam_x), (2, fam_y)], "doc_id long, text string"
+    )
+    bootstrap_corpus(seed, corpus_path, sig_path)
+
+    src = str(tmp_path / "incoming")
+    _write_json(src, "f1.jsonl", [
+        {"doc_id": 10, "text": fam_x_near},   # near-dup of corpus doc 1
+        {"doc_id": 11, "text": z},            # novel -> admitted
+    ])
+    _write_json(src, "f2.jsonl", [
+        {"doc_id": 20, "text": z_near},       # near-dup of 11 (batch 1!)
+        {"doc_id": 21, "text": w},            # novel -> admitted
+        {"doc_id": 22, "text": w_near},       # intra-batch near-dup of 21
+    ])
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).json(src)
+    )
+    q = stream_admission(
+        stream, corpus_path, sig_path, rejected_path,
+        str(tmp_path / "ck"),
+        threshold=0.5, trigger_available_now=True,
+    )
+    q.awaitTermination(180)
+
+    corpus_ids = {
+        r["doc_id"] for r in spark.read.parquet(corpus_path).collect()
+    }
+    assert corpus_ids == {1, 2, 11, 21}
+    # the artifact tracks the corpus exactly (next batches see 11, 21)
+    sig_ids = {r["id"] for r in spark.read.parquet(sig_path).collect()}
+    assert sig_ids == corpus_ids
+    rejected = {
+        (r["new_id"], r["corpus_id"], r["batch_id"])
+        for r in spark.read.parquet(rejected_path).collect()
+    }
+    assert rejected == {(10, 1, 0), (20, 11, 1)}
+
+
+def test_admit_batch_is_callable_in_batch_mode(spark, tmp_path):
+    """admit_batch doubles as the batch-pipeline admission round."""
+    from muopdb_spark.streaming.admission import admit_batch, bootstrap_corpus
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    corpus_path = str(tmp_path / "c")
+    sig_path = str(tmp_path / "s")
+    rejected_path = str(tmp_path / "r")
+    bootstrap_corpus(
+        spark.createDataFrame([(1, base)], "doc_id long, text string"),
+        corpus_path, sig_path,
+    )
+    batch = spark.createDataFrame(
+        [(5, near), (6, "unrelated text about entirely other matters here")],
+        "doc_id long, text string",
+    )
+    admit_batch(batch, 7, corpus_path, sig_path, rejected_path, threshold=0.5)
+    assert {r["doc_id"] for r in spark.read.parquet(corpus_path).collect()} == {1, 6}
+    rej = spark.read.parquet(rejected_path).collect()
+    assert [(r["new_id"], r["corpus_id"], r["batch_id"]) for r in rej] == [(5, 1, 7)]
