@@ -117,6 +117,7 @@ def lsh_near_dup_pairs(
     index: RpLshIndex,
     *,
     threshold: float = 0.9,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Sub-quadratic near-dup pairs: bucket-collision candidates (any
     table) -> exact cosine verification >= threshold. Same output
@@ -131,11 +132,23 @@ def lsh_near_dup_pairs(
     bucket that shape shuffles O(b^2) pair rows per bucket, while this
     one shuffles the b (id, vector) rows once and dedups only VERIFIED
     pairs (measured r5 at sf0.1 / 16 buckets-per-table: 7.8 s -> 1.3 s
-    on the same box). Skew note: a viral bucket still costs b^2 inside
-    one task — bucket width is the num_planes knob, and a per-bucket
-    cap (drop or split buckets over a size bound) is the mitigation at
-    100 TB, same as the d3 band-bucket story (docs/SCALE.md)."""
-    bv = index.buckets.join(index.vectors, "id")
+    on the same box). Skew: a viral bucket still costs b^2 inside one
+    task — bucket width is the num_planes knob, and `max_bucket_size`
+    DROPS buckets over the bound (their members are mutual near-dup
+    candidates of each other by construction; route them to clustering
+    directly rather than pairwise verification — the d3 band-bucket
+    story, docs/SCALE.md), so no task exceeds cap^2 BLAS work."""
+    buckets = index.buckets
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("table_idx", "bucket")
+        buckets = (
+            buckets.withColumn("_bn", F.count("*").over(w))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
+    bv = buckets.join(index.vectors, "id")
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["id"].to_numpy()

@@ -162,11 +162,10 @@ def ngram_jaccard_pairs(
     sets back and computes exact Jaccard.
 
     EAGER: calling this launches the shingle+rank subtree immediately
-    (persist + count barrier — see the inline comment for why) and the
-    persisted intermediate lives until the cache is cleared. Downstream
-    operators (e.g. .limit()) therefore cannot avoid the upstream work.
-    Long-lived sessions issuing many dedup calls should
-    spark.catalog.clearCache() (or unpersist) between corpora.
+    (lineage-truncating localCheckpoint — see the inline comment for
+    why). Downstream operators (e.g. .limit()) therefore cannot avoid
+    the upstream work; checkpoint storage is freed when the returned
+    plan is garbage-collected.
     """
     # One linear pass up to the ranked table: shingle -> explode (which
     # drops empty-shingle docs for free) -> window df-count (one shuffle
@@ -193,14 +192,18 @@ def ngram_jaccard_pairs(
     )
     prefix_len = (F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1).cast("int")
     # ranked feeds three branches (prefix index + both verification
-    # sides); without a cache the whole upstream pipeline re-runs per
-    # branch (measured 25s vs 5s at sf0.1 — AQE does not reuse the
-    # aggregate's exchange across the self-join's sides). The count()
-    # is a materialization BARRIER, not bookkeeping: the final action
-    # launches the three consuming shuffle-map stages concurrently, and
-    # an unpopulated cache makes each of them recompute every partition
-    # of the shingle+rank subtree (cache writes don't dedupe across
-    # in-flight stages) — measured 14-22s vs 3.5s at sf0.1.
+    # sides); without materialization the whole upstream pipeline
+    # re-runs per branch (measured 25s vs 5s at sf0.1 — AQE does not
+    # reuse the aggregate's exchange across the self-join's sides).
+    # localCheckpoint(eager) rather than persist+count: it TRUNCATES
+    # the lineage, so the three consuming shuffle-map stages CANNOT
+    # recompute the subtree even under eviction/race — with
+    # persist+count, concurrent stages racing an unpopulated or
+    # evicted cache each re-ran every partition (cache writes don't
+    # dedupe across in-flight stages; measured 14-22s vs 3.5s at
+    # sf0.1, and the r4 bench outlier reps were this). A/B r5 at
+    # sf0.1: persist [3.65, 2.54, 2.52, 2.10] vs localCheckpoint
+    # [2.15, 2.14, 2.07, 2.14] — tighter and faster.
     #
     # Plan-shape alternatives measured head-to-head in r5 (interleaved
     # reps, one session, sf0.1) and REJECTED — this shape won them all:
@@ -220,8 +223,7 @@ def ngram_jaccard_pairs(
     # ([4.01, 11.45, 6.89]) were first-exec codegen (rep0) plus box load
     # (bench.py now compiles this pipeline at the smoke SF before
     # timing).
-    ranked = ranked.persist()
-    ranked.count()
+    ranked = ranked.localCheckpoint(eager=True)
     inv = ranked.select(
         "id", "n_sh", F.explode(F.slice("sh_ranked", 1, prefix_len)).alias("shingle")
     )
@@ -308,25 +310,21 @@ def minhash_lsh_pairs(
     est_jaccard = fraction of matching minhashes.
 
     EAGER: calling this materializes the signature subtree immediately
-    (persist + count barrier, rationale inline) and the persisted
-    signatures live until the cache is cleared — clearCache()/unpersist
-    between corpora in long-lived sessions.
+    (lineage-truncating localCheckpoint, rationale inline); checkpoint
+    storage is freed when the returned plan is garbage-collected.
     """
     sig = minhash_signature_df(
         df, text_col=text_col, id_col=id_col, n=n,
         num_hashes=num_hashes, bands=bands,
     )
     # the signature subtree feeds three plan branches (bucket explode +
-    # both verification sides); persist so the md5-heavy minhash pass
-    # runs once instead of three times. count() is a materialization
-    # barrier: without it the final action schedules the consuming
-    # shuffle-map stages concurrently and each races to (re)compute the
-    # uncached signature partitions — the bimodal 6-14s timings in
-    # BENCH_r02 were exactly this; with the barrier the subtree runs
-    # once, in one stage (it also makes the upstream shingle persist
-    # redundant, so sh is no longer cached)
-    sig = sig.persist()
-    sig.count()
+    # both verification sides); materialize so the md5-heavy minhash
+    # pass runs once instead of three times. localCheckpoint(eager)
+    # rather than persist+count: truncating the lineage makes the
+    # concurrent consumer stages structurally unable to recompute the
+    # subtree (with a cache they race it on eviction — the bimodal
+    # 6-14s timings in BENCH_r02; see the d2 A/B in ngram_jaccard_pairs)
+    sig = sig.localCheckpoint(eager=True)
 
     # candidates: explode bands, equi-join within (band_idx, band_hash) buckets
     buckets = sig.select(
@@ -404,18 +402,17 @@ def incremental_minhash_pairs(
     candidate rule + verification as minhash_lsh_pairs, restricted to
     new × corpus.
 
-    EAGER: persists the new batch's signature subtree (it feeds the
-    band join, the est-jaccard join, and the verification join);
-    clearCache()/unpersist between batches in long-lived sessions.
+    EAGER: materializes the new batch's signature subtree (it feeds
+    the band join, the est-jaccard join, and the verification join)
+    via lineage-truncating localCheckpoint.
     """
     nsig = minhash_signature_df(
         new_df, text_col=text_col, id_col=id_col, n=n,
         num_hashes=num_hashes, bands=bands,
     )
-    # same barrier rationale as minhash_lsh_pairs: three consumers race
-    # an unpopulated cache without the count()
-    nsig = nsig.persist()
-    nsig.count()
+    # same barrier rationale as minhash_lsh_pairs: lineage-truncated
+    # materialization, immune to the concurrent-consumer recompute race
+    nsig = nsig.localCheckpoint(eager=True)
 
     def _bands(sig: DataFrame, out_id: str) -> DataFrame:
         return sig.select(

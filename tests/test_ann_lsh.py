@@ -85,3 +85,30 @@ def test_save_load_roundtrip(spark, tmp_path):
     got_b = [r["id"] for r in lsh_knn(built, q, 3).collect()]
     got_l = [r["id"] for r in lsh_knn(loaded, q, 3).collect()]
     assert got_b == got_l
+
+
+def test_max_bucket_size_drops_viral_buckets(spark):
+    """A bucket over the cap contributes no pairs; small buckets are
+    unaffected — bounding any verification task at cap^2 work."""
+    import numpy as np
+
+    from muopdb_spark.index.ann_lsh import build_rp_lsh, lsh_near_dup_pairs
+
+    rng = np.random.default_rng(3)
+    # 40 near-identical vectors (a viral bucket in every table) + one
+    # isolated close pair far from the blob
+    blob = rng.normal(0, 0.01, (40, 8)) + np.array([5.0] * 8)
+    pair = np.array([[-5.0, 1, 0, 0, 0, 0, 0, 0], [-5.0, 1.01, 0, 0, 0, 0, 0, 0]])
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(blob)] + [
+        (100, [float(x) for x in pair[0]]),
+        (101, [float(x) for x in pair[1]]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = build_rp_lsh(df, num_planes=6, num_tables=4, seed=1)
+    uncapped = lsh_near_dup_pairs(idx, threshold=0.99).collect()
+    capped = lsh_near_dup_pairs(
+        idx, threshold=0.99, max_bucket_size=10
+    ).collect()
+    # the blob's quadratic pair set is gone, the small pair survives
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(100, 101)}
+    assert len(uncapped) > len(capped)

@@ -137,6 +137,14 @@ CHECKS = {
         ("ReadSchema: struct<doc_id:bigint,text:string>",
          "column pruning: 2 of 5 document columns read"),
     ],
+    "x1_lsh_near_dup": [
+        ("FlatMapGroupsInPandas", "per-(table,bucket) BLAS verification "
+         "— each bucket's vectors shuffle once into one matmul task"),
+        ("!SortMergeJoin bucket", "no candidate-pair self-join: pairs "
+         "are never exploded through a shuffle"),
+        ("hashpartitioning(table_idx", "the only wide move is "
+         "grouping (id, vector) rows by bucket"),
+    ],
     "d7_incremental_minhash": [
         ("BroadcastHashJoin", "the new batch's band table broadcasts to "
          "the corpus-signature artifact scan — candidate generation "
@@ -146,8 +154,9 @@ CHECKS = {
          "point-lookup path at scale)"),
         ("!SortMergeJoin", "no shuffled join anywhere: every join side "
          "that meets the corpus is broadcast-sized by construction"),
-        ("InMemoryTableScan", "the new batch's signature subtree is "
-         "persisted once and feeds the band/est/verify branches"),
+        ("Scan ExistingRDD", "the new batch's signature subtree is "
+         "materialized once (lineage-truncating localCheckpoint) and "
+         "feeds the band/est/verify branches"),
     ],
     "p3_passage_dedup": [
         ("Window", "distinct-doc test is min(doc_id) != max(doc_id) "
