@@ -53,10 +53,12 @@ def contamination_report_split(
 ) -> DataFrame:
     """contamination_report when benchmark and corpus are slices of ONE
     table (`bench_pred` over the id column picks the benchmark rows):
-    shingles the table once — a single Arrow pass, persisted so the
-    bench/corpus branches don't re-tokenize (measured 2x at sf0.1) —
-    instead of once per side."""
-    sh = shingle_df(df, text_col=text_col, id_col=id_col, n=n).persist()
+    shingles the table once — a single Arrow pass, materialized with a
+    lineage-truncating localCheckpoint so the bench/corpus branches
+    neither re-tokenize nor race a recomputable cache (measured 2x at
+    sf0.1; see the d2 A/B in dedup.py) — instead of once per side."""
+    sh = shingle_df(df, text_col=text_col, id_col=id_col, n=n) \
+        .localCheckpoint(eager=True)
     bench = sh.filter(bench_pred).select(F.explode("sh").alias("gram")).distinct()
     corpus_sh = sh.filter(~bench_pred)
     return _report(corpus_sh, bench, id_col=id_col, threshold=threshold)
