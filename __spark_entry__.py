@@ -1810,6 +1810,18 @@ def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_line_filter(docs).orderBy("doc_id")
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t9: CCNet-style LM quality scoring (Wenzek et al., LREC 2020) —
+    add-k bigram LM trained on the corpus itself, each doc scored by
+    bits-per-token (avg -log2 P(w|prev)); high bits = candidate for
+    removal (operators/lm.py). Train + score are groupBy aggregates and
+    broadcast joins — no Python, no quadratic work."""
+    from muopdb_spark.operators.lm import lm_bits_per_token
+
+    docs = _t(spark, sf_dir, "documents")
+    return lm_bits_per_token(docs).orderBy("doc_id")
+
+
 def q_fvecs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """src2 (S8 offline ingest): embeddings exported to the standard
     .fvecs on-disk vector format (TexMex/ann-benchmarks) and re-read
@@ -1974,6 +1986,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW in r5 (no prior driver row; oracle-gated in pytest like
         # all extras): domain-mixture sampling under a token budget.
         "smp4_token_mixture": q_token_mixture,
+        # NEW in r5: CCNet-style bigram-LM perplexity quality scoring.
+        "t9_lm_perplexity": q_lm_perplexity,
     }
 
 
@@ -2191,6 +2205,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(ks) AS BIGINT) AS n_kept,
                    len(ks) >= 1 AS kept
             FROM kept ORDER BY doc_id
+        """,
+        # Bigram-LM bits-per-token (CCNet-style): train-on-self add-k
+        # LM re-derived in SQL — bigram/context/vocab counts as CTEs,
+        # per-doc avg of -log2((c12+k)/(c1+k*V)), k = 0.5. Tokens are
+        # alnum runs so the 'w1 w2' string join/split is lossless.
+        "t9_lm_perplexity": f"""
+            WITH t AS (
+                SELECT doc_id, list_prepend('<s>', {_TOKS}) AS toks
+                FROM documents
+            ),
+            b AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1])) AS bg
+                FROM t WHERE len(toks) >= 2
+            ),
+            s AS (
+                SELECT doc_id, split_part(bg, ' ', 1) AS w1,
+                       split_part(bg, ' ', 2) AS w2
+                FROM b
+            ),
+            uni AS (SELECT w1, count(*)::DOUBLE AS c1 FROM s GROUP BY w1),
+            big AS (SELECT w1, w2, count(*)::DOUBLE AS c12
+                    FROM s GROUP BY w1, w2),
+            v AS (SELECT count(DISTINCT w2)::DOUBLE AS vs FROM s),
+            sc AS (
+                SELECT s.doc_id,
+                       -log2((big.c12 + 0.5) / (uni.c1 + 0.5 * v.vs)) AS bits
+                FROM s JOIN big USING (w1, w2) JOIN uni USING (w1)
+                CROSS JOIN v
+            ),
+            agg AS (SELECT doc_id, count(*) AS n, avg(bits) AS bpt
+                    FROM sc GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(agg.n, 0)::BIGINT AS n_bigrams,
+                   round(coalesce(agg.bpt, 0.0), 6) AS bits_per_token
+            FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+            ORDER BY d.doc_id
         """,
         # Gopher table-A1 flags, each signal transcribed to DuckDB list
         # ops; passes is the conjunction over the ROUNDED signals on

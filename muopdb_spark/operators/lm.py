@@ -1,0 +1,208 @@
+"""N-gram language-model quality scoring (CCNet-style perplexity filter).
+
+Trains an add-k-smoothed bigram LM over the corpus itself and scores
+each document by bits-per-token — the average negative log2 conditional
+probability of its bigrams under that LM.  High-bits (high-perplexity)
+documents read as "unlike the corpus" and are the standard removal
+candidates in the CCNet quality-filtering stage (Wenzek et al., LREC
+2020); using the corpus LM instead of an external KenLM model
+(Heafield, WMT 2011) keeps the operator self-contained and fully
+oracle-checkable against plain SQL.
+
+Reference parity note: the reference engine (hicder/muopdb) has no LM
+scorer — this is part of the training-data-pipeline surface layered on
+top of its document model (documents table, tokenizer contract shared
+with rs/index/src/utils/tokenizer.rs semantics: lowercase alnum runs).
+
+Scale design (100 TB):
+  - Both count tables are plain ``groupBy().count()`` aggregates —
+    map-side partial combine, one shuffle each, keyed on tokens (high
+    cardinality, no skew beyond Zipf head, which partial aggregation
+    absorbs).
+  - ``vocab_size`` caps the unigram table at the top-K most frequent
+    tokens (deterministic count-desc, token-asc tiebreak); everything
+    else folds to ``<unk>``.  That bounds the broadcast size of both
+    count tables (bigram table further prunable with ``min_count``),
+    so scoring is two broadcast joins + one per-doc partial agg —
+    no quadratic work, no driver materialization.
+  - The self-contained ``lm_bits_per_token`` recomputes the tokenized
+    bigram stream once per consuming aggregate (4 branches).  Each
+    branch is a pure map-side regexp pass over the scan — at 100 TB
+    you train once with ``train_bigram_lm``, persist the two count
+    DataFrames as a durable artifact (the t6_bm25 corpus-stats
+    pattern, index/terms.py), and score any stream against it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+BOS = "<s>"
+UNK = "<unk>"
+
+_PAIR_T = "array<struct<w1:string,w2:string>>"
+
+
+def _tokens(text_col: Column) -> Column:
+    """Lowercase alnum-run tokens — identical to the corpus tokenizer
+    used by the term index and quality scorers (functions/text.py)."""
+    return F.filter(F.split(F.lower(text_col), "[^a-z0-9]+"), lambda x: x != "")
+
+
+def bigram_stream(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, w1, w2) — one row per bigram, BOS-prepended.
+
+    A doc with tokens [a, b] yields (<s>,a), (a,b); an empty doc yields
+    nothing (handled by the left join in the scorers).
+    """
+    toks = F.concat(F.array(F.lit(BOS)), _tokens(F.col(text_col)))
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.lit(None).cast(_PAIR_T))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(pairs).alias("bg"))
+        .select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+
+
+def train_bigram_lm(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int | None = None,
+    min_count: int = 1,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame | None]:
+    """Count tables for an add-k bigram LM: (unigram, bigram, vocab, keep).
+
+    unigram: (w1, c1) — context counts (#bigrams whose first word is
+    w1; BOS appears here, never as w2).
+    bigram:  (w1, w2, c12), prunable with ``min_count``.
+    vocab:   single row (vs) — |distinct w2| AFTER any vocab fold; the
+    smoothing denominator.
+    keep:    (tok) — the retained vocabulary when ``vocab_size`` is
+    set (None otherwise); pass it to score_bits_per_token so new
+    streams fold OOV tokens exactly as training did.
+
+    With ``vocab_size`` set, tokens outside the top-K by corpus
+    frequency (tie-break: token asc, deterministic) fold to <unk> in
+    BOTH positions before counting, bounding every table for broadcast.
+    """
+    b = bigram_stream(df, text_col=text_col, id_col=id_col)
+    keep: DataFrame | None = None
+    if vocab_size is not None:
+        keep = (
+            b.groupBy("w2")
+            .count()
+            .orderBy(F.desc("count"), F.asc("w2"))
+            .limit(int(vocab_size))
+            .select(F.col("w2").alias("tok"))
+        )
+        b = _fold_oov(b, keep)
+    uni = b.groupBy("w1").agg(F.count("*").cast("double").alias("c1"))
+    big = b.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("c12"))
+    if min_count > 1:
+        big = big.where(F.col("c12") >= F.lit(float(min_count)))
+    vocab = b.agg(F.countDistinct("w2").cast("double").alias("vs"))
+    return uni, big, vocab, keep
+
+
+def _fold_oov(b: DataFrame, keep: DataFrame) -> DataFrame:
+    """Fold (w1, w2) outside the keep-list to <unk> (BOS never folds).
+    keep is vocab_size rows by construction — always broadcastable."""
+    k1 = F.broadcast(
+        keep.select(F.col("tok").alias("w1"), F.lit(True).alias("in1"))
+    )
+    k2 = F.broadcast(
+        keep.select(F.col("tok").alias("w2"), F.lit(True).alias("in2"))
+    )
+    return (
+        b.join(k1, "w1", "left")
+        .join(k2, "w2", "left")
+        .select(
+            "id",
+            F.when(F.col("in1").isNotNull() | (F.col("w1") == BOS), F.col("w1"))
+            .otherwise(F.lit(UNK))
+            .alias("w1"),
+            F.when(F.col("in2").isNotNull(), F.col("w2"))
+            .otherwise(F.lit(UNK))
+            .alias("w2"),
+        )
+    )
+
+
+def score_bits_per_token(
+    df: DataFrame,
+    uni: DataFrame,
+    big: DataFrame,
+    vocab: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+    keep: DataFrame | None = None,
+) -> DataFrame:
+    """(id_col, n_bigrams, bits_per_token) for every input doc.
+
+    bits = -log2((c12 + k) / (c1 + k·V)) per bigram, averaged per doc;
+    unseen bigrams/contexts get the add-k floor (counts coalesce to 0).
+    Docs with no tokens score 0.0 with n_bigrams = 0.  Pass the
+    training ``keep`` list when the LM was vocab-capped so a new
+    stream folds OOV exactly as training did.  Count tables join via
+    broadcast — they are vocab-bounded (train_bigram_lm) and the
+    scored stream never shuffles except the final per-doc partial agg.
+    """
+    s = bigram_stream(df, text_col=text_col, id_col=id_col)
+    if keep is not None:
+        s = _fold_oov(s, keep)
+    kc = F.lit(float(k))
+    sc = (
+        s.join(F.broadcast(big), ["w1", "w2"], "left")
+        .join(F.broadcast(uni), ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "id",
+            (
+                -F.log2(
+                    (F.coalesce(F.col("c12"), F.lit(0.0)) + kc)
+                    / (F.coalesce(F.col("c1"), F.lit(0.0)) + kc * F.col("vs"))
+                )
+            ).alias("bits"),
+        )
+    )
+    agg = sc.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"), F.avg("bits").alias("bpt")
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(agg, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.round(F.coalesce(F.col("bpt"), F.lit(0.0)), 6).alias("bits_per_token"),
+        )
+    )
+
+
+def lm_bits_per_token(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """Train-on-self + score in one plan (no vocab cap): the
+    oracle-checkable query path.  Production path: train_bigram_lm with
+    a vocab cap once, persist, then score_bits_per_token per stream."""
+    uni, big, vocab, _ = train_bigram_lm(df, text_col=text_col, id_col=id_col)
+    return score_bits_per_token(
+        df, uni, big, vocab, text_col=text_col, id_col=id_col, k=k
+    )

@@ -1,0 +1,101 @@
+"""Bigram-LM perplexity scoring (operators/lm.py).
+
+Hand-computed probabilities on a 3-doc corpus, empty-doc handling, and
+the vocab-cap / OOV-fold contract for scoring new streams against a
+trained LM."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from muopdb_spark.operators.lm import (
+    UNK,
+    bigram_stream,
+    lm_bits_per_token,
+    score_bits_per_token,
+    train_bigram_lm,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    return spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, ""), (5, None)],
+        ["doc_id", "text"],
+    )
+
+
+def test_bigram_stream(spark, tiny):
+    rows = {
+        (r.id, r.w1, r.w2)
+        for r in bigram_stream(tiny, text_col="text", id_col="doc_id").collect()
+    }
+    assert rows == {
+        (1, "<s>", "a"), (1, "a", "b"),
+        (2, "<s>", "a"), (2, "a", "b"),
+        (3, "<s>", "a"), (3, "a", "c"),
+    }
+
+
+def test_hand_computed_bits(spark, tiny):
+    # corpus bigrams: (<s>,a)x3, (a,b)x2, (a,c)x1
+    # contexts: c(<s>)=3, c(a)=3; vocab V = |{a,b,c}| = 3; k=0.5
+    k, V = 0.5, 3.0
+    p_sa = (3 + k) / (3 + k * V)  # P(a|<s>)
+    p_ab = (2 + k) / (3 + k * V)
+    p_ac = (1 + k) / (3 + k * V)
+    exp1 = -(math.log2(p_sa) + math.log2(p_ab)) / 2
+    exp3 = -(math.log2(p_sa) + math.log2(p_ac)) / 2
+    got = {
+        r.doc_id: (r.n_bigrams, r.bits_per_token)
+        for r in lm_bits_per_token(tiny, k=k).collect()
+    }
+    assert got[1] == (2, round(exp1, 6))
+    assert got[2] == got[1]
+    assert got[3] == (2, round(exp3, 6))
+    # token-less docs: present, zero bigrams, 0.0 bits
+    assert got[4] == (0, 0.0)
+    assert got[5] == (0, 0.0)
+
+
+def test_vocab_cap_folds_oov(spark):
+    df = spark.createDataFrame(
+        [(1, "x x x y"), (2, "x y z")], ["doc_id", "text"]
+    )
+    uni, big, vocab, keep = train_bigram_lm(df, vocab_size=2)
+    kept = {r.tok for r in keep.collect()}
+    # top-2 next-words by count: x(3), y(2) — z folds to <unk>
+    assert kept == {"x", "y"}
+    big_rows = {(r.w1, r.w2) for r in big.collect()}
+    assert ("y", UNK) in big_rows
+    assert all("z" not in pair for pair in big_rows)
+    # vocab size counts the folded alphabet
+    assert vocab.collect()[0].vs == 3.0  # {x, y, <unk>}
+    # scoring a NEW stream folds with the same keep list — an unseen
+    # token scores as <unk>, never as itself
+    new = spark.createDataFrame([(9, "x q")], ["doc_id", "text"])
+    scored = score_bits_per_token(new, uni, big, vocab, keep=keep)
+    row = scored.collect()[0]
+    assert row.n_bigrams == 2 and row.bits_per_token > 0
+
+
+def test_unseen_bigrams_get_addk_floor(spark, tiny):
+    uni, big, vocab, _ = train_bigram_lm(tiny)
+    new = spark.createDataFrame([(9, "c a")], ["doc_id", "text"])
+    # (<s>,c) unseen, (c,a) has unseen context c -> both floor terms
+    row = score_bits_per_token(new, uni, big, vocab, k=0.5).collect()[0]
+    k, V = 0.5, 3.0
+    floor_seen_ctx = -math.log2(k / (3 + k * V))  # c(<s>)=3, c12=0
+    floor_no_ctx = -math.log2(k / (0 + k * V))  # unseen context
+    exp = (floor_seen_ctx + floor_no_ctx) / 2
+    assert row.bits_per_token == round(exp, 6)
+
+
+def test_plan_stays_jvm_side(spark, tiny):
+    # no Python eval nodes: train+score is expressions, joins, aggs only
+    plan = lm_bits_per_token(tiny)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan, plan
+    assert "BroadcastHashJoin" in plan
