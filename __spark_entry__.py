@@ -1822,6 +1822,20 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_bits_per_token(docs).orderBy("doc_id")
 
 
+def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p4: deterministic training-shard assignment — hash-based global
+    shuffle into 8 shards with reproducible within-shard order
+    (operators/export.py). Map-side keys + one per-shard rank window."""
+    from muopdb_spark.operators.export import shard_assignment
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        shard_assignment(docs, n_shards=8)
+        .select("doc_id", "shard_id", "position")
+        .orderBy("shard_id", "position")
+    )
+
+
 def q_fvecs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """src2 (S8 offline ingest): embeddings exported to the standard
     .fvecs on-disk vector format (TexMex/ann-benchmarks) and re-read
@@ -1988,6 +2002,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smp4_token_mixture": q_token_mixture,
         # NEW in r5: CCNet-style bigram-LM perplexity quality scoring.
         "t9_lm_perplexity": q_lm_perplexity,
+        # NEW in r5: deterministic training-shard export assignment.
+        "p4_shard_export": q_shard_export,
     }
 
 
@@ -2243,6 +2259,28 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(agg.bpt, 0.0), 6) AS bits_per_token
             FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
             ORDER BY d.doc_id
+        """,
+        # Deterministic shard export: Spark's conv(hex, 16, 10) on the
+        # first two md5 chars re-derived with strpos arithmetic
+        # (identical value: (d1*16 + d2) for hex digits d1,d2).
+        "p4_shard_export": """
+            WITH h AS (
+                SELECT doc_id,
+                       md5('shard-v1:' || doc_id::VARCHAR) AS hh
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, hh,
+                       (((strpos('0123456789abcdef', substr(hh,1,1)) - 1) * 16
+                         + strpos('0123456789abcdef', substr(hh,2,1)) - 1)
+                        % 8)::BIGINT AS shard_id
+                FROM h
+            )
+            SELECT doc_id, shard_id,
+                   (row_number() OVER (
+                        PARTITION BY shard_id ORDER BY hh, doc_id
+                    ))::BIGINT AS position
+            FROM s ORDER BY shard_id, position
         """,
         # Gopher table-A1 flags, each signal transcribed to DuckDB list
         # ops; passes is the conjunction over the ROUNDED signals on

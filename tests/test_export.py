@@ -1,0 +1,66 @@
+"""Deterministic shard export (operators/export.py): reproducibility,
+shard bounds, positional contiguity, and the written layout."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from muopdb_spark.operators.export import shard_assignment, write_shards
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_deterministic_and_contiguous(spark, docs):
+    a = shard_assignment(docs, n_shards=8).collect()
+    b = shard_assignment(docs, n_shards=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        assert 0 <= r.shard_id < 8
+        by_shard.setdefault(r.shard_id, []).append(r.position)
+    # positions are 1..len(shard) with no gaps, all shards populated
+    assert len(by_shard) == 8
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+def test_seed_changes_order(spark, docs):
+    a = {r.doc_id: (r.shard_id, r.position)
+         for r in shard_assignment(docs, seed="shard-v1").collect()}
+    b = {r.doc_id: (r.shard_id, r.position)
+         for r in shard_assignment(docs, seed="shard-v2").collect()}
+    assert a != b  # a new seed is a new shuffle
+
+
+def test_append_stability(spark, docs):
+    # old rows keep their shard when the corpus grows: assignment is a
+    # pure function of (seed, id)
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    full = {r.doc_id: r.shard_id for r in shard_assignment(docs).collect()}
+    part = {r.doc_id: r.shard_id for r in shard_assignment(half).collect()}
+    assert all(full[i] == s for i, s in part.items())
+
+
+def test_shard_bound_validation(spark, docs):
+    with pytest.raises(ValueError):
+        shard_assignment(docs, n_shards=257)
+
+
+def test_write_shards_layout(spark, docs, tmp_path):
+    out = str(tmp_path / "shards")
+    write_shards(docs.limit(200), out, n_shards=4)
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    # every shard directory exists and rows inside are in training order
+    pdf = back.select("shard_id", "position", "doc_id").toPandas()
+    assert set(pdf.shard_id.unique()) == {0, 1, 2, 3}
+    want = {
+        (r.doc_id, r.shard_id, r.position)
+        for r in shard_assignment(docs.limit(200), n_shards=4).collect()
+    }
+    got = {(r.doc_id, int(r.shard_id), r.position) for r in back.collect()}
+    assert got == want
