@@ -1836,6 +1836,19 @@ def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d8: SemDeDup semantic dedup (Abbas et al. 2023) — k-means
+    cluster the embeddings (seeded, bounded driver sample), then flag
+    within-cluster cosine near-dups with a min-id survivor rule
+    (operators/semdedup.py). No oracle by design: the k-means
+    assignment is not SQL-derivable; removal semantics are pinned
+    against a numpy brute-force referee in tests/test_semdedup.py."""
+    from muopdb_spark.operators.semdedup import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup(emb, k=8, threshold=0.9).orderBy("vec_id")
+
+
 def q_fvecs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """src2 (S8 offline ingest): embeddings exported to the standard
     .fvecs on-disk vector format (TexMex/ann-benchmarks) and re-read
@@ -2004,6 +2017,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t9_lm_perplexity": q_lm_perplexity,
         # NEW in r5: deterministic training-shard export assignment.
         "p4_shard_export": q_shard_export,
+        # NEW in r5: SemDeDup semantic dedup (no oracle by design —
+        # k-means assignment is not SQL-derivable; brute-force-refereed
+        # in tests/test_semdedup.py).
+        "d8_semdedup": q_semdedup,
     }
 
 

@@ -1,0 +1,147 @@
+"""SemDeDup: semantic deduplication via embedding clustering.
+
+Published method (Abbas et al., "SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication", arXiv:2303.09540): k-means
+cluster the (normalized) embeddings, then look for near-duplicate
+pairs ONLY within each cluster — cosine above a threshold marks a
+semantic duplicate, and one representative per duplicate group is
+kept.  Clustering bounds the pair search to per-cluster blocks, which
+is what makes semantic dedup tractable at corpus scale; the
+cross-cluster pairs it can miss are the method's documented
+approximation (the exact quadratic twin is operators/dedup.py's
+embedding_cosine path, kept for oracles at small SF).
+
+Spark-first design:
+  - Centroid TRAINING is the bounded driver-sample + seeded numpy
+    Lloyd's shared with the IVF index build (index/kmeans.py — the
+    same 20k-sample contract as the reference's kmeans_builder.rs).
+  - ASSIGNMENT is a broadcast crossJoin over the centroid table plus
+    an argmax window — the assign_postings shape (index/ivf.py:93),
+    JVM-side cosine via zip_with/aggregate, corpus shuffles once on
+    cluster_id (exactly the partitioning the pair stage needs).
+  - PAIRS are an equi self-join on cluster_id with id_a < id_b and a
+    JVM cosine filter: per-cluster quadratic, the published shape —
+    pick k so clusters stay bounded (paper uses k ~ n/10k; skewed
+    clusters split by AQE skew-join).
+  - Removal rule is deterministic: a vector is removed iff a
+    LOWER-id vector in its cluster matches at >= threshold (min-id
+    survivor, same convention as the text dedup family); the witness
+    id is reported for auditability.
+
+Scale note (100 TB): with k in the 10^5 range the n x k assignment
+crossJoin dominates; swap the assignment stage for the two-level IVF
+probe (index/ivf.py centroid-of-centroids) or the blocked-matmul
+pandas path (index/multi_ivf.py) — the pair stage is unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from muopdb_spark.functions.distance import cosine_similarity
+from muopdb_spark.index.kmeans import lloyd
+
+
+def train_centroids(
+    emb: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    k: int = 8,
+    seed: int = 42,
+    training_sample: int = 20_000,
+) -> DataFrame:
+    """(cluster_id, centroid): seeded k-means over a BOUNDED driver
+    sample (collect is capped at training_sample rows by construction)."""
+    n = emb.count()
+    frac = min(1.0, training_sample / max(n, 1))
+    train = emb.sample(fraction=frac, seed=seed) if frac < 1.0 else emb
+    X = np.array(
+        [r[0] for r in train.select(vec_col).collect()], dtype=np.float64
+    )
+    centers = lloyd(X, k, seed=seed)
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cluster_id int, centroid array<double>",
+    )
+
+
+def cluster_assignments(
+    emb: DataFrame,
+    centroids: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cluster_id, cent_cos, vector): nearest centroid by cosine —
+    broadcast crossJoin + argmax window (assign_postings shape)."""
+    scored = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vector"),
+        )
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("cos", cosine_similarity(F.col("vector"), F.col("centroid")))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("cluster_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("id", "cluster_id", F.col("cos").alias("cent_cos"), "vector")
+    )
+
+
+def semdedup(
+    emb: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    threshold: float = 0.9,
+    seed: int = 42,
+    training_sample: int = 20_000,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Per-vector SemDeDup verdicts:
+    (id_col, cluster_id, n_cluster, cent_cos, removed, witness_id).
+
+    removed = a lower-id vector in the same cluster matches at
+    >= threshold; witness_id = the smallest such id (null when kept).
+    Pass precomputed ``centroids`` to reuse a durable clustering.
+    """
+    if centroids is None:
+        centroids = train_centroids(
+            emb, vec_col=vec_col, k=k, seed=seed, training_sample=training_sample
+        )
+    asg = cluster_assignments(
+        emb, centroids, vec_col=vec_col, id_col=id_col
+    ).localCheckpoint(eager=True)  # feeds 3 branches; pin like dedup.py
+    a = asg.select(
+        F.col("cluster_id"), F.col("id").alias("id_a"), F.col("vector").alias("va")
+    )
+    b = asg.select(
+        F.col("cluster_id"), F.col("id").alias("id_b"), F.col("vector").alias("vb")
+    )
+    pairs = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_similarity(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select("id_b", "id_a")
+    )
+    verdict = pairs.groupBy("id_b").agg(F.min("id_a").alias("witness_id"))
+    sizes = asg.groupBy("cluster_id").agg(F.count("*").alias("n_cluster"))
+    return (
+        asg.join(verdict, asg["id"] == verdict["id_b"], "left")
+        .join(sizes, "cluster_id")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster_id",
+            "n_cluster",
+            F.round("cent_cos", 6).alias("cent_cos"),
+            F.col("witness_id").isNotNull().alias("removed"),
+            "witness_id",
+        )
+    )
