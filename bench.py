@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     "t2_contains_stemmed_ru",
     "d7_incremental_minhash",
     "p3_passage_dedup",
+    "t9_lm_perplexity",
+    "p4_shard_export",
+    "d8_semdedup",
 ]
 
 

@@ -19,3 +19,10 @@ from muopdb_spark.operators.packing import (  # noqa: F401
 from muopdb_spark.operators.pii import PII_PATTERNS, scrub_pii  # noqa: F401
 from muopdb_spark.operators.quality import repetition_stats  # noqa: F401
 from muopdb_spark.operators.relevance import bm25_scores, rrf_fuse  # noqa: F401
+from muopdb_spark.operators.lm import (  # noqa: F401
+    lm_bits_per_token,
+    score_bits_per_token,
+    train_bigram_lm,
+)
+from muopdb_spark.operators.export import shard_assignment, write_shards  # noqa: F401
+from muopdb_spark.operators.semdedup import semdedup  # noqa: F401

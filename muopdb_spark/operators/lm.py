@@ -25,28 +25,24 @@ Scale design (100 TB):
     count tables (bigram table further prunable with ``min_count``),
     so scoring is two broadcast joins + one per-doc partial agg —
     no quadratic work, no driver materialization.
-  - The self-contained ``lm_bits_per_token`` recomputes the tokenized
-    bigram stream once per consuming aggregate (4 branches).  Each
-    branch is a pure map-side regexp pass over the scan — at 100 TB
-    you train once with ``train_bigram_lm``, persist the two count
-    DataFrames as a durable artifact (the t6_bm25 corpus-stats
-    pattern, index/terms.py), and score any stream against it.
+  - The self-contained ``lm_bits_per_token`` materializes the bigram
+    stream once (localCheckpoint) and feeds all four consuming
+    aggregates from it.  At 100 TB you train once with
+    ``train_bigram_lm``, persist the two count DataFrames as a durable
+    artifact (the t6_bm25 corpus-stats pattern, index/terms.py), and
+    score any stream against it — scoring is then a single Arrow
+    tokenize pass + broadcast joins + one per-doc partial agg.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
 
 BOS = "<s>"
 UNK = "<unk>"
-
-_PAIR_T = "array<struct<w1:string,w2:string>>"
-
-
-def _tokens(text_col: Column) -> Column:
-    """Lowercase alnum-run tokens — identical to the corpus tokenizer
-    used by the term index and quality scorers (functions/text.py)."""
-    return F.filter(F.split(F.lower(text_col), "[^a-z0-9]+"), lambda x: x != "")
 
 
 def bigram_stream(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -54,22 +50,39 @@ def bigram_stream(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_i
 
     A doc with tokens [a, b] yields (<s>,a), (a,b); an empty doc yields
     nothing (handled by the left join in the scorers).
+
+    Arrow-batched pandas UDF for the same reason as dedup.shingle_df:
+    exploding a higher-order-function array triggers
+    InferFiltersFromGenerate, whose synthesized size()>0 predicate is
+    pushed into the scan with the whole tokenize+pair expression
+    substituted and interpreted per row (measured: counting the sf0.1
+    bigram stream took 13.9 s JVM-side vs ~1 s through this path).
+    Tokens are alnum runs, so the 'w1 w2' space-join is lossless and
+    split_part recovers the words JVM-side after the explode.
     """
-    toks = F.concat(F.array(F.lit(BOS)), _tokens(F.col(text_col)))
-    n = F.size(toks)
-    pairs = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("w1"),
-                F.element_at(toks, i + 1).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.lit(None).cast(_PAIR_T))
+    rx = re.compile(r"[^a-z0-9]+")
+
+    @F.pandas_udf("array<string>")
+    def _bg(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = [w for w in rx.split(t.lower() if t is not None else "") if w]
+            if not toks:
+                out.append([])
+            else:
+                toks = [BOS] + toks
+                out.append(
+                    [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)]
+                )
+        return pd.Series(out)
+
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(pairs).alias("bg"))
-        .select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        df.select(F.col(id_col).alias("id"), F.explode(_bg(F.col(text_col))).alias("bg"))
+        .select(
+            "id",
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
     )
 
 
@@ -80,6 +93,7 @@ def train_bigram_lm(
     id_col: str = "doc_id",
     vocab_size: int | None = None,
     min_count: int = 1,
+    stream: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame | None]:
     """Count tables for an add-k bigram LM: (unigram, bigram, vocab, keep).
 
@@ -95,8 +109,15 @@ def train_bigram_lm(
     With ``vocab_size`` set, tokens outside the top-K by corpus
     frequency (tie-break: token asc, deterministic) fold to <unk> in
     BOTH positions before counting, bounding every table for broadcast.
+
+    ``stream``: pass a prebuilt (and ideally pinned) bigram_stream to
+    avoid re-running the Arrow tokenize pass per consuming aggregate.
     """
-    b = bigram_stream(df, text_col=text_col, id_col=id_col)
+    b = (
+        stream
+        if stream is not None
+        else bigram_stream(df, text_col=text_col, id_col=id_col)
+    )
     keep: DataFrame | None = None
     if vocab_size is not None:
         keep = (
@@ -149,6 +170,7 @@ def score_bits_per_token(
     id_col: str = "doc_id",
     k: float = 0.5,
     keep: DataFrame | None = None,
+    stream: DataFrame | None = None,
 ) -> DataFrame:
     """(id_col, n_bigrams, bits_per_token) for every input doc.
 
@@ -160,7 +182,11 @@ def score_bits_per_token(
     broadcast — they are vocab-bounded (train_bigram_lm) and the
     scored stream never shuffles except the final per-doc partial agg.
     """
-    s = bigram_stream(df, text_col=text_col, id_col=id_col)
+    s = (
+        stream
+        if stream is not None
+        else bigram_stream(df, text_col=text_col, id_col=id_col)
+    )
     if keep is not None:
         s = _fold_oov(s, keep)
     kc = F.lit(float(k))
@@ -201,8 +227,17 @@ def lm_bits_per_token(
 ) -> DataFrame:
     """Train-on-self + score in one plan (no vocab cap): the
     oracle-checkable query path.  Production path: train_bigram_lm with
-    a vocab cap once, persist, then score_bits_per_token per stream."""
-    uni, big, vocab, _ = train_bigram_lm(df, text_col=text_col, id_col=id_col)
+    a vocab cap once, persist, then score_bits_per_token per stream.
+
+    The bigram stream feeds four aggregates (uni/big/vocab/score);
+    localCheckpoint pins it so the Arrow tokenize pass runs exactly
+    once (the dedup.py lineage-truncation pattern)."""
+    s = bigram_stream(df, text_col=text_col, id_col=id_col).localCheckpoint(
+        eager=True
+    )
+    uni, big, vocab, _ = train_bigram_lm(
+        df, text_col=text_col, id_col=id_col, stream=s
+    )
     return score_bits_per_token(
-        df, uni, big, vocab, text_col=text_col, id_col=id_col, k=k
+        df, uni, big, vocab, text_col=text_col, id_col=id_col, k=k, stream=s
     )

@@ -94,8 +94,9 @@ def test_unseen_bigrams_get_addk_floor(spark, tiny):
     assert row.bits_per_token == round(exp, 6)
 
 
-def test_plan_stays_jvm_side(spark, tiny):
-    # no Python eval nodes: train+score is expressions, joins, aggs only
+def test_plan_shape(spark, tiny):
+    # the only Python in the plan is the Arrow-batched bigram pass —
+    # never a row-at-a-time PythonUDF — and count joins broadcast
     plan = lm_bits_per_token(tiny)._jdf.queryExecution().executedPlan().toString()
-    assert "Python" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
     assert "BroadcastHashJoin" in plan
