@@ -30,7 +30,9 @@ from muopdb_spark.operators.dedup import (  # noqa: E402
     ngram_jaccard_pairs,
     passage_dedup_stats,
 )
+from muopdb_spark.operators.export import write_shards  # noqa: E402
 from muopdb_spark.operators.graph import dup_clusters  # noqa: E402
+from muopdb_spark.operators.lm import lm_bits_per_token  # noqa: E402
 from muopdb_spark.operators.packing import pack_sequences, sequence_stats  # noqa: E402
 from muopdb_spark.operators.pii import scrub_pii  # noqa: E402
 from muopdb_spark.operators.quality import (  # noqa: E402
@@ -139,6 +141,18 @@ def main() -> None:
         docs = _pin(docs.join(keep, "doc_id", "left_semi"), prev)
         n5 = docs.count()
 
+        # 5b. LM perplexity filter (CCNet-style): drop the docs least
+        #     like the corpus — train an add-k bigram LM on the
+        #     surviving docs themselves and cut the top 1% bits/token
+        scored = lm_bits_per_token(docs)
+        ppl_cut = scored.approxQuantile("bits_per_token", [0.99], 0.01)[0]
+        prev = docs
+        docs = _pin(docs.join(
+            scored.filter(F.col("bits_per_token") <= ppl_cut).select("doc_id"),
+            "doc_id", "left_semi",
+        ), prev)
+        n5b = docs.count()
+
         # 6. language rebalancing: deterministic stratified sample
         prev = docs
         docs = _pin(stratified_hash_sample(
@@ -162,6 +176,15 @@ def main() -> None:
 
         n_seqs = fill.count()
 
+        # 8b. training-shard export: deterministic global shuffle into
+        #     fixed shards, reproducible order inside each shard
+        shards_out = os.path.join(tmp, "shards")
+        write_shards(docs.select("doc_id", "lang", "text"), shards_out,
+                     n_shards=4)
+        n_shards_written = (
+            spark.read.parquet(shards_out).select("shard_id").distinct().count()
+        )
+
         # 9. DAY 2: a new ingest batch arrives. Write the curated
         #    corpus's signature artifact ONCE (fixed-width per doc),
         #    then admit the batch against it — corpus text is only
@@ -178,7 +201,8 @@ def main() -> None:
 
         print(f"ingested={n0} exact_dedup={n1} near_dup={n2} "
               f"passage_dup={n2b} decontaminated={n3} quality={n5} "
-              f"sampled={n6} sequences={n_seqs}")
+              f"perplexity={n5b} sampled={n6} sequences={n_seqs} "
+              f"shards={n_shards_written}")
         print(f"day2: batch={n_new} near-dup-of-corpus={n_rejected} "
               f"admitted={n_new - n_rejected}")
         print("sample sequence fill:",
