@@ -149,9 +149,11 @@ def semdedup(
     )
     verdict = pairs.groupBy("id_b").agg(F.min("id_a").alias("witness_id"))
     sizes = asg.groupBy("cluster_id").agg(F.count("*").alias("n_cluster"))
+    # verdict is bounded by the duplicate count and sizes by k — both
+    # broadcast so the assignment table never shuffles again
     return (
-        asg.join(verdict, asg["id"] == verdict["id_b"], "left")
-        .join(sizes, "cluster_id")
+        asg.join(F.broadcast(verdict), asg["id"] == verdict["id_b"], "left")
+        .join(F.broadcast(sizes), "cluster_id")
         .select(
             F.col("id").alias(id_col),
             "cluster_id",

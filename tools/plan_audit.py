@@ -175,6 +175,51 @@ CHECKS = {
          "constant 2"),
         ("!BroadcastNestedLoopJoin", "no candidate-pair explosion"),
     ],
+    "d2_dedup_ngram_jaccard": [
+        ("Scan ExistingRDD", "the ranked shingle table is materialized "
+         "once (lineage-truncating localCheckpoint) and feeds the "
+         "prefix index and both verification sides"),
+        ("posexplode", "the prefix index carries POSITIONS so the "
+         "PPJoin positional filter can bound remaining overlap "
+         "(candidates 43.5k -> 12.8k at sf0.1)"),
+        ("BroadcastHashJoin", "verification broadcasts the candidate "
+         "id-pair table — the shingle-set table never shuffles for "
+         "the verify joins"),
+        ("!BatchEvalPython", "the only Python is the Arrow shingle "
+         "pass; never row-at-a-time"),
+    ],
+    "t9_lm_perplexity": [
+        ("Scan ExistingRDD", "the bigram stream is pinned once "
+         "(localCheckpoint) and feeds all four consuming aggregates "
+         "(uni/bigram/vocab counts + scoring)"),
+        ("BroadcastHashJoin", "count tables broadcast to the scored "
+         "bigram stream — the stream never shuffles for the joins"),
+        ("!BatchEvalPython", "bigram emission is Arrow-batched, never "
+         "row-at-a-time"),
+    ],
+    "p4_shard_export": [
+        ("Window", "within-shard position is one rank window — the "
+         "only shuffle in the plan"),
+        ("ReadSchema: struct<doc_id:bigint>",
+         "column pruning: only the id column is read (keys are "
+         "derived hashes)"),
+        ("!ArrowEvalPython", "fully JVM: md5/conv/row_number are "
+         "Catalyst expressions, no Python in the plan"),
+    ],
+    "d8_semdedup": [
+        ("FlatMapGroupsInPandas", "within-cluster pairs are one BLAS "
+         "block matmul per cluster — vectors shuffle once, grouped "
+         "by cluster; pair rows are never exploded through a join"),
+        ("Scan ExistingRDD", "the assignment table is pinned once "
+         "(localCheckpoint: its own crossJoin-broadcast(centroids) "
+         "subtree is upstream of the checkpoint, hence absent here) "
+         "and feeds the pair, verdict, and size branches"),
+        ("BroadcastHashJoin", "verdict (bounded by dup count) and "
+         "cluster-size (k rows) tables broadcast — the assignment "
+         "table never shuffles for the final joins"),
+        ("!SortMergeJoin", "no shuffled join anywhere downstream of "
+         "the checkpoint"),
+    ],
 }
 
 
