@@ -136,9 +136,25 @@ def exact_dedup(
 
 
 def jaccard(a: Column, b: Column) -> Column:
+    """Exact set Jaccard of two array columns.
+
+    The expensive array_intersect is evaluated ONCE: it is bound as the
+    single element of a transform() whose lambda computes the ratio —
+    a NamedLambdaVariable reference, which Catalyst cannot substitute
+    back into two copies of the intersect (writing `inter/union` with
+    two F.size(F.array_intersect(...)) literals doubles the verify cost
+    of every dedup operator that joins shingle sets back)."""
     inter = F.size(F.array_intersect(a, b)).cast("double")
-    union = F.size(a) + F.size(b) - F.size(F.array_intersect(a, b))
-    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return F.element_at(
+        F.transform(
+            F.array(inter),
+            lambda i: F.when(
+                F.size(a) + F.size(b) - i > 0,
+                i / (F.size(a) + F.size(b) - i),
+            ).otherwise(F.lit(0.0)),
+        ),
+        1,
+    )
 
 
 def ngram_jaccard_pairs(
