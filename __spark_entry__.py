@@ -1849,6 +1849,24 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(emb, k=8, threshold=0.9).orderBy("vec_id")
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t10: model-based quality filter (GPT-3 appendix A / CCNet) —
+    logistic reference-vs-corpus classifier trained on the engine's own
+    quality features (distributed L-BFGS), scored as a pure Catalyst
+    sigmoid expression from the extracted coefficients
+    (operators/quality_model.py). No oracle by design (iterative
+    training is not SQL-expressible); classifier behavior is pinned on
+    separable synthetic corpora in tests/test_quality_model.py. The
+    fixture's source buckets are statistically interchangeable, so
+    scores hover near the base rate here — the wiring, not the
+    decision boundary, is what this row witnesses."""
+    from muopdb_spark.operators.quality_model import classifier_quality_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    positive = F.col("source").isin("src1", "src2", "src3")
+    return classifier_quality_scores(docs, positive).orderBy("doc_id")
+
+
 def q_fvecs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """src2 (S8 offline ingest): embeddings exported to the standard
     .fvecs on-disk vector format (TexMex/ann-benchmarks) and re-read
@@ -2021,6 +2039,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # k-means assignment is not SQL-derivable; brute-force-refereed
         # in tests/test_semdedup.py).
         "d8_semdedup": q_semdedup,
+        # NEW in r5: trained reference-vs-corpus quality classifier
+        # (no oracle by design — iterative L-BFGS; separability and
+        # expression-vs-mllib agreement pinned in
+        # tests/test_quality_model.py).
+        "t10_quality_classifier": q_quality_classifier,
     }
 
 

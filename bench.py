@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "t9_lm_perplexity",
     "p4_shard_export",
     "d8_semdedup",
+    "t10_quality_classifier",
 ]
 
 

@@ -26,3 +26,8 @@ from muopdb_spark.operators.lm import (  # noqa: F401
 )
 from muopdb_spark.operators.export import shard_assignment, write_shards  # noqa: F401
 from muopdb_spark.operators.semdedup import semdedup  # noqa: F401
+from muopdb_spark.operators.quality_model import (  # noqa: F401
+    classifier_quality_scores,
+    score_quality,
+    train_quality_classifier,
+)
