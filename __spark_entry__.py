@@ -400,6 +400,82 @@ _SHINGLES_CTE = f"""
 """
 
 
+def _stream_admission_oracle() -> str:
+    """DuckDB twin of q_stream_admission: symbolic replay of TWO
+    sequential admission rounds (intra-batch min-id dedup, then
+    cross-dedup vs the corpus-so-far) with the same md5 minhash
+    family, banding, and exact-Jaccard verification. Batch 2 is
+    checked against seed ∪ batch-1 admissions, so the cross-micro-
+    batch rejection path is value-checked, not just row-counted."""
+    hs = ",\n               ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min') AS h{i}"
+        for i in range(8)
+    )
+    bands = ",\n               ".join(
+        f"md5(h{2*b} || '|' || h{2*b+1}) AS b{b}" for b in range(4)
+    )
+    cond = " OR ".join(f"a.b{b} = b.b{b}" for b in range(4))
+    jac = (
+        "len(list_intersect(a.sh, b.sh))::DOUBLE"
+        " / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
+    )
+    return f"""
+        WITH {_SHINGLES_CTE},
+        sig AS (SELECT doc_id, sh, {hs} FROM s2),
+        sigb AS (SELECT *, {bands} FROM sig),
+        seed AS (SELECT * FROM sigb WHERE doc_id % 5 >= 2),
+        b1s AS (SELECT * FROM sigb WHERE doc_id % 5 = 0),
+        b2s AS (SELECT * FROM sigb WHERE doc_id % 5 = 1),
+        i1 AS (
+            SELECT DISTINCT b.doc_id
+            FROM b1s a JOIN b1s b ON ({cond}) AND a.doc_id < b.doc_id
+            WHERE {jac} >= 0.8
+        ),
+        x1 AS (
+            SELECT DISTINCT a.doc_id
+            FROM b1s a JOIN seed b ON ({cond})
+            WHERE a.doc_id NOT IN (SELECT doc_id FROM i1) AND {jac} >= 0.8
+        ),
+        a1 AS (
+            SELECT doc_id FROM documents
+            WHERE doc_id % 5 = 0
+              AND doc_id NOT IN (SELECT doc_id FROM i1)
+              AND doc_id NOT IN (SELECT doc_id FROM x1)
+        ),
+        corp2 AS (
+            SELECT * FROM seed
+            UNION ALL
+            SELECT s.* FROM sigb s JOIN a1 USING (doc_id)
+        ),
+        i2 AS (
+            SELECT DISTINCT b.doc_id
+            FROM b2s a JOIN b2s b ON ({cond}) AND a.doc_id < b.doc_id
+            WHERE {jac} >= 0.8
+        ),
+        x2 AS (
+            SELECT DISTINCT a.doc_id
+            FROM b2s a JOIN corp2 b ON ({cond})
+            WHERE a.doc_id NOT IN (SELECT doc_id FROM i2) AND {jac} >= 0.8
+        ),
+        a2 AS (
+            SELECT doc_id FROM documents
+            WHERE doc_id % 5 = 1
+              AND doc_id NOT IN (SELECT doc_id FROM i2)
+              AND doc_id NOT IN (SELECT doc_id FROM x2)
+        )
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN 'batch1'
+                    WHEN doc_id % 5 = 1 THEN 'batch2'
+                    ELSE 'seed' END AS origin
+        FROM (
+            SELECT doc_id FROM documents WHERE doc_id % 5 >= 2
+            UNION ALL SELECT doc_id FROM a1
+            UNION ALL SELECT doc_id FROM a2
+        )
+        ORDER BY doc_id
+    """
+
+
 def _pii_oracle() -> str:
     """Staged PII-scrub oracle: identical planted text, identical
     patterns (RE2-safe by construction, pytest-pinned), identical
@@ -1867,6 +1943,46 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier_quality_scores(docs, positive).orderBy("doc_id")
 
 
+def q_stream_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w5: continuous corpus admission (streaming/admission.py) — runs
+    admit_batch, the EXACT function the stream's foreachBatch invokes,
+    for two sequential batches over temp state: seed corpus =
+    doc_id%5>=2, batch1 = %5==0, batch2 = %5==1. Batch 2 dedups against
+    seed ∪ batch-1 admissions via the appended signature artifact, so
+    the oracle value-checks cross-micro-batch rejection. The streaming
+    trigger itself (availableNow + foreachBatch + checkpoint) is pinned
+    stream==batch in tests/test_streaming.py."""
+    import shutil
+    import tempfile
+
+    from muopdb_spark.streaming.admission import admit_batch, bootstrap_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="muopdb_w5_")
+    try:
+        corpus = os.path.join(tmp, "corpus")
+        sig = os.path.join(tmp, "sigs")
+        rej = os.path.join(tmp, "rejected")
+        bootstrap_corpus(docs.filter(F.col("doc_id") % 5 >= 2), corpus, sig)
+        admit_batch(docs.filter(F.col("doc_id") % 5 == 0), 1, corpus, sig, rej)
+        admit_batch(docs.filter(F.col("doc_id") % 5 == 1), 2, corpus, sig, rej)
+        out = (
+            spark.read.parquet(corpus)
+            .select(
+                "doc_id",
+                F.when(F.col("doc_id") % 5 == 0, "batch1")
+                .when(F.col("doc_id") % 5 == 1, "batch2")
+                .otherwise("seed")
+                .alias("origin"),
+            )
+            .orderBy("doc_id")
+        )
+        # materialize before the temp state is removed
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_fvecs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """src2 (S8 offline ingest): embeddings exported to the standard
     .fvecs on-disk vector format (TexMex/ann-benchmarks) and re-read
@@ -2044,6 +2160,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # expression-vs-mllib agreement pinned in
         # tests/test_quality_model.py).
         "t10_quality_classifier": q_quality_classifier,
+        # NEW in r5: two-round continuous corpus admission, oracle
+        # replays both rounds symbolically (cross-batch rejection
+        # value-checked).
+        "w5_stream_admission": q_stream_admission,
     }
 
 
@@ -2503,6 +2623,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "d3_dedup_minhash_lsh": _minhash_oracle(),
         "d7_incremental_minhash": _incremental_minhash_oracle(),
+        "w5_stream_admission": _stream_admission_oracle(),
         "p3_passage_dedup": _passage_dedup_oracle(),
         "smp4_token_mixture": _token_mixture_oracle(),
         "d4_dedup_simhash": _simhash_oracle(),

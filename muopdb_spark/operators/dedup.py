@@ -348,6 +348,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.8,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup detection with exact verification:
 
@@ -361,19 +362,26 @@ def minhash_lsh_pairs(
     EAGER: calling this materializes the signature subtree immediately
     (lineage-truncating localCheckpoint, rationale inline); checkpoint
     storage is freed when the returned plan is garbage-collected.
+
+    ``sig``: pass a prebuilt (already materialized) minhash_signature_df
+    WITH the `sh` column to share one shingle+minhash pass across
+    callers (streaming/admission.py signs each batch once for the
+    intra, cross, and artifact-append stages).
     """
-    sig = minhash_signature_df(
-        df, text_col=text_col, id_col=id_col, n=n,
-        num_hashes=num_hashes, bands=bands,
-    )
-    # the signature subtree feeds three plan branches (bucket explode +
-    # both verification sides); materialize so the md5-heavy minhash
-    # pass runs once instead of three times. localCheckpoint(eager)
-    # rather than persist+count: truncating the lineage makes the
-    # concurrent consumer stages structurally unable to recompute the
-    # subtree (with a cache they race it on eviction — the bimodal
-    # 6-14s timings in BENCH_r02; see the d2 A/B in ngram_jaccard_pairs)
-    sig = sig.localCheckpoint(eager=True)
+    if sig is None:
+        sig = minhash_signature_df(
+            df, text_col=text_col, id_col=id_col, n=n,
+            num_hashes=num_hashes, bands=bands,
+        )
+        # the signature subtree feeds three plan branches (bucket
+        # explode + both verification sides); materialize so the
+        # md5-heavy minhash pass runs once instead of three times.
+        # localCheckpoint(eager) rather than persist+count: truncating
+        # the lineage makes the concurrent consumer stages structurally
+        # unable to recompute the subtree (with a cache they race it on
+        # eviction — the bimodal 6-14s timings in BENCH_r02; see the d2
+        # A/B in ngram_jaccard_pairs)
+        sig = sig.localCheckpoint(eager=True)
 
     # candidates: explode bands, equi-join within (band_idx, band_hash) buckets
     buckets = sig.select(
@@ -428,6 +436,7 @@ def incremental_minhash_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.8,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup an INCOMING batch against an EXISTING corpus using the
     corpus's durable signature artifact — the incremental flavor that
@@ -454,14 +463,21 @@ def incremental_minhash_pairs(
     EAGER: materializes the new batch's signature subtree (it feeds
     the band join, the est-jaccard join, and the verification join)
     via lineage-truncating localCheckpoint.
+
+    ``sig``: prebuilt, already-materialized minhash_signature_df of the
+    NEW batch (with `sh`) to share one signing pass across callers.
     """
-    nsig = minhash_signature_df(
-        new_df, text_col=text_col, id_col=id_col, n=n,
-        num_hashes=num_hashes, bands=bands,
-    )
-    # same barrier rationale as minhash_lsh_pairs: lineage-truncated
-    # materialization, immune to the concurrent-consumer recompute race
-    nsig = nsig.localCheckpoint(eager=True)
+    if sig is None:
+        nsig = minhash_signature_df(
+            new_df, text_col=text_col, id_col=id_col, n=n,
+            num_hashes=num_hashes, bands=bands,
+        )
+        # same barrier rationale as minhash_lsh_pairs: lineage-truncated
+        # materialization, immune to the concurrent-consumer recompute
+        # race
+        nsig = nsig.localCheckpoint(eager=True)
+    else:
+        nsig = sig
 
     def _bands(sig: DataFrame, out_id: str) -> DataFrame:
         return sig.select(

