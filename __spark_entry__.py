@@ -1983,6 +1983,19 @@ def q_stream_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p5: RAG chunk export — overlapping 32-token windows at stride
+    24 over each document (operators/packing.chunk_documents). Pure
+    map-side Catalyst expressions (tokenize -> posexplode starts ->
+    slice+rejoin); every token lands in >= 1 chunk."""
+    from muopdb_spark.operators.packing import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, size=32, overlap=8).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
 def q_fvecs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """src2 (S8 offline ingest): embeddings exported to the standard
     .fvecs on-disk vector format (TexMex/ann-benchmarks) and re-read
@@ -2164,6 +2177,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # replays both rounds symbolically (cross-batch rejection
         # value-checked).
         "w5_stream_admission": q_stream_admission,
+        # NEW in r5: RAG chunk export (overlapping token windows).
+        "p5_rag_chunks": q_rag_chunks,
     }
 
 
@@ -2624,6 +2639,24 @@ def oracle_sql() -> dict[str, str]:
         "d3_dedup_minhash_lsh": _minhash_oracle(),
         "d7_incremental_minhash": _incremental_minhash_oracle(),
         "w5_stream_admission": _stream_admission_oracle(),
+        # 32-token windows at stride 24; DuckDB list slicing clamps at
+        # the list end exactly like Spark's slice()
+        "p5_rag_chunks": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            t2 AS (SELECT doc_id, toks, len(toks) AS n FROM t
+                   WHERE len(toks) > 0),
+            w AS (SELECT doc_id, toks, n,
+                    CASE WHEN n <= 32 THEN 1
+                         ELSE CAST(ceil((n - 32) / 24.0) AS INT) + 1
+                    END AS nw
+                  FROM t2),
+            e AS (SELECT doc_id, toks, unnest(range(0, nw)) AS i FROM w)
+            SELECT doc_id,
+                   i::BIGINT AS chunk_idx,
+                   array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text,
+                   len(toks[i*24+1 : i*24+32])::BIGINT AS n_tokens
+            FROM e ORDER BY doc_id, chunk_idx
+        """,
         "p3_passage_dedup": _passage_dedup_oracle(),
         "smp4_token_mixture": _token_mixture_oracle(),
         "d4_dedup_simhash": _simhash_oracle(),

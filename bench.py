@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "p4_shard_export",
     "d8_semdedup",
     "t10_quality_classifier",
+    "p5_rag_chunks",
 ]
 
 

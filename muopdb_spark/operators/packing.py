@@ -110,3 +110,57 @@ def sequence_stats(packed: DataFrame, *, group_col: str | None = None,
         F.count("*").alias("n_docs"),
         F.sum(token_col).cast("long").alias("sum_tokens"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Overlapping token-window chunks — the RAG/retrieval-training
+    export shape (each chunk is an indexable passage; `overlap` keeps
+    boundary context retrievable from both sides).
+
+    (id_col, chunk_idx, chunk_text, n_tokens): windows of `size`
+    tokens at stride `size - overlap` over the lowercase-alnum token
+    stream; the final window is the remainder (>= 1 token). A doc with
+    no tokens emits nothing.
+
+    Map-side only: tokenize -> posexplode over window starts -> slice
+    + rejoin, all Catalyst expressions; the token array is STAGED as a
+    column first so the generate's synthesized predicate re-evaluates
+    only an attribute, not the tokenizer (the shingle_df pushdown
+    lesson — a split() is cheap enough that staging suffices here).
+    """
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    stride = size - overlap
+    staged = df.select(
+        id_col,
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+        ).alias("_toks"),
+    )
+    toks = F.col("_toks")
+    n = F.size(toks)
+    # window starts: 0, stride, 2*stride, ... while start < n (with at
+    # least one window for 1 <= n <= size); last window may be short
+    n_windows = F.when(
+        n <= size, F.lit(1)
+    ).otherwise(F.ceil((n - F.lit(size)) / F.lit(stride)) + 1).cast("int")
+    starts = F.when(n > 0, F.transform(
+        F.sequence(F.lit(0), n_windows - 1), lambda i: i * stride
+    )).otherwise(F.array().cast("array<int>"))
+    exploded = staged.select(
+        id_col, "_toks", F.posexplode(starts).alias("chunk_idx", "_start")
+    )
+    piece = F.slice(F.col("_toks"), F.col("_start") + 1, size)
+    return exploded.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_tokens"),
+    )

@@ -234,3 +234,37 @@ def test_c4_line_filter(spark):
     assert rows[1]["n_lines"] == 8 and rows[1]["n_kept"] == 2
     assert rows[1]["kept"] is True
     assert rows[2]["n_kept"] == 0 and rows[2]["kept"] is False
+
+
+def test_chunk_documents(spark):
+    from muopdb_spark.operators.packing import chunk_documents
+
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 10 toks: 1 chunk
+            (2, " ".join(f"w{i}" for i in range(13))),  # 13: chunks of 8 + tail
+            (3, ""),                                     # empty: no chunks
+            (4, None),                                   # null: no chunks
+            (5, " ".join(f"w{i}" for i in range(8))),    # exactly size
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, size=8, overlap=3).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 3 not in by_doc and 4 not in by_doc
+    assert len(by_doc[5]) == 1 and by_doc[5][0].n_tokens == 8
+    # doc 1: 10 tokens, stride 5 -> windows at 0, 5 (tail of 5)
+    assert [(r.chunk_idx, r.n_tokens) for r in sorted(by_doc[1], key=lambda r: r.chunk_idx)] == [(0, 8), (1, 5)]
+    # doc 2: 13 tokens -> starts 0, 5 (covers 5..12)
+    c2 = sorted(by_doc[2], key=lambda r: r.chunk_idx)
+    assert [r.chunk_idx for r in c2] == [0, 1]
+    assert c2[0].chunk_text.split(" ") == [f"w{i}" for i in range(8)]
+    assert c2[1].chunk_text.split(" ") == [f"w{i}" for i in range(5, 13)]
+    # overlap coverage: consecutive chunks share `overlap` tokens
+    assert c2[0].chunk_text.split(" ")[-3:] == c2[1].chunk_text.split(" ")[:3]
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, size=8, overlap=8)
