@@ -223,6 +223,30 @@ CHECKS = {
 }
 
 
+def _plan_profile(plan: str) -> dict[str, int]:
+    """Count the operators that matter for the shuffle/JVM budget.
+
+    `plan` is .explain("formatted") text — each operator appears
+    exactly once as a detail header "(n) OpName". (Codegen spans are
+    not visible pre-execution under AQE, so they are not counted
+    here; the per-query CHECKS assert the Python-eval shape instead.)"""
+    import re
+
+    def ops(name: str) -> int:
+        return len(re.findall(rf"^\(\d+\) {name}\b", plan, re.MULTILINE))
+
+    return {
+        "exchanges": ops("Exchange"),
+        "bhj": ops("BroadcastHashJoin"),
+        "smj": ops("SortMergeJoin"),
+        "bnlj": ops("BroadcastNestedLoopJoin"),
+        "arrow_py": ops("ArrowEvalPython")
+        + ops("FlatMapGroupsInPandas")
+        + ops("MapInPandas"),
+        "row_py": ops("BatchEvalPython"),
+    }
+
+
 def main() -> None:
     from muopdb_spark.session import get_spark
 
@@ -242,6 +266,39 @@ def main() -> None:
         "",
     ]
     failures = []
+
+    # shuffle/JVM budget summary over EVERY registered query: the
+    # at-a-glance evidence that no plan regressed into extra shuffles
+    # or row-at-a-time Python. (Plans that build durable artifacts or
+    # temp state inside the query function reflect only their FINAL
+    # read plan here — the build jobs are audited by their own rows.)
+    rows = []
+    for name in sorted(qs):
+        buf = io.StringIO()
+        try:
+            df = qs[name](spark, sf)
+            with redirect_stdout(buf):
+                df.explain("formatted")
+        except Exception as e:  # artifact-dependent plans must not kill the audit
+            rows.append((name, f"error: {e}"))
+            continue
+        p = _plan_profile(buf.getvalue())
+        if p["row_py"]:
+            failures.append((name, "row-at-a-time Python UDF in plan"))
+        rows.append(
+            (name,
+             f"| {p['exchanges']} | {p['bhj']}/{p['smj']}/{p['bnlj']} "
+             f"| {p['arrow_py']} | {p['row_py']} |")
+        )
+    out += [
+        "## Shuffle / JVM budget (all registered queries)",
+        "",
+        "| query | exchanges | joins BHJ/SMJ/BNLJ | arrow-python | row-python |",
+        "|---|---|---|---|---|",
+    ]
+    for name, desc in rows:
+        out.append(f"| {name} {desc}" if desc.startswith("|") else f"| {name} | {desc} |  |  |  |")
+    out.append("")
     for name, checks in CHECKS.items():
         buf = io.StringIO()
         with redirect_stdout(buf):
