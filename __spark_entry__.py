@@ -1996,6 +1996,26 @@ def q_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j8: skew-safe equi-join (operators/skew.salted_join) — the
+    documents table is heavily skewed on lang (en dominates); the big
+    side is salted deterministically and the per-lang dim is
+    replicated once per salt, so the hot key fans out over 8 tasks.
+    Result set is IDENTICAL to the plain join — which is exactly what
+    the oracle checks."""
+    from muopdb_spark.operators.skew import salted_join
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    lang_stats = docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("lang_total")
+    )
+    return (
+        salted_join(docs, lang_stats, "lang", buckets=8)
+        .select("doc_id", "lang", "lang_total")
+        .orderBy("doc_id")
+    )
+
+
 def q_fvecs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """src2 (S8 offline ingest): embeddings exported to the standard
     .fvecs on-disk vector format (TexMex/ann-benchmarks) and re-read
@@ -2179,6 +2199,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w5_stream_admission": q_stream_admission,
         # NEW in r5: RAG chunk export (overlapping token windows).
         "p5_rag_chunks": q_rag_chunks,
+        # NEW in r5: salted-join skew mitigation witness (result must
+        # equal the plain join — value-oracled).
+        "j8_skew_salted_join": q_skew_salted_join,
     }
 
 
@@ -2639,6 +2662,17 @@ def oracle_sql() -> dict[str, str]:
         "d3_dedup_minhash_lsh": _minhash_oracle(),
         "d7_incremental_minhash": _incremental_minhash_oracle(),
         "w5_stream_admission": _stream_admission_oracle(),
+        # salting must be invisible in the result: the oracle is the
+        # PLAIN join
+        "j8_skew_salted_join": """
+            WITH s AS (
+                SELECT lang, count(*)::BIGINT AS lang_total
+                FROM documents GROUP BY lang
+            )
+            SELECT doc_id, lang, lang_total
+            FROM documents JOIN s USING (lang)
+            ORDER BY doc_id
+        """,
         # 32-token windows at stride 24; DuckDB list slicing clamps at
         # the list end exactly like Spark's slice()
         "p5_rag_chunks": f"""
