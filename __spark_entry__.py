@@ -720,6 +720,25 @@ def q_rabitq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v24 (beyond-reference): SQ8 scalar quantization — per-dim
+    affine uint8 codes (index/sq.py; 4x compression, codebook = 2*dim
+    floats from ONE aggregate job), estimated-L2 top-300 -> exact
+    re-rank -> top-10. Exact given containment (pytest-gated at sf0.01
+    AND sf0.1, tests/test_sq_contract.py), so brute force is the
+    oracle — the same contract as v11 (PQ) and v13 (RaBitQ)."""
+    from muopdb_spark.index.sq import sq_encode, sq_search, train_sq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = train_sq(emb, vec_col="embedding")
+    enc = sq_encode(emb, cb, vec_col="embedding")
+    qv = _query_vector(spark, sf_dir)
+    return sq_search(
+        enc, qv, cb, 10, id_col="vec_id", vec_col="embedding",
+        rerank=300, score_decimals=6,
+    )
+
+
 def q_ann_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V19 ratio-pruned probe (the production ANN path) — approximate,
     so no SQL oracle (rows-only check); recall is pytest-verified against
@@ -2202,6 +2221,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW in r5: salted-join skew mitigation witness (result must
         # equal the plain join — value-oracled).
         "j8_skew_salted_join": q_skew_salted_join,
+        # NEW in r5: SQ8 scalar quantizer, same estimate->exact-rerank
+        # contract as v11/v13 (brute-force oracle; containment
+        # pytest-gated at both SFs).
+        "v24_sq8_rerank": q_sq8_rerank,
     }
 
 
@@ -2293,6 +2316,13 @@ def oracle_sql() -> dict[str, str]:
         # RaBitQ estimate -> exact re-rank is exact end-to-end
         # (containment pytest-gated), so the oracle is brute force
         "v13_rabitq_rerank": f"""
+            SELECT vec_id,
+                   round(list_distance(embedding::DOUBLE[], {qvec}), 6) AS score
+            FROM embeddings
+            ORDER BY score ASC, vec_id ASC
+            LIMIT 10
+        """,
+        "v24_sq8_rerank": f"""
             SELECT vec_id,
                    round(list_distance(embedding::DOUBLE[], {qvec}), 6) AS score
             FROM embeddings

@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "d8_semdedup",
     "t10_quality_classifier",
     "p5_rag_chunks",
+    "v24_sq8_rerank",
 ]
 
 

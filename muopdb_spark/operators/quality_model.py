@@ -67,8 +67,11 @@ def train_quality_classifier(
     )
     # inverse-frequency weights: the reference slice is small by
     # construction, and unweighted LR would learn the base rate
-    n = labeled.count()
-    n_pos = labeled.filter(F.col("label") == 1.0).count()
+    # (one agg job for both counts)
+    counts = labeled.agg(
+        F.count("*").alias("n"), F.sum("label").alias("np")
+    ).collect()[0]
+    n, n_pos = int(counts["n"]), int(counts["np"] or 0)
     n_pos = max(n_pos, 1)
     w_pos = n / (2.0 * n_pos)
     w_neg = n / (2.0 * max(n - n_pos, 1))
