@@ -739,6 +739,25 @@ def q_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_two_level_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v25: two-level centroid probe (index/ivf2.py) — meta-centroids
+    over the centroid table (the Spark answer to the reference's
+    HNSW-over-centroids tier, SURVEY V2) cut phase-1 cost from O(k) to
+    O(sqrt(k)) at 100 TB centroid counts. This config probes EVERY
+    meta-cell, which is exactly the single-level full probe => exact =>
+    brute-force oracle; the pruned-meta recall contract is pytest-gated
+    (tests/test_ivf2.py)."""
+    from muopdb_spark.index.ivf2 import build_two_level, two_level_search
+
+    idx = _ivf_index(spark, sf_dir)
+    tl = build_two_level(idx, meta_k=3, seed=11)
+    qv = _query_vector(spark, sf_dir)
+    return two_level_search(
+        tl, qv, 10, meta_probes=None, num_probes=10,
+        centroid_distance_ratio=None, score_decimals=6,
+    ).withColumnRenamed("id", "vec_id")
+
+
 def q_ann_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V19 ratio-pruned probe (the production ANN path) — approximate,
     so no SQL oracle (rows-only check); recall is pytest-verified against
@@ -2225,6 +2244,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contract as v11/v13 (brute-force oracle; containment
         # pytest-gated at both SFs).
         "v24_sq8_rerank": q_sq8_rerank,
+        # NEW in r5: two-level centroid probe (full-meta config ==
+        # exact, brute-force oracle; pruned-meta recall pytest-gated).
+        "v25_two_level_probe": q_two_level_probe,
     }
 
 
@@ -2291,6 +2313,14 @@ def oracle_sql() -> dict[str, str]:
         # full-probe IVF == exact brute force (no oracle for
         # v19_ann_ivf_probed: approximate by design, rows-only check)
         "v4_ann_ivf_fullprobe": f"""
+            SELECT vec_id,
+                   round(list_distance(embedding::DOUBLE[], {qvec}), 6) AS score
+            FROM embeddings
+            ORDER BY score ASC, vec_id ASC
+            LIMIT 10
+        """,
+        # full meta probe == full single-level probe == exact
+        "v25_two_level_probe": f"""
             SELECT vec_id,
                    round(list_distance(embedding::DOUBLE[], {qvec}), 6) AS score
             FROM embeddings

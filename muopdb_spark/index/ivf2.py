@@ -1,0 +1,109 @@
+"""Two-level centroid probe: meta-centroids over the centroid table.
+
+The reference walks an HNSW graph over its centroids so phase 1 never
+scans all of them (rs/index/src/spann/index.rs: centroid search via
+the HNSW tier; SURVEY V2).  The single-level Spark analog scores EVERY
+centroid per query — the right call while the centroid table is tiny,
+but at 100 TB scale with k ~ 10^5 centroids the linear probe becomes
+the per-query bottleneck.  This module adds the same remedy in
+Spark-native form: cluster the centroids themselves (meta_k ~ sqrt(k)
+meta-cells, seeded Lloyd's), probe the meta table first (O(meta_k)),
+then score only the centroids inside the best meta-cells
+(O(meta_probes * k / meta_k)) — per-query probe cost drops from O(k)
+to O(sqrt(k)) at equal recall-knob expressiveness.
+
+Approximation contract mirrors V19: probing every meta-cell is
+EXACTLY the single-level probe (pinned by equivalence test and the
+driver oracle via the full-probe config); pruned meta_probes trades
+recall for probe cost, recall pytest-gated on seeded clusters
+(tests/test_ivf2.py).
+
+Scale notes:
+  - build collects the centroid table once (k x dim doubles; ~300 MB
+    at k=10^5, dim=768 — bounded and documented, same contract as the
+    k-means trainer) and runs seeded numpy Lloyd's over it.
+  - the per-query meta probe is driver-side numpy over meta_k rows;
+    centroid filtering is a broadcast semi join; everything downstream
+    is the unchanged ivf_search plan (partition-pruned posting scan).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, replace
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from muopdb_spark.index.ivf import IvfIndex, ivf_search
+from muopdb_spark.index.kmeans import lloyd
+
+
+@dataclass
+class TwoLevelIvf:
+    base: IvfIndex
+    meta_centers: np.ndarray  # (meta_k, dim)
+    centroid_meta: DataFrame  # (centroid_id int, meta_id int)
+
+    @property
+    def meta_k(self) -> int:
+        return len(self.meta_centers)
+
+
+def build_two_level(index: IvfIndex, *, meta_k: int | None = None, seed: int = 42) -> TwoLevelIvf:
+    """Cluster the centroid table into meta-cells (default sqrt(k))."""
+    rows = index.centroids.select("centroid_id", "centroid").collect()
+    ids = np.array([r.centroid_id for r in rows])
+    X = np.array([r.centroid for r in rows], dtype=np.float64)
+    mk = meta_k if meta_k is not None else max(1, int(math.sqrt(len(rows))))
+    centers = lloyd(X, mk, seed=seed)
+    d2 = (
+        (X ** 2).sum(axis=1, keepdims=True)
+        - 2.0 * X @ centers.T
+        + (centers ** 2).sum(axis=1)
+    )
+    assign = d2.argmin(axis=1)
+    spark = index.centroids.sparkSession
+    meta_df = spark.createDataFrame(
+        [(int(i), int(m)) for i, m in zip(ids, assign)],
+        "centroid_id int, meta_id int",
+    )
+    return TwoLevelIvf(base=index, meta_centers=centers, centroid_meta=meta_df)
+
+
+def _meta_probe(tl: TwoLevelIvf, query_vector, meta_probes: int) -> list[int]:
+    """Top meta-cells by the index metric — numpy over meta_k rows."""
+    q = np.asarray([float(x) for x in query_vector], dtype=np.float64)
+    C = tl.meta_centers
+    if tl.base.metric in ("l2", "l2_squared"):
+        scores = ((C - q) ** 2).sum(axis=1)
+    elif tl.base.metric == "dot":
+        scores = -(C @ q)
+    elif tl.base.metric == "cosine":
+        qn = q / (np.linalg.norm(q) or 1.0)
+        cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        scores = 1.0 - cn @ qn
+    else:  # pragma: no cover - registry guards metrics upstream
+        raise ValueError(f"unsupported metric {tl.base.metric!r}")
+    order = np.lexsort((np.arange(len(C)), scores))
+    return [int(i) for i in order[: max(1, meta_probes)]]
+
+
+def two_level_search(
+    tl: TwoLevelIvf,
+    query_vector,
+    k: int,
+    *,
+    meta_probes: int | None = None,
+    **search_kwargs,
+) -> DataFrame:
+    """Phase 0 (meta probe) -> restrict the centroid table -> the
+    unchanged ivf_search plan.  meta_probes=None (or >= meta_k) probes
+    every meta-cell, which is EXACTLY the single-level search."""
+    mp = tl.meta_k if meta_probes is None else min(meta_probes, tl.meta_k)
+    cells = _meta_probe(tl, query_vector, mp)
+    keep = F.broadcast(
+        tl.centroid_meta.filter(F.col("meta_id").isin(cells)).select("centroid_id")
+    )
+    cents = tl.base.centroids.join(keep, "centroid_id", "left_semi")
+    return ivf_search(replace(tl.base, centroids=cents), query_vector, k, **search_kwargs)
