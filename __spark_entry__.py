@@ -27,11 +27,15 @@ TABLES = (
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name in ("documents", "embeddings"):
-        # fixture files are a single parquet row group, so the scan is one
-        # task; fan out before the expression-heavy text/vector work. (At
-        # real scale the source has many splits and this is a no-op
-        # concern — a production table would never be one row group.)
-        df = df.repartition(spark.sparkContext.defaultParallelism)
+        # fixture files are a single parquet row group, so the scan is
+        # one task; fan out before the expression-heavy text/vector
+        # work. GATED on the actual split count so that at real scale —
+        # where the source already has many splits — no full-table
+        # shuffle is ever added (getNumPartitions is plan metadata, no
+        # job).
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(2, par // 2):
+            df = df.repartition(par)
     return df
 
 
