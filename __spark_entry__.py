@@ -2110,7 +2110,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f1_filter_and_or_ids": q_filter_and_or_ids,
         "f6_filter_multi_token": q_filter_multi_token,
         "t2_multilang_stem_index": q_multilang_stem_index,
-        "t2_contains_stemmed_ru": q_contains_stemmed_ru,
+        # t2_contains_stemmed_ru rotated to extra_queries() in late r5
+        # (stemming family witnessed in-window by t2_multilang_stem_index,
+        # which indexes all 19 languages; driver-green r1-r4) to free a
+        # slot for t9_lm_perplexity's first driver row — LM scoring is a
+        # NEW operator family with no other window witness.
+        "t9_lm_perplexity": q_lm_perplexity,
         "f7_filter_not_contains": q_filter_not_contains,
         "a1_doc_counts": q_doc_counts,
         "o1_topk_orders": q_topk_orders,
@@ -2146,7 +2151,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family also witnessed by h2's in-scan LeftSemi; driver-green
         # r1-r4) to free the slot for w4's first driver row.
         "j6_asof_join": q_asof_join,
-        "j7_range_count_join": q_range_count_join,
+        # j7_range_count_join rotated to extra_queries() in late r5
+        # (temporal-join family witnessed in-window by j6; driver-green
+        # r1-r4) to free a slot for p4_shard_export's first driver row —
+        # deterministic shard export is a NEW operator family with no
+        # other window witness.
+        "p4_shard_export": q_shard_export,
         # v22_ann_batch_ivf rotated to extra_queries() in r5 (batch-ANN
         # family witnessed by v23, which layers PQ+rerank on the same
         # batch join; driver-green r1-r4) to free a slot for
@@ -2222,10 +2232,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW in r5 (no prior driver row; oracle-gated in pytest like
         # all extras): domain-mixture sampling under a token budget.
         "smp4_token_mixture": q_token_mixture,
-        # NEW in r5: CCNet-style bigram-LM perplexity quality scoring.
-        "t9_lm_perplexity": q_lm_perplexity,
-        # NEW in r5: deterministic training-shard export assignment.
-        "p4_shard_export": q_shard_export,
+        # rotated from the window in late r5 (see queries() comments):
+        # stemming/temporal families keep their in-window witnesses,
+        # both driver-green r1-r4.
+        "t2_contains_stemmed_ru": q_contains_stemmed_ru,
+        "j7_range_count_join": q_range_count_join,
         # NEW in r5: SemDeDup semantic dedup (no oracle by design —
         # k-means assignment is not SQL-derivable; brute-force-refereed
         # in tests/test_semdedup.py).
