@@ -33,6 +33,11 @@ from muopdb_spark.operators.dedup import (  # noqa: E402
 from muopdb_spark.operators.export import write_shards  # noqa: E402
 from muopdb_spark.operators.graph import dup_clusters  # noqa: E402
 from muopdb_spark.operators.lm import lm_bits_per_token  # noqa: E402
+from muopdb_spark.operators.packing import chunk_documents  # noqa: E402
+from muopdb_spark.operators.quality_model import (  # noqa: E402
+    score_quality,
+    train_quality_classifier,
+)
 from muopdb_spark.operators.packing import pack_sequences, sequence_stats  # noqa: E402
 from muopdb_spark.operators.pii import scrub_pii  # noqa: E402
 from muopdb_spark.operators.quality import (  # noqa: E402
@@ -137,6 +142,7 @@ def main() -> None:
                 & (F.col("alpha_frac") >= 0.8)
             ).select("doc_id")
         )
+        quality_input = docs  # stage-5c trains on the pre-gate corpus
         prev = docs
         docs = _pin(docs.join(keep, "doc_id", "left_semi"), prev)
         n5 = docs.count()
@@ -152,6 +158,30 @@ def main() -> None:
             "doc_id", "left_semi",
         ), prev)
         n5b = docs.count()
+
+        # 5c. distill the RULE-quality verdicts into a trained
+        #     classifier (GPT-3-style model-based filter): positive =
+        #     passed the stage-5 rule gates. The coefficient dict is
+        #     the portable artifact a production run applies to NEW
+        #     batches as a pure map-side expression (no rules, no ML
+        #     runtime at inference). Only the rule verdicts are
+        #     learnable from quality features — dedup/decontamination
+        #     removals are content-identity decisions and stay
+        #     rule-based.
+        rule_pos = keep.withColumn("pos", F.lit(1))
+        coef = train_quality_classifier(
+            quality_input.join(rule_pos, "doc_id", "left"),
+            F.col("pos").isNotNull(),
+        )
+        agree = (
+            score_quality(quality_input, coef)
+            .join(rule_pos, "doc_id", "left")
+            .select(
+                ((F.col("p_reference") >= 0.5) == F.col("pos").isNotNull())
+                .cast("int").alias("ok")
+            )
+            .agg(F.avg("ok")).collect()[0][0]
+        )
 
         # 6. language rebalancing: deterministic stratified sample
         prev = docs
@@ -185,6 +215,10 @@ def main() -> None:
             spark.read.parquet(shards_out).select("shard_id").distinct().count()
         )
 
+        # 8c. RAG chunk export: the same curated corpus as overlapping
+        #     retrieval passages (32-token windows, stride 24)
+        n_chunks = chunk_documents(docs, size=32, overlap=8).count()
+
         # 9. DAY 2: a new ingest batch arrives. Write the curated
         #    corpus's signature artifact ONCE (fixed-width per doc),
         #    then admit the batch against it — corpus text is only
@@ -202,7 +236,9 @@ def main() -> None:
         print(f"ingested={n0} exact_dedup={n1} near_dup={n2} "
               f"passage_dup={n2b} decontaminated={n3} quality={n5} "
               f"perplexity={n5b} sampled={n6} sequences={n_seqs} "
-              f"shards={n_shards_written}")
+              f"shards={n_shards_written} rag_chunks={n_chunks}")
+        print(f"distilled classifier reproduces the rule-quality "
+              f"verdicts on {agree:.0%} of docs")
         print(f"day2: batch={n_new} near-dup-of-corpus={n_rejected} "
               f"admitted={n_new - n_rejected}")
         print("sample sequence fill:",
