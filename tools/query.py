@@ -1,13 +1,20 @@
 """CLI query runner — the thin operational surface a user of the
-reference's gRPC API would script against.
+reference's gRPC API would script against, plus the corpus-pipeline
+commands a curation operator runs against plain parquet.
 
-Examples:
+Collection commands (mirror the gRPC surface):
   python tools/query.py search --root /data --name memories \
       --users 0 1 --vector 1,0,0,0 --k 5
   python tools/query.py term-search --root /data --name memories \
       --users 0 --filter '{"contains": {"path": "title", "value": "running"}}' --limit 10
   python tools/query.py stats --root /data --name memories
   python tools/query.py optimize --root /data --name memories
+
+Pipeline commands (operate on a documents parquet):
+  python tools/query.py dedup --input docs.parquet --method minhash --threshold 0.8
+  python tools/query.py lm-score --input docs.parquet --output scored/
+  python tools/query.py chunk --input docs.parquet --size 32 --overlap 8 --output chunks/
+  python tools/query.py shard --input docs.parquet --n-shards 16 --output shards/
 """
 
 from __future__ import annotations
@@ -18,24 +25,93 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
+COLLECTION_CMDS = {"search", "term-search", "stats", "optimize", "flush"}
+PIPELINE_CMDS = {"dedup", "lm-score", "chunk", "shard"}
+
+
+def _pipeline(spark, args, ap) -> dict:
+    df = spark.read.parquet(args.input)
+    if args.command == "dedup":
+        from muopdb_spark.operators.dedup import (
+            exact_dedup,
+            minhash_lsh_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        if args.method == "exact":
+            out = exact_dedup(df)
+            dup = out.filter("NOT is_canonical").count()
+            result = {"method": "exact", "docs": df.count(), "duplicates": dup}
+        elif args.method == "minhash":
+            pairs = minhash_lsh_pairs(df, threshold=args.threshold)
+            result = {"method": "minhash", "near_dup_pairs": pairs.count()}
+            out = pairs
+        else:
+            pairs = ngram_jaccard_pairs(df, threshold=args.threshold)
+            result = {"method": "jaccard", "near_dup_pairs": pairs.count()}
+            out = pairs
+    elif args.command == "lm-score":
+        from muopdb_spark.operators.lm import lm_bits_per_token
+
+        out = lm_bits_per_token(df)
+        result = {"docs_scored": out.count()}
+    elif args.command == "chunk":
+        from muopdb_spark.operators.packing import chunk_documents
+
+        out = chunk_documents(df, size=args.size, overlap=args.overlap)
+        result = {"chunks": out.count(), "size": args.size, "overlap": args.overlap}
+    else:  # shard
+        from muopdb_spark.operators.export import shard_assignment, write_shards
+
+        if args.output:
+            write_shards(df, args.output, n_shards=args.n_shards)
+            result = {"shards_written": args.n_shards, "path": args.output}
+            return result
+        out = shard_assignment(df, n_shards=args.n_shards)
+        result = {"docs": out.count(), "n_shards": args.n_shards}
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        result["path"] = args.output
+    return result
+
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="muopdb-spark-query")
-    ap.add_argument("command", choices=["search", "term-search", "stats", "optimize", "flush"])
-    ap.add_argument("--root", required=True)
-    ap.add_argument("--name", required=True)
+    ap.add_argument("command", choices=sorted(COLLECTION_CMDS | PIPELINE_CMDS))
+    ap.add_argument("--root")
+    ap.add_argument("--name")
     ap.add_argument("--users", type=int, nargs="*", default=None)
     ap.add_argument("--vector", help="comma-separated floats")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--filter", dest="filter_json", help="DocumentFilter JSON tree")
     ap.add_argument("--limit", type=int, default=10)
+    ap.add_argument("--input", help="pipeline commands: input parquet path")
+    ap.add_argument("--output", help="pipeline commands: output parquet path")
+    ap.add_argument("--method", choices=["exact", "minhash", "jaccard"],
+                    default="minhash")
+    ap.add_argument("--threshold", type=float, default=0.8)
+    ap.add_argument("--size", type=int, default=32)
+    ap.add_argument("--overlap", type=int, default=8)
+    ap.add_argument("--n-shards", type=int, default=8)
     args = ap.parse_args(argv)
 
-    from muopdb_spark.catalog import Collection
     from muopdb_spark.session import get_spark
 
     spark = get_spark("muopdb-query")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.command in PIPELINE_CMDS:
+        if not args.input:
+            ap.error(f"{args.command} requires --input")
+        print(json.dumps(_pipeline(spark, args, ap)))
+        spark.stop()
+        return 0
+
+    if not args.root or not args.name:
+        ap.error(f"{args.command} requires --root and --name")
+
+    from muopdb_spark.catalog import Collection
+
     col = Collection.open(spark, args.root, args.name)
 
     if args.command == "search":
