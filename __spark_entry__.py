@@ -724,18 +724,39 @@ def q_rabitq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sq_index(spark: SparkSession, sf_dir: str):
+    """DURABLE build-once SQ8 index (same deployment shape as
+    _ivf_index/_lsh_index): trained + encoded once, persisted with
+    codes PACKED TO BINARY (1 byte/dim — index/sq.sq_save), then
+    RELOADED — every search serves from the artifact. Mirrors the
+    reference's train-at-flush contract (rs/index/src/collection/
+    core.rs:867-976: quantizers train when a segment is built, never
+    at search time)."""
+    from muopdb_spark.index.sq import sq_encode, sq_load, sq_save, train_sq
+
+    key = ("sq", sf_dir)
+    if key not in _IVF_CACHE:
+        path = _index_artifact_dir(sf_dir, "sq_v1")
+        if not os.path.exists(os.path.join(path, "codebook.json")):
+            emb = _t(spark, sf_dir, "embeddings")
+            cb = train_sq(emb, vec_col="embedding")
+            sq_save(sq_encode(emb, cb, vec_col="embedding"), cb, path)
+        _IVF_CACHE[key] = sq_load(spark, path)
+    return _IVF_CACHE[key]
+
+
 def q_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """v24 (beyond-reference): SQ8 scalar quantization — per-dim
     affine uint8 codes (index/sq.py; 4x compression, codebook = 2*dim
     floats from ONE aggregate job), estimated-L2 top-300 -> exact
-    re-rank -> top-10. Exact given containment (pytest-gated at sf0.01
-    AND sf0.1, tests/test_sq_contract.py), so brute force is the
-    oracle — the same contract as v11 (PQ) and v13 (RaBitQ)."""
-    from muopdb_spark.index.sq import sq_encode, sq_search, train_sq
+    re-rank -> top-10, served from the DURABLE packed-code artifact
+    (_sq_index; training runs at build, never per query). Exact given
+    containment (pytest-gated at sf0.01 AND sf0.1,
+    tests/test_sq_contract.py), so brute force is the oracle — the
+    same contract as v11 (PQ) and v13 (RaBitQ)."""
+    from muopdb_spark.index.sq import sq_search
 
-    emb = _t(spark, sf_dir, "embeddings")
-    cb = train_sq(emb, vec_col="embedding")
-    enc = sq_encode(emb, cb, vec_col="embedding")
+    enc, cb = _sq_index(spark, sf_dir)
     qv = _query_vector(spark, sf_dir)
     return sq_search(
         enc, qv, cb, 10, id_col="vec_id", vec_col="embedding",
@@ -1967,17 +1988,58 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(emb, k=8, threshold=0.9).orderBy("vec_id")
 
 
+def _quality_model(spark: SparkSession, sf_dir: str) -> dict:
+    """DURABLE train-once quality classifier: the coefficient dict is
+    persisted as JSON next to the other index artifacts (exactly what
+    operators/quality_model.py's docstring prescribes — train once,
+    serve the pure Catalyst sigmoid forever). Deterministic: L-BFGS on
+    the same weighted feature table converges to the same coefficients,
+    so re-builds reproduce the artifact."""
+    import json as _json
+
+    from muopdb_spark.operators.quality_model import train_quality_classifier
+
+    key = ("quality", sf_dir)
+    if key not in _IVF_CACHE:
+        path = _index_artifact_dir(sf_dir, "quality_v1")
+        cf = os.path.join(path, "coefficients.json")
+        if not os.path.exists(cf):
+            docs = _t(spark, sf_dir, "documents")
+            positive = F.col("source").isin("src1", "src2", "src3")
+            coef = train_quality_classifier(docs, positive)
+            os.makedirs(path, exist_ok=True)
+            with open(cf, "w") as f:
+                _json.dump(coef, f)
+        with open(cf) as f:
+            _IVF_CACHE[key] = _json.load(f)
+    return _IVF_CACHE[key]
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t10: model-based quality filter (GPT-3 appendix A / CCNet) —
     logistic reference-vs-corpus classifier trained on the engine's own
-    quality features (distributed L-BFGS), scored as a pure Catalyst
-    sigmoid expression from the extracted coefficients
-    (operators/quality_model.py). No oracle by design (iterative
-    training is not SQL-expressible); classifier behavior is pinned on
-    separable synthetic corpora in tests/test_quality_model.py. The
-    fixture's source buckets are statistically interchangeable, so
-    scores hover near the base rate here — the wiring, not the
-    decision boundary, is what this row witnesses."""
+    quality features (distributed L-BFGS), SERVED from the durable
+    coefficient artifact (_quality_model): inference is a pure Catalyst
+    sigmoid expression, map-side, zero ML runtime
+    (operators/quality_model.py). The self-contained train-on-self
+    variant stays registered as t10b_quality_train_self. No oracle by
+    design (iterative training is not SQL-expressible); classifier
+    behavior is pinned on separable synthetic corpora in
+    tests/test_quality_model.py. The fixture's source buckets are
+    statistically interchangeable, so scores hover near the base rate
+    here — the wiring, not the decision boundary, is what this row
+    witnesses."""
+    from muopdb_spark.operators.quality_model import score_quality
+
+    coef = _quality_model(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return score_quality(docs, coef).orderBy("doc_id")
+
+
+def q_quality_train_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t10b: the self-contained train+score path (one call, no
+    artifact) — kept as the witness that the full training loop runs
+    end-to-end inside a single query; the benched/served path is t10."""
     from muopdb_spark.operators.quality_model import classifier_quality_scores
 
     docs = _t(spark, sf_dir, "documents")
@@ -2116,7 +2178,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slot for t9_lm_perplexity's first driver row — LM scoring is a
         # NEW operator family with no other window witness.
         "t9_lm_perplexity": q_lm_perplexity,
-        "f7_filter_not_contains": q_filter_not_contains,
+        # r6 rotation: f7/d4/t4/s1/o2/j2 — each family multiply
+        # witnessed (filter algebra by f1/f6, dedup hashing by d1/d3/d5,
+        # ids/set/topn/join by t1/s3/o1/j6 kin) and driver-green 5
+        # straight rounds — moved to extra_queries() so the six
+        # oracle-able r5-new operators (p5, j8, v24, v25, w5, smp4) get
+        # their first driver rows; swap back in r7.
         "a1_doc_counts": q_doc_counts,
         "o1_topk_orders": q_topk_orders,
         "agg_pricing_summary": q_pricing_summary,
@@ -2124,7 +2191,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d1_dedup_exact": q_dedup_exact,
         "d2_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "d3_dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "d4_dedup_simhash": q_dedup_simhash,
         "d5_dedup_embedding_cosine": q_dedup_embedding,
         "t1_token_counts": q_token_counts,
         "t2_quality_score": q_quality,
@@ -2133,10 +2199,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v11_pq_adc_rerank": q_pq_adc_rerank,
         "v13_rabitq_rerank": q_rabitq_rerank,
         "x1_lsh_near_dup": q_lsh_near_dup,
-        "t4_u128_ids": q_u128_ids,
-        "s1_set_ops": q_set_ops,
-        "o2_topn_per_group": q_topn_per_group,
-        "j2_tpch_q3": q_tpch_q3,
+        # r6 rotation (see the a1 comment): first driver rows for the
+        # six oracle-able operators added in r5.
+        "p5_rag_chunks": q_rag_chunks,
+        "j8_skew_salted_join": q_skew_salted_join,
+        "v24_sq8_rerank": q_sq8_rerank,
+        "v25_two_level_probe": q_two_level_probe,
+        "w5_stream_admission": q_stream_admission,
+        "smp4_token_mixture": q_token_mixture,
         # h1_hybrid_search rotated to extra_queries() in r5 (hybrid
         # family witnessed by h2 + h3; driver-green r1-r4) to free a
         # slot for d7_incremental_minhash's first driver row.
@@ -2229,14 +2299,24 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_semi_anti": q_semi_anti_join,
         "h1_hybrid_search": q_hybrid_search,
         "v22_ann_batch_ivf": q_ann_batch_ivf,
-        # NEW in r5 (no prior driver row; oracle-gated in pytest like
-        # all extras): domain-mixture sampling under a token budget.
-        "smp4_token_mixture": q_token_mixture,
         # rotated from the window in late r5 (see queries() comments):
         # stemming/temporal families keep their in-window witnesses,
         # both driver-green r1-r4.
         "t2_contains_stemmed_ru": q_contains_stemmed_ru,
         "j7_range_count_join": q_range_count_join,
+        # r6 rotation: driver-green r1-r5, families multiply witnessed
+        # in-window (see queries() comments); parked here this round so
+        # p5/j8/v24/v25/w5/smp4 get first driver rows — swap back in r7.
+        "f7_filter_not_contains": q_filter_not_contains,
+        "d4_dedup_simhash": q_dedup_simhash,
+        "t4_u128_ids": q_u128_ids,
+        "s1_set_ops": q_set_ops,
+        "o2_topn_per_group": q_topn_per_group,
+        "j2_tpch_q3": q_tpch_q3,
+        # r6: the self-contained train+score witness for the quality
+        # classifier (the benched/served t10 path now loads the durable
+        # coefficient artifact). No oracle by design, like t10.
+        "t10b_quality_train_self": q_quality_train_self,
         # NEW in r5: SemDeDup semantic dedup (no oracle by design —
         # k-means assignment is not SQL-derivable; brute-force-refereed
         # in tests/test_semdedup.py).
@@ -2246,22 +2326,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # expression-vs-mllib agreement pinned in
         # tests/test_quality_model.py).
         "t10_quality_classifier": q_quality_classifier,
-        # NEW in r5: two-round continuous corpus admission, oracle
-        # replays both rounds symbolically (cross-batch rejection
-        # value-checked).
-        "w5_stream_admission": q_stream_admission,
-        # NEW in r5: RAG chunk export (overlapping token windows).
-        "p5_rag_chunks": q_rag_chunks,
-        # NEW in r5: salted-join skew mitigation witness (result must
-        # equal the plain join — value-oracled).
-        "j8_skew_salted_join": q_skew_salted_join,
-        # NEW in r5: SQ8 scalar quantizer, same estimate->exact-rerank
-        # contract as v11/v13 (brute-force oracle; containment
-        # pytest-gated at both SFs).
-        "v24_sq8_rerank": q_sq8_rerank,
-        # NEW in r5: two-level centroid probe (full-meta config ==
-        # exact, brute-force oracle; pruned-meta recall pytest-gated).
-        "v25_two_level_probe": q_two_level_probe,
     }
 
 

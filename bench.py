@@ -120,6 +120,8 @@ def main() -> None:
     entry_mod._lsh_index(spark, sf_dir)
     entry_mod._bm25_docs_and_stats(spark, sf_dir)
     entry_mod._minhash_corpus_index(spark, sf_dir)
+    entry_mod._sq_index(spark, sf_dir)
+    entry_mod._quality_model(spark, sf_dir)
 
     # Compile EVERY benchmark pipeline at the smoke SF so no timed rep0
     # bills whole-stage codegen / first Arrow-pipeline execution. The

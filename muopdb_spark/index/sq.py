@@ -21,18 +21,20 @@ Scale (100 TB):
     groupBy(dim) with map-side partial combine); the codebook is
     2*dim floats — ships in the closure as literals.
   - encode and the estimate pass are pure JVM array expressions over
-    the scan: no Python, no shuffle; codes are array<int> here (the
-    columnar-friendly form) — pack to binary for the 4x storage win
-    when persisting 100 TB of codes.
+    the scan: no Python, no shuffle; codes are array<int> in-plan (the
+    columnar-friendly form) and PACKED TO BINARY on disk via
+    sq_pack_expr/sq_save — 1 byte/dim persisted, the 4x storage win
+    vs float32 when persisting 100 TB of codes.
   - the exact pass touches only the constant `rerank` candidates.
 """
 
 from __future__ import annotations
 
 import json
+import os
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 
 @dataclass
@@ -93,6 +95,73 @@ def sq_encode(
     return df.withColumn(
         "sq_code", sq_encode_expr(F.col(vec_col).cast("array<double>"), cb)
     )
+
+
+def sq_pack_expr(codes: Column) -> Column:
+    """array<int> uint8 codes -> binary, exactly 1 byte per code — the
+    persisted form (4x smaller than float32 vectors, ~4x smaller than
+    parquet array<int>).  Pure JVM: per-code zero-padded hex, joined,
+    unhex'd.  No Python, no shuffle."""
+    return F.unhex(
+        F.array_join(F.transform(codes, lambda c: F.lpad(F.hex(c), 2, "0")), "")
+    )
+
+
+def sq_unpack_expr(packed: Column, dim: int) -> Column:
+    """binary (1 byte/code) -> array<int>, the in-plan scoring form.
+    Map-side JVM expression over the scan (hex + fixed-width substring
+    + base-16 conv), so serving from the packed artifact costs one
+    projection, not a Python pass."""
+    hx = F.hex(packed)
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    return F.transform(
+        idx,
+        lambda i: F.conv(F.substring(hx, i * 2 + 1, F.lit(2)), 16, 10).cast("int"),
+    )
+
+
+def sq_save(
+    encoded: DataFrame,
+    cb: SqCodebook,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the durable SQ index: codebook JSON (2*dim floats) +
+    the encoded table with codes packed to binary.  Raw vectors ride
+    along for the exact re-rank pass (the reference likewise keeps raw
+    vectors beside quantized codes for reranking).  Mirrors the
+    reference's train-at-flush contract (rs/index/src/collection/
+    core.rs:867-976: quantizers are trained when a segment is built,
+    never at search time)."""
+    os.makedirs(path, exist_ok=True)
+    (
+        encoded.select(
+            id_col, vec_col, sq_pack_expr(F.col("sq_code")).alias("sq_packed")
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "codes"))
+    )
+    with open(os.path.join(path, "codebook.json"), "w") as f:
+        f.write(cb.to_json())
+
+
+def sq_load(
+    spark: SparkSession,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, SqCodebook]:
+    """Reopen the durable artifact: (encoded DataFrame with in-plan
+    array<int> codes unpacked lazily from the binary column, codebook)."""
+    with open(os.path.join(path, "codebook.json")) as f:
+        cb = SqCodebook.from_json(f.read())
+    df = spark.read.parquet(os.path.join(path, "codes")).select(
+        id_col, vec_col, sq_unpack_expr(F.col("sq_packed"), cb.dim).alias("sq_code")
+    )
+    return df, cb
 
 
 def sq_est_score(query_vector, cb: SqCodebook) -> Column:

@@ -79,3 +79,61 @@ def test_constant_dim_does_not_divide_by_zero(spark):
         .collect()
     )
     assert abs(est[0].est) < 1e-6  # exact self-distance on clean codes
+
+
+def test_pack_unpack_roundtrip_property(spark):
+    # property: any array of uint8 codes survives binary pack->unpack;
+    # packed size is EXACTLY 1 byte per code (the 4x storage claim)
+    from muopdb_spark.index.sq import sq_pack_expr, sq_unpack_expr
+
+    import random
+
+    rnd = random.Random(1234)
+    dims = [1, 2, 7, 64]
+    rows = []
+    rid = 0
+    for d in dims:
+        for _ in range(8):
+            rows.append((rid, d, [rnd.randrange(256) for _ in range(d)]))
+            rid += 1
+    # edge codes: all-zero, all-255
+    rows.append((rid, 4, [0, 0, 0, 0]))
+    rows.append((rid + 1, 4, [255, 255, 255, 255]))
+    df = spark.createDataFrame(rows, "id long, dim int, codes array<int>")
+    packed = df.select("id", "dim", "codes", sq_pack_expr(F.col("codes")).alias("b"))
+    got = packed.select(
+        "id", "codes", F.length("b").alias("nbytes"), "dim",
+        *[],
+    ).collect()
+    for r in got:
+        assert r.nbytes == len(r.codes)
+    for d in dims + [4]:
+        back = (
+            packed.filter(F.col("dim") == d)
+            .select("id", "codes", sq_unpack_expr(F.col("b"), d).alias("codes2"))
+            .collect()
+        )
+        for r in back:
+            assert list(r.codes2) == list(r.codes)
+
+
+def test_sq_save_load_roundtrip(spark, tmp_path):
+    # the durable artifact round-trips: same codes, same codebook, and
+    # the on-disk codes column is binary (packed), not array<int>
+    from muopdb_spark.index.sq import sq_encode, sq_load, sq_save, train_sq
+
+    df = spark.createDataFrame(
+        [(i, [float(i) * 0.5, float(i % 3) - 1.0, 42.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    cb = train_sq(df)
+    enc = sq_encode(df, cb)
+    path = str(tmp_path / "sq_idx")
+    sq_save(enc, cb, path)
+    loaded, cb2 = sq_load(spark, path)
+    assert cb2 == cb
+    raw = spark.read.parquet(path + "/codes")
+    assert dict(raw.dtypes)["sq_packed"] == "binary"
+    want = {r.vec_id: list(r.sq_code) for r in enc.collect()}
+    got = {r.vec_id: list(r.sq_code) for r in loaded.collect()}
+    assert got == want
