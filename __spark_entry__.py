@@ -2608,8 +2608,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             s AS (
                 SELECT doc_id, hh,
-                       (((strpos('0123456789abcdef', substr(hh,1,1)) - 1) * 16
-                         + strpos('0123456789abcdef', substr(hh,2,1)) - 1)
+                       (CAST('0x' || substr(hh, 1, 8) AS UBIGINT)
                         % 8)::BIGINT AS shard_id
                 FROM h
             )

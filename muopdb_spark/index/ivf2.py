@@ -16,12 +16,26 @@ Approximation contract mirrors V19: probing every meta-cell is
 EXACTLY the single-level probe (pinned by equivalence test and the
 driver oracle via the full-probe config); pruned meta_probes trades
 recall for probe cost, recall pytest-gated on seeded clusters
-(tests/test_ivf2.py).
+(tests/test_ivf2.py) for l2, cosine, AND dot.
+
+Metric consistency (assignment == probe measure, so the pruned meta
+probe ranks cells by the same yardstick that grouped them):
+  - l2 / l2_squared: Lloyd's + L2-argmin assignment, L2 meta probe.
+  - cosine: spherical — centroids are L2-NORMALIZED before Lloyd's
+    and assignment is max-cosine; the meta probe scores 1 - cos.
+  - dot: dot has no geometry to cluster in (scores unbounded in the
+    vector norm), so cells group by L2 LOCATION and the meta probe
+    ranks cells by dot(q, meta_center) — the cell-mean heuristic:
+    a cell's center approximates its members' average dot score.
+    Documented heuristic, recall-gated in pytest like cosine.
 
 Scale notes:
-  - build collects the centroid table once (k x dim doubles; ~300 MB
-    at k=10^5, dim=768 — bounded and documented, same contract as the
-    k-means trainer) and runs seeded numpy Lloyd's over it.
+  - build trains Lloyd's on a BOUNDED, deterministic sample of the
+    centroid table (default 20k rows — same contract as the k-means
+    trainer), so driver memory no longer scales with k x dim; the
+    full-table assignment runs DISTRIBUTED as a broadcast crossJoin +
+    argmin window (the semdedup.cluster_assignments shape) — only
+    meta_k x dim doubles ever ship to executors.
   - the per-query meta probe is driver-side numpy over meta_k rows;
     centroid filtering is a broadcast semi join; everything downstream
     is the unchanged ivf_search plan (partition-pruned posting scan).
@@ -34,7 +48,9 @@ from dataclasses import dataclass, replace
 
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
+from muopdb_spark.functions.distance import score_expr
 from muopdb_spark.index.ivf import IvfIndex, ivf_search
 from muopdb_spark.index.kmeans import lloyd
 
@@ -50,25 +66,59 @@ class TwoLevelIvf:
         return len(self.meta_centers)
 
 
-def build_two_level(index: IvfIndex, *, meta_k: int | None = None, seed: int = 42) -> TwoLevelIvf:
-    """Cluster the centroid table into meta-cells (default sqrt(k))."""
-    rows = index.centroids.select("centroid_id", "centroid").collect()
-    ids = np.array([r.centroid_id for r in rows])
-    X = np.array([r.centroid for r in rows], dtype=np.float64)
-    mk = meta_k if meta_k is not None else max(1, int(math.sqrt(len(rows))))
-    centers = lloyd(X, mk, seed=seed)
-    d2 = (
-        (X ** 2).sum(axis=1, keepdims=True)
-        - 2.0 * X @ centers.T
-        + (centers ** 2).sum(axis=1)
+def build_two_level(
+    index: IvfIndex,
+    *,
+    meta_k: int | None = None,
+    seed: int = 42,
+    training_sample: int = 20_000,
+) -> TwoLevelIvf:
+    """Cluster the centroid table into meta-cells (default sqrt(k)).
+
+    Lloyd's trains on a bounded deterministic sample (lowest
+    centroid_id first — arbitrary ids, so unbiased w.r.t. geometry);
+    the full assignment is a distributed broadcast crossJoin + argmin
+    window, so neither step scales driver memory with k."""
+    spherical = index.metric == "cosine"
+    cents = index.centroids.select("centroid_id", "centroid")
+    vec = F.col("centroid").cast("array<double>")
+    if spherical:
+        norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+        vec = F.transform(vec, lambda x: x / F.greatest(norm, F.lit(1e-12)))
+    cents = cents.select("centroid_id", vec.alias("cvec"))
+
+    sample = (
+        cents.orderBy("centroid_id").limit(int(training_sample)).collect()
     )
-    assign = d2.argmin(axis=1)
+    X = np.array([r.cvec for r in sample], dtype=np.float64)
+    mk = meta_k if meta_k is not None else max(1, int(math.sqrt(len(sample))))
+    centers = lloyd(X, mk, seed=seed)
+    if spherical:
+        centers = centers / np.maximum(
+            np.linalg.norm(centers, axis=1, keepdims=True), 1e-12
+        )
+
     spark = index.centroids.sparkSession
     meta_df = spark.createDataFrame(
-        [(int(i), int(m)) for i, m in zip(ids, assign)],
-        "centroid_id int, meta_id int",
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centers)],
+        "meta_id int, mc array<double>",
     )
-    return TwoLevelIvf(base=index, meta_centers=centers, centroid_meta=meta_df)
+    # assignment measure: L2 for l2/dot (location clustering), cosine
+    # (on pre-normalized vectors == L2 argmin on the sphere) for cosine
+    assign_metric = "cosine" if spherical else "l2"
+    scored = cents.crossJoin(F.broadcast(meta_df)).withColumn(
+        "d", score_expr(assign_metric, F.col("cvec"), F.col("mc"))
+    )
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.asc("d"), F.asc("meta_id")
+    )
+    assigned = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("centroid_id", "meta_id")
+        .localCheckpoint(eager=True)
+    )
+    return TwoLevelIvf(base=index, meta_centers=centers, centroid_meta=assigned)
 
 
 def _meta_probe(tl: TwoLevelIvf, query_vector, meta_probes: int) -> list[int]:

@@ -46,19 +46,21 @@ def shard_assignment(
 ) -> DataFrame:
     """(id_col, shard_id, position): deterministic global shuffle.
 
-    shard_id = first-2-hex-chars of md5(seed:id) mod n_shards (so
-    n_shards <= 256 with the default key; a prod ``hash_expr`` like
-    xxhash64 lifts that); position = 1-based rank within the shard by
-    (full hash, id) — random order with a total deterministic
+    shard_id = first-8-hex-chars (32 bits) of md5(seed:id) mod
+    n_shards — 2^32 buckets keep the mod-bias below 1 part in 2^16 for
+    any n_shards <= 65536, so shards balance to ~sqrt variance for
+    every legal n_shards (2 hex chars would skew up to 2x whenever
+    n_shards doesn't divide 256); position = 1-based rank within the
+    shard by (full hash, id) — random order with a total deterministic
     tie-break.
     """
-    if not 1 <= n_shards <= 256:
-        raise ValueError("default md5 key supports 1..256 shards; pass hash_expr")
+    if not 1 <= n_shards <= 65536:
+        raise ValueError("default md5 key supports 1..65536 shards; pass hash_expr")
     h = hash_expr(seed, F.col(id_col))
     out = df.select(id_col, h.alias("hh"))
     out = out.withColumn(
         "shard_id",
-        (F.conv(F.substring("hh", 1, 2), 16, 10).cast("long") % n_shards),
+        (F.conv(F.substring("hh", 1, 8), 16, 10).cast("long") % n_shards),
     )
     w = Window.partitionBy("shard_id").orderBy("hh", id_col)
     return out.select(

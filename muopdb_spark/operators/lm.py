@@ -178,9 +178,14 @@ def score_bits_per_token(
     unseen bigrams/contexts get the add-k floor (counts coalesce to 0).
     Docs with no tokens score 0.0 with n_bigrams = 0.  Pass the
     training ``keep`` list when the LM was vocab-capped so a new
-    stream folds OOV exactly as training did.  Count tables join via
-    broadcast — they are vocab-bounded (train_bigram_lm) and the
-    scored stream never shuffles except the final per-doc partial agg.
+    stream folds OOV exactly as training did.  The count tables are
+    broadcast-hinted ONLY when the LM was vocab-capped (``keep``
+    present) — a capped vocab bounds both tables by construction; an
+    uncapped LM's bigram table is O(corpus bigram types) and force-
+    broadcasting it would OOM the driver at scale, so Catalyst picks
+    the join strategy there (AQE still broadcasts when it measures the
+    table small).  The scored stream never shuffles except the final
+    per-doc partial agg.
     """
     s = (
         stream
@@ -189,10 +194,13 @@ def score_bits_per_token(
     )
     if keep is not None:
         s = _fold_oov(s, keep)
+    bounded = keep is not None
+    big_j = F.broadcast(big) if bounded else big
+    uni_j = F.broadcast(uni) if bounded else uni
     kc = F.lit(float(k))
     sc = (
-        s.join(F.broadcast(big), ["w1", "w2"], "left")
-        .join(F.broadcast(uni), ["w1"], "left")
+        s.join(big_j, ["w1", "w2"], "left")
+        .join(uni_j, ["w1"], "left")
         .crossJoin(F.broadcast(vocab))
         .select(
             "id",

@@ -90,7 +90,14 @@ def admit_batch(
         num_hashes=num_hashes, bands=bands, threshold=threshold,
         sig=bsig,
     )
-    intra_rejected = intra.select(F.col("doc_b").alias("id")).distinct()
+    # materialize the (small) intra rejection list: its plan embeds the
+    # full intra LSH band-join + exact-Jaccard verify subtree, and it
+    # feeds the batch anti-join AND the bsig anti-join — without the
+    # pin that subtree re-executes once per downstream consumer (~3x
+    # inside incremental_minhash_pairs plus the signature append)
+    intra_rejected = intra.select(
+        F.col("doc_b").alias("id")
+    ).distinct().localCheckpoint(eager=True)
     batch_df = batch_df.join(
         intra_rejected.select(F.col("id").alias(id_col)),
         on=id_col, how="left_anti",

@@ -47,7 +47,28 @@ def test_append_stability(spark, docs):
 
 def test_shard_bound_validation(spark, docs):
     with pytest.raises(ValueError):
-        shard_assignment(docs, n_shards=257)
+        shard_assignment(docs, n_shards=65537)
+
+
+def test_no_systematic_skew_when_shards_dont_divide_256(spark):
+    # regression for the 2-hex-char key: with 256 buckets mod 100, 56
+    # shards got 3 buckets and 44 got 2 — a deterministic ~1.5x size
+    # step for ANY corpus. The 32-bit key bounds mod-bias at 1 part in
+    # 2^16, so shard sizes deviate from the mean only by ~sqrt
+    # sampling noise. 20k ids, mean 200/shard: the old step would put
+    # the large shards near 300 (1.5x); 6-sigma noise stays under 290.
+    ids = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    counts = [
+        r.n
+        for r in shard_assignment(ids, n_shards=100)
+        .groupBy("shard_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    assert len(counts) == 100
+    mean = sum(counts) / len(counts)
+    assert max(counts) < 1.45 * mean
+    assert min(counts) > 0.55 * mean
 
 
 def test_write_shards_layout(spark, docs, tmp_path):

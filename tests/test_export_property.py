@@ -52,7 +52,7 @@ def test_chunker_matches_python(spark, n_tokens, size, overlap):
 
 def py_shard(doc_id: int, n_shards: int) -> tuple[int, str]:
     h = hashlib.md5(f"shard-v1:{doc_id}".encode()).hexdigest()
-    return int(h[:2], 16) % n_shards, h
+    return int(h[:8], 16) % n_shards, h
 
 
 @settings(max_examples=15, deadline=None,

@@ -92,3 +92,63 @@ def test_probe_restricts_centroid_set(two_level):
     qv = [0.0] * DIM
     cells = two_level.centroid_meta.filter(F.col("meta_id") == 0).count()
     assert 0 < cells < two_level.centroid_meta.count()
+
+
+def test_distributed_assignment_matches_numpy_reference(index, two_level):
+    # the broadcast-crossJoin + argmin-window assignment must equal the
+    # straight numpy L2 argmin over (centroid, meta_center) — the exact
+    # computation the pre-distributed build ran on the driver
+    rows = index.centroids.select("centroid_id", "centroid").collect()
+    X = np.array([r.centroid for r in rows], dtype=np.float64)
+    C = two_level.meta_centers
+    d2 = (
+        (X ** 2).sum(axis=1, keepdims=True)
+        - 2.0 * X @ C.T
+        + (C ** 2).sum(axis=1)
+    )
+    want = {int(r.centroid_id): int(m) for r, m in zip(rows, d2.argmin(axis=1))}
+    got = {r.centroid_id: r.meta_id for r in two_level.centroid_meta.collect()}
+    assert got == want
+
+
+@pytest.fixture(scope="module")
+def directional(spark):
+    # clusters with RANDOM unit directions (the all-ones-direction
+    # fixture above is collinear — degenerate for cosine/dot)
+    rng = np.random.default_rng(7)
+    rows = []
+    for c in range(N_CLUSTERS):
+        d = rng.normal(size=DIM)
+        center = 100.0 * d / np.linalg.norm(d)
+        pts = center + rng.normal(0, 2.0, size=(PER_CLUSTER, DIM))
+        for j, p in enumerate(pts):
+            rows.append((c * PER_CLUSTER + j, [float(x) for x in p]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+@pytest.mark.parametrize("metric", ["cosine", "dot"])
+def test_pruned_meta_recall_non_l2(directional, metric):
+    # ADVICE r5: the pruned meta probe was recall-gated only on L2 —
+    # gate cosine (spherical assignment) and dot (location clustering
+    # + cell-mean probe heuristic) the same way
+    idx = build_ivf(directional, num_centroids=N_CLUSTERS, seed=7, metric=metric)
+    tl = build_two_level(idx, meta_k=3, seed=11)
+    hits = total = 0
+    for c in range(N_CLUSTERS):
+        qv = [float(x) for x in
+              directional.filter(F.col("vec_id") == c * PER_CLUSTER).first()["embedding"]]
+        truth = {
+            r["vec_id"]
+            for r in knn(directional, qv, 10, id_col="vec_id",
+                         vector_col="embedding", metric=metric).collect()
+        }
+        got = {
+            r["id"]
+            for r in two_level_search(
+                tl, qv, 10, meta_probes=2,
+                num_probes=N_CLUSTERS, centroid_distance_ratio=None,
+            ).collect()
+        }
+        hits += len(truth & got)
+        total += len(truth)
+    assert hits / total >= 0.9

@@ -96,7 +96,18 @@ def test_unseen_bigrams_get_addk_floor(spark, tiny):
 
 def test_plan_shape(spark, tiny):
     # the only Python in the plan is the Arrow-batched bigram pass —
-    # never a row-at-a-time PythonUDF — and count joins broadcast
-    plan = lm_bits_per_token(tiny)._jdf.queryExecution().executedPlan().toString()
+    # never a row-at-a-time PythonUDF. Broadcast contract (ADVICE r5):
+    # vocab-CAPPED scoring force-broadcasts the bounded count tables;
+    # the uncapped self-train path must NOT hint them (unbounded at
+    # scale) — AQE picks broadcast at runtime when they measure small.
+    df = lm_bits_per_token(tiny)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan, plan
-    assert "BroadcastHashJoin" in plan
+    df.collect()  # finalize the adaptive plan
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final  # AQE converted the small tables
+
+    uni, big, vocab, keep = train_bigram_lm(tiny, vocab_size=2)
+    capped = score_bits_per_token(tiny, uni, big, vocab, keep=keep)
+    cplan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in cplan  # hinted at planning time
