@@ -2120,6 +2120,59 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipe1: the COMPOSED curation pipeline as one oracle-able
+    manifest (stage, docs_kept) — ingest -> exact dedup (d1's
+    canonical rule) -> benchmark decontamination (c1's 3-gram overlap,
+    threshold 0.2) -> Gopher alpha-fraction gate (t7's signal) ->
+    language-rebalancing stratified sample (smp2's deterministic hash
+    keys). Each stage consumes the previous stage's survivors, so the
+    row for stage N value-checks the chain, not just the stage — the
+    composition witness for examples/curation_pipeline.py. Every
+    operator here also has its own standalone driver row."""
+    from muopdb_spark.operators.contamination import contamination_report_split
+    from muopdb_spark.operators.dedup import exact_dedup
+    from muopdb_spark.operators.quality import gopher_quality_flags
+    from muopdb_spark.operators.sampling import stratified_hash_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    s1 = docs.join(
+        exact_dedup(docs).filter("is_canonical").select("doc_id"),
+        "doc_id", "left_semi",
+    ).localCheckpoint(eager=True)
+    report = contamination_report_split(
+        s1, F.col("id") % 20 == 0, n=3, threshold=0.2
+    )
+    s2 = s1.filter(F.col("doc_id") % 20 != 0).join(
+        report.filter(~F.col("is_contaminated")).select("doc_id"),
+        "doc_id", "left_semi",
+    ).localCheckpoint(eager=True)
+    s3 = s2.join(
+        gopher_quality_flags(s2)
+        .filter(F.col("alpha_frac") >= 0.8)
+        .select("doc_id"),
+        "doc_id", "left_semi",
+    ).localCheckpoint(eager=True)
+    s4 = stratified_hash_sample(
+        s3, strata_col="lang", key_col="doc_id",
+        fractions={"en": 0.5}, default_fraction=1.0,
+    )
+    stages = [
+        ("0_ingest", docs),
+        ("1_exact_dedup", s1),
+        ("2_decontaminated", s2),
+        ("3_quality_gate", s3),
+        ("4_lang_rebalanced", s4),
+    ]
+    out = None
+    for name, df in stages:
+        c = df.agg(F.count("*").cast("long").alias("docs_kept")).select(
+            F.lit(name).alias("stage"), "docs_kept"
+        )
+        out = c if out is None else out.unionByName(c)
+    return out.orderBy("stage")
+
+
 def q_fvecs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """src2 (S8 offline ingest): embeddings exported to the standard
     .fvecs on-disk vector format (TexMex/ann-benchmarks) and re-read
@@ -2317,6 +2370,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # classifier (the benched/served t10 path now loads the durable
         # coefficient artifact). No oracle by design, like t10.
         "t10b_quality_train_self": q_quality_train_self,
+        # NEW in r6: the composed curation pipeline manifest — each
+        # stage consumes the previous stage's survivors, and the
+        # oracle replays the whole chain as one CTE pipeline, so a
+        # green row witnesses the COMPOSITION (candidate for a future
+        # window rotation).
+        "pipe1_curation_manifest": q_curation_manifest,
         # NEW in r5: SemDeDup semantic dedup (no oracle by design —
         # k-means assignment is not SQL-derivable; brute-force-refereed
         # in tests/test_semdedup.py).
@@ -2782,6 +2841,79 @@ def oracle_sql() -> dict[str, str]:
                    count(*) OVER (PARTITION BY fingerprint) AS group_size,
                    doc_id = min(doc_id) OVER (PARTITION BY fingerprint) AS is_canonical
             FROM f ORDER BY doc_id
+        """,
+        # the composed pipeline: each CTE consumes the previous stage's
+        # survivors — d1's canonical rule, then c1's 3-gram overlap,
+        # then t7's alpha gate, then smp2's deterministic hash sample
+        "pipe1_curation_manifest": rf"""
+            WITH f AS (
+                SELECT doc_id, text, lang,
+                       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+                FROM documents
+            ),
+            s1 AS (
+                SELECT doc_id, text, lang FROM (
+                    SELECT doc_id, text, lang,
+                           doc_id = min(doc_id) OVER (PARTITION BY fp) AS canon
+                    FROM f
+                ) WHERE canon
+            ),
+            tk AS (SELECT doc_id, {_TOKS} AS toks FROM s1),
+            sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 3
+                            THEN list_distinct(list_transform(
+                                 range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                            ELSE []::VARCHAR[] END AS sh
+                FROM tk
+            ),
+            bench AS (
+                SELECT DISTINCT unnest(sh) AS gram FROM sh WHERE doc_id % 20 = 0
+            ),
+            corpus AS (
+                SELECT doc_id, len(sh)::BIGINT AS n_grams, sh
+                FROM sh WHERE doc_id % 20 <> 0
+            ),
+            hits AS (
+                SELECT doc_id, count(*)::BIGINT AS n_cont
+                FROM (SELECT doc_id, unnest(sh) AS gram FROM corpus) cg
+                JOIN bench USING (gram)
+                GROUP BY doc_id
+            ),
+            s2 AS (
+                SELECT s1.doc_id, s1.text, s1.lang
+                FROM s1 JOIN corpus c ON s1.doc_id = c.doc_id
+                LEFT JOIN hits h ON s1.doc_id = h.doc_id
+                WHERE round(CASE WHEN c.n_grams > 0
+                            THEN coalesce(h.n_cont, 0)::DOUBLE / c.n_grams
+                            ELSE 0.0 END, 6) < 0.2
+            ),
+            s3 AS (
+                SELECT doc_id, lang FROM (
+                    SELECT doc_id, lang,
+                           list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                                       w -> w <> '') AS ws
+                    FROM s2
+                )
+                WHERE round(CASE WHEN len(ws) > 0 THEN
+                          len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+                          / len(ws)
+                      ELSE 0.0 END, 6) >= 0.8
+            ),
+            s4 AS (
+                SELECT doc_id FROM s3
+                WHERE substring(md5(doc_id::VARCHAR), 1, 8) <
+                      CASE lang WHEN 'en' THEN '{format(int(0.5 * 2**32), "08x")}'
+                           ELSE '{format(2**32 - 1, "08x")}' END
+            )
+            SELECT * FROM (
+                SELECT '0_ingest' AS stage, count(*)::BIGINT AS docs_kept FROM documents
+                UNION ALL SELECT '1_exact_dedup', count(*)::BIGINT FROM s1
+                UNION ALL SELECT '2_decontaminated', count(*)::BIGINT FROM s2
+                UNION ALL SELECT '3_quality_gate', count(*)::BIGINT FROM s3
+                UNION ALL SELECT '4_lang_rebalanced', count(*)::BIGINT FROM s4
+            ) ORDER BY stage
         """,
         "d2_dedup_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},

@@ -50,8 +50,9 @@ class MultiIvfIndex:
     centroids: DataFrame
     postings: DataFrame
     metric: str = "l2"
-    codebook: object | None = None
-    quantizer: str = "none"  # none | pq | rabitq
+    codebook: object | None = None  # PQ/RaBitQ codebook, or the per-user
+    # SQ codebook DataFrame (user_id, mins, scales) when quantizer="sq"
+    quantizer: str = "none"  # none | pq | rabitq | sq
 
     def __post_init__(self) -> None:
         if self.quantizer == "none" and self.codebook is not None:
@@ -174,8 +175,29 @@ def build_multi_ivf(
 
         codebook = train_rabitq(base, vec_col="vector", seed=seed)
         postings = rabitq_encode(postings, codebook, vec_col="vector")
+    elif quantizer == "sq":
+        # PER-USER SQ codebooks (beyond the reference's per-collection
+        # binding): each tenant quantizes in its own min/max range, the
+        # mitigation for the measured minority-user recall skew
+        # (index/sq.train_sq_per_user docstring / docs/SCALE.md).
+        from muopdb_spark.index.sq import sq_encode_cols, train_sq_per_user
+
+        dim = len(base.select("vector").first()["vector"])
+        codebook = train_sq_per_user(
+            base, user_col="user_id", vec_col="vector"
+        ).persist()
+        postings = (
+            postings.join(F.broadcast(codebook), "user_id")
+            .withColumn(
+                "sq_code",
+                sq_encode_cols(
+                    F.col("vector"), F.col("mins"), F.col("scales"), dim
+                ),
+            )
+            .drop("mins", "scales")
+        )
     elif quantizer != "none":
-        raise ValueError(f"unknown quantizer {quantizer!r} (none|pq|rabitq)")
+        raise ValueError(f"unknown quantizer {quantizer!r} (none|pq|rabitq|sq)")
     return MultiIvfIndex(
         centroids=centroids, postings=postings.persist(), metric=metric,
         codebook=codebook, quantizer=quantizer,
@@ -200,6 +222,10 @@ def multi_ivf_save(index: MultiIvfIndex, path: str) -> None:
         meta["codebook"] = index.codebook.as_lists()
     elif index.quantizer == "rabitq":
         meta["codebook"] = json.loads(index.codebook.to_json())
+    elif index.quantizer == "sq":
+        # per-user codebook is a (small) table, not a scalar artifact
+        index.codebook.write.mode("overwrite").parquet(
+            os.path.join(path, "sq_codebook"))
     tmp = os.path.join(path, "meta.json.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)
@@ -224,6 +250,8 @@ def multi_ivf_load(spark, path: str) -> MultiIvfIndex:
         from muopdb_spark.index.rabitq import RabitQCodebook
 
         codebook = RabitQCodebook.from_json(json.dumps(meta["codebook"]))
+    elif quant == "sq":
+        codebook = spark.read.parquet(os.path.join(path, "sq_codebook"))
     return MultiIvfIndex(
         centroids=spark.read.parquet(os.path.join(path, "centroids")),
         postings=spark.read.parquet(os.path.join(path, "postings")),
@@ -317,6 +345,17 @@ def multi_ivf_search_users(
             from muopdb_spark.index.pq import pq_adc_score
 
             approx = pq_adc_score(query_vector, index.codebook)
+        elif index.quantizer == "sq":
+            from muopdb_spark.index.sq import sq_est_score_cols
+
+            # per-user codebooks: join the (user_id, mins, scales)
+            # table (broadcast — 2*dim doubles per user) so each row
+            # estimates in ITS OWN user's quantization range
+            dim = len(query_vector)
+            scan = scan.join(F.broadcast(index.codebook), "user_id")
+            approx = sq_est_score_cols(
+                query_vector, F.col("mins"), F.col("scales"), dim
+            )
         else:  # rabitq
             from muopdb_spark.index.rabitq import rabitq_est_score
 
@@ -460,6 +499,14 @@ def multi_ivf_search_batch(
             from muopdb_spark.index.pq import pq_adc_score_batch
 
             approx = pq_adc_score_batch(index.codebook)
+        elif index.quantizer == "sq":
+            from muopdb_spark.index.sq import sq_est_score_cols
+
+            dim = index.codebook.select(F.size("mins")).first()[0]
+            cand = cand.join(F.broadcast(index.codebook), "user_id")
+            approx = sq_est_score_cols(
+                F.col("qv"), F.col("mins"), F.col("scales"), dim
+            )
         else:  # rabitq
             from muopdb_spark.index.rabitq import rabitq_est_score_batch
 

@@ -164,26 +164,100 @@ def sq_load(
     return df, cb
 
 
+def train_sq_per_user(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """PER-USER SQ codebooks: (user_col, mins array<double>, scales
+    array<double>) — one distributed aggregate, no driver collect.
+
+    Motivation (measured, tools/pq_recall_skew.py): a SHARED codebook
+    trained on the pooled corpus is dominated by the majority user's
+    distribution; an off-distribution minority user's vectors land in a
+    sliver of the quantization range and lose resolution (recall@10
+    0.883 vs 0.975 rerank40 in the r5 measurement). Per-user min/max
+    restores each user's full 256-step range at the cost of 2*dim
+    floats per user — the multi-tenant analog of the reference's
+    per-collection quantizer binding."""
+    stats = (
+        df.select(
+            F.col(user_col),
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("d", "x"),
+        )
+        .groupBy(user_col, "d")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    )
+    per_dim = F.array_sort(
+        F.collect_list(F.struct(F.col("d"), F.col("lo"), F.col("hi")))
+    )
+    return stats.groupBy(user_col).agg(
+        F.transform(per_dim, lambda s: s["lo"]).alias("mins"),
+        F.transform(
+            per_dim,
+            lambda s: F.greatest((s["hi"] - s["lo"]) / 255.0, F.lit(1e-12)),
+        ).alias("scales"),
+    )
+
+
+def sq_encode_cols(vec: Column, mins: Column, scales: Column, dim: int) -> Column:
+    """array<int> codes with PER-ROW codebook columns (the per-user
+    path): same affine quantizer as sq_encode_expr, mins/scales read
+    from columns instead of literals."""
+    idx = F.sequence(F.lit(1), F.lit(dim))
+    return F.transform(
+        idx,
+        lambda i: F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(255),
+                F.round(
+                    (F.element_at(vec, i) - F.element_at(mins, i))
+                    / F.element_at(scales, i)
+                ).cast("int"),
+            ),
+        ),
+    )
+
+
+def sq_est_score_cols(query_vector, mins: Column, scales: Column, dim: int) -> Column:
+    """Estimated L2 with per-row codebook columns: one JVM fold over
+    (q_i - (min_i + code_i*scale_i))^2.  zip_with-shaped for the same
+    single-evaluation reason as sq_est_score.  `query_vector` may be a
+    Python sequence (single query) or a Column (batch path: one query
+    vector per row)."""
+    q = (
+        query_vector
+        if isinstance(query_vector, Column)
+        else F.lit([float(x) for x in query_vector]).cast("array<double>")
+    )
+    decoded = F.zip_with(
+        mins,
+        F.zip_with(F.col("sq_code"), scales, lambda c, s: c * s),
+        lambda m, x: m + x,
+    )
+    sq_terms = F.zip_with(q, decoded, lambda a, b: (a - b) * (a - b))
+    return F.sqrt(F.aggregate(sq_terms, F.lit(0.0), lambda acc, x: acc + x))
+
+
 def sq_est_score(query_vector, cb: SqCodebook) -> Column:
     """Estimated L2 distance query-vs-decoded-code, JVM-side: the
     query-minus-min residual is precomputed driver-side so the hot
-    expression is one fold over (residual_i - code_i*scale_i)^2."""
+    expression is one fold over (residual_i - code_i*scale_i)^2.
+
+    Built from zip_with (NOT per-index element_at): zip_with evaluates
+    its input arrays ONCE per row, so when `sq_code` is itself a lazy
+    expression (the packed-binary unpack of sq_load) the cost stays
+    O(dim) — an element_at-per-term shape inlines the whole unpack
+    into every term and goes O(dim^2) (measured 1.9 s vs 1.0 s on the
+    sf0.1 artifact)."""
     resid = [float(q) - m for q, m in zip(query_vector, cb.mins)]
     rlit = F.lit(resid).cast("array<double>")
     slit = F.lit(cb.scales).cast("array<double>")
-    idx = F.sequence(F.lit(1), F.lit(cb.dim))
-    return F.sqrt(
-        F.aggregate(
-            idx,
-            F.lit(0.0),
-            lambda acc, i: acc
-            + F.pow(
-                F.element_at(rlit, i)
-                - F.element_at(F.col("sq_code"), i) * F.element_at(slit, i),
-                2,
-            ),
-        )
-    )
+    scaled = F.zip_with(F.col("sq_code"), slit, lambda c, s: c * s)
+    sq_terms = F.zip_with(rlit, scaled, lambda r, x: (r - x) * (r - x))
+    return F.sqrt(F.aggregate(sq_terms, F.lit(0.0), lambda acc, x: acc + x))
 
 
 def sq_search(
