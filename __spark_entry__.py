@@ -764,6 +764,21 @@ def q_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _two_level_index(spark: SparkSession, sf_dir: str):
+    """Session-cached meta tier over the durable IVF artifact (the
+    meta clustering is build-time work like every other index tier —
+    r6 made its assignment a distributed job, so rebuilding it per
+    query would bill a build shuffle to serving)."""
+    from muopdb_spark.index.ivf2 import build_two_level
+
+    key = ("tl", sf_dir)
+    if key not in _IVF_CACHE:
+        _IVF_CACHE[key] = build_two_level(
+            _ivf_index(spark, sf_dir), meta_k=3, seed=11
+        )
+    return _IVF_CACHE[key]
+
+
 def q_two_level_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """v25: two-level centroid probe (index/ivf2.py) — meta-centroids
     over the centroid table (the Spark answer to the reference's
@@ -772,10 +787,9 @@ def q_two_level_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta-cell, which is exactly the single-level full probe => exact =>
     brute-force oracle; the pruned-meta recall contract is pytest-gated
     (tests/test_ivf2.py)."""
-    from muopdb_spark.index.ivf2 import build_two_level, two_level_search
+    from muopdb_spark.index.ivf2 import two_level_search
 
-    idx = _ivf_index(spark, sf_dir)
-    tl = build_two_level(idx, meta_k=3, seed=11)
+    tl = _two_level_index(spark, sf_dir)
     qv = _query_vector(spark, sf_dir)
     return two_level_search(
         tl, qv, 10, meta_probes=None, num_probes=10,
@@ -818,6 +832,20 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from muopdb_spark.operators.textstats import quality_features
 
     return quality_features(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t11: per-source quality-percentile calibration
+    (operators/quality.quality_percentile_by_source) — percentile-rank
+    the composite quality score WITHIN each source and keep the top
+    70% per source, the domain-fair alternative to one global
+    threshold. One window shuffle keyed on source; the 100 TB
+    hot-partition variant (two-pass approx threshold) is documented on
+    the operator."""
+    from muopdb_spark.operators.quality import quality_percentile_by_source
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_percentile_by_source(docs, keep_frac=0.7).orderBy("doc_id")
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2376,6 +2404,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green row witnesses the COMPOSITION (candidate for a future
         # window rotation).
         "pipe1_curation_manifest": q_curation_manifest,
+        # NEW in r6: per-source quality-percentile calibration (the
+        # domain-fair top-X%-per-source filter).
+        "t11_quality_calibrated": q_quality_calibrated,
         # NEW in r5: SemDeDup semantic dedup (no oracle by design —
         # k-means assignment is not SQL-derivable; brute-force-refereed
         # in tests/test_semdedup.py).
@@ -3004,6 +3035,35 @@ def oracle_sql() -> dict[str, str]:
                    round(least(1.0, n_tokens / 50.0) * alpha_frac
                          * (0.5 + 0.5 * least(1.0, stopword_ratio * 5.0)), 6) AS quality
             FROM f ORDER BY doc_id
+        """,
+        "t11_quality_calibrated": rf"""
+            WITH q AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       {_TOKS} AS toks,
+                       length(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')) AS alnum_ws
+                FROM documents
+            ), f AS (
+                SELECT doc_id,
+                       round(least(1.0, len(toks) / 50.0)
+                             * (CASE WHEN n_chars > 0 THEN alnum_ws::DOUBLE / n_chars ELSE 0.0 END)
+                             * (0.5 + 0.5 * least(1.0,
+                                  (CASE WHEN len(toks) > 0
+                                        THEN len(list_filter(toks, t -> list_contains({_stoplist_sql('en')}, t)))::DOUBLE / len(toks)
+                                        ELSE 0.0 END) * 5.0)), 6) AS quality
+                FROM q
+            ), r AS (
+                SELECT f.doc_id, d.source, f.quality,
+                       cume_dist() OVER (
+                           PARTITION BY d.source
+                           ORDER BY f.quality DESC, f.doc_id ASC
+                       ) AS pct
+                FROM f JOIN documents d ON f.doc_id = d.doc_id
+            )
+            SELECT doc_id, source, quality,
+                   round(pct, 6) AS pct_rank,
+                   pct <= 0.7 AS keep
+            FROM r ORDER BY doc_id
         """,
         "t3_lang_id": _lang_id_oracle(),
         "t4_fingerprints": f"""

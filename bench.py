@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "t10_quality_classifier",
     "p5_rag_chunks",
     "v24_sq8_rerank",
+    "v25_two_level_probe",
+    "pipe1_curation_manifest",
 ]
 
 
@@ -122,6 +124,7 @@ def main() -> None:
     entry_mod._minhash_corpus_index(spark, sf_dir)
     entry_mod._sq_index(spark, sf_dir)
     entry_mod._quality_model(spark, sf_dir)
+    entry_mod._two_level_index(spark, sf_dir)
 
     # Compile EVERY benchmark pipeline at the smoke SF so no timed rep0
     # bills whole-stage codegen / first Arrow-pipeline execution. The

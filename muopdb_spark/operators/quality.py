@@ -211,3 +211,51 @@ def c4_line_filter(
         F.size(kept_lines).cast("long").alias("n_kept"),
         (F.size(kept_lines) >= min_kept_lines).alias("kept"),
     )
+
+
+def quality_percentile_by_source(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    keep_frac: float = 0.7,
+) -> DataFrame:
+    """Per-SOURCE quality calibration: percentile-rank each document's
+    composite quality score within its source and keep the top
+    `keep_frac` of every source — the standard curation step (used by
+    FineWeb/DCLM-style pipelines) that a single global threshold gets
+    wrong: sources have different score distributions, so a global cut
+    over-prunes low-scoring domains and under-prunes high-scoring ones.
+
+    Returns (id_col, source_col, quality, pct_rank, keep) where
+    pct_rank = cume_dist over (quality DESC, id ASC) inside the source
+    (ties broken by id for determinism) and keep = pct_rank <=
+    keep_frac.
+
+    Scale (100 TB): ONE window shuffle keyed on source. Source
+    cardinality is low, so a single dominant source makes a hot
+    partition — at that scale swap the exact cume_dist for a two-pass
+    approx threshold (approx_percentile(quality, 1-keep_frac) per
+    source, then a map-side broadcast-join filter); the exact window
+    here is the oracle-checkable reference semantics of that
+    optimization."""
+    from pyspark.sql.window import Window
+
+    from muopdb_spark.operators.textstats import quality_features
+
+    feats = quality_features(df, text_col=text_col, id_col=id_col)
+    joined = feats.select(id_col, "quality").join(
+        df.select(id_col, source_col), id_col
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.desc("quality"), F.asc(id_col)
+    )
+    pct = F.cume_dist().over(w)
+    return joined.select(
+        id_col,
+        source_col,
+        "quality",
+        F.round(pct, 6).alias("pct_rank"),
+        (pct <= F.lit(float(keep_frac))).alias("keep"),
+    )

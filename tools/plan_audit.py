@@ -64,6 +64,36 @@ CHECKS = {
          "the estimate -> rerank pipeline"),
         ("!INSET", "no driver-collected id list feeds the re-rank"),
     ],
+    "v24_sq8_rerank": [
+        ("TakeOrderedAndProject", "both the SQ-estimated candidate cut "
+         "and the exact re-ranked top-k are partial heaps, not global "
+         "sorts — served from the durable packed-binary artifact "
+         "(_sq_index), training never appears in the query plan"),
+        ("!BroadcastNestedLoopJoin", "no pairwise explosion in the "
+         "estimate -> rerank pipeline"),
+        ("!INSET", "no driver-collected id list feeds the re-rank"),
+    ],
+    "t10_quality_classifier": [
+        ("ReadSchema: struct<doc_id:bigint,text:string>",
+         "column pruning: 2 of 5 document columns read — inference is "
+         "feature extraction + a sigmoid expression over them"),
+        ("!Exchange hashpartitioning", "serving is fully map-side (the "
+         "persisted-coefficient sigmoid): the only exchange is the "
+         "final presentation sort"),
+        ("!BroadcastHashJoin", "no join and no ML runtime in the "
+         "serving plan — L-BFGS ran once at artifact build"),
+    ],
+    "pipe1_curation_manifest": [
+        ("Union", "the manifest is a union of per-stage counts over "
+         "PINNED stages: each stage's survivor joins executed once at "
+         "its eager localCheckpoint (the curation_pipeline.py lineage "
+         "rule), so no stage subtree re-executes per count and the "
+         "final plan is checkpoint scans + partial count aggregates"),
+        ("!CartesianProduct", "stage composition introduces no "
+         "cross products"),
+        ("!SortMergeJoin", "no shuffled join survives into the "
+         "manifest plan"),
+    ],
     "t2_multilang_stem_index": [
         ("partial_count", "document-frequency rollup partially aggregates "
          "map-side before the (lang, term) shuffle"),
