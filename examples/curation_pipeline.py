@@ -41,7 +41,8 @@ from muopdb_spark.operators.quality_model import (  # noqa: E402
 from muopdb_spark.operators.packing import pack_sequences, sequence_stats  # noqa: E402
 from muopdb_spark.operators.pii import scrub_pii  # noqa: E402
 from muopdb_spark.operators.quality import (  # noqa: E402
-    c4_line_filter, gopher_quality_flags, repetition_stats,
+    c4_line_filter, gopher_quality_flags, quality_percentile_by_source,
+    repetition_stats,
 )
 from muopdb_spark.operators.sampling import stratified_hash_sample  # noqa: E402
 from muopdb_spark.operators.textstats import ws_token_count  # noqa: E402
@@ -159,6 +160,17 @@ def main() -> None:
         ), prev)
         n5b = docs.count()
 
+        # 5b2. per-source quality calibration: keep the top 90% of
+        #      each SOURCE by composite quality — a global threshold
+        #      would over-prune whole domains whose score distribution
+        #      sits lower (the FineWeb/DCLM-style domain-fair cut)
+        cal = quality_percentile_by_source(docs, keep_frac=0.9)
+        prev = docs
+        docs = _pin(docs.join(
+            cal.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi",
+        ), prev)
+        n5c = docs.count()
+
         # 5c. distill the RULE-quality verdicts into a trained
         #     classifier (GPT-3-style model-based filter): positive =
         #     passed the stage-5 rule gates. The coefficient dict is
@@ -235,7 +247,8 @@ def main() -> None:
 
         print(f"ingested={n0} exact_dedup={n1} near_dup={n2} "
               f"passage_dup={n2b} decontaminated={n3} quality={n5} "
-              f"perplexity={n5b} sampled={n6} sequences={n_seqs} "
+              f"perplexity={n5b} calibrated={n5c} sampled={n6} "
+              f"sequences={n_seqs} "
               f"shards={n_shards_written} rag_chunks={n_chunks}")
         print(f"distilled classifier reproduces the rule-quality "
               f"verdicts on {agree:.0%} of docs")

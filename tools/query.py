@@ -15,6 +15,7 @@ Pipeline commands (operate on a documents parquet):
   python tools/query.py lm-score --input docs.parquet --output scored/
   python tools/query.py chunk --input docs.parquet --size 32 --overlap 8 --output chunks/
   python tools/query.py shard --input docs.parquet --n-shards 16 --output shards/
+  python tools/query.py quality --input docs.parquet --keep-frac 0.7 --output kept/
 """
 
 from __future__ import annotations
@@ -26,7 +27,7 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 COLLECTION_CMDS = {"search", "term-search", "stats", "optimize", "flush"}
-PIPELINE_CMDS = {"dedup", "lm-score", "chunk", "shard"}
+PIPELINE_CMDS = {"dedup", "lm-score", "chunk", "shard", "quality"}
 
 
 def _pipeline(spark, args, ap) -> dict:
@@ -60,6 +61,18 @@ def _pipeline(spark, args, ap) -> dict:
 
         out = chunk_documents(df, size=args.size, overlap=args.overlap)
         result = {"chunks": out.count(), "size": args.size, "overlap": args.overlap}
+    elif args.command == "quality":
+        from pyspark.sql import functions as F
+
+        from muopdb_spark.operators.quality import quality_percentile_by_source
+
+        out = quality_percentile_by_source(df, keep_frac=args.keep_frac)
+        kept = out.filter(F.col("keep")).count()
+        result = {
+            "docs": df.count(), "kept": kept, "keep_frac": args.keep_frac,
+        }
+        if args.output:
+            out = out.filter(F.col("keep"))
     else:  # shard
         from muopdb_spark.operators.export import shard_assignment, write_shards
 
@@ -93,6 +106,7 @@ def main(argv=None) -> int:
     ap.add_argument("--size", type=int, default=32)
     ap.add_argument("--overlap", type=int, default=8)
     ap.add_argument("--n-shards", type=int, default=8)
+    ap.add_argument("--keep-frac", type=float, default=0.7)
     args = ap.parse_args(argv)
 
     from muopdb_spark.session import get_spark
