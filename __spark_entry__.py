@@ -643,23 +643,29 @@ def _index_artifact_dir(sf_dir: str, name: str) -> str:
     return os.path.join(tempfile.gettempdir(), "muopdb_spark_indexes", h, name)
 
 
-def _ivf_index(spark: SparkSession, sf_dir: str, *, pq: bool = False):
+def _ivf_index(
+    spark: SparkSession, sf_dir: str, *, pq: bool = False,
+    quantizer: str | None = None,
+):
     """DURABLE build-once IVF index over the embeddings fixture: built,
     persisted to on-disk tables (ivf_save), then RELOADED from parquet —
     every search runs against the durable artifact, exactly like a
     deployment reopening a flushed index (collection/reader.rs), not an
     in-session DataFrame. In-process cache only memoizes the loaded
-    handle (postings persisted for repeat queries)."""
-    key = ("emb", sf_dir, pq)
+    handle (postings persisted for repeat queries). `quantizer` picks
+    none|pq|sq (sq postings persist packed, 1 byte/dim)."""
+    quant = quantizer or ("pq" if pq else "none")
+    key = ("emb", sf_dir, quant)
     if key not in _IVF_CACHE:
         from muopdb_spark.index.ivf import build_ivf, ivf_load, ivf_save
 
-        path = _index_artifact_dir(sf_dir, "emb_pq_v1" if pq else "emb_v1")
+        name = {"none": "emb_v1", "pq": "emb_pq_v1", "sq": "emb_sq_v1"}[quant]
+        path = _index_artifact_dir(sf_dir, name)
         if not os.path.exists(os.path.join(path, "meta.json")):
             built = build_ivf(
                 _t(spark, sf_dir, "embeddings"), num_centroids=10, seed=42,
                 max_iter=10,
-                quantizer="pq" if pq else "none",
+                quantizer=quant,
                 pq_subvectors=8, pq_centers=256,
             )
             ivf_save(built, path)
@@ -777,6 +783,23 @@ def _two_level_index(spark: SparkSession, sf_dir: str):
             _ivf_index(spark, sf_dir), meta_k=3, seed=11
         )
     return _IVF_CACHE[key]
+
+
+def q_ivf_sq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v26: IVF + in-scan SQ8 scoring — the posting scan estimates
+    distances on stored SQ codes (pure JVM zip_with fold; the SQ
+    analog of v11's PQ ADC scan), top-300 re-ranked exactly, full
+    probes => exact => brute-force oracle. Completes the
+    quantizer-by-index matrix: every quantizer (PQ / RaBitQ / SQ8)
+    now scores inside the IVF posting scan, served from a durable
+    artifact with packed codes."""
+    from muopdb_spark.index.ivf import ivf_search
+
+    idx = _ivf_index(spark, sf_dir, quantizer="sq")
+    qv = _query_vector(spark, sf_dir)
+    out = ivf_search(idx, qv, 10, num_probes=10, centroid_distance_ratio=None,
+                     rerank=300, score_decimals=6)
+    return out.withColumnRenamed("id", "vec_id")
 
 
 def q_two_level_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1305,6 +1328,23 @@ def _token_mixture_oracle() -> str:
         WHERE substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 8) < h.th
         ORDER BY t.doc_id
     """
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """smp5: temperature-based mixture sampling (mT5/XLM-R, alpha=0.5)
+    — target composition ~ n_lang^0.5 over the language strata,
+    materialized deterministically in content-addressed hash order
+    (operators/sampling.temperature_mixture). The quota arithmetic
+    stays in-plan (window over the per-stratum counts), so the whole
+    operator is one composed job."""
+    from muopdb_spark.operators.sampling import temperature_mixture
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_mixture(
+        docs, strata_col="lang", key_col="doc_id", alpha=0.5, total_rows=300
+    ).select("lang", "doc_id", "quota", "sample_rank").orderBy(
+        "lang", "sample_rank"
+    )
 
 
 def q_stream_ingest_batch_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2407,6 +2447,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW in r6: per-source quality-percentile calibration (the
         # domain-fair top-X%-per-source filter).
         "t11_quality_calibrated": q_quality_calibrated,
+        # NEW in r6: temperature-based mixture sampling (mT5/XLM-R
+        # n^alpha composition, deterministic hash-order quotas).
+        "smp5_temperature_mixture": q_temperature_mixture,
+        # NEW in r6: IVF with in-scan SQ8 scoring (completes the
+        # quantizer-by-index matrix; exact via full probe + rerank,
+        # brute-force oracle).
+        "v26_ivf_sq_rerank": q_ivf_sq_rerank,
         # NEW in r5: SemDeDup semantic dedup (no oracle by design —
         # k-means assignment is not SQL-derivable; brute-force-refereed
         # in tests/test_semdedup.py).
@@ -2528,6 +2575,13 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score ASC, vec_id ASC
             LIMIT 10
         """,
+        "v26_ivf_sq_rerank": f"""
+            SELECT vec_id,
+                   round(list_distance(embedding::DOUBLE[], {qvec}), 6) AS score
+            FROM embeddings
+            ORDER BY score ASC, vec_id ASC
+            LIMIT 10
+        """,
         "v15_knn_dot": f"""
             SELECT vec_id,
                    round(-list_dot_product(embedding::DOUBLE[], {qvec}), 6) AS score
@@ -2591,6 +2645,27 @@ def oracle_sql() -> dict[str, str]:
                       ELSE '00000000'
                   END
             ORDER BY lang, doc_id
+        """,
+        "smp5_temperature_mixture": """
+            WITH c AS (
+                SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang
+            ), q AS (
+                SELECT lang,
+                       CAST(least(n, round(pow(n, 0.5)
+                            / sum(pow(n, 0.5)) OVER () * 300)) AS BIGINT) AS quota
+                FROM c
+            ), r AS (
+                SELECT d.lang, d.doc_id, q.quota,
+                       CAST(row_number() OVER (
+                           PARTITION BY d.lang
+                           ORDER BY substring(md5(d.doc_id::VARCHAR), 1, 8),
+                                    d.doc_id
+                       ) AS BIGINT) AS sample_rank
+                FROM documents d JOIN q USING (lang)
+            )
+            SELECT lang, doc_id, quota, sample_rank
+            FROM r WHERE sample_rank <= quota
+            ORDER BY lang, sample_rank
         """,
         "smp3_reservoir_per_lang": """
             WITH ranked AS (

@@ -76,6 +76,9 @@ BENCH_QUERIES = [
     "v24_sq8_rerank",
     "v25_two_level_probe",
     "pipe1_curation_manifest",
+    "v26_ivf_sq_rerank",
+    "t11_quality_calibrated",
+    "smp5_temperature_mixture",
 ]
 
 
@@ -125,6 +128,7 @@ def main() -> None:
     entry_mod._sq_index(spark, sf_dir)
     entry_mod._quality_model(spark, sf_dir)
     entry_mod._two_level_index(spark, sf_dir)
+    entry_mod._ivf_index(spark, sf_dir, quantizer="sq")
 
     # Compile EVERY benchmark pipeline at the smoke SF so no timed rep0
     # bills whole-stage codegen / first Arrow-pipeline execution. The

@@ -207,8 +207,13 @@ def build_ivf(
 
         codebook = train_rabitq(base, vec_col="vector", seed=seed)
         postings = rabitq_encode(postings, codebook, vec_col="vector")
+    elif quantizer == "sq":
+        from muopdb_spark.index.sq import sq_encode, train_sq
+
+        codebook = train_sq(base, vec_col="vector")
+        postings = sq_encode(postings, codebook, vec_col="vector")
     elif quantizer != "none":
-        raise ValueError(f"unknown quantizer {quantizer!r} (none|pq|rabitq)")
+        raise ValueError(f"unknown quantizer {quantizer!r} (none|pq|rabitq|sq)")
     return IvfIndex(
         centroids=centroids, postings=postings.persist(), metric=metric,
         codebook=codebook, quantizer=quantizer,
@@ -225,8 +230,16 @@ def ivf_save(index: IvfIndex, path: str) -> None:
     import os
 
     index.centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    postings = index.postings
+    if index.quantizer == "sq":
+        # persist SQ codes PACKED (1 byte/dim — the 4x storage form)
+        from muopdb_spark.index.sq import sq_pack_expr
+
+        postings = postings.withColumn(
+            "sq_packed", sq_pack_expr(F.col("sq_code"))
+        ).drop("sq_code")
     (
-        index.postings.write.mode("overwrite")
+        postings.write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(os.path.join(path, "postings"))
     )
@@ -234,6 +247,8 @@ def ivf_save(index: IvfIndex, path: str) -> None:
     if index.quantizer == "pq":
         meta["codebook"] = index.codebook.as_lists()
     elif index.quantizer == "rabitq":
+        meta["codebook"] = json.loads(index.codebook.to_json())
+    elif index.quantizer == "sq":
         meta["codebook"] = json.loads(index.codebook.to_json())
     tmp = os.path.join(path, "meta.json.tmp")
     with open(tmp, "w") as f:
@@ -262,9 +277,17 @@ def ivf_load(spark: SparkSession, path: str) -> IvfIndex:
         from muopdb_spark.index.rabitq import RabitQCodebook
 
         codebook = RabitQCodebook.from_json(json.dumps(meta["codebook"]))
+    postings = spark.read.parquet(os.path.join(path, "postings"))
+    if quant == "sq":
+        from muopdb_spark.index.sq import SqCodebook, sq_unpack_expr
+
+        codebook = SqCodebook.from_json(json.dumps(meta["codebook"]))
+        postings = postings.withColumn(
+            "sq_code", sq_unpack_expr(F.col("sq_packed"), codebook.dim)
+        ).drop("sq_packed")
     return IvfIndex(
         centroids=spark.read.parquet(os.path.join(path, "centroids")),
-        postings=spark.read.parquet(os.path.join(path, "postings")),
+        postings=postings,
         metric=meta["metric"],
         codebook=codebook,
         quantizer=quant,
@@ -408,6 +431,10 @@ def ivf_search_batch(
             from muopdb_spark.index.pq import pq_adc_score_batch
 
             approx = pq_adc_score_batch(index.codebook)
+        elif index.quantizer == "sq":
+            from muopdb_spark.index.sq import sq_est_score_batch
+
+            approx = sq_est_score_batch(index.codebook)
         else:  # rabitq
             from muopdb_spark.index.rabitq import rabitq_est_score_batch
 
@@ -510,6 +537,10 @@ def ivf_search(
             from muopdb_spark.index.pq import pq_adc_score
 
             approx = pq_adc_score(query_vector, index.codebook)
+        elif index.quantizer == "sq":
+            from muopdb_spark.index.sq import sq_est_score
+
+            approx = sq_est_score(query_vector, index.codebook)
         else:  # rabitq: the SIGMOD'24 estimator over the stored bit codes
             from muopdb_spark.index.rabitq import rabitq_est_score
 

@@ -260,6 +260,24 @@ def sq_est_score(query_vector, cb: SqCodebook) -> Column:
     return F.sqrt(F.aggregate(sq_terms, F.lit(0.0), lambda acc, x: acc + x))
 
 
+def sq_est_score_batch(cb: SqCodebook, qv: Column | None = None) -> Column:
+    """Estimated L2 for the BATCH paths (one query vector per row in
+    `qv`): decode = min + code*scale from codebook literals, then one
+    zip_with fold against the row's query vector.  Unlike the PQ /
+    RaBitQ batch estimators (Arrow pandas UDFs), this stays a pure JVM
+    expression — SQ codes decode positionally with no table lookup."""
+    q = qv if qv is not None else F.col("qv")
+    mins = F.lit(cb.mins).cast("array<double>")
+    slit = F.lit(cb.scales).cast("array<double>")
+    decoded = F.zip_with(
+        mins,
+        F.zip_with(F.col("sq_code"), slit, lambda c, s: c * s),
+        lambda m, x: m + x,
+    )
+    sq_terms = F.zip_with(q, decoded, lambda a, b: (a - b) * (a - b))
+    return F.sqrt(F.aggregate(sq_terms, F.lit(0.0), lambda acc, x: acc + x))
+
+
 def sq_search(
     encoded: DataFrame,
     query_vector,

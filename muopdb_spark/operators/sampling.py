@@ -164,3 +164,62 @@ def deterministic_reservoir(
         df.withColumn(rank_col, F.row_number().over(w).cast("long"))
         .filter(F.col(rank_col) <= n)
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    total_rows: int = 1000,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based mixture sampling (the mT5 / XLM-R multilingual
+    recipe, Xue et al. 2021 §3.1): target composition p_s ~ n_s^alpha
+    over the strata, which UP-samples small strata relative to their
+    natural share (alpha < 1 flattens the distribution; alpha = 1 is
+    natural sampling; alpha = 0 is uniform across strata).
+
+    Materializes a corpus of ~`total_rows` rows at the target
+    composition deterministically: quota_s = min(n_s,
+    round(p_s * total_rows)) and each stratum contributes its first
+    quota_s keys in content-addressed hash order (so re-runs and both
+    engines agree row-for-row; an undersized stratum contributes
+    everything it has — single-round semantics like
+    token_budget_mixture).
+
+    Cost: one per-stratum count aggregate (the quota arithmetic stays
+    IN-PLAN as a window over the counts — no driver collect, so the
+    operator composes into ONE job) + one rank window per stratum.
+    Scale: both shuffles key on the stratum; at 100 TB with a dominant
+    stratum, the rank window is the hot partition — swap the exact
+    rank for the hash-threshold fraction form (hash_sample) once
+    quotas are computed, which is map-side.
+
+    Returns the kept rows + (quota, sample_rank) for audit.
+    """
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    counts = df.groupBy(F.col(strata_col)).agg(F.count("*").alias("_n"))
+    wsum = Window.partitionBy()
+    quotas = counts.select(
+        strata_col,
+        "_n",
+        F.least(
+            F.col("_n"),
+            F.round(
+                F.pow("_n", F.lit(float(alpha)))
+                / F.sum(F.pow("_n", F.lit(float(alpha)))).over(wsum)
+                * F.lit(int(total_rows))
+            ).cast("long"),
+        ).alias("quota"),
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        _hash_bucket(F.col(key_col), salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.join(F.broadcast(quotas.select(strata_col, "quota")), strata_col)
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= F.col("quota"))
+    )

@@ -137,3 +137,70 @@ def test_sq_save_load_roundtrip(spark, tmp_path):
     want = {r.vec_id: list(r.sq_code) for r in enc.collect()}
     got = {r.vec_id: list(r.sq_code) for r in loaded.collect()}
     assert got == want
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_ivf_sq_rerank_is_exact_on_fixture(spark, entry, sf):
+    # v26: in-scan SQ scoring inside the IVF posting scan, full probes
+    # + rerank => exact at both the correctness-gate and bench SFs
+    got = [
+        (r["vec_id"], r["score"])
+        for r in entry.q_ivf_sq_rerank(spark, sf).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+    )
+    exp = [
+        (int(a), float(b))
+        for a, b in con.execute(entry.oracle_sql()["v26_ivf_sq_rerank"]).fetchall()
+    ]
+    assert got == exp
+
+
+def test_ivf_sq_save_load_packed(spark, tmp_path):
+    # the persisted SQ-IVF postings store packed binary codes; reload
+    # restores array<int> codes and identical search results
+    from muopdb_spark.index.ivf import build_ivf, ivf_load, ivf_save, ivf_search
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = build_ivf(emb, num_centroids=4, seed=9, max_iter=5, quantizer="sq")
+    path = str(tmp_path / "sq_ivf")
+    ivf_save(idx, path)
+    raw = spark.read.parquet(path + "/postings")
+    assert "sq_packed" in raw.columns and "sq_code" not in raw.columns
+    assert dict(raw.dtypes)["sq_packed"] == "binary"
+    back = ivf_load(spark, path)
+    qv = [float(x) for x in emb.first()["embedding"]]
+    a = ivf_search(idx, qv, 5, num_probes=4, centroid_distance_ratio=None,
+                   rerank=50, score_decimals=6).collect()
+    b = ivf_search(back, qv, 5, num_probes=4, centroid_distance_ratio=None,
+                   rerank=50, score_decimals=6).collect()
+    assert [(r.id, r.score) for r in a] == [(r.id, r.score) for r in b]
+
+
+def test_ivf_sq_batch_matches_single(spark):
+    from muopdb_spark.index.ivf import build_ivf, ivf_search, ivf_search_batch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = build_ivf(emb, num_centroids=4, seed=9, max_iter=5, quantizer="sq")
+    qs = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vector"),
+    )
+    batch = ivf_search_batch(
+        idx, qs, 5, num_probes=4, centroid_distance_ratio=None,
+        rerank=50, score_decimals=6,
+    ).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r.query_id, []).append((r.id, r.score))
+    for row in qs.collect():
+        single = [
+            (r.id, r.score)
+            for r in ivf_search(
+                idx, [float(x) for x in row.query_vector], 5, num_probes=4,
+                centroid_distance_ratio=None, rerank=50, score_decimals=6,
+            ).collect()
+        ]
+        assert sorted(by_q[row.query_id]) == sorted(single)
