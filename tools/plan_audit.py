@@ -94,6 +94,35 @@ CHECKS = {
         ("!SortMergeJoin", "no shuffled join survives into the "
          "manifest plan"),
     ],
+    "v26_ivf_sq_rerank": [
+        ("TakeOrderedAndProject", "SQ-estimated candidate cut and exact "
+         "re-ranked top-k are partial heaps; codes score inside the "
+         "probed posting scan (the PQ-ADC shape with a pure JVM "
+         "zip_with fold)"),
+        ("InMemoryTableScan", "the probed centroid_id IN predicate is "
+         "pushed into the cached postings scan (the persisted serving "
+         "tier); on a cold artifact the same predicate prunes the "
+         "centroid_id=... parquet partitions"),
+        ("!BroadcastNestedLoopJoin", "no pairwise explosion"),
+    ],
+    "t11_quality_calibrated": [
+        ("Window", "per-source percentile is one cume_dist window — a "
+         "single shuffle keyed on source"),
+        ("ReadSchema: struct<doc_id:bigint,text:string>",
+         "column pruning: the feature scan reads 2 of 5 document "
+         "columns"),
+        ("ReadSchema: struct<doc_id:bigint,source:string>",
+         "column pruning: the source lookup reads 2 of 5 columns"),
+        ("!ArrowEvalPython", "features + percentile are pure JVM"),
+    ],
+    "smp5_temperature_mixture": [
+        ("Window", "quota arithmetic and per-stratum rank are windows — "
+         "the whole operator composes into one job, no driver collect "
+         "of the count table"),
+        ("BroadcastHashJoin", "quota table broadcast back onto the "
+         "corpus"),
+        ("!ArrowEvalPython", "hash-order sampling is pure JVM"),
+    ],
     "t2_multilang_stem_index": [
         ("partial_count", "document-frequency rollup partially aggregates "
          "map-side before the (lang, term) shuffle"),
