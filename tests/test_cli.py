@@ -1,0 +1,84 @@
+"""tools/query.py CLI — the operational twin of the reference's gRPC
+verbs (muopdb.proto): create -> insert -> flush -> remove -> search ->
+stats all drive one collection end-to-end, plus a pipeline command.
+Runs main() in-process against the suite session (get_spark patched to
+a stop-proof wrapper so the CLI's session teardown can't kill the
+shared fixture)."""
+
+import importlib.util
+import json
+import os
+
+import pytest
+
+
+def _load_cli():
+    spec = importlib.util.spec_from_file_location(
+        "muopdb_cli", os.path.join(os.path.dirname(__file__), "..", "tools", "query.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class _NoStop:
+    def __init__(self, s):
+        self._s = s
+
+    def __getattr__(self, n):
+        return getattr(self._s, n)
+
+    def stop(self):
+        pass
+
+
+@pytest.fixture()
+def cli(spark, monkeypatch):
+    mod = _load_cli()
+    import muopdb_spark.session as sess
+
+    monkeypatch.setattr(sess, "get_spark", lambda *a, **k: _NoStop(spark))
+    return mod
+
+
+def _run(cli, capsys, argv):
+    rc = cli.main(argv)
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(out)
+
+
+def test_cli_collection_lifecycle(spark, cli, capsys, tmp_path):
+    root = str(tmp_path / "col")
+    vecs = str(tmp_path / "vecs.parquet")
+    spark.createDataFrame(
+        [(0, i, [float(i), 0.0, 0.0, 0.0]) for i in range(6)],
+        "user_id long, doc_id long, vector array<float>",
+    ).write.parquet(vecs)
+
+    r = _run(cli, capsys, ["create", "--root", root, "--name", "demo",
+                           "--num-features", "4"])
+    assert r["created"] == "demo"
+    r = _run(cli, capsys, ["insert", "--root", root, "--name", "demo",
+                           "--input", vecs])
+    assert r["inserted_seq_no"] == 0
+    r = _run(cli, capsys, ["flush", "--root", root, "--name", "demo"])
+    assert r["flushed_segment"]
+    r = _run(cli, capsys, ["remove", "--root", root, "--name", "demo",
+                           "--users", "0", "--ids", "1"])
+    assert r["tombstone_seq_no"] == 1
+    r = _run(cli, capsys, ["search", "--root", root, "--name", "demo",
+                           "--users", "0", "--vector", "1,0,0,0", "--k", "3"])
+    ids = [h["doc_id"] for h in r["hits"]]
+    # doc 1 is the exact match but tombstoned; 0 and 2 tie at distance 1
+    assert 1 not in ids
+    assert ids[:2] == [0, 2]
+    r = _run(cli, capsys, ["stats", "--root", root, "--name", "demo"])
+    assert "toc" in r and "segments" in r
+
+
+def test_cli_quality_pipeline(spark, cli, capsys, sf_dir):
+    r = _run(cli, capsys, ["quality", "--input",
+                           f"{sf_dir}/documents.parquet", "--keep-frac", "0.5"])
+    assert r["docs"] == 500
+    assert 0 < r["kept"] <= 500 * 0.55

@@ -2,7 +2,12 @@
 reference's gRPC API would script against, plus the corpus-pipeline
 commands a curation operator runs against plain parquet.
 
-Collection commands (mirror the gRPC surface):
+Collection commands (mirror the gRPC surface — every verb of the
+reference's muopdb.proto now has a CLI twin):
+  python tools/query.py create --root /data --name memories --num-features 4
+  python tools/query.py insert --root /data --name memories \
+      --input vectors.parquet            # (user_id, doc_id, vector)
+  python tools/query.py remove --root /data --name memories --users 0 --ids 7 8
   python tools/query.py search --root /data --name memories \
       --users 0 1 --vector 1,0,0,0 --k 5
   python tools/query.py term-search --root /data --name memories \
@@ -26,7 +31,7 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-COLLECTION_CMDS = {"search", "term-search", "stats", "optimize", "flush"}
+COLLECTION_CMDS = {"create", "insert", "remove", "search", "term-search", "stats", "optimize", "flush"}
 PIPELINE_CMDS = {"dedup", "lm-score", "chunk", "shard", "quality"}
 
 
@@ -107,6 +112,8 @@ def main(argv=None) -> int:
     ap.add_argument("--overlap", type=int, default=8)
     ap.add_argument("--n-shards", type=int, default=8)
     ap.add_argument("--keep-frac", type=float, default=0.7)
+    ap.add_argument("--num-features", type=int, default=4)
+    ap.add_argument("--ids", type=int, nargs="*", default=None)
     args = ap.parse_args(argv)
 
     from muopdb_spark.session import get_spark
@@ -124,11 +131,30 @@ def main(argv=None) -> int:
     if not args.root or not args.name:
         ap.error(f"{args.command} requires --root and --name")
 
-    from muopdb_spark.catalog import Collection
+    from muopdb_spark.catalog import Collection, CollectionConfig
+
+    if args.command == "create":
+        col = Collection.create(spark, args.root, CollectionConfig(
+            name=args.name, num_features=args.num_features,
+        ))
+        print(json.dumps({"created": args.name, "root": args.root,
+                          "num_features": args.num_features}))
+        spark.stop()
+        return 0
 
     col = Collection.open(spark, args.root, args.name)
 
-    if args.command == "search":
+    if args.command == "insert":
+        if not args.input:
+            ap.error("insert requires --input (parquet with user_id, doc_id, vector)")
+        seq = col.insert(spark.read.parquet(args.input))
+        print(json.dumps({"inserted_seq_no": seq}))
+    elif args.command == "remove":
+        if args.users is None or not args.ids:
+            ap.error("remove requires --users and --ids")
+        seq = col.remove(args.users, args.ids)
+        print(json.dumps({"tombstone_seq_no": seq}))
+    elif args.command == "search":
         if not args.vector:
             ap.error("search requires --vector")
         qv = [float(x) for x in args.vector.split(",")]
