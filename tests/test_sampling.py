@@ -145,3 +145,74 @@ def test_token_budget_mixture_partitioning_invariant(spark):
     b = {r["doc_id"] for r in
          token_budget_mixture(df.repartition(13), **kw).collect()}
     assert a == b and a
+
+
+def test_temperature_mixture_composition(spark):
+    # 3 strata with very different sizes; alpha=0.5 quotas must follow
+    # n^0.5 proportions, sum to ~total, and the sample must be
+    # deterministic and respect hash order within each stratum
+    import hashlib
+    import math
+
+    from muopdb_spark.operators.sampling import temperature_mixture
+
+    sizes = {"a": 400, "b": 100, "c": 25}
+    rows, i = [], 0
+    for s, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, s))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_mixture(
+        df, strata_col="lang", key_col="doc_id", alpha=0.5, total_rows=200
+    ).collect()
+
+    w = {s: math.sqrt(n) for s, n in sizes.items()}
+    sw = sum(w.values())
+    expect_quota = {s: min(sizes[s], round(w[s] / sw * 200)) for s in sizes}
+    got_quota = {}
+    by_stratum = {}
+    for r in out:
+        got_quota[r.lang] = r.quota
+        by_stratum.setdefault(r.lang, []).append(r)
+    assert got_quota == expect_quota
+    # alpha=0.5 up-samples the smallest stratum relative to natural share
+    assert expect_quota["c"] / 200 > sizes["c"] / 525
+    for s, members in by_stratum.items():
+        assert len(members) == expect_quota[s]
+        # kept keys are exactly the first quota in md5-hash order
+        ids = {r.doc_id for r in df.filter(f"lang = '{s}'").collect()}
+        ordered = sorted(
+            ids, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest()[:8], d)
+        )
+        assert {r.doc_id for r in members} == set(ordered[: expect_quota[s]])
+    # rerun is identical
+    again = temperature_mixture(
+        df, strata_col="lang", key_col="doc_id", alpha=0.5, total_rows=200
+    ).collect()
+    assert sorted((r.doc_id, r.sample_rank) for r in again) == sorted(
+        (r.doc_id, r.sample_rank) for r in out
+    )
+
+
+def test_temperature_mixture_alpha_extremes(spark):
+    from muopdb_spark.operators.sampling import temperature_mixture
+
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    # alpha=1: natural proportions
+    nat = {
+        r.lang: r.quota
+        for r in temperature_mixture(
+            df, strata_col="lang", key_col="doc_id", alpha=1.0, total_rows=50
+        ).select("lang", "quota").distinct().collect()
+    }
+    assert nat == {"big": 45, "small": 5}
+    # alpha=0: uniform across strata
+    uni = {
+        r.lang: r.quota
+        for r in temperature_mixture(
+            df, strata_col="lang", key_col="doc_id", alpha=0.0, total_rows=20
+        ).select("lang", "quota").distinct().collect()
+    }
+    assert uni == {"big": 10, "small": 10}
