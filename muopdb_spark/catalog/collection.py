@@ -57,7 +57,7 @@ class CollectionConfig:
     max_posting_size: int | None = None
     max_clusters_per_vector: int = 1
     distance_threshold: float = 0.1
-    quantizer: str = "none"                  # none | pq | rabitq (enums.rs:4-9)
+    quantizer: str = "none"  # none | pq | rabitq | sq (enums.rs:4-9 + SQ8)
     pq_subvectors: int = 4                   # collection.rs:43-63 subvector geometry
     pq_centers: int = 16
     vacuum_deleted_ratio: float = 0.1        # immutable_segment.rs:75-82
@@ -635,6 +635,24 @@ class Collection:
                 num_subvectors=self.config.pq_subvectors,
                 num_centers=self.config.pq_centers,
             )
+        elif self.config.quantizer == "sq":
+            # PER-USER SQ codebooks, collection-scoped: a (user_id,
+            # mins, scales) parquet table instead of a scalar JSON —
+            # each tenant quantizes in its own range (the recall-skew
+            # mitigation, index/sq.train_sq_per_user). build_index
+            # extends the table when a later segment introduces users
+            # unseen at training time.
+            from muopdb_spark.index.sq import train_sq_per_user
+
+            path = os.path.join(self.root, "sq_codebook")
+            if os.path.isdir(path):
+                return self.spark.read.parquet(path)
+            cb_df = train_sq_per_user(
+                self.docs(with_tombstones=True),
+                user_col="user_id", vec_col="vector",
+            )
+            cb_df.write.mode("overwrite").parquet(path)
+            return self.spark.read.parquet(path)
         else:  # rabitq
             from muopdb_spark.index.rabitq import RabitQCodebook, train_rabitq
 
@@ -684,6 +702,42 @@ class Collection:
                         from muopdb_spark.index.pq import pq_encode
 
                         idx.postings = pq_encode(idx.postings, codebook, vec_col="vector")
+                    elif quant == "sq":
+                        from muopdb_spark.index.sq import (
+                            sq_encode_cols,
+                            train_sq_per_user,
+                        )
+
+                        # a later segment can carry users unseen when
+                        # the codebook trained — extend the table for
+                        # them (their docs' own min/max) instead of
+                        # silently dropping their postings in the join
+                        missing = docs.select("user_id").distinct().join(
+                            codebook.select("user_id"), "user_id", "left_anti")
+                        if not missing.isEmpty():
+                            extra = train_sq_per_user(
+                                self.docs(with_tombstones=True).join(
+                                    missing, "user_id", "left_semi"),
+                                user_col="user_id", vec_col="vector",
+                            )
+                            codebook = codebook.unionByName(extra)
+                            path = os.path.join(self.root, "sq_codebook")
+                            codebook.write.mode("overwrite").parquet(path + ".tmp")
+                            tmp_df = self.spark.read.parquet(path + ".tmp")
+                            tmp_df.write.mode("overwrite").parquet(path)
+                            codebook = self.spark.read.parquet(path)
+                        idx.postings = (
+                            idx.postings.join(F.broadcast(codebook), "user_id")
+                            .withColumn(
+                                "sq_code",
+                                sq_encode_cols(
+                                    F.col("vector"), F.col("mins"),
+                                    F.col("scales"),
+                                    self.config.num_features,
+                                ),
+                            )
+                            .drop("mins", "scales")
+                        )
                     else:  # rabitq
                         from muopdb_spark.index.rabitq import rabitq_encode
 
@@ -797,10 +851,24 @@ class Collection:
 
         exact = score_expr(metric, F.col("vector"), q)
         if codebook is not None:
-            if next(iter(idxs.values())).quantizer == "rabitq":
+            quant0 = next(iter(idxs.values())).quantizer
+            if quant0 == "rabitq":
                 from muopdb_spark.index.rabitq import rabitq_est_score
 
                 adc = rabitq_est_score(query_vector, codebook)
+            elif quant0 == "sq":
+                from muopdb_spark.index.sq import sq_est_score_cols
+
+                # authoritative per-user table lives at the collection
+                # root (a per-segment copy may predate users added by
+                # later segments' codebook extension)
+                codebook = self.spark.read.parquet(
+                    os.path.join(self.root, "sq_codebook"))
+                scan = scan.join(F.broadcast(codebook), "user_id")
+                adc = sq_est_score_cols(
+                    query_vector, F.col("mins"), F.col("scales"),
+                    len(query_vector),
+                )
             else:
                 from muopdb_spark.index.pq import pq_adc_score
 
