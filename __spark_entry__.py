@@ -404,13 +404,17 @@ _SHINGLES_CTE = f"""
 """
 
 
-def _stream_admission_oracle() -> str:
+def _stream_admission_oracle(quality_min: float | None = None) -> str:
     """DuckDB twin of q_stream_admission: symbolic replay of TWO
     sequential admission rounds (intra-batch min-id dedup, then
     cross-dedup vs the corpus-so-far) with the same md5 minhash
     family, banding, and exact-Jaccard verification. Batch 2 is
     checked against seed ∪ batch-1 admissions, so the cross-micro-
-    batch rejection path is value-checked, not just row-counted."""
+    batch rejection path is value-checked, not just row-counted.
+    With `quality_min`, both batches are first gated on the t2
+    composite quality score (w6's cheapest-filter-first ordering);
+    the seed corpus is pre-curated and ungated, exactly like the
+    Spark side."""
     hs = ",\n               ".join(
         f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min') AS h{i}"
         for i in range(8)
@@ -423,13 +427,31 @@ def _stream_admission_oracle() -> str:
         "len(list_intersect(a.sh, b.sh))::DOUBLE"
         " / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
     )
+    qgate = ""
+    if quality_min is not None:
+        qual = rf"""
+        qual AS (
+            SELECT doc_id FROM (
+                SELECT doc_id, length(text) AS n_chars, {_TOKS} AS toks,
+                       length(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')) AS alnum_ws
+                FROM documents)
+            WHERE round(least(1.0, len(toks) / 50.0)
+                  * (CASE WHEN n_chars > 0 THEN alnum_ws::DOUBLE / n_chars ELSE 0.0 END)
+                  * (0.5 + 0.5 * least(1.0,
+                        (CASE WHEN len(toks) > 0
+                              THEN len(list_filter(toks, t -> list_contains({_stoplist_sql('en')}, t)))::DOUBLE / len(toks)
+                              ELSE 0.0 END) * 5.0)), 6) >= {quality_min}
+        ),"""
+        qgate = " AND doc_id IN (SELECT doc_id FROM qual)"
+    else:
+        qual = ""
     return f"""
-        WITH {_SHINGLES_CTE},
+        WITH {_SHINGLES_CTE},{qual}
         sig AS (SELECT doc_id, sh, {hs} FROM s2),
         sigb AS (SELECT *, {bands} FROM sig),
         seed AS (SELECT * FROM sigb WHERE doc_id % 5 >= 2),
-        b1s AS (SELECT * FROM sigb WHERE doc_id % 5 = 0),
-        b2s AS (SELECT * FROM sigb WHERE doc_id % 5 = 1),
+        b1s AS (SELECT * FROM sigb WHERE doc_id % 5 = 0{qgate}),
+        b2s AS (SELECT * FROM sigb WHERE doc_id % 5 = 1{qgate}),
         i1 AS (
             SELECT DISTINCT b.doc_id
             FROM b1s a JOIN b1s b ON ({cond}) AND a.doc_id < b.doc_id
@@ -442,7 +464,7 @@ def _stream_admission_oracle() -> str:
         ),
         a1 AS (
             SELECT doc_id FROM documents
-            WHERE doc_id % 5 = 0
+            WHERE doc_id % 5 = 0{qgate}
               AND doc_id NOT IN (SELECT doc_id FROM i1)
               AND doc_id NOT IN (SELECT doc_id FROM x1)
         ),
@@ -463,7 +485,7 @@ def _stream_admission_oracle() -> str:
         ),
         a2 AS (
             SELECT doc_id FROM documents
-            WHERE doc_id % 5 = 1
+            WHERE doc_id % 5 = 1{qgate}
               AND doc_id NOT IN (SELECT doc_id FROM i2)
               AND doc_id NOT IN (SELECT doc_id FROM x2)
         )
@@ -2155,6 +2177,45 @@ def q_stream_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_stream_quality_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w6: quality-gated continuous admission — the w5 two-round
+    replay with a composite-quality pre-gate (t2 formula, map-side,
+    quality >= 0.35) applied to each arriving batch BEFORE signing
+    (cheapest filter first: rejected docs never pay minhash cost).
+    The oracle replays both rounds symbolically with the same gate;
+    the seed corpus is pre-curated and ungated on both sides."""
+    import shutil
+    import tempfile
+
+    from muopdb_spark.streaming.admission import admit_batch, bootstrap_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="muopdb_w6_")
+    try:
+        corpus = os.path.join(tmp, "corpus")
+        sig = os.path.join(tmp, "sigs")
+        rej = os.path.join(tmp, "rejected")
+        bootstrap_corpus(docs.filter(F.col("doc_id") % 5 >= 2), corpus, sig)
+        admit_batch(docs.filter(F.col("doc_id") % 5 == 0), 1, corpus, sig, rej,
+                    quality_min=0.35)
+        admit_batch(docs.filter(F.col("doc_id") % 5 == 1), 2, corpus, sig, rej,
+                    quality_min=0.35)
+        out = (
+            spark.read.parquet(corpus)
+            .select(
+                "doc_id",
+                F.when(F.col("doc_id") % 5 == 0, "batch1")
+                .when(F.col("doc_id") % 5 == 1, "batch2")
+                .otherwise("seed")
+                .alias("origin"),
+            )
+            .orderBy("doc_id")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p5: RAG chunk export — overlapping 32-token windows at stride
     24 over each document (operators/packing.chunk_documents). Pure
@@ -2454,6 +2515,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quantizer-by-index matrix; exact via full probe + rerank,
         # brute-force oracle).
         "v26_ivf_sq_rerank": q_ivf_sq_rerank,
+        # NEW in r6: quality-gated streaming admission (w5 + the t2
+        # quality pre-gate, oracle replays the gate symbolically).
+        "w6_stream_quality_admission": q_stream_quality_admission,
         # NEW in r5: SemDeDup semantic dedup (no oracle by design —
         # k-means assignment is not SQL-derivable; brute-force-refereed
         # in tests/test_semdedup.py).
@@ -3038,6 +3102,7 @@ def oracle_sql() -> dict[str, str]:
         "d3_dedup_minhash_lsh": _minhash_oracle(),
         "d7_incremental_minhash": _incremental_minhash_oracle(),
         "w5_stream_admission": _stream_admission_oracle(),
+        "w6_stream_quality_admission": _stream_admission_oracle(quality_min=0.35),
         # salting must be invisible in the result: the oracle is the
         # PLAIN join
         "j8_skew_salted_join": """

@@ -66,13 +66,32 @@ def admit_batch(
     num_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.8,
+    quality_min: float | None = None,
 ) -> None:
     """One admission round (callable directly for batch pipelines, or
-    from the stream's foreachBatch): intra-batch dedup (keep the
-    lowest id of any near-dup pair), then cross dedup vs the artifact;
-    append admitted text + signatures, record rejections."""
+    from the stream's foreachBatch): OPTIONAL quality gate (composite
+    quality score >= quality_min, the t2 formula — a pure map-side
+    expression, so the gate adds zero shuffles to the round), then
+    intra-batch dedup (keep the lowest id of any near-dup pair), then
+    cross dedup vs the artifact; append admitted text + signatures,
+    record rejections. Quality-gating BEFORE signing also skips the
+    minhash cost for rejected docs — cheapest filter first, the
+    standard curation ordering."""
     spark = batch_df.sparkSession
     batch_df = batch_df.localCheckpoint(eager=True)
+    if quality_min is not None:
+        from muopdb_spark.operators.textstats import quality_features
+
+        ok = (
+            quality_features(batch_df, text_col=text_col, id_col=id_col)
+            .filter(F.col("quality") >= F.lit(float(quality_min)))
+            .select(id_col)
+        )
+        batch_df = batch_df.join(ok, id_col, "left_semi").localCheckpoint(
+            eager=True
+        )
+        if batch_df.isEmpty():
+            return
 
     # sign the batch ONCE — the intra pass, the cross pass, and the
     # artifact append all derive from this one shingle+minhash pass
@@ -145,6 +164,7 @@ def stream_admission(
     num_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.8,
+    quality_min: float | None = None,
     trigger_available_now: bool = False,
     processing_time: str = "1 second",
 ):
@@ -159,6 +179,7 @@ def stream_admission(
             batch_df, batch_id, corpus_path, sig_path, rejected_path,
             text_col=text_col, id_col=id_col, n=n,
             num_hashes=num_hashes, bands=bands, threshold=threshold,
+            quality_min=quality_min,
         )
         batch_df.sparkSession.catalog.clearCache()
 
