@@ -63,13 +63,18 @@ def main() -> None:
         df, num_centroids=num_centroids, quantizer="pq",
         pq_subvectors=8, pq_centers=32, seed=42,
     )
+    # r6 mitigation under test: PER-USER SQ codebooks (each tenant
+    # quantizes in its own min/max range — index/sq.train_sq_per_user)
+    sq_idx = build_multi_ivf(
+        df, num_centroids=num_centroids, quantizer="sq", seed=42,
+    )
     exact_idx = build_multi_ivf(df, num_centroids=num_centroids, seed=42)
 
     full_probe = dict(num_probes=num_centroids, centroid_distance_ratio=None)
     out: dict = {"metric": "pq_recall_skew", "users": {}}
     for user, vecs, n in ((0, dom, n_dom), (1, off, n_min)):
         qidx = rng.choice(n, n_queries, replace=False)
-        recalls, rerank_recalls = [], []
+        recalls, rerank_recalls, sq_recalls = [], [], []
         for qi in qidx:
             q = [float(x) for x in vecs[qi]]
             truth = {
@@ -86,17 +91,27 @@ def main() -> None:
                     idx, user, q, k, rerank=4 * k, **full_probe
                 ).collect()
             }
+            sq = {
+                r["id"] for r in
+                multi_ivf_search(sq_idx, user, q, k, **full_probe).collect()
+            }
             recalls.append(len(adc & truth) / k)
             rerank_recalls.append(len(rr & truth) / k)
+            sq_recalls.append(len(sq & truth) / k)
         out["users"][user] = {
             "adc_recall_at_10": round(float(np.mean(recalls)), 3),
             "adc_rerank40_recall_at_10": round(
                 float(np.mean(rerank_recalls)), 3
             ),
+            "per_user_sq_recall_at_10": round(float(np.mean(sq_recalls)), 3),
         }
     out["skew_adc"] = round(
         out["users"][0]["adc_recall_at_10"]
         - out["users"][1]["adc_recall_at_10"], 3
+    )
+    out["skew_per_user_sq"] = round(
+        out["users"][0]["per_user_sq_recall_at_10"]
+        - out["users"][1]["per_user_sq_recall_at_10"], 3
     )
     print(json.dumps(out))
     spark.stop()
