@@ -82,3 +82,22 @@ def test_cli_quality_pipeline(spark, cli, capsys, sf_dir):
                            f"{sf_dir}/documents.parquet", "--keep-frac", "0.5"])
     assert r["docs"] == 500
     assert 0 < r["kept"] <= 500 * 0.55
+
+
+def test_cli_inspect(spark, cli, capsys, tmp_path):
+    from muopdb_spark.catalog import Collection, CollectionConfig
+
+    root = str(tmp_path / "col2")
+    col = Collection.create(spark, root, CollectionConfig(
+        name="demo2", num_features=4, num_centroids=2))
+    col.insert(spark.createDataFrame(
+        [(0, i, [float(i), 0.0, 0.0, 0.0]) for i in range(20)],
+        "user_id long, doc_id long, vector array<double>"))
+    col.flush()
+    col.build_index()
+    r = _run(cli, capsys, ["inspect", "--root", root, "--name", "demo2"])
+    assert len(r["segments"]) == 1
+    seg = next(iter(r["segments"].values()))
+    assert seg["quantizer"] == "none"
+    assert seg["points"] >= 20 and seg["posting_lists"] >= 1
+    assert seg["centroids_per_user"] == {"0": 2}

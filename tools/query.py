@@ -13,6 +13,7 @@ reference's muopdb.proto now has a CLI twin):
   python tools/query.py term-search --root /data --name memories \
       --users 0 --filter '{"contains": {"path": "title", "value": "running"}}' --limit 10
   python tools/query.py stats --root /data --name memories
+  python tools/query.py inspect --root /data --name memories   # index internals
   python tools/query.py optimize --root /data --name memories
 
 Pipeline commands (operate on a documents parquet):
@@ -31,7 +32,7 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-COLLECTION_CMDS = {"create", "insert", "remove", "search", "term-search", "stats", "optimize", "flush"}
+COLLECTION_CMDS = {"create", "insert", "remove", "search", "term-search", "stats", "optimize", "flush", "inspect"}
 PIPELINE_CMDS = {"dedup", "lm-score", "chunk", "shard", "quality"}
 
 
@@ -169,6 +170,42 @@ def main(argv=None) -> int:
         print(json.dumps({"doc_ids": [r["doc_id"] for r in rows]}))
     elif args.command == "stats":
         print(json.dumps({"toc": col.toc(), "segments": col.stats()}))
+    elif args.command == "inspect":
+        # index-internals dump (the reference's cli/index_viewer.rs
+        # analog): per segment — quantizer, per-user centroid counts,
+        # posting-list size distribution. One aggregate job per table.
+        from pyspark.sql import functions as F
+
+        toc = col.toc()
+        report = {}
+        for seg in toc.get("indexes", {}):
+            if "ivf" not in toc["indexes"].get(seg, []):
+                continue
+            idx = col.load_segment_index(seg)
+            cents = {
+                str(r.user_id): r.n
+                for r in idx.centroids.groupBy("user_id")
+                .agg(F.count("*").alias("n")).collect()
+            }
+            psizes = (
+                idx.postings.groupBy("user_id", "centroid_id")
+                .agg(F.count("*").alias("n"))
+                .agg(
+                    F.count("*").alias("lists"),
+                    F.sum("n").alias("points"),
+                    F.round(F.avg("n"), 1).alias("avg_len"),
+                    F.max("n").alias("max_len"),
+                ).collect()[0]
+            )
+            report[seg] = {
+                "quantizer": idx.quantizer,
+                "centroids_per_user": cents,
+                "posting_lists": int(psizes["lists"]),
+                "points": int(psizes["points"]),
+                "avg_posting_len": float(psizes["avg_len"]),
+                "max_posting_len": int(psizes["max_len"]),
+            }
+        print(json.dumps({"version": toc.get("version"), "segments": report}))
     elif args.command == "optimize":
         print(json.dumps(col.auto_optimize()))
     elif args.command == "flush":
