@@ -425,6 +425,86 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_from_artifact(
+    corpus_df: DataFrame,
+    corpus_sigs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Corpus-self near-dup pairs SERVED from the durable signature
+    artifact (the full-corpus twin of incremental_minhash_pairs):
+    candidate generation scans ONLY the fixed-width (id, h*, b*)
+    artifact — the corpus text is never re-shingled for signing — and
+    exact-Jaccard verification re-shingles ONLY candidate ids (semi
+    join into the text scan). Output and semantics are IDENTICAL to
+    minhash_lsh_pairs over the same corpus, which is exactly what the
+    oracle checks.
+
+    At 100 TB the artifact is ~(num_hashes+bands)*32 bytes/doc of
+    columnar parquet vs re-tokenizing the corpus per run — this is the
+    d3 serving path once signatures exist (they are appended on
+    admission, streaming/admission.py)."""
+    buckets = corpus_sigs.select(
+        "id",
+        F.posexplode(
+            F.array(*[F.col(f"b{b}") for b in range(bands)])
+        ).alias("band_idx", "band_hash"),
+    )
+    ca, cb2 = buckets.alias("ca"), buckets.alias("cb")
+    cand = (
+        ca.join(
+            cb2,
+            (F.col("ca.band_idx") == F.col("cb.band_idx"))
+            & (F.col("ca.band_hash") == F.col("cb.band_hash"))
+            & (F.col("ca.id") < F.col("cb.id")),
+        )
+        .select(F.col("ca.id").alias("doc_a"), F.col("cb.id").alias("doc_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("id"))
+        .union(cand.select(F.col("doc_b").alias("id")))
+        .distinct()
+        .withColumnRenamed("id", id_col)
+    )
+    csh = shingle_df(
+        corpus_df.join(F.broadcast(cand_ids), on=id_col, how="semi"),
+        text_col=text_col, id_col=id_col, n=n,
+    ).localCheckpoint(eager=True)
+    sa = corpus_sigs.select(
+        F.col("id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"ha{i}") for i in range(num_hashes)],
+    )
+    sb = corpus_sigs.select(
+        F.col("id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"hb{i}") for i in range(num_hashes)],
+    )
+    est = sum(
+        F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    ) / float(num_hashes)
+    sha = csh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    shb = csh.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .join(sha, "doc_a").join(shb, "doc_b")
+        .withColumn("est_jaccard", est)
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "doc_a", "doc_b",
+            F.round("est_jaccard", 6).alias("est_jaccard"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
 def incremental_minhash_pairs(
     new_df: DataFrame,
     corpus_sigs: DataFrame,
