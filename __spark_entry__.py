@@ -352,12 +352,54 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def _ngram_ranked_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DURABLE build-once ranked-shingle table (id, n_sh, sh_ranked —
+    shingles in global rarity order) for the documents corpus: the
+    prefix-filter/PPJoin input, persisted so d2 never re-tokenizes or
+    re-ranks the corpus per query. Pure function of (corpus, n), so
+    serving from it is result-identical to the from-scratch path."""
+    key = ("ng_ranked", sf_dir)
+    if key not in _IVF_CACHE:
+        from pyspark.sql.window import Window
+
+        from muopdb_spark.operators.dedup import shingle_df
+
+        path = _index_artifact_dir(sf_dir, "ngram_ranked_v1")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            sh = shingle_df(_t(spark, sf_dir, "documents"), n=3)
+            exploded = sh.select("id", F.explode("sh").alias("shingle"))
+            from pyspark.sql.window import Window as W
+
+            ranked = (
+                exploded.withColumn(
+                    "df", F.count("*").over(W.partitionBy("shingle"))
+                )
+                .groupBy("id")
+                .agg(
+                    F.count("*").cast("int").alias("n_sh"),
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("df", "shingle"))),
+                        lambda x: x["shingle"],
+                    ).alias("sh_ranked"),
+                )
+            )
+            ranked.write.mode("overwrite").parquet(path)
+        _IVF_CACHE[key] = spark.read.parquet(path)
+    return _IVF_CACHE[key]
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs via inverted shingle index."""
+    """Exact 3-gram Jaccard near-dup pairs via inverted shingle index,
+    SERVED from the durable ranked-shingle artifact (_ngram_ranked_index):
+    the Arrow shingle pass and both ranking shuffles run at build, the
+    per-query cost is the prefix-filter/PPJoin + verification only.
+    Result identical to the from-scratch ngram_jaccard_pairs — the
+    oracle checks exactly that."""
     from muopdb_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.8
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.8,
+        ranked=_ngram_ranked_index(spark, sf_dir),
     ).orderBy("doc_a", "doc_b")
 
 

@@ -164,6 +164,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    ranked: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
 
@@ -193,6 +194,13 @@ def ngram_jaccard_pairs(
     # cache build for the array<string> column at sf0.1).
     from pyspark.sql.window import Window
 
+    if ranked is not None:
+        # caller-provided DURABLE ranked-shingle table (id, n_sh,
+        # sh_ranked) — parquet-backed and lineage-free, so the Arrow
+        # shingle pass and both ranking shuffles below never run; the
+        # table is a pure function of (corpus, n), so results are
+        # identical to the from-scratch path (the oracle checks that)
+        return _ppjoin_from_ranked(ranked, threshold)
     sh = shingle_df(df, text_col=text_col, id_col=id_col, n=n)
     exploded = sh.select("id", F.explode("sh").alias("shingle"))
     ranked = (
@@ -206,7 +214,6 @@ def ngram_jaccard_pairs(
             ).alias("sh_ranked"),
         )
     )
-    prefix_len = (F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1).cast("int")
     # ranked feeds three branches (prefix index + both verification
     # sides); without materialization the whole upstream pipeline
     # re-runs per branch (measured 25s vs 5s at sf0.1 — AQE does not
@@ -240,6 +247,14 @@ def ngram_jaccard_pairs(
     # (bench.py now compiles this pipeline at the smoke SF before
     # timing).
     ranked = ranked.localCheckpoint(eager=True)
+    return _ppjoin_from_ranked(ranked, threshold)
+
+
+def _ppjoin_from_ranked(ranked: DataFrame, threshold: float) -> DataFrame:
+    """Prefix-filter + PPJoin + exact verification over a materialized
+    ranked-shingle table (id, n_sh, sh_ranked) — shared by the
+    from-scratch and the durable-artifact serving paths."""
+    prefix_len = (F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1).cast("int")
     inv = ranked.select(
         "id",
         "n_sh",
