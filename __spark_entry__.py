@@ -1873,15 +1873,37 @@ def q_ann_batch_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------- round-2 pipeline operators (c/p)
 
+def _bench_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DURABLE build-once benchmark gram set (the %20==0 slice's
+    distinct 3-grams) — benchmarks are static, so decontamination
+    re-reads this one-column parquet instead of re-shingling the
+    benchmark per query."""
+    key = ("bench_grams", sf_dir)
+    if key not in _IVF_CACHE:
+        from muopdb_spark.operators.contamination import benchmark_grams
+
+        path = _index_artifact_dir(sf_dir, "bench_grams_v1")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            benchmark_grams(
+                _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0),
+                n=3,
+            ).write.mode("overwrite").parquet(path)
+        _IVF_CACHE[key] = spark.read.parquet(path)
+    return _IVF_CACHE[key]
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test contamination: 3-gram overlap of each corpus doc vs a
-    benchmark slice (doc_id % 20 == 0) of the documents fixture. The
-    benchmark gram set is broadcast; the corpus side never shuffles."""
-    from muopdb_spark.operators.contamination import contamination_report_split
+    benchmark slice (doc_id % 20 == 0) of the documents fixture,
+    SERVED from the durable benchmark-gram artifact (_bench_grams —
+    benchmarks are static; only the corpus side shingles per query).
+    The gram set is broadcast; the corpus side never shuffles."""
+    from muopdb_spark.operators.contamination import contamination_report_vs_grams
 
     docs = _t(spark, sf_dir, "documents")
-    out = contamination_report_split(
-        docs, F.col("id") % 20 == 0, n=3, threshold=0.2
+    out = contamination_report_vs_grams(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        _bench_grams(spark, sf_dir), n=3, threshold=0.2,
     )
     return out.select(
         "doc_id",

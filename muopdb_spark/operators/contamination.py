@@ -88,6 +88,24 @@ def _report(
     )
 
 
+def contamination_report_vs_grams(
+    corpus: DataFrame,
+    bench_grams: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """contamination_report SERVED from a precomputed benchmark gram
+    set (one `gram` column — benchmark_grams output, persisted once):
+    benchmarks are static in production, so decontaminating each new
+    corpus batch should never re-shingle the benchmark. Same verdict
+    columns and semantics as contamination_report."""
+    sh = shingle_df(corpus, text_col=text_col, id_col=id_col, n=n)
+    return _report(sh, bench_grams, id_col=id_col, threshold=threshold)
+
+
 def contamination_report(
     corpus: DataFrame,
     benchmark: DataFrame,
