@@ -129,6 +129,7 @@ def main() -> None:
     entry_mod._lm_index(spark, sf_dir)
     entry_mod._ngram_ranked_index(spark, sf_dir)
     entry_mod._bench_grams(spark, sf_dir)
+    entry_mod._semdedup_centroids(spark, sf_dir)
     entry_mod._sq_index(spark, sf_dir)
     entry_mod._quality_model(spark, sf_dir)
     entry_mod._two_level_index(spark, sf_dir)
