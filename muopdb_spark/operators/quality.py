@@ -220,6 +220,8 @@ def quality_percentile_by_source(
     id_col: str = "doc_id",
     source_col: str = "source",
     keep_frac: float = 0.7,
+    approx: bool = False,
+    approx_accuracy: int = 10000,
 ) -> DataFrame:
     """Per-SOURCE quality calibration: percentile-rank each document's
     composite quality score within its source and keep the top
@@ -228,26 +230,49 @@ def quality_percentile_by_source(
     wrong: sources have different score distributions, so a global cut
     over-prunes low-scoring domains and under-prunes high-scoring ones.
 
-    Returns (id_col, source_col, quality, pct_rank, keep) where
-    pct_rank = cume_dist over (quality DESC, id ASC) inside the source
-    (ties broken by id for determinism) and keep = pct_rank <=
-    keep_frac.
+    Two plans, same keep-set up to score-tie boundaries:
 
-    Scale (100 TB): ONE window shuffle keyed on source. Source
-    cardinality is low, so a single dominant source makes a hot
-    partition — at that scale swap the exact cume_dist for a two-pass
-    approx threshold (approx_percentile(quality, 1-keep_frac) per
-    source, then a map-side broadcast-join filter); the exact window
-    here is the oracle-checkable reference semantics of that
-    optimization."""
-    from pyspark.sql.window import Window
-
+    - ``approx=False`` (the oracle-checkable reference semantics):
+      cume_dist over ``Window.partitionBy(source)`` ordered by
+      (quality DESC, id ASC); keep = pct_rank <= keep_frac. Exact, but
+      the window shuffles the WHOLE corpus on the low-cardinality
+      source key, so one dominant source is one hot partition — wrong
+      shape at 100 TB.
+    - ``approx=True`` (the scale path): two passes. Pass 1 computes a
+      per-source quality threshold q_thr =
+      approx_percentile(quality, 1-keep_frac) — a partial-aggregating
+      t-digest-style sketch whose shuffle moves ONE sketch per
+      (task, source), not the corpus. Pass 2 broadcast-joins the tiny
+      threshold table and keeps quality >= q_thr map-side: no window,
+      no corpus shuffle at all. Returns (id, source, quality, q_thr,
+      keep). Divergence from the exact form is confined to documents
+      whose quality ties the boundary score (the exact form breaks
+      ties by id; a threshold cannot) plus sketch error bounded by
+      1/approx_accuracy — equivalence pinned by
+      tests/test_quality_graph.py::test_t11_approx_matches_exact.
+    """
     from muopdb_spark.operators.textstats import quality_features
 
     feats = quality_features(df, text_col=text_col, id_col=id_col)
     joined = feats.select(id_col, "quality").join(
         df.select(id_col, source_col), id_col
     )
+    if approx:
+        thresholds = joined.groupBy(source_col).agg(
+            F.percentile_approx(
+                "quality", F.lit(1.0 - float(keep_frac)), F.lit(approx_accuracy)
+            ).alias("q_thr")
+        )
+        return joined.join(F.broadcast(thresholds), source_col).select(
+            id_col,
+            source_col,
+            "quality",
+            F.round("q_thr", 6).alias("q_thr"),
+            (F.col("quality") >= F.col("q_thr")).alias("keep"),
+        )
+
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy(source_col).orderBy(
         F.desc("quality"), F.asc(id_col)
     )

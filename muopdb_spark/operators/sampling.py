@@ -174,6 +174,7 @@ def temperature_mixture(
     alpha: float = 0.5,
     total_rows: int = 1000,
     salt: str = "",
+    membership: str = "rank",
 ) -> DataFrame:
     """Temperature-based mixture sampling (the mT5 / XLM-R multilingual
     recipe, Xue et al. 2021 §3.1): target composition p_s ~ n_s^alpha
@@ -183,24 +184,37 @@ def temperature_mixture(
 
     Materializes a corpus of ~`total_rows` rows at the target
     composition deterministically: quota_s = min(n_s,
-    round(p_s * total_rows)) and each stratum contributes its first
-    quota_s keys in content-addressed hash order (so re-runs and both
-    engines agree row-for-row; an undersized stratum contributes
-    everything it has — single-round semantics like
-    token_budget_mixture).
+    round(p_s * total_rows)).
+
+    Two membership forms, selected by `membership`:
+
+    - ``"rank"`` (exact, the oracle-checkable reference semantics):
+      each stratum contributes its FIRST quota_s keys in
+      content-addressed md5-hash order — exactly quota_s rows per
+      stratum, via a row_number window per stratum. At 100 TB with a
+      dominant stratum that rank window is one hot partition.
+    - ``"hash"`` (the scale path): convert each stratum's quota to the
+      fraction quota_s/n_s and keep rows whose 32-bit key hash falls
+      under fraction * 2^32 — the hash_sample rule, evaluated entirely
+      map-side after a broadcast join of the tiny quota table. NO
+      stratum-keyed shuffle of the corpus at all. Kept count per
+      stratum is Binomial(n_s, quota_s/n_s) — expectation exactly
+      quota_s, exact (all rows) whenever quota_s = n_s; membership is
+      still deterministic/partition-invariant. Equivalence to the rank
+      form pinned by tests/test_sampling.py::
+      test_temperature_mixture_hash_membership.
 
     Cost: one per-stratum count aggregate (the quota arithmetic stays
     IN-PLAN as a window over the counts — no driver collect, so the
-    operator composes into ONE job) + one rank window per stratum.
-    Scale: both shuffles key on the stratum; at 100 TB with a dominant
-    stratum, the rank window is the hot partition — swap the exact
-    rank for the hash-threshold fraction form (hash_sample) once
-    quotas are computed, which is map-side.
+    operator composes into ONE job) + the membership step above.
 
-    Returns the kept rows + (quota, sample_rank) for audit.
+    Returns the kept rows + (quota, sample_rank) for audit in rank
+    mode, (quota, fraction) in hash mode.
     """
     if alpha < 0:
         raise ValueError("alpha must be >= 0")
+    if membership not in ("rank", "hash"):
+        raise ValueError(f"membership must be 'rank' or 'hash', got {membership!r}")
     counts = df.groupBy(F.col(strata_col)).agg(F.count("*").alias("_n"))
     wsum = Window.partitionBy()
     quotas = counts.select(
@@ -215,6 +229,26 @@ def temperature_mixture(
             ).cast("long"),
         ).alias("quota"),
     )
+    if membership == "hash":
+        # quota -> keep fraction; compare the hash NUMERICALLY in-plan
+        # (conv hex -> long) so no driver collect is needed to build a
+        # hex-literal threshold. For quota = n the threshold is 2^32,
+        # strictly above every 32-bit hash -> keep-all, matching the
+        # rank form exactly.
+        hash_long = F.conv(
+            _hash_bucket(F.col(key_col), salt), 16, 10
+        ).cast("long")
+        return (
+            df.join(
+                F.broadcast(quotas.select(strata_col, "_n", "quota")), strata_col
+            )
+            .withColumn(
+                "fraction",
+                F.round(F.col("quota") / F.col("_n"), 6),
+            )
+            .filter(hash_long < F.col("fraction") * F.lit(float(2**32)))
+            .drop("_n")
+        )
     w = Window.partitionBy(strata_col).orderBy(
         _hash_bucket(F.col(key_col), salt).asc(), F.col(key_col).asc()
     )

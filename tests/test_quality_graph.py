@@ -87,3 +87,55 @@ def test_dup_clusters_report(spark):
     # exactly one canonical per cluster
     canon = [r for r in rows.values() if r.is_canonical]
     assert len(canon) == 3
+
+
+# --------------------------------------- t11 per-source calibration
+
+
+def test_t11_approx_matches_exact(spark, sf_dir):
+    """The scale-safe two-pass threshold form must agree with the exact
+    cume_dist window on the keep-set, except possibly documents whose
+    quality TIES the per-source boundary score (the exact form breaks
+    ties by id; a threshold cannot)."""
+    from muopdb_spark.operators.quality import quality_percentile_by_source
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = quality_percentile_by_source(docs, keep_frac=0.7).collect()
+    approx = quality_percentile_by_source(
+        docs, keep_frac=0.7, approx=True
+    ).collect()
+    assert len(exact) == len(approx) == docs.count()
+
+    kept_exact = {r.doc_id for r in exact if r.keep}
+    kept_approx = {r.doc_id for r in approx if r.keep}
+    # any disagreement must sit exactly on a boundary-score tie
+    thr = {r.source: r.q_thr for r in approx}
+    quality = {r.doc_id: (r.source, r.quality) for r in approx}
+    for doc in kept_exact ^ kept_approx:
+        src, q = quality[doc]
+        assert abs(q - thr[src]) < 1e-9, (
+            f"doc {doc} disagrees off-boundary: quality={q} thr={thr[src]}"
+        )
+    # a threshold keeps the WHOLE boundary tie-group, so approx can
+    # only ADD boundary-tied docs relative to the exact form
+    assert kept_exact <= kept_approx
+    # and the disagreement is a boundary fringe, not a different answer
+    assert len(kept_approx - kept_exact) <= 0.05 * len(exact)
+
+
+def test_t11_approx_plan_has_no_window(spark, sf_dir):
+    """Plan audit: the approx path must contain NO window operator (the
+    hot-partition shape it exists to avoid) and must broadcast the
+    threshold table; the exact path is the one with the window."""
+    from muopdb_spark.operators.quality import quality_percentile_by_source
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    approx_plan = quality_percentile_by_source(
+        docs, keep_frac=0.7, approx=True
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in approx_plan
+    assert "BroadcastHashJoin" in approx_plan
+    exact_plan = quality_percentile_by_source(
+        docs, keep_frac=0.7
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in exact_plan

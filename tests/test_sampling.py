@@ -216,3 +216,97 @@ def test_temperature_mixture_alpha_extremes(spark):
         ).select("lang", "quota").distinct().collect()
     }
     assert uni == {"big": 10, "small": 10}
+
+
+def test_temperature_mixture_hash_membership(spark):
+    """The map-side hash-threshold membership form: exact keep-all where
+    quota = n_s, expectation-correct composition elsewhere, membership
+    identical to the reference md5 rule, deterministic across
+    partitionings."""
+    from muopdb_spark.operators.sampling import temperature_mixture
+
+    sizes = {"a": 400, "b": 100, "c": 25}
+    rows, i = [], 0
+    for s, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, s))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kw = dict(strata_col="lang", key_col="doc_id", alpha=0.0, total_rows=2000)
+    # alpha=0, total 2000 -> each stratum wants 666; all three capped at
+    # n_s (fraction 1.0 -> keep-all, exactly matching the rank form)
+    out = temperature_mixture(df, membership="hash", **kw).collect()
+    rank = temperature_mixture(df, membership="rank", **kw).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.lang, set()).add(r.doc_id)
+    rby = {}
+    for r in rank:
+        rby.setdefault(r.lang, set()).add(r.doc_id)
+    assert by["a"] == rby["a"] and len(by["a"]) == 400  # quota = n -> identical
+    assert by["b"] == rby["b"] and len(by["b"]) == 100
+    assert by["c"] == rby["c"] and len(by["c"]) == 25
+
+    # fractional quotas: membership follows the md5 threshold rule
+    out2 = temperature_mixture(
+        df, strata_col="lang", key_col="doc_id", alpha=0.5,
+        total_rows=200, membership="hash",
+    ).collect()
+    fr = {r.lang: r.fraction for r in out2}
+    for s, n in sizes.items():
+        frac = fr[s]
+        ids = [r[0] for r in rows if r[1] == s]
+        expect = _expected_keys(ids, frac)
+        got = {r.doc_id for r in out2 if r.lang == s}
+        # boundary: in-plan double compare vs int truncation can differ
+        # by at most the single key sitting on floor(frac * 2^32)
+        assert len(got ^ expect) <= 1
+        # composition is expectation-correct (loose 3-sigma-ish bound)
+        import math
+        assert abs(len(got) - frac * n) <= 3 * math.sqrt(n) + 1
+
+    # partition-invariance
+    again = {
+        r.doc_id
+        for r in temperature_mixture(
+            df.repartition(13), strata_col="lang", key_col="doc_id",
+            alpha=0.5, total_rows=200, membership="hash",
+        ).collect()
+    }
+    assert again == {r.doc_id for r in out2}
+
+
+def test_temperature_mixture_hash_plan_has_no_rank_window(spark):
+    """Plan audit: hash membership must put NO window over the data
+    side — the quota arithmetic's window runs over the tiny per-stratum
+    count table only, and the corpus side is a broadcast-join + filter.
+    The rank form is the one with the corpus-side row_number window."""
+    from muopdb_spark.operators.sampling import temperature_mixture
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(60)],
+        "doc_id long, lang string",
+    )
+    kw = dict(strata_col="lang", key_col="doc_id", alpha=0.5, total_rows=30)
+    hash_plan = temperature_mixture(
+        df, membership="hash", **kw
+    )._jdf.queryExecution().executedPlan().toString()
+    rank_plan = temperature_mixture(
+        df, membership="rank", **kw
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" not in hash_plan
+    assert "row_number" in rank_plan
+    # the corpus side joins via broadcast in both; the hash form's only
+    # windows are over the aggregated count table (sum of pow), never
+    # keyed by the stratum column
+    assert "BroadcastHashJoin" in hash_plan
+
+
+def test_temperature_mixture_bad_membership(spark):
+    from muopdb_spark.operators.sampling import temperature_mixture
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, lang string")
+    with pytest.raises(ValueError):
+        temperature_mixture(
+            df, strata_col="lang", key_col="doc_id", membership="nope"
+        )
