@@ -71,6 +71,22 @@ class CollectionConfig:
     # parquet-mr writer contract (expected distinct doc_ids per file).
     bloom_filter_ndv: int = 100_000
 
+    def validate(self) -> None:
+        """Reject config combinations whose search results would be
+        silently wrong. quantizer='sq' decodes to an L2-range estimate
+        (sq_est_score_cols is always an L2 distance), so under 'dot' or
+        'cosine' the candidate ranking is a DIFFERENT metric: rerank
+        recovers ordering only if containment happens to hold, and
+        without rerank the returned score IS the wrong metric. Refuse
+        at create/build time instead."""
+        if self.quantizer == "sq" and self.metric not in ("l2", "l2_squared"):
+            raise ValueError(
+                "quantizer='sq' supports only l2/l2_squared metrics (the SQ "
+                f"candidate estimator is an L2 distance); got metric="
+                f"{self.metric!r} — use quantizer='pq' or 'rabitq' for "
+                "dot/cosine collections"
+            )
+
     def to_json(self) -> str:
         return json.dumps(asdict(self), indent=2, sort_keys=True)
 
@@ -113,6 +129,42 @@ def _atomic_write(path: str, content: str) -> None:
     os.replace(tmp, path)  # atomic on POSIX — the TOC version swap
 
 
+def _swap_parquet_dir(df, path: str):
+    """Crash-safe replacement of the parquet DIRECTORY at `path` (the
+    directory analog of _atomic_write): write the new table to a
+    uniquely-named sibling, then two-rename swap (current -> .old,
+    new -> current) and drop .old. The only non-atomic window is
+    between the two renames, and _read_swapped_parquet recovers it from
+    .old; a crash during the write leaves only a stale .swap-* sibling,
+    which the next swap or read cleans up."""
+    import shutil
+    import uuid
+
+    tmp = f"{path}.swap-{uuid.uuid4().hex}"
+    df.write.mode("overwrite").parquet(tmp)
+    old = path + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _read_swapped_parquet(spark: SparkSession, path: str):
+    """Read a _swap_parquet_dir-managed directory, recovering from a
+    crash inside the swap window (current missing, .old present ->
+    restore .old) and sweeping any stale .swap-* staging siblings."""
+    import glob
+    import shutil
+
+    old = path + ".old"
+    if not os.path.isdir(path) and os.path.isdir(old):
+        os.rename(old, path)
+    for stale in glob.glob(path + ".swap-*"):
+        shutil.rmtree(stale, ignore_errors=True)
+    return spark.read.parquet(path)
+
+
 class Collection:
     """One collection = one directory tree + a SparkSession."""
 
@@ -142,6 +194,7 @@ class Collection:
     @classmethod
     def create(cls, spark: SparkSession, root: str, config: CollectionConfig) -> "Collection":
         """S1 CreateCollection: persist config + empty TOC version_0."""
+        config.validate()
         col = cls(spark, root, config)
         if os.path.exists(col._config_path()):
             raise ValueError(f"collection {config.name!r} already exists")
@@ -624,6 +677,7 @@ class Collection:
         the reference's per-segment training — so codes from different
         segments score against one table and cross-segment merges need
         no re-encoding). Trained once over a sample, persisted, reused."""
+        self.config.validate()  # pre-existing collections: guard at build time
         if self.config.quantizer == "pq":
             from muopdb_spark.index.pq import PqCodebook, train_pq
 
@@ -645,14 +699,14 @@ class Collection:
             from muopdb_spark.index.sq import train_sq_per_user
 
             path = os.path.join(self.root, "sq_codebook")
-            if os.path.isdir(path):
-                return self.spark.read.parquet(path)
+            if os.path.isdir(path) or os.path.isdir(path + ".old"):
+                return _read_swapped_parquet(self.spark, path)
             cb_df = train_sq_per_user(
                 self.docs(with_tombstones=True),
                 user_col="user_id", vec_col="vector",
             )
-            cb_df.write.mode("overwrite").parquet(path)
-            return self.spark.read.parquet(path)
+            _swap_parquet_dir(cb_df, path)
+            return _read_swapped_parquet(self.spark, path)
         else:  # rabitq
             from muopdb_spark.index.rabitq import RabitQCodebook, train_rabitq
 
@@ -722,10 +776,13 @@ class Collection:
                             )
                             codebook = codebook.unionByName(extra)
                             path = os.path.join(self.root, "sq_codebook")
-                            codebook.write.mode("overwrite").parquet(path + ".tmp")
-                            tmp_df = self.spark.read.parquet(path + ".tmp")
-                            tmp_df.write.mode("overwrite").parquet(path)
-                            codebook = self.spark.read.parquet(path)
+                            # localCheckpoint pins the union (it reads
+                            # the directory being replaced) before the
+                            # crash-safe two-rename swap of the
+                            # authoritative root table
+                            codebook = codebook.localCheckpoint(eager=True)
+                            _swap_parquet_dir(codebook, path)
+                            codebook = _read_swapped_parquet(self.spark, path)
                         idx.postings = (
                             idx.postings.join(F.broadcast(codebook), "user_id")
                             .withColumn(
@@ -861,13 +918,13 @@ class Collection:
 
                 # authoritative per-user table lives at the collection
                 # root (a per-segment copy may predate users added by
-                # later segments' codebook extension)
-                codebook = self.spark.read.parquet(
-                    os.path.join(self.root, "sq_codebook"))
+                # later segments' codebook extension); swap-aware read
+                # recovers a crashed mid-swap directory
+                codebook = _read_swapped_parquet(
+                    self.spark, os.path.join(self.root, "sq_codebook"))
                 scan = scan.join(F.broadcast(codebook), "user_id")
                 adc = sq_est_score_cols(
-                    query_vector, F.col("mins"), F.col("scales"),
-                    len(query_vector),
+                    query_vector, F.col("mins"), F.col("scales")
                 )
             else:
                 from muopdb_spark.index.pq import pq_adc_score

@@ -73,7 +73,12 @@ def build_two_level(
     seed: int = 42,
     training_sample: int = 20_000,
 ) -> TwoLevelIvf:
-    """Cluster the centroid table into meta-cells (default sqrt(k)).
+    """Cluster the centroid table into meta-cells (default sqrt(k),
+    where k is the FULL centroid count — not the bounded Lloyd's
+    training sample, so a 10^6-centroid table still gets ~10^3
+    meta-cells even though Lloyd's trains on 20k of them; the count is
+    read from the one-row sample-collection job's side, costing one
+    extra count() action at build time only).
 
     Lloyd's trains on a bounded deterministic sample (lowest
     centroid_id first — arbitrary ids, so unbiased w.r.t. geometry);
@@ -91,7 +96,18 @@ def build_two_level(
         cents.orderBy("centroid_id").limit(int(training_sample)).collect()
     )
     X = np.array([r.cvec for r in sample], dtype=np.float64)
-    mk = meta_k if meta_k is not None else max(1, int(math.sqrt(len(sample))))
+    if meta_k is not None:
+        mk = meta_k
+    else:
+        # sqrt of the FULL table; the sample length is only a floor of
+        # it when the table exceeds training_sample
+        total = (
+            len(sample) if len(sample) < int(training_sample)
+            else cents.count()
+        )
+        mk = max(1, int(math.sqrt(total)))
+    # Lloyd's cannot produce more centers than training points
+    mk = min(mk, max(1, len(sample)))
     centers = lloyd(X, mk, seed=seed)
     if spherical:
         centers = centers / np.maximum(

@@ -351,10 +351,9 @@ def multi_ivf_search_users(
             # per-user codebooks: join the (user_id, mins, scales)
             # table (broadcast — 2*dim doubles per user) so each row
             # estimates in ITS OWN user's quantization range
-            dim = len(query_vector)
             scan = scan.join(F.broadcast(index.codebook), "user_id")
             approx = sq_est_score_cols(
-                query_vector, F.col("mins"), F.col("scales"), dim
+                query_vector, F.col("mins"), F.col("scales")
             )
         else:  # rabitq
             from muopdb_spark.index.rabitq import rabitq_est_score
@@ -502,10 +501,9 @@ def multi_ivf_search_batch(
         elif index.quantizer == "sq":
             from muopdb_spark.index.sq import sq_est_score_cols
 
-            dim = index.codebook.select(F.size("mins")).first()[0]
             cand = cand.join(F.broadcast(index.codebook), "user_id")
             approx = sq_est_score_cols(
-                F.col("qv"), F.col("mins"), F.col("scales"), dim
+                F.col("qv"), F.col("mins"), F.col("scales")
             )
         else:  # rabitq
             from muopdb_spark.index.rabitq import rabitq_est_score_batch

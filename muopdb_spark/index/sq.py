@@ -221,7 +221,7 @@ def sq_encode_cols(vec: Column, mins: Column, scales: Column, dim: int) -> Colum
     )
 
 
-def sq_est_score_cols(query_vector, mins: Column, scales: Column, dim: int) -> Column:
+def sq_est_score_cols(query_vector, mins: Column, scales: Column) -> Column:
     """Estimated L2 with per-row codebook columns: one JVM fold over
     (q_i - (min_i + code_i*scale_i))^2.  zip_with-shaped for the same
     single-evaluation reason as sq_est_score.  `query_vector` may be a

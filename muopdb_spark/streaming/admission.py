@@ -74,9 +74,12 @@ def admit_batch(
     expression, so the gate adds zero shuffles to the round), then
     intra-batch dedup (keep the lowest id of any near-dup pair), then
     cross dedup vs the artifact; append admitted text + signatures,
-    record rejections. Quality-gating BEFORE signing also skips the
-    minhash cost for rejected docs — cheapest filter first, the
-    standard curation ordering."""
+    record EVERY rejection to rejected_path — quality-gated docs with
+    reason='quality' (corpus_id/jaccard null), dedup-rejected docs with
+    reason='duplicate' and the corpus doc they matched — so the audit
+    trail accounts for the whole batch. Quality-gating BEFORE signing
+    also skips the minhash cost for rejected docs — cheapest filter
+    first, the standard curation ordering."""
     spark = batch_df.sparkSession
     batch_df = batch_df.localCheckpoint(eager=True)
     if quality_min is not None:
@@ -87,6 +90,16 @@ def admit_batch(
             .filter(F.col("quality") >= F.lit(float(quality_min)))
             .select(id_col)
         )
+        quality_rejected = batch_df.join(ok, id_col, "left_anti").select(
+            F.col(id_col).cast("long").alias("new_id"),
+            F.lit(None).cast("long").alias("corpus_id"),
+            F.lit(None).cast("double").alias("est_jaccard"),
+            F.lit(None).cast("double").alias("jaccard"),
+            F.lit("quality").alias("reason"),
+            F.lit(batch_id).cast("long").alias("batch_id"),
+        )
+        if not quality_rejected.isEmpty():
+            quality_rejected.write.mode("append").parquet(rejected_path)
         batch_df = batch_df.join(ok, id_col, "left_semi").localCheckpoint(
             eager=True
         )
@@ -109,14 +122,22 @@ def admit_batch(
         num_hashes=num_hashes, bands=bands, threshold=threshold,
         sig=bsig,
     )
-    # materialize the (small) intra rejection list: its plan embeds the
+    # materialize the (small) intra rejection pairs: the plan embeds the
     # full intra LSH band-join + exact-Jaccard verify subtree, and it
-    # feeds the batch anti-join AND the bsig anti-join — without the
-    # pin that subtree re-executes once per downstream consumer (~3x
-    # inside incremental_minhash_pairs plus the signature append)
-    intra_rejected = intra.select(
-        F.col("doc_b").alias("id")
-    ).distinct().localCheckpoint(eager=True)
+    # feeds the batch anti-join, the bsig anti-join, AND the audit
+    # record — without the pin that subtree re-executes once per
+    # downstream consumer (~3x inside incremental_minhash_pairs plus
+    # the signature append)
+    intra = intra.localCheckpoint(eager=True)
+    intra_rejected = intra.select(F.col("doc_b").alias("id")).distinct()
+    if not intra.isEmpty():
+        intra.select(
+            F.col("doc_b").cast("long").alias("new_id"),
+            F.col("doc_a").cast("long").alias("corpus_id"),
+            "est_jaccard", "jaccard",
+            F.lit("intra_duplicate").alias("reason"),
+            F.lit(batch_id).cast("long").alias("batch_id"),
+        ).write.mode("append").parquet(rejected_path)
     batch_df = batch_df.join(
         intra_rejected.select(F.col("id").alias(id_col)),
         on=id_col, how="left_anti",
@@ -146,9 +167,13 @@ def admit_batch(
         cross_rejected.select(F.col(id_col).alias("id")),
         on="id", how="left_anti",
     ).drop("sh").write.mode("append").parquet(sig_path)
-    dups.withColumn("batch_id", F.lit(batch_id)).write.mode(
-        "append"
-    ).parquet(rejected_path)
+    dups.select(
+        F.col("new_id").cast("long"),
+        F.col("corpus_id").cast("long"),
+        "est_jaccard", "jaccard",
+        F.lit("duplicate").alias("reason"),
+        F.lit(batch_id).cast("long").alias("batch_id"),
+    ).write.mode("append").parquet(rejected_path)
 
 
 def stream_admission(

@@ -194,3 +194,58 @@ def test_collection_sq_quantizer_end_to_end(spark, tmp_path):
         ).collect()
     ]
     assert len(got) == 5 and all(700 <= i < 715 for i in got)
+
+
+def test_sq_rejects_non_l2_metric(spark, tmp_path):
+    """quantizer='sq' under dot/cosine would rank candidates by the
+    WRONG metric (the SQ estimator is an L2 distance) — the config
+    guard must refuse at create time and at build time for
+    pre-existing collections."""
+    import pytest
+
+    from muopdb_spark.catalog import Collection, CollectionConfig
+
+    with pytest.raises(ValueError, match="l2"):
+        Collection.create(spark, str(tmp_path / "bad"), CollectionConfig(
+            name="bad", num_features=4, quantizer="sq", metric="cosine",
+        ))
+    # l2_squared is fine (monotone in the estimate)
+    CollectionConfig(
+        name="ok", num_features=4, quantizer="sq", metric="l2_squared"
+    ).validate()
+
+
+def test_sq_codebook_swap_is_crash_recoverable(spark, tmp_path):
+    """The root sq_codebook parquet is replaced via a two-rename swap;
+    a crash INSIDE the swap window (current dir missing, .old present)
+    must be recovered by the swap-aware reader, and stale .swap-*
+    staging dirs must be swept."""
+    import os
+    import shutil
+
+    from muopdb_spark.catalog.collection import (
+        _read_swapped_parquet,
+        _swap_parquet_dir,
+    )
+
+    path = str(tmp_path / "sq_codebook")
+    df1 = spark.createDataFrame([(0, [0.0], [1.0])],
+                                "user_id long, mins array<double>, scales array<double>")
+    _swap_parquet_dir(df1, path)
+    assert {r.user_id for r in spark.read.parquet(path).collect()} == {0}
+
+    df2 = spark.createDataFrame([(0, [0.0], [1.0]), (1, [2.0], [3.0])],
+                                "user_id long, mins array<double>, scales array<double>")
+    _swap_parquet_dir(df2, path)
+    assert not os.path.isdir(path + ".old")  # swap cleaned up
+    assert {r.user_id for r in spark.read.parquet(path).collect()} == {0, 1}
+
+    # simulate a crash between the two renames: current gone, .old left
+    os.rename(path, path + ".old")
+    # plus a stale staging dir from a crashed write
+    os.makedirs(path + ".swap-deadbeef")
+    got = _read_swapped_parquet(spark, path)
+    assert {r.user_id for r in got.collect()} == {0, 1}
+    assert os.path.isdir(path) and not os.path.isdir(path + ".old")
+    assert not os.path.isdir(path + ".swap-deadbeef")
+    shutil.rmtree(str(tmp_path / "sq_codebook"), ignore_errors=True)

@@ -278,10 +278,16 @@ def test_stream_admission_incremental_dedup(spark, tmp_path):
     sig_ids = {r["id"] for r in spark.read.parquet(sig_path).collect()}
     assert sig_ids == corpus_ids
     rejected = {
-        (r["new_id"], r["corpus_id"], r["batch_id"])
+        (r["new_id"], r["corpus_id"], r["batch_id"], r["reason"])
         for r in spark.read.parquet(rejected_path).collect()
     }
-    assert rejected == {(10, 1, 0), (20, 11, 1)}
+    # the audit trail accounts for EVERY rejected doc, including the
+    # intra-batch near-dup (22 vs 21) that the dedup itself resolves
+    assert rejected == {
+        (10, 1, 0, "duplicate"),
+        (20, 11, 1, "duplicate"),
+        (22, 21, 1, "intra_duplicate"),
+    }
 
 
 def test_admit_batch_is_callable_in_batch_mode(spark, tmp_path):
@@ -305,3 +311,41 @@ def test_admit_batch_is_callable_in_batch_mode(spark, tmp_path):
     assert {r["doc_id"] for r in spark.read.parquet(corpus_path).collect()} == {1, 6}
     rej = spark.read.parquet(rejected_path).collect()
     assert [(r["new_id"], r["corpus_id"], r["batch_id"]) for r in rej] == [(5, 1, 7)]
+
+
+def test_admit_batch_quality_rejections_recorded(spark, tmp_path):
+    """Quality-gated docs must land in the audit parquet with
+    reason='quality' (null corpus_id/jaccard) — including when the
+    WHOLE batch fails the gate and the round admits nothing."""
+    from muopdb_spark.streaming.admission import admit_batch, bootstrap_corpus
+
+    good = "the quick brown fox jumps over the lazy dog every single day"
+    junk = "zzzz 1234 @@@@ #### !!!! %%%% ^^^^ &&&& **** (((( ))))"
+    corpus_path = str(tmp_path / "c")
+    sig_path = str(tmp_path / "s")
+    rejected_path = str(tmp_path / "r")
+    bootstrap_corpus(
+        spark.createDataFrame([(1, good)], "doc_id long, text string"),
+        corpus_path, sig_path,
+    )
+    batch = spark.createDataFrame(
+        [(5, "words like these read fine and pass a lenient quality gate"),
+         (6, junk)],
+        "doc_id long, text string",
+    )
+    admit_batch(batch, 3, corpus_path, sig_path, rejected_path,
+                threshold=0.5, quality_min=0.2)
+    rej = {(r["new_id"], r["corpus_id"], r["reason"], r["batch_id"])
+           for r in spark.read.parquet(rejected_path).collect()}
+    assert (6, None, "quality", 3) in rej
+    assert {r["doc_id"] for r in spark.read.parquet(corpus_path).collect()} == {1, 5}
+
+    # an all-rejected batch still leaves an audit record, then admits 0
+    admit_batch(
+        spark.createDataFrame([(9, junk)], "doc_id long, text string"),
+        4, corpus_path, sig_path, rejected_path,
+        threshold=0.5, quality_min=0.2,
+    )
+    rej2 = spark.read.parquet(rejected_path).filter("batch_id = 4").collect()
+    assert [(r["new_id"], r["reason"]) for r in rej2] == [(9, "quality")]
+    assert {r["doc_id"] for r in spark.read.parquet(corpus_path).collect()} == {1, 5}
