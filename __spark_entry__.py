@@ -2492,24 +2492,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v1_knn_l2": q_knn_l2,
         "f1_filter_and_or_ids": q_filter_and_or_ids,
         "f6_filter_multi_token": q_filter_multi_token,
-        "t2_multilang_stem_index": q_multilang_stem_index,
+        # r7 rotation (docs/ROTATION.md): the r6-parked six (f7, d4,
+        # t4, s1, o2, j2) swap back in as planned, parking the
+        # now-witnessed r6 six (p5, j8, v24, v25, w5, smp4 — all
+        # driver-green r6); AND the five oracle-able r6-new extras
+        # (pipe1, t11, smp5, v26, w6) get first driver rows by parking
+        # five multiply-witnessed rows for one round
+        # (t2_multilang_stem_index, d1_dedup_exact, a1_doc_counts,
+        # o1_topk_orders, src1_jsonl_roundtrip — each family keeps an
+        # in-window witness; see the ledger for the swap-back plan).
+        "f7_filter_not_contains": q_filter_not_contains,
+        "d4_dedup_simhash": q_dedup_simhash,
+        "t4_u128_ids": q_u128_ids,
+        "s1_set_ops": q_set_ops,
+        "o2_topn_per_group": q_topn_per_group,
+        "j2_tpch_q3": q_tpch_q3,
+        "pipe1_curation_manifest": q_curation_manifest,
+        "t11_quality_calibrated": q_quality_calibrated,
+        "smp5_temperature_mixture": q_temperature_mixture,
+        "v26_ivf_sq_rerank": q_ivf_sq_rerank,
+        "w6_stream_quality_admission": q_stream_quality_admission,
         # t2_contains_stemmed_ru rotated to extra_queries() in late r5
-        # (stemming family witnessed in-window by t2_multilang_stem_index,
-        # which indexes all 19 languages; driver-green r1-r4) to free a
+        # (stemming family witnessed by the t2 family, which indexes
+        # all 19 languages; driver-green r1-r4) to free a
         # slot for t9_lm_perplexity's first driver row — LM scoring is a
         # NEW operator family with no other window witness.
         "t9_lm_perplexity": q_lm_perplexity,
-        # r6 rotation: f7/d4/t4/s1/o2/j2 — each family multiply
-        # witnessed (filter algebra by f1/f6, dedup hashing by d1/d3/d5,
-        # ids/set/topn/join by t1/s3/o1/j6 kin) and driver-green 5
-        # straight rounds — moved to extra_queries() so the six
-        # oracle-able r5-new operators (p5, j8, v24, v25, w5, smp4) get
-        # their first driver rows; swap back in r7.
-        "a1_doc_counts": q_doc_counts,
-        "o1_topk_orders": q_topk_orders,
         "agg_pricing_summary": q_pricing_summary,
         "w_events_hourly": q_events_hourly,
-        "d1_dedup_exact": q_dedup_exact,
         "d2_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "d3_dedup_minhash_lsh": q_dedup_minhash_lsh,
         "d5_dedup_embedding_cosine": q_dedup_embedding,
@@ -2520,14 +2530,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v11_pq_adc_rerank": q_pq_adc_rerank,
         "v13_rabitq_rerank": q_rabitq_rerank,
         "x1_lsh_near_dup": q_lsh_near_dup,
-        # r6 rotation (see the a1 comment): first driver rows for the
-        # six oracle-able operators added in r5.
-        "p5_rag_chunks": q_rag_chunks,
-        "j8_skew_salted_join": q_skew_salted_join,
-        "v24_sq8_rerank": q_sq8_rerank,
-        "v25_two_level_probe": q_two_level_probe,
-        "w5_stream_admission": q_stream_admission,
-        "smp4_token_mixture": q_token_mixture,
         # h1_hybrid_search rotated to extra_queries() in r5 (hybrid
         # family witnessed by h2 + h3; driver-green r1-r4) to free a
         # slot for d7_incremental_minhash's first driver row.
@@ -2557,7 +2559,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c1_contamination_ngram": q_contamination,
         "p1_pii_scrub": q_pii_scrub,
         "p2_sequence_pack": q_sequence_pack,
-        "src1_jsonl_roundtrip": q_jsonl_roundtrip,
         "t5_repetition_stats": q_repetition_stats,
         "d6_dup_clusters": q_dup_clusters,
         "t6_bm25": q_bm25,
@@ -2625,38 +2626,27 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # both driver-green r1-r4.
         "t2_contains_stemmed_ru": q_contains_stemmed_ru,
         "j7_range_count_join": q_range_count_join,
-        # r6 rotation: driver-green r1-r5, families multiply witnessed
-        # in-window (see queries() comments); parked here this round so
-        # p5/j8/v24/v25/w5/smp4 get first driver rows — swap back in r7.
-        "f7_filter_not_contains": q_filter_not_contains,
-        "d4_dedup_simhash": q_dedup_simhash,
-        "t4_u128_ids": q_u128_ids,
-        "s1_set_ops": q_set_ops,
-        "o2_topn_per_group": q_topn_per_group,
-        "j2_tpch_q3": q_tpch_q3,
+        # r7 rotation, parked per docs/ROTATION.md: the r6 six (each
+        # driver-green r6) plus five multiply-witnessed long-green rows
+        # (each family keeps an in-window witness: stemming via
+        # t2_contains_stemmed_* + f6, dedup via d2/d3/d5/d6/d7, aggs
+        # via agg_pricing_summary, top-k via o2/v1, sources via
+        # s3/src2) so pipe1/t11/smp5/v26/w6 get first driver rows.
+        "p5_rag_chunks": q_rag_chunks,
+        "j8_skew_salted_join": q_skew_salted_join,
+        "v24_sq8_rerank": q_sq8_rerank,
+        "v25_two_level_probe": q_two_level_probe,
+        "w5_stream_admission": q_stream_admission,
+        "smp4_token_mixture": q_token_mixture,
+        "t2_multilang_stem_index": q_multilang_stem_index,
+        "d1_dedup_exact": q_dedup_exact,
+        "a1_doc_counts": q_doc_counts,
+        "o1_topk_orders": q_topk_orders,
+        "src1_jsonl_roundtrip": q_jsonl_roundtrip,
         # r6: the self-contained train+score witness for the quality
         # classifier (the benched/served t10 path now loads the durable
         # coefficient artifact). No oracle by design, like t10.
         "t10b_quality_train_self": q_quality_train_self,
-        # NEW in r6: the composed curation pipeline manifest — each
-        # stage consumes the previous stage's survivors, and the
-        # oracle replays the whole chain as one CTE pipeline, so a
-        # green row witnesses the COMPOSITION (candidate for a future
-        # window rotation).
-        "pipe1_curation_manifest": q_curation_manifest,
-        # NEW in r6: per-source quality-percentile calibration (the
-        # domain-fair top-X%-per-source filter).
-        "t11_quality_calibrated": q_quality_calibrated,
-        # NEW in r6: temperature-based mixture sampling (mT5/XLM-R
-        # n^alpha composition, deterministic hash-order quotas).
-        "smp5_temperature_mixture": q_temperature_mixture,
-        # NEW in r6: IVF with in-scan SQ8 scoring (completes the
-        # quantizer-by-index matrix; exact via full probe + rerank,
-        # brute-force oracle).
-        "v26_ivf_sq_rerank": q_ivf_sq_rerank,
-        # NEW in r6: quality-gated streaming admission (w5 + the t2
-        # quality pre-gate, oracle replays the gate symbolically).
-        "w6_stream_quality_admission": q_stream_quality_admission,
         # NEW in r5: SemDeDup semantic dedup (no oracle by design —
         # k-means assignment is not SQL-derivable; brute-force-refereed
         # in tests/test_semdedup.py).
