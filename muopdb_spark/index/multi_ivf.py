@@ -170,6 +170,23 @@ def build_multi_ivf(
             num_centers=pq_centers, training_sample=pq_training_sample, seed=seed,
         )
         postings = pq_encode(postings, codebook, vec_col="vector")
+    elif quantizer == "pq_user":
+        # PER-USER PQ codebooks — the PQ analog of the per-user SQ
+        # mitigation, closing the measured minority-user recall skew on
+        # the quantizer that showed it (tools/pq_recall_skew.py:
+        # rerank40 recall@10 0.883 vs 0.975 under the shared codebook).
+        # Training is the bounded per-user grouped fit; encoding is a
+        # salted cogroup so no codebook ever rides on a row.
+        from muopdb_spark.index.pq import pq_encode_per_user, train_pq_per_user
+
+        codebook = train_pq_per_user(
+            base, user_col="user_id", vec_col="vector",
+            num_subvectors=pq_subvectors, num_centers=pq_centers,
+            training_sample=pq_training_sample, seed=seed,
+        ).persist()
+        postings = pq_encode_per_user(
+            postings, codebook, user_col="user_id", vec_col="vector"
+        )
     elif quantizer == "rabitq":
         from muopdb_spark.index.rabitq import rabitq_encode, train_rabitq
 
@@ -197,7 +214,8 @@ def build_multi_ivf(
             .drop("mins", "scales")
         )
     elif quantizer != "none":
-        raise ValueError(f"unknown quantizer {quantizer!r} (none|pq|rabitq|sq)")
+        raise ValueError(
+            f"unknown quantizer {quantizer!r} (none|pq|pq_user|rabitq|sq)")
     return MultiIvfIndex(
         centroids=centroids, postings=postings.persist(), metric=metric,
         codebook=codebook, quantizer=quantizer,
@@ -226,6 +244,9 @@ def multi_ivf_save(index: MultiIvfIndex, path: str) -> None:
         # per-user codebook is a (small) table, not a scalar artifact
         index.codebook.write.mode("overwrite").parquet(
             os.path.join(path, "sq_codebook"))
+    elif index.quantizer == "pq_user":
+        index.codebook.write.mode("overwrite").parquet(
+            os.path.join(path, "pq_codebook"))
     tmp = os.path.join(path, "meta.json.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)
@@ -252,6 +273,8 @@ def multi_ivf_load(spark, path: str) -> MultiIvfIndex:
         codebook = RabitQCodebook.from_json(json.dumps(meta["codebook"]))
     elif quant == "sq":
         codebook = spark.read.parquet(os.path.join(path, "sq_codebook"))
+    elif quant == "pq_user":
+        codebook = spark.read.parquet(os.path.join(path, "pq_codebook"))
     return MultiIvfIndex(
         centroids=spark.read.parquet(os.path.join(path, "centroids")),
         postings=spark.read.parquet(os.path.join(path, "postings")),
@@ -345,6 +368,17 @@ def multi_ivf_search_users(
             from muopdb_spark.index.pq import pq_adc_score
 
             approx = pq_adc_score(query_vector, index.codebook)
+        elif index.quantizer == "pq_user":
+            from muopdb_spark.index.pq import (
+                collect_pq_books,
+                pq_adc_score_per_user,
+            )
+
+            # one small collect bounded by the REQUEST's user list (the
+            # reference's per-user query loop, driver-side): each user
+            # scores against its own table
+            books = collect_pq_books(index.codebook, user_ids)
+            approx = pq_adc_score_per_user(query_vector, books)
         elif index.quantizer == "sq":
             from muopdb_spark.index.sq import sq_est_score_cols
 
@@ -498,6 +532,20 @@ def multi_ivf_search_batch(
             from muopdb_spark.index.pq import pq_adc_score_batch
 
             approx = pq_adc_score_batch(index.codebook)
+        elif index.quantizer == "pq_user":
+            from muopdb_spark.index.pq import (
+                collect_pq_books,
+                pq_adc_score_batch_per_user,
+            )
+
+            # bounded by the batch's DISTINCT users (one small collect
+            # of the request table's user column, then the codebook
+            # rows for those users only)
+            req_users = [
+                r["user_id"] for r in req.select("user_id").distinct().collect()
+            ]
+            books = collect_pq_books(index.codebook, req_users)
+            approx = pq_adc_score_batch_per_user(books)
         elif index.quantizer == "sq":
             from muopdb_spark.index.sq import sq_est_score_cols
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
@@ -214,3 +215,266 @@ def pq_search(
         .orderBy(F.col("score").asc_nulls_last(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------------
+def _stack_book(b) -> np.ndarray:
+    """One subvector's (k, d_sub) center matrix from whatever nesting
+    the source hands us — Arrow deserializes array<array<double>> as an
+    OBJECT ndarray of ndarrays, which np.asarray(dtype=float64) refuses
+    to stack."""
+    return np.stack([np.asarray(row, dtype=np.float64) for row in b])
+
+
+# PER-USER PQ codebooks (beyond the reference's per-collection binding,
+# rs/index/src/collection/mod.rs:145-149 — same motivation as
+# index/sq.train_sq_per_user): k-means center allocation follows
+# training mass, so a SHARED codebook quantizes an off-distribution
+# minority tenant coarsely (measured: tools/pq_recall_skew.py —
+# minority-user rerank40 recall@10 0.883 vs 0.975). Training one
+# codebook PER USER restores each tenant's full center budget at the
+# cost of m*k*d_sub floats per user.
+
+
+def train_pq_per_user(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    vec_col: str = "vector",
+    num_subvectors: int = 8,
+    num_centers: int = 16,
+    training_sample: int = 10_000,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Per-user PQ codebooks as a (user_id, books) table, where books =
+    array[m][k][d_sub] of doubles.
+
+    Scale shape (mirrors build_multi_ivf's per-user centroid training):
+    a DISTRIBUTED per-user pre-sample (seeded xxhash64 rank window,
+    bounded at training_sample rows per user) runs before the grouped
+    fit, so a whale user can never materialize its full vector set in
+    one Arrow batch; the fit itself is m seeded numpy Lloyd's runs per
+    user inside applyInPandas — one shuffle on user_id, driver memory
+    independent of user count."""
+    from pyspark.sql.window import Window
+
+    from muopdb_spark.index.kmeans import lloyd
+
+    base = df.select(
+        F.col(user_col).alias("user_id"),
+        F.col(vec_col).cast("array<double>").alias("vector"),
+        F.xxhash64(F.col(vec_col).cast("array<double>"), F.lit(seed)).alias("_h"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("_h").asc())
+    train = (
+        base.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= training_sample)
+        .drop("_rn", "_h")
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > training_sample:  # regression tripwire (see above)
+            raise AssertionError(
+                f"pq fit group for user {pdf['user_id'].iat[0]} has "
+                f"{len(pdf)} rows > training_sample={training_sample}"
+            )
+        user = int(pdf["user_id"].iat[0])
+        X = np.array(pdf["vector"].tolist(), dtype=np.float64)
+        dim = X.shape[1]
+        assert dim % num_subvectors == 0, (
+            f"dim {dim} not divisible by m={num_subvectors}")
+        d_sub = dim // num_subvectors
+        books = [
+            lloyd(X[:, m * d_sub:(m + 1) * d_sub], num_centers,
+                  seed=seed + 31 * user + m, max_iter=max_iter).tolist()
+            for m in range(num_subvectors)
+        ]
+        return pd.DataFrame({"user_id": [user], "books": [books]})
+
+    return train.groupBy("user_id").applyInPandas(
+        fit, schema="user_id long, books array<array<array<double>>>"
+    )
+
+
+def pq_encode_per_user(
+    df: DataFrame,
+    books_df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    vec_col: str = "vector",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Encode each row with ITS USER'S codebook: cogrouped
+    applyInPandas on (user_id, salt). The salt (hash of the vector,
+    `salt_buckets` buckets) bounds every Arrow group to ~1/salt_buckets
+    of the user's rows — the whale-user OOM guard the fit gets from
+    pre-sampling, applied to the full encode; the books side is
+    replicated once per salt (a tiny table). Joining books onto rows
+    instead would ship m*k*d_sub doubles PER ROW through Arrow —
+    typically 10-100x the vector itself — which is why this is a
+    cogroup, not a join. Output: df's columns + pq_code array<int>.
+
+    Coverage is validated UP FRONT (one small distinct-users anti-join)
+    because an exception raised mid-stream inside a cogrouped UDF — by
+    a group encountered after earlier groups already emitted batches —
+    kills the Arrow worker with an opaque 'connection reset' instead of
+    propagating; a build step should fail with the user id named."""
+    missing = (
+        df.select(F.col(user_col).alias("user_id")).distinct()
+        .join(
+            books_df.select(F.col(user_col).alias("user_id")).distinct(),
+            "user_id", "left_anti",
+        )
+        .limit(5)
+        .collect()
+    )
+    if missing:
+        raise ValueError(
+            "no PQ codebook for user(s) "
+            f"{sorted(r['user_id'] for r in missing)}; train_pq_per_user "
+            "must cover every encoded user"
+        )
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", pq_code array<int>"
+    cols = [f.name for f in df.schema.fields]
+    salted = df.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.col(vec_col).cast("array<double>")),
+               F.lit(salt_buckets)).cast("int"),
+    )
+    salts = salted.sparkSession.range(salt_buckets).select(
+        F.col("id").cast("int").alias("_salt"))
+    books_salted = books_df.withColumnRenamed(user_col, "user_id").crossJoin(
+        F.broadcast(salts))
+
+    def encode(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            # keep the Arrow-typed empty frame (an untyped object-dtype
+            # empty crashes the worker's Arrow serializer)
+            out = left[cols].copy()
+            out["pq_code"] = pd.Series([], dtype=object)
+            return out
+        if right.empty:  # unreachable: coverage validated up front
+            raise AssertionError(
+                f"no PQ codebook for user {left[user_col].iat[0]}"
+            )
+        books = [_stack_book(b) for b in right["books"].iat[0]]
+        d_sub = books[0].shape[1]
+        X = np.array(left[vec_col].tolist(), dtype=np.float64)
+        codes = np.empty((X.shape[0], len(books)), dtype=np.int32)
+        for m, cb in enumerate(books):
+            sub = X[:, m * d_sub:(m + 1) * d_sub]
+            d2 = (
+                (sub ** 2).sum(axis=1, keepdims=True)
+                - 2.0 * sub @ cb.T
+                + (cb ** 2).sum(axis=1)
+            )
+            codes[:, m] = np.argmin(d2, axis=1)
+        out = left[cols].copy()
+        out["pq_code"] = list(codes)
+        return out
+
+    return (
+        salted.groupBy(F.col(user_col), F.col("_salt"))
+        .cogroup(books_salted.groupBy("user_id", "_salt"))
+        .applyInPandas(encode, schema=out_schema)
+    )
+
+
+def collect_pq_books(
+    books_df: DataFrame, user_ids=None, *, user_col: str = "user_id"
+) -> dict[int, list[np.ndarray]]:
+    """Materialize the per-user books for a REQUEST's users only (the
+    driver-side analog of the reference's per-user query loop — cost
+    bounded by the request's user list, never the tenant population)."""
+    sel = books_df
+    if user_ids is not None:
+        sel = sel.filter(F.col(user_col).isin([int(u) for u in user_ids]))
+    return {
+        int(r[user_col]): [_stack_book(b) for b in r["books"]]
+        for r in sel.collect()
+    }
+
+
+def pq_adc_score_per_user(
+    query_vector,
+    books_by_user: dict[int, list[np.ndarray]],
+    *,
+    user_col: str = "user_id",
+    code_col: str = "pq_code",
+) -> Column:
+    """ADC with per-user codebooks: one m x k lookup table per
+    REQUESTED user precomputed driver-side (the closure ships only the
+    requested users' tables), scored by table gather per row keyed on
+    user_id. Rows of users absent from the dict score null (they
+    cannot win a top-k anyway and asc_nulls_last sorts them out)."""
+    q = np.asarray(query_vector, dtype=np.float64)
+    tables = {}
+    for user, books in books_by_user.items():
+        d_sub = books[0].shape[1]
+        tables[user] = [
+            ((cb - q[m * d_sub:(m + 1) * d_sub]) ** 2).sum(axis=1)
+            for m, cb in enumerate(books)
+        ]
+
+    @pandas_udf(DoubleType())
+    def adc(users, codes):
+        import pandas as pd
+
+        U = users.to_numpy()
+        C = np.array(codes.tolist(), dtype=np.int64)
+        out = np.full(len(U), np.nan, dtype=np.float64)
+        for user, table in tables.items():
+            mask = U == user
+            if not mask.any():
+                continue
+            d2 = np.zeros(int(mask.sum()), dtype=np.float64)
+            Cm = C[mask]
+            for m, row in enumerate(table):
+                d2 += row[Cm[:, m]]
+            out[mask] = np.sqrt(d2)
+        return pd.Series(out)
+
+    return adc(F.col(user_col), F.col(code_col))
+
+
+def pq_adc_score_batch_per_user(
+    books_by_user: dict[int, list[np.ndarray]],
+    *,
+    user_col: str = "user_id",
+    qv_col: str = "qv",
+    code_col: str = "pq_code",
+) -> Column:
+    """Batch-of-queries ADC with per-user codebooks: vectorized
+    residuals against the row's user's gathered centers, grouped by
+    user inside each Arrow batch."""
+    books_by_user = {
+        int(u): [_stack_book(b) for b in books]
+        for u, books in books_by_user.items()
+    }
+
+    @pandas_udf(DoubleType())
+    def adc(users, qvs, codes):
+        import pandas as pd
+
+        U = users.to_numpy()
+        Q = np.array(qvs.tolist(), dtype=np.float64)
+        C = np.array(codes.tolist(), dtype=np.int64)
+        out = np.full(len(U), np.nan, dtype=np.float64)
+        for user, books in books_by_user.items():
+            mask = U == user
+            if not mask.any():
+                continue
+            d_sub = books[0].shape[1]
+            Qm, Cm = Q[mask], C[mask]
+            d2 = np.zeros(Qm.shape[0], dtype=np.float64)
+            for m, cb in enumerate(books):
+                diff = Qm[:, m * d_sub:(m + 1) * d_sub] - cb[Cm[:, m]]
+                d2 += (diff * diff).sum(axis=1)
+            out[mask] = np.sqrt(d2)
+        return pd.Series(out)
+
+    return adc(F.col(user_col), F.col(qv_col).cast("array<double>"),
+               F.col(code_col))

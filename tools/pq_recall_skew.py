@@ -68,6 +68,12 @@ def main() -> None:
     sq_idx = build_multi_ivf(
         df, num_centroids=num_centroids, quantizer="sq", seed=42,
     )
+    # r7 mitigation on the quantizer that SHOWED the skew: PER-USER PQ
+    # codebooks (index/pq.train_pq_per_user, quantizer="pq_user")
+    pqu_idx = build_multi_ivf(
+        df, num_centroids=num_centroids, quantizer="pq_user",
+        pq_subvectors=8, pq_centers=32, seed=42,
+    )
     exact_idx = build_multi_ivf(df, num_centroids=num_centroids, seed=42)
 
     full_probe = dict(num_probes=num_centroids, centroid_distance_ratio=None)
@@ -75,6 +81,7 @@ def main() -> None:
     for user, vecs, n in ((0, dom, n_dom), (1, off, n_min)):
         qidx = rng.choice(n, n_queries, replace=False)
         recalls, rerank_recalls, sq_recalls = [], [], []
+        pqu_recalls, pqu_rerank_recalls = [], []
         for qi in qidx:
             q = [float(x) for x in vecs[qi]]
             truth = {
@@ -95,15 +102,33 @@ def main() -> None:
                 r["id"] for r in
                 multi_ivf_search(sq_idx, user, q, k, **full_probe).collect()
             }
+            pqu = {
+                r["id"] for r in
+                multi_ivf_search(pqu_idx, user, q, k, **full_probe).collect()
+            }
+            pqu_rr = {
+                r["id"] for r in
+                multi_ivf_search(
+                    pqu_idx, user, q, k, rerank=4 * k, **full_probe
+                ).collect()
+            }
             recalls.append(len(adc & truth) / k)
             rerank_recalls.append(len(rr & truth) / k)
             sq_recalls.append(len(sq & truth) / k)
+            pqu_recalls.append(len(pqu & truth) / k)
+            pqu_rerank_recalls.append(len(pqu_rr & truth) / k)
         out["users"][user] = {
             "adc_recall_at_10": round(float(np.mean(recalls)), 3),
             "adc_rerank40_recall_at_10": round(
                 float(np.mean(rerank_recalls)), 3
             ),
             "per_user_sq_recall_at_10": round(float(np.mean(sq_recalls)), 3),
+            "per_user_pq_adc_recall_at_10": round(
+                float(np.mean(pqu_recalls)), 3
+            ),
+            "per_user_pq_rerank40_recall_at_10": round(
+                float(np.mean(pqu_rerank_recalls)), 3
+            ),
         }
     out["skew_adc"] = round(
         out["users"][0]["adc_recall_at_10"]
