@@ -121,7 +121,9 @@ def write_vecs(df: DataFrame, path: str, *, kind: str = "fvecs",
     """Export a vector DataFrame to a single .fvecs/.bvecs/.ivecs file,
     id-ordered. Streams through toLocalIterator — one partition
     driver-resident at a time; a test/export utility (the serving path
-    is parquet), not a bulk sink. Returns the row count.
+    is parquet), not a bulk sink — use write_vecs_sharded for bulk
+    export (executors write part files; no driver bound). Returns the
+    row count.
 
     The format carries NO ids: a later read_vecs synthesizes them from
     file position, so ids are asserted contiguous here (0, 1, 2, ...) —
@@ -148,3 +150,156 @@ def write_vecs(df: DataFrame, path: str, *, kind: str = "fvecs",
             f.write(vec.astype(np.dtype(dtype).newbyteorder("<")).tobytes())
             n += 1
     return n
+
+
+def write_vecs_sharded(
+    df: DataFrame,
+    dir_path: str,
+    *,
+    kind: str = "fvecs",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    rows_per_shard: int = 65536,
+) -> dict:
+    """Distributed vecs export: EXECUTORS write one .{kind} part file
+    per contiguous id range (shard k holds ids [k*rows_per_shard,
+    (k+1)*rows_per_shard)), plus a manifest.json the sharded reader
+    consumes — this removes write_vecs' toLocalIterator driver bound
+    (the single-file writer stays for single-file compatibility).
+
+    Same id contract as write_vecs, validated DISTRIBUTED: each shard
+    task checks its group is exactly its expected id range (which,
+    with the driver-side check that shards 0..S-1 are all present and
+    all but the last full, proves global contiguity 0..n-1). The
+    directory must be on a shared filesystem in cluster mode — the
+    same assumption read_vecs already makes. Returns the manifest."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    if kind not in _KINDS:
+        raise ValueError(f"kind must be one of {sorted(_KINDS)}, got {kind!r}")
+    dtype, elem = _KINDS[kind]
+    os.makedirs(dir_path, exist_ok=True)
+    rps = int(rows_per_shard)
+    sharded = df.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        (F.col(id_col).cast("long") / rps).cast("long").alias("_shard"),
+    )
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["_shard"].iat[0])
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        start = shard * rps
+        if not (ids == np.arange(start, start + len(ids))).all():
+            raise ValueError(
+                f"shard {shard}: ids are not the contiguous range "
+                f"[{start}, {start + len(ids)}) — the vecs format carries "
+                "no ids; re-key with row_number() before export"
+            )
+        X = np.stack([
+            np.asarray(v, dtype=dtype) for v in pdf["embedding"].iloc[order]
+        ])
+        dim = X.shape[1]
+        rec = np.empty((len(ids), 4 + dim * elem), dtype=np.uint8)
+        rec[:, :4] = np.frombuffer(
+            struct.pack("<i", dim), dtype=np.uint8)
+        rec[:, 4:] = (
+            X.astype(np.dtype(dtype).newbyteorder("<"))
+            .view(np.uint8).reshape(len(ids), dim * elem)
+        )
+        fname = os.path.join(dir_path, f"part-{shard:05d}.{kind}")
+        tmp = fname + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(rec.tobytes())
+        os.replace(tmp, fname)
+        return pd.DataFrame({
+            "shard": [shard], "file": [os.path.basename(fname)],
+            "start": [start], "rows": [len(ids)], "dim": [dim],
+        })
+
+    parts = sorted(
+        (r["shard"], r["file"], r["start"], r["rows"], r["dim"])
+        for r in sharded.groupBy("_shard").applyInPandas(
+            write_shard,
+            "shard long, file string, start long, rows long, dim long",
+        ).collect()
+    )
+    if not parts:
+        raise ValueError("write_vecs_sharded: empty DataFrame")
+    dims = {p[4] for p in parts}
+    if len(dims) != 1:
+        raise ValueError(f"mixed vector dims across shards: {sorted(dims)}")
+    for i, p in enumerate(parts):
+        if p[0] != i or (i < len(parts) - 1 and p[3] != rps):
+            raise ValueError(
+                "shards do not form a contiguous full sequence: "
+                f"shard {p[0]} rows={p[3]} at position {i}"
+            )
+    manifest = {
+        "kind": kind, "dim": int(parts[0][4]), "rows_per_shard": rps,
+        "total_rows": int(sum(p[3] for p in parts)),
+        "shards": [
+            {"file": f, "start": int(s), "rows": int(n)}
+            for _, f, s, n, _ in parts
+        ],
+    }
+    tmp = os.path.join(dir_path, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2)
+    os.replace(tmp, os.path.join(dir_path, "manifest.json"))
+    return manifest
+
+
+def read_vecs_sharded(
+    spark: SparkSession,
+    dir_path: str,
+    *,
+    rows_per_task: int = 65536,
+) -> DataFrame:
+    """Distributed reader for a write_vecs_sharded directory: one
+    chunk-spec DataFrame over ALL shards (file, id range, byte range),
+    one mapInPandas — the same executor-pread shape as read_vecs, with
+    the file path riding on the spec row."""
+    import json
+
+    with open(os.path.join(dir_path, "manifest.json")) as f:
+        manifest = json.load(f)
+    kind, dim = manifest["kind"], int(manifest["dim"])
+    dtype, elem = _KINDS[kind]
+    rec = 4 + dim * elem
+    chunks = []
+    for sh in manifest["shards"]:
+        for off in range(0, int(sh["rows"]), rows_per_task):
+            rows = min(rows_per_task, int(sh["rows"]) - off)
+            chunks.append((sh["file"], int(sh["start"]) + off, off, rows))
+    spec = spark.createDataFrame(
+        chunks, "file string, id_start long, row_off long, rows long")
+
+    def _read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for fname, id_start, row_off, rows in zip(
+                b["file"], b["id_start"], b["row_off"], b["rows"]
+            ):
+                with open(os.path.join(dir_path, fname), "rb") as f:
+                    f.seek(int(row_off) * rec)
+                    raw = f.read(int(rows) * rec)
+                mat = np.frombuffer(raw, dtype=np.uint8).reshape(int(rows), rec)
+                dims = mat[:, :4].copy().view("<i4").ravel()
+                if not (dims == dim).all():
+                    raise ValueError(
+                        f"{fname}: record dim != manifest dim {dim}")
+                vals = (
+                    mat[:, 4:].copy().view(np.dtype(dtype).newbyteorder("<"))
+                    .astype(np.float32)
+                )
+                ids = np.arange(
+                    int(id_start), int(id_start) + int(rows), dtype=np.int64)
+                yield pd.DataFrame({"vec_id": ids, "embedding": list(vals)})
+
+    return (
+        spec.repartition("file", "id_start")
+        .mapInPandas(_read, "vec_id long, embedding array<float>")
+    )
