@@ -25,8 +25,6 @@ from pyspark.sql import functions as F  # noqa: E402
 from muopdb_spark.operators.contamination import contamination_report_split  # noqa: E402
 from muopdb_spark.operators.dedup import (  # noqa: E402
     exact_dedup,
-    incremental_minhash_pairs,
-    minhash_signature_df,
     ngram_jaccard_pairs,
     passage_dedup_stats,
 )
@@ -231,19 +229,33 @@ def main() -> None:
         #     retrieval passages (32-token windows, stride 24)
         n_chunks = chunk_documents(docs, size=32, overlap=8).count()
 
-        # 9. DAY 2: a new ingest batch arrives. Write the curated
-        #    corpus's signature artifact ONCE (fixed-width per doc),
-        #    then admit the batch against it — corpus text is only
-        #    re-read for verified candidates, never re-shingled.
-        sig_path = os.path.join(tmp, "corpus_sigs")
-        minhash_signature_df(docs).drop("sh").write.parquet(sig_path)
-        new_batch = raw.join(docs.select("doc_id"), "doc_id", "left_anti") \
-                       .orderBy("doc_id").limit(200)
-        dups = incremental_minhash_pairs(
-            new_batch, spark.read.parquet(sig_path), docs, threshold=0.8,
+        # 9. DAY 2: a new ingest batch arrives. Run the full
+        #    QUALITY-GATED admission round (w6 = w5 + the t2 composite
+        #    quality pre-gate, cheapest filter first): bootstrap the
+        #    corpus + signature artifact ONCE, then admit_batch gates on
+        #    quality, dedups intra-batch and against the artifact, and
+        #    records EVERY rejection (reason-tagged) in the audit
+        #    parquet. Same operator the stream serves via foreachBatch.
+        from muopdb_spark.streaming.admission import (
+            admit_batch,
+            bootstrap_corpus,
         )
+
+        day2_corpus = os.path.join(tmp, "corpus_admitted")
+        sig_path = os.path.join(tmp, "corpus_sigs")
+        rejected_path = os.path.join(tmp, "rejected")
+        bootstrap_corpus(docs.select("doc_id", "text"), day2_corpus, sig_path)
+        new_batch = raw.join(docs.select("doc_id"), "doc_id", "left_anti") \
+                       .orderBy("doc_id").limit(200) \
+                       .select("doc_id", "text")
         n_new = new_batch.count()
-        n_rejected = dups.select("new_id").distinct().count()
+        admit_batch(new_batch, 1, day2_corpus, sig_path, rejected_path,
+                    threshold=0.8, quality_min=0.2)
+        audit = spark.read.parquet(rejected_path) \
+            .groupBy("reason").count().collect() \
+            if os.path.exists(rejected_path) else []
+        reject_by_reason = {r["reason"]: r["count"] for r in audit}
+        n_rejected = sum(reject_by_reason.values())
 
         print(f"ingested={n0} exact_dedup={n1} near_dup={n2} "
               f"passage_dup={n2b} decontaminated={n3} quality={n5} "
@@ -252,7 +264,8 @@ def main() -> None:
               f"shards={n_shards_written} rag_chunks={n_chunks}")
         print(f"distilled classifier reproduces the rule-quality "
               f"verdicts on {agree:.0%} of docs")
-        print(f"day2: batch={n_new} near-dup-of-corpus={n_rejected} "
+        print(f"day2: batch={n_new} rejected={n_rejected} "
+              f"by_reason={reject_by_reason} "
               f"admitted={n_new - n_rejected}")
         print("sample sequence fill:",
               [(r.lang, r.seq_id, r.n_docs, r.sum_tokens)

@@ -79,12 +79,19 @@ class CollectionConfig:
         recovers ordering only if containment happens to hold, and
         without rerank the returned score IS the wrong metric. Refuse
         at create/build time instead."""
-        if self.quantizer == "sq" and self.metric not in ("l2", "l2_squared"):
+        if self.quantizer not in ("none", "pq", "pq_user", "rabitq", "sq"):
             raise ValueError(
-                "quantizer='sq' supports only l2/l2_squared metrics (the SQ "
-                f"candidate estimator is an L2 distance); got metric="
-                f"{self.metric!r} — use quantizer='pq' or 'rabitq' for "
-                "dot/cosine collections"
+                f"unknown quantizer {self.quantizer!r} "
+                "(none|pq|pq_user|rabitq|sq)"
+            )
+        if self.quantizer in ("sq", "pq_user") and self.metric not in (
+            "l2", "l2_squared"
+        ):
+            raise ValueError(
+                f"quantizer={self.quantizer!r} supports only l2/l2_squared "
+                "metrics (its candidate estimator is an L2 distance); got "
+                f"metric={self.metric!r} — use quantizer='pq' or 'rabitq' "
+                "for dot/cosine collections"
             )
 
     def to_json(self) -> str:
@@ -707,6 +714,24 @@ class Collection:
             )
             _swap_parquet_dir(cb_df, path)
             return _read_swapped_parquet(self.spark, path)
+        elif self.config.quantizer == "pq_user":
+            # PER-USER PQ codebooks, collection-scoped (the PQ analog of
+            # the sq table above — index/pq.train_pq_per_user); same
+            # swap-managed root artifact, same unseen-user extension in
+            # build_index.
+            from muopdb_spark.index.pq import train_pq_per_user
+
+            path = os.path.join(self.root, "pq_codebook")
+            if os.path.isdir(path) or os.path.isdir(path + ".old"):
+                return _read_swapped_parquet(self.spark, path)
+            cb_df = train_pq_per_user(
+                self.docs(with_tombstones=True),
+                user_col="user_id", vec_col="vector",
+                num_subvectors=self.config.pq_subvectors,
+                num_centers=self.config.pq_centers,
+            )
+            _swap_parquet_dir(cb_df, path)
+            return _read_swapped_parquet(self.spark, path)
         else:  # rabitq
             from muopdb_spark.index.rabitq import RabitQCodebook, train_rabitq
 
@@ -794,6 +819,32 @@ class Collection:
                                 ),
                             )
                             .drop("mins", "scales")
+                        )
+                    elif quant == "pq_user":
+                        from muopdb_spark.index.pq import (
+                            pq_encode_per_user,
+                            train_pq_per_user,
+                        )
+
+                        # unseen-user extension: same contract as sq
+                        missing = docs.select("user_id").distinct().join(
+                            codebook.select("user_id"), "user_id", "left_anti")
+                        if not missing.isEmpty():
+                            extra = train_pq_per_user(
+                                self.docs(with_tombstones=True).join(
+                                    missing, "user_id", "left_semi"),
+                                user_col="user_id", vec_col="vector",
+                                num_subvectors=self.config.pq_subvectors,
+                                num_centers=self.config.pq_centers,
+                            )
+                            codebook = codebook.unionByName(
+                                extra).localCheckpoint(eager=True)
+                            path = os.path.join(self.root, "pq_codebook")
+                            _swap_parquet_dir(codebook, path)
+                            codebook = _read_swapped_parquet(self.spark, path)
+                        idx.postings = pq_encode_per_user(
+                            idx.postings, codebook,
+                            user_col="user_id", vec_col="vector",
                         )
                     else:  # rabitq
                         from muopdb_spark.index.rabitq import rabitq_encode
@@ -926,6 +977,19 @@ class Collection:
                 adc = sq_est_score_cols(
                     query_vector, F.col("mins"), F.col("scales")
                 )
+            elif quant0 == "pq_user":
+                from muopdb_spark.index.pq import (
+                    collect_pq_books,
+                    pq_adc_score_per_user,
+                )
+
+                # same authoritative-root contract as sq; only the
+                # REQUESTED users' books are collected (driver cost
+                # bounded by the request's user list)
+                codebook = _read_swapped_parquet(
+                    self.spark, os.path.join(self.root, "pq_codebook"))
+                books = collect_pq_books(codebook, users)
+                adc = pq_adc_score_per_user(query_vector, books)
             else:
                 from muopdb_spark.index.pq import pq_adc_score
 

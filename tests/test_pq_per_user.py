@@ -128,3 +128,83 @@ def test_per_user_pq_missing_codebook_fails_loudly(spark, skewed):
     )
     with pytest.raises(Exception, match="no PQ codebook"):
         pq_encode_per_user(df, books).collect()
+
+
+def test_collection_pq_user_quantizer_end_to_end(spark, tmp_path):
+    """Collection-level quantizer='pq_user': insert -> flush ->
+    build_index (per-user codebook table at the collection root, codes
+    in the segment postings) -> ann_search with rerank == brute force;
+    a second segment introducing a NEW user must extend the codebook
+    table via the crash-safe swap."""
+    from muopdb_spark.catalog import Collection, CollectionConfig
+    from muopdb_spark.operators.knn import knn
+
+    root = str(tmp_path / "pqucol")
+    col = Collection.create(spark, root, CollectionConfig(
+        name="pquc", num_features=4, quantizer="pq_user", num_centroids=2,
+        pq_subvectors=2, pq_centers=8,
+    ))
+    rng = np.random.default_rng(11)
+    batch1 = spark.createDataFrame(
+        [(0, i, [float(x) for x in rng.uniform(0, 1, 4)]) for i in range(40)]
+        + [(1, 100 + i, [float(x) for x in rng.uniform(50, 50.2, 4)])
+           for i in range(20)],
+        "user_id long, doc_id long, vector array<double>",
+    )
+    col.insert(batch1)
+    col.flush()
+    col.build_index()
+
+    docs = col.docs()
+    for user in (0, 1):
+        qv = [float(x) for x in
+              docs.filter(F.col("user_id") == user).first()["vector"]]
+        got = [
+            (r.id, round(r.score, 6))
+            for r in col.ann_search(
+                [user], qv, 5, num_probes=2, centroid_distance_ratio=None,
+                rerank=30, score_decimals=6,
+            ).collect()
+        ]
+        want = [
+            (r.vec_id, round(r.score, 6))
+            for r in knn(
+                docs.filter(F.col("user_id") == user)
+                .withColumnRenamed("doc_id", "vec_id"),
+                qv, 5, vector_col="vector", score_decimals=6,
+            ).collect()
+        ]
+        assert got == want
+
+    # second segment with a brand-new user
+    batch2 = spark.createDataFrame(
+        [(7, 700 + i, [float(x) for x in rng.uniform(-9, -8.9, 4)])
+         for i in range(15)],
+        "user_id long, doc_id long, vector array<double>",
+    )
+    col.insert(batch2)
+    col.flush()
+    col.build_index()
+    cb = spark.read.parquet(root + "/pquc/pq_codebook")
+    assert {r.user_id for r in cb.select("user_id").collect()} == {0, 1, 7}
+    qv = [float(x) for x in
+          col.docs().filter(F.col("user_id") == 7).first()["vector"]]
+    got = [
+        r.id
+        for r in col.ann_search(
+            [7], qv, 5, num_probes=2, centroid_distance_ratio=None,
+            rerank=30, score_decimals=6,
+        ).collect()
+    ]
+    assert len(got) == 5 and all(700 <= i < 715 for i in got)
+
+
+def test_pq_user_rejects_non_l2_metric(spark, tmp_path):
+    from muopdb_spark.catalog import Collection, CollectionConfig
+
+    with pytest.raises(ValueError, match="l2"):
+        Collection.create(spark, str(tmp_path / "bad"), CollectionConfig(
+            name="bad", num_features=4, quantizer="pq_user", metric="dot",
+        ))
+    with pytest.raises(ValueError, match="unknown quantizer"):
+        CollectionConfig(name="x", num_features=4, quantizer="wat").validate()

@@ -22,6 +22,15 @@ Pipeline commands (operate on a documents parquet):
   python tools/query.py chunk --input docs.parquet --size 32 --overlap 8 --output chunks/
   python tools/query.py shard --input docs.parquet --n-shards 16 --output shards/
   python tools/query.py quality --input docs.parquet --keep-frac 0.7 --output kept/
+                                 # add --approx for the no-window scale path
+  python tools/query.py admit --input batch.parquet --state admission/ \
+      --threshold 0.8 --quality-min 0.35   # w6: quality-gated admission round
+                                 # (bootstraps state/ on first use; audit in
+                                 #  state/rejected)
+
+Collections accept the full quantizer matrix at create time:
+  python tools/query.py create --root /data --name memories \
+      --num-features 4 --quantizer sq      # none|pq|pq_user|rabitq|sq
 """
 
 from __future__ import annotations
@@ -33,7 +42,7 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 COLLECTION_CMDS = {"create", "insert", "remove", "search", "term-search", "stats", "optimize", "flush", "inspect"}
-PIPELINE_CMDS = {"dedup", "lm-score", "chunk", "shard", "quality"}
+PIPELINE_CMDS = {"dedup", "lm-score", "chunk", "shard", "quality", "admit"}
 
 
 def _pipeline(spark, args, ap) -> dict:
@@ -72,13 +81,54 @@ def _pipeline(spark, args, ap) -> dict:
 
         from muopdb_spark.operators.quality import quality_percentile_by_source
 
-        out = quality_percentile_by_source(df, keep_frac=args.keep_frac)
+        out = quality_percentile_by_source(
+            df, keep_frac=args.keep_frac, approx=args.approx
+        )
         kept = out.filter(F.col("keep")).count()
         result = {
             "docs": df.count(), "kept": kept, "keep_frac": args.keep_frac,
+            "mode": "approx" if args.approx else "exact",
         }
         if args.output:
             out = out.filter(F.col("keep"))
+    elif args.command == "admit":
+        import os
+
+        from muopdb_spark.streaming.admission import (
+            admit_batch,
+            bootstrap_corpus,
+        )
+
+        if not args.state:
+            ap.error("admit requires --state (admission state directory)")
+        corpus = os.path.join(args.state, "corpus")
+        sigs = os.path.join(args.state, "sigs")
+        rejected = os.path.join(args.state, "rejected")
+        batch = df.select("doc_id", "text")
+        if not os.path.isdir(sigs):
+            bootstrap_corpus(batch, corpus, sigs)
+            return {"bootstrapped": True, "docs": batch.count(),
+                    "state": args.state}
+        before = spark.read.parquet(corpus).count()
+        admit_batch(batch, args.batch_id, corpus, sigs, rejected,
+                    threshold=args.threshold, quality_min=args.quality_min)
+        after = spark.read.parquet(corpus).count()
+        audit = {}
+        if os.path.isdir(rejected):
+            from pyspark.sql import functions as F
+
+            # distinct docs per reason (the dedup reasons record one
+            # row PER MATCHED PAIR, so a doc matching two corpus docs
+            # has two audit rows)
+            audit = {
+                r["reason"]: r["n"]
+                for r in spark.read.parquet(rejected)
+                .filter(F.col("batch_id") == args.batch_id)
+                .groupBy("reason")
+                .agg(F.countDistinct("new_id").alias("n")).collect()
+            }
+        return {"batch": batch.count(), "admitted": after - before,
+                "rejected_by_reason": audit, "corpus_docs": after}
     else:  # shard
         from muopdb_spark.operators.export import shard_assignment, write_shards
 
@@ -113,7 +163,18 @@ def main(argv=None) -> int:
     ap.add_argument("--overlap", type=int, default=8)
     ap.add_argument("--n-shards", type=int, default=8)
     ap.add_argument("--keep-frac", type=float, default=0.7)
+    ap.add_argument("--approx", action="store_true",
+                    help="quality: two-pass approx-percentile scale path")
+    ap.add_argument("--state", help="admit: admission state directory")
+    ap.add_argument("--quality-min", type=float, default=None,
+                    help="admit: composite-quality gate threshold")
+    ap.add_argument("--batch-id", type=int, default=0,
+                    help="admit: batch id recorded in the audit trail")
     ap.add_argument("--num-features", type=int, default=4)
+    ap.add_argument("--quantizer", default="none",
+                    choices=["none", "pq", "pq_user", "rabitq", "sq"])
+    ap.add_argument("--metric", default="l2",
+                    choices=["l2", "l2_squared", "dot", "cosine"])
     ap.add_argument("--ids", type=int, nargs="*", default=None)
     args = ap.parse_args(argv)
 
@@ -137,9 +198,12 @@ def main(argv=None) -> int:
     if args.command == "create":
         col = Collection.create(spark, args.root, CollectionConfig(
             name=args.name, num_features=args.num_features,
+            quantizer=args.quantizer, metric=args.metric,
         ))
         print(json.dumps({"created": args.name, "root": args.root,
-                          "num_features": args.num_features}))
+                          "num_features": args.num_features,
+                          "quantizer": args.quantizer,
+                          "metric": args.metric}))
         spark.stop()
         return 0
 
