@@ -1434,6 +1434,57 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_mixture_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """smp5h: the SCALE-SAFE membership form of smp5 — per-stratum
+    quotas convert to hash-threshold fractions evaluated MAP-SIDE after
+    broadcasting the quota table (temperature_mixture(membership=
+    "hash")); no corpus-side rank window, so a dominant stratum never
+    concentrates in one partition. The keep rule (32-bit md5 prefix <
+    quota/n * 2^32, unrounded IEEE division) is exactly transcribable,
+    so this row oracle-checks the scale path itself, not just its
+    rank-form reference semantics."""
+    from muopdb_spark.operators.sampling import temperature_mixture
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_mixture(
+        docs, strata_col="lang", key_col="doc_id", alpha=0.5,
+        total_rows=300, membership="hash",
+    ).select("lang", "doc_id", "quota", "fraction").orderBy("lang", "doc_id")
+
+
+def q_fvecs_sharded_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """src3 (S8 bulk export): embeddings through the DISTRIBUTED
+    sharded vecs writer (one part file per contiguous id range, written
+    by executors — no toLocalIterator) and back through the
+    manifest-driven sharded reader. Green iff the binary boundary is
+    lossless across the shard split: the oracle reads the original
+    parquet."""
+    import shutil
+    import tempfile
+
+    from muopdb_spark.sources.fvecs import (
+        read_vecs_sharded,
+        write_vecs_sharded,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="muopdb_fvecs_sh_")
+    try:
+        write_vecs_sharded(emb, tmp, kind="fvecs", rows_per_shard=512)
+        back = read_vecs_sharded(spark, tmp, rows_per_task=256)
+        result = back.select(
+            "vec_id",
+            F.size("embedding").cast("long").alias("n_dims"),
+            F.round(
+                F.aggregate("embedding", F.lit(0.0),
+                            lambda a, x: a + x.cast("double")), 6
+            ).alias("checksum"),
+        ).orderBy("vec_id").toPandas()
+        return spark.createDataFrame(result)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_stream_ingest_batch_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1-W5 driver-checked end-to-end: stream the embeddings fixture
     through the WAL ingest path — file-source micro-batches under an
@@ -2647,6 +2698,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # classifier (the benched/served t10 path now loads the durable
         # coefficient artifact). No oracle by design, like t10.
         "t10b_quality_train_self": q_quality_train_self,
+        # NEW in r7: the scale-safe hash-membership form of smp5 —
+        # oracle-checks the map-side threshold rule itself (see the
+        # query docstring); the rank form stays the in-window witness.
+        "smp5h_temperature_mixture_hash": q_temperature_mixture_hash,
+        # NEW in r7: sharded vecs export/read roundtrip (the bulk
+        # no-driver-bound twin of src2).
+        "src3_fvecs_sharded_roundtrip": q_fvecs_sharded_roundtrip,
         # NEW in r5: SemDeDup semantic dedup (no oracle by design —
         # k-means assignment is not SQL-derivable; brute-force-refereed
         # in tests/test_semdedup.py).
@@ -2859,6 +2917,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, doc_id, quota, sample_rank
             FROM r WHERE sample_rank <= quota
             ORDER BY lang, sample_rank
+        """,
+        # the scale-safe membership twin: keep iff the 32-bit md5
+        # prefix (numeric) falls under quota/n * 2^32 — one IEEE double
+        # division both engines reproduce bit-identically
+        "smp5h_temperature_mixture_hash": """
+            WITH c AS (
+                SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang
+            ), q AS (
+                SELECT lang, n,
+                       CAST(least(n, round(pow(n, 0.5)
+                            / sum(pow(n, 0.5)) OVER () * 300)) AS BIGINT) AS quota
+                FROM c
+            )
+            SELECT d.lang, d.doc_id, q.quota,
+                   round(q.quota / q.n, 6) AS fraction
+            FROM documents d JOIN q USING (lang)
+            WHERE ('0x' || substring(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+                  < q.quota / q.n * 4294967296.0
+            ORDER BY lang, doc_id
+        """,
+        "src3_fvecs_sharded_roundtrip": """
+            SELECT vec_id,
+                   CAST(len(embedding) AS BIGINT) AS n_dims,
+                   round(list_sum(embedding::DOUBLE[]), 6) AS checksum
+            FROM embeddings
+            ORDER BY vec_id
         """,
         "smp3_reservoir_per_lang": """
             WITH ranked AS (

@@ -232,7 +232,11 @@ def temperature_mixture(
     if membership == "hash":
         # quota -> keep fraction; compare the hash NUMERICALLY in-plan
         # (conv hex -> long) so no driver collect is needed to build a
-        # hex-literal threshold. For quota = n the threshold is 2^32,
+        # hex-literal threshold. The threshold uses the UNROUNDED
+        # quota/n — one IEEE double division both engines reproduce
+        # bit-identically, which makes the keep-set exactly
+        # SQL-transcribable (the reported `fraction` column is rounded
+        # for audit only). For quota = n the threshold is 2^32,
         # strictly above every 32-bit hash -> keep-all, matching the
         # rank form exactly.
         hash_long = F.conv(
@@ -242,11 +246,14 @@ def temperature_mixture(
             df.join(
                 F.broadcast(quotas.select(strata_col, "_n", "quota")), strata_col
             )
+            .filter(
+                hash_long
+                < (F.col("quota") / F.col("_n")) * F.lit(float(2**32))
+            )
             .withColumn(
                 "fraction",
                 F.round(F.col("quota") / F.col("_n"), 6),
             )
-            .filter(hash_long < F.col("fraction") * F.lit(float(2**32)))
             .drop("_n")
         )
     w = Window.partitionBy(strata_col).orderBy(
