@@ -67,21 +67,33 @@ def contamination_report_split(
 def _report(
     corpus_sh: DataFrame, bench_grams: DataFrame, *, id_col: str, threshold: float,
 ) -> DataFrame:
-    per_doc = corpus_sh.select("id", F.size("sh").alias("n_grams"), "sh")
-    hits = (
-        per_doc.select("id", F.explode("sh").alias("gram"))
-        .join(F.broadcast(bench_grams), "gram", "inner")
+    # ONE aggregate, ZERO corpus-side shuffle joins: explode the grams
+    # (explode_outer keeps gram-less docs), LEFT-broadcast-join the
+    # benchmark set as a hit marker, and roll both counts up in the
+    # same groupBy(id). An earlier shape computed n_contaminated in a
+    # separate inner-join aggregate and re-joined it to the per-doc
+    # gram counts on id — a corpus-sized SortMergeJoin that exists only
+    # to reunite two aggregates of the same rows (and the hits side is
+    # corpus-bounded, so broadcasting it instead would not survive
+    # 100 TB). shingles are DISTINCT per doc, so count(gram) == |sh|.
+    marked = (
+        corpus_sh.select("id", F.explode_outer("sh").alias("gram"))
+        .join(
+            F.broadcast(bench_grams.withColumn("_hit", F.lit(1))),
+            "gram", "left",
+        )
         .groupBy("id")
-        .agg(F.count("*").alias("n_contaminated"))
+        .agg(
+            F.count("gram").cast("int").alias("n_grams"),
+            F.count("_hit").cast("long").alias("n_contaminated"),
+        )
     )
     frac = F.when(
         F.col("n_grams") > 0,
         F.col("n_contaminated").cast("double") / F.col("n_grams"),
     ).otherwise(F.lit(0.0))
     return (
-        per_doc.drop("sh")
-        .join(hits, "id", "left")
-        .fillna(0, subset=["n_contaminated"])
+        marked
         .withColumn("contamination", F.round(frac, 6))
         .withColumn("is_contaminated", F.col("contamination") >= F.lit(threshold))
         .withColumnRenamed("id", id_col)

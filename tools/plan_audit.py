@@ -235,9 +235,11 @@ CHECKS = {
         ("!BroadcastNestedLoopJoin", "no candidate-pair explosion"),
     ],
     "d2_dedup_ngram_jaccard": [
-        ("Scan ExistingRDD", "the ranked shingle table is materialized "
-         "once (lineage-truncating localCheckpoint) and feeds the "
-         "prefix index and both verification sides"),
+        ("Scan parquet", "the ranked shingle table is a DURABLE parquet "
+         "artifact (late-r6 serving path) feeding the prefix index and "
+         "both verification sides — no per-query re-shingling"),
+        ("!BatchEvalPythonExec", "serving never re-runs the Arrow "
+         "shingle pass — it lives in the artifact build"),
         ("posexplode", "the prefix index carries POSITIONS so the "
          "PPJoin positional filter can bound remaining overlap "
          "(candidates 43.5k -> 12.8k at sf0.1)"),
@@ -248,9 +250,8 @@ CHECKS = {
          "pass; never row-at-a-time"),
     ],
     "t9_lm_perplexity": [
-        ("Scan ExistingRDD", "the bigram stream is pinned once "
-         "(localCheckpoint) and feeds all four consuming aggregates "
-         "(uni/bigram/vocab counts + scoring)"),
+        ("Scan parquet", "the LM count tables are DURABLE parquet "
+         "artifacts (late-r6 serving path) — scoring never re-trains"),
         ("BroadcastHashJoin", "count tables broadcast to the scored "
          "bigram stream — the stream never shuffles for the joins"),
         ("!BatchEvalPython", "bigram emission is Arrow-batched, never "
