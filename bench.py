@@ -79,6 +79,10 @@ BENCH_QUERIES = [
     "v26_ivf_sq_rerank",
     "t11_quality_calibrated",
     "smp5_temperature_mixture",
+    # r7: the scale-safe smp5 membership form and the sharded vecs
+    # export boundary (both oracle-gated extras)
+    "smp5h_temperature_mixture_hash",
+    "src3_fvecs_sharded_roundtrip",
 ]
 
 
