@@ -1485,6 +1485,34 @@ def q_fvecs_sharded_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """smp6: DSIR importance resampling (Xie et al. 2023,
+    arXiv:2302.03169 — operators/dsir.py): fit hashed-n-gram LMs to a
+    target slice (doc_id % 10 == 0, the 'quality sample') and to the
+    raw remainder, score each raw doc with the per-gram importance
+    log-ratio mean, then draw a 50-doc Gumbel-top-k sample
+    proportional to exp(log_weight). Every step is deterministic
+    (md5-derived buckets and noise), so the oracle transcribes the
+    whole pipeline."""
+    from muopdb_spark.operators.dsir import (
+        dsir_log_ratios,
+        dsir_sample,
+        dsir_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 10 == 0)
+    raw = docs.filter(F.col("doc_id") % 10 != 0)
+    ratios = dsir_log_ratios(raw, target, n_buckets=4096)
+    w = dsir_weights(raw, ratios, n_buckets=4096)
+    return dsir_sample(w, n=50).select(
+        "doc_id",
+        "n_grams",
+        F.round("log_weight", 6).alias("log_weight"),
+        "sample_key",
+    ).orderBy(F.desc("sample_key"), F.asc("doc_id"))
+
+
 def q_stream_ingest_batch_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1-W5 driver-checked end-to-end: stream the embeddings fixture
     through the WAL ingest path — file-source micro-batches under an
@@ -2698,6 +2726,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # classifier (the benched/served t10 path now loads the durable
         # coefficient artifact). No oracle by design, like t10.
         "t10b_quality_train_self": q_quality_train_self,
+        # NEW in r7: DSIR importance resampling (hashed-n-gram LM
+        # log-ratios + Gumbel-top-k; fully md5-deterministic, so the
+        # oracle transcribes the pipeline end to end).
+        "smp6_dsir_sample": q_dsir_sample,
         # NEW in r7: the scale-safe hash-membership form of smp5 —
         # oracle-checks the map-side threshold rule itself (see the
         # query docstring); the rank form stays the in-window witness.
@@ -2917,6 +2949,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, doc_id, quota, sample_rank
             FROM r WHERE sample_rank <= quota
             ORDER BY lang, sample_rank
+        """,
+        # DSIR transcribed end-to-end: hashed gram buckets (md5 32-bit
+        # prefix mod 4096), add-one-smoothed log-ratio per bucket,
+        # per-doc MEAN of its grams' ratios, Gumbel key from the doc
+        # id's md5, top 50
+        "smp6_dsir_sample": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text),
+                                   '[^a-z0-9]+'), x -> x <> '') AS t
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       unnest(list_concat(
+                           t,
+                           list_transform(range(1, len(t)),
+                                          i -> t[i] || ' ' || t[i + 1])
+                       )) AS gram
+                FROM toks
+            ), b AS (
+                SELECT doc_id,
+                       ('0x' || substring(md5(gram), 1, 8))::BIGINT % 4096
+                           AS bucket
+                FROM grams
+            ), tc AS (
+                SELECT bucket, count(*)::DOUBLE AS ct FROM b
+                WHERE doc_id % 10 = 0 GROUP BY bucket
+            ), rc AS (
+                SELECT bucket, count(*)::DOUBLE AS cr FROM b
+                WHERE doc_id % 10 <> 0 GROUP BY bucket
+            ), ratio AS (
+                SELECT k.bucket,
+                       ln((coalesce(tc.ct, 0) + 1)
+                          / ((SELECT sum(ct) FROM tc) + 4096))
+                     - ln((coalesce(rc.cr, 0) + 1)
+                          / ((SELECT sum(cr) FROM rc) + 4096)) AS log_ratio
+                FROM (SELECT unnest(range(0, 4096)) AS bucket) k
+                LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
+            ), w AS (
+                SELECT b.doc_id,
+                       count(*)::BIGINT AS n_grams,
+                       sum(r.log_ratio) / count(*) AS lw
+                FROM b JOIN ratio r USING (bucket)
+                WHERE b.doc_id % 10 <> 0
+                GROUP BY b.doc_id
+            ), keyed AS (
+                SELECT doc_id, n_grams, round(lw, 6) AS log_weight,
+                       round(lw + -ln(-ln(
+                           (('0x' || substring(md5(doc_id::VARCHAR), 1, 8))
+                                ::BIGINT + 0.5) / 4294967296.0
+                       )), 6) AS sample_key
+                FROM w
+            )
+            SELECT doc_id, n_grams, log_weight, sample_key
+            FROM keyed
+            ORDER BY sample_key DESC, doc_id ASC
+            LIMIT 50
         """,
         # the scale-safe membership twin: keep iff the 32-bit md5
         # prefix (numeric) falls under quota/n * 2^32 — one IEEE double

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     # export boundary (both oracle-gated extras)
     "smp5h_temperature_mixture_hash",
     "src3_fvecs_sharded_roundtrip",
+    "smp6_dsir_sample",
 ]
 
 
