@@ -141,3 +141,14 @@ def test_cli_create_with_quantizer(spark, cli, capsys, tmp_path):
         cli.main(["create", "--root", root, "--name", "bad",
                   "--num-features", "4", "--quantizer", "sq",
                   "--metric", "cosine"])
+
+
+def test_cli_dsir(spark, cli, capsys, tmp_path, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw_p = str(tmp_path / "raw.parquet")
+    tgt_p = str(tmp_path / "tgt.parquet")
+    docs.filter("doc_id % 10 <> 0").write.parquet(raw_p)
+    docs.filter("doc_id % 10 = 0").write.parquet(tgt_p)
+    r = _run(cli, capsys, ["dsir", "--input", raw_p, "--target", tgt_p,
+                           "--n-sample", "25"])
+    assert r["sampled"] == 25 and r["raw_docs"] == 450

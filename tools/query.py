@@ -27,6 +27,9 @@ Pipeline commands (operate on a documents parquet):
       --threshold 0.8 --quality-min 0.35   # w6: quality-gated admission round
                                  # (bootstraps state/ on first use; audit in
                                  #  state/rejected)
+  python tools/query.py dsir --input raw.parquet --target quality.parquet \
+      --n-sample 1000 --output selected/  # importance-resample raw docs
+                                 # toward the target distribution
 
 Collections accept the full quantizer matrix at create time:
   python tools/query.py create --root /data --name memories \
@@ -42,7 +45,8 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 COLLECTION_CMDS = {"create", "insert", "remove", "search", "term-search", "stats", "optimize", "flush", "inspect"}
-PIPELINE_CMDS = {"dedup", "lm-score", "chunk", "shard", "quality", "admit"}
+PIPELINE_CMDS = {"dedup", "lm-score", "chunk", "shard", "quality", "admit",
+                 "dsir"}
 
 
 def _pipeline(spark, args, ap) -> dict:
@@ -91,6 +95,21 @@ def _pipeline(spark, args, ap) -> dict:
         }
         if args.output:
             out = out.filter(F.col("keep"))
+    elif args.command == "dsir":
+        from muopdb_spark.operators.dsir import (
+            dsir_log_ratios,
+            dsir_sample,
+            dsir_weights,
+        )
+
+        if not args.target:
+            ap.error("dsir requires --target (the quality-sample parquet)")
+        target = spark.read.parquet(args.target)
+        ratios = dsir_log_ratios(df, target)
+        w = dsir_weights(df, ratios)
+        out = dsir_sample(w, n=args.n_sample)
+        result = {"raw_docs": df.count(), "target_docs": target.count(),
+                  "sampled": out.count(), "n_sample": args.n_sample}
     elif args.command == "admit":
         import os
 
@@ -166,6 +185,9 @@ def main(argv=None) -> int:
     ap.add_argument("--approx", action="store_true",
                     help="quality: two-pass approx-percentile scale path")
     ap.add_argument("--state", help="admit: admission state directory")
+    ap.add_argument("--target", help="dsir: target-corpus parquet path")
+    ap.add_argument("--n-sample", type=int, default=1000,
+                    help="dsir: sample size")
     ap.add_argument("--quality-min", type=float, default=None,
                     help="admit: composite-quality gate threshold")
     ap.add_argument("--batch-id", type=int, default=0,

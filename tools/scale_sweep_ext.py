@@ -46,6 +46,7 @@ QUERIES = [
     "v1_knn_l2",
     "v24_sq8_rerank",
     "t11_quality_calibrated",
+    "smp6_dsir_sample",
 ]
 
 
