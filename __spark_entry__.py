@@ -2602,9 +2602,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d2_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "d3_dedup_minhash_lsh": q_dedup_minhash_lsh,
         "d5_dedup_embedding_cosine": q_dedup_embedding,
-        "t1_token_counts": q_token_counts,
-        "t2_quality_score": q_quality,
-        "t3_lang_id": q_lang_id,
+        # r7 late swap: t1/t2_quality/t3 (map-side text stats,
+        # driver-green r1-r6; family witnessed in-window by t5/t7/t8/
+        # t9/t11) parked to extras so the three operators ADDED in r7
+        # get first driver rows in the same round they landed.
+        "smp6_dsir_sample": q_dsir_sample,
+        "smp5h_temperature_mixture_hash": q_temperature_mixture_hash,
+        "src3_fvecs_sharded_roundtrip": q_fvecs_sharded_roundtrip,
         "v4_ann_ivf_fullprobe": q_ann_fullprobe,
         "v11_pq_adc_rerank": q_pq_adc_rerank,
         "v13_rabitq_rerank": q_rabitq_rerank,
@@ -2726,17 +2730,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # classifier (the benched/served t10 path now loads the durable
         # coefficient artifact). No oracle by design, like t10.
         "t10b_quality_train_self": q_quality_train_self,
-        # NEW in r7: DSIR importance resampling (hashed-n-gram LM
-        # log-ratios + Gumbel-top-k; fully md5-deterministic, so the
-        # oracle transcribes the pipeline end to end).
-        "smp6_dsir_sample": q_dsir_sample,
-        # NEW in r7: the scale-safe hash-membership form of smp5 —
-        # oracle-checks the map-side threshold rule itself (see the
-        # query docstring); the rank form stays the in-window witness.
-        "smp5h_temperature_mixture_hash": q_temperature_mixture_hash,
-        # NEW in r7: sharded vecs export/read roundtrip (the bulk
-        # no-driver-bound twin of src2).
-        "src3_fvecs_sharded_roundtrip": q_fvecs_sharded_roundtrip,
+        # r7 late swap (see queries()): parked so the r7-new smp6/
+        # smp5h/src3 get first driver rows; same local oracle gate.
+        "t1_token_counts": q_token_counts,
+        "t2_quality_score": q_quality,
+        "t3_lang_id": q_lang_id,
         # NEW in r5: SemDeDup semantic dedup (no oracle by design —
         # k-means assignment is not SQL-derivable; brute-force-refereed
         # in tests/test_semdedup.py).
