@@ -1806,6 +1806,18 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d9: exact-substring dedup stats (Lee et al., arXiv:2107.06499) —
+    per doc, the tokens inside ANY corpus-duplicated substring of
+    >= 10 tokens (overlapping sliding windows + island merge; see
+    operators/substring.py for the suffix-array equivalence)."""
+    from muopdb_spark.operators.substring import duplicate_span_stats
+
+    return duplicate_span_stats(
+        _t(spark, sf_dir, "documents"), k=10
+    ).orderBy("doc_id")
+
+
 def q_u128_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4: (hi, lo) <-> hex <-> UUID id conversions at the API edge."""
     from muopdb_spark.functions.ids import hex_to_hi_lo, hex_to_uuid, id_to_hex
@@ -2730,6 +2742,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # classifier (the benched/served t10 path now loads the durable
         # coefficient artifact). No oracle by design, like t10.
         "t10b_quality_train_self": q_quality_train_self,
+        # NEW in r7: exact-substring dedup (overlapping k-gram windows
+        # + island merge — the Lee et al. 2107.06499 semantics; the
+        # non-overlapping passage form p3 stays the window witness).
+        "d9_exact_substring": q_exact_substring,
         # r7 late swap (see queries()): parked so the r7-new smp6/
         # smp5h/src3 get first driver rows; same local oracle gate.
         "t1_token_counts": q_token_counts,
@@ -3506,6 +3522,63 @@ def oracle_sql() -> dict[str, str]:
             FROM r ORDER BY doc_id
         """,
         "t3_lang_id": _lang_id_oracle(),
+        "d9_exact_substring": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            gpos AS (
+                SELECT doc_id, toks,
+                       unnest(range(1, len(toks) - 10 + 2)) AS pos
+                FROM t
+            ),
+            g AS (
+                SELECT doc_id, pos,
+                       md5(array_to_string(
+                           array_slice(toks, pos, pos + 9), ' ')) AS gh
+                FROM gpos
+            ),
+            d AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+            p AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gh)),
+            w1 AS (
+                SELECT doc_id, pos,
+                       max(pos + 9) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prev_end
+                FROM p
+            ),
+            w2 AS (
+                SELECT doc_id, pos,
+                       CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                            THEN 1 ELSE 0 END AS flag
+                FROM w1
+            ),
+            w3 AS (
+                SELECT doc_id, pos,
+                       sum(flag) OVER (PARTITION BY doc_id
+                                       ORDER BY pos) AS island
+                FROM w2
+            ),
+            isl AS (
+                SELECT doc_id, island, min(pos) AS s,
+                       max(pos) + 9 AS e, count(*) AS ng
+                FROM w3 GROUP BY doc_id, island
+            ),
+            agg AS (
+                SELECT doc_id,
+                       CAST(sum(ng) AS BIGINT) AS n_dup_grams,
+                       CAST(count(*) AS BIGINT) AS n_dup_spans,
+                       CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+                FROM isl GROUP BY doc_id
+            ),
+            base AS (
+                SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t
+            )
+            SELECT b.doc_id, b.n_tokens,
+                   CAST(coalesce(a.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+                   CAST(coalesce(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+                   CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+                   round(coalesce(a.dup_tokens, 0) / greatest(b.n_tokens, 1),
+                         6) AS dup_frac
+            FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id
+        """,
         "t4_fingerprints": f"""
             WITH {_SHINGLES_CTE},
             f AS (

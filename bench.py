@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "smp5h_temperature_mixture_hash",
     "src3_fvecs_sharded_roundtrip",
     "smp6_dsir_sample",
+    "d9_exact_substring",
 ]
 
 

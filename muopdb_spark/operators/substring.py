@@ -1,0 +1,196 @@
+"""Exact-substring deduplication (Lee et al. 2022, "Deduplicating
+Training Data Makes Language Models Better", arXiv:2107.06499): find
+every token that lies inside a substring of >= k tokens occurring more
+than once ANYWHERE in the corpus (across documents or repeated within
+one), and optionally remove those spans.
+
+The paper builds a corpus-wide suffix array on one large machine; the
+standard distributed re-expression (used here) slides a k-token window
+over every document and hashes each window. The two criteria are
+EXACTLY equivalent at the token level:
+
+  token t is inside some duplicated substring of length >= k
+    <=>  t is covered by some duplicated k-gram window
+
+(←: a duplicated k-gram IS a duplicated substring of length k covering
+its tokens; →: any k-token window of a duplicated substring S with
+|S| >= k that contains t is itself duplicated.) So modulo md5
+collisions this computes the same duplicated-token set as the suffix
+array, as ordinary DataFrame ops.
+
+Plan shape / 100 TB notes:
+  - one projection explodes (id, pos, gh) — one row per token, the
+    irreducible payload of the formulation; gh is unhex(md5) BINARY(16)
+    (half the shuffle bytes of the hex string; 128 bits so no birthday
+    collisions at trillions of grams, unlike a 64-bit hash)
+  - duplicated grams = groupBy(gh) with map-side partial aggregation
+    (duplicate-heavy partitions collapse before the shuffle), then an
+    inner join back on gh — AQE broadcasts the count table when the
+    duplicated-gram set is small, and the join key is the hash itself
+    so skew needs one gram repeated ~billions of times (a degenerate
+    corpus; AQE skew-join splits it if so)
+  - span merge is two windows partitioned BY DOCUMENT (gaps-and-islands
+    over each doc's duplicated positions) — per-doc state, perfectly
+    parallel, no hot key
+  - span REMOVAL re-reads only documents that have islands (inner join
+    on id) and filters the token array against the doc's own island
+    list — O(n_tokens * n_islands) expression work per doc, no Python.
+
+Contrast with passage_dedup_stats (operators/dedup.py:621): passages
+are NON-overlapping fixed blocks (cheap, block-aligned); this operator
+is the overlapping-window form that catches duplicated spans at ANY
+offset, the semantics the paper showed actually matters for LMs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from muopdb_spark.functions.text import simple_tokens
+
+__all__ = [
+    "gram_positions",
+    "duplicate_islands",
+    "duplicate_span_stats",
+    "remove_duplicate_spans",
+]
+
+
+def gram_positions(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """(id, pos, gh): one row per k-token sliding window. pos is the
+    1-based token index of the window start; gh = unhex(md5(window
+    joined by ' ')) — BINARY(16), engine-portable. Documents shorter
+    than k tokens emit no rows."""
+    toks = simple_tokens(text_col)
+    staged = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+    n = F.size("_toks")
+    pos_arr = F.when(
+        n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return staged.select(
+        "id", "_toks", F.explode(pos_arr).alias("pos")
+    ).select(
+        "id",
+        "pos",
+        F.unhex(
+            F.md5(F.concat_ws(" ", F.slice(F.col("_toks"), F.col("pos"), k)))
+        ).alias("gh"),
+    )
+
+
+def duplicate_islands(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """(id, island, span_start, span_end, n_grams): maximal contiguous
+    duplicated token runs per document. A position is duplicated when
+    its k-gram hash occurs >= 2 times corpus-wide (across docs OR
+    repeated within one); overlapping/adjacent windows merge."""
+    grams = gram_positions(df, text_col=text_col, id_col=id_col, k=k)
+    dup_hashes = grams.groupBy("gh").count().filter(F.col("count") >= 2)
+    dup_pos = grams.join(dup_hashes.select("gh"), "gh").select("id", "pos")
+
+    w_doc = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(k - 1)).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup_pos.withColumn(
+        "new_span",
+        F.when(
+            prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
+        ).otherwise(0),
+    ).withColumn("island", F.sum("new_span").over(w_doc))
+    return flagged.groupBy("id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        F.count("*").cast("long").alias("n_grams"),
+    )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Per-document exact-substring dedup stats: (id_col, n_tokens,
+    n_dup_grams, n_dup_spans, dup_tokens, dup_frac) where dup_tokens is
+    the size of the union of duplicated k-token windows — exactly the
+    tokens inside some corpus-duplicated substring of length >= k."""
+    islands = duplicate_islands(df, text_col=text_col, id_col=id_col, k=k)
+    agg = islands.groupBy("id").agg(
+        F.sum("n_grams").alias("n_dup_grams"),
+        F.count("*").cast("long").alias("n_dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1)
+        .cast("long")
+        .alias("dup_tokens"),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(simple_tokens(text_col)).cast("long").alias("n_tokens"),
+    )
+    return (
+        base.join(agg, "id", "left")
+        .fillna(0, subset=["n_dup_grams", "n_dup_spans", "dup_tokens"])
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            "n_dup_grams",
+            "n_dup_spans",
+            "dup_tokens",
+            F.round(
+                F.col("dup_tokens") / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """(id_col, text_clean, n_tokens, kept_tokens): the paper's removal
+    step — drop every token covered by a duplicated >= k-token span,
+    rejoin survivors with single spaces (token-stream semantics: the
+    tokenizer already normalized case/punctuation). Documents with no
+    duplicated span pass through with their full token stream."""
+    islands = duplicate_islands(df, text_col=text_col, id_col=id_col, k=k)
+    per_doc = islands.groupBy("id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    staged = df.select(
+        F.col(id_col).alias("id"), simple_tokens(text_col).alias("_toks")
+    ).join(per_doc, "id", "left")
+    spans = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<span_start:int,span_end:int>>"),
+    )
+    kept = F.filter(
+        F.col("_toks"),
+        lambda t, i: ~F.exists(
+            spans,
+            lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
+        ),
+    )
+    return staged.select(
+        F.col("id").alias(id_col),
+        F.concat_ws(" ", kept).alias("text_clean"),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("kept_tokens"),
+    )

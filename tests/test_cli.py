@@ -152,3 +152,14 @@ def test_cli_dsir(spark, cli, capsys, tmp_path, sf_dir):
     r = _run(cli, capsys, ["dsir", "--input", raw_p, "--target", tgt_p,
                            "--n-sample", "25"])
     assert r["sampled"] == 25 and r["raw_docs"] == 450
+
+
+def test_cli_dedup_substring(spark, cli, capsys, tmp_path, sf_dir):
+    out_dir = str(tmp_path / "clean")
+    r = _run(cli, capsys, ["dedup", "--method", "substring",
+                           "--input", f"{sf_dir}/documents.parquet",
+                           "--k-tokens", "8", "--output", out_dir])
+    assert r["docs"] == 500 and 0 <= r["dup_tokens"] <= r["tokens"]
+    cleaned = spark.read.parquet(out_dir)
+    assert cleaned.count() == 500
+    assert cleaned.filter("kept_tokens > n_tokens").count() == 0

@@ -18,6 +18,8 @@ reference's muopdb.proto now has a CLI twin):
 
 Pipeline commands (operate on a documents parquet):
   python tools/query.py dedup --input docs.parquet --method minhash --threshold 0.8
+  python tools/query.py dedup --input docs.parquet --method substring \
+      --k-tokens 10 --output clean/   # Lee-et-al span removal (d9)
   python tools/query.py lm-score --input docs.parquet --output scored/
   python tools/query.py chunk --input docs.parquet --size 32 --overlap 8 --output chunks/
   python tools/query.py shard --input docs.parquet --n-shards 16 --output shards/
@@ -62,6 +64,28 @@ def _pipeline(spark, args, ap) -> dict:
             out = exact_dedup(df)
             dup = out.filter("NOT is_canonical").count()
             result = {"method": "exact", "docs": df.count(), "duplicates": dup}
+        elif args.method == "substring":
+            from pyspark.sql import functions as F
+            from muopdb_spark.operators.substring import duplicate_span_stats
+
+            stats = duplicate_span_stats(df, k=args.k_tokens)
+            agg = stats.agg(
+                F.count("*").alias("docs"),
+                F.sum("dup_tokens").alias("dup_tokens"),
+                F.sum("n_tokens").alias("tokens"),
+                F.sum(F.when(F.col("n_dup_spans") > 0, 1).otherwise(0))
+                .alias("docs_with_dup_spans"),
+            ).first()
+            result = {"method": "substring", "k": args.k_tokens,
+                      "docs": agg["docs"], "tokens": agg["tokens"],
+                      "dup_tokens": agg["dup_tokens"],
+                      "docs_with_dup_spans": agg["docs_with_dup_spans"]}
+            if args.output:
+                from muopdb_spark.operators.substring import (
+                    remove_duplicate_spans,
+                )
+
+                out = remove_duplicate_spans(df, k=args.k_tokens)
         elif args.method == "minhash":
             pairs = minhash_lsh_pairs(df, threshold=args.threshold)
             result = {"method": "minhash", "near_dup_pairs": pairs.count()}
@@ -175,9 +199,12 @@ def main(argv=None) -> int:
     ap.add_argument("--limit", type=int, default=10)
     ap.add_argument("--input", help="pipeline commands: input parquet path")
     ap.add_argument("--output", help="pipeline commands: output parquet path")
-    ap.add_argument("--method", choices=["exact", "minhash", "jaccard"],
+    ap.add_argument("--method",
+                    choices=["exact", "minhash", "jaccard", "substring"],
                     default="minhash")
     ap.add_argument("--threshold", type=float, default=0.8)
+    ap.add_argument("--k-tokens", type=int, default=10,
+                    help="substring: duplicated-span length threshold")
     ap.add_argument("--size", type=int, default=32)
     ap.add_argument("--overlap", type=int, default=8)
     ap.add_argument("--n-shards", type=int, default=8)
