@@ -47,6 +47,7 @@ QUERIES = [
     "v24_sq8_rerank",
     "t11_quality_calibrated",
     "smp6_dsir_sample",
+    "d9_exact_substring",
 ]
 
 
