@@ -1498,13 +1498,20 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsir_log_ratios,
         dsir_sample,
         dsir_weights,
+        hashed_ngram_buckets,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     target = docs.filter(F.col("doc_id") % 10 == 0)
     raw = docs.filter(F.col("doc_id") % 10 != 0)
-    ratios = dsir_log_ratios(raw, target, n_buckets=4096)
-    w = dsir_weights(raw, ratios, n_buckets=4096)
+    # one tokenize/explode pass over the raw corpus feeds BOTH the
+    # count table and the scoring join (the dominant cost at scale);
+    # localCheckpoint pins it so the two consumers don't recompute
+    grams = hashed_ngram_buckets(raw, n_buckets=4096).localCheckpoint(
+        eager=False
+    )
+    ratios = dsir_log_ratios(raw, target, n_buckets=4096, raw_grams=grams)
+    w = dsir_weights(raw, ratios, n_buckets=4096, raw_grams=grams)
     return dsir_sample(w, n=50).select(
         "doc_id",
         "n_grams",

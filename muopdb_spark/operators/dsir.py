@@ -89,20 +89,26 @@ def dsir_log_ratios(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 4096,
+    raw_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Per-bucket importance log-ratio table (bucket, log_ratio):
     ln p_target(b) - ln p_raw(b), add-one smoothed over n_buckets.
-    At most n_buckets rows — broadcast-sized by construction."""
+    At most n_buckets rows — broadcast-sized by construction.
+
+    ``raw_grams``: a prebuilt hashed_ngram_buckets(raw) to share ONE
+    tokenize/explode pass with dsir_weights — at 100 TB the raw-corpus
+    gram stream is the dominant cost and both steps consume the same
+    stream, so callers should build it once (see q_dsir_sample)."""
     tc = _bucket_counts(
         hashed_ngram_buckets(
             target, text_col=text_col, id_col=id_col, n_buckets=n_buckets
         )
     ).withColumnRenamed("c", "ct")
-    rc = _bucket_counts(
-        hashed_ngram_buckets(
+    if raw_grams is None:
+        raw_grams = hashed_ngram_buckets(
             raw, text_col=text_col, id_col=id_col, n_buckets=n_buckets
         )
-    ).withColumnRenamed("c", "cr")
+    rc = _bucket_counts(raw_grams).withColumnRenamed("c", "cr")
     spark = raw.sparkSession
     buckets = spark.range(int(n_buckets)).select(F.col("id").alias("bucket"))
     joined = buckets.join(tc, "bucket", "left").join(rc, "bucket", "left") \
@@ -126,12 +132,16 @@ def dsir_weights(
     id_col: str = "doc_id",
     n_buckets: int = 4096,
     normalize: bool = True,
+    raw_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document importance log-weight (id_col, n_grams, log_weight):
     the sum of its grams' bucket log-ratios, length-normalized by
     default (sum-form favors long documents; the mean is the standard
-    per-token form). Gram-less documents get log_weight 0."""
-    grams = hashed_ngram_buckets(
+    per-token form). Gram-less documents get log_weight 0.
+
+    ``raw_grams``: share one gram pass with dsir_log_ratios (see its
+    docstring)."""
+    grams = raw_grams if raw_grams is not None else hashed_ngram_buckets(
         raw, text_col=text_col, id_col=id_col, n_buckets=n_buckets
     )
     agg = (

@@ -124,13 +124,15 @@ def _pipeline(spark, args, ap) -> dict:
             dsir_log_ratios,
             dsir_sample,
             dsir_weights,
+            hashed_ngram_buckets,
         )
 
         if not args.target:
             ap.error("dsir requires --target (the quality-sample parquet)")
         target = spark.read.parquet(args.target)
-        ratios = dsir_log_ratios(df, target)
-        w = dsir_weights(df, ratios)
+        grams = hashed_ngram_buckets(df).localCheckpoint(eager=False)
+        ratios = dsir_log_ratios(df, target, raw_grams=grams)
+        w = dsir_weights(df, ratios, raw_grams=grams)
         out = dsir_sample(w, n=args.n_sample)
         result = {"raw_docs": df.count(), "target_docs": target.count(),
                   "sampled": out.count(), "n_sample": args.n_sample}
