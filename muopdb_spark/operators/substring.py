@@ -128,14 +128,41 @@ def duplicate_span_stats(
     """Per-document exact-substring dedup stats: (id_col, n_tokens,
     n_dup_grams, n_dup_spans, dup_tokens, dup_frac) where dup_tokens is
     the size of the union of duplicated k-token windows — exactly the
-    tokens inside some corpus-duplicated substring of length >= k."""
-    islands = duplicate_islands(df, text_col=text_col, id_col=id_col, k=k)
-    agg = islands.groupBy("id").agg(
-        F.sum("n_grams").alias("n_dup_grams"),
-        F.count("*").cast("long").alias("n_dup_spans"),
-        F.sum(F.col("span_end") - F.col("span_start") + 1)
-        .cast("long")
-        .alias("dup_tokens"),
+    tokens inside some corpus-duplicated substring of length >= k.
+
+    Plan note: rather than materializing islands (duplicate_islands +
+    a groupBy(id, island) — an extra exchange), the union size is the
+    sum of each position's MARGINAL contribution
+    `min(k, (pos + k - 1) - max(prev_end, pos - 1))` under the same
+    per-doc running-max window, and span count is the sum of new-span
+    flags — so the whole rollup is one window + one groupBy(id) that
+    REUSES the window's hash(id) partitioning (no second shuffle)."""
+    grams = gram_positions(df, text_col=text_col, id_col=id_col, k=k)
+    dup_hashes = grams.groupBy("gh").count().filter(F.col("count") >= 2)
+    dup_pos = grams.join(dup_hashes.select("gh"), "gh").select("id", "pos")
+
+    w_doc = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(k - 1)).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    end = F.col("pos") + F.lit(k - 1)
+    contrib = F.greatest(
+        end - F.greatest(F.coalesce(prev_end, F.lit(0)), F.col("pos") - 1),
+        F.lit(0),
+    )
+    new_span = F.when(
+        prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
+    ).otherwise(0)
+    agg = (
+        dup_pos.select(
+            "id", contrib.alias("_contrib"), new_span.alias("_new")
+        )
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_dup_grams"),
+            F.sum("_new").cast("long").alias("n_dup_spans"),
+            F.sum("_contrib").cast("long").alias("dup_tokens"),
+        )
     )
     base = df.select(
         F.col(id_col).alias("id"),
