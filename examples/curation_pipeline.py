@@ -3,7 +3,8 @@ fixture — the full pass a pretraining corpus goes through before
 tokenization, each stage one of the engine's operators:
 
     JSONL ingest -> exact dedup -> near-dup clustering -> passage-dup
-    filter -> benchmark decontamination -> PII scrub ->
+    filter -> duplicated-span removal -> benchmark decontamination ->
+    PII scrub ->
     repetition-quality filter -> stratified sampling -> sequence
     packing -> parquet out -> DAY 2: incremental dedup of a new batch
     against the curated corpus's durable signature artifact
@@ -28,6 +29,7 @@ from muopdb_spark.operators.dedup import (  # noqa: E402
     ngram_jaccard_pairs,
     passage_dedup_stats,
 )
+from muopdb_spark.operators.substring import remove_duplicate_spans  # noqa: E402
 from muopdb_spark.operators.export import write_shards  # noqa: E402
 from muopdb_spark.operators.graph import dup_clusters  # noqa: E402
 from muopdb_spark.operators.lm import lm_bits_per_token  # noqa: E402
@@ -104,6 +106,28 @@ def main() -> None:
             "doc_id", "left_semi",
         ), prev)
         n2b = docs.count()
+
+        # 2c. exact-substring span REMOVAL (Lee et al. 2107.06499):
+        #     surviving docs can still carry long verbatim spans
+        #     duplicated elsewhere (boilerplate, licenses); cut the
+        #     >= 15-token duplicated spans (keeping each span's first
+        #     occurrence) instead of dropping whole docs. Runs AFTER
+        #     doc-level dedup on purpose — that shrinks the corpus
+        #     before this stage's token-explode, the production
+        #     ordering. Only docs that actually lost a span are
+        #     rewritten (cleaned text is the NORMALIZED token stream;
+        #     untouched docs keep their original bytes). On this
+        #     fixture the count is 0: its only span-sharers are
+        #     whole-doc near-dups already removed at stage 2.
+        spans = remove_duplicate_spans(docs, k=15)
+        rewritten = spans.filter(F.col("kept_tokens") < F.col("n_tokens"))
+        n_span_cut = rewritten.count()
+        prev = docs
+        docs = _pin(docs.join(
+            rewritten.select("doc_id", "text_clean"), "doc_id", "left",
+        ).withColumn(
+            "text", F.coalesce(F.col("text_clean"), F.col("text"))
+        ).drop("text_clean"), prev)
 
         # 3. decontamination: drop docs overlapping the "benchmark"
         #    slice (stand-in for a held-out eval set)
@@ -258,7 +282,8 @@ def main() -> None:
         n_rejected = sum(reject_by_reason.values())
 
         print(f"ingested={n0} exact_dedup={n1} near_dup={n2} "
-              f"passage_dup={n2b} decontaminated={n3} quality={n5} "
+              f"passage_dup={n2b} span_rewritten={n_span_cut} "
+              f"decontaminated={n3} quality={n5} "
               f"perplexity={n5b} calibrated={n5c} sampled={n6} "
               f"sequences={n_seqs} "
               f"shards={n_shards_written} rag_chunks={n_chunks}")

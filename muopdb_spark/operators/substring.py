@@ -92,14 +92,34 @@ def duplicate_islands(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 10,
+    keep_first: bool = False,
 ) -> DataFrame:
     """(id, island, span_start, span_end, n_grams): maximal contiguous
     duplicated token runs per document. A position is duplicated when
     its k-gram hash occurs >= 2 times corpus-wide (across docs OR
-    repeated within one); overlapping/adjacent windows merge."""
+    repeated within one); overlapping/adjacent windows merge.
+
+    ``keep_first``: exclude each hash's globally-FIRST occurrence (by
+    (doc_id, pos) order) from the duplicated set — the paper's removal
+    semantics, which keeps one copy of duplicated content instead of
+    deleting every copy (without it, two near-identical docs would
+    BOTH be gutted). Plan cost: the first-occurrence rank needs the
+    gram stream shuffled on gh (row_number per hash) instead of the
+    profile path's partial-agg count + AQE-broadcast join-back — the
+    price of an order-dependent definition; still one shuffle, no
+    skew beyond a hash repeated ~billions of times."""
     grams = gram_positions(df, text_col=text_col, id_col=id_col, k=k)
-    dup_hashes = grams.groupBy("gh").count().filter(F.col("count") >= 2)
-    dup_pos = grams.join(dup_hashes.select("gh"), "gh").select("id", "pos")
+    if keep_first:
+        w_gh = Window.partitionBy("gh").orderBy("id", "pos")
+        ranked = grams.withColumn(
+            "rn", F.row_number().over(w_gh)
+        ).withColumn("cnt", F.count("*").over(Window.partitionBy("gh")))
+        dup_pos = ranked.filter(
+            (F.col("cnt") >= 2) & (F.col("rn") >= 2)
+        ).select("id", "pos")
+    else:
+        dup_hashes = grams.groupBy("gh").count().filter(F.col("count") >= 2)
+        dup_pos = grams.join(dup_hashes.select("gh"), "gh").select("id", "pos")
 
     w_doc = Window.partitionBy("id").orderBy("pos")
     prev_end = F.max(F.col("pos") + F.lit(k - 1)).over(
@@ -191,13 +211,20 @@ def remove_duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 10,
+    keep_first: bool = True,
 ) -> DataFrame:
     """(id_col, text_clean, n_tokens, kept_tokens): the paper's removal
     step — drop every token covered by a duplicated >= k-token span,
     rejoin survivors with single spaces (token-stream semantics: the
     tokenizer already normalized case/punctuation). Documents with no
-    duplicated span pass through with their full token stream."""
-    islands = duplicate_islands(df, text_col=text_col, id_col=id_col, k=k)
+    duplicated span pass through with their full token stream.
+
+    Default ``keep_first=True`` keeps each duplicated span's first
+    occurrence (one copy of the content survives, like the reference
+    suffix-array dedup); pass False to cut every occurrence."""
+    islands = duplicate_islands(
+        df, text_col=text_col, id_col=id_col, k=k, keep_first=keep_first
+    )
     per_doc = islands.groupBy("id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )

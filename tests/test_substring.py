@@ -78,7 +78,7 @@ def test_within_doc_repetition(corpus):
     assert stats[3]["dup_tokens"] == 15 and stats[3]["n_dup_spans"] == 1
 
 
-def test_removal_cleans_exact_span(spark):
+def test_removal_keeps_first_occurrence(spark):
     shared = _mkdoc(*range(0, 12))
     df = spark.createDataFrame(
         [
@@ -87,7 +87,28 @@ def test_removal_cleans_exact_span(spark):
         ],
         ["doc_id", "text"],
     )
+    # default (paper semantics): doc 1 holds the FIRST occurrence and
+    # keeps it; doc 2's copy is cut — one copy of the content survives
     out = {r["doc_id"]: r for r in remove_duplicate_spans(df, k=10).collect()}
+    assert out[1]["text_clean"] == shared + " " + _mkdoc(*range(20, 40))
+    assert out[1]["kept_tokens"] == out[1]["n_tokens"] == 32
+    assert out[2]["text_clean"] == _mkdoc(*range(50, 70))
+    assert out[2]["kept_tokens"] == 20 and out[2]["n_tokens"] == 32
+
+
+def test_removal_cut_all_occurrences(spark):
+    shared = _mkdoc(*range(0, 12))
+    df = spark.createDataFrame(
+        [
+            (1, shared + " " + _mkdoc(*range(20, 40))),
+            (2, _mkdoc(*range(50, 70)) + " " + shared),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(df, k=10, keep_first=False).collect()
+    }
     assert out[1]["text_clean"] == _mkdoc(*range(20, 40))
     assert out[2]["text_clean"] == _mkdoc(*range(50, 70))
     assert out[1]["kept_tokens"] == 20 and out[1]["n_tokens"] == 32
