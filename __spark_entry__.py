@@ -2620,7 +2620,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_events_hourly": q_events_hourly,
         "d2_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "d3_dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "d5_dedup_embedding_cosine": q_dedup_embedding,
+        # r7 late swap: d5 (driver-green r1-r6; the dedup family keeps
+        # five in-window witnesses) parked so the r7-new exact-substring
+        # pass gets its first driver row in its landing round.
+        "d9_exact_substring": q_exact_substring,
         # r7 late swap: t1/t2_quality/t3 (map-side text stats,
         # driver-green r1-r6; family witnessed in-window by t5/t7/t8/
         # t9/t11) parked to extras so the three operators ADDED in r7
@@ -2749,10 +2752,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # classifier (the benched/served t10 path now loads the durable
         # coefficient artifact). No oracle by design, like t10.
         "t10b_quality_train_self": q_quality_train_self,
-        # NEW in r7: exact-substring dedup (overlapping k-gram windows
-        # + island merge — the Lee et al. 2107.06499 semantics; the
-        # non-overlapping passage form p3 stays the window witness).
-        "d9_exact_substring": q_exact_substring,
+        # r7 late swap (see queries()): parked so d9's first driver row
+        # lands in r7; same local oracle gate.
+        "d5_dedup_embedding_cosine": q_dedup_embedding,
         # r7 late swap (see queries()): parked so the r7-new smp6/
         # smp5h/src3 get first driver rows; same local oracle gate.
         "t1_token_counts": q_token_counts,
