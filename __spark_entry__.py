@@ -2539,6 +2539,51 @@ def q_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("stage")
 
 
+def q_curation_manifest_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipe2: the r7-new operators COMPOSED into one oracle-able
+    manifest (stage, docs_kept, id_sum) — ingest -> exact-substring
+    span gate (d9's dup_frac, drop docs more than half duplicated) ->
+    DSIR selection (smp6's importance resampling toward the surviving
+    doc_id % 10 == 0 slice, Gumbel-top-k 100). Each stage consumes the
+    previous stage's survivors; id_sum value-checks WHICH docs
+    survived, not just how many. Composition witness for the r7
+    additions, like pipe1 is for the r1-r6 stack."""
+    from muopdb_spark.operators.dsir import (
+        dsir_log_ratios,
+        dsir_sample,
+        dsir_weights,
+        hashed_ngram_buckets,
+    )
+    from muopdb_spark.operators.substring import duplicate_span_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    stats = duplicate_span_stats(docs, k=10)
+    s1 = docs.join(
+        stats.filter(F.col("dup_frac") <= 0.5).select("doc_id"),
+        "doc_id", "left_semi",
+    ).localCheckpoint(eager=True)
+    target = s1.filter(F.col("doc_id") % 10 == 0)
+    raw = s1.filter(F.col("doc_id") % 10 != 0)
+    grams = hashed_ngram_buckets(raw, n_buckets=4096).localCheckpoint(
+        eager=False
+    )
+    ratios = dsir_log_ratios(raw, target, n_buckets=4096, raw_grams=grams)
+    w = dsir_weights(raw, ratios, n_buckets=4096, raw_grams=grams)
+    s2 = dsir_sample(w, n=100).select("doc_id")
+    out = None
+    for name, df in (
+        ("0_ingest", docs),
+        ("1_span_gate", s1),
+        ("2_dsir_selected", s2),
+    ):
+        c = df.agg(
+            F.count("*").cast("long").alias("docs_kept"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        ).select(F.lit(name).alias("stage"), "docs_kept", "id_sum")
+        out = c if out is None else out.unionByName(c)
+    return out.orderBy("stage")
+
+
 def q_fvecs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """src2 (S8 offline ingest): embeddings exported to the standard
     .fvecs on-disk vector format (TexMex/ann-benchmarks) and re-read
@@ -2755,6 +2800,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7 late swap (see queries()): parked so d9's first driver row
         # lands in r7; same local oracle gate.
         "d5_dedup_embedding_cosine": q_dedup_embedding,
+        # NEW in r7: composition witness for the r7 operators (span
+        # gate -> DSIR selection) with id_sum value-checking the chain.
+        "pipe2_curation_manifest_v2": q_curation_manifest_v2,
         # r7 late swap (see queries()): parked so the r7-new smp6/
         # smp5h/src3 get first driver rows; same local oracle gate.
         "t1_token_counts": q_token_counts,
@@ -3587,6 +3635,100 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(a.dup_tokens, 0) / greatest(b.n_tokens, 1),
                          6) AS dup_frac
             FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id
+        """,
+        "pipe2_curation_manifest_v2": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            gpos AS (
+                SELECT doc_id, toks,
+                       unnest(range(1, len(toks) - 10 + 2)) AS pos
+                FROM t
+            ),
+            g AS (
+                SELECT doc_id, pos,
+                       md5(array_to_string(
+                           array_slice(toks, pos, pos + 9), ' ')) AS gh
+                FROM gpos
+            ),
+            dh AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+            p AS (SELECT g.doc_id, g.pos FROM g JOIN dh USING (gh)),
+            w1 AS (
+                SELECT doc_id, pos,
+                       max(pos + 9) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prev_end
+                FROM p
+            ),
+            iw AS (
+                SELECT doc_id,
+                       sum(greatest(pos + 9 - greatest(coalesce(prev_end, 0),
+                                                       pos - 1), 0))
+                           AS dup_tokens
+                FROM w1 GROUP BY doc_id
+            ),
+            s1 AS (
+                SELECT t.doc_id, t.toks
+                FROM t LEFT JOIN iw USING (doc_id)
+                WHERE round(coalesce(iw.dup_tokens, 0)
+                            / greatest(len(t.toks), 1), 6) <= 0.5
+            ),
+            grams2 AS (
+                SELECT doc_id,
+                       unnest(list_concat(
+                           toks,
+                           list_transform(range(1, len(toks)),
+                                          i -> toks[i] || ' ' || toks[i + 1])
+                       )) AS gram
+                FROM s1
+            ),
+            b AS (
+                SELECT doc_id,
+                       ('0x' || substring(md5(gram), 1, 8))::BIGINT % 4096
+                           AS bucket
+                FROM grams2
+            ),
+            tc AS (
+                SELECT bucket, count(*)::DOUBLE AS ct FROM b
+                WHERE doc_id % 10 = 0 GROUP BY bucket
+            ),
+            rc AS (
+                SELECT bucket, count(*)::DOUBLE AS cr FROM b
+                WHERE doc_id % 10 <> 0 GROUP BY bucket
+            ),
+            ratio AS (
+                SELECT k.bucket,
+                       ln((coalesce(tc.ct, 0) + 1)
+                          / ((SELECT sum(ct) FROM tc) + 4096))
+                     - ln((coalesce(rc.cr, 0) + 1)
+                          / ((SELECT sum(cr) FROM rc) + 4096)) AS log_ratio
+                FROM (SELECT unnest(range(0, 4096)) AS bucket) k
+                LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
+            ),
+            wgt AS (
+                SELECT b.doc_id, sum(r.log_ratio) / count(*) AS lw
+                FROM b JOIN ratio r USING (bucket)
+                WHERE b.doc_id % 10 <> 0
+                GROUP BY b.doc_id
+            ),
+            s2 AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id,
+                           round(lw + -ln(-ln(
+                               (('0x' || substring(md5(doc_id::VARCHAR), 1, 8))
+                                    ::BIGINT + 0.5) / 4294967296.0
+                           )), 6) AS sample_key
+                    FROM wgt
+                ) ORDER BY sample_key DESC, doc_id ASC LIMIT 100
+            )
+            SELECT * FROM (
+                SELECT '0_ingest' AS stage, count(*)::BIGINT AS docs_kept,
+                       CAST(sum(doc_id) AS BIGINT) AS id_sum FROM documents
+                UNION ALL
+                SELECT '1_span_gate', count(*)::BIGINT,
+                       CAST(sum(doc_id) AS BIGINT) FROM s1
+                UNION ALL
+                SELECT '2_dsir_selected', count(*)::BIGINT,
+                       CAST(sum(doc_id) AS BIGINT) FROM s2
+            ) ORDER BY stage
         """,
         "t4_fingerprints": f"""
             WITH {_SHINGLES_CTE},

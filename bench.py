@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "src3_fvecs_sharded_roundtrip",
     "smp6_dsir_sample",
     "d9_exact_substring",
+    "pipe2_curation_manifest_v2",
 ]
 
 
