@@ -2539,6 +2539,29 @@ def q_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("stage")
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t12: tokenizer-training vocabulary tables (operators/vocab.py,
+    Sennrich et al. 1508.07909 step 1) — the corpus-wide top-150 token
+    frequencies plus the top-50 adjacent-pair frequencies (what a BPE
+    merge round maximizes over), deterministically tie-broken."""
+    from muopdb_spark.operators.vocab import pair_vocab, token_vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    t = token_vocab(docs, top_k=150).select(
+        F.lit("token").alias("kind"),
+        F.col("token").alias("term"),
+        "count",
+        "rank",
+    )
+    p = pair_vocab(docs, top_k=50).select(
+        F.lit("pair").alias("kind"),
+        F.concat_ws(" ", "left", "right").alias("term"),
+        "count",
+        "rank",
+    )
+    return t.unionByName(p).orderBy("kind", "rank")
+
+
 def q_curation_manifest_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pipe2: the r7-new operators COMPOSED into one oracle-able
     manifest (stage, docs_kept, id_sum) — ingest -> exact-substring
@@ -2803,6 +2826,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW in r7: composition witness for the r7 operators (span
         # gate -> DSIR selection) with id_sum value-checking the chain.
         "pipe2_curation_manifest_v2": q_curation_manifest_v2,
+        # NEW in r7: tokenizer-training vocab tables (token + BPE-pair
+        # frequencies, deterministic tiebreak).
+        "t12_vocab_topk": q_vocab_topk,
         # r7 late swap (see queries()): parked so the r7-new smp6/
         # smp5h/src3 get first driver rows; same local oracle gate.
         "t1_token_counts": q_token_counts,
@@ -3635,6 +3661,41 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(a.dup_tokens, 0) / greatest(b.n_tokens, 1),
                          6) AS dup_frac
             FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id
+        """,
+        "t12_vocab_topk": f"""
+            WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+            tok AS (SELECT unnest(toks) AS token FROM t),
+            tv AS (
+                SELECT token, count(*)::BIGINT AS count FROM tok
+                GROUP BY token
+            ),
+            tvr AS (
+                SELECT 'token' AS kind, token AS term, count,
+                       row_number() OVER (ORDER BY count DESC, token ASC)
+                           ::BIGINT AS rank
+                FROM tv ORDER BY count DESC, token ASC LIMIT 150
+            ),
+            pr AS (
+                SELECT unnest(list_transform(
+                    range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS term
+                FROM t
+            ),
+            pv AS (
+                SELECT term, count(*)::BIGINT AS count FROM pr GROUP BY term
+            ),
+            -- ordering by the space-joined pair string == ordering by
+            -- (left, right): tokens are alnum-only and ' ' sorts below
+            -- every alnum char, so the prefix case agrees too
+            pvr AS (
+                SELECT 'pair' AS kind, term, count,
+                       row_number() OVER (ORDER BY count DESC, term ASC)
+                           ::BIGINT AS rank
+                FROM pv ORDER BY count DESC, term ASC LIMIT 50
+            )
+            SELECT * FROM (
+                SELECT * FROM tvr UNION ALL SELECT * FROM pvr
+            ) ORDER BY kind, rank
         """,
         "pipe2_curation_manifest_v2": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "smp6_dsir_sample",
     "d9_exact_substring",
     "pipe2_curation_manifest_v2",
+    "t12_vocab_topk",
 ]
 
 
