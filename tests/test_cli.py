@@ -163,3 +163,18 @@ def test_cli_dedup_substring(spark, cli, capsys, tmp_path, sf_dir):
     cleaned = spark.read.parquet(out_dir)
     assert cleaned.count() == 500
     assert cleaned.filter("kept_tokens > n_tokens").count() == 0
+
+
+def test_cli_vocab(spark, cli, capsys, tmp_path, sf_dir):
+    out_dir = str(tmp_path / "vocab")
+    r = _run(cli, capsys, ["vocab", "--input",
+                           f"{sf_dir}/documents.parquet",
+                           "--top-k", "100", "--output", out_dir])
+    # the synthetic fixture has a tiny vocabulary (31 distinct tokens
+    # at sf0.001), so the budget is an upper bound here
+    assert 0 < r["tokens"] <= 100 and 0 < r["pairs"] <= 100
+    assert r["top_tokens"][0][1] >= r["top_tokens"][1][1]
+    v = spark.read.parquet(out_dir)
+    assert v.count() == r["tokens"] + r["pairs"] and set(
+        r2["kind"] for r2 in v.select("kind").distinct().collect()
+    ) == {"token", "pair"}

@@ -32,6 +32,8 @@ Pipeline commands (operate on a documents parquet):
   python tools/query.py dsir --input raw.parquet --target quality.parquet \
       --n-sample 1000 --output selected/  # importance-resample raw docs
                                  # toward the target distribution
+  python tools/query.py vocab --input docs.parquet --top-k 30000 \
+      --output vocab/              # tokenizer-training token+pair tables
 
 Collections accept the full quantizer matrix at create time:
   python tools/query.py create --root /data --name memories \
@@ -48,7 +50,7 @@ sys.path.insert(0, "/root/repo")
 
 COLLECTION_CMDS = {"create", "insert", "remove", "search", "term-search", "stats", "optimize", "flush", "inspect"}
 PIPELINE_CMDS = {"dedup", "lm-score", "chunk", "shard", "quality", "admit",
-                 "dsir"}
+                 "dsir", "vocab"}
 
 
 def _pipeline(spark, args, ap) -> dict:
@@ -136,6 +138,23 @@ def _pipeline(spark, args, ap) -> dict:
         out = dsir_sample(w, n=args.n_sample)
         result = {"raw_docs": df.count(), "target_docs": target.count(),
                   "sampled": out.count(), "n_sample": args.n_sample}
+    elif args.command == "vocab":
+        from pyspark.sql import functions as F
+        from muopdb_spark.operators.vocab import pair_vocab, token_vocab
+
+        tv = token_vocab(df, top_k=args.top_k, min_count=args.min_count)
+        pv = pair_vocab(df, top_k=args.top_k, min_count=args.min_count)
+        out = tv.select(
+            F.lit("token").alias("kind"), F.col("token").alias("term"),
+            "count", "rank",
+        ).unionByName(pv.select(
+            F.lit("pair").alias("kind"),
+            F.concat_ws(" ", "left", "right").alias("term"),
+            "count", "rank",
+        ))
+        head = tv.orderBy("rank").limit(3).collect()
+        result = {"tokens": tv.count(), "pairs": pv.count(),
+                  "top_tokens": [[r["token"], r["count"]] for r in head]}
     elif args.command == "admit":
         import os
 
@@ -217,6 +236,10 @@ def main(argv=None) -> int:
     ap.add_argument("--target", help="dsir: target-corpus parquet path")
     ap.add_argument("--n-sample", type=int, default=1000,
                     help="dsir: sample size")
+    ap.add_argument("--top-k", type=int, default=None,
+                    help="vocab: budget for each table")
+    ap.add_argument("--min-count", type=int, default=1,
+                    help="vocab: hapax-tail cut before ranking")
     ap.add_argument("--quality-min", type=float, default=None,
                     help="admit: composite-quality gate threshold")
     ap.add_argument("--batch-id", type=int, default=0,
