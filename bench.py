@@ -143,6 +143,7 @@ def main() -> None:
     entry_mod._two_level_index(spark, sf_dir)
     entry_mod._ivf_index(spark, sf_dir, quantizer="sq")
     entry_mod._dup_span_stats(spark, sf_dir)
+    entry_mod._dsir_weights_table(spark, sf_dir)
 
     # Compile EVERY benchmark pipeline at the smoke SF so no timed rep0
     # bills whole-stage codegen / first Arrow-pipeline execution. The
