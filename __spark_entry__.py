@@ -469,7 +469,9 @@ _SHINGLES_CTE = f"""
 """
 
 
-def _stream_admission_oracle(quality_min: float | None = None) -> str:
+def _stream_admission_oracle(
+    quality_min: float | None = None, dsir_min: float | None = None
+) -> str:
     """DuckDB twin of q_stream_admission: symbolic replay of TWO
     sequential admission rounds (intra-batch min-id dedup, then
     cross-dedup vs the corpus-so-far) with the same md5 minhash
@@ -478,8 +480,10 @@ def _stream_admission_oracle(quality_min: float | None = None) -> str:
     batch rejection path is value-checked, not just row-counted.
     With `quality_min`, both batches are first gated on the t2
     composite quality score (w6's cheapest-filter-first ordering);
-    the seed corpus is pre-curated and ungated, exactly like the
-    Spark side."""
+    with `dsir_min`, on the DSIR mean log-ratio vs a ratio table
+    trained on the seed corpus (target = seed doc_id%10==0 — w7's
+    importance gate, replayed bucket-for-bucket); the seed corpus is
+    pre-curated and ungated, exactly like the Spark side."""
     hs = ",\n               ".join(
         f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min') AS h{i}"
         for i in range(8)
@@ -510,8 +514,54 @@ def _stream_admission_oracle(quality_min: float | None = None) -> str:
         qgate = " AND doc_id IN (SELECT doc_id FROM qual)"
     else:
         qual = ""
+    imp = ""
+    if dsir_min is not None:
+        imp = f"""
+        imp_toks AS (SELECT doc_id, {_TOKS} AS it FROM documents),
+        igrams AS (
+            SELECT doc_id,
+                   unnest(list_concat(
+                       it,
+                       list_transform(range(1, len(it)),
+                                      i -> it[i] || ' ' || it[i + 1])
+                   )) AS gram
+            FROM imp_toks
+        ),
+        ib AS (
+            SELECT doc_id,
+                   ('0x' || substring(md5(gram), 1, 8))::BIGINT % 4096
+                       AS bucket
+            FROM igrams
+        ),
+        itc AS (
+            SELECT bucket, count(*)::DOUBLE AS ct FROM ib
+            WHERE doc_id % 5 >= 2 AND doc_id % 10 >= 8 GROUP BY bucket
+        ),
+        irc AS (
+            SELECT bucket, count(*)::DOUBLE AS cr FROM ib
+            WHERE doc_id % 5 >= 2 AND doc_id % 10 < 8 GROUP BY bucket
+        ),
+        iratio AS (
+            SELECT k.bucket,
+                   ln((coalesce(itc.ct, 0) + 1)
+                      / (coalesce((SELECT sum(ct) FROM itc), 0) + 4096))
+                 - ln((coalesce(irc.cr, 0) + 1)
+                      / (coalesce((SELECT sum(cr) FROM irc), 0) + 4096))
+                       AS log_ratio
+            FROM (SELECT unnest(range(0, 4096)) AS bucket) k
+            LEFT JOIN itc USING (bucket) LEFT JOIN irc USING (bucket)
+        ),
+        imp_ok AS (
+            SELECT ib.doc_id
+            FROM ib JOIN iratio r USING (bucket)
+            GROUP BY ib.doc_id
+            HAVING round(sum(r.log_ratio) / count(*), 6) >= {dsir_min}
+            UNION
+            SELECT doc_id FROM imp_toks WHERE len(it) = 0
+        ),"""
+        qgate += " AND doc_id IN (SELECT doc_id FROM imp_ok)"
     return f"""
-        WITH {_SHINGLES_CTE},{qual}
+        WITH {_SHINGLES_CTE},{qual}{imp}
         sig AS (SELECT doc_id, sh, {hs} FROM s2),
         sigb AS (SELECT *, {bands} FROM sig),
         seed AS (SELECT * FROM sigb WHERE doc_id % 5 >= 2),
@@ -2495,6 +2545,59 @@ def q_stream_quality_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_stream_importance_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w7: importance-gated continuous admission — the w5 two-round
+    replay with a DSIR gate (streaming/admission.py dsir_ratios/
+    dsir_min): each arriving batch is scored against a ratio table
+    trained on the SEED corpus (target = seed doc_id % 10 >= 8, the
+    curated 'quality sample') and admitted only if its mean per-gram
+    log-ratio >= -0.13 ("does this doc look like the quality
+    target") BEFORE signing — the streaming face of DSIR selection,
+    like w6 is of quality filtering. The ratio table is the durable
+    broadcast-sized artifact; the oracle replays it bucket-for-bucket
+    plus both dedup rounds."""
+    import shutil
+    import tempfile
+
+    from muopdb_spark.operators.dsir import dsir_log_ratios
+    from muopdb_spark.streaming.admission import admit_batch, bootstrap_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    seed = docs.filter(F.col("doc_id") % 5 >= 2)
+    # target rule must live INSIDE the seed: %10 >= 8 <=> %5 in {3,4}
+    # picks the ids ending in 8/9 as the curated 'quality sample'
+    ratios = dsir_log_ratios(
+        seed.filter(F.col("doc_id") % 10 < 8),
+        seed.filter(F.col("doc_id") % 10 >= 8),
+        n_buckets=4096,
+    ).localCheckpoint(eager=True)
+    tmp = tempfile.mkdtemp(prefix="muopdb_w7_")
+    try:
+        corpus = os.path.join(tmp, "corpus")
+        sig = os.path.join(tmp, "sigs")
+        rej = os.path.join(tmp, "rejected")
+        bootstrap_corpus(seed, corpus, sig)
+        for i, bm in ((1, 0), (2, 1)):
+            admit_batch(
+                docs.filter(F.col("doc_id") % 5 == bm), i, corpus, sig, rej,
+                dsir_ratios=ratios, dsir_min=-0.13,
+            )
+        out = (
+            spark.read.parquet(corpus)
+            .select(
+                "doc_id",
+                F.when(F.col("doc_id") % 5 == 0, "batch1")
+                .when(F.col("doc_id") % 5 == 1, "batch2")
+                .otherwise("seed")
+                .alias("origin"),
+            )
+            .orderBy("doc_id")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p5: RAG chunk export — overlapping 32-token windows at stride
     24 over each document (operators/packing.chunk_documents). Pure
@@ -2869,6 +2972,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW in r7: tokenizer-training vocab tables (token + BPE-pair
         # frequencies, deterministic tiebreak).
         "t12_vocab_topk": q_vocab_topk,
+        # NEW in r7: importance-gated streaming admission (DSIR gate
+        # before signing — the streaming face of smp6, like w6 is of
+        # quality filtering).
+        "w7_stream_importance_admission": q_stream_importance_admission,
         # r7 late swap (see queries()): parked so the r7-new smp6/
         # smp5h/src3 get first driver rows; same local oracle gate.
         "t1_token_counts": q_token_counts,
@@ -3542,6 +3649,9 @@ def oracle_sql() -> dict[str, str]:
         "d7_incremental_minhash": _incremental_minhash_oracle(),
         "w5_stream_admission": _stream_admission_oracle(),
         "w6_stream_quality_admission": _stream_admission_oracle(quality_min=0.35),
+        "w7_stream_importance_admission": _stream_admission_oracle(
+            dsir_min=-0.13
+        ),
         # salting must be invisible in the result: the oracle is the
         # PLAIN join
         "j8_skew_salted_join": """

@@ -67,19 +67,30 @@ def admit_batch(
     bands: int = 4,
     threshold: float = 0.8,
     quality_min: float | None = None,
+    dsir_ratios: DataFrame | None = None,
+    dsir_min: float | None = None,
+    dsir_buckets: int = 4096,
 ) -> None:
     """One admission round (callable directly for batch pipelines, or
     from the stream's foreachBatch): OPTIONAL quality gate (composite
     quality score >= quality_min, the t2 formula — a pure map-side
-    expression, so the gate adds zero shuffles to the round), then
-    intra-batch dedup (keep the lowest id of any near-dup pair), then
-    cross dedup vs the artifact; append admitted text + signatures,
-    record EVERY rejection to rejected_path — quality-gated docs with
-    reason='quality' (corpus_id/jaccard null), dedup-rejected docs with
-    reason='duplicate' and the corpus doc they matched — so the audit
-    trail accounts for the whole batch. Quality-gating BEFORE signing
-    also skips the minhash cost for rejected docs — cheapest filter
-    first, the standard curation ordering."""
+    expression, so the gate adds zero shuffles to the round), OPTIONAL
+    importance gate (DSIR mean per-gram log-ratio >= dsir_min against a
+    caller-provided durable ratio table — "does this doc look like the
+    quality target"; the 4096-row table broadcasts, the only shuffle is
+    the batch-sized per-doc rollup), then intra-batch dedup (keep the
+    lowest id of any near-dup pair), then cross dedup vs the artifact;
+    append admitted text + signatures, record EVERY rejection to
+    rejected_path — quality-gated docs with reason='quality',
+    importance-gated with reason='importance' (corpus_id/jaccard null),
+    dedup-rejected docs with reason='duplicate' and the corpus doc they
+    matched — so the audit trail accounts for the whole batch. Cheap
+    gates run BEFORE signing, so rejected docs never pay minhash cost —
+    cheapest filter first, the standard curation ordering.
+
+    ``dsir_ratios`` must come from dsir_log_ratios with the SAME
+    ``dsir_buckets`` — at 100 TB it is a build-once corpus artifact
+    (see __spark_entry__._dsir_weights_table), not per-batch work."""
     spark = batch_df.sparkSession
     batch_df = batch_df.localCheckpoint(eager=True)
     if quality_min is not None:
@@ -100,6 +111,34 @@ def admit_batch(
         )
         if not quality_rejected.isEmpty():
             quality_rejected.write.mode("append").parquet(rejected_path)
+        batch_df = batch_df.join(ok, id_col, "left_semi").localCheckpoint(
+            eager=True
+        )
+        if batch_df.isEmpty():
+            return
+
+    if dsir_ratios is not None and dsir_min is not None:
+        from muopdb_spark.operators.dsir import dsir_weights
+
+        w = dsir_weights(
+            batch_df, dsir_ratios, text_col=text_col, id_col=id_col,
+            n_buckets=dsir_buckets,
+        )
+        # round like the smp6 oracle so the boundary compare is
+        # engine-stable
+        ok = w.filter(
+            F.round(F.col("log_weight"), 6) >= F.lit(float(dsir_min))
+        ).select(id_col)
+        imp_rejected = batch_df.join(ok, id_col, "left_anti").select(
+            F.col(id_col).cast("long").alias("new_id"),
+            F.lit(None).cast("long").alias("corpus_id"),
+            F.lit(None).cast("double").alias("est_jaccard"),
+            F.lit(None).cast("double").alias("jaccard"),
+            F.lit("importance").alias("reason"),
+            F.lit(batch_id).cast("long").alias("batch_id"),
+        )
+        if not imp_rejected.isEmpty():
+            imp_rejected.write.mode("append").parquet(rejected_path)
         batch_df = batch_df.join(ok, id_col, "left_semi").localCheckpoint(
             eager=True
         )
@@ -190,6 +229,9 @@ def stream_admission(
     bands: int = 4,
     threshold: float = 0.8,
     quality_min: float | None = None,
+    dsir_ratios: DataFrame | None = None,
+    dsir_min: float | None = None,
+    dsir_buckets: int = 4096,
     trigger_available_now: bool = False,
     processing_time: str = "1 second",
 ):
@@ -204,7 +246,8 @@ def stream_admission(
             batch_df, batch_id, corpus_path, sig_path, rejected_path,
             text_col=text_col, id_col=id_col, n=n,
             num_hashes=num_hashes, bands=bands, threshold=threshold,
-            quality_min=quality_min,
+            quality_min=quality_min, dsir_ratios=dsir_ratios,
+            dsir_min=dsir_min, dsir_buckets=dsir_buckets,
         )
         batch_df.sparkSession.catalog.clearCache()
 

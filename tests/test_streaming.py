@@ -349,3 +349,52 @@ def test_admit_batch_quality_rejections_recorded(spark, tmp_path):
     rej2 = spark.read.parquet(rejected_path).filter("batch_id = 4").collect()
     assert [(r["new_id"], r["reason"]) for r in rej2] == [(9, "quality")]
     assert {r["doc_id"] for r in spark.read.parquet(corpus_path).collect()} == {1, 5}
+
+
+def test_admit_batch_importance_gate(spark, tmp_path):
+    """DSIR-gated admission (w7): batch docs that do not look like the
+    target corpus are rejected with reason='importance' BEFORE
+    signing; look-alike docs are admitted."""
+    from pyspark.sql import functions as F
+
+    from muopdb_spark.operators.dsir import dsir_log_ratios
+    from muopdb_spark.streaming.admission import admit_batch, bootstrap_corpus
+
+    target_like = "the quick brown fox jumps over the lazy dog at dawn"
+    off_dist = "qqxx wwyy eezz rrtt uuii ooppp aass ddff gghh jjkk llmm"
+    # raw = mixed corpus (target-like + junk); target = the curated
+    # target-like slice — the ratio table must SEPARATE the two
+    seed = spark.createDataFrame(
+        [(i, target_like + f" run {i}") for i in range(1, 4)]
+        + [(i, off_dist + f" v{i}") for i in range(4, 7)],
+        "doc_id long, text string",
+    )
+    ratios = dsir_log_ratios(
+        seed, seed.filter(F.col("doc_id") <= 3)
+    ).localCheckpoint(eager=True)
+
+    corpus_path, sig_path, rej_path = (
+        str(tmp_path / p) for p in ("c", "s", "r")
+    )
+    bootstrap_corpus(seed, corpus_path, sig_path)
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox naps beside the lazy dog at noon"),
+         (11, off_dist + " extra")],
+        "doc_id long, text string",
+    )
+    from muopdb_spark.operators.dsir import dsir_weights
+
+    w = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_weights(batch, ratios).collect()
+    }
+    assert w[10] > w[11], "target-like doc must outscore the junk doc"
+    cut = (w[10] + w[11]) / 2
+    admit_batch(batch, 1, corpus_path, sig_path, rej_path,
+                threshold=0.9, dsir_ratios=ratios, dsir_min=cut)
+    rej = {(r["new_id"], r["reason"])
+           for r in spark.read.parquet(rej_path).collect()}
+    assert (11, "importance") in rej
+    admitted = {r["doc_id"]
+                for r in spark.read.parquet(corpus_path).collect()}
+    assert 10 in admitted and 11 not in admitted

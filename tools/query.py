@@ -29,6 +29,8 @@ Pipeline commands (operate on a documents parquet):
       --threshold 0.8 --quality-min 0.35   # w6: quality-gated admission round
                                  # (bootstraps state/ on first use; audit in
                                  #  state/rejected)
+  python tools/query.py admit --input batch.parquet --state admission/ \
+      --importance-min -0.1 --target quality.parquet  # w7: DSIR-gated round
   python tools/query.py dsir --input raw.parquet --target quality.parquet \
       --n-sample 1000 --output selected/  # importance-resample raw docs
                                  # toward the target distribution
@@ -174,8 +176,22 @@ def _pipeline(spark, args, ap) -> dict:
             return {"bootstrapped": True, "docs": batch.count(),
                     "state": args.state}
         before = spark.read.parquet(corpus).count()
+        ratios = None
+        if args.importance_min is not None:
+            if not args.target:
+                ap.error("--importance-min requires --target "
+                         "(the quality-sample parquet)")
+            from muopdb_spark.operators.dsir import dsir_log_ratios
+
+            # durable in a production deployment; rebuilt here from the
+            # current corpus (raw) vs the quality sample (target)
+            ratios = dsir_log_ratios(
+                spark.read.parquet(corpus),
+                spark.read.parquet(args.target),
+            ).localCheckpoint(eager=True)
         admit_batch(batch, args.batch_id, corpus, sigs, rejected,
-                    threshold=args.threshold, quality_min=args.quality_min)
+                    threshold=args.threshold, quality_min=args.quality_min,
+                    dsir_ratios=ratios, dsir_min=args.importance_min)
         after = spark.read.parquet(corpus).count()
         audit = {}
         if os.path.isdir(rejected):
@@ -242,6 +258,8 @@ def main(argv=None) -> int:
                     help="vocab: hapax-tail cut before ranking")
     ap.add_argument("--quality-min", type=float, default=None,
                     help="admit: composite-quality gate threshold")
+    ap.add_argument("--importance-min", type=float, default=None,
+                    help="admit: DSIR mean-log-ratio gate (needs --target)")
     ap.add_argument("--batch-id", type=int, default=0,
                     help="admit: batch id recorded in the audit trail")
     ap.add_argument("--num-features", type=int, default=4)
