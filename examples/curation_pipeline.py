@@ -273,8 +273,18 @@ def main() -> None:
                        .orderBy("doc_id").limit(200) \
                        .select("doc_id", "text")
         n_new = new_batch.count()
+        # the full three-gate round (w7): quality -> DSIR importance
+        # ("does this doc look like the curated corpus" — ratio table
+        # trained raw-vs-curated, a durable broadcast artifact in
+        # production) -> near-dup vs the signature artifact
+        from muopdb_spark.operators.dsir import dsir_log_ratios
+
+        ratios = dsir_log_ratios(
+            raw.select("doc_id", "text"), docs.select("doc_id", "text")
+        ).localCheckpoint(eager=True)
         admit_batch(new_batch, 1, day2_corpus, sig_path, rejected_path,
-                    threshold=0.8, quality_min=0.2)
+                    threshold=0.8, quality_min=0.2,
+                    dsir_ratios=ratios, dsir_min=-0.05)
         audit = spark.read.parquet(rejected_path) \
             .groupBy("reason").count().collect() \
             if os.path.exists(rejected_path) else []
