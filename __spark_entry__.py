@@ -2183,6 +2183,24 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(docs.select("doc_id"), pairs).orderBy("doc_id")
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p6: leakage-safe train/heldout split — the split key is the
+    near-dup CLUSTER id (d6's components over exact 3-gram-Jaccard
+    pairs), so near-duplicate documents can never straddle the eval
+    boundary (operators/sampling.leakage_safe_split; content-addressed
+    md5 rule, 80% train)."""
+    from muopdb_spark.operators.dedup import ngram_jaccard_pairs
+    from muopdb_spark.operators.graph import dup_clusters
+    from muopdb_spark.operators.sampling import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    clusters = dup_clusters(docs.select("doc_id"), pairs)
+    return leakage_safe_split(
+        docs.select("doc_id"), clusters, train_fraction=0.8
+    ).select("doc_id", "cluster_id", "split").orderBy("doc_id")
+
+
 _BM25_STATS: dict = {}
 
 
@@ -2976,6 +2994,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # before signing — the streaming face of smp6, like w6 is of
         # quality filtering).
         "w7_stream_importance_admission": q_stream_importance_admission,
+        # NEW in r7: leakage-safe split — near-dup clusters, not docs,
+        # are the train/heldout hash key.
+        "p6_leakage_safe_split": q_leakage_safe_split,
         # r7 late swap (see queries()): parked so the r7-new smp6/
         # smp5h/src3 get first driver rows; same local oracle gate.
         "t1_token_counts": q_token_counts,
@@ -4399,6 +4420,34 @@ def oracle_sql() -> dict[str, str]:
                    count(*) OVER (PARTITION BY cluster_id)::BIGINT
                        AS cluster_size,
                    id = cluster_id AS is_canonical
+            FROM comp ORDER BY doc_id
+        """,
+        "p6_leakage_safe_split": f"""
+            WITH RECURSIVE {_SHINGLES_CTE},
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM s2 a, s2 b
+                WHERE a.doc_id < b.doc_id
+                  AND len(list_intersect(a.sh, b.sh)) > 0
+                  AND len(list_intersect(a.sh, b.sh))::DOUBLE
+                        / (a.n + b.n - len(list_intersect(a.sh, b.sh))) >= 0.8
+            ),
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION
+                SELECT doc_b AS a, doc_a AS b FROM pairs
+            ),
+            reach AS (
+                SELECT doc_id AS id, doc_id AS lab FROM documents
+                UNION
+                SELECT e.b AS id, r.lab
+                FROM reach r JOIN edges e ON e.a = r.id
+            ),
+            comp AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
+            SELECT id AS doc_id, cluster_id,
+                   CASE WHEN substring(md5(cluster_id::VARCHAR), 1, 8)
+                             < 'cccccccc'
+                        THEN 'train' ELSE 'heldout' END AS split
             FROM comp ORDER BY doc_id
         """,
         "p2_sequence_pack": r"""

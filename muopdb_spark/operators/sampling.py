@@ -82,6 +82,46 @@ def stratified_hash_sample(
     return df.filter(_hash_bucket(F.col(key_col), salt) < thr)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    train_fraction: float = 0.9,
+    salt: str = "",
+) -> DataFrame:
+    """Train/heldout split that can't leak near-duplicates: the split
+    key is the doc's near-dup CLUSTER id (operators/graph.dup_clusters),
+    so every member of a cluster lands on the same side — a doc-keyed
+    split would put one copy of a duplicated document in train and its
+    near-copy in the eval set, the classic contamination-by-split bug
+    (the reason Lee et al. 2107.06499 / benchmark-decontamination
+    pipelines split AFTER clustering). Docs absent from `clusters`
+    (never paired) are their own singleton cluster (cluster_id = own
+    id — dup_clusters emits them, but a pre-filtered cluster table
+    works too via the coalesce).
+
+    Same content-addressed hash rule as hash_sample: md5-prefix
+    compare, map-side after one broadcast-or-shuffle join on the
+    cluster table; deterministic across runs/partitionings/engines.
+    Returns df's columns + (cluster_col, split)."""
+    assign = clusters.select(
+        F.col(id_col).alias("_lsid"), F.col(cluster_col).alias("_lscl")
+    )
+    joined = df.join(
+        assign, df[id_col] == F.col("_lsid"), "left"
+    ).withColumn(
+        cluster_col, F.coalesce(F.col("_lscl"), F.col(id_col))
+    ).drop("_lsid", "_lscl")
+    split = F.when(
+        _hash_bucket(F.col(cluster_col), salt)
+        < F.lit(_threshold_hex(train_fraction)),
+        F.lit("train"),
+    ).otherwise(F.lit("heldout"))
+    return joined.withColumn("split", split)
+
+
 def token_budget_mixture(
     df: DataFrame,
     *,

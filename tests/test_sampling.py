@@ -310,3 +310,34 @@ def test_temperature_mixture_bad_membership(spark):
         temperature_mixture(
             df, strata_col="lang", key_col="doc_id", membership="nope"
         )
+
+
+def test_leakage_safe_split_property(spark, sf_dir):
+    """No near-dup pair may straddle the train/heldout boundary — the
+    property the cluster-keyed hash guarantees by construction."""
+    from muopdb_spark.operators.dedup import ngram_jaccard_pairs
+    from muopdb_spark.operators.graph import dup_clusters
+    from muopdb_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    pairs = pairs.localCheckpoint(eager=True)
+    clusters = dup_clusters(docs.select("doc_id"), pairs)
+    out = leakage_safe_split(
+        docs.select("doc_id"), clusters, train_fraction=0.8
+    ).select("doc_id", "split")
+    a = out.selectExpr("doc_id AS doc_a", "split AS split_a")
+    b = out.selectExpr("doc_id AS doc_b", "split AS split_b")
+    straddling = (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .filter("split_a <> split_b").count()
+    )
+    assert pairs.count() > 0, "fixture must contain near-dup pairs"
+    assert straddling == 0
+    # both sides populated and deterministic across partitionings
+    sides = {r["split"] for r in out.select("split").distinct().collect()}
+    assert sides == {"train", "heldout"}
+    again = leakage_safe_split(
+        docs.select("doc_id").repartition(7), clusters, train_fraction=0.8
+    ).select("doc_id", "split")
+    assert out.exceptAll(again).count() == 0
