@@ -44,9 +44,11 @@ def main() -> int:
     qs = {**entry_mod.queries(), **entry_mod.extra_queries()}
     oracles = entry_mod.oracle_sql()
     failures = []
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         t0 = time.time()
         try:
             got = normalize(fn(spark, sf_dir).toPandas())
@@ -80,7 +82,13 @@ def main() -> int:
         else:
             print(f"ok    {name}: {len(got)} rows [{time.time()-t0:.1f}s]")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries match" + (f"; FAILED: {failures}" if failures else ""))
+    scope = (
+        f"{checked - len(failures)}/{checked} queries match"
+        if not only
+        else f"{checked - len(failures)}/{checked} checked queries match"
+        f" ({len(qs)} registered)"
+    )
+    print("\n" + scope + (f"; FAILED: {failures}" if failures else ""))
     spark.stop()
     return 1 if failures else 0
 
