@@ -846,6 +846,52 @@ def q_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("id", "vec_id")
 
 
+def _opq_index(spark: SparkSession, sf_dir: str):
+    """DURABLE build-once OPQ artifact: rotation + rotated-space PQ
+    codebook (JSON) and the coded corpus (parquet). Codebook lands
+    LAST via rename — its presence is the success marker, so a crash
+    mid-build can only leave an invisible partial."""
+    key = ("opq", sf_dir)
+    if key not in _IVF_CACHE:
+        from muopdb_spark.index.opq import OpqCodebook, opq_encode, train_opq
+
+        path = _index_artifact_dir(sf_dir, "opq_v1")
+        cb_path = os.path.join(path, "codebook.json")
+        coded_path = os.path.join(path, "coded")
+        if not os.path.exists(cb_path):
+            emb = _t(spark, sf_dir, "embeddings")
+            book = train_opq(
+                emb, num_subvectors=8, num_centers=16, opq_iters=4
+            )
+            opq_encode(emb, book).select(
+                "vec_id", "embedding", "pq_code"
+            ).write.mode("overwrite").parquet(coded_path)
+            os.makedirs(path, exist_ok=True)
+            tmp = cb_path + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(book.to_json())
+            os.rename(tmp, cb_path)
+        with open(cb_path) as f:
+            book = OpqCodebook.from_json(f.read())
+        _IVF_CACHE[key] = (spark.read.parquet(coded_path), book)
+    return _IVF_CACHE[key]
+
+
+def q_opq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v27 (capability-exceeding, like RaBitQ): OPQ — PQ after a
+    learned orthonormal rotation (Ge et al. CVPR'13; index/opq.py) on
+    the estimate -> exact-rerank contract. ADC top-300 on rotated-space
+    codes, exact re-rank, top-10 EXACT given containment (pytest-gated
+    at sf0.001 and sf0.01 with the anisotropy MSE-win gate in
+    tests/test_opq.py), so brute force is the oracle. Same code bytes
+    and scan I/O as v11's PQ — the rotation buys recall per byte."""
+    from muopdb_spark.index.opq import opq_search
+
+    coded, book = _opq_index(spark, sf_dir)
+    qv = _query_vector(spark, sf_dir)
+    return opq_search(coded, book, qv, 10, rerank=300)
+
+
 def q_rabitq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V13 (capability-exceeding — the reference ships RaBitQ,
     rs/quantization/src/rabitq/mod.rs, but never wires it into search):
@@ -2997,6 +3043,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW in r7: leakage-safe split — near-dup clusters, not docs,
         # are the train/heldout hash key.
         "p6_leakage_safe_split": q_leakage_safe_split,
+        # NEW in r7: OPQ rotated-space PQ on the estimate->rerank
+        # contract (quantizer matrix: none/pq/pq_user/sq/rabitq/opq).
+        "v27_opq_adc_rerank": q_opq_adc_rerank,
         # r7 late swap (see queries()): parked so the r7-new smp6/
         # smp5h/src3 get first driver rows; same local oracle gate.
         "t1_token_counts": q_token_counts,
@@ -3101,6 +3150,15 @@ def oracle_sql() -> dict[str, str]:
         # PQ-ADC top-100 + exact re-rank is exact end-to-end (containment
         # pytest-gated), so the oracle is plain brute force
         "v11_pq_adc_rerank": f"""
+            SELECT vec_id,
+                   round(list_distance(embedding::DOUBLE[], {qvec}), 6) AS score
+            FROM embeddings
+            ORDER BY score ASC, vec_id ASC
+            LIMIT 10
+        """,
+        # OPQ estimate -> exact re-rank is exact end-to-end
+        # (containment pytest-gated), so the oracle is brute force
+        "v27_opq_adc_rerank": f"""
             SELECT vec_id,
                    round(list_distance(embedding::DOUBLE[], {qvec}), 6) AS score
             FROM embeddings

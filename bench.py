@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "d9_exact_substring",
     "pipe2_curation_manifest_v2",
     "t12_vocab_topk",
+    "v27_opq_adc_rerank",
 ]
 
 
@@ -144,6 +145,7 @@ def main() -> None:
     entry_mod._ivf_index(spark, sf_dir, quantizer="sq")
     entry_mod._dup_span_stats(spark, sf_dir)
     entry_mod._dsir_weights_table(spark, sf_dir)
+    entry_mod._opq_index(spark, sf_dir)
 
     # Compile EVERY benchmark pipeline at the smoke SF so no timed rep0
     # bills whole-stage codegen / first Arrow-pipeline execution. The
