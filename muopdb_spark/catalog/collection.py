@@ -57,7 +57,7 @@ class CollectionConfig:
     max_posting_size: int | None = None
     max_clusters_per_vector: int = 1
     distance_threshold: float = 0.1
-    quantizer: str = "none"  # none | pq | rabitq | sq (enums.rs:4-9 + SQ8)
+    quantizer: str = "none"  # none|pq|rabitq|sq|opq (enums.rs:4-9 + SQ8/OPQ)
     pq_subvectors: int = 4                   # collection.rs:43-63 subvector geometry
     pq_centers: int = 16
     vacuum_deleted_ratio: float = 0.1        # immutable_segment.rs:75-82
@@ -79,7 +79,8 @@ class CollectionConfig:
         recovers ordering only if containment happens to hold, and
         without rerank the returned score IS the wrong metric. Refuse
         at create/build time instead."""
-        if self.quantizer not in ("none", "pq", "pq_user", "rabitq", "sq"):
+        if self.quantizer not in ("none", "pq", "pq_user", "rabitq", "sq",
+                                  "opq"):
             raise ValueError(
                 f"unknown quantizer {self.quantizer!r} "
                 "(none|pq|pq_user|rabitq|sq)"
@@ -732,6 +733,17 @@ class Collection:
             )
             _swap_parquet_dir(cb_df, path)
             return _read_swapped_parquet(self.spark, path)
+        elif self.config.quantizer == "opq":
+            from muopdb_spark.index.opq import OpqCodebook, train_opq
+
+            if os.path.exists(self._codebook_path()):
+                with open(self._codebook_path()) as f:
+                    return OpqCodebook.from_json(f.read())
+            cb = train_opq(
+                self.docs(with_tombstones=True), vec_col="vector",
+                num_subvectors=self.config.pq_subvectors,
+                num_centers=self.config.pq_centers,
+            )
         else:  # rabitq
             from muopdb_spark.index.rabitq import RabitQCodebook, train_rabitq
 
@@ -846,6 +858,11 @@ class Collection:
                             idx.postings, codebook,
                             user_col="user_id", vec_col="vector",
                         )
+                    elif quant == "opq":
+                        from muopdb_spark.index.opq import opq_encode
+
+                        idx.postings = opq_encode(
+                            idx.postings, codebook, vec_col="vector")
                     else:  # rabitq
                         from muopdb_spark.index.rabitq import rabitq_encode
 
@@ -990,6 +1007,10 @@ class Collection:
                     self.spark, os.path.join(self.root, "pq_codebook"))
                 books = collect_pq_books(codebook, users)
                 adc = pq_adc_score_per_user(query_vector, books)
+            elif quant0 == "opq":
+                from muopdb_spark.index.opq import opq_adc_score
+
+                adc = opq_adc_score(query_vector, codebook)
             else:
                 from muopdb_spark.index.pq import pq_adc_score
 

@@ -187,6 +187,17 @@ def build_multi_ivf(
         postings = pq_encode_per_user(
             postings, codebook, user_col="user_id", vec_col="vector"
         )
+    elif quantizer == "opq":
+        # OPQ: PQ after a learned orthonormal rotation (index/opq.py) —
+        # same code bytes on the postings, better recall per byte.
+        from muopdb_spark.index.opq import opq_encode, train_opq
+
+        codebook = train_opq(
+            base, vec_col="vector", num_subvectors=pq_subvectors,
+            num_centers=pq_centers, training_sample=pq_training_sample,
+            seed=seed,
+        )
+        postings = opq_encode(postings, codebook, vec_col="vector")
     elif quantizer == "rabitq":
         from muopdb_spark.index.rabitq import rabitq_encode, train_rabitq
 
@@ -215,7 +226,7 @@ def build_multi_ivf(
         )
     elif quantizer != "none":
         raise ValueError(
-            f"unknown quantizer {quantizer!r} (none|pq|pq_user|rabitq|sq)")
+            f"unknown quantizer {quantizer!r} (none|pq|pq_user|rabitq|sq|opq)")
     return MultiIvfIndex(
         centroids=centroids, postings=postings.persist(), metric=metric,
         codebook=codebook, quantizer=quantizer,
@@ -238,6 +249,8 @@ def multi_ivf_save(index: MultiIvfIndex, path: str) -> None:
     meta = {"metric": index.metric, "quantizer": index.quantizer}
     if index.quantizer == "pq":
         meta["codebook"] = index.codebook.as_lists()
+    elif index.quantizer == "opq":
+        meta["codebook"] = json.loads(index.codebook.to_json())
     elif index.quantizer == "rabitq":
         meta["codebook"] = json.loads(index.codebook.to_json())
     elif index.quantizer == "sq":
@@ -267,6 +280,10 @@ def multi_ivf_load(spark, path: str) -> MultiIvfIndex:
 
         codebook = PqCodebook(
             [np.asarray(cb, dtype=np.float64) for cb in meta["codebook"]])
+    elif quant == "opq":
+        from muopdb_spark.index.opq import OpqCodebook
+
+        codebook = OpqCodebook.from_json(json.dumps(meta["codebook"]))
     elif quant == "rabitq":
         from muopdb_spark.index.rabitq import RabitQCodebook
 
@@ -368,6 +385,10 @@ def multi_ivf_search_users(
             from muopdb_spark.index.pq import pq_adc_score
 
             approx = pq_adc_score(query_vector, index.codebook)
+        elif index.quantizer == "opq":
+            from muopdb_spark.index.opq import opq_adc_score
+
+            approx = opq_adc_score(query_vector, index.codebook)
         elif index.quantizer == "pq_user":
             from muopdb_spark.index.pq import (
                 collect_pq_books,
@@ -532,6 +553,10 @@ def multi_ivf_search_batch(
             from muopdb_spark.index.pq import pq_adc_score_batch
 
             approx = pq_adc_score_batch(index.codebook)
+        elif index.quantizer == "opq":
+            from muopdb_spark.index.opq import opq_adc_score_batch
+
+            approx = opq_adc_score_batch(index.codebook)
         elif index.quantizer == "pq_user":
             from muopdb_spark.index.pq import (
                 collect_pq_books,

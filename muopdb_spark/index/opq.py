@@ -181,6 +181,37 @@ def opq_adc_score(
     return pq_adc_score([float(x) for x in q], book.pq, code_col=code_col)
 
 
+def opq_adc_score_batch(
+    book: OpqCodebook,
+    *,
+    qv_col: str = "qv",
+    code_col: str = "pq_code",
+) -> Column:
+    """Batch-of-queries ADC on rotated-space codes: the per-row query
+    vectors rotate INSIDE the Arrow batch (one BLAS matmul), then the
+    same vectorized residual math as pq_adc_score_batch."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    R = book.rotation.copy()
+    books = [cb.copy() for cb in book.pq.codebooks]
+    d_sub = book.pq.sub_dim
+
+    @pandas_udf(DoubleType())
+    def adc(qvs, codes):
+        import pandas as pd
+
+        Q = np.array(qvs.tolist(), dtype=np.float64) @ R
+        C = np.array(codes.tolist(), dtype=np.int64)
+        d2 = np.zeros(C.shape[0], dtype=np.float64)
+        for m, cb in enumerate(books):
+            diff = Q[:, m * d_sub:(m + 1) * d_sub] - cb[C[:, m]]
+            d2 += (diff * diff).sum(axis=1)
+        return pd.Series(np.sqrt(d2))
+
+    return adc(F.col(qv_col).cast("array<double>"), F.col(code_col))
+
+
 def opq_search(
     emb: DataFrame,
     book: OpqCodebook,

@@ -490,3 +490,34 @@ def test_append_lock_shared_across_instances(col, spark, tmp_path):
     concurrent WAL appends)."""
     re = Collection.open(spark, str(tmp_path), "test_col")
     assert re._append_lock is col._append_lock
+
+
+def test_opq_collection_durable_index(spark, tmp_path):
+    """quantizer='opq' collections persist the rotation+codebook
+    artifact and store rotated-space PQ codes in the durable postings;
+    ann_search scores rotated ADC in the scan and rerank returns the
+    exact top-k (same contract as pq/rabitq above)."""
+    import os
+
+    cfg = CollectionConfig(
+        name="opq_durable", num_features=4, quantizer="opq",
+        pq_subvectors=2, pq_centers=4,
+        attribute_schema={"title": "text"},
+    )
+    col = Collection.create(spark, str(tmp_path), cfg)
+    col.insert(_docs_df(spark, R1)); col.insert(_docs_df(spark, R2))
+    col.flush()
+    col.build_index()
+    assert os.path.exists(os.path.join(col.root, "opq_codebook.json"))
+    idx = col.load_segment_index(col.toc()["segments"][0])
+    assert "pq_code" in idx.postings.columns and idx.quantizer == "opq"
+    # reopened codebook carries an orthonormal rotation
+    import numpy as np
+
+    R = idx.codebook.rotation
+    assert np.allclose(R @ R.T, np.eye(R.shape[0]), atol=1e-8)
+    got = col.ann_search([0, 1], [0.0, 0.0, 1.0, 0.0], 2,
+                         num_probes=cfg.num_centroids,
+                         centroid_distance_ratio=None,
+                         rerank=5).collect()
+    assert [r["id"] for r in got] == [3, 5]  # exact after re-rank

@@ -156,16 +156,19 @@ def test_batch_requests_user_isolation(index, spark):
     assert all(r["id"] < 100 for r in out)  # user 0 owns ids 0..99
 
 
-@pytest.mark.parametrize("quantizer", ["pq", "rabitq"])
+@pytest.mark.parametrize("quantizer", ["pq", "rabitq", "opq"])
 def test_batch_requests_quantized_match_per_request(users_df, spark, quantizer):
     """Quantized multi-user batch path (the round-3 feature that shipped
-    without a gate): batch == per-request for PQ and RaBitQ with exact
-    re-rank, same codes, same estimators."""
+    without a gate): batch == per-request for PQ, RaBitQ, and OPQ with
+    exact re-rank, same codes, same estimators."""
     from muopdb_spark.index.multi_ivf import (
         build_multi_ivf, multi_ivf_search_batch, multi_ivf_search_users,
     )
 
-    kwargs = dict(pq_subvectors=3, pq_centers=16) if quantizer == "pq" else {}
+    kwargs = (
+        dict(pq_subvectors=3, pq_centers=16)
+        if quantizer in ("pq", "opq") else {}
+    )
     idx = build_multi_ivf(users_df, num_centroids=2, seed=9,
                           quantizer=quantizer, **kwargs)
     reqs = [
