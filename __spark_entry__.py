@@ -2422,6 +2422,29 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_bits_per_token(docs, uni, big, vocab).orderBy("doc_id")
 
 
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t13: CCNet head/middle/tail selection (Wenzek et al. LREC 2020
+    §4.3, operators/lm.perplexity_buckets) — per-LANGUAGE rank of t9's
+    bits-per-token, bucket boundaries decided in integer arithmetic
+    (3*rank <= n). Ranks the ROUNDED score so the oracle's ordering is
+    bit-identical; approx=True is the no-window scale path (pytest
+    equivalence-gated)."""
+    from muopdb_spark.operators.lm import (
+        perplexity_buckets,
+        score_bits_per_token,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    uni, big, vocab = _lm_index(spark, sf_dir)
+    scored = score_bits_per_token(docs, uni, big, vocab).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select(
+        "doc_id", "lang",
+        F.round("bits_per_token", 6).alias("bits_per_token"),
+    )
+    return perplexity_buckets(scored).orderBy("doc_id")
+
+
 def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p4: deterministic training-shard assignment — hash-based global
     shuffle into 8 shards with reproducible within-shard order
@@ -3046,6 +3069,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW in r7: OPQ rotated-space PQ on the estimate->rerank
         # contract (quantizer matrix: none/pq/pq_user/sq/rabitq/opq).
         "v27_opq_adc_rerank": q_opq_adc_rerank,
+        # NEW in r7: CCNet head/middle/tail perplexity selection.
+        "t13_ppl_buckets": q_ppl_buckets,
         # r7 late swap (see queries()): parked so the r7-new smp6/
         # smp5h/src3 get first driver rows; same local oracle gate.
         "t1_token_counts": q_token_counts,
@@ -3450,6 +3475,53 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(agg.bpt, 0.0), 6) AS bits_per_token
             FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
             ORDER BY d.doc_id
+        """,
+        # t13: t9's bigram-LM CTE chain + per-language integer-rank
+        # bucketing (3*rank <= n — no float boundary)
+        "t13_ppl_buckets": f"""
+            WITH t AS (
+                SELECT doc_id, list_prepend('<s>', {_TOKS}) AS toks
+                FROM documents
+            ),
+            b AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1])) AS bg
+                FROM t WHERE len(toks) >= 2
+            ),
+            s AS (
+                SELECT doc_id, split_part(bg, ' ', 1) AS w1,
+                       split_part(bg, ' ', 2) AS w2
+                FROM b
+            ),
+            uni AS (SELECT w1, count(*)::DOUBLE AS c1 FROM s GROUP BY w1),
+            big AS (SELECT w1, w2, count(*)::DOUBLE AS c12
+                    FROM s GROUP BY w1, w2),
+            v AS (SELECT count(DISTINCT w2)::DOUBLE AS vs FROM s),
+            sc AS (
+                SELECT s.doc_id,
+                       -log2((big.c12 + 0.5) / (uni.c1 + 0.5 * v.vs)) AS bits
+                FROM s JOIN big USING (w1, w2) JOIN uni USING (w1)
+                CROSS JOIN v
+            ),
+            agg AS (SELECT doc_id, avg(bits) AS bpt FROM sc GROUP BY doc_id),
+            scored AS (
+                SELECT d.doc_id, d.lang,
+                       round(coalesce(agg.bpt, 0.0), 6) AS bits_per_token
+                FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+            ),
+            ranked AS (
+                SELECT doc_id, lang, bits_per_token,
+                       row_number() OVER (PARTITION BY lang
+                           ORDER BY bits_per_token, doc_id) AS rn,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM scored
+            )
+            SELECT doc_id, lang, bits_per_token,
+                   CASE WHEN rn * 3 <= n THEN 'head'
+                        WHEN rn * 3 <= n * 2 THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM ranked ORDER BY doc_id
         """,
         # Deterministic shard export: Spark's conv(hex, 16, 10) on the
         # first two md5 chars re-derived with strpos arithmetic

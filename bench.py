@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "pipe2_curation_manifest_v2",
     "t12_vocab_topk",
     "v27_opq_adc_rerank",
+    "t13_ppl_buckets",
 ]
 
 

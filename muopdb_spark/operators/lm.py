@@ -40,6 +40,7 @@ import re
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 BOS = "<s>"
 UNK = "<unk>"
@@ -248,4 +249,67 @@ def lm_bits_per_token(
     )
     return score_bits_per_token(
         df, uni, big, vocab, text_col=text_col, id_col=id_col, k=k, stream=s
+    )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    *,
+    lang_col: str = "lang",
+    bits_col: str = "bits_per_token",
+    id_col: str = "doc_id",
+    approx: bool = False,
+    approx_accuracy: int = 10000,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al., LREC 2020 §4.3):
+    within each LANGUAGE, rank documents by LM bits-per-token (lower =
+    more target-like) and cut at the 1/3 and 2/3 marks — head trains,
+    middle is kept with caveats, tail is dropped. `scored` carries
+    (id_col, lang_col, bits_col), e.g. score_bits_per_token joined
+    with the language column.
+
+    Two plans, same contract as quality_percentile_by_source:
+
+    - ``approx=False`` (the oracle-checkable reference semantics):
+      rank window per language with the bucket boundary decided in
+      INTEGER arithmetic (3*rank <= n, 3*rank <= 2n) — no float
+      boundary, engine-exact. The window shuffles the corpus on the
+      low-cardinality language key, so one dominant language is one
+      hot partition — wrong shape at 100 TB.
+    - ``approx=True`` (the scale path): per-language
+      approx_percentile(bits, [1/3, 2/3]) — sketch-sized shuffle —
+      then a broadcast join + map-side CASE. Divergence is confined
+      to boundary-score ties plus sketch error, pinned by
+      tests/test_lm.py::test_ppl_buckets_approx_matches_exact.
+
+    Ordering ties break on (bits, id); callers should round bits the
+    same way on both engines (the t13 query ranks the ROUNDED value).
+    """
+    if not approx:
+        w = Window.partitionBy(lang_col).orderBy(
+            F.col(bits_col).asc(), F.col(id_col).asc()
+        )
+        rn = F.row_number().over(w)
+        n = F.count("*").over(Window.partitionBy(lang_col))
+        bucket = (
+            F.when(rn * 3 <= n, F.lit("head"))
+            .when(rn * 3 <= n * 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+        return scored.select(
+            id_col, lang_col, bits_col, bucket.alias("ppl_bucket")
+        )
+    thr = scored.groupBy(lang_col).agg(
+        F.percentile_approx(
+            bits_col, [1.0 / 3.0, 2.0 / 3.0], approx_accuracy
+        ).alias("_cuts")
+    )
+    joined = scored.join(F.broadcast(thr), lang_col)
+    bucket = (
+        F.when(F.col(bits_col) <= F.col("_cuts")[0], F.lit("head"))
+        .when(F.col(bits_col) <= F.col("_cuts")[1], F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return joined.select(
+        id_col, lang_col, bits_col, bucket.alias("ppl_bucket")
     )

@@ -111,3 +111,59 @@ def test_plan_shape(spark, tiny):
     capped = score_bits_per_token(tiny, uni, big, vocab, keep=keep)
     cplan = capped._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in cplan  # hinted at planning time
+
+
+def test_ppl_buckets_exact_boundaries(spark):
+    """Integer-arithmetic bucket boundaries: 9 docs per lang -> exactly
+    3 head / 3 middle / 3 tail, ordered by (bits, id)."""
+    from muopdb_spark.operators.lm import perplexity_buckets
+
+    rows = [(lang_i * 100 + i, f"l{lang_i}", float(i))
+            for lang_i in range(2) for i in range(9)]
+    scored = spark.createDataFrame(
+        rows, "doc_id long, lang string, bits_per_token double"
+    )
+    out = perplexity_buckets(scored).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(
+            (r["bits_per_token"], r["ppl_bucket"])
+        )
+    for lang, pairs in by_lang.items():
+        pairs.sort()
+        assert [b for _, b in pairs] == (
+            ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+        )
+
+
+def test_ppl_buckets_approx_matches_exact(spark, sf_dir):
+    """The no-window scale path agrees with the exact rank form up to
+    boundary-score ties (same tolerance contract as t11's approx)."""
+    from pyspark.sql import functions as F
+
+    from muopdb_spark.operators.lm import (
+        lm_bits_per_token,
+        perplexity_buckets,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = lm_bits_per_token(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select(
+        "doc_id", "lang", F.round("bits_per_token", 6).alias("bits_per_token")
+    ).localCheckpoint(eager=True)
+
+    exact = {(r["doc_id"], r["ppl_bucket"])
+             for r in perplexity_buckets(scored).collect()}
+    approx = {(r["doc_id"], r["ppl_bucket"])
+              for r in perplexity_buckets(scored, approx=True).collect()}
+    n = scored.count()
+    agree = len(exact & approx)
+    assert agree / n >= 0.95, f"only {agree}/{n} bucket assignments agree"
+
+    # the approx plan must carry no language-partitioned window
+    plan = (
+        perplexity_buckets(scored, approx=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
