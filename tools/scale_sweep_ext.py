@@ -48,6 +48,8 @@ QUERIES = [
     "t11_quality_calibrated",
     "smp6_dsir_sample",
     "d9_exact_substring",
+    "t13_ppl_buckets",
+    "pipe2_curation_manifest_v2",
 ]
 
 
