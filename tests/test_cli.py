@@ -178,3 +178,15 @@ def test_cli_vocab(spark, cli, capsys, tmp_path, sf_dir):
     assert v.count() == r["tokens"] + r["pairs"] and set(
         r2["kind"] for r2 in v.select("kind").distinct().collect()
     ) == {"token", "pair"}
+
+
+def test_cli_split(spark, cli, capsys, tmp_path, sf_dir):
+    out_dir = str(tmp_path / "split")
+    r = _run(cli, capsys, ["split", "--input",
+                           f"{sf_dir}/documents.parquet",
+                           "--train-frac", "0.8", "--output", out_dir])
+    assert r["docs"] == 500
+    assert sum(r["by_split"].values()) == 500
+    assert set(r["by_split"]) == {"train", "heldout"}
+    v = spark.read.parquet(out_dir)
+    assert {"split", "cluster_id"} <= set(v.columns)

@@ -36,6 +36,9 @@ Pipeline commands (operate on a documents parquet):
                                  # toward the target distribution
   python tools/query.py vocab --input docs.parquet --top-k 30000 \
       --output vocab/              # tokenizer-training token+pair tables
+  python tools/query.py split --input docs.parquet --train-frac 0.9 \
+      --output split/              # leakage-safe split (near-dup clusters
+                                   #  never straddle train/heldout)
 
 Collections accept the full quantizer matrix at create time:
   python tools/query.py create --root /data --name memories \
@@ -52,7 +55,7 @@ sys.path.insert(0, "/root/repo")
 
 COLLECTION_CMDS = {"create", "insert", "remove", "search", "term-search", "stats", "optimize", "flush", "inspect"}
 PIPELINE_CMDS = {"dedup", "lm-score", "chunk", "shard", "quality", "admit",
-                 "dsir", "vocab"}
+                 "dsir", "vocab", "split"}
 
 
 def _pipeline(spark, args, ap) -> dict:
@@ -157,6 +160,23 @@ def _pipeline(spark, args, ap) -> dict:
         head = tv.orderBy("rank").limit(3).collect()
         result = {"tokens": tv.count(), "pairs": pv.count(),
                   "top_tokens": [[r["token"], r["count"]] for r in head]}
+    elif args.command == "split":
+        from pyspark.sql import functions as F
+        from muopdb_spark.operators.dedup import ngram_jaccard_pairs
+        from muopdb_spark.operators.graph import dup_clusters
+        from muopdb_spark.operators.sampling import leakage_safe_split
+
+        pairs = ngram_jaccard_pairs(df, n=3, threshold=args.threshold)
+        clusters = dup_clusters(df.select("doc_id"), pairs)
+        out = leakage_safe_split(
+            df, clusters, train_fraction=args.train_frac
+        )
+        counts = {
+            r["split"]: r["n"]
+            for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
+        result = {"docs": df.count(), "train_frac": args.train_frac,
+                  "by_split": counts}
     elif args.command == "admit":
         import os
 
@@ -256,6 +276,8 @@ def main(argv=None) -> int:
                     help="vocab: budget for each table")
     ap.add_argument("--min-count", type=int, default=1,
                     help="vocab: hapax-tail cut before ranking")
+    ap.add_argument("--train-frac", type=float, default=0.9,
+                    help="split: train-side fraction (cluster-keyed)")
     ap.add_argument("--quality-min", type=float, default=None,
                     help="admit: composite-quality gate threshold")
     ap.add_argument("--importance-min", type=float, default=None,
