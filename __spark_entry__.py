@@ -2898,16 +2898,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # o1_topk_orders, src1_jsonl_roundtrip — each family keeps an
         # in-window witness; see the ledger for the swap-back plan).
         "f7_filter_not_contains": q_filter_not_contains,
-        "d4_dedup_simhash": q_dedup_simhash,
-        "t4_u128_ids": q_u128_ids,
+        # r8 rotation (docs/ROTATION.md r8 plan): the six r7-late
+        # extras (pipe2, t12, w7, p6, v27, t13 — all oracle-backed,
+        # green under the local gate since they landed) get first
+        # driver rows by parking six multiply-witnessed rows for one
+        # round: d4_dedup_simhash (dedup family keeps d2/d3/d6/d7/d9/
+        # p3 in-window), t4_u128_ids (string family keeps f6/t5/t9/
+        # t11), j2_tpch_q3 (join family keeps h2/j6/mu1/mu2),
+        # smp5h_temperature_mixture_hash (twin smp5 stays),
+        # src3_fvecs_sharded_roundtrip (src2/s3 stay), and
+        # w6_stream_quality_admission (admission family witnessed by
+        # the incoming w7). This completes the first-witness mission —
+        # every oracle-able query has >= 1 driver-green row — so from
+        # r9 on the window freezes unless new operators land.
+        "pipe2_curation_manifest_v2": q_curation_manifest_v2,
+        "t12_vocab_topk": q_vocab_topk,
+        "w7_stream_importance_admission": q_stream_importance_admission,
+        "p6_leakage_safe_split": q_leakage_safe_split,
+        "v27_opq_adc_rerank": q_opq_adc_rerank,
+        "t13_ppl_buckets": q_ppl_buckets,
         "s1_set_ops": q_set_ops,
         "o2_topn_per_group": q_topn_per_group,
-        "j2_tpch_q3": q_tpch_q3,
         "pipe1_curation_manifest": q_curation_manifest,
         "t11_quality_calibrated": q_quality_calibrated,
         "smp5_temperature_mixture": q_temperature_mixture,
         "v26_ivf_sq_rerank": q_ivf_sq_rerank,
-        "w6_stream_quality_admission": q_stream_quality_admission,
         # t2_contains_stemmed_ru rotated to extra_queries() in late r5
         # (stemming family witnessed by the t2 family, which indexes
         # all 19 languages; driver-green r1-r4) to free a
@@ -2927,8 +2942,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # t9/t11) parked to extras so the three operators ADDED in r7
         # get first driver rows in the same round they landed.
         "smp6_dsir_sample": q_dsir_sample,
-        "smp5h_temperature_mixture_hash": q_temperature_mixture_hash,
-        "src3_fvecs_sharded_roundtrip": q_fvecs_sharded_roundtrip,
         "v4_ann_ivf_fullprobe": q_ann_fullprobe,
         "v11_pq_adc_rerank": q_pq_adc_rerank,
         "v13_rabitq_rerank": q_rabitq_rerank,
@@ -3053,24 +3066,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7 late swap (see queries()): parked so d9's first driver row
         # lands in r7; same local oracle gate.
         "d5_dedup_embedding_cosine": q_dedup_embedding,
-        # NEW in r7: composition witness for the r7 operators (span
-        # gate -> DSIR selection) with id_sum value-checking the chain.
-        "pipe2_curation_manifest_v2": q_curation_manifest_v2,
-        # NEW in r7: tokenizer-training vocab tables (token + BPE-pair
-        # frequencies, deterministic tiebreak).
-        "t12_vocab_topk": q_vocab_topk,
-        # NEW in r7: importance-gated streaming admission (DSIR gate
-        # before signing — the streaming face of smp6, like w6 is of
-        # quality filtering).
-        "w7_stream_importance_admission": q_stream_importance_admission,
-        # NEW in r7: leakage-safe split — near-dup clusters, not docs,
-        # are the train/heldout hash key.
-        "p6_leakage_safe_split": q_leakage_safe_split,
-        # NEW in r7: OPQ rotated-space PQ on the estimate->rerank
-        # contract (quantizer matrix: none/pq/pq_user/sq/rabitq/opq).
-        "v27_opq_adc_rerank": q_opq_adc_rerank,
-        # NEW in r7: CCNet head/middle/tail perplexity selection.
-        "t13_ppl_buckets": q_ppl_buckets,
+        # r8 rotation parks (see queries() — each driver-green through
+        # r7, family keeps an in-window witness): the six slots freed
+        # for pipe2/t12/w7/p6/v27/t13's first driver rows.
+        "d4_dedup_simhash": q_dedup_simhash,
+        "t4_u128_ids": q_u128_ids,
+        "j2_tpch_q3": q_tpch_q3,
+        "smp5h_temperature_mixture_hash": q_temperature_mixture_hash,
+        "src3_fvecs_sharded_roundtrip": q_fvecs_sharded_roundtrip,
+        "w6_stream_quality_admission": q_stream_quality_admission,
         # r7 late swap (see queries()): parked so the r7-new smp6/
         # smp5h/src3 get first driver rows; same local oracle gate.
         "t1_token_counts": q_token_counts,
