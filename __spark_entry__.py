@@ -2794,6 +2794,31 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.unionByName(p).orderBy("kind", "rank")
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t14: BPE merge APPLICATION (operators/vocab.py, Sennrich et al.
+    1508.07909 step 2 — closes the tokenizer train->apply loop t12
+    opened) — encode documents.text under a merge list trained on the
+    pinned fixture vocabulary (uniform weights, 40 merges). Training
+    on the pinned vocab rather than corpus frequencies keeps the merge
+    list corpus-independent, so the DuckDB oracle can embed the
+    word->subwords map as a literal CASE computed by the SAME
+    pure-Python encoder (the stemmer-oracle pattern); corpus-trained
+    merges are covered by tests/test_bpe.py. Output: per-doc subword
+    count + the full encoded stream."""
+    from muopdb_spark.operators.vocab import bpe_apply, bpe_train_on_words
+
+    merges = bpe_train_on_words({w: 1 for w in _DOC_VOCAB}, 40)
+    return (
+        bpe_apply(_t(spark, sf_dir, "documents"), merges)
+        .select(
+            "doc_id",
+            F.size("bpe_tokens").cast("long").alias("n_subwords"),
+            F.concat_ws(" ", "bpe_tokens").alias("encoded"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_curation_manifest_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pipe2: the r7-new operators COMPOSED into one oracle-able
     manifest (stage, docs_kept, id_sum) — ingest -> exact-substring
@@ -3147,6 +3172,24 @@ def _stem_case_sql(language: str) -> str:
         if stem_word(v, language) != v
     )
     return f"CASE tok{arms} ELSE tok END"
+
+
+def _bpe_case_sql(num_merges: int = 40) -> str:
+    """CASE expression mapping fixture word `w` -> its space-joined BPE
+    subword encoding under the pinned-vocab merge list — computed with
+    the SAME pure-Python trainer/encoder q_bpe_encode uses (the
+    stemmer-oracle pattern; subwords contain no quotes, so literal
+    embedding is safe). ELSE arm never fires: test_snowball.py's
+    vocab guard pins documents.text to _DOC_VOCAB exactly."""
+    from muopdb_spark.operators.vocab import bpe_encode_word, bpe_train_on_words
+
+    merges = bpe_train_on_words({w: 1 for w in _DOC_VOCAB}, num_merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    arms = "".join(
+        f" WHEN '{w}' THEN '{' '.join(bpe_encode_word(w, ranks))}'"
+        for w in _DOC_VOCAB
+    )
+    return f"CASE w{arms} ELSE w END"
 
 
 def oracle_sql() -> dict[str, str]:

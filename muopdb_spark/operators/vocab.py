@@ -20,13 +20,22 @@ reproducible tokenizer artifact and for the DuckDB oracle.
 
 from __future__ import annotations
 
+from collections import Counter
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from muopdb_spark.functions.text import simple_tokens
 
-__all__ = ["token_vocab", "pair_vocab"]
+__all__ = [
+    "token_vocab",
+    "pair_vocab",
+    "bpe_train_on_words",
+    "bpe_encode_word",
+    "bpe_train",
+    "bpe_apply",
+]
 
 
 def token_vocab(
@@ -89,3 +98,168 @@ def pair_vocab(
         "count",
         F.row_number().over(Window.orderBy(*order)).cast("long").alias("rank"),
     )
+
+
+# --------------------------------------------------------------- BPE
+# Step 2 of Sennrich et al. 2016 (arXiv:1508.07909): learn an ordered
+# merge list from word frequencies, then encode text with it. The key
+# scale property (and the reason the paper's algorithm is tractable at
+# all): training never touches the corpus token stream — it runs over
+# the WORD-FREQUENCY TABLE, which is vocabulary-sized regardless of
+# corpus size. So on Spark the shape is train-at-flush (the same
+# contract as k-means / PQ / OPQ): one map-side-combined aggregate
+# collapses 100 TB of text to <= `max_words` (word, count) rows, those
+# are collected bounded to the driver, and the merge loop is pure
+# Python over that small dict. Application is the distributed half:
+# a map-side Arrow pandas_udf with the merge-rank dict in the closure
+# (broadcast once per executor) and a per-batch word->encoding cache —
+# Zipf word repetition makes the cache hit rate ~1, so the per-word
+# merge loop runs roughly once per DISTINCT word per batch, not once
+# per token. No shuffle anywhere in apply.
+#
+# End-of-word convention: the paper's — the final character of a word
+# carries a '</w>' suffix ('lower' -> l o w e r</w>), so a learned
+# subword that ends a word is distinct from the same string mid-word.
+# Determinism: the best pair each round is (max count, then
+# lexicographically smallest pair), so the merge list is reproducible
+# across engines and partitionings — required for the DuckDB oracle
+# (the query-side oracle embeds a word->encoding CASE map computed
+# with THESE SAME pure-Python functions, the stemmer-oracle pattern).
+
+_EOW = "</w>"
+
+
+def bpe_train_on_words(
+    word_freq: dict[str, int], num_merges: int
+) -> list[tuple[str, str]]:
+    """Learn an ordered BPE merge list from a word-frequency dict
+    (pure Python; the driver-side half of bpe_train)."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, f in word_freq.items():
+        if not w:
+            continue
+        sym = tuple(w[:-1]) + (w[-1] + _EOW,)
+        vocab[sym] = vocab.get(sym, 0) + int(f)
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(num_merges)):
+        pairs: Counter = Counter()
+        for sym, f in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for sym, f in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(sym):
+                if (
+                    i + 1 < len(sym)
+                    and sym[i] == best[0]
+                    and sym[i + 1] == best[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def bpe_encode_word(
+    word: str, ranks: dict[tuple[str, str], int]
+) -> list[str]:
+    """Encode one word with a learned merge list (ranks = pair ->
+    merge order). Applies the lowest-ranked present pair until no
+    learned pair remains — the standard greedy BPE encoder."""
+    if not word:
+        return []
+    sym = list(word[:-1]) + [word[-1] + _EOW]
+    while len(sym) > 1:
+        best_rank, best_i = None, -1
+        for i, pair in enumerate(zip(sym, sym[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        # merge EVERY occurrence of the chosen pair left-to-right
+        # (matches the training-side replacement rule)
+        pair = (sym[best_i], sym[best_i + 1])
+        out: list[str] = []
+        i = 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == pair[0] and sym[i + 1] == pair[1]:
+                out.append(pair[0] + pair[1])
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def bpe_train(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    num_merges: int = 100,
+    max_words: int = 100_000,
+) -> list[tuple[str, str]]:
+    """Learn a merge list from a corpus: one vocabulary-sized aggregate
+    (map-side combine, same shape as token_vocab), bounded collect of
+    the top `max_words` words by mass (Zipf: the head carries nearly
+    all occurrences, the truncation rule every production tokenizer
+    trainer applies), then the pure-Python merge loop."""
+    rows = (
+        df.select(F.explode(simple_tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("count"))
+        .orderBy(F.desc("count"), F.asc("token"))
+        .limit(int(max_words))
+        .collect()
+    )
+    return bpe_train_on_words({r["token"]: r["count"] for r in rows}, num_merges)
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Append `out_col` (array<string>): the BPE-encoded subword stream
+    of `text_col` under the ordered merge list. Map-side only — Arrow
+    pandas_udf, merge ranks in the closure, per-batch word cache."""
+    import pandas as pd
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    @F.pandas_udf("array<array<string>>")
+    def encode(col: pd.Series) -> pd.Series:
+        import re
+
+        cache: dict[str, list[str]] = {}
+
+        def enc(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is None:
+                got = cache[w] = bpe_encode_word(w, ranks)
+            return got
+
+        tok = re.compile(r"[^a-z0-9]+")
+
+        def enc_text(t: str) -> list[list[str]]:
+            if t is None:
+                return []
+            return [enc(w) for w in tok.split(t.lower()) if w]
+
+        return col.map(enc_text)
+
+    return df.withColumn(out_col, F.flatten(encode(F.col(text_col))))
