@@ -2942,7 +2942,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p6_leakage_safe_split": q_leakage_safe_split,
         "v27_opq_adc_rerank": q_opq_adc_rerank,
         "t13_ppl_buckets": q_ppl_buckets,
-        "s1_set_ops": q_set_ops,
+        # r8-NEW operator (landing-round first driver row per the
+        # rotation policy): BPE merge application — step 2 of
+        # 1508.07909, closing the tokenizer train->apply loop t12
+        # opened. Parks s1_set_ops (driver-green r1-r7; set-op family
+        # keeps f7 in-window).
+        "t14_bpe_encode": q_bpe_encode,
         "o2_topn_per_group": q_topn_per_group,
         "pipe1_curation_manifest": q_curation_manifest,
         "t11_quality_calibrated": q_quality_calibrated,
@@ -3097,6 +3102,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d4_dedup_simhash": q_dedup_simhash,
         "t4_u128_ids": q_u128_ids,
         "j2_tpch_q3": q_tpch_q3,
+        "s1_set_ops": q_set_ops,
         "smp5h_temperature_mixture_hash": q_temperature_mixture_hash,
         "src3_fvecs_sharded_roundtrip": q_fvecs_sharded_roundtrip,
         "w6_stream_quality_admission": q_stream_quality_admission,
@@ -4009,6 +4015,22 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(a.dup_tokens, 0) / greatest(b.n_tokens, 1),
                          6) AS dup_frac
             FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id
+        """,
+        "t14_bpe_encode": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            e AS (
+                SELECT doc_id,
+                       array_to_string(
+                           list_transform(toks, w -> {_bpe_case_sql(40)}),
+                           ' ') AS encoded
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(CASE WHEN encoded = '' THEN 0
+                        ELSE len(string_split(encoded, ' ')) END
+                        AS BIGINT) AS n_subwords,
+                   encoded
+            FROM e ORDER BY doc_id
         """,
         "t12_vocab_topk": f"""
             WITH t AS (SELECT {_TOKS} AS toks FROM documents),

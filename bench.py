@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "t12_vocab_topk",
     "v27_opq_adc_rerank",
     "t13_ppl_buckets",
+    # r8: BPE merge application (tokenizer step 2)
+    "t14_bpe_encode",
 ]
 
 

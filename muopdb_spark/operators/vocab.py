@@ -241,8 +241,10 @@ def bpe_apply(
 
     ranks = {tuple(p): i for i, p in enumerate(merges)}
 
+    # no type annotations: this module uses `from __future__ import
+    # annotations`, which stringizes hints pyspark cannot resolve here
     @F.pandas_udf("array<array<string>>")
-    def encode(col: pd.Series) -> pd.Series:
+    def encode(col):
         import re
 
         cache: dict[str, list[str]] = {}
