@@ -32,7 +32,10 @@ from muopdb_spark.operators.dedup import (  # noqa: E402
 from muopdb_spark.operators.substring import remove_duplicate_spans  # noqa: E402
 from muopdb_spark.operators.export import write_shards  # noqa: E402
 from muopdb_spark.operators.graph import dup_clusters  # noqa: E402
-from muopdb_spark.operators.lm import lm_bits_per_token  # noqa: E402
+from muopdb_spark.operators.lm import (  # noqa: E402
+    lm_bits_per_token,
+    perplexity_buckets,
+)
 from muopdb_spark.operators.packing import chunk_documents  # noqa: E402
 from muopdb_spark.operators.quality_model import (  # noqa: E402
     score_quality,
@@ -170,14 +173,28 @@ def main() -> None:
         docs = _pin(docs.join(keep, "doc_id", "left_semi"), prev)
         n5 = docs.count()
 
-        # 5b. LM perplexity filter (CCNet-style): drop the docs least
-        #     like the corpus — train an add-k bigram LM on the
-        #     surviving docs themselves and cut the top 1% bits/token
-        scored = lm_bits_per_token(docs)
-        ppl_cut = scored.approxQuantile("bits_per_token", [0.99], 0.01)[0]
+        # 5b. LM perplexity selection (CCNet, Wenzek et al. LREC 2020
+        #     §4.3): train an add-k bigram LM on the surviving docs,
+        #     rank bits/token WITHIN EACH LANGUAGE, and keep the
+        #     head+middle thirds (tail dropped) — the per-language cut
+        #     is what keeps one easy language from monopolizing the
+        #     budget. approx=True is the no-window scale path
+        #     (per-language percentile sketch + broadcast CASE).
+        scored = lm_bits_per_token(docs).join(
+            docs.select("doc_id", "lang"), "doc_id"
+        ).select(
+            "doc_id", "lang",
+            F.round("bits_per_token", 6).alias("bits_per_token"),
+        )
+        buckets = perplexity_buckets(scored, approx=True)
+        bucket_counts = {
+            r["ppl_bucket"]: r["n"]
+            for r in buckets.groupBy("ppl_bucket")
+            .agg(F.count("*").alias("n")).collect()
+        }
         prev = docs
         docs = _pin(docs.join(
-            scored.filter(F.col("bits_per_token") <= ppl_cut).select("doc_id"),
+            buckets.filter(F.col("ppl_bucket") != "tail").select("doc_id"),
             "doc_id", "left_semi",
         ), prev)
         n5b = docs.count()
@@ -294,7 +311,8 @@ def main() -> None:
         print(f"ingested={n0} exact_dedup={n1} near_dup={n2} "
               f"passage_dup={n2b} span_rewritten={n_span_cut} "
               f"decontaminated={n3} quality={n5} "
-              f"perplexity={n5b} calibrated={n5c} sampled={n6} "
+              f"perplexity={n5b} (buckets: {bucket_counts}) "
+              f"calibrated={n5c} sampled={n6} "
               f"sequences={n_seqs} "
               f"shards={n_shards_written} rag_chunks={n_chunks}")
         print(f"distilled classifier reproduces the rule-quality "

@@ -190,3 +190,40 @@ def test_cli_split(spark, cli, capsys, tmp_path, sf_dir):
     assert set(r["by_split"]) == {"train", "heldout"}
     v = spark.read.parquet(out_dir)
     assert {"split", "cluster_id"} <= set(v.columns)
+
+
+def test_cli_ppl_buckets(spark, cli, capsys, tmp_path, sf_dir):
+    out_dir = str(tmp_path / "ppl")
+    r = _run(cli, capsys, ["ppl-buckets", "--input",
+                           f"{sf_dir}/documents.parquet",
+                           "--output", out_dir])
+    assert r["docs"] == 500 and r["mode"] == "exact"
+    assert set(r["by_bucket"]) == {"head", "middle", "tail"}
+    assert sum(r["by_bucket"].values()) == 500
+    # thirds within each language: global counts near 500/3 each
+    assert all(120 <= n <= 210 for n in r["by_bucket"].values())
+    # the written output applies the CCNet keep-rule (tail dropped)
+    v = spark.read.parquet(out_dir)
+    assert v.count() == 500 - r["by_bucket"]["tail"]
+    assert set(
+        r2["ppl_bucket"] for r2 in v.select("ppl_bucket").distinct().collect()
+    ) == {"head", "middle"}
+
+
+def test_cli_bpe(spark, cli, capsys, tmp_path, sf_dir):
+    out_dir = str(tmp_path / "bpe")
+    r = _run(cli, capsys, ["bpe", "--input",
+                           f"{sf_dir}/documents.parquet",
+                           "--num-merges", "40", "--output", out_dir])
+    assert r["docs"] == 500 and r["merges_learned"] == 40
+    assert r["subwords"] > 0
+    v = spark.read.parquet(out_dir)
+    assert v.count() == 500
+    row = v.orderBy("doc_id").first()
+    assert row["n_subwords"] == len(row["bpe_tokens"]) > 0
+    # every emitted subword terminates words with the paper's marker
+    # exactly once per source token
+    joined = " ".join(row["bpe_tokens"])
+    assert joined.count("</w>") == len(
+        [w for w in row["text"].lower().split() if any(c.isalnum() for c in w)]
+    )

@@ -39,6 +39,11 @@ Pipeline commands (operate on a documents parquet):
   python tools/query.py split --input docs.parquet --train-frac 0.9 \
       --output split/              # leakage-safe split (near-dup clusters
                                    #  never straddle train/heldout)
+  python tools/query.py ppl-buckets --input docs.parquet --output bucketed/
+                                   # CCNet head/middle/tail perplexity
+                                   # buckets (add --approx at scale)
+  python tools/query.py bpe --input docs.parquet --num-merges 200 \
+      --output encoded/            # learn BPE merges, encode the corpus
 
 Collections accept the full quantizer matrix at create time:
   python tools/query.py create --root /data --name memories \
@@ -55,7 +60,7 @@ sys.path.insert(0, "/root/repo")
 
 COLLECTION_CMDS = {"create", "insert", "remove", "search", "term-search", "stats", "optimize", "flush", "inspect"}
 PIPELINE_CMDS = {"dedup", "lm-score", "chunk", "shard", "quality", "admit",
-                 "dsir", "vocab", "split"}
+                 "dsir", "vocab", "split", "ppl-buckets", "bpe"}
 
 
 def _pipeline(spark, args, ap) -> dict:
@@ -177,6 +182,49 @@ def _pipeline(spark, args, ap) -> dict:
         }
         result = {"docs": df.count(), "train_frac": args.train_frac,
                   "by_split": counts}
+    elif args.command == "ppl-buckets":
+        from pyspark.sql import functions as F
+        from muopdb_spark.operators.lm import (
+            lm_bits_per_token,
+            perplexity_buckets,
+        )
+
+        lang = (
+            df.select("doc_id", "lang")
+            if "lang" in df.columns
+            else df.select("doc_id", F.lit("und").alias("lang"))
+        )
+        scored = lm_bits_per_token(df).join(lang, "doc_id").select(
+            "doc_id", "lang",
+            F.round("bits_per_token", 6).alias("bits_per_token"),
+        )
+        out = perplexity_buckets(scored, approx=args.approx)
+        counts = {
+            r["ppl_bucket"]: r["n"]
+            for r in out.groupBy("ppl_bucket")
+            .agg(F.count("*").alias("n")).collect()
+        }
+        result = {"docs": df.count(), "by_bucket": counts,
+                  "mode": "approx" if args.approx else "exact"}
+        if args.output:
+            # the CCNet keep-rule: head trains, middle kept with
+            # caveats, tail dropped
+            out = out.filter(F.col("ppl_bucket") != "tail")
+    elif args.command == "bpe":
+        from pyspark.sql import functions as F
+        from muopdb_spark.operators.vocab import bpe_apply, bpe_train
+
+        merges = bpe_train(df, num_merges=args.num_merges)
+        out = bpe_apply(df, merges).withColumn(
+            "n_subwords", F.size("bpe_tokens").cast("long")
+        )
+        agg = out.agg(
+            F.count("*").alias("docs"),
+            F.sum("n_subwords").alias("subwords"),
+        ).first()
+        result = {"docs": agg["docs"], "merges_learned": len(merges),
+                  "subwords": agg["subwords"],
+                  "first_merges": [list(p) for p in merges[:5]]}
     elif args.command == "admit":
         import os
 
@@ -278,6 +326,8 @@ def main(argv=None) -> int:
                     help="vocab: hapax-tail cut before ranking")
     ap.add_argument("--train-frac", type=float, default=0.9,
                     help="split: train-side fraction (cluster-keyed)")
+    ap.add_argument("--num-merges", type=int, default=200,
+                    help="bpe: merge-list length to learn")
     ap.add_argument("--quality-min", type=float, default=None,
                     help="admit: composite-quality gate threshold")
     ap.add_argument("--importance-min", type=float, default=None,
