@@ -80,12 +80,12 @@ class CollectionConfig:
         without rerank the returned score IS the wrong metric. Refuse
         at create/build time instead."""
         if self.quantizer not in ("none", "pq", "pq_user", "rabitq", "sq",
-                                  "opq"):
+                                  "opq", "opq_user"):
             raise ValueError(
                 f"unknown quantizer {self.quantizer!r} "
-                "(none|pq|pq_user|rabitq|sq)"
+                "(none|pq|pq_user|rabitq|sq|opq|opq_user)"
             )
-        if self.quantizer in ("sq", "pq_user") and self.metric not in (
+        if self.quantizer in ("sq", "pq_user", "opq_user") and self.metric not in (
             "l2", "l2_squared"
         ):
             raise ValueError(
@@ -733,6 +733,24 @@ class Collection:
             )
             _swap_parquet_dir(cb_df, path)
             return _read_swapped_parquet(self.spark, path)
+        elif self.config.quantizer == "opq_user":
+            # PER-USER OPQ, collection-scoped: a (user_id, rotation,
+            # books) parquet table — the pq_user artifact contract
+            # (swap-managed root dir, unseen-user extension in
+            # build_index) with the per-tenant rotation on top.
+            from muopdb_spark.index.opq import train_opq_per_user
+
+            path = os.path.join(self.root, "opq_codebook")
+            if os.path.isdir(path) or os.path.isdir(path + ".old"):
+                return _read_swapped_parquet(self.spark, path)
+            cb_df = train_opq_per_user(
+                self.docs(with_tombstones=True),
+                user_col="user_id", vec_col="vector",
+                num_subvectors=self.config.pq_subvectors,
+                num_centers=self.config.pq_centers,
+            )
+            _swap_parquet_dir(cb_df, path)
+            return _read_swapped_parquet(self.spark, path)
         elif self.config.quantizer == "opq":
             from muopdb_spark.index.opq import OpqCodebook, train_opq
 
@@ -855,6 +873,33 @@ class Collection:
                             _swap_parquet_dir(codebook, path)
                             codebook = _read_swapped_parquet(self.spark, path)
                         idx.postings = pq_encode_per_user(
+                            idx.postings, codebook,
+                            user_col="user_id", vec_col="vector",
+                        )
+                    elif quant == "opq_user":
+                        from muopdb_spark.index.opq import (
+                            opq_encode_per_user,
+                            train_opq_per_user,
+                        )
+
+                        # unseen-user extension: same contract as
+                        # sq/pq_user
+                        missing = docs.select("user_id").distinct().join(
+                            codebook.select("user_id"), "user_id", "left_anti")
+                        if not missing.isEmpty():
+                            extra = train_opq_per_user(
+                                self.docs(with_tombstones=True).join(
+                                    missing, "user_id", "left_semi"),
+                                user_col="user_id", vec_col="vector",
+                                num_subvectors=self.config.pq_subvectors,
+                                num_centers=self.config.pq_centers,
+                            )
+                            codebook = codebook.unionByName(
+                                extra).localCheckpoint(eager=True)
+                            path = os.path.join(self.root, "opq_codebook")
+                            _swap_parquet_dir(codebook, path)
+                            codebook = _read_swapped_parquet(self.spark, path)
+                        idx.postings = opq_encode_per_user(
                             idx.postings, codebook,
                             user_col="user_id", vec_col="vector",
                         )
@@ -1007,6 +1052,17 @@ class Collection:
                     self.spark, os.path.join(self.root, "pq_codebook"))
                 books = collect_pq_books(codebook, users)
                 adc = pq_adc_score_per_user(query_vector, books)
+            elif quant0 == "opq_user":
+                from muopdb_spark.index.opq import (
+                    collect_opq_books,
+                    opq_adc_score_per_user,
+                )
+
+                # same authoritative-root contract as sq/pq_user
+                codebook = _read_swapped_parquet(
+                    self.spark, os.path.join(self.root, "opq_codebook"))
+                books = collect_opq_books(codebook, users)
+                adc = opq_adc_score_per_user(query_vector, books)
             elif quant0 == "opq":
                 from muopdb_spark.index.opq import opq_adc_score
 

@@ -198,6 +198,24 @@ def build_multi_ivf(
             seed=seed,
         )
         postings = opq_encode(postings, codebook, vec_col="vector")
+    elif quantizer == "opq_user":
+        # PER-USER OPQ — one (rotation, codebook) pair per tenant
+        # (index/opq.train_opq_per_user): the pq_user center-budget
+        # argument plus the rotation itself, which a shared OPQ fits to
+        # the POOLED covariance and therefore to the dominant tenant's.
+        from muopdb_spark.index.opq import (
+            opq_encode_per_user,
+            train_opq_per_user,
+        )
+
+        codebook = train_opq_per_user(
+            base, user_col="user_id", vec_col="vector",
+            num_subvectors=pq_subvectors, num_centers=pq_centers,
+            training_sample=pq_training_sample, seed=seed,
+        ).persist()
+        postings = opq_encode_per_user(
+            postings, codebook, user_col="user_id", vec_col="vector"
+        )
     elif quantizer == "rabitq":
         from muopdb_spark.index.rabitq import rabitq_encode, train_rabitq
 
@@ -226,7 +244,8 @@ def build_multi_ivf(
         )
     elif quantizer != "none":
         raise ValueError(
-            f"unknown quantizer {quantizer!r} (none|pq|pq_user|rabitq|sq|opq)")
+            f"unknown quantizer {quantizer!r} "
+            "(none|pq|pq_user|rabitq|sq|opq|opq_user)")
     return MultiIvfIndex(
         centroids=centroids, postings=postings.persist(), metric=metric,
         codebook=codebook, quantizer=quantizer,
@@ -260,6 +279,9 @@ def multi_ivf_save(index: MultiIvfIndex, path: str) -> None:
     elif index.quantizer == "pq_user":
         index.codebook.write.mode("overwrite").parquet(
             os.path.join(path, "pq_codebook"))
+    elif index.quantizer == "opq_user":
+        index.codebook.write.mode("overwrite").parquet(
+            os.path.join(path, "opq_codebook"))
     tmp = os.path.join(path, "meta.json.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)
@@ -292,6 +314,8 @@ def multi_ivf_load(spark, path: str) -> MultiIvfIndex:
         codebook = spark.read.parquet(os.path.join(path, "sq_codebook"))
     elif quant == "pq_user":
         codebook = spark.read.parquet(os.path.join(path, "pq_codebook"))
+    elif quant == "opq_user":
+        codebook = spark.read.parquet(os.path.join(path, "opq_codebook"))
     return MultiIvfIndex(
         centroids=spark.read.parquet(os.path.join(path, "centroids")),
         postings=spark.read.parquet(os.path.join(path, "postings")),
@@ -400,6 +424,15 @@ def multi_ivf_search_users(
             # scores against its own table
             books = collect_pq_books(index.codebook, user_ids)
             approx = pq_adc_score_per_user(query_vector, books)
+        elif index.quantizer == "opq_user":
+            from muopdb_spark.index.opq import (
+                collect_opq_books,
+                opq_adc_score_per_user,
+            )
+
+            # request-bounded collect, then per-user (rotation, table)
+            books = collect_opq_books(index.codebook, user_ids)
+            approx = opq_adc_score_per_user(query_vector, books)
         elif index.quantizer == "sq":
             from muopdb_spark.index.sq import sq_est_score_cols
 
@@ -571,6 +604,17 @@ def multi_ivf_search_batch(
             ]
             books = collect_pq_books(index.codebook, req_users)
             approx = pq_adc_score_batch_per_user(books)
+        elif index.quantizer == "opq_user":
+            from muopdb_spark.index.opq import (
+                collect_opq_books,
+                opq_adc_score_batch_per_user,
+            )
+
+            req_users = [
+                r["user_id"] for r in req.select("user_id").distinct().collect()
+            ]
+            books = collect_opq_books(index.codebook, req_users)
+            approx = opq_adc_score_batch_per_user(books)
         elif index.quantizer == "sq":
             from muopdb_spark.index.sq import sq_est_score_cols
 

@@ -102,6 +102,35 @@ def quantization_mse(X: np.ndarray, book: "PqCodebook | OpqCodebook") -> float:
     return float((err ** 2).sum(axis=1).mean())
 
 
+def _opq_fit_numpy(
+    X: np.ndarray,
+    num_subvectors: int,
+    num_centers: int,
+    seed: int,
+    max_iter: int,
+    opq_iters: int,
+) -> OpqCodebook:
+    """The paper's Algorithm 1 alternation on an in-memory sample —
+    shared by the collection-wide trainer (driver-side) and the
+    per-user grouped fit (inside applyInPandas)."""
+    dim = X.shape[1]
+    assert dim % num_subvectors == 0, (
+        f"dim {dim} not divisible by m={num_subvectors}"
+    )
+    R = np.eye(dim)
+    pq = _fit_pq_numpy(X, num_subvectors, num_centers, seed, max_iter)
+    for _ in range(int(opq_iters)):
+        Xr = X @ R
+        pq = _fit_pq_numpy(Xr, num_subvectors, num_centers, seed, max_iter)
+        Y = _reconstruct(Xr, pq)
+        # orthogonal Procrustes: min_R ||X R - Y||_F -> SVD(X^T Y)
+        U, _, Vt = np.linalg.svd(X.T @ Y)
+        R = U @ Vt
+    # final codebook must match the final rotation
+    pq = _fit_pq_numpy(X @ R, num_subvectors, num_centers, seed, max_iter)
+    return OpqCodebook(R, pq)
+
+
 def train_opq(
     df: DataFrame,
     *,
@@ -124,23 +153,8 @@ def train_opq(
         F.col(vec_col).cast("array<double>").alias("v")
     ).collect()
     X = np.array([r["v"] for r in rows], dtype=np.float64)
-    dim = X.shape[1]
-    assert dim % num_subvectors == 0, (
-        f"dim {dim} not divisible by m={num_subvectors}"
-    )
-
-    R = np.eye(dim)
-    pq = _fit_pq_numpy(X, num_subvectors, num_centers, seed, max_iter)
-    for _ in range(int(opq_iters)):
-        Xr = X @ R
-        pq = _fit_pq_numpy(Xr, num_subvectors, num_centers, seed, max_iter)
-        Y = _reconstruct(Xr, pq)
-        # orthogonal Procrustes: min_R ||X R - Y||_F -> SVD(X^T Y)
-        U, _, Vt = np.linalg.svd(X.T @ Y)
-        R = U @ Vt
-    # final codebook must match the final rotation
-    pq = _fit_pq_numpy(X @ R, num_subvectors, num_centers, seed, max_iter)
-    return OpqCodebook(R, pq)
+    return _opq_fit_numpy(X, num_subvectors, num_centers, seed, max_iter,
+                          opq_iters)
 
 
 def opq_encode(
@@ -244,3 +258,274 @@ def opq_search(
         .orderBy(F.col("score").asc(), F.col(id_col).asc())
         .limit(int(k))
     )
+
+
+# PER-USER OPQ (quantizer="opq_user") — the same tenant-skew argument
+# as train_pq_per_user/train_sq_per_user (index/pq.py:239, index/sq.py:
+# 167), one level stronger: a shared OPQ learns ONE rotation from the
+# pooled sample, so a minority tenant whose anisotropy differs from the
+# dominant tenant's gets a rotation optimized for someone else's
+# covariance ON TOP of the center-budget skew PQ already suffers
+# (measured: tools/pq_recall_skew.py). Training one (rotation,
+# codebook) pair per user restores both. Shapes mirror the pq_user
+# path exactly: bounded per-user pre-sample -> grouped fit (one
+# shuffle on user_id); salted-cogroup encode (no codebook rides on a
+# row); request-bounded driver collect for scoring. Cost: dim^2 +
+# m*k*d_sub doubles per user — 16x16 + 4x8x4 ~= 3 KB/user at test
+# scale, ~48 KB/user at dim=64/m=8/k=256.
+
+
+def train_opq_per_user(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    vec_col: str = "vector",
+    num_subvectors: int = 8,
+    num_centers: int = 16,
+    training_sample: int = 10_000,
+    seed: int = 42,
+    max_iter: int = 20,
+    opq_iters: int = 8,
+) -> DataFrame:
+    """Per-user OPQ as a (user_id, rotation, books) table: the
+    train_pq_per_user contract (seeded xxhash64 rank-window pre-sample
+    bounds every fit group, so a whale user never materializes its
+    full vector set in one Arrow batch) with _opq_fit_numpy as the
+    per-group fit."""
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(user_col).alias("user_id"),
+        F.col(vec_col).cast("array<double>").alias("vector"),
+        F.xxhash64(F.col(vec_col).cast("array<double>"), F.lit(seed)).alias("_h"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("_h").asc())
+    train = (
+        base.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= training_sample)
+        .drop("_rn", "_h")
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > training_sample:  # regression tripwire
+            raise AssertionError(
+                f"opq fit group for user {pdf['user_id'].iat[0]} has "
+                f"{len(pdf)} rows > training_sample={training_sample}"
+            )
+        user = int(pdf["user_id"].iat[0])
+        X = np.array(pdf["vector"].tolist(), dtype=np.float64)
+        book = _opq_fit_numpy(
+            X, num_subvectors, num_centers, seed + 31 * user, max_iter,
+            opq_iters,
+        )
+        return pd.DataFrame({
+            "user_id": [user],
+            "rotation": [book.rotation.tolist()],
+            "books": [[cb.tolist() for cb in book.pq.codebooks]],
+        })
+
+    return train.groupBy("user_id").applyInPandas(
+        fit,
+        schema=(
+            "user_id long, rotation array<array<double>>, "
+            "books array<array<array<double>>>"
+        ),
+    )
+
+
+def opq_encode_per_user(
+    df: DataFrame,
+    books_df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    vec_col: str = "vector",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Encode each row with ITS USER'S (rotation, codebook): the
+    pq_encode_per_user salted cogroup (index/pq.py:300 — salt bounds
+    each Arrow group, the artifact side replicates once per salt, and
+    coverage is validated up front so a missing user fails with its id
+    named instead of an opaque Arrow worker death), plus one extra
+    per-group BLAS matmul to rotate before coding. Output: df's
+    columns + pq_code array<int>."""
+    import pandas as pd
+
+    from muopdb_spark.index.pq import _stack_book
+
+    missing = (
+        df.select(F.col(user_col).alias("user_id")).distinct()
+        .join(
+            books_df.select(F.col(user_col).alias("user_id")).distinct(),
+            "user_id", "left_anti",
+        )
+        .limit(5)
+        .collect()
+    )
+    if missing:
+        raise ValueError(
+            "no OPQ codebook for user(s) "
+            f"{sorted(r['user_id'] for r in missing)}; train_opq_per_user "
+            "must cover every encoded user"
+        )
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", pq_code array<int>"
+    cols = [f.name for f in df.schema.fields]
+    salted = df.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.col(vec_col).cast("array<double>")),
+               F.lit(salt_buckets)).cast("int"),
+    )
+    salts = salted.sparkSession.range(salt_buckets).select(
+        F.col("id").cast("int").alias("_salt"))
+    books_salted = books_df.withColumnRenamed(user_col, "user_id").crossJoin(
+        F.broadcast(salts))
+
+    def encode(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            out = left[cols].copy()
+            out["pq_code"] = pd.Series([], dtype=object)
+            return out
+        if right.empty:  # unreachable: coverage validated up front
+            raise AssertionError(
+                f"no OPQ codebook for user {left[user_col].iat[0]}"
+            )
+        # rotation rows arrive from Arrow as an array of arrays —
+        # stack row-wise (the _stack_book treatment)
+        R = np.stack([
+            np.asarray(row, dtype=np.float64)
+            for row in right["rotation"].iat[0]
+        ])
+        books = [_stack_book(b) for b in right["books"].iat[0]]
+        d_sub = books[0].shape[1]
+        X = np.array(left[vec_col].tolist(), dtype=np.float64) @ R
+        codes = np.empty((X.shape[0], len(books)), dtype=np.int32)
+        for m, cb in enumerate(books):
+            sub = X[:, m * d_sub:(m + 1) * d_sub]
+            d2 = (
+                (sub ** 2).sum(axis=1, keepdims=True)
+                - 2.0 * sub @ cb.T
+                + (cb ** 2).sum(axis=1)
+            )
+            codes[:, m] = np.argmin(d2, axis=1)
+        out = left[cols].copy()
+        out["pq_code"] = list(codes)
+        return out
+
+    return (
+        salted.groupBy(F.col(user_col), F.col("_salt"))
+        .cogroup(books_salted.groupBy("user_id", "_salt"))
+        .applyInPandas(encode, schema=out_schema)
+    )
+
+
+def collect_opq_books(
+    books_df: DataFrame, user_ids=None, *, user_col: str = "user_id"
+) -> dict[int, "tuple[np.ndarray, list[np.ndarray]]"]:
+    """Materialize (rotation, books) for a REQUEST's users only — the
+    collect_pq_books contract (driver cost bounded by the request's
+    user list, never the tenant population)."""
+    from muopdb_spark.index.pq import _stack_book
+
+    sel = books_df
+    if user_ids is not None:
+        sel = sel.filter(F.col(user_col).isin([int(u) for u in user_ids]))
+    return {
+        int(r[user_col]): (
+            np.asarray(r["rotation"], dtype=np.float64),
+            [_stack_book(b) for b in r["books"]],
+        )
+        for r in sel.collect()
+    }
+
+
+def opq_adc_score_per_user(
+    query_vector,
+    books_by_user: "dict[int, tuple[np.ndarray, list[np.ndarray]]]",
+    *,
+    user_col: str = "user_id",
+    code_col: str = "pq_code",
+) -> Column:
+    """ADC with per-user (rotation, codebook): the QUERY rotates once
+    per requested user driver-side (each user's rotation is
+    orthonormal, so each user's rotated-space L2 == original L2 and
+    cross-user scores stay comparable), then the pq_adc_score_per_user
+    table gather. Rows of users absent from the dict score null."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    q0 = np.asarray(list(query_vector), dtype=np.float64)
+    tables = {}
+    for user, (R, books) in books_by_user.items():
+        q = q0 @ R
+        d_sub = books[0].shape[1]
+        tables[user] = [
+            ((cb - q[m * d_sub:(m + 1) * d_sub]) ** 2).sum(axis=1)
+            for m, cb in enumerate(books)
+        ]
+
+    @pandas_udf(DoubleType())
+    def adc(users, codes):
+        import pandas as pd
+
+        U = users.to_numpy()
+        C = np.array(codes.tolist(), dtype=np.int64)
+        out = np.full(len(U), np.nan, dtype=np.float64)
+        for user, table in tables.items():
+            mask = U == user
+            if not mask.any():
+                continue
+            d2 = np.zeros(int(mask.sum()), dtype=np.float64)
+            Cm = C[mask]
+            for m, row in enumerate(table):
+                d2 += row[Cm[:, m]]
+            out[mask] = np.sqrt(d2)
+        return pd.Series(out)
+
+    return adc(F.col(user_col), F.col(code_col))
+
+
+def opq_adc_score_batch_per_user(
+    books_by_user: "dict[int, tuple[np.ndarray, list[np.ndarray]]]",
+    *,
+    user_col: str = "user_id",
+    qv_col: str = "qv",
+    code_col: str = "pq_code",
+) -> Column:
+    """Batch-of-queries ADC with per-user (rotation, codebook): per
+    user inside each Arrow batch, rotate that user's query vectors
+    (one BLAS matmul) and score residuals against its gathered
+    centers — pq_adc_score_batch_per_user plus the rotation."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    books_by_user = {
+        int(u): (np.asarray(R, dtype=np.float64),
+                 [np.asarray(cb, dtype=np.float64) for cb in books])
+        for u, (R, books) in books_by_user.items()
+    }
+
+    @pandas_udf(DoubleType())
+    def adc(users, qvs, codes):
+        import pandas as pd
+
+        U = users.to_numpy()
+        Q = np.array(qvs.tolist(), dtype=np.float64)
+        C = np.array(codes.tolist(), dtype=np.int64)
+        out = np.full(len(U), np.nan, dtype=np.float64)
+        for user, (R, books) in books_by_user.items():
+            mask = U == user
+            if not mask.any():
+                continue
+            d_sub = books[0].shape[1]
+            Qm, Cm = Q[mask] @ R, C[mask]
+            d2 = np.zeros(Qm.shape[0], dtype=np.float64)
+            for m, cb in enumerate(books):
+                diff = Qm[:, m * d_sub:(m + 1) * d_sub] - cb[Cm[:, m]]
+                d2 += (diff * diff).sum(axis=1)
+            out[mask] = np.sqrt(d2)
+        return pd.Series(out)
+
+    return adc(F.col(user_col), F.col(qv_col).cast("array<double>"),
+               F.col(code_col))

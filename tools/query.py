@@ -47,7 +47,7 @@ Pipeline commands (operate on a documents parquet):
 
 Collections accept the full quantizer matrix at create time:
   python tools/query.py create --root /data --name memories \
-      --num-features 4 --quantizer sq      # none|pq|pq_user|rabitq|sq|opq
+      --num-features 4 --quantizer sq      # none|pq|pq_user|rabitq|sq|opq|opq_user
 """
 
 from __future__ import annotations
@@ -336,7 +336,8 @@ def main(argv=None) -> int:
                     help="admit: batch id recorded in the audit trail")
     ap.add_argument("--num-features", type=int, default=4)
     ap.add_argument("--quantizer", default="none",
-                    choices=["none", "pq", "pq_user", "rabitq", "sq", "opq"])
+                    choices=["none", "pq", "pq_user", "rabitq", "sq", "opq",
+                             "opq_user"])
     ap.add_argument("--metric", default="l2",
                     choices=["l2", "l2_squared", "dot", "cosine"])
     ap.add_argument("--ids", type=int, nargs="*", default=None)
