@@ -156,6 +156,30 @@ def main() -> None:
     results["opq_query_latency_sec"] = round(float(np.mean(opq_lat)), 3)
     results["opq_recall_at_10_rerank500"] = round(float(np.mean(opq_rec)), 3)
 
+    # 4e. per-user OPQ (r8): per-tenant rotation+codebook through the
+    #     pq_user shapes; same rerank-500 sizing rationale as 4c/4d.
+    t0 = time.time()
+    opqu = build_multi_ivf(
+        df.select("user_id", "doc_id", "vector"),
+        num_centroids=N_CLUSTERS, quantizer="opq_user",
+        pq_subvectors=8, pq_centers=256, seed=42,
+    )
+    opqu.postings.count()
+    results["opq_user_build_sec"] = round(time.time() - t0, 2)
+    opqu_lat, opqu_rec = [], []
+    for c in (0, 3, 5, 7, 9):
+        q = (np.full(DIM, c * 100.0) + rng.normal(0, 5.0, DIM)).tolist()
+        t0 = time.time()
+        approx = [r["id"] for r in multi_ivf_search(
+            opqu, 0, q, 10, num_probes=2, rerank=500).collect()]
+        opqu_lat.append(time.time() - t0)
+        exact = [r["doc_id"] for r in knn(df, q, 10, vector_col="vector",
+                                          id_col="doc_id").collect()]
+        opqu_rec.append(len(set(exact) & set(approx)) / 10)
+    results["opq_user_query_latency_sec"] = round(float(np.mean(opqu_lat)), 3)
+    results["opq_user_recall_at_10_rerank500"] = round(
+        float(np.mean(opqu_rec)), 3)
+
     # 5. compaction: tombstone 10% then vacuum
     col.remove([0], list(range(0, n, 10)))
     t0 = time.time()

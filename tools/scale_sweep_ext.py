@@ -50,7 +50,34 @@ QUERIES = [
     "d9_exact_substring",
     "t13_ppl_buckets",
     "pipe2_curation_manifest_v2",
+    # r8 extension (VERDICT r7 #7): vocab top-k, leakage-safe split,
+    # importance-gated admission, BPE encode, and the d9 REMOVAL path
+    # (the stats row above measures detection only)
+    "t12_vocab_topk",
+    "p6_leakage_safe_split",
+    "w7_stream_importance_admission",
+    "t14_bpe_encode",
+    "d9_removal",  # local wrapper, see _extra_sweep_queries
 ]
+
+
+def _extra_sweep_queries():
+    """Sweep-only callables for operator paths without a registered
+    query: d9's remove_duplicate_spans (keep-first span removal + a
+    materializing aggregate — the write-side cost of the span dedup
+    family, vs the stats row's read side)."""
+    from pyspark.sql import functions as F
+
+    def d9_removal(spark, sf_dir):
+        from muopdb_spark.operators.substring import remove_duplicate_spans
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return remove_duplicate_spans(docs, k=10).agg(
+            F.count("*").alias("docs"),
+            F.sum("kept_tokens").alias("kept_tokens"),
+        )
+
+    return {"d9_removal": d9_removal}
 
 
 def synthesize(spark, replicas: int, out_dir: str) -> None:
@@ -115,7 +142,7 @@ def main() -> None:
 
     spark = get_spark("scale-sweep-ext")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = {**m.queries(), **m.extra_queries()}
+    qs = {**m.queries(), **m.extra_queries(), **_extra_sweep_queries()}
 
     sf3 = os.path.join(WORK, "sf0.3")
     sf5 = os.path.join(WORK, "sf0.5")
