@@ -1239,6 +1239,54 @@ def _multi_ivf_index(spark: SparkSession, sf_dir: str):
     return _IVF_CACHE[key]
 
 
+def _multi_ivf_opq_user_index(spark: SparkSession, sf_dir: str):
+    """Durable per-user IVF with PER-USER OPQ codes (user = vec_id % 5):
+    each tenant's postings carry codes in ITS OWN learned rotation
+    (index/opq.train_opq_per_user), the r8 quantizer. Built once,
+    saved, reloaded; cached per session."""
+    from muopdb_spark.index.multi_ivf import (
+        build_multi_ivf, multi_ivf_load, multi_ivf_save,
+    )
+
+    key = ("multi_opq_user", sf_dir)
+    if key not in _IVF_CACHE:
+        path = _index_artifact_dir(sf_dir, "multi_opq_user_v1")
+        if not os.path.exists(os.path.join(path, "meta.json")):
+            emb = _t(spark, sf_dir, "embeddings").select(
+                (F.col("vec_id") % 5).alias("user_id"),
+                F.col("vec_id").alias("doc_id"),
+                F.col("embedding"),
+            )
+            built = build_multi_ivf(
+                emb, user_col="user_id", vec_col="embedding",
+                id_col="doc_id", num_centroids=4, seed=42,
+                quantizer="opq_user", pq_subvectors=8, pq_centers=16,
+            )
+            multi_ivf_save(built, path)
+            built.postings.unpersist(); built.centroids.unpersist()
+        idx = multi_ivf_load(spark, path)
+        idx.postings = idx.postings.persist()
+        _IVF_CACHE[key] = idx
+    return _IVF_CACHE[key]
+
+
+def q_opq_user_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v28: multi-tenant ANN with PER-USER OPQ (r8) — every row ADC-
+    estimates in its own user's rotated space (request-bounded
+    codebook collect, index/opq.opq_adc_score_per_user), then exact
+    re-rank. Full probes + rerank 300 over ~100-vector tenants =>
+    exact => the mu1 brute-force oracle shape."""
+    from muopdb_spark.index.multi_ivf import multi_ivf_search_users
+
+    idx = _multi_ivf_opq_user_index(spark, sf_dir)
+    qv = _query_vector(spark, sf_dir)
+    out = multi_ivf_search_users(
+        idx, [0, 2], qv, 5, num_probes=4, centroid_distance_ratio=None,
+        rerank=300, score_decimals=6,
+    )
+    return out.select("user_id", "id", "score")
+
+
 def q_multi_user_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user INDEPENDENT IVF indexes (the MultiSpann analog) searched
     for two users and merged (snapshot.rs:39-64). Full probe per user =>
@@ -2819,6 +2867,20 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t15: corpus-wide line-level keep-first dedup (operators/dedup.
+    line_dedup — the C4 §2.2 repeated-span rule at line granularity,
+    as FineWeb/RefinedWeb apply it): a line survives only at its
+    globally first (doc_id, line_no) occurrence; docs reassemble from
+    surviving lines. First-occurrence is a per-hash min-struct
+    AGGREGATE (map-side combine collapses boilerplate before the
+    shuffle), not a window sort — plan-asserted in
+    tests/test_line_dedup.py."""
+    from muopdb_spark.operators.dedup import line_dedup
+
+    return line_dedup(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 def q_curation_manifest_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pipe2: the r7-new operators COMPOSED into one oracle-able
     manifest (stage, docs_kept, id_sum) — ingest -> exact-substring
@@ -3020,7 +3082,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW in r5: incremental dedup against the durable corpus
         # signature artifact, and passage-level dedup stats.
         "d7_incremental_minhash": q_incremental_minhash,
-        "p3_passage_dedup": q_passage_dedup,
+        # r8-NEW operator (landing-round first driver row, same policy
+        # as t14): corpus-wide line-level keep-first dedup. Parks
+        # p3_passage_dedup (driver-green r5-r7; the span/passage side
+        # of the dedup family keeps d9 in-window).
+        "t15_line_dedup": q_line_dedup,
     }
 
 
@@ -3096,6 +3162,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7 late swap (see queries()): parked so d9's first driver row
         # lands in r7; same local oracle gate.
         "d5_dedup_embedding_cosine": q_dedup_embedding,
+        # NEW in r8: PER-USER OPQ through the multi-tenant index (the
+        # quantizer family's in-window witness is v27; full probe +
+        # rerank => exact => the mu1-shape brute-force oracle).
+        "v28_opq_user_rerank": q_opq_user_rerank,
         # r8 rotation parks (see queries() — each driver-green through
         # r7, family keeps an in-window witness): the six slots freed
         # for pipe2/t12/w7/p6/v27/t13's first driver rows.
@@ -3106,6 +3176,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smp5h_temperature_mixture_hash": q_temperature_mixture_hash,
         "src3_fvecs_sharded_roundtrip": q_fvecs_sharded_roundtrip,
         "w6_stream_quality_admission": q_stream_quality_admission,
+        "p3_passage_dedup": q_passage_dedup,
         # r7 late swap (see queries()): parked so the r7-new smp6/
         # smp5h/src3 get first driver rows; same local oracle gate.
         "t1_token_counts": q_token_counts,
@@ -4032,6 +4103,36 @@ def oracle_sql() -> dict[str, str]:
                    encoded
             FROM e ORDER BY doc_id
         """,
+        "t15_line_dedup": """
+            WITH l0 AS (
+                SELECT doc_id, string_split(text, chr(10)) AS ls
+                FROM documents
+            ),
+            l AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, len(ls) + 1),
+                           i -> {'line_no': i - 1, 'line': ls[i]})) AS e
+                FROM l0
+            ),
+            marked AS (
+                SELECT doc_id, e.line_no AS line_no, e.line AS line,
+                       CASE WHEN length(e.line) < 1 THEN TRUE
+                            ELSE row_number() OVER (
+                                PARTITION BY e.line
+                                ORDER BY doc_id, e.line_no) = 1
+                       END AS kept
+                FROM l
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN kept THEN line END,
+                                       chr(10) ORDER BY line_no),
+                            '') AS text_clean,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                       AS kept_lines
+            FROM marked GROUP BY doc_id ORDER BY doc_id
+        """,
         "t12_vocab_topk": f"""
             WITH t AS (SELECT {_TOKS} AS toks FROM documents),
             tok AS (SELECT unnest(toks) AS token FROM t),
@@ -4712,6 +4813,14 @@ def oracle_sql() -> dict[str, str]:
                    round(max(c_acctbal), 4) AS max_bal
             FROM w WHERE c_acctbal > nation_avg
             GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
+        "v28_opq_user_rerank": f"""
+            SELECT vec_id % 5 AS user_id, vec_id AS id,
+                   round(list_distance(embedding::DOUBLE[], {qvec}), 6) AS score
+            FROM embeddings
+            WHERE vec_id % 5 IN (0, 2)
+            ORDER BY score ASC, id ASC
+            LIMIT 5
         """,
         "mu1_multi_user_ann": f"""
             SELECT vec_id % 5 AS user_id, vec_id AS id,

@@ -678,6 +678,88 @@ def passage_dedup_stats(
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide LINE-level exact dedup with keep-first semantics —
+    the C4 duplicated-span rule at line granularity (Raffel et al.
+    2020 §2.2 discard repeated spans; FineWeb / RefinedWeb apply it
+    per line): a line survives only at its globally FIRST occurrence
+    (ordered by (doc_id, line_no)); every later copy anywhere in the
+    corpus is dropped and the documents are reassembled from their
+    surviving lines in original order. Lines shorter than `min_chars`
+    (default: empty lines) never participate — they are kept verbatim,
+    not collapsed to one global copy.
+
+    Output: (doc_id, text_clean, n_lines, kept_lines) for every input
+    doc; kept_lines == 0 means the whole document was boilerplate
+    already seen elsewhere.
+
+    Scale (100 TB): first-occurrence is computed as a per-line-hash
+    min(struct(doc_id, line_no)) AGGREGATE — partial aggregation
+    collapses each partition's duplicate lines before the shuffle
+    (the dominant case: boilerplate repeats millions of times), so
+    the exchange carries ~distinct-lines rows, not the corpus line
+    stream; a window over the hash would sort the full stream
+    instead. Hash is BINARY(16) md5 (the d9 treatment) so shuffle
+    bytes don't carry line text. Winners broadcast back by hash join
+    (AQE decides broadcast vs shuffle from the distinct-line count),
+    then one doc_id shuffle reassembles. Keep-first is inherently
+    order-dependent — same documented caveat as d9's removal path."""
+    from pyspark.sql.window import Window  # noqa: F401  (doc symmetry)
+
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n")
+        ).alias("line_no", "line"),
+    ).withColumn(
+        "lh",
+        F.when(
+            F.length("line") >= int(min_chars),
+            F.unhex(F.md5(F.col("line").cast("binary"))),
+        ),
+    )
+    winners = (
+        lines.filter(F.col("lh").isNotNull())
+        .groupBy("lh")
+        .agg(F.min(F.struct("id", "line_no")).alias("w"))
+        .select("lh", F.col("w.id").alias("wid"),
+                F.col("w.line_no").alias("wln"))
+    )
+    marked = lines.join(winners, "lh", "left").withColumn(
+        "kept",
+        F.col("lh").isNull()  # short/empty lines always survive
+        | ((F.col("id") == F.col("wid")) & (F.col("line_no") == F.col("wln"))),
+    )
+    rebuilt = (
+        marked.groupBy("id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("line_no", "line", "kept"))
+            ).alias("ls")
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.filter(F.col("ls"), lambda s: s["kept"]),
+                    lambda s: s["line"],
+                ),
+            ).alias("text_clean"),
+            F.size("ls").cast("long").alias("n_lines"),
+            F.size(F.filter(F.col("ls"), lambda s: s["kept"]))
+            .cast("long").alias("kept_lines"),
+        )
+    )
+    return rebuilt
+
+
 _HEXDIG = "0123456789abcdef"
 
 
