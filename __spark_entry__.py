@@ -2295,6 +2295,42 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "cluster_id", "split").orderBy("doc_id")
 
 
+def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d10: quality-aware duplicate-cluster resolution (operators/
+    graph.cluster_representatives) — keep the HIGHEST-quality member of
+    each near-dup cluster instead of d6's arbitrary min-id keeper (the
+    FineWeb refinement: the surviving copy of duplicated content is its
+    best version). Composes d6's connected components (exact
+    3-gram-Jaccard pairs) with t2's round-6 composite quality; the
+    per-cluster winner is an AGGREGATE max(struct(quality, -id)) —
+    map-side combine collapses whale clusters before the shuffle, no
+    rank window — ties break to the smallest id."""
+    from muopdb_spark.operators.dedup import ngram_jaccard_pairs
+    from muopdb_spark.operators.graph import cluster_representatives, dup_clusters
+    from muopdb_spark.operators.textstats import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    clusters = dup_clusters(docs.select("doc_id"), pairs)
+    scores = quality_features(docs).select("doc_id", "quality")
+    return cluster_representatives(clusters, scores).orderBy("doc_id")
+
+
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """smp7: duplication-aware REWEIGHTING (operators/dedup.
+    soft_dedup_weights, cf. SoftDedup / DataComp-LM): soft_weight =
+    inverse geometric mean of the corpus document-frequency of the
+    doc's distinct 3-gram shingles — near-duplicate content is
+    attenuated in the sampling distribution instead of destroyed.
+    df table + join-back + doc mean are all partial-agg aggregates
+    over BINARY(16) gram hashes; no window, no all-pairs."""
+    from muopdb_spark.operators.dedup import soft_dedup_weights
+
+    return soft_dedup_weights(
+        _t(spark, sf_dir, "documents"), n=3
+    ).orderBy("doc_id")
+
+
 _BM25_STATS: dict = {}
 
 
@@ -3023,7 +3059,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t9_lm_perplexity": q_lm_perplexity,
         "agg_pricing_summary": q_pricing_summary,
         "w_events_hourly": q_events_hourly,
-        "d2_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        # r8-NEW operator (landing-round first driver row): quality-aware
+        # cluster-representative selection. Parks d2_dedup_ngram_jaccard
+        # (driver-green r1-r7; the pair/shingle machinery keeps d3 and
+        # d6 in-window, and d10 itself drives ngram_jaccard_pairs).
+        "d10_cluster_representatives": q_cluster_representatives,
         "d3_dedup_minhash_lsh": q_dedup_minhash_lsh,
         # r7 late swap: d5 (driver-green r1-r6; the dedup family keeps
         # five in-window witnesses) parked so the r7-new exact-substring
@@ -3081,7 +3121,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t8_c4_line_filter": q_c4_line_filter,
         # NEW in r5: incremental dedup against the durable corpus
         # signature artifact, and passage-level dedup stats.
-        "d7_incremental_minhash": q_incremental_minhash,
+        # r8-NEW operator (landing-round first driver row): soft-dedup
+        # reweighting. Parks d7_incremental_minhash (driver-green r5-r7;
+        # minhash family keeps d3 in-window).
+        "smp7_soft_dedup_weights": q_soft_dedup_weights,
         # r8-NEW operator (landing-round first driver row, same policy
         # as t14): corpus-wide line-level keep-first dedup. Parks
         # p3_passage_dedup (driver-green r5-r7; the span/passage side
@@ -3177,6 +3220,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src3_fvecs_sharded_roundtrip": q_fvecs_sharded_roundtrip,
         "w6_stream_quality_admission": q_stream_quality_admission,
         "p3_passage_dedup": q_passage_dedup,
+        "d2_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "d7_incremental_minhash": q_incremental_minhash,
         # r7 late swap (see queries()): parked so the r7-new smp6/
         # smp5h/src3 get first driver rows; same local oracle gate.
         "t1_token_counts": q_token_counts,
@@ -4721,6 +4766,79 @@ def oracle_sql() -> dict[str, str]:
                        AS cluster_size,
                    id = cluster_id AS is_canonical
             FROM comp ORDER BY doc_id
+        """,
+        "d10_cluster_representatives": rf"""
+            WITH RECURSIVE {_SHINGLES_CTE},
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM s2 a, s2 b
+                WHERE a.doc_id < b.doc_id
+                  AND len(list_intersect(a.sh, b.sh)) > 0
+                  AND len(list_intersect(a.sh, b.sh))::DOUBLE
+                        / (a.n + b.n - len(list_intersect(a.sh, b.sh))) >= 0.8
+            ),
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION
+                SELECT doc_b AS a, doc_a AS b FROM pairs
+            ),
+            reach AS (
+                SELECT doc_id AS id, doc_id AS lab FROM documents
+                UNION
+                SELECT e.b AS id, r.lab
+                FROM reach r JOIN edges e ON e.a = r.id
+            ),
+            comp AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+            q AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       {_TOKS} AS toks,
+                       length(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')) AS alnum_ws
+                FROM documents
+            ),
+            f AS (
+                SELECT doc_id,
+                       len(toks) AS n_tokens,
+                       CASE WHEN n_chars > 0 THEN alnum_ws::DOUBLE / n_chars ELSE 0.0 END AS alpha_frac,
+                       CASE WHEN len(toks) > 0
+                            THEN len(list_filter(toks, t -> list_contains({_stoplist_sql('en')}, t)))::DOUBLE / len(toks)
+                            ELSE 0.0 END AS stopword_ratio
+                FROM q
+            ),
+            qq AS (
+                SELECT doc_id,
+                       round(least(1.0, n_tokens / 50.0) * alpha_frac
+                             * (0.5 + 0.5 * least(1.0, stopword_ratio * 5.0)), 6) AS quality
+                FROM f
+            ),
+            j AS (
+                SELECT comp.id AS doc_id, comp.cluster_id, qq.quality
+                FROM comp JOIN qq ON qq.doc_id = comp.id
+            ),
+            k AS (
+                SELECT cluster_id, doc_id AS keeper_id FROM (
+                    SELECT cluster_id, doc_id,
+                           row_number() OVER (PARTITION BY cluster_id
+                                              ORDER BY quality DESC, doc_id ASC) AS rn
+                    FROM j) WHERE rn = 1
+            )
+            SELECT j.doc_id, j.cluster_id, j.quality, k.keeper_id,
+                   j.doc_id = k.keeper_id AS keep
+            FROM j JOIN k ON j.cluster_id = k.cluster_id
+            ORDER BY j.doc_id
+        """,
+        "smp7_soft_dedup_weights": f"""
+            WITH {_SHINGLES_CTE},
+            g AS (SELECT doc_id, unnest(sh) AS gram FROM s2),
+            dfq AS (SELECT gram, count(*)::BIGINT AS c FROM g GROUP BY gram),
+            sc AS (SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+                          avg(ln(c)) AS m
+                   FROM g JOIN dfq USING (gram) GROUP BY g.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(sc.n_grams, 0) AS BIGINT) AS n_grams,
+                   round(coalesce(exp(-sc.m), 1.0), 6) AS soft_weight
+            FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+            ORDER BY d.doc_id
         """,
         "p6_leakage_safe_split": f"""
             WITH RECURSIVE {_SHINGLES_CTE},

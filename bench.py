@@ -91,6 +91,12 @@ BENCH_QUERIES = [
     "t13_ppl_buckets",
     # r8: BPE merge application (tokenizer step 2)
     "t14_bpe_encode",
+    # r8: line-level keep-first dedup, soft-dedup reweighting, per-user
+    # OPQ serving (d10's iterative connected components stays out of
+    # the bench like its siblings d6/p6 — build-side, not serving-side)
+    "t15_line_dedup",
+    "smp7_soft_dedup_weights",
+    "v28_opq_user_rerank",
 ]
 
 
@@ -163,6 +169,7 @@ def main() -> None:
     entry_mod._dup_span_stats(spark, sf_dir)
     entry_mod._dsir_weights_table(spark, sf_dir)
     entry_mod._opq_index(spark, sf_dir)
+    entry_mod._multi_ivf_opq_user_index(spark, sf_dir)
 
     # Compile EVERY benchmark pipeline at the smoke SF so no timed rep0
     # bills whole-stage codegen / first Arrow-pipeline execution. The

@@ -760,6 +760,65 @@ def line_dedup(
     return rebuilt
 
 
+def soft_dedup_weights(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Duplication-aware REWEIGHTING — the soft alternative to hard
+    removal (cf. SoftDedup, He et al. 2024; DataComp-LM keeps near-dups
+    but downweights them): each document gets a sampling weight equal
+    to the inverse GEOMETRIC MEAN of the corpus document-frequency of
+    its distinct word n-grams,
+
+        soft_weight = exp(-mean over doc's grams of ln df(gram))
+
+    so unique content weighs 1.0, a doc whose every gram appears in c
+    docs weighs ~1/c, and partially-duplicated docs land in between —
+    duplicated information is attenuated instead of destroyed, which
+    preserves the tail that hard thresholds clip.
+
+    Output: (id_col, n_grams, soft_weight); docs too short to shingle
+    (< n tokens) carry weight 1.0.
+
+    Scale (100 TB): the df table is ONE aggregate over the distinct
+    (doc, gram) stream — map-side combine collapses each partition's
+    repeats before the shuffle, and the table is vocabulary-sized, not
+    corpus-sized. Grams ride as BINARY(16) md5 so the two shuffles
+    (df count, score join-back) never carry gram text. The join-back
+    is gram-keyed with AQE free to broadcast the df table; the final
+    doc-keyed mean is again a partial-agg aggregate. Same proven
+    shape as the exact-substring stats pass (operators/substring.py).
+    """
+    g = (
+        shingle_df(df, text_col=text_col, id_col=id_col, n=n)
+        .select("id", F.explode("sh").alias("gram"))
+        .select("id", F.unhex(F.md5("gram")).alias("gh"))
+    )
+    dfreq = g.groupBy("gh").agg(F.count("*").cast("long").alias("df"))
+    sc = (
+        g.join(dfreq, "gh")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.avg(F.log(F.col("df"))).alias("_m"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(sc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0).cast("long")).alias("n_grams"),
+            F.round(
+                F.coalesce(F.exp(-F.col("_m")), F.lit(1.0)), 6
+            ).alias("soft_weight"),
+        )
+    )
+
+
 _HEXDIG = "0123456789abcdef"
 
 

@@ -114,3 +114,57 @@ def dup_clusters(
             (F.col("id") == F.col("component")).alias("is_canonical"),
         )
     )
+
+
+def cluster_representatives(
+    clusters: DataFrame,
+    scores: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Quality-aware duplicate-cluster resolution: instead of keeping
+    the arbitrary min-id member (`dup_clusters.is_canonical`), keep
+    the HIGHEST-SCORING member of each near-dup cluster — the FineWeb
+    refinement where the surviving copy of duplicated content is its
+    best version (longest / highest quality), not whichever crawled
+    first. Deterministic: ties break to the smallest id.
+
+    Inputs: `clusters` = (id_col, cluster_col) membership (d6 shape),
+    `scores` = (id_col, score_col) with an engine-stable score (pass
+    PRE-ROUNDED scores — e.g. textstats.quality_features' round-6
+    `quality` — so the argmax cannot flip on last-bit float skew).
+    Output: (id_col, cluster_col, score_col, keeper_id, keep).
+
+    Scale (100 TB): the per-cluster winner is an AGGREGATE
+    max(struct(score, -id)) — partial aggregation collapses each
+    partition's cluster members before the shuffle, so the exchange
+    carries ~distinct-cluster rows even for whale clusters (the
+    boilerplate cluster with 10^7 members never converges on one
+    reducer's sort like a rank-window would). The keeper table
+    (one row per cluster) joins back by cluster id — AQE picks
+    broadcast when it fits. No window anywhere.
+    """
+    m = clusters.select(id_col, cluster_col).join(
+        scores.select(id_col, F.col(score_col).alias("_score")), id_col
+    )
+    winners = (
+        m.groupBy(cluster_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_score").alias("s"),
+                    (-F.col(id_col)).alias("nid"),
+                )
+            ).alias("w")
+        )
+        .select(cluster_col, (-F.col("w.nid")).cast("long").alias("keeper_id"))
+    )
+    return m.join(winners, cluster_col).select(
+        id_col,
+        cluster_col,
+        F.col("_score").alias(score_col),
+        "keeper_id",
+        (F.col(id_col) == F.col("keeper_id")).alias("keep"),
+    )
