@@ -227,3 +227,31 @@ def test_cli_bpe(spark, cli, capsys, tmp_path, sf_dir):
     assert joined.count("</w>") == len(
         [w for w in row["text"].lower().split() if any(c.isalnum() for c in w)]
     )
+
+
+def test_cli_dedup_line(spark, cli, capsys, tmp_path, sf_dir):
+    out_dir = str(tmp_path / "line_clean")
+    r = _run(cli, capsys, ["dedup", "--method", "line",
+                           "--input", f"{sf_dir}/documents.parquet",
+                           "--output", out_dir])
+    assert r["docs"] == 500 and 0 <= r["kept_lines"] <= r["lines"]
+    cleaned = spark.read.parquet(out_dir)
+    assert cleaned.count() == 500
+    assert cleaned.filter("kept_lines > n_lines").count() == 0
+
+
+def test_cli_dedup_soft(cli, capsys, sf_dir):
+    r = _run(cli, capsys, ["dedup", "--method", "soft",
+                           "--input", f"{sf_dir}/documents.parquet"])
+    assert r["docs"] == 500
+    assert 0 < r["min_weight"] <= r["mean_weight"] <= 1.0
+
+
+def test_cli_dedup_keep_best(spark, cli, capsys, tmp_path, sf_dir):
+    out_dir = str(tmp_path / "keepers")
+    r = _run(cli, capsys, ["dedup", "--method", "keep-best",
+                           "--input", f"{sf_dir}/documents.parquet",
+                           "--threshold", "0.8", "--output", out_dir])
+    assert r["docs"] == 500 and r["kept"] == r["clusters"] <= r["docs"]
+    keepers = spark.read.parquet(out_dir)
+    assert keepers.count() == r["kept"]

@@ -98,6 +98,65 @@ def _pipeline(spark, args, ap) -> dict:
                 )
 
                 out = remove_duplicate_spans(df, k=args.k_tokens)
+        elif args.method == "line":
+            from pyspark.sql import functions as F
+
+            from muopdb_spark.operators.dedup import line_dedup
+
+            out = line_dedup(df)
+            agg = out.agg(
+                F.count("*").alias("docs"),
+                F.sum("n_lines").alias("lines"),
+                F.sum("kept_lines").alias("kept_lines"),
+                F.sum(F.when(F.col("kept_lines") == 0, 1).otherwise(0))
+                .alias("docs_emptied"),
+            ).first()
+            result = {"method": "line", "docs": agg["docs"],
+                      "lines": agg["lines"], "kept_lines": agg["kept_lines"],
+                      "docs_emptied": agg["docs_emptied"]}
+        elif args.method == "soft":
+            from pyspark.sql import functions as F
+
+            from muopdb_spark.operators.dedup import soft_dedup_weights
+
+            out = soft_dedup_weights(df)
+            agg = out.agg(
+                F.count("*").alias("docs"),
+                F.round(F.avg("soft_weight"), 6).alias("mean_weight"),
+                F.round(F.min("soft_weight"), 6).alias("min_weight"),
+            ).first()
+            result = {"method": "soft", "docs": agg["docs"],
+                      "mean_weight": agg["mean_weight"],
+                      "min_weight": agg["min_weight"]}
+        elif args.method == "keep-best":
+            from pyspark.sql import functions as F
+
+            from muopdb_spark.operators.graph import (
+                cluster_representatives,
+                dup_clusters,
+            )
+            from muopdb_spark.operators.textstats import quality_features
+
+            pairs = ngram_jaccard_pairs(df, n=3, threshold=args.threshold)
+            clusters = dup_clusters(df.select("doc_id"), pairs)
+            scores = quality_features(df).select("doc_id", "quality")
+            out = cluster_representatives(clusters, scores)
+            agg = out.agg(
+                F.count("*").alias("docs"),
+                F.countDistinct("cluster_id").alias("clusters"),
+                F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"),
+                F.sum(
+                    F.when(
+                        F.col("keep") & (F.col("doc_id") != F.col("cluster_id")),
+                        1,
+                    ).otherwise(0)
+                ).alias("keeper_not_min_id"),
+            ).first()
+            result = {"method": "keep-best", "docs": agg["docs"],
+                      "clusters": agg["clusters"], "kept": agg["kept"],
+                      "keeper_not_min_id": agg["keeper_not_min_id"]}
+            if args.output:
+                out = out.filter(F.col("keep"))
         elif args.method == "minhash":
             pairs = minhash_lsh_pairs(df, threshold=args.threshold)
             result = {"method": "minhash", "near_dup_pairs": pairs.count()}
@@ -305,7 +364,8 @@ def main(argv=None) -> int:
     ap.add_argument("--input", help="pipeline commands: input parquet path")
     ap.add_argument("--output", help="pipeline commands: output parquet path")
     ap.add_argument("--method",
-                    choices=["exact", "minhash", "jaccard", "substring"],
+                    choices=["exact", "minhash", "jaccard", "substring",
+                             "line", "soft", "keep-best"],
                     default="minhash")
     ap.add_argument("--threshold", type=float, default=0.8)
     ap.add_argument("--k-tokens", type=int, default=10,
