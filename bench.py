@@ -118,6 +118,26 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
+    # Floor table up front, and HARD-assert coverage: the anomaly-retry
+    # pass below can only defend queries that have a committed floor, and
+    # the queries most likely to lack one are exactly the newest (zero
+    # timing history — the r8 gap the round-8 ADVICE flagged). Protocol:
+    # every query added to BENCH_QUERIES gets a provisional floor seeded
+    # from its isolated local-gate timing at landing time, refreshed from
+    # the first driver bench.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_FLOORS.json")
+    ) as f:
+        floors = json.load(f)
+    missing_floors = [q for q in BENCH_QUERIES if q not in floors]
+    if missing_floors:
+        raise SystemExit(
+            f"BENCH_FLOORS.json missing entries for {missing_floors}; "
+            "seed provisional floors (local-gate best-of-2) before adding "
+            "queries to BENCH_QUERIES"
+        )
+
     from muopdb_spark.session import get_spark
 
     spark = get_spark("muopdb-bench")
@@ -232,14 +252,6 @@ def main() -> None:
     # after the whole sweep has put 10s-100s of seconds between it and
     # its original slot, and the overall min stands.
     flagged: list[str] = []
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_FLOORS.json")
-        ) as f:
-            floors = json.load(f)
-    except (OSError, ValueError):
-        floors = {}
     for name in BENCH_QUERIES:
         floor = floors.get(name)
         if floor and timings[name] > max(2.0 * floor, floor + 0.25):
@@ -249,6 +261,16 @@ def main() -> None:
             timings[name] = min(all_reps[name])
 
     total = round(sum(timings.values()), 3)
+    # Steal budget (r8 VERDICT stretch #9): label an interference-
+    # polluted sweep AT CAPTURE TIME instead of adjudicating it after.
+    # Calibration: the clean r8 sweep recorded 83 total steal jiffies
+    # with a 38-jiffy max rep; a slot-spanning episode of the d5/mu2
+    # kind steals whole core-seconds (100 jiffies = 1 stolen
+    # core-second at USER_HZ=100).
+    steal_total = sum(sum(v) for v in steal_reps.values())
+    steal_polluted = steal_total > 1000 or any(
+        r > 200 for v in steal_reps.values() for r in v
+    )
     # Per-rep timings go to a side file, NOT the contract line: the
     # driver tail-captures stdout and a reps-inflated line overflowed it
     # in round 3 (BENCH_r03 parsed: null). The compact contract line is
@@ -262,6 +284,8 @@ def main() -> None:
                 {
                     "reps": all_reps,
                     "steal_jiffies": steal_reps,
+                    "steal_total": steal_total,
+                    "steal_polluted": steal_polluted,
                     "anomaly_retried": flagged,
                     "sf": sf,
                 },

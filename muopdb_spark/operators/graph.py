@@ -146,8 +146,28 @@ def cluster_representatives(
     (one row per cluster) joins back by cluster id — AQE picks
     broadcast when it fits. No window anywhere.
     """
+    # LEFT join + in-plan fail-fast: an inner join here would silently
+    # drop any cluster member missing a score row — it could neither be
+    # reported nor win, and if the dropped doc was the best member the
+    # keeper would silently change (round-8 ADVICE). raise_error keeps
+    # the guard inside the existing job (no extra validation action,
+    # unlike the collect()-based opq_encode_per_user check) and names
+    # the offending doc id.
     m = clusters.select(id_col, cluster_col).join(
-        scores.select(id_col, F.col(score_col).alias("_score")), id_col
+        scores.select(id_col, F.col(score_col).alias("_score")), id_col, "left"
+    ).withColumn(
+        "_score",
+        F.when(
+            F.col("_score").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("cluster_representatives: no score row for "
+                          "clustered doc "),
+                    F.col(id_col).cast("string"),
+                    F.lit("; scores must cover every clustered doc"),
+                )
+            ).cast("double"),
+        ).otherwise(F.col("_score")),
     )
     winners = (
         m.groupBy(cluster_col)

@@ -53,6 +53,16 @@ def test_differs_from_min_id_canonical(spark):
     assert out[2].keep and not out[1].keep
 
 
+def test_missing_score_fails_fast_not_silent_drop(spark):
+    # r8 ADVICE: an inner join would silently drop a scoreless cluster
+    # member (and could silently change the keeper); the left-join +
+    # in-plan raise_error names the offending doc instead
+    clusters = _clusters(spark, [(1, 1), (2, 1)])
+    scores = _scores(spark, [(1, 0.9)])  # doc 2 has no score row
+    with pytest.raises(Exception, match="no score row"):
+        cluster_representatives(clusters, scores).collect()
+
+
 def test_winner_is_aggregate_not_window(spark):
     clusters = _clusters(spark, [(1, 1), (2, 1)])
     scores = _scores(spark, [(1, 0.1), (2, 0.8)])

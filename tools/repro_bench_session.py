@@ -148,6 +148,7 @@ def main() -> None:
         entry_mod._dup_span_stats(spark, sf_dir)
         entry_mod._dsir_weights_table(spark, sf_dir)
         entry_mod._opq_index(spark, sf_dir)
+        entry_mod._multi_ivf_opq_user_index(spark, sf_dir)
 
     if not os.environ.get("SKIP_SMOKE"):
         for name in order:
