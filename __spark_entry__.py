@@ -2960,6 +2960,107 @@ def q_curation_manifest_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("stage")
 
 
+def q_weighted_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """smp8: weight-aware token-budget selection (operators/sampling.
+    weighted_token_budget_sample) — THE CONSUMER of smp7's soft-dedup
+    weights (SoftDedup / DataComp-LM downweight-then-sample): each doc
+    is kept with probability proportional to its soft_weight, scaled so
+    expected kept tokens hit the budget. One scalar partial-agg
+    (integer micro-token mass — exact across engines) broadcast back,
+    then a pure map-side content-addressed filter; the corpus is never
+    shuffled."""
+    from muopdb_spark.operators.dedup import soft_dedup_weights
+    from muopdb_spark.operators.sampling import weighted_token_budget_sample
+    from muopdb_spark.operators.textstats import ws_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    w = soft_dedup_weights(docs, n=3)
+    base = docs.select(
+        "doc_id", ws_token_count("text").cast("long").alias("n_tokens")
+    ).join(w.select("doc_id", "soft_weight"), "doc_id")
+    return weighted_token_budget_sample(
+        base, key_col="doc_id", token_col="n_tokens",
+        weight_col="soft_weight", budget_tokens=12000,
+    ).select("doc_id", "n_tokens", "soft_weight", "fraction").orderBy("doc_id")
+
+
+def q_curation_manifest_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipe3: the r8 curation operators COMPOSED into one oracle-able
+    manifest (stage, docs_kept, id_sum, tok_sum) — ingest -> line-level
+    keep-first dedup (t15; drop all-boilerplate docs) -> near-dup
+    clustering on the CLEANED text with quality-aware keep-best
+    resolution (d10) -> soft-dedup reweighting of the survivors (smp7)
+    -> weight-aware token-budget selection (smp8). The keep-best /
+    downweight / weighted-sample ladder is the FineWeb/DCLM refinement
+    over hard removal; each stage consumes the previous stage's
+    survivors, id_sum value-checks WHICH docs survived, and tok_sum
+    witnesses the two stages doc counts can't see (stage 1 removes
+    lines, not docs; stage 3 is a pure reweighting — its row carries
+    the integer weighted-token mass). Composition witness for the r8
+    additions, like pipe2 is for r7's."""
+    from muopdb_spark.operators.dedup import (
+        line_dedup,
+        ngram_jaccard_pairs,
+        soft_dedup_weights,
+    )
+    from muopdb_spark.operators.graph import (
+        cluster_representatives,
+        dup_clusters,
+    )
+    from muopdb_spark.operators.sampling import weighted_token_budget_sample
+    from muopdb_spark.operators.textstats import quality_features, ws_token_count
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # stage 1: line-level keep-first dedup; a doc whose every line was
+    # boilerplate seen earlier is dropped outright
+    s1 = (
+        line_dedup(docs)
+        .filter(F.col("kept_lines") > 0)
+        .select("doc_id", F.col("text_clean").alias("text"))
+        .localCheckpoint(eager=True)  # lineage cut: 3 downstream stages
+    )
+    # stage 2: near-dup clusters over the CLEANED text, keep-best
+    pairs = ngram_jaccard_pairs(s1, n=3, threshold=0.8)
+    clusters = dup_clusters(s1.select("doc_id"), pairs)
+    scores = quality_features(s1).select("doc_id", "quality")
+    keep = cluster_representatives(clusters, scores).filter("keep")
+    s2 = s1.join(keep.select("doc_id"), "doc_id", "left_semi") \
+        .localCheckpoint(eager=True)
+    # stage 3: soft-dedup weights over the survivors
+    w = soft_dedup_weights(s2, n=3)
+    base = s2.select(
+        "doc_id", ws_token_count("text").cast("long").alias("n_tokens")
+    ).join(w.select("doc_id", "soft_weight"), "doc_id")
+    # stage 4: weight-aware token-budget selection (expected kept
+    # tokens = budget; duplicated mass attenuated, not destroyed)
+    s4 = weighted_token_budget_sample(
+        base, key_col="doc_id", token_col="n_tokens",
+        weight_col="soft_weight", budget_tokens=6000,
+    )
+    # Manifest: tok_sum witnesses what docs_kept/id_sum can't — stage 1
+    # removes LINES (not docs) so its token drop is the witness; stage 3
+    # is a REWEIGHTING so its witness is the integer weighted-token
+    # mass round(w*t) (any weight error shifts it); stage 4's tok_sum
+    # shows the expected-token accounting landing near the 6000 budget.
+    wtoks = F.round(F.col("soft_weight") * F.col("n_tokens")).cast("long")
+    ws = ws_token_count("text").cast("long")
+    out = None
+    for name, df, tok in (
+        ("0_ingest", docs, ws),
+        ("1_line_dedup", s1, ws),
+        ("2_keep_best", s2, ws),
+        ("3_soft_weighted", base, wtoks),
+        ("4_budget_selected", s4, F.col("n_tokens")),
+    ):
+        c = df.agg(
+            F.count("*").cast("long").alias("docs_kept"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum(tok).cast("long").alias("tok_sum"),
+        ).select(F.lit(name).alias("stage"), "docs_kept", "id_sum", "tok_sum")
+        out = c if out is None else out.unionByName(c)
+    return out.orderBy("stage")
+
+
 def q_fvecs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """src2 (S8 offline ingest): embeddings exported to the standard
     .fvecs on-disk vector format (TexMex/ann-benchmarks) and re-read
@@ -3047,7 +3148,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keeps f7 in-window).
         "t14_bpe_encode": q_bpe_encode,
         "o2_topn_per_group": q_topn_per_group,
-        "pipe1_curation_manifest": q_curation_manifest,
+        # r9-NEW composition (landing-round first driver row; the window
+        # is otherwise FROZEN per docs/ROTATION.md r9): pipe3 chains the
+        # r8 curation operators (t15 line dedup -> d10 keep-best -> smp7
+        # soft weights) into the NEW weight-aware token-budget selection
+        # (smp8 — soft_weight's consumer, closing the loop the r8
+        # VERDICT flagged). Parks pipe1 (driver-green r6-r8; the
+        # composed-manifest family keeps pipe2 AND pipe3 in-window).
+        "pipe3_curation_manifest_v3": q_curation_manifest_v3,
         "t11_quality_calibrated": q_quality_calibrated,
         "smp5_temperature_mixture": q_temperature_mixture,
         "v26_ivf_sq_rerank": q_ivf_sq_rerank,
@@ -3220,6 +3328,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src3_fvecs_sharded_roundtrip": q_fvecs_sharded_roundtrip,
         "w6_stream_quality_admission": q_stream_quality_admission,
         "p3_passage_dedup": q_passage_dedup,
+        # r9: parked so pipe3 gets its landing-round driver row (the
+        # composed-manifest family keeps pipe2 + pipe3 in-window);
+        # driver-green r6-r8, same local oracle gate.
+        "pipe1_curation_manifest": q_curation_manifest,
+        # NEW in r9: the soft-dedup weight CONSUMER (scale path is one
+        # scalar partial-agg + map-side filter); witnessed in-window by
+        # pipe3's stage 4, held to the same local gate here standalone.
+        "smp8_weighted_budget_sample": q_weighted_budget_sample,
         "d2_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "d7_incremental_minhash": q_incremental_minhash,
         # r7 late swap (see queries()): parked so the r7-new smp6/

@@ -184,6 +184,68 @@ def token_budget_mixture(
     )
 
 
+def weighted_token_budget_sample(
+    df: DataFrame,
+    *,
+    key_col: str,
+    token_col: str,
+    weight_col: str,
+    budget_tokens: int,
+    salt: str = "",
+) -> DataFrame:
+    """WEIGHT-AWARE token-budget selection — the consumer of soft-dedup
+    reweighting (operators/dedup.soft_dedup_weights; cf. SoftDedup /
+    DataComp-LM: duplicated content is downweighted in the sampling
+    distribution, then the corpus is SAMPLED under a token budget).
+    Each row is kept with probability proportional to its weight,
+    scaled so the EXPECTED kept tokens hit `budget_tokens`:
+
+        p_i = round(min(1, lambda * w_i), 6)
+        lambda = budget_tokens / sum_j(w_j * t_j)
+
+    so unit-weight (unique) content is favored and a doc weighing 1/c
+    (c near-copies) is kept with 1/c the probability — expected UNIQUE
+    information is preserved while duplicated mass shrinks. Rows whose
+    p_i caps at 1 contribute all their tokens and leave their surplus
+    allocation UNSPENT (single-round semantics, exactly like
+    token_budget_mixture; water-filling callers loop with the surplus).
+
+    Determinism/oracle-ability: the weighted-token mass is accumulated
+    in integer MICRO-TOKENS (round(w*t*1e6) as BIGINT — an exact sum,
+    immune to float summation order across partitions/engines), lambda
+    is one IEEE double division both engines reproduce bit-identically,
+    p is pinned at 6 decimals, and membership is the content-addressed
+    hash rule (32-bit md5 prefix < p * 2^32) compared numerically
+    in-plan.
+
+    Cost/scale (100 TB): ONE partial-agg reduction to a single scalar
+    row (map-side combine; the exchange carries one row per partition),
+    broadcast back via crossJoin, then a pure map-side filter — the
+    corpus itself is never shuffled. Returns kept rows + `fraction`
+    (the applied p_i) for audit.
+    """
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be >= 0")
+    wt = F.round(
+        F.col(weight_col) * F.col(token_col) * F.lit(1e6)
+    ).cast("long")
+    denom = df.select(wt.alias("_wt")).agg(F.sum("_wt").alias("_wt_sum"))
+    lam = F.when(
+        F.col("_wt_sum") > 0,
+        F.lit(float(budget_tokens) * 1e6) / F.col("_wt_sum").cast("double"),
+    ).otherwise(F.lit(0.0))
+    hash_long = F.conv(_hash_bucket(F.col(key_col), salt), 16, 10).cast("long")
+    return (
+        df.crossJoin(F.broadcast(denom))
+        .withColumn(
+            "fraction",
+            F.round(F.least(F.lit(1.0), lam * F.col(weight_col)), 6),
+        )
+        .filter(hash_long < F.col("fraction") * F.lit(float(2**32)))
+        .drop("_wt_sum")
+    )
+
+
 def deterministic_reservoir(
     df: DataFrame,
     *,

@@ -341,3 +341,103 @@ def test_leakage_safe_split_property(spark, sf_dir):
         docs.select("doc_id").repartition(7), clusters, train_fraction=0.8
     ).select("doc_id", "split")
     assert out.exceptAll(again).count() == 0
+
+
+# ------------------------------------- weighted token-budget selection
+
+
+def _wdf(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, n_tokens long, soft_weight double"
+    )
+
+
+def test_weighted_budget_expected_tokens_near_budget(spark):
+    from muopdb_spark.operators.sampling import weighted_token_budget_sample
+
+    rows = [(i, 100, 1.0) for i in range(400)]
+    df = _wdf(spark, rows)
+    out = weighted_token_budget_sample(
+        df, key_col="doc_id", token_col="n_tokens", weight_col="soft_weight",
+        budget_tokens=20_000,
+    )
+    got = out.agg(F.sum("n_tokens")).collect()[0][0]
+    # uniform weights, lambda = 0.5: expectation 20k, binomial sd ~1k
+    assert 15_000 <= got <= 25_000
+    assert out.select("fraction").distinct().collect()[0][0] == 0.5
+
+
+def test_weighted_budget_keep_probability_proportional_to_weight(spark):
+    from muopdb_spark.operators.sampling import weighted_token_budget_sample
+
+    # 300 unique-weight docs + 300 downweighted (1/3) near-dup docs,
+    # equal lengths: the kept-doc ratio should track the 3:1 weights
+    rows = [(i, 50, 1.0) for i in range(300)] + [
+        (1000 + i, 50, round(1 / 3, 6)) for i in range(300)
+    ]
+    out = weighted_token_budget_sample(
+        _wdf(spark, rows), key_col="doc_id", token_col="n_tokens",
+        weight_col="soft_weight", budget_tokens=10_000,
+    ).collect()
+    hi = sum(1 for r in out if r.soft_weight == 1.0)
+    lo = len(out) - hi
+    # lambda = 10000/(300*50 + 300*50/3) = 0.5 -> p_hi=.5, p_lo=.1667
+    assert 110 <= hi <= 190 and 20 <= lo <= 80
+    fr = {round(r.fraction, 6) for r in out}
+    assert fr == {0.5, round(0.5 / 3, 6)}
+
+
+def test_weighted_budget_cap_leaves_surplus_unspent(spark):
+    from muopdb_spark.operators.sampling import weighted_token_budget_sample
+
+    # budget exceeds the weighted mass: unit-weight docs cap at p=1
+    # (all kept), downweighted docs stay fractional
+    rows = [(i, 100, 1.0) for i in range(50)] + [
+        (1000 + i, 100, 0.25) for i in range(200)
+    ]
+    out = weighted_token_budget_sample(
+        _wdf(spark, rows), key_col="doc_id", token_col="n_tokens",
+        weight_col="soft_weight", budget_tokens=12_000,
+    ).collect()
+    # lambda = 12000/(5000 + 5000) = 1.2 -> p=1 for w=1, p=.3 for w=.25
+    assert sum(1 for r in out if r.soft_weight == 1.0) == 50
+    assert all(r.fraction == 1.0 for r in out if r.soft_weight == 1.0)
+    assert all(r.fraction == 0.3 for r in out if r.soft_weight == 0.25)
+
+
+def test_weighted_budget_zero_weight_never_kept(spark):
+    from muopdb_spark.operators.sampling import weighted_token_budget_sample
+
+    rows = [(1, 100, 0.0), (2, 100, 1.0)]
+    out = weighted_token_budget_sample(
+        _wdf(spark, rows), key_col="doc_id", token_col="n_tokens",
+        weight_col="soft_weight", budget_tokens=1_000_000,
+    ).collect()
+    assert all(r.doc_id != 1 for r in out)
+
+
+def test_weighted_budget_partition_invariant(spark):
+    from muopdb_spark.operators.sampling import weighted_token_budget_sample
+
+    rows = [(i, 10 + i % 37, round(1.0 / (1 + i % 3), 6)) for i in range(200)]
+    a = weighted_token_budget_sample(
+        _wdf(spark, rows).repartition(1), key_col="doc_id",
+        token_col="n_tokens", weight_col="soft_weight", budget_tokens=1500,
+    )
+    b = weighted_token_budget_sample(
+        _wdf(spark, rows).repartition(13), key_col="doc_id",
+        token_col="n_tokens", weight_col="soft_weight", budget_tokens=1500,
+    )
+    ra = sorted((r.doc_id, r.fraction) for r in a.collect())
+    rb = sorted((r.doc_id, r.fraction) for r in b.collect())
+    assert ra == rb and len(ra) > 0
+
+
+def test_weighted_budget_empty_and_zero_mass(spark):
+    from muopdb_spark.operators.sampling import weighted_token_budget_sample
+
+    out = weighted_token_budget_sample(
+        _wdf(spark, [(1, 0, 0.0)]), key_col="doc_id", token_col="n_tokens",
+        weight_col="soft_weight", budget_tokens=100,
+    ).collect()
+    assert out == []
