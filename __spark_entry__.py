@@ -3334,7 +3334,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe1_curation_manifest": q_curation_manifest,
         # NEW in r9: the soft-dedup weight CONSUMER (scale path is one
         # scalar partial-agg + map-side filter); witnessed in-window by
-        # pipe3's stage 4, held to the same local gate here standalone.
+        # pipe3's stage 4. r10: oracle_sql entry landed (the micro-token/
+        # lambda/hash contract transcribed), so test_extra_queries holds
+        # it to the full DuckDB value gate, not rows-only.
         "smp8_weighted_budget_sample": q_weighted_budget_sample,
         "d2_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "d7_incremental_minhash": q_incremental_minhash,
@@ -4955,6 +4957,254 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(exp(-sc.m), 1.0), 6) AS soft_weight
             FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
             ORDER BY d.doc_id
+        """,
+        # smp8: literal SQL transcription of weighted_token_budget_sample's
+        # determinism contract (operators/sampling.py docstring): integer
+        # micro-token mass round(w*t*1e6) summed exactly, lambda = one IEEE
+        # double division, p pinned at 6 decimals, membership = 32-bit md5
+        # prefix < p * 2^32. Weights are smp7's soft-dedup weights (same
+        # CTEs as the green smp7 oracle); tokens are whitespace counts
+        # (same expression as the green p2 oracle).
+        "smp8_weighted_budget_sample": f"""
+            WITH {_SHINGLES_CTE},
+            g AS (SELECT doc_id, unnest(sh) AS gram FROM s2),
+            dfq AS (SELECT gram, count(*)::BIGINT AS c FROM g GROUP BY gram),
+            sc AS (SELECT g.doc_id, avg(ln(c)) AS m
+                   FROM g JOIN dfq USING (gram) GROUP BY g.doc_id),
+            w AS (
+                SELECT d.doc_id,
+                       round(coalesce(exp(-sc.m), 1.0), 6) AS soft_weight
+                FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+            ),
+            base AS (
+                SELECT d.doc_id,
+                       len(list_filter(
+                           string_split_regex(trim(d.text), '\\s+'),
+                           x -> x <> ''))::BIGINT AS n_tokens,
+                       w.soft_weight
+                FROM documents d JOIN w USING (doc_id)
+            ),
+            lamv AS (
+                SELECT CASE
+                    WHEN sum(CAST(round(soft_weight * n_tokens * 1e6)
+                                  AS BIGINT)) > 0
+                    THEN 12000000000.0
+                         / CAST(sum(CAST(round(soft_weight * n_tokens * 1e6)
+                                         AS BIGINT)) AS DOUBLE)
+                    ELSE 0.0 END AS lam
+                FROM base
+            )
+            SELECT b.doc_id, b.n_tokens, b.soft_weight,
+                   round(least(1.0, lamv.lam * b.soft_weight), 6) AS fraction
+            FROM base b, lamv
+            WHERE ('0x' || substring(md5(b.doc_id::VARCHAR), 1, 8))::BIGINT
+                  < round(least(1.0, lamv.lam * b.soft_weight), 6)
+                    * 4294967296.0
+            ORDER BY b.doc_id
+        """,
+        # pipe3: CTE-chain transcription of q_curation_manifest_v3, each
+        # stage cribbed from its operator's own green oracle — stage 1 =
+        # t15_line_dedup's keep-first CTEs, stage 2 = d10's shingle/
+        # Jaccard/components/quality-argmax CTEs re-rooted on the CLEANED
+        # text, stage 3 = smp7's df-weight CTEs over the survivors, stage
+        # 4 = smp8's micro-token/lambda/hash rule at budget 6000.
+        "pipe3_curation_manifest_v3": rf"""
+            WITH RECURSIVE
+            ld0 AS (
+                SELECT doc_id, string_split(text, chr(10)) AS ls
+                FROM documents
+            ),
+            ld1 AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, len(ls) + 1),
+                           i -> {{'line_no': i - 1, 'line': ls[i]}})) AS e
+                FROM ld0
+            ),
+            ldm AS (
+                SELECT doc_id, e.line_no AS line_no, e.line AS line,
+                       CASE WHEN length(e.line) < 1 THEN TRUE
+                            ELSE row_number() OVER (
+                                PARTITION BY e.line
+                                ORDER BY doc_id, e.line_no) = 1
+                       END AS kept
+                FROM ld1
+            ),
+            lda AS (
+                SELECT doc_id,
+                       coalesce(string_agg(CASE WHEN kept THEN line END,
+                                           chr(10) ORDER BY line_no),
+                                '') AS text,
+                       sum(CASE WHEN kept THEN 1 ELSE 0 END) AS kept_lines
+                FROM ldm GROUP BY doc_id
+            ),
+            s1 AS (SELECT doc_id, text FROM lda WHERE kept_lines > 0),
+            st AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text),
+                                                      '[^a-z0-9]+'),
+                                   x -> x <> '') AS toks
+                FROM s1
+            ),
+            ss AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 3
+                            THEN list_distinct(list_transform(
+                                 range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' '
+                                      || toks[i+2]))
+                            ELSE []::VARCHAR[] END AS sh
+                FROM st
+            ),
+            sh2 AS (SELECT doc_id, sh, len(sh) AS n FROM ss
+                    WHERE len(sh) > 0),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sh2 a, sh2 b
+                WHERE a.doc_id < b.doc_id
+                  AND len(list_intersect(a.sh, b.sh)) > 0
+                  AND len(list_intersect(a.sh, b.sh))::DOUBLE
+                        / (a.n + b.n - len(list_intersect(a.sh, b.sh)))
+                        >= 0.8
+            ),
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION
+                SELECT doc_b AS a, doc_a AS b FROM pairs
+            ),
+            reach AS (
+                SELECT doc_id AS id, doc_id AS lab FROM s1
+                UNION
+                SELECT e.b AS id, r.lab
+                FROM reach r JOIN edges e ON e.a = r.id
+            ),
+            comp AS (SELECT id, min(lab) AS cluster_id FROM reach
+                     GROUP BY id),
+            qf AS (
+                SELECT s1.doc_id, st.toks,
+                       length(s1.text) AS n_chars,
+                       length(regexp_replace(lower(s1.text),
+                                             '[^a-z0-9\s]', '', 'g'))
+                           AS alnum_ws
+                FROM s1 JOIN st USING (doc_id)
+            ),
+            qq AS (
+                SELECT doc_id,
+                       round(least(1.0, len(toks) / 50.0)
+                             * (CASE WHEN n_chars > 0
+                                     THEN alnum_ws::DOUBLE / n_chars
+                                     ELSE 0.0 END)
+                             * (0.5 + 0.5 * least(1.0,
+                                  (CASE WHEN len(toks) > 0
+                                        THEN len(list_filter(toks,
+                                             t -> list_contains(
+                                                  {_stoplist_sql('en')}, t)))
+                                             ::DOUBLE / len(toks)
+                                        ELSE 0.0 END) * 5.0)), 6) AS quality
+                FROM qf
+            ),
+            jq AS (
+                SELECT comp.id AS doc_id, comp.cluster_id, qq.quality
+                FROM comp JOIN qq ON qq.doc_id = comp.id
+            ),
+            kp AS (
+                SELECT doc_id AS keeper_id FROM (
+                    SELECT doc_id,
+                           row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY quality DESC, doc_id ASC) AS rn
+                    FROM jq) WHERE rn = 1
+            ),
+            s2k AS (
+                SELECT s1.doc_id, s1.text
+                FROM s1 JOIN kp ON kp.keeper_id = s1.doc_id
+            ),
+            s3t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text),
+                                                      '[^a-z0-9]+'),
+                                   x -> x <> '') AS toks
+                FROM s2k
+            ),
+            s3s AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 3
+                            THEN list_distinct(list_transform(
+                                 range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' '
+                                      || toks[i+2]))
+                            ELSE []::VARCHAR[] END AS sh
+                FROM s3t
+            ),
+            s3g AS (SELECT doc_id, unnest(sh) AS gram FROM s3s
+                    WHERE len(sh) > 0),
+            s3df AS (SELECT gram, count(*)::BIGINT AS c FROM s3g
+                     GROUP BY gram),
+            s3sc AS (SELECT doc_id, avg(ln(c)) AS m
+                     FROM s3g JOIN s3df USING (gram) GROUP BY doc_id),
+            wts AS (
+                SELECT k.doc_id,
+                       round(coalesce(exp(-s3sc.m), 1.0), 6) AS soft_weight
+                FROM s2k k LEFT JOIN s3sc ON s3sc.doc_id = k.doc_id
+            ),
+            base AS (
+                SELECT k.doc_id,
+                       len(list_filter(
+                           string_split_regex(trim(k.text), '\s+'),
+                           x -> x <> ''))::BIGINT AS n_tokens,
+                       wts.soft_weight
+                FROM s2k k JOIN wts USING (doc_id)
+            ),
+            lamv AS (
+                SELECT CASE
+                    WHEN sum(CAST(round(soft_weight * n_tokens * 1e6)
+                                  AS BIGINT)) > 0
+                    THEN 6000000000.0
+                         / CAST(sum(CAST(round(soft_weight * n_tokens * 1e6)
+                                         AS BIGINT)) AS DOUBLE)
+                    ELSE 0.0 END AS lam
+                FROM base
+            ),
+            s4 AS (
+                SELECT b.doc_id, b.n_tokens
+                FROM base b, lamv
+                WHERE ('0x' || substring(md5(b.doc_id::VARCHAR), 1, 8))
+                          ::BIGINT
+                      < round(least(1.0, lamv.lam * b.soft_weight), 6)
+                        * 4294967296.0
+            )
+            SELECT * FROM (
+                SELECT '0_ingest' AS stage, count(*)::BIGINT AS docs_kept,
+                       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                       CAST(sum(len(list_filter(
+                           string_split_regex(trim(text), '\s+'),
+                           x -> x <> ''))) AS BIGINT) AS tok_sum
+                FROM documents
+                UNION ALL
+                SELECT '1_line_dedup', count(*)::BIGINT,
+                       CAST(sum(doc_id) AS BIGINT),
+                       CAST(sum(len(list_filter(
+                           string_split_regex(trim(text), '\s+'),
+                           x -> x <> ''))) AS BIGINT)
+                FROM s1
+                UNION ALL
+                SELECT '2_keep_best', count(*)::BIGINT,
+                       CAST(sum(doc_id) AS BIGINT),
+                       CAST(sum(len(list_filter(
+                           string_split_regex(trim(text), '\s+'),
+                           x -> x <> ''))) AS BIGINT)
+                FROM s2k
+                UNION ALL
+                SELECT '3_soft_weighted', count(*)::BIGINT,
+                       CAST(sum(doc_id) AS BIGINT),
+                       CAST(sum(CAST(round(soft_weight * n_tokens)
+                                     AS BIGINT)) AS BIGINT)
+                FROM base
+                UNION ALL
+                SELECT '4_budget_selected', count(*)::BIGINT,
+                       CAST(sum(doc_id) AS BIGINT),
+                       CAST(sum(n_tokens) AS BIGINT)
+                FROM s4
+            ) ORDER BY stage
         """,
         "p6_leakage_safe_split": f"""
             WITH RECURSIVE {_SHINGLES_CTE},

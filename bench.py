@@ -125,11 +125,19 @@ def main() -> None:
     # every query added to BENCH_QUERIES gets a provisional floor seeded
     # from its isolated local-gate timing at landing time, refreshed from
     # the first driver bench.
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_FLOORS.json")
-    ) as f:
-        floors = json.load(f)
+    floors_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FLOORS.json"
+    )
+    try:
+        with open(floors_path) as f:
+            floors = json.load(f)
+    except (OSError, ValueError) as e:
+        raise SystemExit(
+            f"cannot read {floors_path} ({e}); the anomaly-retry defense "
+            "needs the committed floor table — restore it from git or "
+            "re-seed per query (local-gate best-of-2, see "
+            "docs/BENCH_STABILITY.md)"
+        )
     missing_floors = [q for q in BENCH_QUERIES if q not in floors]
     if missing_floors:
         raise SystemExit(

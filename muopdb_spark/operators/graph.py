@@ -161,10 +161,11 @@ def cluster_representatives(
             F.col("_score").isNull(),
             F.raise_error(
                 F.concat(
-                    F.lit("cluster_representatives: no score row for "
-                          "clustered doc "),
+                    F.lit("cluster_representatives: missing or null "
+                          "score for clustered doc "),
                     F.col(id_col).cast("string"),
-                    F.lit("; scores must cover every clustered doc"),
+                    F.lit("; scores must cover every clustered doc "
+                          "with a non-null score"),
                 )
             ).cast("double"),
         ).otherwise(F.col("_score")),

@@ -211,12 +211,20 @@ def weighted_token_budget_sample(
     token_budget_mixture; water-filling callers loop with the surplus).
 
     Determinism/oracle-ability: the weighted-token mass is accumulated
-    in integer MICRO-TOKENS (round(w*t*1e6) as BIGINT — an exact sum,
-    immune to float summation order across partitions/engines), lambda
-    is one IEEE double division both engines reproduce bit-identically,
-    p is pinned at 6 decimals, and membership is the content-addressed
-    hash rule (32-bit md5 prefix < p * 2^32) compared numerically
-    in-plan.
+    in integer MICRO-TOKENS (round(w*t*1e6), summed as DECIMAL(38,0) —
+    an exact sum with headroom to 1e38 micro-tokens ≈ 1e32 tokens,
+    immune to both float summation order AND int64 wraparound; a plain
+    BIGINT sum would silently overflow at ~9.2e12 weighted tokens,
+    i.e. a few tens of TB of text), lambda is one IEEE double division
+    both engines reproduce bit-identically, p is pinned at 6 decimals,
+    and membership is the content-addressed hash rule (32-bit md5
+    prefix < p * 2^32) compared numerically in-plan.
+
+    Null/negative inputs fail fast IN-PLAN (raise_error, no extra
+    validation action): a null weight/token would silently vanish from
+    the mass sum and the output (null fraction fails the filter), and
+    a negative weight would skew lambda for every other row — both are
+    upstream bugs this operator must not paper over.
 
     Cost/scale (100 TB): ONE partial-agg reduction to a single scalar
     row (map-side combine; the exchange carries one row per partition),
@@ -226,9 +234,24 @@ def weighted_token_budget_sample(
     """
     if budget_tokens < 0:
         raise ValueError("budget_tokens must be >= 0")
+    bad = (
+        F.col(weight_col).isNull() | (F.col(weight_col) < 0)
+        | F.col(token_col).isNull() | (F.col(token_col) < 0)
+    )
+    w_checked = F.when(
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit("weighted_token_budget_sample: null or negative "
+                      f"{weight_col}/{token_col} for key "),
+                F.col(key_col).cast("string"),
+                F.lit("; weights and token counts must be non-null and >= 0"),
+            )
+        ).cast("double"),
+    ).otherwise(F.col(weight_col))
     wt = F.round(
-        F.col(weight_col) * F.col(token_col) * F.lit(1e6)
-    ).cast("long")
+        w_checked * F.col(token_col) * F.lit(1e6)
+    ).cast("decimal(38,0)")
     denom = df.select(wt.alias("_wt")).agg(F.sum("_wt").alias("_wt_sum"))
     lam = F.when(
         F.col("_wt_sum") > 0,

@@ -441,3 +441,65 @@ def test_weighted_budget_empty_and_zero_mass(spark):
         weight_col="soft_weight", budget_tokens=100,
     ).collect()
     assert out == []
+
+
+def test_weighted_budget_mass_sum_survives_int64_overflow(spark):
+    from muopdb_spark.operators.sampling import weighted_token_budget_sample
+
+    # 40 docs of 2^61 tokens each: the micro-token mass (w*t*1e6) is
+    # ~9.2e24, 1e6x past the int64 ceiling where a BIGINT sum would
+    # silently wrap negative (non-ANSI Spark) and corrupt every keep
+    # probability. The decimal(38,0) accumulator must keep lambda
+    # finite, positive, and tiny -> every fraction rounds to ~0 and
+    # nothing is kept at a 1000-token budget.
+    big = 2**61
+    rows = [(i, big, 1.0) for i in range(40)]
+    out = weighted_token_budget_sample(
+        _wdf(spark, rows), key_col="doc_id", token_col="n_tokens",
+        weight_col="soft_weight", budget_tokens=1_000,
+    )
+    # a wrapped-negative mass would flip lambda's sign: the when()
+    # branch would emit 0.0 lambda only on the EXACT-zero case, while
+    # a negative sum yields negative fractions -> filter keeps nothing
+    # either way, so assert on the fraction VALUES, not just emptiness
+    fr = (
+        _wdf(spark, rows)
+        .crossJoin(
+            F.broadcast(
+                _wdf(spark, rows)
+                .select(
+                    F.round(F.col("soft_weight") * F.col("n_tokens") * 1e6)
+                    .cast("decimal(38,0)").alias("_wt")
+                )
+                .agg(F.sum("_wt").alias("_wt_sum"))
+            )
+        )
+        .select(F.col("_wt_sum").cast("double"))
+        .collect()[0][0]
+    )
+    assert fr > 0, "decimal mass sum must not wrap negative"
+    assert abs(fr - 40 * big * 1e6) / (40 * big * 1e6) < 1e-12
+    assert out.collect() == []
+
+
+def test_weighted_budget_null_and_negative_inputs_fail_fast(spark):
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from muopdb_spark.operators.sampling import weighted_token_budget_sample
+
+    for rows in (
+        [(1, 100, None), (2, 100, 1.0)],   # null weight
+        [(1, 100, -0.5), (2, 100, 1.0)],   # negative weight
+        [(1, None, 1.0), (2, 100, 1.0)],   # null token count
+        [(1, -10, 1.0), (2, 100, 1.0)],    # negative token count
+    ):
+        out = weighted_token_budget_sample(
+            _wdf(spark, rows), key_col="doc_id", token_col="n_tokens",
+            weight_col="soft_weight", budget_tokens=1_000,
+        )
+        with pytest.raises(
+            (SparkRuntimeException, Exception),
+            match="null or negative",
+        ):
+            out.collect()

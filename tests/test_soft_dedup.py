@@ -59,7 +59,17 @@ def test_missing_score_fails_fast_not_silent_drop(spark):
     # in-plan raise_error names the offending doc instead
     clusters = _clusters(spark, [(1, 1), (2, 1)])
     scores = _scores(spark, [(1, 0.9)])  # doc 2 has no score row
-    with pytest.raises(Exception, match="no score row"):
+    with pytest.raises(Exception, match="missing or null score"):
+        cluster_representatives(clusters, scores).collect()
+
+
+def test_null_score_fails_fast_too(spark):
+    # r9 ADVICE: the guard also fires when a score ROW exists but its
+    # value is NULL — the message must not misdiagnose that case as a
+    # missing row
+    clusters = _clusters(spark, [(1, 1), (2, 1)])
+    scores = _scores(spark, [(1, 0.9), (2, None)])
+    with pytest.raises(Exception, match="missing or null score"):
         cluster_representatives(clusters, scores).collect()
 
 
