@@ -74,6 +74,18 @@ def main() -> None:
         df, num_centroids=num_centroids, quantizer="pq_user",
         pq_subvectors=8, pq_centers=32, seed=42,
     )
+    # r8 quantizers, swept r10 (the r8 verdict's OPQ-twin ask): shared
+    # OPQ (one learned rotation + one PQ codebook across users — does
+    # the rotation help or hurt the off-distribution minority?) and
+    # PER-USER OPQ (each tenant gets its own rotation + codebook)
+    opq_idx = build_multi_ivf(
+        df, num_centroids=num_centroids, quantizer="opq",
+        pq_subvectors=8, pq_centers=32, seed=42,
+    )
+    opqu_idx = build_multi_ivf(
+        df, num_centroids=num_centroids, quantizer="opq_user",
+        pq_subvectors=8, pq_centers=32, seed=42,
+    )
     exact_idx = build_multi_ivf(df, num_centroids=num_centroids, seed=42)
 
     full_probe = dict(num_probes=num_centroids, centroid_distance_ratio=None)
@@ -82,6 +94,7 @@ def main() -> None:
         qidx = rng.choice(n, n_queries, replace=False)
         recalls, rerank_recalls, sq_recalls = [], [], []
         pqu_recalls, pqu_rerank_recalls = [], []
+        opq_recalls, opqu_recalls, opqu_rerank_recalls = [], [], []
         for qi in qidx:
             q = [float(x) for x in vecs[qi]]
             truth = {
@@ -112,11 +125,28 @@ def main() -> None:
                     pqu_idx, user, q, k, rerank=4 * k, **full_probe
                 ).collect()
             }
+            opq = {
+                r["id"] for r in
+                multi_ivf_search(opq_idx, user, q, k, **full_probe).collect()
+            }
+            opqu = {
+                r["id"] for r in
+                multi_ivf_search(opqu_idx, user, q, k, **full_probe).collect()
+            }
+            opqu_rr = {
+                r["id"] for r in
+                multi_ivf_search(
+                    opqu_idx, user, q, k, rerank=4 * k, **full_probe
+                ).collect()
+            }
             recalls.append(len(adc & truth) / k)
             rerank_recalls.append(len(rr & truth) / k)
             sq_recalls.append(len(sq & truth) / k)
             pqu_recalls.append(len(pqu & truth) / k)
             pqu_rerank_recalls.append(len(pqu_rr & truth) / k)
+            opq_recalls.append(len(opq & truth) / k)
+            opqu_recalls.append(len(opqu & truth) / k)
+            opqu_rerank_recalls.append(len(opqu_rr & truth) / k)
         out["users"][user] = {
             "adc_recall_at_10": round(float(np.mean(recalls)), 3),
             "adc_rerank40_recall_at_10": round(
@@ -128,6 +158,15 @@ def main() -> None:
             ),
             "per_user_pq_rerank40_recall_at_10": round(
                 float(np.mean(pqu_rerank_recalls)), 3
+            ),
+            "shared_opq_adc_recall_at_10": round(
+                float(np.mean(opq_recalls)), 3
+            ),
+            "per_user_opq_adc_recall_at_10": round(
+                float(np.mean(opqu_recalls)), 3
+            ),
+            "per_user_opq_rerank40_recall_at_10": round(
+                float(np.mean(opqu_rerank_recalls)), 3
             ),
         }
     out["skew_adc"] = round(
