@@ -2,10 +2,12 @@
 fixture — the full pass a pretraining corpus goes through before
 tokenization, each stage one of the engine's operators:
 
-    JSONL ingest -> exact dedup -> near-dup clustering -> passage-dup
-    filter -> duplicated-span removal -> benchmark decontamination ->
-    PII scrub ->
-    repetition-quality filter -> stratified sampling -> sequence
+    JSONL ingest -> exact dedup -> line-level keep-first dedup ->
+    near-dup clustering with quality-aware KEEP-BEST resolution ->
+    passage-dup filter -> duplicated-span removal -> benchmark
+    decontamination -> PII scrub ->
+    repetition-quality filter -> stratified sampling -> soft-dedup
+    reweighting + weighted token-budget selection -> sequence
     packing -> parquet out -> DAY 2: incremental dedup of a new batch
     against the curated corpus's durable signature artifact
 
@@ -89,13 +91,41 @@ def main() -> None:
         docs = _pin(docs.join(canon, "doc_id", "left_semi"))
         n1 = docs.count()
 
+        # 1b. line-level keep-first dedup (C4 §2.2 at line granularity,
+        #     as FineWeb/RefinedWeb apply it): a line survives only at
+        #     its globally first occurrence; docs reassemble from their
+        #     surviving lines, and a doc that was ALL boilerplate is
+        #     dropped. Runs before near-dup clustering so shared
+        #     boilerplate can't glue unrelated docs into one cluster.
+        from muopdb_spark.operators.dedup import line_dedup
+
+        ld = line_dedup(docs)
+        prev = docs
+        docs = _pin(docs.drop("text").join(
+            ld.filter(F.col("kept_lines") > 0)
+              .select("doc_id", F.col("text_clean").alias("text")),
+            "doc_id",
+        ), prev)
+        n1b = docs.count()
+
         # 2. near-dup clustering: transitive clusters over 3-gram
-        #    Jaccard pairs; keep each cluster's canonical member
+        #    Jaccard pairs; KEEP-BEST resolution (FineWeb refinement,
+        #    d10) — the surviving copy of duplicated content is the
+        #    cluster's highest-quality member, not whichever has the
+        #    smallest id
+        from muopdb_spark.operators.graph import cluster_representatives
+        from muopdb_spark.operators.textstats import quality_features
+
         pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
         clusters = dup_clusters(docs.select("doc_id"), pairs)
+        scores = quality_features(docs).select("doc_id", "quality")
+        keepers = cluster_representatives(clusters, scores).filter("keep")
+        n_keeper_not_min = keepers.filter(
+            F.col("doc_id") != F.col("cluster_id")
+        ).count()
         prev = docs
         docs = _pin(docs.join(
-            clusters.filter("is_canonical").select("doc_id"), "doc_id", "left_semi"
+            keepers.select("doc_id"), "doc_id", "left_semi"
         ), prev)
         n2 = docs.count()
 
@@ -242,6 +272,38 @@ def main() -> None:
         ), prev)
         n6 = docs.count()
 
+        # 6b. soft-dedup reweighting + weighted token-budget selection
+        #     (SoftDedup/DCLM, smp7 -> smp8): duplicated content that
+        #     SURVIVED the hard gates is downweighted (inverse geometric
+        #     mean of gram document-frequency), then the corpus is
+        #     sampled with keep probability proportional to the weight,
+        #     scaled so EXPECTED kept tokens hit the budget — duplicated
+        #     mass is attenuated, unique information preserved
+        from muopdb_spark.operators.dedup import soft_dedup_weights
+        from muopdb_spark.operators.sampling import (
+            weighted_token_budget_sample,
+        )
+
+        weights = soft_dedup_weights(docs)
+        sel_base = docs.select(
+            "doc_id", ws_token_count("text").cast("long").alias("n_tokens")
+        ).join(weights.select("doc_id", "soft_weight"), "doc_id")
+        budget = 12_000
+        selected = weighted_token_budget_sample(
+            sel_base, key_col="doc_id", token_col="n_tokens",
+            weight_col="soft_weight", budget_tokens=budget,
+        )
+        sel_manifest = selected.agg(
+            F.count("*").alias("kept"),
+            F.sum("n_tokens").alias("kept_tokens"),
+            F.round(F.avg("soft_weight"), 4).alias("mean_weight"),
+        ).first()
+        prev = docs
+        docs = _pin(docs.join(
+            selected.select("doc_id"), "doc_id", "left_semi"
+        ), prev)
+        n6b = docs.count()
+
         # 7. sequence packing: 512-token training sequences per language
         sized = docs.select(
             "doc_id", "lang", "text",
@@ -308,11 +370,15 @@ def main() -> None:
         reject_by_reason = {r["reason"]: r["count"] for r in audit}
         n_rejected = sum(reject_by_reason.values())
 
-        print(f"ingested={n0} exact_dedup={n1} near_dup={n2} "
+        print(f"ingested={n0} exact_dedup={n1} line_dedup={n1b} "
+              f"keep_best={n2} (keeper_not_min_id={n_keeper_not_min}) "
               f"passage_dup={n2b} span_rewritten={n_span_cut} "
               f"decontaminated={n3} quality={n5} "
               f"perplexity={n5b} (buckets: {bucket_counts}) "
               f"calibrated={n5c} sampled={n6} "
+              f"budget_selected={n6b} "
+              f"(budget={budget} kept_tokens={sel_manifest['kept_tokens']} "
+              f"mean_weight={sel_manifest['mean_weight']}) "
               f"sequences={n_seqs} "
               f"shards={n_shards_written} rag_chunks={n_chunks}")
         print(f"distilled classifier reproduces the rule-quality "

@@ -255,3 +255,21 @@ def test_cli_dedup_keep_best(spark, cli, capsys, tmp_path, sf_dir):
     assert r["docs"] == 500 and r["kept"] == r["clusters"] <= r["docs"]
     keepers = spark.read.parquet(out_dir)
     assert keepers.count() == r["kept"]
+
+
+def test_cli_select_weighted_budget(spark, cli, capsys, tmp_path, sf_dir):
+    out_dir = str(tmp_path / "selected")
+    r = _run(cli, capsys, ["select",
+                           "--input", f"{sf_dir}/documents.parquet",
+                           "--budget-tokens", "6000",
+                           "--output", out_dir])
+    assert r["docs"] == 500 and r["budget_tokens"] == 6000
+    # expected kept tokens ~= budget (binomial noise); never the whole
+    # corpus, never empty on this fixture
+    assert 0 < r["kept"] < r["docs"]
+    assert 0.5 * 6000 <= r["kept_tokens"] <= 1.5 * 6000
+    kept = spark.read.parquet(out_dir)
+    assert kept.count() == r["kept"]
+    # the audit column rides along and stays in (0, 1]
+    fr = [row["fraction"] for row in kept.select("fraction").collect()]
+    assert all(0 < f <= 1.0 for f in fr)

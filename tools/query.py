@@ -60,7 +60,7 @@ sys.path.insert(0, "/root/repo")
 
 COLLECTION_CMDS = {"create", "insert", "remove", "search", "term-search", "stats", "optimize", "flush", "inspect"}
 PIPELINE_CMDS = {"dedup", "lm-score", "chunk", "shard", "quality", "admit",
-                 "dsir", "vocab", "split", "ppl-buckets", "bpe"}
+                 "dsir", "vocab", "split", "ppl-buckets", "bpe", "select"}
 
 
 def _pipeline(spark, args, ap) -> dict:
@@ -284,6 +284,40 @@ def _pipeline(spark, args, ap) -> dict:
         result = {"docs": agg["docs"], "merges_learned": len(merges),
                   "subwords": agg["subwords"],
                   "first_merges": [list(p) for p in merges[:5]]}
+    elif args.command == "select":
+        # the SoftDedup/DCLM ladder's last step: downweight duplicated
+        # content (soft_dedup_weights), then sample under a token
+        # budget with keep probability proportional to the weight
+        # (weighted_token_budget_sample — expected kept tokens hit the
+        # budget while c-fold-duplicated docs survive with ~1/c
+        # probability)
+        from pyspark.sql import functions as F
+
+        from muopdb_spark.operators.dedup import soft_dedup_weights
+        from muopdb_spark.operators.sampling import (
+            weighted_token_budget_sample,
+        )
+        from muopdb_spark.operators.textstats import ws_token_count
+
+        w = soft_dedup_weights(df)
+        base = df.select(
+            "doc_id", ws_token_count("text").cast("long").alias("n_tokens")
+        ).join(w.select("doc_id", "soft_weight"), "doc_id")
+        out = weighted_token_budget_sample(
+            base, key_col="doc_id", token_col="n_tokens",
+            weight_col="soft_weight", budget_tokens=args.budget_tokens,
+        )
+        tot = base.agg(
+            F.count("*").alias("docs"), F.sum("n_tokens").alias("tokens")
+        ).first()
+        agg = out.agg(
+            F.count("*").alias("kept"),
+            F.sum("n_tokens").alias("kept_tokens"),
+        ).first()
+        result = {"docs": tot["docs"], "tokens": tot["tokens"],
+                  "budget_tokens": args.budget_tokens,
+                  "kept": agg["kept"] or 0,
+                  "kept_tokens": agg["kept_tokens"] or 0}
     elif args.command == "admit":
         import os
 
@@ -388,6 +422,8 @@ def main(argv=None) -> int:
                     help="split: train-side fraction (cluster-keyed)")
     ap.add_argument("--num-merges", type=int, default=200,
                     help="bpe: merge-list length to learn")
+    ap.add_argument("--budget-tokens", type=int, default=10_000,
+                    help="select: expected-kept-token budget")
     ap.add_argument("--quality-min", type=float, default=None,
                     help="admit: composite-quality gate threshold")
     ap.add_argument("--importance-min", type=float, default=None,
