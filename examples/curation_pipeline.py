@@ -304,11 +304,26 @@ def main() -> None:
         ), prev)
         n6b = docs.count()
 
-        # 7. sequence packing: 512-token training sequences per language
-        sized = docs.select(
-            "doc_id", "lang", "text",
-            ws_token_count("text").cast("long").alias("n_tokens"),
+        # 7. sequence packing: 512-token training sequences per
+        #    language, counted in BPE SUBWORD units — the budget a
+        #    training run actually pays (context-window slots) — under
+        #    a merge list learned on the curated corpus itself.
+        #    Whitespace counts undercount the rare/agglutinated words
+        #    BPE splits; the printed ws-vs-bpe token sums show the gap.
+        from muopdb_spark.operators.vocab import bpe_token_count, bpe_train
+
+        # 50 merges: the fixture vocabulary is tiny, so a production-
+        # sized merge list fuses every word back to one subword and the
+        # bpe-vs-ws gap degenerates to zero; a small list keeps rare
+        # words split, which is the realistic regime
+        merges = bpe_train(docs, num_merges=50)
+        sized = bpe_token_count(docs, merges, out_col="n_tokens").select(
+            "doc_id", "lang", "text", "n_tokens",
         )
+        tok_units = sized.agg(
+            F.sum("n_tokens").alias("bpe"),
+            F.sum(ws_token_count("text").cast("long")).alias("ws"),
+        ).first()
         packed = pack_sequences(sized, group_col="lang", budget=512)
         fill = sequence_stats(packed, group_col="lang")
 
@@ -380,6 +395,8 @@ def main() -> None:
               f"(budget={budget} kept_tokens={sel_manifest['kept_tokens']} "
               f"mean_weight={sel_manifest['mean_weight']}) "
               f"sequences={n_seqs} "
+              f"(packed in BPE units: {tok_units['bpe']} subwords vs "
+              f"{tok_units['ws']} ws tokens) "
               f"shards={n_shards_written} rag_chunks={n_chunks}")
         print(f"distilled classifier reproduces the rule-quality "
               f"verdicts on {agree:.0%} of docs")

@@ -265,3 +265,32 @@ def bpe_apply(
         return col.map(enc_text)
 
     return df.withColumn(out_col, F.flatten(encode(F.col(text_col))))
+
+
+def bpe_token_count(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    out_col: str = "n_bpe_tokens",
+):
+    """Append `out_col` (long): the SUBWORD token count of `text_col`
+    under a learned merge list — the budget unit a training pipeline
+    actually pays for (context-window slots), vs the whitespace proxy
+    (textstats.ws_token_count) which undercounts rare/agglutinated
+    words that BPE splits. Feed this column as `token_col` into
+    token_budget_mixture / weighted_token_budget_sample /
+    pack_sequences to do budget accounting in real tokenizer units.
+
+    Cost/scale: identical to bpe_apply (one Arrow map-side pandas_udf
+    with a per-batch word cache; merge ranks ride in the closure,
+    ~num_merges strings broadcast once per task) — the subword ARRAY is
+    sized and dropped inside the same projection, so nothing
+    corpus-sized survives the stage.
+    """
+    tmp = f"_{out_col}_toks"
+    return (
+        bpe_apply(df, merges, text_col=text_col, out_col=tmp)
+        .withColumn(out_col, F.size(F.col(tmp)).cast("long"))
+        .drop(tmp)
+    )

@@ -132,3 +132,65 @@ def test_apply_plan_is_map_side(spark, sf_dir):
     )
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan
+
+
+def test_bpe_token_count_pinned_and_matches_apply(spark):
+    """The budget unit: n_bpe_tokens == len(bpe_apply subword stream),
+    pinned on a hand-computable corpus."""
+    from pyspark.sql import functions as F
+
+    from muopdb_spark.operators.vocab import bpe_token_count
+
+    df = spark.createDataFrame(
+        [(1, "ab ab c"), (2, ""), (3, None), (4, "xyz")],
+        "doc_id long, text string",
+    )
+    # merges fuse "ab</w>" into one subword; "c</w>" is a single char
+    # word -> 1 token; "xyz" stays 3 chars (no merges apply)
+    merges = [("a", "b</w>")]
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_count(df, merges).collect()
+    }
+    assert got == {1: 3, 2: 0, 3: 0, 4: 3}
+    # and rows-wise identical to sizing bpe_apply's stream directly
+    twin = {
+        r["doc_id"]: r["n"]
+        for r in bpe_apply(df, merges)
+        .select("doc_id", F.size("bpe_tokens").cast("long").alias("n"))
+        .collect()
+    }
+    assert got == twin
+
+
+def test_weighted_budget_sample_under_bpe_units(spark, sf_dir):
+    """weighted_token_budget_sample consumes BPE counts as its
+    token_col: membership/fractions must be identical regardless of
+    partitioning, and the kept BPE-token mass lands near the budget."""
+    from pyspark.sql import functions as F
+
+    from muopdb_spark.operators.sampling import weighted_token_budget_sample
+    from muopdb_spark.operators.vocab import bpe_token_count, bpe_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    merges = bpe_train(docs, num_merges=50)
+    base = bpe_token_count(docs, merges, out_col="n_tokens") \
+        .withColumn("soft_weight", F.lit(1.0)) \
+        .select("doc_id", "n_tokens", "soft_weight") \
+        .localCheckpoint(eager=True)
+    total = base.agg(F.sum("n_tokens")).collect()[0][0]
+    budget = int(total * 0.3)
+    a = weighted_token_budget_sample(
+        base.repartition(1), key_col="doc_id", token_col="n_tokens",
+        weight_col="soft_weight", budget_tokens=budget,
+    )
+    b = weighted_token_budget_sample(
+        base.repartition(7), key_col="doc_id", token_col="n_tokens",
+        weight_col="soft_weight", budget_tokens=budget,
+    )
+    ra = sorted((r.doc_id, r.fraction) for r in a.collect())
+    rb = sorted((r.doc_id, r.fraction) for r in b.collect())
+    assert ra == rb and len(ra) > 0
+    kept = a.agg(F.sum("n_tokens")).collect()[0][0]
+    assert 0.5 * budget <= kept <= 1.5 * budget
