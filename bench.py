@@ -279,6 +279,16 @@ def main() -> None:
     steal_polluted = steal_total > 1000 or any(
         r > 200 for v in steal_reps.values() for r in v
     )
+    # Sweep-level drift indicator (r9 VERDICT stretch #10): the r9 sweep
+    # ran ~17% slower than r8 ACROSS THE BOARD (59 of 70 queries, none
+    # past its 2x floor), so neither the per-query anomaly bar nor the
+    # steal threshold flagged it. sum(timings)/sum(floors) labels that
+    # uniform drift at capture time: ~1.0-1.2 = clean box, >1.3 = the
+    # whole sweep ran hot and absolute cross-round comparisons should
+    # lean on the floors, not this capture.
+    floor_sum = sum(floors[q] for q in BENCH_QUERIES)
+    drift_vs_floors = round(sum(timings.values()) / floor_sum, 3) \
+        if floor_sum > 0 else None
     # Per-rep timings go to a side file, NOT the contract line: the
     # driver tail-captures stdout and a reps-inflated line overflowed it
     # in round 3 (BENCH_r03 parsed: null). The compact contract line is
@@ -294,6 +304,7 @@ def main() -> None:
                     "steal_jiffies": steal_reps,
                     "steal_total": steal_total,
                     "steal_polluted": steal_polluted,
+                    "drift_vs_floors": drift_vs_floors,
                     "anomaly_retried": flagged,
                     "sf": sf,
                 },
