@@ -2984,6 +2984,33 @@ def q_weighted_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_tokens", "soft_weight", "fraction").orderBy("doc_id")
 
 
+def q_weighted_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """smp9 (NEW r10): WATER-FILLING weighted token-budget selection
+    (operators/sampling.weighted_token_budget_fill) — the multi-round
+    re-leveling smp8's single-round semantics defers to: rows whose
+    keep probability caps at 1 strand their surplus budget, so the
+    water level lambda is re-solved over the uncapped remainder
+    (monotone from below, 3 rounds). Budget 24k tokens sits between the
+    weighted mass (~19k) and the raw token mass (~27k) of the 500-doc
+    documents fixture at both gate scales, so the driver row exercises
+    the PARTIAL-CAP regime: high-weight docs cap at p=1 and the
+    surplus re-levels onto the rest (lambda grows across rounds). Each round is one partial-agg scan
+    reduced to a single driver row; the corpus is never shuffled."""
+    from muopdb_spark.operators.dedup import soft_dedup_weights
+    from muopdb_spark.operators.sampling import weighted_token_budget_fill
+    from muopdb_spark.operators.textstats import ws_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    w = soft_dedup_weights(docs, n=3)
+    base = docs.select(
+        "doc_id", ws_token_count("text").cast("long").alias("n_tokens")
+    ).join(w.select("doc_id", "soft_weight"), "doc_id")
+    return weighted_token_budget_fill(
+        base, key_col="doc_id", token_col="n_tokens",
+        weight_col="soft_weight", budget_tokens=24_000,
+    ).select("doc_id", "n_tokens", "soft_weight", "fraction").orderBy("doc_id")
+
+
 def q_curation_manifest_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pipe3: the r8 curation operators COMPOSED into one oracle-able
     manifest (stage, docs_kept, id_sum, tok_sum) — ingest -> line-level
@@ -3157,7 +3184,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # composed-manifest family keeps pipe2 AND pipe3 in-window).
         "pipe3_curation_manifest_v3": q_curation_manifest_v3,
         "t11_quality_calibrated": q_quality_calibrated,
-        "smp5_temperature_mixture": q_temperature_mixture,
+        # r10-NEW operator (landing-round first driver row per the
+        # rotation policy): smp9 water-filling weighted budget selection
+        # — the multi-round surplus re-leveling smp8 defers to. Parks
+        # smp5_temperature_mixture (driver-green r7-r9; the sampling
+        # family keeps smp6/smp7 in-window and the hash twin smp5h is
+        # extras-green). Oracle checked at sf0.01 BEFORE the swap, per
+        # the protocol pipe3 violated in r9.
+        "smp9_weighted_budget_fill": q_weighted_budget_fill,
         "v26_ivf_sq_rerank": q_ivf_sq_rerank,
         # t2_contains_stemmed_ru rotated to extra_queries() in late r5
         # (stemming family witnessed by the t2 family, which indexes
@@ -3338,6 +3372,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lambda/hash contract transcribed), so test_extra_queries holds
         # it to the full DuckDB value gate, not rows-only.
         "smp8_weighted_budget_sample": q_weighted_budget_sample,
+        # r10: parked so smp9 gets its landing-round driver row (the
+        # sampling family keeps smp6/smp7 in-window; hash twin smp5h
+        # below); driver-green r7-r9, same local oracle gate.
+        "smp5_temperature_mixture": q_temperature_mixture,
         "d2_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "d7_incremental_minhash": q_incremental_minhash,
         # r7 late swap (see queries()): parked so the r7-new smp6/
@@ -4999,6 +5037,85 @@ def oracle_sql() -> dict[str, str]:
             FROM base b, lamv
             WHERE ('0x' || substring(md5(b.doc_id::VARCHAR), 1, 8))::BIGINT
                   < round(least(1.0, lamv.lam * b.soft_weight), 6)
+                    * 4294967296.0
+            ORDER BY b.doc_id
+        """,
+        # smp9: the water-filling lambda chain unrolled (3 rounds) over
+        # the same weight/token CTEs as smp8's oracle. Every mass is an
+        # exact integer sum; each lambda update is the same fixed chain
+        # of IEEE double ops the Spark side computes from its collected
+        # integer aggregates, so the values agree bit-identically.
+        # Early-converged rounds leave lambda unchanged via the CASE
+        # arms — value-equivalent to the operator's Python break.
+        "smp9_weighted_budget_fill": f"""
+            WITH {_SHINGLES_CTE},
+            g AS (SELECT doc_id, unnest(sh) AS gram FROM s2),
+            dfq AS (SELECT gram, count(*)::BIGINT AS c FROM g GROUP BY gram),
+            sc AS (SELECT g.doc_id, avg(ln(c)) AS m
+                   FROM g JOIN dfq USING (gram) GROUP BY g.doc_id),
+            w AS (
+                SELECT d.doc_id,
+                       round(coalesce(exp(-sc.m), 1.0), 6) AS soft_weight
+                FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+            ),
+            base AS (
+                SELECT d.doc_id,
+                       len(list_filter(
+                           string_split_regex(trim(d.text), '\\s+'),
+                           x -> x <> ''))::BIGINT AS n_tokens,
+                       w.soft_weight
+                FROM documents d JOIN w USING (doc_id)
+            ),
+            a0 AS (
+                SELECT sum(CAST(round(soft_weight * n_tokens * 1e6)
+                                AS BIGINT)) AS s0
+                FROM base
+            ),
+            l1 AS (
+                SELECT CASE WHEN coalesce(s0, 0) > 0
+                            THEN 24000000000.0 / CAST(s0 AS DOUBLE)
+                            ELSE 0.0 END AS lam
+                FROM a0
+            ),
+            a1 AS (
+                SELECT sum(CASE WHEN l1.lam * b.soft_weight < 1.0
+                                THEN CAST(round(b.soft_weight * b.n_tokens
+                                                * 1e6) AS BIGINT) END) AS s,
+                       coalesce(sum(CASE WHEN l1.lam * b.soft_weight >= 1.0
+                                         THEN b.n_tokens END), 0) AS tc
+                FROM base b, l1
+            ),
+            l2 AS (
+                SELECT CASE WHEN a1.s IS NOT NULL AND a1.s > 0
+                                 AND (24000 - a1.tc) > 0
+                            THEN greatest(l1.lam,
+                                 (24000 - a1.tc) * 1000000.0
+                                     / CAST(a1.s AS DOUBLE))
+                            ELSE l1.lam END AS lam
+                FROM a1, l1
+            ),
+            a2 AS (
+                SELECT sum(CASE WHEN l2.lam * b.soft_weight < 1.0
+                                THEN CAST(round(b.soft_weight * b.n_tokens
+                                                * 1e6) AS BIGINT) END) AS s,
+                       coalesce(sum(CASE WHEN l2.lam * b.soft_weight >= 1.0
+                                         THEN b.n_tokens END), 0) AS tc
+                FROM base b, l2
+            ),
+            l3 AS (
+                SELECT CASE WHEN a2.s IS NOT NULL AND a2.s > 0
+                                 AND (24000 - a2.tc) > 0
+                            THEN greatest(l2.lam,
+                                 (24000 - a2.tc) * 1000000.0
+                                     / CAST(a2.s AS DOUBLE))
+                            ELSE l2.lam END AS lam
+                FROM a2, l2
+            )
+            SELECT b.doc_id, b.n_tokens, b.soft_weight,
+                   round(least(1.0, l3.lam * b.soft_weight), 6) AS fraction
+            FROM base b, l3
+            WHERE ('0x' || substring(md5(b.doc_id::VARCHAR), 1, 8))::BIGINT
+                  < round(least(1.0, l3.lam * b.soft_weight), 6)
                     * 4294967296.0
             ORDER BY b.doc_id
         """,

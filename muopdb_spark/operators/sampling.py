@@ -269,6 +269,108 @@ def weighted_token_budget_sample(
     )
 
 
+def weighted_token_budget_fill(
+    df: DataFrame,
+    *,
+    key_col: str,
+    token_col: str,
+    weight_col: str,
+    budget_tokens: int,
+    rounds: int = 3,
+    salt: str = "",
+) -> DataFrame:
+    """WATER-FILLING weighted token-budget selection — the multi-round
+    extension weighted_token_budget_sample's docstring defers to: in
+    the single-round operator, rows whose keep probability caps at 1
+    leave their surplus allocation UNSPENT, so the expected kept tokens
+    undershoot the budget whenever the budget is large relative to the
+    weighted mass. This operator re-levels: solve for the water level
+    lambda with sum_i min(1, lambda*w_i)*t_i = budget by monotone
+    iteration from below,
+
+        lambda_1 = budget / sum_i(w_i*t_i)
+        lambda_r = max(lambda_{r-1},
+                       (budget - T_cap) / sum_uncapped(w_i*t_i))
+
+    where T_cap = tokens of rows capped under lambda_{r-1}. Each round
+    lambda only grows and the capped set only grows, so `rounds`
+    iterations (default 3) reach the exact level when there are at most
+    `rounds` weight "tiers" and otherwise spend strictly more of the
+    surplus than single-round; the final membership rule is identical
+    to weighted_token_budget_sample (p = round(min(1, lambda*w), 6),
+    32-bit md5-prefix hash).
+
+    Determinism/oracle-ability: every per-round mass is an exact
+    integer sum (micro-tokens as decimal(38,0) for the weighted mass,
+    whole tokens for the capped mass), each lambda update is a fixed
+    chain of IEEE double ops both engines reproduce bit-identically,
+    and early convergence (no uncapped mass, or budget already covered
+    by capped rows) leaves lambda unchanged — exactly how the unrolled
+    SQL oracle behaves, so a Python-side break is value-equivalent.
+
+    Null/negative weights or token counts fail fast in-plan (the same
+    raise_error contract as weighted_token_budget_sample; the guard
+    rides in the first round's aggregate).
+
+    Cost/scale (100 TB): `rounds` partial-agg reductions, each
+    collapsing to ONE row driver-side (the same bounded-collect class
+    as token_budget_mixture's per-stratum sums), then one map-side
+    filter with lambda as a literal. The corpus is scanned `rounds`+1
+    times and never shuffled.
+    """
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be >= 0")
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    bad = (
+        F.col(weight_col).isNull() | (F.col(weight_col) < 0)
+        | F.col(token_col).isNull() | (F.col(token_col) < 0)
+    )
+    w_checked = F.when(
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit("weighted_token_budget_fill: null or negative "
+                      f"{weight_col}/{token_col} for key "),
+                F.col(key_col).cast("string"),
+                F.lit("; weights and token counts must be non-null and >= 0"),
+            )
+        ).cast("double"),
+    ).otherwise(F.col(weight_col))
+    wt = F.round(
+        w_checked * F.col(token_col) * F.lit(1e6)
+    ).cast("decimal(38,0)")
+    s0 = df.select(wt.alias("_wt")).agg(F.sum("_wt")).collect()[0][0]
+    lam = (
+        float(budget_tokens) * 1e6 / float(s0)
+        if s0 is not None and s0 > 0 else 0.0
+    )
+    for _ in range(rounds - 1):
+        capped = F.lit(lam) * F.col(weight_col) >= F.lit(1.0)
+        row = df.select(
+            F.when(~capped, wt).alias("_wt_unc"),
+            F.when(capped, F.col(token_col).cast("decimal(38,0)"))
+            .alias("_t_cap"),
+        ).agg(
+            F.sum("_wt_unc").alias("s"), F.sum("_t_cap").alias("tc")
+        ).collect()[0]
+        s, tc = row["s"], row["tc"] or 0
+        rem = float(budget_tokens) - float(tc)
+        if s is None or not s > 0 or not rem > 0:
+            break  # converged: lambda would not change this round
+        lam = max(lam, rem * 1e6 / float(s))
+    hash_long = F.conv(_hash_bucket(F.col(key_col), salt), 16, 10).cast("long")
+    return (
+        df.withColumn(
+            "fraction",
+            F.round(
+                F.least(F.lit(1.0), F.lit(lam) * F.col(weight_col)), 6
+            ),
+        )
+        .filter(hash_long < F.col("fraction") * F.lit(float(2**32)))
+    )
+
+
 def deterministic_reservoir(
     df: DataFrame,
     *,

@@ -503,3 +503,116 @@ def test_weighted_budget_null_and_negative_inputs_fail_fast(spark):
             match="null or negative",
         ):
             out.collect()
+
+
+# --------------------------------- water-filling weighted budget (smp9)
+
+
+def test_weighted_budget_fill_respends_cap_surplus(spark):
+    from muopdb_spark.operators.sampling import (
+        weighted_token_budget_fill,
+        weighted_token_budget_sample,
+    )
+
+    # 50 unit-weight docs (cap immediately: lambda_1 = 1.2) + 200
+    # downweighted docs. Single-round strands the capped surplus
+    # (expected kept = 5000*1 + 5000*0.3 = 6500 < 12000 budget);
+    # water-filling re-levels it onto the uncapped tier.
+    rows = [(i, 100, 1.0) for i in range(50)] + [
+        (1000 + i, 100, 0.25) for i in range(200)
+    ]
+    df = _wdf(spark, rows)
+    kw = dict(key_col="doc_id", token_col="n_tokens",
+              weight_col="soft_weight", budget_tokens=12_000)
+    one = weighted_token_budget_sample(df, **kw)
+    fill = weighted_token_budget_fill(df, **kw)
+    # round 2: lambda = (12000 - 5000) / (200*100*0.25) = 1.4
+    # -> p_low = 0.35 vs single-round 0.3; capped tier still all-kept
+    fr_fill = {r.soft_weight: r.fraction for r in fill.collect()}
+    fr_one = {r.soft_weight: r.fraction for r in one.collect()}
+    assert fr_fill[1.0] == 1.0 and fr_one[1.0] == 1.0
+    assert fr_fill[0.25] == 0.35 and fr_one[0.25] == 0.3
+    # expected kept tokens: fill = 5000 + 0.35*20000 = 12000 == budget
+    exp_fill = 5000 + 0.35 * 20_000
+    exp_one = 5000 + 0.3 * 20_000
+    assert abs(exp_fill - 12_000) < 1e-9 and exp_one < 12_000
+
+
+def test_weighted_budget_fill_no_caps_equals_single_round(spark):
+    from muopdb_spark.operators.sampling import (
+        weighted_token_budget_fill,
+        weighted_token_budget_sample,
+    )
+
+    rows = [(i, 10 + i % 37, round(1.0 / (1 + i % 3), 6)) for i in range(200)]
+    kw = dict(key_col="doc_id", token_col="n_tokens",
+              weight_col="soft_weight", budget_tokens=1500)
+    a = sorted((r.doc_id, r.fraction) for r in
+               weighted_token_budget_fill(_wdf(spark, rows), **kw).collect())
+    b = sorted((r.doc_id, r.fraction) for r in
+               weighted_token_budget_sample(_wdf(spark, rows), **kw).collect())
+    assert a == b and len(a) > 0
+
+
+def test_weighted_budget_fill_all_cap_regime(spark):
+    from muopdb_spark.operators.sampling import weighted_token_budget_fill
+
+    # budget exceeds the raw token mass: every row caps, all kept
+    rows = [(i, 100, round(0.5 + (i % 3) * 0.25, 6)) for i in range(40)]
+    out = weighted_token_budget_fill(
+        _wdf(spark, rows), key_col="doc_id", token_col="n_tokens",
+        weight_col="soft_weight", budget_tokens=1_000_000,
+    ).collect()
+    assert len(out) == 40 and all(r.fraction == 1.0 for r in out)
+
+
+def test_weighted_budget_fill_partition_invariant(spark):
+    from muopdb_spark.operators.sampling import weighted_token_budget_fill
+
+    rows = [(i, 10 + i % 37, round(1.0 / (1 + i % 4), 6)) for i in range(300)]
+    kw = dict(key_col="doc_id", token_col="n_tokens",
+              weight_col="soft_weight", budget_tokens=4000)
+    a = sorted((r.doc_id, r.fraction) for r in weighted_token_budget_fill(
+        _wdf(spark, rows).repartition(1), **kw).collect())
+    b = sorted((r.doc_id, r.fraction) for r in weighted_token_budget_fill(
+        _wdf(spark, rows).repartition(13), **kw).collect())
+    assert a == b and len(a) > 0
+
+
+def test_weighted_budget_fill_rounds_monotone(spark):
+    from muopdb_spark.operators.sampling import weighted_token_budget_fill
+
+    # three weight tiers: each extra round can only raise fractions
+    # (lambda is monotone), and rounds beyond the tier count change
+    # nothing (converged)
+    rows = ([(i, 100, 1.0) for i in range(20)]
+            + [(100 + i, 100, 0.5) for i in range(40)]
+            + [(1000 + i, 100, 0.1) for i in range(100)])
+    kw = dict(key_col="doc_id", token_col="n_tokens",
+              weight_col="soft_weight", budget_tokens=7000)
+    frs = []
+    for r_ in (1, 2, 3, 4, 6):
+        out = weighted_token_budget_fill(_wdf(spark, rows), rounds=r_, **kw)
+        frs.append({row.doc_id: row.fraction for row in out.collect()})
+    for prev, nxt in zip(frs, frs[1:]):
+        for k in prev:
+            assert nxt.get(k, 0) >= prev[k] - 1e-12
+    assert frs[2] == frs[3] == frs[4]  # converged by 3 tiers
+
+
+def test_weighted_budget_fill_empty_and_fail_fast(spark):
+    import pytest
+
+    from muopdb_spark.operators.sampling import weighted_token_budget_fill
+
+    out = weighted_token_budget_fill(
+        _wdf(spark, [(1, 0, 0.0)]), key_col="doc_id", token_col="n_tokens",
+        weight_col="soft_weight", budget_tokens=100,
+    ).collect()
+    assert out == []
+    with pytest.raises(Exception, match="null or negative"):
+        weighted_token_budget_fill(
+            _wdf(spark, [(1, 100, None), (2, 100, 1.0)]),
+            key_col="doc_id", token_col="n_tokens",
+            weight_col="soft_weight", budget_tokens=100,
+        ).collect()
