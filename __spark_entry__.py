@@ -3011,6 +3011,35 @@ def q_weighted_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_tokens", "soft_weight", "fraction").orderBy("doc_id")
 
 
+def q_bpe_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t16 (r10; the r8 verdict's 'oracle-able variant' of BPE budget
+    accounting): weighted token-budget selection where the budget unit
+    is BPE SUBWORDS under the pinned-vocab merge list (t14's corpus-
+    independent merges, so the oracle embeds the word->subwords CASE
+    map), weighted by smp7's soft-dedup weights — the budget a training
+    run actually pays (context-window slots) instead of the whitespace
+    proxy. Same one-scalar-aggregate + map-side-filter shape as smp8;
+    corpus-trained merge lists are covered by tests/test_bpe.py's
+    partition-invariance twin."""
+    from muopdb_spark.operators.dedup import soft_dedup_weights
+    from muopdb_spark.operators.sampling import weighted_token_budget_sample
+    from muopdb_spark.operators.vocab import (
+        bpe_token_count,
+        bpe_train_on_words,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train_on_words({w: 1 for w in _DOC_VOCAB}, 40)
+    w = soft_dedup_weights(docs, n=3)
+    base = bpe_token_count(docs, merges, out_col="n_tokens").select(
+        "doc_id", "n_tokens"
+    ).join(w.select("doc_id", "soft_weight"), "doc_id")
+    return weighted_token_budget_sample(
+        base, key_col="doc_id", token_col="n_tokens",
+        weight_col="soft_weight", budget_tokens=12_000,
+    ).select("doc_id", "n_tokens", "soft_weight", "fraction").orderBy("doc_id")
+
+
 def q_curation_manifest_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pipe3: the r8 curation operators COMPOSED into one oracle-able
     manifest (stage, docs_kept, id_sum, tok_sum) — ingest -> line-level
@@ -3376,6 +3405,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sampling family keeps smp6/smp7 in-window; hash twin smp5h
         # below); driver-green r7-r9, same local oracle gate.
         "smp5_temperature_mixture": q_temperature_mixture,
+        # NEW in r10: BPE-unit weighted budget selection (t14's pinned
+        # merges x smp7's weights x smp8's rule) — the oracle-able
+        # variant of BPE budget accounting the r8 verdict asked for.
+        "t16_bpe_budget_sample": q_bpe_budget_sample,
         "d2_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "d7_incremental_minhash": q_incremental_minhash,
         # r7 late swap (see queries()): parked so the r7-new smp6/
@@ -5021,6 +5054,55 @@ def oracle_sql() -> dict[str, str]:
                            x -> x <> ''))::BIGINT AS n_tokens,
                        w.soft_weight
                 FROM documents d JOIN w USING (doc_id)
+            ),
+            lamv AS (
+                SELECT CASE
+                    WHEN sum(CAST(round(soft_weight * n_tokens * 1e6)
+                                  AS BIGINT)) > 0
+                    THEN 12000000000.0
+                         / CAST(sum(CAST(round(soft_weight * n_tokens * 1e6)
+                                         AS BIGINT)) AS DOUBLE)
+                    ELSE 0.0 END AS lam
+                FROM base
+            )
+            SELECT b.doc_id, b.n_tokens, b.soft_weight,
+                   round(least(1.0, lamv.lam * b.soft_weight), 6) AS fraction
+            FROM base b, lamv
+            WHERE ('0x' || substring(md5(b.doc_id::VARCHAR), 1, 8))::BIGINT
+                  < round(least(1.0, lamv.lam * b.soft_weight), 6)
+                    * 4294967296.0
+            ORDER BY b.doc_id
+        """,
+        # t16: BPE-unit weighted budget — per-doc subword counts via the
+        # pinned-merge CASE map (t14's oracle machinery; the lambda var
+        # `w` is scoped inside list_transform, so the weights CTE is
+        # named sw to avoid shadowing), smp7's weight CTEs, smp8's
+        # micro-token/lambda/hash rule at budget 12000.
+        "t16_bpe_budget_sample": f"""
+            WITH {_SHINGLES_CTE},
+            g AS (SELECT doc_id, unnest(sh) AS gram FROM s2),
+            dfq AS (SELECT gram, count(*)::BIGINT AS c FROM g GROUP BY gram),
+            sc AS (SELECT g.doc_id, avg(ln(c)) AS m
+                   FROM g JOIN dfq USING (gram) GROUP BY g.doc_id),
+            sw AS (
+                SELECT d.doc_id,
+                       round(coalesce(exp(-sc.m), 1.0), 6) AS soft_weight
+                FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+            ),
+            bt AS (
+                SELECT doc_id,
+                       array_to_string(
+                           list_transform({_TOKS}, w -> {_bpe_case_sql(40)}),
+                           ' ') AS encoded
+                FROM documents
+            ),
+            base AS (
+                SELECT b.doc_id,
+                       CAST(CASE WHEN b.encoded = '' THEN 0
+                            ELSE len(string_split(b.encoded, ' ')) END
+                            AS BIGINT) AS n_tokens,
+                       sw.soft_weight
+                FROM bt b JOIN sw USING (doc_id)
             ),
             lamv AS (
                 SELECT CASE

@@ -273,3 +273,17 @@ def test_cli_select_weighted_budget(spark, cli, capsys, tmp_path, sf_dir):
     # the audit column rides along and stays in (0, 1]
     fr = [row["fraction"] for row in kept.select("fraction").collect()]
     assert all(0 < f <= 1.0 for f in fr)
+
+
+def test_cli_select_fill_respends_surplus(cli, capsys, sf_dir):
+    # budget above the weighted mass but below the raw token mass: the
+    # water level rises past 1, and the fill spends surplus the
+    # single-round sampler strands — kept tokens land nearer the budget
+    one = _run(cli, capsys, ["select",
+                             "--input", f"{sf_dir}/documents.parquet",
+                             "--budget-tokens", "24000"])
+    fill = _run(cli, capsys, ["select", "--fill",
+                              "--input", f"{sf_dir}/documents.parquet",
+                              "--budget-tokens", "24000"])
+    assert fill["kept_tokens"] >= one["kept_tokens"]
+    assert abs(fill["kept_tokens"] - 24000) <= abs(one["kept_tokens"] - 24000)

@@ -295,6 +295,7 @@ def _pipeline(spark, args, ap) -> dict:
 
         from muopdb_spark.operators.dedup import soft_dedup_weights
         from muopdb_spark.operators.sampling import (
+            weighted_token_budget_fill,
             weighted_token_budget_sample,
         )
         from muopdb_spark.operators.textstats import ws_token_count
@@ -303,7 +304,11 @@ def _pipeline(spark, args, ap) -> dict:
         base = df.select(
             "doc_id", ws_token_count("text").cast("long").alias("n_tokens")
         ).join(w.select("doc_id", "soft_weight"), "doc_id")
-        out = weighted_token_budget_sample(
+        sampler = (
+            weighted_token_budget_fill if args.fill
+            else weighted_token_budget_sample
+        )
+        out = sampler(
             base, key_col="doc_id", token_col="n_tokens",
             weight_col="soft_weight", budget_tokens=args.budget_tokens,
         )
@@ -424,6 +429,9 @@ def main(argv=None) -> int:
                     help="bpe: merge-list length to learn")
     ap.add_argument("--budget-tokens", type=int, default=10_000,
                     help="select: expected-kept-token budget")
+    ap.add_argument("--fill", action="store_true",
+                    help="select: water-filling (re-level cap surplus "
+                         "over uncapped rows, 3 rounds)")
     ap.add_argument("--quality-min", type=float, default=None,
                     help="admit: composite-quality gate threshold")
     ap.add_argument("--importance-min", type=float, default=None,
