@@ -3011,6 +3011,22 @@ def q_weighted_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_tokens", "soft_weight", "fraction").orderBy("doc_id")
 
 
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c2 (r10): TOKEN-LEVEL decontamination (operators/substring.
+    remove_contaminated_spans — the GPT-3 appendix-C / PaLM surgical
+    variant of c1's doc-level drop): cut only the >= 4-token windows a
+    corpus doc shares with the benchmark slice (doc_id % 20 == 0, c1's
+    convention) and keep the rest of the document. The benchmark gram
+    table broadcasts; only hit positions reach the island window — the
+    corpus never shuffles."""
+    from muopdb_spark.operators.substring import remove_contaminated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return remove_contaminated_spans(corpus, bench, k=4).orderBy("doc_id")
+
+
 def q_bpe_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t16 (r10; the r8 verdict's 'oracle-able variant' of BPE budget
     accounting): weighted token-budget selection where the budget unit
@@ -3409,6 +3425,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # merges x smp7's weights x smp8's rule) — the oracle-able
         # variant of BPE budget accounting the r8 verdict asked for.
         "t16_bpe_budget_sample": q_bpe_budget_sample,
+        # NEW in r10: token-level decontamination (surgical span cut vs
+        # c1's doc drop), full CTE oracle.
+        "c2_decontaminate_spans": q_decontaminate_spans,
         "d2_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "d7_incremental_minhash": q_incremental_minhash,
         # r7 late swap (see queries()): parked so the r7-new smp6/
@@ -5072,6 +5091,79 @@ def oracle_sql() -> dict[str, str]:
                   < round(least(1.0, lamv.lam * b.soft_weight), 6)
                     * 4294967296.0
             ORDER BY b.doc_id
+        """,
+        # c2: token-level decontamination — the d9 island CTEs with the
+        # duplicated-hash set replaced by the benchmark slice's distinct
+        # gram table, then token-stream reconstruction via NOT EXISTS
+        # over the merged spans (1-based positions both sides).
+        "c2_decontaminate_spans": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            gpos AS (
+                SELECT doc_id, toks,
+                       unnest(range(1, len(toks) - 4 + 2)) AS pos
+                FROM t
+            ),
+            g AS (
+                SELECT doc_id, pos,
+                       md5(array_to_string(
+                           array_slice(toks, pos, pos + 3), ' ')) AS gh
+                FROM gpos
+            ),
+            bg AS (SELECT DISTINCT gh FROM g WHERE doc_id % 20 = 0),
+            hit AS (
+                SELECT g.doc_id, g.pos FROM g JOIN bg USING (gh)
+                WHERE g.doc_id % 20 <> 0
+            ),
+            w1 AS (
+                SELECT doc_id, pos,
+                       max(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prev_end
+                FROM hit
+            ),
+            w2 AS (
+                SELECT doc_id, pos,
+                       CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                            THEN 1 ELSE 0 END AS flag
+                FROM w1
+            ),
+            w3 AS (
+                SELECT doc_id, pos,
+                       sum(flag) OVER (PARTITION BY doc_id
+                                       ORDER BY pos) AS island
+                FROM w2
+            ),
+            isl AS (
+                SELECT doc_id, island, min(pos) AS s, max(pos) + 3 AS e
+                FROM w3 GROUP BY doc_id, island
+            ),
+            corp AS (SELECT doc_id, toks FROM t WHERE doc_id % 20 <> 0),
+            tokpos AS (
+                SELECT doc_id, toks,
+                       unnest(range(1, len(toks) + 1)) AS i
+                FROM corp
+            ),
+            keptp AS (
+                SELECT tp.doc_id, tp.i, tp.toks
+                FROM tokpos tp
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM isl
+                    WHERE isl.doc_id = tp.doc_id
+                      AND tp.i >= isl.s AND tp.i <= isl.e
+                )
+            ),
+            agg AS (
+                SELECT doc_id,
+                       string_agg(toks[i], ' ' ORDER BY i) AS text_clean,
+                       count(*) AS kept
+                FROM keptp GROUP BY doc_id
+            )
+            SELECT c.doc_id,
+                   coalesce(a.text_clean, '') AS text_clean,
+                   CAST(len(c.toks) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(a.kept, 0) AS BIGINT) AS kept_tokens
+            FROM corp c LEFT JOIN agg a USING (doc_id)
+            ORDER BY c.doc_id
         """,
         # t16: BPE-unit weighted budget — per-doc subword counts via the
         # pinned-merge CASE map (t14's oracle machinery; the lambda var

@@ -120,7 +120,13 @@ def duplicate_islands(
     else:
         dup_hashes = grams.groupBy("gh").count().filter(F.col("count") >= 2)
         dup_pos = grams.join(dup_hashes.select("gh"), "gh").select("id", "pos")
+    return _merge_positions_to_islands(dup_pos, k)
 
+
+def _merge_positions_to_islands(dup_pos: DataFrame, k: int) -> DataFrame:
+    """(id, pos) flagged window starts -> (id, island, span_start,
+    span_end, n_grams) maximal merged token runs. The per-doc window is
+    O(doc-windows), never corpus-wide."""
     w_doc = Window.partitionBy("id").orderBy("pos")
     prev_end = F.max(F.col("pos") + F.lit(k - 1)).over(
         w_doc.rowsBetween(Window.unboundedPreceding, -1)
@@ -225,6 +231,15 @@ def remove_duplicate_spans(
     islands = duplicate_islands(
         df, text_col=text_col, id_col=id_col, k=k, keep_first=keep_first
     )
+    return _cut_spans(df, islands, text_col=text_col, id_col=id_col)
+
+
+def _cut_spans(
+    df: DataFrame, islands: DataFrame, *, text_col: str, id_col: str,
+) -> DataFrame:
+    """Drop every token covered by an island span; rejoin survivors
+    with single spaces (token-stream semantics). Docs with no island
+    pass through with their full token stream."""
     per_doc = islands.groupBy("id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )
@@ -248,3 +263,44 @@ def remove_duplicate_spans(
         F.size("_toks").cast("long").alias("n_tokens"),
         F.size(kept).cast("long").alias("kept_tokens"),
     )
+
+
+def remove_contaminated_spans(
+    df: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """TOKEN-LEVEL decontamination — the surgical variant of
+    operators/contamination's doc-level drop (the GPT-3 appendix-C /
+    PaLM treatment: instead of discarding every training doc that
+    overlaps an eval benchmark, cut ONLY the overlapping >= k-token
+    windows and keep the rest of the document): a corpus token dies
+    when it is covered by any k-token sliding window whose hash also
+    occurs in the benchmark set; overlapping windows merge to maximal
+    spans (the duplicate_islands rule) before cutting.
+
+    Output: (id_col, text_clean, n_tokens, kept_tokens) for EVERY
+    corpus doc — kept_tokens == n_tokens means untouched;
+    kept_tokens == 0 means the doc was wholly benchmark material.
+
+    Scale (100 TB corpus, MB-scale benchmark): the benchmark side
+    collapses to a DISTINCT BINARY(16) gram-hash table (eval sets are
+    tiny by construction) that BROADCASTS to the contamination probe —
+    the corpus gram stream is filtered map-side and only the HIT
+    positions (benchmark-bounded, not corpus-bounded) reach the
+    per-doc island window. No corpus shuffle anywhere: probe is a
+    broadcast hash join, island merge windows over hit docs only, and
+    the cut is the same single left join + higher-order filter as
+    remove_duplicate_spans."""
+    bg = gram_positions(
+        benchmark, text_col=bench_text_col, id_col=bench_id_col, k=k
+    ).select("gh").distinct()
+    grams = gram_positions(df, text_col=text_col, id_col=id_col, k=k)
+    hit = grams.join(F.broadcast(bg), "gh").select("id", "pos")
+    islands = _merge_positions_to_islands(hit, k)
+    return _cut_spans(df, islands, text_col=text_col, id_col=id_col)

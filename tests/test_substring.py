@@ -177,3 +177,66 @@ def test_union_bound_property(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+# ---------------------------- token-level decontamination (c2, r10)
+
+
+def test_decontamination_cuts_only_shared_spans(spark):
+    from muopdb_spark.operators.substring import remove_contaminated_spans
+
+    bench = spark.createDataFrame(
+        [(100, _mkdoc(*range(0, 8)))], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            # tokens 2..6 of doc 1 = bench tokens 2..6 (one 5-token
+            # overlap; k=5 -> exactly that window is cut)
+            (1, _mkdoc(900, 901, *range(2, 7), 902, 903)),
+            # no overlap: untouched
+            (2, _mkdoc(*range(700, 710))),
+            # wholly benchmark material: gutted to zero
+            (3, _mkdoc(*range(0, 8))),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_contaminated_spans(corpus, bench, k=5).collect()
+    }
+    assert out[1]["kept_tokens"] == 4
+    assert out[1]["text_clean"] == "w900 w901 w902 w903"
+    assert out[2]["kept_tokens"] == out[2]["n_tokens"] == 10
+    assert out[3]["kept_tokens"] == 0 and out[3]["text_clean"] == ""
+
+
+def test_decontamination_merges_overlapping_windows(spark):
+    from muopdb_spark.operators.substring import remove_contaminated_spans
+
+    # bench holds an 8-token run; the corpus doc embeds it whole, so
+    # the 4 sliding k=5 windows merge to ONE maximal 8-token span
+    bench = spark.createDataFrame(
+        [(100, _mkdoc(*range(0, 8)))], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [(1, _mkdoc(800, *range(0, 8), 801))], ["doc_id", "text"]
+    )
+    r = remove_contaminated_spans(corpus, bench, k=5).collect()[0]
+    assert r["n_tokens"] == 10 and r["kept_tokens"] == 2
+    assert r["text_clean"] == "w800 w801"
+
+
+def test_decontamination_plan_broadcasts_benchmark(spark):
+    from muopdb_spark.operators.substring import remove_contaminated_spans
+
+    bench = spark.createDataFrame(
+        [(100, _mkdoc(*range(0, 8)))], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [(1, _mkdoc(*range(0, 8)))], ["doc_id", "text"]
+    )
+    plan = (
+        remove_contaminated_spans(corpus, bench, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
