@@ -166,10 +166,32 @@ def main() -> None:
         #    slice (stand-in for a held-out eval set)
         report = contamination_report_split(docs, F.col("id") % 20 == 0)
         clean_ids = report.filter(~F.col("is_contaminated")).select("doc_id")
+        bench_slice = docs.filter(F.col("doc_id") % 20 == 0) \
+            .select("doc_id", "text").localCheckpoint(eager=True)
         prev = docs
         docs = _pin(docs.filter(F.col("doc_id") % 20 != 0)
                     .join(clean_ids, "doc_id", "left_semi"), prev)
         n3 = docs.count()
+
+        # 3b. SURGICAL decontamination (GPT-3 appendix-C treatment):
+        #     docs under the doc-drop threshold can still leak short
+        #     benchmark n-gram runs — cut just those >= 4-token windows
+        #     and keep the rest of each document
+        from muopdb_spark.operators.substring import (
+            remove_contaminated_spans,
+        )
+
+        dec = remove_contaminated_spans(docs, bench_slice, k=4)
+        n_cut_tokens = dec.agg(
+            F.sum(F.col("n_tokens") - F.col("kept_tokens"))
+        ).first()[0] or 0
+        prev = docs
+        docs = _pin(docs.drop("text").join(
+            dec.filter(F.col("kept_tokens") > 0)
+               .select("doc_id", F.col("text_clean").alias("text")),
+            "doc_id",
+        ), prev)
+        n3b = docs.count()
 
         # 4. PII scrub: redact, keep the redacted text
         docs = scrub_pii(docs).withColumn("text", F.col("redacted")).drop("redacted")
@@ -388,7 +410,9 @@ def main() -> None:
         print(f"ingested={n0} exact_dedup={n1} line_dedup={n1b} "
               f"keep_best={n2} (keeper_not_min_id={n_keeper_not_min}) "
               f"passage_dup={n2b} span_rewritten={n_span_cut} "
-              f"decontaminated={n3} quality={n5} "
+              f"decontaminated={n3} "
+              f"(surgical: cut {n_cut_tokens} leaked tokens, "
+              f"{n3b} docs survive) quality={n5} "
               f"perplexity={n5b} (buckets: {bucket_counts}) "
               f"calibrated={n5c} sampled={n6} "
               f"budget_selected={n6b} "

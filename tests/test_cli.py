@@ -287,3 +287,23 @@ def test_cli_select_fill_respends_surplus(cli, capsys, sf_dir):
                               "--budget-tokens", "24000"])
     assert fill["kept_tokens"] >= one["kept_tokens"]
     assert abs(fill["kept_tokens"] - 24000) <= abs(one["kept_tokens"] - 24000)
+
+
+def test_cli_decontaminate(spark, cli, capsys, tmp_path, sf_dir):
+    # benchmark = the doc_id % 20 == 0 slice written to its own parquet
+    bench_dir = str(tmp_path / "bench")
+    corpus_dir = str(tmp_path / "corpus")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.filter("doc_id % 20 = 0").write.parquet(bench_dir)
+    docs.filter("doc_id % 20 != 0").write.parquet(corpus_dir)
+    out_dir = str(tmp_path / "cleaned")
+    r = _run(cli, capsys, ["decontaminate",
+                           "--input", corpus_dir,
+                           "--target", bench_dir,
+                           "--k-tokens", "4",
+                           "--output", out_dir])
+    assert r["docs"] == 475 and r["k"] == 4
+    assert r["tokens_cut"] > 0  # the shared-vocab fixture always leaks
+    cleaned = spark.read.parquet(out_dir)
+    assert cleaned.count() == 475
+    assert cleaned.filter("kept_tokens > n_tokens").count() == 0

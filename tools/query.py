@@ -60,7 +60,8 @@ sys.path.insert(0, "/root/repo")
 
 COLLECTION_CMDS = {"create", "insert", "remove", "search", "term-search", "stats", "optimize", "flush", "inspect"}
 PIPELINE_CMDS = {"dedup", "lm-score", "chunk", "shard", "quality", "admit",
-                 "dsir", "vocab", "split", "ppl-buckets", "bpe", "select"}
+                 "dsir", "vocab", "split", "ppl-buckets", "bpe", "select",
+                 "decontaminate"}
 
 
 def _pipeline(spark, args, ap) -> dict:
@@ -284,6 +285,29 @@ def _pipeline(spark, args, ap) -> dict:
         result = {"docs": agg["docs"], "merges_learned": len(merges),
                   "subwords": agg["subwords"],
                   "first_merges": [list(p) for p in merges[:5]]}
+    elif args.command == "decontaminate":
+        # token-level decontamination: cut the >= k-token windows the
+        # corpus shares with --target (the eval benchmark), keep the
+        # rest of each document
+        from pyspark.sql import functions as F
+
+        from muopdb_spark.operators.substring import (
+            remove_contaminated_spans,
+        )
+
+        if not args.target:
+            ap.error("decontaminate requires --target "
+                     "(benchmark parquet path)")
+        bench = spark.read.parquet(args.target)
+        out = remove_contaminated_spans(df, bench, k=args.k_tokens)
+        agg = out.agg(
+            F.count("*").alias("docs"),
+            F.sum(F.col("n_tokens") - F.col("kept_tokens")).alias("cut"),
+            F.sum(F.when(F.col("kept_tokens") == 0, 1).otherwise(0))
+            .alias("docs_gutted"),
+        ).first()
+        result = {"docs": agg["docs"], "tokens_cut": agg["cut"] or 0,
+                  "docs_gutted": agg["docs_gutted"], "k": args.k_tokens}
     elif args.command == "select":
         # the SoftDedup/DCLM ladder's last step: downweight duplicated
         # content (soft_dedup_weights), then sample under a token
