@@ -616,3 +616,51 @@ def test_weighted_budget_fill_empty_and_fail_fast(spark):
             key_col="doc_id", token_col="n_tokens",
             weight_col="soft_weight", budget_tokens=100,
         ).collect()
+
+
+def test_weighted_budget_kept_set_monotone_in_budget(spark):
+    """Raising the budget can only raise lambda, hence every fraction,
+    hence the kept set — for BOTH the single-round and water-filling
+    samplers. A user tightening a budget must get a subset, never a
+    reshuffle (content-addressed membership guarantees it)."""
+    from muopdb_spark.operators.sampling import (
+        weighted_token_budget_fill,
+        weighted_token_budget_sample,
+    )
+
+    rows = [(i, 10 + i % 53, round(1.0 / (1 + i % 5), 6))
+            for i in range(400)]
+    df = _wdf(spark, rows).localCheckpoint(eager=True)
+    for op in (weighted_token_budget_sample, weighted_token_budget_fill):
+        prev_keys: set = set()
+        prev_fr: dict = {}
+        for budget in (500, 2000, 8000, 20000):
+            out = op(df, key_col="doc_id", token_col="n_tokens",
+                     weight_col="soft_weight", budget_tokens=budget)
+            got = {r.doc_id: r.fraction for r in out.collect()}
+            assert prev_keys <= set(got), f"{op.__name__}@{budget}"
+            for k, f in prev_fr.items():
+                assert got[k] >= f - 1e-12
+            prev_keys, prev_fr = set(got), got
+
+
+def test_fill_fractions_dominate_single_round(spark):
+    """Water-filling never keeps less of anything: its lambda is >= the
+    single-round lambda, so per-row fractions dominate pointwise."""
+    from muopdb_spark.operators.sampling import (
+        weighted_token_budget_fill,
+        weighted_token_budget_sample,
+    )
+
+    rows = [(i, 10 + i % 53, round(1.0 / (1 + i % 5), 6))
+            for i in range(400)]
+    df = _wdf(spark, rows).localCheckpoint(eager=True)
+    kw = dict(key_col="doc_id", token_col="n_tokens",
+              weight_col="soft_weight", budget_tokens=6000)
+    one = {r.doc_id: r.fraction
+           for r in weighted_token_budget_sample(df, **kw).collect()}
+    fill = {r.doc_id: r.fraction
+            for r in weighted_token_budget_fill(df, **kw).collect()}
+    assert set(one) <= set(fill)
+    for k, f in one.items():
+        assert fill[k] >= f - 1e-12
