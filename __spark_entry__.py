@@ -470,7 +470,9 @@ _SHINGLES_CTE = f"""
 
 
 def _stream_admission_oracle(
-    quality_min: float | None = None, dsir_min: float | None = None
+    quality_min: float | None = None,
+    dsir_min: float | None = None,
+    contamination_k: int | None = None,
 ) -> str:
     """DuckDB twin of q_stream_admission: symbolic replay of TWO
     sequential admission rounds (intra-batch min-id dedup, then
@@ -560,8 +562,34 @@ def _stream_admission_oracle(
             SELECT doc_id FROM imp_toks WHERE len(it) = 0
         ),"""
         qgate += " AND doc_id IN (SELECT doc_id FROM imp_ok)"
+    cont = ""
+    if contamination_k is not None:
+        kk = int(contamination_k)
+        # decontamination gate (w8): a batch doc is rejected when any
+        # of its kk-token sliding windows hashes into the benchmark
+        # slice's (doc_id % 20 == 0, the c1/c2 convention) distinct
+        # gram set — the admission face of remove_contaminated_spans'
+        # probe. Docs shorter than kk windows emit no rows and pass.
+        cont = f"""
+        cgt AS (SELECT doc_id, {_TOKS} AS ctoks FROM documents),
+        cg AS (
+            SELECT doc_id, ctoks,
+                   unnest(range(1, len(ctoks) - {kk} + 2)) AS pos
+            FROM cgt
+        ),
+        chh AS (
+            SELECT doc_id,
+                   md5(array_to_string(
+                       array_slice(ctoks, pos, pos + {kk - 1}), ' ')) AS gh
+            FROM cg
+        ),
+        cbg AS (SELECT DISTINCT gh FROM chh WHERE doc_id % 20 = 0),
+        cont_bad AS (
+            SELECT DISTINCT chh.doc_id FROM chh JOIN cbg USING (gh)
+        ),"""
+        qgate += " AND doc_id NOT IN (SELECT doc_id FROM cont_bad)"
     return f"""
-        WITH {_SHINGLES_CTE},{qual}{imp}
+        WITH {_SHINGLES_CTE},{qual}{imp}{cont}
         sig AS (SELECT doc_id, sh, {hs} FROM s2),
         sigb AS (SELECT *, {bands} FROM sig),
         seed AS (SELECT * FROM sigb WHERE doc_id % 5 >= 2),
@@ -2716,6 +2744,56 @@ def q_stream_quality_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_stream_decontaminated_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """w8 (r10): decontamination-gated continuous admission — the w5
+    two-round replay with a "never train on eval" gate: each arriving
+    batch is probed against the benchmark slice's durable distinct
+    k-window hash table (substring.contamination_gram_table, the c2
+    artifact; k=4, benchmark = doc_id % 20 == 0) and any doc sharing a
+    window is rejected reason='contaminated' BEFORE signing — the
+    streaming face of token-level decontamination, like w6 is of
+    quality filtering and w7 of DSIR. The benchmark table broadcasts;
+    the gate adds zero corpus shuffles. Note the benchmark slice is a
+    subset of batch 1 (%20==0 => %5==0), so the oracle value-checks
+    the self-hit rejection path too."""
+    import shutil
+    import tempfile
+
+    from muopdb_spark.operators.substring import contamination_gram_table
+    from muopdb_spark.streaming.admission import admit_batch, bootstrap_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = contamination_gram_table(
+        docs.filter(F.col("doc_id") % 20 == 0), k=4
+    ).localCheckpoint(eager=True)
+    tmp = tempfile.mkdtemp(prefix="muopdb_w8_")
+    try:
+        corpus = os.path.join(tmp, "corpus")
+        sig = os.path.join(tmp, "sigs")
+        rej = os.path.join(tmp, "rejected")
+        bootstrap_corpus(docs.filter(F.col("doc_id") % 5 >= 2), corpus, sig)
+        admit_batch(docs.filter(F.col("doc_id") % 5 == 0), 1, corpus, sig,
+                    rej, benchmark_grams=bench, contamination_k=4)
+        admit_batch(docs.filter(F.col("doc_id") % 5 == 1), 2, corpus, sig,
+                    rej, benchmark_grams=bench, contamination_k=4)
+        out = (
+            spark.read.parquet(corpus)
+            .select(
+                "doc_id",
+                F.when(F.col("doc_id") % 5 == 0, "batch1")
+                .when(F.col("doc_id") % 5 == 1, "batch2")
+                .otherwise("seed")
+                .alias("origin"),
+            )
+            .orderBy("doc_id")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_stream_importance_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """w7: importance-gated continuous admission — the w5 two-round
     replay with a DSIR gate (streaming/admission.py dsir_ratios/
@@ -3428,6 +3506,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW in r10: token-level decontamination (surgical span cut vs
         # c1's doc drop), full CTE oracle.
         "c2_decontaminate_spans": q_decontaminate_spans,
+        # NEW in r10: the streaming face of c2 — decontamination-gated
+        # admission (reason='contaminated'), symbolic two-round oracle.
+        "w8_stream_decontaminated_admission": q_stream_decontaminated_admission,
         "d2_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "d7_incremental_minhash": q_incremental_minhash,
         # r7 late swap (see queries()): parked so the r7-new smp6/
@@ -4179,6 +4260,9 @@ def oracle_sql() -> dict[str, str]:
         "w6_stream_quality_admission": _stream_admission_oracle(quality_min=0.35),
         "w7_stream_importance_admission": _stream_admission_oracle(
             dsir_min=-0.13
+        ),
+        "w8_stream_decontaminated_admission": _stream_admission_oracle(
+            contamination_k=4
         ),
         # salting must be invisible in the result: the oracle is the
         # PLAIN join

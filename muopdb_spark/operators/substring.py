@@ -55,6 +55,8 @@ __all__ = [
     "duplicate_islands",
     "duplicate_span_stats",
     "remove_duplicate_spans",
+    "remove_contaminated_spans",
+    "contamination_gram_table",
 ]
 
 
@@ -304,3 +306,20 @@ def remove_contaminated_spans(
     hit = grams.join(F.broadcast(bg), "gh").select("id", "pos")
     islands = _merge_positions_to_islands(hit, k)
     return _cut_spans(df, islands, text_col=text_col, id_col=id_col)
+
+
+def contamination_gram_table(
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Distinct BINARY(16) k-window hash table (gh) of an eval
+    benchmark — the durable broadcast-sized artifact the
+    decontamination probe (remove_contaminated_spans, and the
+    streaming admission gate) joins against. Eval sets are MBs by
+    construction; build once, persist, reuse per batch."""
+    return gram_positions(
+        benchmark, text_col=text_col, id_col=id_col, k=k
+    ).select("gh").distinct()

@@ -67,6 +67,8 @@ def admit_batch(
     bands: int = 4,
     threshold: float = 0.8,
     quality_min: float | None = None,
+    benchmark_grams: DataFrame | None = None,
+    contamination_k: int = 8,
     dsir_ratios: DataFrame | None = None,
     dsir_min: float | None = None,
     dsir_buckets: int = 4096,
@@ -75,18 +77,24 @@ def admit_batch(
     from the stream's foreachBatch): OPTIONAL quality gate (composite
     quality score >= quality_min, the t2 formula — a pure map-side
     expression, so the gate adds zero shuffles to the round), OPTIONAL
-    importance gate (DSIR mean per-gram log-ratio >= dsir_min against a
-    caller-provided durable ratio table — "does this doc look like the
-    quality target"; the 4096-row table broadcasts, the only shuffle is
-    the batch-sized per-doc rollup), then intra-batch dedup (keep the
-    lowest id of any near-dup pair), then cross dedup vs the artifact;
-    append admitted text + signatures, record EVERY rejection to
-    rejected_path — quality-gated docs with reason='quality',
-    importance-gated with reason='importance' (corpus_id/jaccard null),
-    dedup-rejected docs with reason='duplicate' and the corpus doc they
-    matched — so the audit trail accounts for the whole batch. Cheap
-    gates run BEFORE signing, so rejected docs never pay minhash cost —
-    cheapest filter first, the standard curation ordering.
+    decontamination gate (reject any doc sharing a >= contamination_k
+    token window with the eval benchmark — "never train on eval";
+    ``benchmark_grams`` is the durable broadcast-sized distinct-hash
+    artifact from substring.contamination_gram_table built with the
+    SAME k), OPTIONAL importance gate (DSIR mean per-gram log-ratio >=
+    dsir_min against a caller-provided durable ratio table — "does
+    this doc look like the quality target"; the 4096-row table
+    broadcasts, the only shuffle is the batch-sized per-doc rollup),
+    then intra-batch dedup (keep the lowest id of any near-dup pair),
+    then cross dedup vs the artifact; append admitted text +
+    signatures, record EVERY rejection to rejected_path —
+    quality-gated docs with reason='quality', benchmark overlaps with
+    reason='contaminated', importance-gated with reason='importance'
+    (corpus_id/jaccard null), dedup-rejected docs with
+    reason='duplicate' and the corpus doc they matched — so the audit
+    trail accounts for the whole batch. Cheap gates run BEFORE
+    signing, so rejected docs never pay minhash cost — cheapest filter
+    first, the standard curation ordering.
 
     ``dsir_ratios`` must come from dsir_log_ratios with the SAME
     ``dsir_buckets`` — at 100 TB it is a build-once corpus artifact
@@ -112,6 +120,34 @@ def admit_batch(
         if not quality_rejected.isEmpty():
             quality_rejected.write.mode("append").parquet(rejected_path)
         batch_df = batch_df.join(ok, id_col, "left_semi").localCheckpoint(
+            eager=True
+        )
+        if batch_df.isEmpty():
+            return
+
+    if benchmark_grams is not None:
+        from muopdb_spark.operators.substring import gram_positions
+
+        hits = (
+            gram_positions(
+                batch_df, text_col=text_col, id_col=id_col,
+                k=contamination_k,
+            )
+            .join(F.broadcast(benchmark_grams.select("gh")), "gh")
+            .select(F.col("id").alias(id_col))
+            .distinct()
+        )
+        cont_rejected = batch_df.join(hits, id_col, "left_semi").select(
+            F.col(id_col).cast("long").alias("new_id"),
+            F.lit(None).cast("long").alias("corpus_id"),
+            F.lit(None).cast("double").alias("est_jaccard"),
+            F.lit(None).cast("double").alias("jaccard"),
+            F.lit("contaminated").alias("reason"),
+            F.lit(batch_id).cast("long").alias("batch_id"),
+        )
+        if not cont_rejected.isEmpty():
+            cont_rejected.write.mode("append").parquet(rejected_path)
+        batch_df = batch_df.join(hits, id_col, "left_anti").localCheckpoint(
             eager=True
         )
         if batch_df.isEmpty():
@@ -229,6 +265,8 @@ def stream_admission(
     bands: int = 4,
     threshold: float = 0.8,
     quality_min: float | None = None,
+    benchmark_grams: DataFrame | None = None,
+    contamination_k: int = 8,
     dsir_ratios: DataFrame | None = None,
     dsir_min: float | None = None,
     dsir_buckets: int = 4096,
@@ -246,7 +284,8 @@ def stream_admission(
             batch_df, batch_id, corpus_path, sig_path, rejected_path,
             text_col=text_col, id_col=id_col, n=n,
             num_hashes=num_hashes, bands=bands, threshold=threshold,
-            quality_min=quality_min, dsir_ratios=dsir_ratios,
+            quality_min=quality_min, benchmark_grams=benchmark_grams,
+            contamination_k=contamination_k, dsir_ratios=dsir_ratios,
             dsir_min=dsir_min, dsir_buckets=dsir_buckets,
         )
         batch_df.sparkSession.catalog.clearCache()

@@ -398,3 +398,39 @@ def test_admit_batch_importance_gate(spark, tmp_path):
     admitted = {r["doc_id"]
                 for r in spark.read.parquet(corpus_path).collect()}
     assert 10 in admitted and 11 not in admitted
+
+
+def test_admit_batch_decontamination_gate(spark, tmp_path):
+    """Benchmark-overlap gate (w8): a batch doc sharing a >= k-token
+    window with the eval set is rejected reason='contaminated' (null
+    corpus_id/jaccard) before signing; clean docs admit normally."""
+    from muopdb_spark.operators.substring import contamination_gram_table
+    from muopdb_spark.streaming.admission import admit_batch, bootstrap_corpus
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    corpus_path, sig_path = str(tmp_path / "c"), str(tmp_path / "s")
+    rejected_path = str(tmp_path / "r")
+    bootstrap_corpus(
+        spark.createDataFrame(
+            [(1, "totally unrelated seed content about rivers and stones")],
+            "doc_id long, text string",
+        ),
+        corpus_path, sig_path,
+    )
+    batch = spark.createDataFrame(
+        [(5, "prefix words then alpha beta gamma delta epsilon and more"),
+         (6, "completely clean document with no benchmark overlap here")],
+        "doc_id long, text string",
+    )
+    admit_batch(batch, 7, corpus_path, sig_path, rejected_path,
+                threshold=0.5,
+                benchmark_grams=contamination_gram_table(bench, k=5),
+                contamination_k=5)
+    rej = {(r["new_id"], r["corpus_id"], r["reason"], r["batch_id"])
+           for r in spark.read.parquet(rejected_path).collect()}
+    assert (5, None, "contaminated", 7) in rej
+    assert {r["doc_id"] for r in spark.read.parquet(corpus_path).collect()} \
+        == {1, 6}
