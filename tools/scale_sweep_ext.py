@@ -58,6 +58,13 @@ QUERIES = [
     "w7_stream_importance_admission",
     "t14_bpe_encode",
     "d9_removal",  # local wrapper, see _extra_sweep_queries
+    # r10 extension: the new curation operators with corpus-sized
+    # inputs — token-level decontamination (broadcast benchmark probe +
+    # span cut), the water-filling budget selection (rounds x
+    # partial-agg scans), and the composed pipe3 manifest
+    "c2_decontaminate_spans",
+    "smp9_weighted_budget_fill",
+    "pipe3_curation_manifest_v3",
 ]
 
 
