@@ -307,3 +307,29 @@ def test_cli_decontaminate(spark, cli, capsys, tmp_path, sf_dir):
     cleaned = spark.read.parquet(out_dir)
     assert cleaned.count() == 475
     assert cleaned.filter("kept_tokens > n_tokens").count() == 0
+
+
+def test_cli_curate_full_ladder(spark, cli, capsys, tmp_path, sf_dir):
+    bench_dir = str(tmp_path / "bench")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.filter("doc_id % 20 = 0").write.parquet(bench_dir)
+    out_dir = str(tmp_path / "curated")
+    r = _run(cli, capsys, ["curate",
+                           "--input", f"{sf_dir}/documents.parquet",
+                           "--target", bench_dir,
+                           "--k-tokens", "4",
+                           "--quality-min", "0.2",
+                           "--budget-tokens", "6000",
+                           "--fill",
+                           "--output", out_dir])
+    # stages are monotone non-increasing in docs
+    assert (r["ingested"] >= r["exact_dedup"] >= r["line_dedup"]
+            >= r["keep_best"] >= r["decontaminated"]
+            >= r["quality_gated"] >= r["budget_selected"] > 0)
+    assert r["decontaminated_tokens_cut"] > 0
+    # kept tokens land near the budget (binomial noise)
+    assert 0.5 * 6000 <= r["kept_tokens"] <= 1.6 * 6000
+    kept = spark.read.parquet(out_dir)
+    assert kept.count() == r["budget_selected"]
+    assert {"doc_id", "text", "n_tokens", "soft_weight", "fraction"} \
+        <= set(kept.columns)

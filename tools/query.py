@@ -61,7 +61,7 @@ sys.path.insert(0, "/root/repo")
 COLLECTION_CMDS = {"create", "insert", "remove", "search", "term-search", "stats", "optimize", "flush", "inspect"}
 PIPELINE_CMDS = {"dedup", "lm-score", "chunk", "shard", "quality", "admit",
                  "dsir", "vocab", "split", "ppl-buckets", "bpe", "select",
-                 "decontaminate"}
+                 "decontaminate", "curate"}
 
 
 def _pipeline(spark, args, ap) -> dict:
@@ -285,6 +285,96 @@ def _pipeline(spark, args, ap) -> dict:
         result = {"docs": agg["docs"], "merges_learned": len(merges),
                   "subwords": agg["subwords"],
                   "first_merges": [list(p) for p in merges[:5]]}
+    elif args.command == "curate":
+        # the whole curation ladder in one verb: exact dedup ->
+        # line-level keep-first dedup -> near-dup keep-best ->
+        # (optional) token-level decontamination vs --target ->
+        # quality gate -> soft-dedup weights + weighted token-budget
+        # selection -> curated parquet + stage manifest
+        from pyspark.sql import functions as F
+
+        from muopdb_spark.operators.dedup import (
+            exact_dedup,
+            line_dedup,
+            ngram_jaccard_pairs,
+            soft_dedup_weights,
+        )
+        from muopdb_spark.operators.graph import (
+            cluster_representatives,
+            dup_clusters,
+        )
+        from muopdb_spark.operators.sampling import (
+            weighted_token_budget_fill,
+            weighted_token_budget_sample,
+        )
+        from muopdb_spark.operators.substring import (
+            remove_contaminated_spans,
+        )
+        from muopdb_spark.operators.textstats import (
+            quality_features,
+            ws_token_count,
+        )
+
+        manifest = {}
+        docs = df.select("doc_id", "text").localCheckpoint(eager=True)
+        manifest["ingested"] = docs.count()
+        canon = exact_dedup(docs).filter("is_canonical").select("doc_id")
+        docs = docs.join(canon, "doc_id", "left_semi") \
+            .localCheckpoint(eager=True)
+        manifest["exact_dedup"] = docs.count()
+        ld = line_dedup(docs)
+        docs = docs.drop("text").join(
+            ld.filter(F.col("kept_lines") > 0)
+              .select("doc_id", F.col("text_clean").alias("text")),
+            "doc_id",
+        ).localCheckpoint(eager=True)
+        manifest["line_dedup"] = docs.count()
+        pairs = ngram_jaccard_pairs(docs, n=3, threshold=args.threshold)
+        clusters = dup_clusters(docs.select("doc_id"), pairs)
+        scores = quality_features(docs).select("doc_id", "quality")
+        keepers = cluster_representatives(clusters, scores).filter("keep")
+        docs = docs.join(keepers.select("doc_id"), "doc_id", "left_semi") \
+            .localCheckpoint(eager=True)
+        manifest["keep_best"] = docs.count()
+        if args.target:
+            bench = spark.read.parquet(args.target)
+            dec = remove_contaminated_spans(docs, bench, k=args.k_tokens)
+            manifest["decontaminated_tokens_cut"] = int(
+                dec.agg(F.sum(F.col("n_tokens") - F.col("kept_tokens")))
+                .first()[0] or 0
+            )
+            docs = docs.drop("text").join(
+                dec.filter(F.col("kept_tokens") > 0)
+                   .select("doc_id", F.col("text_clean").alias("text")),
+                "doc_id",
+            ).localCheckpoint(eager=True)
+            manifest["decontaminated"] = docs.count()
+        if args.quality_min is not None:
+            ok = quality_features(docs).filter(
+                F.col("quality") >= float(args.quality_min)
+            ).select("doc_id")
+            docs = docs.join(ok, "doc_id", "left_semi") \
+                .localCheckpoint(eager=True)
+            manifest["quality_gated"] = docs.count()
+        w = soft_dedup_weights(docs)
+        base = docs.select(
+            "doc_id", "text",
+            ws_token_count("text").cast("long").alias("n_tokens"),
+        ).join(w.select("doc_id", "soft_weight"), "doc_id")
+        sampler = (
+            weighted_token_budget_fill if args.fill
+            else weighted_token_budget_sample
+        )
+        out = sampler(
+            base, key_col="doc_id", token_col="n_tokens",
+            weight_col="soft_weight", budget_tokens=args.budget_tokens,
+        ).localCheckpoint(eager=True)
+        manifest["budget_selected"] = out.count()
+        manifest["kept_tokens"] = int(
+            out.agg(F.sum("n_tokens")).first()[0] or 0
+        )
+        manifest["budget_tokens"] = args.budget_tokens
+        result = manifest
     elif args.command == "decontaminate":
         # token-level decontamination: cut the >= k-token windows the
         # corpus shares with --target (the eval benchmark), keep the
