@@ -102,6 +102,62 @@ def pack_sequences_greedy(
     return out.select(id_col, *keys, token_col, "seq_id", "seq_offset")
 
 
+def pack_sequences_ffd(
+    df: DataFrame,
+    *,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    budget: int = 2048,
+) -> DataFrame:
+    """First-Fit-DECREASING packing that never splits a document — the
+    padding-efficiency upgrade over pack_sequences_greedy's first-fit-
+    in-order: place docs largest-first into the first open sequence
+    with room (classic FFD, guaranteed <= 11/9·OPT + 6/9 bins), so
+    small docs backfill the holes large docs leave. Deterministic:
+    docs sort by (tokens DESC, id ASC); an oversized doc (> budget)
+    occupies a sequence alone.
+
+    Scale: per-GROUP Pandas pass (applyInPandas), like the greedy
+    packer — the group (a language, a shard) must fit one task, which
+    is how training pipelines shard packing anyway; the contiguous
+    pack_sequences is the unbounded-stream scale path when doc order
+    may be fixed. FFD's open-bin scan is O(n·bins) worst case; with a
+    token budget of thousands the bin list stays ~sum(t)/budget.
+    """
+    keys = [group_col] if group_col else []
+    slim = df.select(id_col, *keys, token_col)
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in slim.schema.fields
+    ) + ", seq_id long, seq_offset long"
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [token_col, id_col], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        bins: list[int] = []
+        seq_ids, offsets = [], []
+        for t in pdf[token_col]:
+            t = int(t)
+            for i, used in enumerate(bins):
+                if used + t <= budget:
+                    seq_ids.append(i)
+                    offsets.append(used)
+                    bins[i] = used + t
+                    break
+            else:
+                seq_ids.append(len(bins))
+                offsets.append(0)
+                bins.append(t)
+        pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
+        pdf["seq_offset"] = pd.Series(offsets, dtype="int64")
+        return pdf
+
+    grouped = slim.groupBy(*keys) if keys else slim.groupBy(F.lit(0).alias("_g"))
+    out = grouped.applyInPandas(_pack, schema=schema)
+    return out.select(id_col, *keys, token_col, "seq_id", "seq_offset")
+
+
 def sequence_stats(packed: DataFrame, *, group_col: str | None = None,
                    token_col: str = "n_tokens") -> DataFrame:
     """Per-sequence fill report: (group?, seq_id, n_docs, sum_tokens)."""

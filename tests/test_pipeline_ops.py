@@ -268,3 +268,40 @@ def test_chunk_documents(spark):
     assert c2[0].chunk_text.split(" ")[-3:] == c2[1].chunk_text.split(" ")[:3]
     with _pytest.raises(ValueError):
         chunk_documents(docs, size=8, overlap=8)
+
+
+def test_pack_ffd_beats_or_ties_greedy_and_is_valid(spark):
+    from muopdb_spark.operators.packing import pack_sequences_ffd
+
+    rows = [(i, "en", t) for i, t in enumerate(
+        [7, 5, 4, 3, 3, 2, 9, 1, 6, 2, 8, 4, 1, 1, 5] * 4
+    )]
+    df = _tok_df(spark, rows)
+    budget = 10
+    ffd = pack_sequences_ffd(df, group_col="lang", budget=budget).collect()
+    greedy = pack_sequences_greedy(
+        df, group_col="lang", budget=budget
+    ).collect()
+    # validity: every sequence fits the budget, offsets consistent
+    fill: dict = {}
+    for r in ffd:
+        assert 0 <= r["seq_offset"] and r["seq_offset"] + r["n_tokens"] <= budget
+        fill[r["seq_id"]] = fill.get(r["seq_id"], 0) + r["n_tokens"]
+    assert all(v <= budget for v in fill.values())
+    # FFD never uses more sequences than first-fit-in-order
+    assert len(fill) <= len({r["seq_id"] for r in greedy})
+    # deterministic
+    again = pack_sequences_ffd(df, group_col="lang", budget=budget).collect()
+    assert sorted(map(tuple, ffd)) == sorted(map(tuple, again))
+
+
+def test_pack_ffd_oversized_doc_alone(spark):
+    from muopdb_spark.operators.packing import pack_sequences_ffd
+
+    df = _tok_df(spark, [(1, "en", 25), (2, "en", 3), (3, "en", 4)])
+    out = {r["doc_id"]: r for r in
+           pack_sequences_ffd(df, group_col="lang", budget=10).collect()}
+    assert out[1]["seq_offset"] == 0
+    # nothing shares the oversized doc's sequence
+    assert {r["seq_id"] for r in out.values() if r["doc_id"] != 1} \
+        .isdisjoint({out[1]["seq_id"]})
