@@ -90,3 +90,120 @@ def write_shards(
         .partitionBy("shard_id")
         .parquet(path)
     )
+
+
+def write_token_shards(
+    df: DataFrame,
+    path: str,
+    merges: list,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: str = "shard-v1",
+) -> DataFrame:
+    """Trainer-handoff TOKEN BINARY export — the last meter of the
+    curation pipeline: per shard, a flat little-endian int32 token-id
+    stream (``shard_<k>.bin``) plus an index of int64
+    (doc_id, n_tokens) pairs in stream order (``shard_<k>.idx``),
+    modeled on the public Megatron-LM indexed-dataset layout, plus one
+    driver-written ``vocab.json`` mapping id -> subword. A data loader
+    mmaps the .bin and slices documents by the .idx prefix sums — no
+    parquet/Arrow runtime at training time.
+
+    Determinism: tokenization is bpe_apply under the caller's merge
+    list; ids are the subword's rank in the lexicographically-sorted
+    corpus vocabulary (a bounded collect — the subword set is capped
+    by merges + alphabet, the same class as bpe_train's word table);
+    shard/position come from shard_assignment's (seed, id) hash, so
+    re-exports are byte-identical.
+
+    Scale: the encode is the zero-shuffle Arrow pass bpe_apply already
+    is; the only shuffle is the per-shard ordering (pick n_shards so a
+    shard is a few GB); each shard's files are written by ITS OWN
+    executor task (applyInPandas group) — `path` must be a shared
+    filesystem in cluster mode, which a training-data sink requires
+    anyway. Returns the per-shard manifest (shard_id, n_docs,
+    n_tokens, bin_bytes).
+    """
+    import json as _json
+    import os as _os
+
+    import numpy as _np
+    import pandas as _pd
+
+    from muopdb_spark.operators.vocab import bpe_apply
+
+    _os.makedirs(path, exist_ok=True)
+    enc = bpe_apply(df, merges, text_col=text_col).select(
+        id_col, "bpe_tokens"
+    )
+    vocab_rows = (
+        enc.select(F.explode("bpe_tokens").alias("sw")).distinct()
+        .orderBy("sw").collect()
+    )
+    vocab = {r["sw"]: i for i, r in enumerate(vocab_rows)}
+    with open(_os.path.join(path, "vocab.json"), "w") as fh:
+        _json.dump({i: sw for sw, i in vocab.items()}, fh)
+
+    spark = df.sparkSession
+    bvocab = spark.sparkContext.broadcast(vocab)
+
+    @F.pandas_udf("array<int>")
+    def to_ids(col):
+        v = bvocab.value
+        return col.map(lambda toks: [v[t] for t in toks])
+
+    assigned = shard_assignment(
+        enc, id_col=id_col, n_shards=n_shards, seed=seed
+    ).join(enc.withColumn("ids", to_ids("bpe_tokens")).drop("bpe_tokens"),
+           id_col)
+
+    out_schema = "shard_id long, n_docs long, n_tokens long, bin_bytes long"
+
+    def _write(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        pdf = pdf.sort_values("position", kind="mergesort")
+        sid = int(pdf["shard_id"].iloc[0])
+        flat = _np.concatenate(
+            [_np.asarray(x, dtype="<i4") for x in pdf["ids"]]
+        ) if len(pdf) else _np.empty(0, dtype="<i4")
+        idx = _np.stack(
+            [pdf[id_col].to_numpy(dtype="<i8"),
+             _np.asarray([len(x) for x in pdf["ids"]], dtype="<i8")],
+            axis=1,
+        )
+        with open(_os.path.join(path, f"shard_{sid}.bin"), "wb") as fh:
+            flat.tofile(fh)
+        with open(_os.path.join(path, f"shard_{sid}.idx"), "wb") as fh:
+            idx.tofile(fh)
+        return _pd.DataFrame(
+            {"shard_id": [sid], "n_docs": [len(pdf)],
+             "n_tokens": [int(flat.size)],
+             "bin_bytes": [int(flat.size * 4)]}
+        )
+
+    manifest = assigned.groupBy("shard_id").applyInPandas(
+        _write, schema=out_schema
+    )
+    # applyInPandas is lazy — force the writes and return the manifest
+    # as a small materialized frame
+    rows = manifest.collect()
+    return spark.createDataFrame(rows, out_schema)
+
+
+def read_token_shard(path: str, shard_id: int):
+    """Loader-side twin of write_token_shards for one shard: returns
+    (ids, index) where ids is the flat int32 stream and index the
+    (doc_id, n_tokens) int64 array — slice doc j's tokens with the
+    index's prefix sums. Pure numpy; no Spark at training time."""
+    import os as _os
+
+    import numpy as _np
+
+    ids = _np.fromfile(
+        _os.path.join(path, f"shard_{shard_id}.bin"), dtype="<i4"
+    )
+    idx = _np.fromfile(
+        _os.path.join(path, f"shard_{shard_id}.idx"), dtype="<i8"
+    ).reshape(-1, 2)
+    return ids, idx

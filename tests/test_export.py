@@ -85,3 +85,51 @@ def test_write_shards_layout(spark, docs, tmp_path):
     }
     got = {(r.doc_id, int(r.shard_id), r.position) for r in back.collect()}
     assert got == want
+
+
+# --------------------------------- token-binary trainer handoff (r10)
+
+
+def test_token_shards_roundtrip_and_determinism(spark, tmp_path):
+    import numpy as np
+
+    from muopdb_spark.operators.export import (
+        read_token_shard,
+        write_token_shards,
+    )
+    from muopdb_spark.operators.vocab import bpe_apply
+
+    df = spark.createDataFrame(
+        [(i, f"the quick brown fox number {i} jumps") for i in range(40)]
+        + [(100, ""), (101, "solo")],
+        "doc_id long, text string",
+    )
+    merges = [("t", "h"), ("th", "e</w>")]
+    out1 = str(tmp_path / "tok1")
+    man = write_token_shards(df, out1, merges, n_shards=4)
+    rows = {r["shard_id"]: r for r in man.collect()}
+    assert sum(r["n_docs"] for r in rows.values()) == 42
+    # round trip: every doc's decoded subword stream equals bpe_apply's
+    import json
+    vocab = {int(k): v for k, v in
+             json.load(open(f"{out1}/vocab.json")).items()}
+    expect = {r["doc_id"]: list(r["bpe_tokens"])
+              for r in bpe_apply(df, merges).collect()}
+    seen = {}
+    for sid in rows:
+        ids, idx = read_token_shard(out1, sid)
+        assert ids.dtype == np.dtype("<i4")
+        off = 0
+        for doc_id, n in idx:
+            seen[int(doc_id)] = [vocab[int(t)] for t in ids[off:off + n]]
+            off += int(n)
+        assert off == len(ids)  # index prefix sums tile the stream
+    assert seen == expect
+    # deterministic re-export: byte-identical files
+    out2 = str(tmp_path / "tok2")
+    write_token_shards(df, out2, merges, n_shards=4)
+    for sid in rows:
+        for ext in ("bin", "idx"):
+            a = open(f"{out1}/shard_{sid}.{ext}", "rb").read()
+            b = open(f"{out2}/shard_{sid}.{ext}", "rb").read()
+            assert a == b, f"shard {sid}.{ext} not byte-identical"
