@@ -369,6 +369,17 @@ def main() -> None:
         #     retrieval passages (32-token windows, stride 24)
         n_chunks = chunk_documents(docs, size=32, overlap=8).count()
 
+        # 8d. trainer handoff: the curated corpus as flat int32
+        #     token-id shards + (doc_id, n_tokens) indexes under the
+        #     stage-7 merge list — what a data loader actually mmaps
+        from muopdb_spark.operators.export import write_token_shards
+
+        tok_out = os.path.join(tmp, "token_shards")
+        tok_man = write_token_shards(
+            docs.select("doc_id", "text"), tok_out, merges, n_shards=4
+        ).agg(F.sum("n_tokens"), F.sum("bin_bytes")).first()
+        n_tok_exported, n_tok_bytes = tok_man[0], tok_man[1]
+
         # 9. DAY 2: a new ingest batch arrives. Run the full
         #    QUALITY-GATED admission round (w6 = w5 + the t2 composite
         #    quality pre-gate, cheapest filter first): bootstrap the
@@ -421,7 +432,8 @@ def main() -> None:
               f"sequences={n_seqs} "
               f"(packed in BPE units: {tok_units['bpe']} subwords vs "
               f"{tok_units['ws']} ws tokens) "
-              f"shards={n_shards_written} rag_chunks={n_chunks}")
+              f"shards={n_shards_written} rag_chunks={n_chunks} "
+              f"token_shards=4 ({n_tok_exported} ids, {n_tok_bytes} bytes)")
         print(f"distilled classifier reproduces the rule-quality "
               f"verdicts on {agree:.0%} of docs")
         print(f"day2: batch={n_new} rejected={n_rejected} "

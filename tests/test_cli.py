@@ -333,3 +333,20 @@ def test_cli_curate_full_ladder(spark, cli, capsys, tmp_path, sf_dir):
     assert kept.count() == r["budget_selected"]
     assert {"doc_id", "text", "n_tokens", "soft_weight", "fraction"} \
         <= set(kept.columns)
+
+
+def test_cli_tokens_export(spark, cli, capsys, tmp_path, sf_dir):
+    import os
+
+    out_dir = str(tmp_path / "tok")
+    r = _run(cli, capsys, ["tokens",
+                           "--input", f"{sf_dir}/documents.parquet",
+                           "--num-merges", "50",
+                           "--n-shards", "4",
+                           "--output", out_dir])
+    assert r["shards"] == 4 and r["docs"] == 500 and r["tokens"] > 0
+    assert r["bytes"] == r["tokens"] * 4
+    assert os.path.exists(f"{out_dir}/vocab.json")
+    for sid in range(4):
+        assert os.path.exists(f"{out_dir}/shard_{sid}.bin")
+        assert os.path.exists(f"{out_dir}/shard_{sid}.idx")

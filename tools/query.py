@@ -61,7 +61,7 @@ sys.path.insert(0, "/root/repo")
 COLLECTION_CMDS = {"create", "insert", "remove", "search", "term-search", "stats", "optimize", "flush", "inspect"}
 PIPELINE_CMDS = {"dedup", "lm-score", "chunk", "shard", "quality", "admit",
                  "dsir", "vocab", "split", "ppl-buckets", "bpe", "select",
-                 "decontaminate", "curate"}
+                 "decontaminate", "curate", "tokens"}
 
 
 def _pipeline(spark, args, ap) -> dict:
@@ -285,6 +285,30 @@ def _pipeline(spark, args, ap) -> dict:
         result = {"docs": agg["docs"], "merges_learned": len(merges),
                   "subwords": agg["subwords"],
                   "first_merges": [list(p) for p in merges[:5]]}
+    elif args.command == "tokens":
+        # trainer handoff: learn a merge list on the corpus, export
+        # flat int32 token-id shards + doc indexes + vocab.json
+        from pyspark.sql import functions as F
+
+        from muopdb_spark.operators.export import write_token_shards
+        from muopdb_spark.operators.vocab import bpe_train
+
+        if not args.output:
+            ap.error("tokens requires --output (shard directory)")
+        merges = bpe_train(df, num_merges=args.num_merges)
+        man = write_token_shards(
+            df.select("doc_id", "text"), args.output, merges,
+            n_shards=args.n_shards,
+        )
+        agg = man.agg(
+            F.count("*").alias("shards"),
+            F.sum("n_docs").alias("docs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.sum("bin_bytes").alias("bytes"),
+        ).first()
+        return {"shards": agg["shards"], "docs": agg["docs"],
+                "tokens": agg["tokens"], "bytes": agg["bytes"],
+                "merges": len(merges), "path": args.output}
     elif args.command == "curate":
         # the whole curation ladder in one verb: exact dedup ->
         # line-level keep-first dedup -> near-dup keep-best ->
