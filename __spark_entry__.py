@@ -752,6 +752,47 @@ def _incremental_minhash_oracle() -> str:
     """
 
 
+def _fuzzy_contamination_oracle() -> str:
+    """DuckDB twin of q_fuzzy_decontaminate: the d3/d7 md5-minhash
+    family re-rooted on the c1 benchmark split (% 20), cross-joined
+    corpus x bench on shared LSH bands, exact-Jaccard verified on the
+    UNROUNDED value (matching the Spark filter), then rolled up per
+    corpus doc. Fully deterministic md5 arithmetic — value-hash oracle."""
+    hs = ",\n               ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min') AS h{i}"
+        for i in range(8)
+    )
+    bands = ",\n               ".join(
+        f"md5(h{2*b} || '|' || h{2*b+1}) AS b{b}" for b in range(4)
+    )
+    band_cond = " OR ".join(f"a.b{b} = b.b{b}" for b in range(4))
+    return f"""
+        WITH {_SHINGLES_CTE},
+        sig AS (
+            SELECT doc_id, sh, {hs}
+            FROM s2
+        ),
+        sigb AS (
+            SELECT *, {bands}
+            FROM sig
+        ),
+        bench AS (SELECT * FROM sigb WHERE doc_id % 20 = 0),
+        corp AS (SELECT * FROM sigb WHERE doc_id % 20 <> 0),
+        pairs AS (
+            SELECT a.doc_id AS doc_id, b.doc_id AS bench_id,
+                   len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+            FROM corp a JOIN bench b ON ({band_cond})
+        )
+        SELECT doc_id,
+               count(*)::BIGINT AS n_bench_hits,
+               max(round(jaccard, 6)) AS max_jaccard,
+               min(bench_id) AS first_bench_id
+        FROM pairs WHERE jaccard >= 0.8
+        GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 def _passage_dedup_oracle(k: int = 10) -> str:
     return f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
@@ -2226,6 +2267,36 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination (c3): MinHash(8)+4-band LSH of
+    the corpus (doc_id % 20 != 0) against the benchmark slice
+    (doc_id % 20 == 0, the c1 split), exact-Jaccard verified at 0.8 —
+    the near-duplicate complement of c1's literal gram overlap and
+    c2's span excision. One verdict row per corpus doc with a verified
+    benchmark near-dup: hit count, max Jaccard, smallest matching
+    bench id (deterministic rollup; the drop list is the doc_id set).
+    The benchmark side is broadcast end-to-end; the corpus never
+    shuffles (operators/contamination.fuzzy_contamination_pairs).
+    The corpus side is SERVED from the durable full-corpus signature
+    artifact (_minhash_full_sigs — the same signing pass d3's dedup
+    serves from; decontamination re-hashes nothing corpus-sized),
+    sliced to the non-benchmark rows; only the MB-sized benchmark
+    side signs in-query."""
+    from muopdb_spark.operators.contamination import (
+        fuzzy_contamination_verdicts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return fuzzy_contamination_verdicts(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        n=3, num_hashes=8, bands=4, threshold=0.8,
+        corpus_sig=_minhash_full_sigs(spark, sf_dir).filter(
+            F.col("id") % 20 != 0
+        ),
+    ).orderBy("doc_id")
+
+
 def _planted_pii_text() -> F.Column:
     """Deterministic synthetic PII appended per doc (fixture text is
     verified digit- and @-free, so counts are fully determined)."""
@@ -3367,7 +3438,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family witnessed by v23, which layers PQ+rerank on the same
         # batch join; driver-green r1-r4) to free a slot for
         # p3_passage_dedup's first driver row.
-        "v23_ann_batch_pq_rerank": q_ann_batch_pq_rerank,
+        # r10-NEW operator (landing-round first driver row per the
+        # rotation policy): c3 fuzzy benchmark decontamination —
+        # MinHash-LSH corpus-vs-eval-set near-dup detection, the
+        # paraphrase-robust complement of c1 (exact gram overlap) and
+        # c2 (span excision). Parks v23_ann_batch_pq_rerank
+        # (driver-green r1-r9; batch-ANN family keeps mu2 in-window
+        # with v22 extras-green, PQ scoring keeps v11, rerank keeps
+        # v13). Oracle checked at sf0.01 BEFORE the swap.
+        "c3_fuzzy_decontaminate": q_fuzzy_decontaminate,
         "mu2_batch_requests": q_multi_user_batch,
         "c1_contamination_ngram": q_contamination,
         "p1_pii_scrub": q_pii_scrub,
@@ -3506,6 +3585,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW in r10: token-level decontamination (surgical span cut vs
         # c1's doc drop), full CTE oracle.
         "c2_decontaminate_spans": q_decontaminate_spans,
+        # v23 parked in r10 (driver-green r1-r9) so c3's fuzzy
+        # decontamination gets its landing-round first driver row;
+        # batch-ANN family keeps mu2 in-window (+ v22 here).
+        "v23_ann_batch_pq_rerank": q_ann_batch_pq_rerank,
         # NEW in r10: the streaming face of c2 — decontamination-gated
         # admission (reason='contaminated'), symbolic two-round oracle.
         "w8_stream_decontaminated_admission": q_stream_decontaminated_admission,
@@ -4893,6 +4976,7 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus c LEFT JOIN hits h USING (doc_id)
             ORDER BY c.doc_id
         """,
+        "c3_fuzzy_decontaminate": _fuzzy_contamination_oracle(),
         "p1_pii_scrub": _pii_oracle(),
         "src1_jsonl_roundtrip": """
             SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5

@@ -97,6 +97,10 @@ BENCH_QUERIES = [
     "t15_line_dedup",
     "smp7_soft_dedup_weights",
     "v28_opq_user_rerank",
+    # r10: fuzzy benchmark decontamination (serving-side: corpus
+    # signatures come from the durable d3 artifact; per-run cost is
+    # the benchmark signing + candidate verify)
+    "c3_fuzzy_decontaminate",
 ]
 
 

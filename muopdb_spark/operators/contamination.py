@@ -144,3 +144,156 @@ def contamination_report(
     bench = benchmark_grams(benchmark, text_col=text_col, id_col=id_col, n=n)
     sh = shingle_df(corpus, text_col=text_col, id_col=id_col, n=n)
     return _report(sh, bench, id_col=id_col, threshold=threshold)
+
+
+def fuzzy_contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    bench_sig: DataFrame | None = None,
+    corpus_sig: DataFrame | None = None,
+) -> DataFrame:
+    """FUZZY benchmark decontamination — the near-duplicate complement
+    of the exact-n-gram passes (c1 contamination_report flags literal
+    gram overlap; c2 remove_contaminated_spans excises literal spans;
+    this pass catches REFORMATTED/paraphrase-adjacent leakage the way
+    production pretraining pipelines do: MinHash-LSH the corpus against
+    the eval set and drop anything whose shingle-set Jaccard with a
+    benchmark document clears a threshold — the "fuzzy dedup against
+    benchmarks" decontamination step described for Llama-3/DCLM-class
+    data recipes).
+
+    Plan shape (the benchmark side is MBs by construction, the corpus
+    is the 100 TB side — so the corpus must never shuffle):
+      1. both sides get the standard (sh, h0.., b0..) MinHash signature
+         (dedup.minhash_signature_df — one Arrow shingle pass, JVM md5
+         folds, no shuffle);
+      2. the benchmark band buckets are BROADCAST; the corpus band
+         explode is map-side, so candidate generation is a broadcast
+         hash join — zero corpus exchange;
+      3. candidate (corpus, bench) id pairs are distinct-ed (the only
+         shuffle, candidate-bounded, ids only);
+      4. exact-Jaccard verification re-SHINGLES candidate corpus docs
+         only (broadcast semi join into the text scan — the
+         minhash_lsh_pairs_from_artifact treatment) against the
+         broadcast benchmark shingle sets. Only the FIXED-WIDTH
+         (id, h*, b*) corpus signature is ever materialized — never
+         the corpus shingle arrays.
+
+    Emits verified pairs (id_col, bench_id, est_jaccard, jaccard) with
+    jaccard >= threshold — the audit trail; callers drop
+    `select(id_col).distinct()` from the corpus. ``bench_sig``: pass a
+    prebuilt minhash_signature_df of the benchmark (WITH `sh`) to serve
+    repeated corpus batches from a durable benchmark artifact, the
+    c1 benchmark_grams treatment (benchmarks are static in production).
+    ``corpus_sig``: pass the durable full-corpus signature artifact
+    (fixed-width (id, h*, b*) — `sh` not required, candidates are
+    re-shingled regardless) so decontamination shares ONE signing pass
+    with MinHash dedup instead of re-hashing the corpus per run.
+
+    Determinism/oracle-ability: md5-fold minhashes, fixed band keys,
+    exact set Jaccard — every stage is a direct DuckDB transcription
+    (the d3/d7 oracle family re-rooted on a cross-corpus join).
+    """
+    from muopdb_spark.operators.dedup import (
+        jaccard,
+        minhash_signature_df,
+        shingle_df,
+    )
+
+    if bench_sig is None:
+        bench_sig = minhash_signature_df(
+            benchmark, text_col=text_col, id_col=id_col, n=n,
+            num_hashes=num_hashes, bands=bands,
+        )
+    # benchmark side is small: one eager materialization, then pure
+    # broadcast reuse across the bucket and verification branches.
+    bench_sig = bench_sig.localCheckpoint(eager=True)
+
+    # only the FIXED-WIDTH signature projection is materialized for the
+    # corpus (drop `sh` before the checkpoint): the bucket and
+    # est-jaccard branches need just (id, h*, b*), and at 100 TB the
+    # corpus shingle arrays dwarf the ~(H+B)*32-byte signatures.
+    if corpus_sig is None:
+        corpus_sig = minhash_signature_df(
+            corpus, text_col=text_col, id_col=id_col, n=n,
+            num_hashes=num_hashes, bands=bands,
+        ).drop("sh").localCheckpoint(eager=True)
+    elif "sh" in corpus_sig.columns:
+        corpus_sig = corpus_sig.drop("sh")
+
+    def _buckets(sig: DataFrame, out_id: str) -> DataFrame:
+        return sig.select(
+            F.col("id").alias(out_id),
+            F.posexplode(
+                F.array(*[F.col(f"b{b}") for b in range(bands)])
+            ).alias("band_idx", "band_hash"),
+        )
+
+    cand = (
+        _buckets(corpus_sig, "cid")
+        .join(
+            F.broadcast(_buckets(bench_sig, "bid")),
+            ["band_idx", "band_hash"],
+        )
+        .select("cid", "bid")
+        .distinct()
+        .localCheckpoint(eager=True)  # bounds the re-shingle semi join
+    )
+    cand_ids = cand.select(F.col("cid").alias(id_col)).distinct()
+    cand_sh = shingle_df(
+        corpus.join(F.broadcast(cand_ids), on=id_col, how="semi"),
+        text_col=text_col, id_col=id_col, n=n,
+    )
+    sa = corpus_sig.join(
+        cand_sh.select(F.col("id"), F.col("sh").alias("sh_a")), "id",
+    ).select(
+        F.col("id").alias("cid"), "sh_a",
+        *[F.col(f"h{i}").alias(f"ha{i}") for i in range(num_hashes)],
+    )
+    sb = bench_sig.select(
+        F.col("id").alias("bid"), F.col("sh").alias("sh_b"),
+        *[F.col(f"h{i}").alias(f"hb{i}") for i in range(num_hashes)],
+    )
+    est = sum(
+        F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    ) / float(num_hashes)
+    return (
+        cand.join(sa, "cid").join(F.broadcast(sb), "bid")
+        .withColumn("est_jaccard", est)
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("cid").alias(id_col),
+            F.col("bid").alias("bench_id"),
+            F.round("est_jaccard", 6).alias("est_jaccard"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
+def fuzzy_contamination_verdicts(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    **kwargs,
+) -> DataFrame:
+    """Per-corpus-doc rollup of fuzzy_contamination_pairs — the drop
+    list a decontamination pass consumes: (id_col, n_bench_hits,
+    max_jaccard, first_bench_id) for every corpus doc with at least one
+    verified benchmark near-duplicate. first_bench_id (the smallest
+    matching benchmark id) makes the verdict row fully deterministic
+    for the oracle; max_jaccard is the decontamination evidence."""
+    id_col = kwargs.get("id_col", "doc_id")
+    pairs = fuzzy_contamination_pairs(corpus, benchmark, **kwargs)
+    return pairs.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bench_hits"),
+        F.max("jaccard").alias("max_jaccard"),
+        F.min("bench_id").alias("first_bench_id"),
+    )

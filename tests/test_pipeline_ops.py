@@ -305,3 +305,91 @@ def test_pack_ffd_oversized_doc_alone(spark):
     # nothing shares the oversized doc's sequence
     assert {r["seq_id"] for r in out.values() if r["doc_id"] != 1} \
         .isdisjoint({out[1]["seq_id"]})
+
+
+# ------------------------------------------- fuzzy decontamination (c3)
+
+
+def test_fuzzy_contamination_exact_copy_is_found(spark):
+    from muopdb_spark.operators.contamination import (
+        fuzzy_contamination_pairs,
+        fuzzy_contamination_verdicts,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = _docs(spark, [
+        (1, base),                                   # verbatim leak
+        (2, "totally unrelated words about spark"),  # clean
+    ])
+    bench = _docs(spark, [(100, base)])
+    pairs = fuzzy_contamination_pairs(corpus, bench, threshold=0.8).collect()
+    assert [(r.doc_id, r.bench_id) for r in pairs] == [(1, 100)]
+    assert pairs[0].jaccard == 1.0 and pairs[0].est_jaccard == 1.0
+    v = fuzzy_contamination_verdicts(corpus, bench, threshold=0.8).collect()
+    assert len(v) == 1 and v[0].doc_id == 1
+    assert v[0].n_bench_hits == 1 and v[0].first_bench_id == 100
+
+
+def test_fuzzy_contamination_near_dup_below_threshold_dropped(spark):
+    from muopdb_spark.operators.contamination import fuzzy_contamination_pairs
+
+    # shares a prefix but diverges: jaccard well under 0.8 — must be
+    # excluded even when LSH banding surfaces it as a candidate
+    corpus = _docs(spark, [
+        (1, "alpha beta gamma delta one two three four five six seven"),
+    ])
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta")])
+    high = fuzzy_contamination_pairs(corpus, bench, threshold=0.9).collect()
+    assert high == []
+    low = fuzzy_contamination_pairs(corpus, bench, threshold=0.05).collect()
+    # at a permissive threshold the true overlap (2 shared of 13 grams)
+    # is reported exactly when the bands happen to collide; jaccard is
+    # the exact set value either way
+    for r in low:
+        assert abs(r.jaccard - 2 / 13) < 1e-9
+
+
+def test_fuzzy_contamination_empty_benchmark(spark):
+    from muopdb_spark.operators.contamination import (
+        fuzzy_contamination_pairs,
+        fuzzy_contamination_verdicts,
+    )
+
+    corpus = _docs(spark, [(1, "alpha beta gamma delta epsilon")])
+    bench = _docs(spark, []).filter("doc_id is not null")
+    assert fuzzy_contamination_pairs(corpus, bench).collect() == []
+    assert fuzzy_contamination_verdicts(corpus, bench).collect() == []
+
+
+def test_fuzzy_contamination_partition_invariant(spark):
+    from muopdb_spark.operators.contamination import (
+        fuzzy_contamination_verdicts,
+    )
+
+    rows = [(i, f"alpha beta gamma delta epsilon zeta token{i % 3}")
+            for i in range(40)]
+    corpus = _docs(spark, rows)
+    bench = _docs(spark, [(1000, "alpha beta gamma delta epsilon zeta token0")])
+    a = sorted(map(tuple, fuzzy_contamination_verdicts(
+        corpus, bench, threshold=0.5).collect()))
+    b = sorted(map(tuple, fuzzy_contamination_verdicts(
+        corpus.repartition(7), bench, threshold=0.5).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_fuzzy_contamination_served_from_bench_artifact(spark):
+    from muopdb_spark.operators.contamination import (
+        fuzzy_contamination_pairs,
+    )
+    from muopdb_spark.operators.dedup import minhash_signature_df
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = _docs(spark, [(1, base), (2, "other words entirely here now")])
+    bench = _docs(spark, [(100, base)])
+    sig = minhash_signature_df(bench, text_col="text", id_col="doc_id",
+                               n=3, num_hashes=8, bands=4)
+    from_art = fuzzy_contamination_pairs(
+        corpus, bench, threshold=0.8, bench_sig=sig).collect()
+    scratch = fuzzy_contamination_pairs(
+        corpus, bench, threshold=0.8).collect()
+    assert sorted(map(tuple, from_art)) == sorted(map(tuple, scratch))
