@@ -3313,6 +3313,43 @@ def q_fvecs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_hdf5_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """src4 (S8 offline ingest, the reference's LITERAL format):
+    embeddings exported to HDF5 (pure-Python spec writer — superblock
+    v0 + symbol-table group + contiguous layout, the default-h5py
+    byte layout) and re-read through the pure-Python distributed
+    reader (sources/hdf5.py: driver parses KBs of metadata, executors
+    pread disjoint row ranges — rs/index_writer/src/input/hdf5.rs's
+    Hdf5Reader contract, doc_id = row index). Green iff the binary
+    boundary is lossless: the oracle reads the original parquet."""
+    import shutil
+    import tempfile
+
+    from muopdb_spark.sources.hdf5 import (
+        read_hdf5_vectors,
+        write_hdf5_vectors,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="muopdb_hdf5_")
+    try:
+        p = os.path.join(tmp, "emb.hdf5")
+        write_hdf5_vectors(emb, p, dataset="train")
+        back = read_hdf5_vectors(spark, p, dataset="train",
+                                 rows_per_task=1024)
+        result = back.select(
+            "vec_id",
+            F.size("embedding").cast("long").alias("n_dims"),
+            F.round(
+                F.aggregate("embedding", F.lit(0.0),
+                            lambda a, x: a + x.cast("double")), 6
+            ).alias("checksum"),
+        ).orderBy("vec_id").toPandas()
+        return spark.createDataFrame(result)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3460,7 +3497,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows they displaced (t4_fingerprints, m2_frame_sample,
         # smp3_reservoir_per_lang — each family multiply-witnessed or
         # driver-green r1-r4) moved to extra_queries().
-        "src2_fvecs_roundtrip": q_fvecs_roundtrip,
+        # r10-NEW source (landing-round first driver row): the
+        # reference's LITERAL HDF5 offline format, via the pure-Python
+        # spec reader/writer — closes SURVEY §2.1 S8's long-standing
+        # "partial". Parks src2_fvecs_roundtrip (driver-green r5–r9;
+        # the offline-vector-source family keeps s3 in-window, src1/
+        # src3 extras-green, and src4 itself witnesses the byte-range
+        # reader shape src2 pioneered).
+        "src4_hdf5_roundtrip": q_hdf5_roundtrip,
         "t7_gopher_flags": q_gopher_flags,
         "t8_c4_line_filter": q_c4_line_filter,
         # NEW in r5: incremental dedup against the durable corpus
@@ -3589,6 +3633,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decontamination gets its landing-round first driver row;
         # batch-ANN family keeps mu2 in-window (+ v22 here).
         "v23_ann_batch_pq_rerank": q_ann_batch_pq_rerank,
+        # src2 parked in r10 (driver-green r5-r9) so src4's literal
+        # HDF5 boundary gets its landing-round first driver row.
+        "src2_fvecs_roundtrip": q_fvecs_roundtrip,
         # NEW in r10: the streaming face of c2 — decontamination-gated
         # admission (reason='contaminated'), symbolic two-round oracle.
         "w8_stream_decontaminated_admission": q_stream_decontaminated_admission,
@@ -4141,6 +4188,15 @@ def oracle_sql() -> dict[str, str]:
         # fvecs boundary is lossless iff the re-read vectors checksum
         # identically to the original parquet (float32 both sides)
         "src2_fvecs_roundtrip": """
+            SELECT vec_id,
+                   CAST(len(embedding) AS BIGINT) AS n_dims,
+                   round(list_sum(embedding::DOUBLE[]), 6) AS checksum
+            FROM embeddings
+            ORDER BY vec_id
+        """,
+        # src4: same lossless-boundary contract as src2 — the oracle
+        # reads the parquet the HDF5 roundtrip must reproduce exactly
+        "src4_hdf5_roundtrip": """
             SELECT vec_id,
                    CAST(len(embedding) AS BIGINT) AS n_dims,
                    round(list_sum(embedding::DOUBLE[]), 6) AS checksum

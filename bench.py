@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     # signatures come from the durable d3 artifact; per-run cost is
     # the benchmark signing + candidate verify)
     "c3_fuzzy_decontaminate",
+    # r10: literal HDF5 boundary (pure-Python spec reader/writer)
+    "src4_hdf5_roundtrip",
 ]
 
 

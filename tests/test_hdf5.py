@@ -1,0 +1,152 @@
+"""Pure-Python HDF5 subset source (S8): spec parser, distributed
+reader, writer roundtrip, and parity against the reference's REAL
+h5py-written fixture (rs/index_writer/resources/test.hdf5 — the file
+hdf5.rs::test_hdf5_reader walks; our reader must see the same 1000
+rows with doc_id = row index)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from muopdb_spark.sources.hdf5 import (
+    probe_hdf5,
+    read_hdf5_vectors,
+    write_hdf5_vectors,
+)
+
+REF = "/root/reference/rs/index_writer/resources/test.hdf5"
+
+
+def _vec_df(spark, mat, id_offset=0):
+    return spark.createDataFrame(
+        [(id_offset + i, [float(x) for x in mat[i]])
+         for i in range(mat.shape[0])],
+        "vec_id long, embedding array<float>",
+    )
+
+
+# ------------------------------------------------- reference file parity
+
+
+@pytest.mark.skipif(not os.path.exists(REF), reason="reference fixture absent")
+def test_probe_reference_h5py_file():
+    meta = probe_hdf5(REF)
+    assert set(meta) == {"test"}
+    d = meta["test"]
+    assert d.shape == (1000, 128) and d.dtype == "<f4"
+    arr = np.fromfile(
+        REF, dtype=d.dtype, count=1000 * 128, offset=d.data_offset
+    ).reshape(1000, 128)
+    assert np.isfinite(arr).all()
+    # the fixture is uniform [0, 1) noise — a wrong data offset or
+    # dtype would blow these bounds immediately
+    assert 0.0 <= arr.min() and arr.max() < 1.0
+    assert 0.45 < arr.mean() < 0.55
+
+
+@pytest.mark.skipif(not os.path.exists(REF), reason="reference fixture absent")
+def test_reference_file_row_scan_parity(spark):
+    # hdf5.rs test_hdf5_reader: chunk_size 101 over "test" yields 1000
+    # rows, ids = row index. Same contract, distributed.
+    df = read_hdf5_vectors(spark, REF, dataset="test", rows_per_task=101)
+    rows = df.orderBy("vec_id").collect()
+    assert len(rows) == 1000
+    assert [r.vec_id for r in rows[:3]] == [0, 1, 2]
+    assert all(len(r.embedding) == 128 for r in rows[:5])
+    # leading-slash dataset names resolve like the reference's "/train"
+    assert read_hdf5_vectors(spark, REF, dataset="/test",
+                             rows_per_task=500).count() == 1000
+
+
+# ------------------------------------------------------ writer roundtrip
+
+
+def test_write_read_roundtrip_exact(spark, tmp_path):
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(100, 8)).astype(np.float32)
+    p = str(tmp_path / "t.hdf5")
+    assert write_hdf5_vectors(_vec_df(spark, mat), p, dataset="train") == 100
+    meta = probe_hdf5(p)
+    assert meta["train"].shape == (100, 8) and meta["train"].dtype == "<f4"
+    back = read_hdf5_vectors(spark, p, dataset="train",
+                             rows_per_task=17).orderBy("vec_id").collect()
+    got = np.array([r.embedding for r in back], dtype=np.float32)
+    assert (got == mat).all()
+    assert [r.vec_id for r in back] == list(range(100))
+
+
+def test_write_read_float64_roundtrip(spark, tmp_path):
+    rng = np.random.default_rng(11)
+    mat = rng.normal(size=(20, 4)).astype(np.float32)
+    p = str(tmp_path / "d.hdf5")
+    write_hdf5_vectors(_vec_df(spark, mat), p, dataset="v", dtype="<f8")
+    d = probe_hdf5(p)["v"]
+    assert d.dtype == "<f8" and d.shape == (20, 4)
+    back = read_hdf5_vectors(spark, p, dataset="v").orderBy("vec_id")
+    got = np.array([r.embedding for r in back.collect()], dtype=np.float32)
+    assert np.allclose(got, mat)
+
+
+def test_id_offset_synthesis(spark, tmp_path):
+    mat = np.ones((10, 3), dtype=np.float32)
+    p = str(tmp_path / "o.hdf5")
+    write_hdf5_vectors(_vec_df(spark, mat, id_offset=50), p, dataset="x")
+    ids = [r.vec_id for r in
+           read_hdf5_vectors(spark, p, dataset="x", id_offset=50)
+           .orderBy("vec_id").collect()]
+    assert ids == list(range(50, 60))
+
+
+# ------------------------------------------------------------ error paths
+
+
+def test_missing_dataset_lists_available(spark, tmp_path):
+    mat = np.zeros((3, 2), dtype=np.float32)
+    p = str(tmp_path / "m.hdf5")
+    write_hdf5_vectors(_vec_df(spark, mat), p, dataset="train")
+    with pytest.raises(KeyError, match="train"):
+        read_hdf5_vectors(spark, p, dataset="nope")
+
+
+def test_not_hdf5_rejected(tmp_path):
+    p = str(tmp_path / "junk.hdf5")
+    with open(p, "wb") as f:
+        f.write(b"PAR1" + b"\x00" * 100)
+    with pytest.raises(ValueError, match="signature"):
+        probe_hdf5(p)
+
+
+def test_chunked_layout_named_in_error(spark, tmp_path):
+    mat = np.zeros((4, 2), dtype=np.float32)
+    p = str(tmp_path / "c.hdf5")
+    write_hdf5_vectors(_vec_df(spark, mat), p, dataset="train")
+    # flip the layout message class byte (contiguous=1 -> chunked=2):
+    # the parser must refuse by NAME, not misread garbage
+    off = probe_hdf5(p)  # sanity before patching
+    assert off["train"].shape == (4, 2)
+    raw = bytearray(open(p, "rb").read())
+    marker = bytes([3, 1]) + off["train"].data_offset.to_bytes(8, "little")
+    i = raw.find(marker)
+    assert i > 0
+    raw[i + 1] = 2
+    with open(p, "wb") as f:
+        f.write(raw)
+    with pytest.raises(NotImplementedError, match="chunked"):
+        probe_hdf5(p)
+
+
+def test_noncontiguous_ids_rejected(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(0, [1.0]), (2, [2.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="contiguous"):
+        write_hdf5_vectors(df, str(tmp_path / "bad.hdf5"))
+
+
+def test_empty_write_rejected(spark, tmp_path):
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        write_hdf5_vectors(df, str(tmp_path / "e.hdf5"))
