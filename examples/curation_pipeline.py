@@ -193,6 +193,25 @@ def main() -> None:
         ), prev)
         n3b = docs.count()
 
+        # 3c. FUZZY decontamination (the Llama-3/DCLM "fuzzy dedup vs
+        #     benchmarks" pass): paraphrase-adjacent near-dups of a
+        #     benchmark doc clear 3a's gram-fraction threshold only
+        #     partially and 3b cuts only literal windows — drop whole
+        #     docs whose shingle-set Jaccard vs any benchmark doc is
+        #     >= 0.8 (MinHash-LSH candidates, exact-Jaccard verified)
+        from muopdb_spark.operators.contamination import (
+            fuzzy_contamination_verdicts,
+        )
+
+        fuzzy = fuzzy_contamination_verdicts(
+            docs.select("doc_id", "text"), bench_slice, threshold=0.8,
+        )
+        prev = docs
+        docs = _pin(
+            docs.join(fuzzy.select("doc_id"), "doc_id", "left_anti"), prev
+        )
+        n3c = docs.count()
+
         # 4. PII scrub: redact, keep the redacted text
         docs = scrub_pii(docs).withColumn("text", F.col("redacted")).drop("redacted")
 
@@ -423,7 +442,8 @@ def main() -> None:
               f"passage_dup={n2b} span_rewritten={n_span_cut} "
               f"decontaminated={n3} "
               f"(surgical: cut {n_cut_tokens} leaked tokens, "
-              f"{n3b} docs survive) quality={n5} "
+              f"{n3b} docs survive; fuzzy: {n3b - n3c} near-dup "
+              f"docs dropped, {n3c} survive) quality={n5} "
               f"perplexity={n5b} (buckets: {bucket_counts}) "
               f"calibrated={n5c} sampled={n6} "
               f"budget_selected={n6b} "

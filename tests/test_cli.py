@@ -309,6 +309,34 @@ def test_cli_decontaminate(spark, cli, capsys, tmp_path, sf_dir):
     assert cleaned.filter("kept_tokens > n_tokens").count() == 0
 
 
+def test_cli_decontaminate_fuzzy(spark, cli, capsys, tmp_path, sf_dir):
+    bench_dir = str(tmp_path / "bench")
+    corpus_dir = str(tmp_path / "corpus")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.filter("doc_id % 20 = 0").write.parquet(bench_dir)
+    docs.filter("doc_id % 20 != 0").write.parquet(corpus_dir)
+    out_dir = str(tmp_path / "cleaned")
+    r = _run(cli, capsys, ["decontaminate",
+                           "--input", corpus_dir,
+                           "--target", bench_dir,
+                           "--method", "fuzzy",
+                           "--threshold", "0.8",
+                           "--output", out_dir])
+    assert r["method"] == "fuzzy" and r["docs"] == 475
+    assert r["docs_dropped"] > 0  # the fixture plants near-dup pairs
+    cleaned = spark.read.parquet(out_dir)
+    assert cleaned.count() == 475 - r["docs_dropped"]
+    # dropped ids are exactly the verdict rows
+    from muopdb_spark.operators.contamination import (
+        fuzzy_contamination_verdicts,
+    )
+    v = {row.doc_id for row in fuzzy_contamination_verdicts(
+        spark.read.parquet(corpus_dir), spark.read.parquet(bench_dir),
+        threshold=0.8).collect()}
+    kept = {row.doc_id for row in cleaned.select("doc_id").collect()}
+    assert kept.isdisjoint(v) and len(kept) + len(v) == 475
+
+
 def test_cli_curate_full_ladder(spark, cli, capsys, tmp_path, sf_dir):
     bench_dir = str(tmp_path / "bench")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -400,28 +400,50 @@ def _pipeline(spark, args, ap) -> dict:
         manifest["budget_tokens"] = args.budget_tokens
         result = manifest
     elif args.command == "decontaminate":
-        # token-level decontamination: cut the >= k-token windows the
-        # corpus shares with --target (the eval benchmark), keep the
-        # rest of each document
         from pyspark.sql import functions as F
-
-        from muopdb_spark.operators.substring import (
-            remove_contaminated_spans,
-        )
 
         if not args.target:
             ap.error("decontaminate requires --target "
                      "(benchmark parquet path)")
         bench = spark.read.parquet(args.target)
-        out = remove_contaminated_spans(df, bench, k=args.k_tokens)
-        agg = out.agg(
-            F.count("*").alias("docs"),
-            F.sum(F.col("n_tokens") - F.col("kept_tokens")).alias("cut"),
-            F.sum(F.when(F.col("kept_tokens") == 0, 1).otherwise(0))
-            .alias("docs_gutted"),
-        ).first()
-        result = {"docs": agg["docs"], "tokens_cut": agg["cut"] or 0,
-                  "docs_gutted": agg["docs_gutted"], "k": args.k_tokens}
+        if args.method == "fuzzy":
+            # c3: drop whole docs that are MinHash-LSH near-duplicates
+            # of any benchmark doc (paraphrase-robust leakage)
+            from muopdb_spark.operators.contamination import (
+                fuzzy_contamination_verdicts,
+            )
+
+            v = fuzzy_contamination_verdicts(
+                df, bench, threshold=args.threshold,
+            ).localCheckpoint(eager=True)
+            agg = v.agg(
+                F.count("*").alias("dropped"),
+                F.round(F.max("max_jaccard"), 6).alias("max_jaccard"),
+            ).first()
+            result = {"method": "fuzzy", "docs": df.count(),
+                      "docs_dropped": agg["dropped"],
+                      "max_jaccard": agg["max_jaccard"],
+                      "threshold": args.threshold}
+            if args.output:
+                out = df.join(v.select("doc_id"), "doc_id", "left_anti")
+        else:
+            # spans (default): cut the >= k-token windows the corpus
+            # shares with the benchmark, keep the rest of each doc
+            from muopdb_spark.operators.substring import (
+                remove_contaminated_spans,
+            )
+
+            out = remove_contaminated_spans(df, bench, k=args.k_tokens)
+            agg = out.agg(
+                F.count("*").alias("docs"),
+                F.sum(F.col("n_tokens") - F.col("kept_tokens")).alias("cut"),
+                F.sum(F.when(F.col("kept_tokens") == 0, 1).otherwise(0))
+                .alias("docs_gutted"),
+            ).first()
+            result = {"method": "spans", "docs": agg["docs"],
+                      "tokens_cut": agg["cut"] or 0,
+                      "docs_gutted": agg["docs_gutted"],
+                      "k": args.k_tokens}
     elif args.command == "select":
         # the SoftDedup/DCLM ladder's last step: downweight duplicated
         # content (soft_dedup_weights), then sample under a token
@@ -542,8 +564,12 @@ def main(argv=None) -> int:
     ap.add_argument("--output", help="pipeline commands: output parquet path")
     ap.add_argument("--method",
                     choices=["exact", "minhash", "jaccard", "substring",
-                             "line", "soft", "keep-best"],
-                    default="minhash")
+                             "line", "soft", "keep-best", "spans", "fuzzy"],
+                    default="minhash",
+                    help="dedup: exact|minhash|jaccard|substring|line|"
+                         "soft|keep-best; decontaminate: spans (cut "
+                         "shared >=k-token windows) | fuzzy (drop "
+                         "MinHash-LSH near-dups of --target)")
     ap.add_argument("--threshold", type=float, default=0.8)
     ap.add_argument("--k-tokens", type=int, default=10,
                     help="substring: duplicated-span length threshold")
