@@ -247,12 +247,17 @@ def fuzzy_contamination_pairs(
         .localCheckpoint(eager=True)  # bounds the re-shingle semi join
     )
     cand_ids = cand.select(F.col("cid").alias(id_col)).distinct()
+    # candidate volume is benchmark-bounded (eval sets are MBs, and a
+    # corpus doc only becomes a candidate by colliding with one), so
+    # the candidate shingles and pair list broadcast; the only big
+    # side anywhere is the corpus signature scan, which stays map-side
     cand_sh = shingle_df(
         corpus.join(F.broadcast(cand_ids), on=id_col, how="semi"),
         text_col=text_col, id_col=id_col, n=n,
     )
     sa = corpus_sig.join(
-        cand_sh.select(F.col("id"), F.col("sh").alias("sh_a")), "id",
+        F.broadcast(cand_sh.select(F.col("id"), F.col("sh").alias("sh_a"))),
+        "id",
     ).select(
         F.col("id").alias("cid"), "sh_a",
         *[F.col(f"h{i}").alias(f"ha{i}") for i in range(num_hashes)],
@@ -266,7 +271,7 @@ def fuzzy_contamination_pairs(
         for i in range(num_hashes)
     ) / float(num_hashes)
     return (
-        cand.join(sa, "cid").join(F.broadcast(sb), "bid")
+        sa.join(F.broadcast(cand), "cid").join(F.broadcast(sb), "bid")
         .withColumn("est_jaccard", est)
         .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)

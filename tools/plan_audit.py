@@ -217,6 +217,20 @@ CHECKS = {
          "materialized once (lineage-truncating localCheckpoint) and "
          "feeds the band/est/verify branches"),
     ],
+    "c3_fuzzy_decontaminate": [
+        ("BroadcastHashJoin", "the benchmark side (buckets, signatures, "
+         "shingle sets) broadcasts everywhere — the corpus never "
+         "shuffles for candidate generation"),
+        ("LeftSemi", "exact-Jaccard verification re-shingles only "
+         "candidate corpus docs (broadcast semi join into the text "
+         "scan, the d7 treatment)"),
+        ("!SortMergeJoin", "no shuffled join: every join side meeting "
+         "the corpus is broadcast-sized (eval sets are MBs) by "
+         "construction"),
+        ("Scan ExistingRDD", "corpus signatures come from the durable "
+         "d3 artifact / a materialized fixed-width projection — the "
+         "corpus shingle arrays are never materialized"),
+    ],
     "p3_passage_dedup": [
         ("Window", "distinct-doc test is min(doc_id) != max(doc_id) "
          "over a window by passage hash — O(1) state, no "
