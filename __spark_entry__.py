@@ -473,6 +473,7 @@ def _stream_admission_oracle(
     quality_min: float | None = None,
     dsir_min: float | None = None,
     contamination_k: int | None = None,
+    fuzzy_jaccard: float | None = None,
 ) -> str:
     """DuckDB twin of q_stream_admission: symbolic replay of TWO
     sequential admission rounds (intra-batch min-id dedup, then
@@ -588,10 +589,27 @@ def _stream_admission_oracle(
             SELECT DISTINCT chh.doc_id FROM chh JOIN cbg USING (gh)
         ),"""
         qgate += " AND doc_id NOT IN (SELECT doc_id FROM cont_bad)"
+    fz = ""
+    if fuzzy_jaccard is not None:
+        # fuzzy-benchmark gate (w9, c3's streaming face): a batch doc
+        # whose exact shingle Jaccard vs ANY doc of the benchmark
+        # slice (% 20 == 0, the c1/c2/c3 convention) clears the bar is
+        # rejected before dedup. Conjunctive with the other gates, so
+        # oracle-side ordering is immaterial; self-hits (benchmark
+        # members arriving in a batch) reject at jaccard 1.0, exactly
+        # like the Spark side's static benchmark_sig artifact.
+        fz = f"""
+        fbench AS (SELECT * FROM sigb WHERE doc_id % 20 = 0),
+        fuzzy_bad AS (
+            SELECT DISTINCT a.doc_id
+            FROM sigb a JOIN fbench b ON ({cond})
+            WHERE {jac} >= {fuzzy_jaccard}
+        ),"""
+        qgate += " AND doc_id NOT IN (SELECT doc_id FROM fuzzy_bad)"
     return f"""
         WITH {_SHINGLES_CTE},{qual}{imp}{cont}
         sig AS (SELECT doc_id, sh, {hs} FROM s2),
-        sigb AS (SELECT *, {bands} FROM sig),
+        sigb AS (SELECT *, {bands} FROM sig),{fz}
         seed AS (SELECT * FROM sigb WHERE doc_id % 5 >= 2),
         b1s AS (SELECT * FROM sigb WHERE doc_id % 5 = 0{qgate}),
         b2s AS (SELECT * FROM sigb WHERE doc_id % 5 = 1{qgate}),
@@ -2865,6 +2883,54 @@ def q_stream_decontaminated_admission(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_stream_fuzzy_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w9 (r10): fuzzy-decontamination-gated continuous admission — the
+    w5 two-round replay with c3's near-duplicate eval gate: each
+    arriving batch is signed once, and that signature is probed against
+    the DURABLE benchmark signature artifact (minhash_signature_df of
+    the doc_id % 20 == 0 slice, built once — benchmarks are static);
+    docs whose exact shingle Jaccard vs any benchmark doc reaches 0.8
+    are rejected reason='contaminated_fuzzy' BEFORE dedup, their
+    signatures never reach the corpus artifact. The streaming face of
+    c3, as w8 is of c2, w6 of quality, w7 of DSIR. Benchmark members
+    arriving in a batch self-reject at jaccard 1.0 (the literal
+    "never train on eval")."""
+    import shutil
+    import tempfile
+
+    from muopdb_spark.operators.dedup import minhash_signature_df
+    from muopdb_spark.streaming.admission import admit_batch, bootstrap_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench_sig = minhash_signature_df(
+        docs.filter(F.col("doc_id") % 20 == 0)
+    ).localCheckpoint(eager=True)
+    tmp = tempfile.mkdtemp(prefix="muopdb_w9_")
+    try:
+        corpus = os.path.join(tmp, "corpus")
+        sig = os.path.join(tmp, "sigs")
+        rej = os.path.join(tmp, "rejected")
+        bootstrap_corpus(docs.filter(F.col("doc_id") % 5 >= 2), corpus, sig)
+        admit_batch(docs.filter(F.col("doc_id") % 5 == 0), 1, corpus, sig,
+                    rej, benchmark_sig=bench_sig, benchmark_jaccard=0.8)
+        admit_batch(docs.filter(F.col("doc_id") % 5 == 1), 2, corpus, sig,
+                    rej, benchmark_sig=bench_sig, benchmark_jaccard=0.8)
+        out = (
+            spark.read.parquet(corpus)
+            .select(
+                "doc_id",
+                F.when(F.col("doc_id") % 5 == 0, "batch1")
+                .when(F.col("doc_id") % 5 == 1, "batch2")
+                .otherwise("seed")
+                .alias("origin"),
+            )
+            .orderBy("doc_id")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_stream_importance_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """w7: importance-gated continuous admission — the w5 two-round
     replay with a DSIR gate (streaming/admission.py dsir_ratios/
@@ -3639,6 +3705,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW in r10: the streaming face of c2 — decontamination-gated
         # admission (reason='contaminated'), symbolic two-round oracle.
         "w8_stream_decontaminated_admission": q_stream_decontaminated_admission,
+        # NEW late-r10: the streaming face of c3 — fuzzy (MinHash
+        # near-dup) benchmark gate at admission, reusing each batch's
+        # one signing pass; symbolic two-round oracle.
+        "w9_stream_fuzzy_admission": q_stream_fuzzy_admission,
         "d2_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "d7_incremental_minhash": q_incremental_minhash,
         # r7 late swap (see queries()): parked so the r7-new smp6/
@@ -4397,6 +4467,7 @@ def oracle_sql() -> dict[str, str]:
         "d7_incremental_minhash": _incremental_minhash_oracle(),
         "w5_stream_admission": _stream_admission_oracle(),
         "w6_stream_quality_admission": _stream_admission_oracle(quality_min=0.35),
+        "w9_stream_fuzzy_admission": _stream_admission_oracle(fuzzy_jaccard=0.8),
         "w7_stream_importance_admission": _stream_admission_oracle(
             dsir_min=-0.13
         ),

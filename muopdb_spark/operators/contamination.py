@@ -148,7 +148,7 @@ def contamination_report(
 
 def fuzzy_contamination_pairs(
     corpus: DataFrame,
-    benchmark: DataFrame,
+    benchmark: DataFrame | None,
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -208,6 +208,11 @@ def fuzzy_contamination_pairs(
     )
 
     if bench_sig is None:
+        if benchmark is None:
+            raise ValueError(
+                "pass either `benchmark` (text) or `bench_sig` "
+                "(a minhash_signature_df WITH the sh column)"
+            )
         bench_sig = minhash_signature_df(
             benchmark, text_col=text_col, id_col=id_col, n=n,
             num_hashes=num_hashes, bands=bands,

@@ -72,6 +72,8 @@ def admit_batch(
     dsir_ratios: DataFrame | None = None,
     dsir_min: float | None = None,
     dsir_buckets: int = 4096,
+    benchmark_sig: DataFrame | None = None,
+    benchmark_jaccard: float = 0.8,
 ) -> None:
     """One admission round (callable directly for batch pipelines, or
     from the stream's foreachBatch): OPTIONAL quality gate (composite
@@ -98,7 +100,19 @@ def admit_batch(
 
     ``dsir_ratios`` must come from dsir_log_ratios with the SAME
     ``dsir_buckets`` — at 100 TB it is a build-once corpus artifact
-    (see __spark_entry__._dsir_weights_table), not per-batch work."""
+    (see __spark_entry__._dsir_weights_table), not per-batch work.
+
+    ``benchmark_sig`` (OPTIONAL fuzzy-decontamination gate, the
+    streaming face of c3 as ``benchmark_grams`` is of c2): a durable
+    minhash_signature_df of the eval benchmark WITH its `sh` column
+    (build once — benchmarks are static). Docs whose exact shingle
+    Jaccard vs any benchmark doc reaches ``benchmark_jaccard`` are
+    rejected reason='contaminated_fuzzy' with the matched bench id and
+    jaccard recorded. This gate runs right AFTER the batch is signed
+    and REUSES that one signing pass (contamination.
+    fuzzy_contamination_pairs with corpus_sig=batch signature), so it
+    adds no corpus-sized work — only the broadcast band probe and the
+    candidate-bounded verify."""
     spark = batch_df.sparkSession
     batch_df = batch_df.localCheckpoint(eager=True)
     if quality_min is not None:
@@ -190,6 +204,35 @@ def admit_batch(
         num_hashes=num_hashes, bands=bands,
     ).localCheckpoint(eager=True)
 
+    if benchmark_sig is not None:
+        # fuzzy decontamination (c3's streaming face): reuses the
+        # signing pass above — the only added work is benchmark-sized
+        from muopdb_spark.operators.contamination import (
+            fuzzy_contamination_pairs,
+        )
+
+        fz = fuzzy_contamination_pairs(
+            batch_df, None, text_col=text_col, id_col=id_col, n=n,
+            num_hashes=num_hashes, bands=bands,
+            threshold=benchmark_jaccard,
+            bench_sig=benchmark_sig, corpus_sig=bsig,
+        ).localCheckpoint(eager=True)
+        if not fz.isEmpty():
+            fz.select(
+                F.col(id_col).cast("long").alias("new_id"),
+                F.col("bench_id").cast("long").alias("corpus_id"),
+                "est_jaccard", "jaccard",
+                F.lit("contaminated_fuzzy").alias("reason"),
+                F.lit(batch_id).cast("long").alias("batch_id"),
+            ).write.mode("append").parquet(rejected_path)
+        fz_ids = fz.select(id_col).distinct()
+        batch_df = batch_df.join(fz_ids, id_col, "left_anti")
+        bsig = bsig.join(
+            fz_ids.select(F.col(id_col).alias("id")), "id", "left_anti",
+        )
+        if batch_df.isEmpty():
+            return
+
     # intra-batch: a batch can carry near-dups of itself that the
     # corpus artifact knows nothing about
     intra = minhash_lsh_pairs(
@@ -270,6 +313,8 @@ def stream_admission(
     dsir_ratios: DataFrame | None = None,
     dsir_min: float | None = None,
     dsir_buckets: int = 4096,
+    benchmark_sig: DataFrame | None = None,
+    benchmark_jaccard: float = 0.8,
     trigger_available_now: bool = False,
     processing_time: str = "1 second",
 ):
@@ -287,6 +332,8 @@ def stream_admission(
             quality_min=quality_min, benchmark_grams=benchmark_grams,
             contamination_k=contamination_k, dsir_ratios=dsir_ratios,
             dsir_min=dsir_min, dsir_buckets=dsir_buckets,
+            benchmark_sig=benchmark_sig,
+            benchmark_jaccard=benchmark_jaccard,
         )
         batch_df.sparkSession.catalog.clearCache()
 

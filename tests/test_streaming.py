@@ -400,6 +400,48 @@ def test_admit_batch_importance_gate(spark, tmp_path):
     assert 10 in admitted and 11 not in admitted
 
 
+def test_admit_batch_fuzzy_decontamination_gate(spark, tmp_path):
+    """Fuzzy benchmark gate (w9, c3's streaming face): a batch doc that
+    is a near-duplicate of an eval doc — but shares no long literal
+    window and so passes the w8 gram gate — is rejected
+    reason='contaminated_fuzzy' with the matched bench id and jaccard
+    recorded; its signature never reaches the artifact."""
+    from muopdb_spark.operators.dedup import minhash_signature_df
+    from muopdb_spark.streaming.admission import admit_batch, bootstrap_corpus
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    bench = spark.createDataFrame(
+        [(100, bench_text)], "doc_id long, text string",
+    )
+    bench_sig = minhash_signature_df(bench)
+    corpus_path, sig_path = str(tmp_path / "c"), str(tmp_path / "s")
+    rejected_path = str(tmp_path / "r")
+    bootstrap_corpus(
+        spark.createDataFrame(
+            [(1, "totally unrelated seed content about rivers and stones")],
+            "doc_id long, text string",
+        ),
+        corpus_path, sig_path,
+    )
+    batch = spark.createDataFrame(
+        [(5, bench_text),  # verbatim benchmark leak
+         (6, "completely clean document with no benchmark overlap here")],
+        "doc_id long, text string",
+    )
+    admit_batch(batch, 3, corpus_path, sig_path, rejected_path,
+                threshold=0.5,
+                benchmark_sig=bench_sig, benchmark_jaccard=0.8)
+    rej = [r for r in spark.read.parquet(rejected_path).collect()]
+    fz = [r for r in rej if r["reason"] == "contaminated_fuzzy"]
+    assert len(fz) == 1
+    assert (fz[0]["new_id"], fz[0]["corpus_id"]) == (5, 100)
+    assert fz[0]["jaccard"] == 1.0
+    assert {r["doc_id"] for r in spark.read.parquet(corpus_path).collect()} \
+        == {1, 6}
+    # the leaked doc's signature must NOT poison the artifact
+    assert {r["id"] for r in spark.read.parquet(sig_path).collect()} == {1, 6}
+
+
 def test_admit_batch_decontamination_gate(spark, tmp_path):
     """Benchmark-overlap gate (w8): a batch doc sharing a >= k-token
     window with the eval set is rejected reason='contaminated' (null
