@@ -77,6 +77,43 @@ def main() -> None:
                                  num_probes=2, centroid_distance_ratio=None)
     print("multi-user ANN:", [(r["user_id"], r["id"], round(r["score"], 3))
                               for r in out.collect()])
+
+    # 7. offline HDF5 ingest — the reference index_writer's exact
+    #    pipeline (read vectors from an HDF5 file -> build the index ->
+    #    search), via the pure-Python distributed reader. Uses the
+    #    reference's own h5py-written fixture when present, else a
+    #    file written by our spec writer.
+    from muopdb_spark.index.ivf import build_ivf, ivf_search
+    from muopdb_spark.sources.hdf5 import (
+        read_hdf5_vectors,
+        write_hdf5_vectors,
+    )
+
+    ref = "/root/reference/rs/index_writer/resources/test.hdf5"
+    if os.path.exists(ref):
+        h5_path, ds = ref, "test"
+    else:
+        h5_path = os.path.join(tempfile.mkdtemp(prefix="muopdb_h5_"),
+                               "vectors.hdf5")
+        ds = "train"
+        write_hdf5_vectors(
+            spark.range(200).select(
+                F.col("id").alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(8)),
+                    lambda i: (F.col("id") % 10 + i).cast("float"),
+                ).alias("embedding"),
+            ),
+            h5_path, dataset=ds,
+        )
+    vecs = read_hdf5_vectors(spark, h5_path, dataset=ds, rows_per_task=256)
+    n, dim = vecs.count(), len(vecs.first()["embedding"])
+    h5_idx = build_ivf(vecs, num_centroids=8, seed=42)
+    q = vecs.filter("vec_id = 0").first()["embedding"]
+    hits = ivf_search(h5_idx, list(q), k=3, num_probes=8)
+    print(f"hdf5 ingest: {n}x{dim} from {os.path.basename(h5_path)};",
+          "top-3 for row 0:",
+          [(r["id"], round(r["score"], 3)) for r in hits.collect()])
     spark.stop()
 
 
