@@ -65,6 +65,10 @@ QUERIES = [
     "c2_decontaminate_spans",
     "smp9_weighted_budget_fill",
     "pipe3_curation_manifest_v3",
+    # late-r10 extension: fuzzy benchmark decontamination (benchmark
+    # slice grows with the corpus here, so the broadcast side scales
+    # too — a stricter test than the static-eval production case)
+    "c3_fuzzy_decontaminate",
 ]
 
 
@@ -151,6 +155,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = {**m.queries(), **m.extra_queries(), **_extra_sweep_queries()}
 
+    # optional argv filter: sweep only the named queries (incremental
+    # extension runs don't re-pay the whole table)
+    only = [a for a in sys.argv[1:] if not a.startswith("-")]
+    queries = [q for q in QUERIES if not only or q in only]
+
     sf3 = os.path.join(WORK, "sf0.3")
     sf5 = os.path.join(WORK, "sf0.5")
     synthesize(spark, 3, sf3)
@@ -158,7 +167,7 @@ def main() -> None:
     dirs = [("sf0.1", BASE), ("sf0.3", sf3), ("sf0.5", sf5)]
 
     times: dict[str, dict[str, float]] = {}
-    for name in QUERIES:
+    for name in queries:
         qs[name](spark, "/root/testdata/sf0.001").collect()  # precompile
         times[name] = {}
         for label, d in dirs:
