@@ -2315,6 +2315,73 @@ def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t17: unicode/whitespace canonicalization (operators/normalize).
+    The fixture text is clean ASCII, so deterministic DIRT is planted
+    per doc — a combining-accent sequence (NFC must compose it), a
+    zero-width space, a tab, CRLF, a bell control, double spaces —
+    and the oracle (DuckDB nfc_normalize + the same regex ladder,
+    chr()-composed plant) must reproduce the cleaned text md5 and
+    char accounting exactly."""
+    from muopdb_spark.operators.normalize import clean_text
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("  cafe\u0301 \u200bza\tp\r\nline\x07two "),
+            (F.col("doc_id") % 3).cast("string"),
+        ).alias("text"),
+    )
+    out = clean_text(docs)
+    return out.select(
+        "doc_id",
+        F.md5("text_clean").alias("clean_md5"),
+        "n_chars_in", "n_chars_out", "changed",
+    ).orderBy("doc_id")
+
+
+def _clean_text_sql() -> str:
+    """DuckDB twin of q_unicode_clean: nfc_normalize + the identical
+    regex ladder (operators/normalize.py order), planted dirt composed
+    with chr() so both engines clean byte-identical input."""
+    plant = (
+        "text || '  cafe' || chr(769) || ' ' || chr(8203)"
+        " || 'za' || chr(9) || 'p' || chr(13) || chr(10)"
+        " || 'line' || chr(7) || 'two ' || (doc_id % 3)"
+    )
+    steps = f"""
+        d0 AS (SELECT doc_id, {plant} AS t0 FROM documents),
+        d1 AS (SELECT doc_id, length(t0) AS n_in,
+                      nfc_normalize(t0) AS t1 FROM d0),
+        d2 AS (SELECT doc_id, n_in, regexp_replace(t1,
+                  '[\\x{{200b}}\\x{{200c}}\\x{{200d}}\\x{{feff}}\\x{{00ad}}]',
+                  '', 'g') AS t2 FROM d1),
+        d3 AS (SELECT doc_id, n_in,
+                      regexp_replace(t2, '\\r\\n|\\r', chr(10), 'g') AS t3
+               FROM d2),
+        d4 AS (SELECT doc_id, n_in, regexp_replace(t3,
+                  '[\\x{{00}}-\\x{{08}}\\x{{0b}}-\\x{{0c}}\\x{{0e}}-\\x{{1f}}\\x{{7f}}]',
+                  '', 'g') AS t4 FROM d3),
+        d5 AS (SELECT doc_id, n_in, replace(t4, chr(9), ' ') AS t5 FROM d4),
+        d6 AS (SELECT doc_id, n_in,
+                      regexp_replace(t5, ' {{2,}}', ' ', 'g') AS t6 FROM d5),
+        d7 AS (SELECT doc_id, n_in,
+                      regexp_replace(t6, ' *\\n *', chr(10), 'g') AS t7
+               FROM d6),
+        d8 AS (SELECT doc_id, n_in,
+                      trim(t7, ' ' || chr(10)) AS tc FROM d7)
+    """
+    return f"""
+        WITH {steps}
+        SELECT doc_id, md5(tc) AS clean_md5,
+               n_in::BIGINT AS n_chars_in,
+               length(tc)::BIGINT AS n_chars_out,
+               TRUE AS changed
+        FROM d8 ORDER BY doc_id
+    """
+
+
 def _planted_pii_text() -> F.Column:
     """Deterministic synthetic PII appended per doc (fixture text is
     verified digit- and @-free, so counts are fully determined)."""
@@ -3554,7 +3621,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c1_contamination_ngram": q_contamination,
         "p1_pii_scrub": q_pii_scrub,
         "p2_sequence_pack": q_sequence_pack,
-        "t5_repetition_stats": q_repetition_stats,
+        # r10-NEW operator (landing-round first driver row): t17
+        # unicode/whitespace canonicalization — the pre-dedup text
+        # normalization pass (NFC + invisibles/controls/whitespace
+        # ladder). Parks t5_repetition_stats (driver-green r2-r9; the
+        # quality-stats family keeps t7/t8/t11 in-window). Oracle
+        # checked at sf0.01 BEFORE the swap.
+        "t17_unicode_clean": q_unicode_clean,
         "d6_dup_clusters": q_dup_clusters,
         "t6_bm25": q_bm25,
         "h3_hybrid_rrf": q_hybrid_rrf,
@@ -3699,6 +3772,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decontamination gets its landing-round first driver row;
         # batch-ANN family keeps mu2 in-window (+ v22 here).
         "v23_ann_batch_pq_rerank": q_ann_batch_pq_rerank,
+        # t5 parked in late r10 (driver-green r2-r9) so t17's
+        # normalization pass gets its landing-round first driver row;
+        # quality-stats family keeps t7/t8/t11 in-window.
+        "t5_repetition_stats": q_repetition_stats,
         # src2 parked in r10 (driver-green r5-r9) so src4's literal
         # HDF5 boundary gets its landing-round first driver row.
         "src2_fvecs_roundtrip": q_fvecs_roundtrip,
@@ -5104,6 +5181,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY c.doc_id
         """,
         "c3_fuzzy_decontaminate": _fuzzy_contamination_oracle(),
+        "t17_unicode_clean": _clean_text_sql(),
         "p1_pii_scrub": _pii_oracle(),
         "src1_jsonl_roundtrip": """
             SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5

@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "c3_fuzzy_decontaminate",
     # r10: literal HDF5 boundary (pure-Python spec reader/writer)
     "src4_hdf5_roundtrip",
+    # r10: unicode/whitespace canonicalization (one Arrow pass)
+    "t17_unicode_clean",
 ]
 
 

@@ -86,6 +86,23 @@ def main() -> None:
         )
         n0 = docs.count()
 
+        # 0b. unicode/whitespace canonicalization (t17) BEFORE any
+        #     hashing: NFC-variant or invisibly-padded duplicates must
+        #     hash identically for every dedup stage below (the
+        #     fixture is clean ASCII, so n_cleaned is 0 here — the
+        #     stage earns its keep on real corpora, where the
+        #     real-corpus smoke test exercises it)
+        from muopdb_spark.operators.normalize import clean_text
+
+        cl = clean_text(docs)
+        n_cleaned = cl.filter("changed").count()
+        prev = docs
+        docs = _pin(docs.drop("text").join(
+            cl.filter("text_clean IS NOT NULL")
+              .select("doc_id", F.col("text_clean").alias("text")),
+            "doc_id",
+        ), prev)
+
         # 1. exact dedup: keep the canonical copy of byte-identical docs
         canon = exact_dedup(docs).filter("is_canonical").select("doc_id")
         docs = _pin(docs.join(canon, "doc_id", "left_semi"))
@@ -437,7 +454,8 @@ def main() -> None:
         reject_by_reason = {r["reason"]: r["count"] for r in audit}
         n_rejected = sum(reject_by_reason.values())
 
-        print(f"ingested={n0} exact_dedup={n1} line_dedup={n1b} "
+        print(f"ingested={n0} (cleaned_changed={n_cleaned}) "
+              f"exact_dedup={n1} line_dedup={n1b} "
               f"keep_best={n2} (keeper_not_min_id={n_keeper_not_min}) "
               f"passage_dup={n2b} span_rewritten={n_span_cut} "
               f"decontaminated={n3} "

@@ -353,6 +353,7 @@ def test_cli_curate_full_ladder(spark, cli, capsys, tmp_path, sf_dir):
     # stages are monotone non-increasing in docs
     assert (r["ingested"] >= r["exact_dedup"] >= r["line_dedup"]
             >= r["keep_best"] >= r["decontaminated"]
+            >= r["fuzzy_decontaminated"]
             >= r["quality_gated"] >= r["budget_selected"] > 0)
     assert r["decontaminated_tokens_cut"] > 0
     # kept tokens land near the budget (binomial noise)

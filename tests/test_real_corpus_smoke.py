@@ -218,3 +218,24 @@ def test_real_corpus_long_line_and_cjk_tokens(spark):
         "doc_id", ws_token_count("text").alias("n")).collect()}
     assert toks[1] == 4 * 320
     assert toks[2] >= 1  # CJK: one ws token, never a crash or zero
+
+
+def test_real_corpus_unicode_normalization(spark):
+    """t17 over real prose: cleaned text is NFC, whitespace-canonical,
+    and the cleanup is a fixed point (idempotent) — the property that
+    makes pre-dedup canonicalization safe to re-run."""
+    import unicodedata
+
+    from muopdb_spark.operators.normalize import clean_text
+
+    docs = _corpus(spark)
+    out = clean_text(docs).localCheckpoint(eager=True)
+    for r in out.collect():
+        tc = r["text_clean"]
+        if not tc:
+            continue
+        assert unicodedata.is_normalized("NFC", tc), r["doc_id"]
+        assert "\t" not in tc and "\r" not in tc
+        assert "  " not in tc and " \n" not in tc and "\n " not in tc
+    again = clean_text(out.selectExpr("doc_id", "text_clean as text"))
+    assert again.filter("changed").count() == 0

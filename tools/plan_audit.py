@@ -217,6 +217,15 @@ CHECKS = {
          "materialized once (lineage-truncating localCheckpoint) and "
          "feeds the band/est/verify branches"),
     ],
+    "t17_unicode_clean": [
+        ("ArrowEvalPython", "the unavoidable Python hop (Spark has no "
+         "NFC builtin) — ONE vectorized Arrow pass carrying the whole "
+         "ladder; every downstream reference reads its output "
+         "attribute, never re-evaluates"),
+        ("!SortMergeJoin", "no joins of any kind: pure map-side "
+         "projection + the final presentation sort"),
+        ("!BroadcastHashJoin", "same"),
+    ],
     "c3_fuzzy_decontaminate": [
         ("BroadcastHashJoin", "the benchmark side (buckets, signatures, "
          "shingle sets) broadcasts everywhere — the corpus never "

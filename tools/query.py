@@ -310,11 +310,13 @@ def _pipeline(spark, args, ap) -> dict:
                 "tokens": agg["tokens"], "bytes": agg["bytes"],
                 "merges": len(merges), "path": args.output}
     elif args.command == "curate":
-        # the whole curation ladder in one verb: exact dedup ->
+        # the whole curation ladder in one verb: unicode/whitespace
+        # canonicalization -> exact dedup ->
         # line-level keep-first dedup -> near-dup keep-best ->
-        # (optional) token-level decontamination vs --target ->
-        # quality gate -> soft-dedup weights + weighted token-budget
-        # selection -> curated parquet + stage manifest
+        # (optional, vs --target) token-level decontamination + fuzzy
+        # near-dup benchmark drop -> quality gate -> soft-dedup
+        # weights + weighted token-budget selection -> curated
+        # parquet + stage manifest
         from pyspark.sql import functions as F
 
         from muopdb_spark.operators.dedup import (
@@ -342,6 +344,16 @@ def _pipeline(spark, args, ap) -> dict:
         manifest = {}
         docs = df.select("doc_id", "text").localCheckpoint(eager=True)
         manifest["ingested"] = docs.count()
+        # stage 0: unicode/whitespace canonicalization BEFORE any
+        # hashing — NFC-variant or invisibly-padded duplicates must
+        # hash identically for every dedup stage below
+        from muopdb_spark.operators.normalize import clean_text
+
+        cl = clean_text(docs)
+        manifest["cleaned_changed"] = cl.filter("changed").count()
+        docs = cl.filter("text_clean IS NOT NULL").select(
+            "doc_id", F.col("text_clean").alias("text")
+        ).localCheckpoint(eager=True)
         canon = exact_dedup(docs).filter("is_canonical").select("doc_id")
         docs = docs.join(canon, "doc_id", "left_semi") \
             .localCheckpoint(eager=True)
@@ -373,6 +385,18 @@ def _pipeline(spark, args, ap) -> dict:
                 "doc_id",
             ).localCheckpoint(eager=True)
             manifest["decontaminated"] = docs.count()
+            # fuzzy pass (c3): near-dup paraphrases of benchmark docs
+            # that survive the literal window cuts drop whole
+            from muopdb_spark.operators.contamination import (
+                fuzzy_contamination_verdicts,
+            )
+
+            fz = fuzzy_contamination_verdicts(
+                docs, bench, threshold=max(args.threshold, 0.8),
+            )
+            docs = docs.join(fz.select("doc_id"), "doc_id", "left_anti") \
+                .localCheckpoint(eager=True)
+            manifest["fuzzy_decontaminated"] = docs.count()
         if args.quality_min is not None:
             ok = quality_features(docs).filter(
                 F.col("quality") >= float(args.quality_min)
