@@ -2315,6 +2315,112 @@ def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rep1: per-source dataset hygiene report (operators/report) —
+    the FineWeb/Dolma-style dataset card: per source, doc/token mass,
+    mean quality (exact micro-quality accumulation), exact-dup rate,
+    benchmark contamination rate (vs the c1 %20 slice, served from
+    the durable gram artifact), majority language (deterministic
+    tie-break) and language count. One corpus pass per feature family,
+    one source-cardinality rollup."""
+    from muopdb_spark.operators.report import source_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_report(
+        docs, lang_col="lang",
+        bench_grams=_bench_grams(spark, sf_dir),
+        n=3, contamination_threshold=0.2,
+    ).orderBy("source")
+
+
+def _source_report_sql() -> str:
+    """DuckDB twin of q_source_report: the t2 quality formula, d1
+    fingerprint rule, and c1 contamination CTEs rolled up per source
+    with the SAME arithmetic (integer counts, micro-quality integer
+    sum, one/two fixed-order IEEE divisions)."""
+    return rf"""
+        WITH q0 AS (
+            SELECT doc_id, source, lang,
+                   length(text) AS n_chars,
+                   {_TOKS} AS toks,
+                   length(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')) AS alnum_ws
+            FROM documents
+        ),
+        q1 AS (
+            SELECT doc_id, source, lang,
+                   len(toks)::BIGINT AS n_tokens,
+                   CAST(round(round(least(1.0, len(toks) / 50.0)
+                        * (CASE WHEN n_chars > 0 THEN alnum_ws::DOUBLE / n_chars ELSE 0.0 END)
+                        * (0.5 + 0.5 * least(1.0,
+                              (CASE WHEN len(toks) > 0
+                                    THEN len(list_filter(toks, t -> list_contains({_stoplist_sql('en')}, t)))::DOUBLE / len(toks)
+                                    ELSE 0.0 END) * 5.0)), 6) * 1e6) AS BIGINT) AS qmic
+            FROM q0
+        ),
+        fp AS (
+            SELECT doc_id,
+                   doc_id = min(doc_id) OVER (PARTITION BY
+                       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                   ) AS is_canonical
+            FROM documents
+        ),
+        sh0 AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 3
+                        THEN list_distinct(list_transform(
+                             range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                        ELSE []::VARCHAR[] END AS sh
+            FROM q0
+        ),
+        bg AS (SELECT DISTINCT unnest(sh) AS gram FROM sh0 WHERE doc_id % 20 = 0),
+        hits AS (
+            SELECT e.doc_id, count(*)::BIGINT AS n_hit
+            FROM (SELECT doc_id, unnest(sh) AS gram FROM sh0) e
+            JOIN bg USING (gram) GROUP BY e.doc_id
+        ),
+        cont AS (
+            SELECT sh0.doc_id,
+                   len(sh0.sh) > 0 AND
+                   round(coalesce(hits.n_hit, 0)::DOUBLE / len(sh0.sh), 6)
+                       >= 0.2 AS is_contaminated
+            FROM sh0 LEFT JOIN hits USING (doc_id)
+        ),
+        per AS (
+            SELECT q1.*, fp.is_canonical,
+                   coalesce(cont.is_contaminated, FALSE) AS is_contaminated
+            FROM q1 JOIN fp USING (doc_id) LEFT JOIN cont USING (doc_id)
+        ),
+        roll AS (
+            SELECT source,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_tokens)::BIGINT AS total_tokens,
+                   round(sum(n_tokens)::DOUBLE / count(*), 6) AS mean_tokens,
+                   round((sum(qmic)::DOUBLE / 1000000.0) / count(*), 6) AS mean_quality,
+                   round(sum(CASE WHEN is_canonical THEN 0 ELSE 1 END)::DOUBLE
+                         / count(*), 6) AS exact_dup_rate,
+                   round(sum(CASE WHEN is_contaminated THEN 1 ELSE 0 END)::DOUBLE
+                         / count(*), 6) AS contaminated_rate
+            FROM per GROUP BY source
+        ),
+        lc AS (
+            SELECT source, lang, count(*)::BIGINT AS cnt
+            FROM per GROUP BY source, lang
+        ),
+        tl AS (
+            SELECT source,
+                   max(CASE WHEN rn = 1 THEN lang END) AS top_lang,
+                   count(*)::BIGINT AS n_langs
+            FROM (SELECT *, row_number() OVER (PARTITION BY source
+                          ORDER BY cnt DESC, lang ASC) AS rn FROM lc)
+            GROUP BY source
+        )
+        SELECT roll.*, tl.top_lang, tl.n_langs
+        FROM roll JOIN tl USING (source)
+        ORDER BY source
+    """
+
+
 def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t17: unicode/whitespace canonicalization (operators/normalize).
     The fixture text is clean ASCII, so deterministic DIRT is planted
@@ -3630,7 +3736,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t17_unicode_clean": q_unicode_clean,
         "d6_dup_clusters": q_dup_clusters,
         "t6_bm25": q_bm25,
-        "h3_hybrid_rrf": q_hybrid_rrf,
+        # r10-NEW operator (landing-round first driver row): rep1
+        # per-source dataset hygiene report (the dataset-card rollup).
+        # Parks h3_hybrid_rrf (driver-green r1-r9; hybrid family keeps
+        # h2 in-window, relevance family keeps t6). Oracle checked at
+        # sf0.01 BEFORE the swap.
+        "rep1_source_report": q_source_report,
         # r5 rotation: the three r4-new operators take driver slots this
         # round so each gets a driver-green correctness row; the three
         # rows they displaced (t4_fingerprints, m2_frame_sample,
@@ -3776,6 +3887,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # normalization pass gets its landing-round first driver row;
         # quality-stats family keeps t7/t8/t11 in-window.
         "t5_repetition_stats": q_repetition_stats,
+        # h3 parked in late r10 (driver-green r1-r9) so rep1's dataset
+        # report gets its landing-round first driver row; hybrid family
+        # keeps h2 in-window, relevance keeps t6.
+        "h3_hybrid_rrf": q_hybrid_rrf,
         # src2 parked in r10 (driver-green r5-r9) so src4's literal
         # HDF5 boundary gets its landing-round first driver row.
         "src2_fvecs_roundtrip": q_fvecs_roundtrip,
@@ -5182,6 +5297,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "c3_fuzzy_decontaminate": _fuzzy_contamination_oracle(),
         "t17_unicode_clean": _clean_text_sql(),
+        "rep1_source_report": _source_report_sql(),
         "p1_pii_scrub": _pii_oracle(),
         "src1_jsonl_roundtrip": """
             SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5

@@ -105,6 +105,8 @@ BENCH_QUERIES = [
     "src4_hdf5_roundtrip",
     # r10: unicode/whitespace canonicalization (one Arrow pass)
     "t17_unicode_clean",
+    # r10: per-source dataset hygiene report
+    "rep1_source_report",
 ]
 
 

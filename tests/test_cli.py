@@ -379,3 +379,17 @@ def test_cli_tokens_export(spark, cli, capsys, tmp_path, sf_dir):
     for sid in range(4):
         assert os.path.exists(f"{out_dir}/shard_{sid}.bin")
         assert os.path.exists(f"{out_dir}/shard_{sid}.idx")
+
+
+def test_cli_source_report(spark, cli, capsys, tmp_path, sf_dir):
+    bench_dir = str(tmp_path / "bench")
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .filter("doc_id % 20 = 0").write.parquet(bench_dir)
+    r = _run(cli, capsys, ["report",
+                           "--input", f"{sf_dir}/documents.parquet",
+                           "--target", bench_dir])
+    assert r["sources"] == len(r["rows"]) > 0
+    for row in r["rows"]:
+        assert row["n_docs"] > 0 and 0 <= row["exact_dup_rate"] <= 1
+        assert 0 <= row["contaminated_rate"] <= 1
+        assert row["top_lang"] and row["n_langs"] >= 1

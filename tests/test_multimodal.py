@@ -67,8 +67,11 @@ def test_decode_image_stub_raises(media):
         decode_image(media)
 
 
-def test_hdf5_source_gated(spark):
+def test_hdf5_source_errors_are_plain(spark):
+    # the HDF5 source is a REAL pure-Python reader since r10 (no h5py
+    # gate any more — tests/test_hdf5.py covers it); missing files and
+    # non-HDF5 bytes fail with ordinary, named errors
     from muopdb_spark.sources.hdf5 import read_hdf5_vectors
 
-    with pytest.raises(NotImplementedError, match="h5py"):
+    with pytest.raises(FileNotFoundError):
         read_hdf5_vectors(spark, "/nonexistent.h5")

@@ -217,6 +217,18 @@ CHECKS = {
          "materialized once (lineage-truncating localCheckpoint) and "
          "feeds the band/est/verify branches"),
     ],
+    "rep1_source_report": [
+        ("BroadcastHashJoin", "the benchmark gram table broadcasts "
+         "into the contamination probe; the per-doc feature joins "
+         "meet on the id key"),
+        ("Window", "the exact-dup canonical rule (min id per "
+         "fingerprint) and the deterministic top_lang pick are "
+         "windows over BOUNDED partitions (dup groups / "
+         "source-language counts)"),
+        ("partial_", "every per-source rate partial-aggregates "
+         "map-side; only source-cardinality rows cross the wire in "
+         "the rollup"),
+    ],
     "t17_unicode_clean": [
         ("ArrowEvalPython", "the unavoidable Python hop (Spark has no "
          "NFC builtin) — ONE vectorized Arrow pass carrying the whole "

@@ -61,7 +61,7 @@ sys.path.insert(0, "/root/repo")
 COLLECTION_CMDS = {"create", "insert", "remove", "search", "term-search", "stats", "optimize", "flush", "inspect"}
 PIPELINE_CMDS = {"dedup", "lm-score", "chunk", "shard", "quality", "admit",
                  "dsir", "vocab", "split", "ppl-buckets", "bpe", "select",
-                 "decontaminate", "curate", "tokens"}
+                 "decontaminate", "curate", "tokens", "report"}
 
 
 def _pipeline(spark, args, ap) -> dict:
@@ -423,6 +423,24 @@ def _pipeline(spark, args, ap) -> dict:
         )
         manifest["budget_tokens"] = args.budget_tokens
         result = manifest
+    elif args.command == "report":
+        # per-source dataset hygiene card: doc/token mass, mean
+        # quality, exact-dup rate, majority language, and (with
+        # --target) benchmark contamination rate
+        from muopdb_spark.operators.contamination import benchmark_grams
+        from muopdb_spark.operators.report import source_report
+
+        bg = None
+        if args.target:
+            bg = benchmark_grams(spark.read.parquet(args.target))
+        cols = set(df.columns)
+        out = source_report(
+            df,
+            lang_col="lang" if "lang" in cols else None,
+            bench_grams=bg,
+        ).orderBy("source")
+        rows = [r.asDict() for r in out.collect()]
+        result = {"sources": len(rows), "rows": rows}
     elif args.command == "decontaminate":
         from pyspark.sql import functions as F
 
