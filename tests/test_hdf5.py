@@ -150,3 +150,50 @@ def test_empty_write_rejected(spark, tmp_path):
     df = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="empty"):
         write_hdf5_vectors(df, str(tmp_path / "e.hdf5"))
+
+
+# ------------------------------------------------- property: roundtrip
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(n=st.integers(1, 40), dim=st.integers(1, 16),
+       dtype=st.sampled_from(["<f4", "<f8", "<i4", "<i8"]),
+       seed=st.integers(0, 2**31 - 1), offset=st.integers(0, 1000))
+def test_write_probe_read_roundtrip_property(spark, tmp_path_factory,
+                                             n, dim, dtype, seed, offset):
+    """Any (n, dim) matrix under any supported dtype survives
+    write -> probe -> raw region read byte-exactly, and the
+    distributed reader resynthesizes ids from the offset. Floats get
+    planted NaN/inf: the format stores raw bits, nothing may
+    canonicalize them."""
+    rng = np.random.default_rng(seed)
+    if dtype[1] == "f":
+        mat = rng.normal(scale=100.0, size=(n, dim)).astype(np.float32)
+        mat.flat[rng.integers(0, mat.size)] = np.inf
+        mat.flat[rng.integers(0, mat.size)] = np.nan
+    else:
+        mat = rng.integers(-1000, 1000, size=(n, dim)).astype(np.float32)
+    p = str(tmp_path_factory.mktemp("h5prop") / "p.hdf5")
+    assert write_hdf5_vectors(
+        _vec_df(spark, mat, id_offset=offset), p, dataset="d", dtype=dtype
+    ) == n
+    meta = probe_hdf5(p)["d"]
+    assert meta.shape == (n, dim) and meta.dtype == dtype
+    # raw contiguous region is exactly the dtype-cast matrix bits
+    got = np.fromfile(p, dtype=np.dtype(dtype), count=n * dim,
+                      offset=meta.data_offset).reshape(n, dim)
+    assert got.tobytes() == mat.astype(np.dtype(dtype)).tobytes()
+    # distributed reader: ids + float32 view of the values
+    back = read_hdf5_vectors(spark, p, dataset="d", id_offset=offset,
+                             rows_per_task=7).orderBy("vec_id").collect()
+    assert [r.vec_id for r in back] == list(range(offset, offset + n))
+    got2 = np.array([r.embedding for r in back], dtype=np.float32)
+    exp2 = mat.astype(np.dtype(dtype)).astype(np.float32)
+    assert (np.isnan(got2) == np.isnan(exp2)).all()
+    m = ~np.isnan(exp2)
+    assert (got2[m] == exp2[m]).all()
