@@ -2315,6 +2315,95 @@ def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_annealing_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """smp10: two-phase annealing selection schedule
+    (operators/sampling.phase_budget_schedule) — warmup phase samples
+    15k tokens uniformly, then the ANNEALING phase samples 5k tokens
+    from the remainder under quality upweighting (the Llama-3-style
+    "finish on the best data" recipe). Each phase is smp8's exact
+    deterministic contract; membership is set algebra over the phase
+    chain (doc appears in at most one phase)."""
+    from muopdb_spark.operators.sampling import phase_budget_schedule
+    from muopdb_spark.operators.textstats import (
+        quality_features,
+        ws_token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", ws_token_count("text").cast("long").alias("n_tokens")
+    ).join(
+        quality_features(docs).select("doc_id", "quality"), "doc_id"
+    ).withColumn("uniform", F.lit(1.0))
+    return phase_budget_schedule(
+        base, key_col="doc_id", token_col="n_tokens",
+        phases=[("warmup", "uniform", 15000), ("anneal", "quality", 5000)],
+    ).orderBy("doc_id", "phase")
+
+
+def _annealing_schedule_sql() -> str:
+    """DuckDB twin of q_annealing_schedule: the smp8 lambda/hash
+    contract unrolled over the two-phase chain (phase 2's mass sums
+    over phase 1's complement); quality weights from the t2 formula."""
+    toks_ws = (
+        "len(list_filter(string_split_regex(trim(text), '\\s+'),"
+        " x -> x <> ''))::BIGINT"
+    )
+    return rf"""
+        WITH q0 AS (
+            SELECT doc_id,
+                   {toks_ws} AS n_tokens,
+                   length(text) AS n_chars,
+                   {_TOKS} AS toks,
+                   length(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')) AS alnum_ws
+            FROM documents
+        ),
+        base AS (
+            SELECT doc_id, n_tokens,
+                   round(least(1.0, len(toks) / 50.0)
+                        * (CASE WHEN n_chars > 0 THEN alnum_ws::DOUBLE / n_chars ELSE 0.0 END)
+                        * (0.5 + 0.5 * least(1.0,
+                              (CASE WHEN len(toks) > 0
+                                    THEN len(list_filter(toks, t -> list_contains({_stoplist_sql('en')}, t)))::DOUBLE / len(toks)
+                                    ELSE 0.0 END) * 5.0)), 6) AS quality
+            FROM q0
+        ),
+        l1 AS (
+            SELECT CASE WHEN sum(CAST(round(1.0 * n_tokens * 1e6) AS BIGINT)) > 0
+                   THEN 15000000000.0
+                        / CAST(sum(CAST(round(1.0 * n_tokens * 1e6) AS BIGINT)) AS DOUBLE)
+                   ELSE 0.0 END AS lam FROM base
+        ),
+        p1 AS (
+            SELECT b.doc_id, round(least(1.0, l1.lam * 1.0), 6) AS fraction
+            FROM base b, l1
+            WHERE ('0x' || substring(md5('|warmup' || b.doc_id::VARCHAR), 1, 8))::BIGINT
+                  < round(least(1.0, l1.lam * 1.0), 6) * 4294967296.0
+        ),
+        rem AS (
+            SELECT * FROM base
+            WHERE doc_id NOT IN (SELECT doc_id FROM p1)
+        ),
+        l2 AS (
+            SELECT CASE WHEN sum(CAST(round(quality * n_tokens * 1e6) AS BIGINT)) > 0
+                   THEN 5000000000.0
+                        / CAST(sum(CAST(round(quality * n_tokens * 1e6) AS BIGINT)) AS DOUBLE)
+                   ELSE 0.0 END AS lam FROM rem
+        ),
+        p2 AS (
+            SELECT r.doc_id,
+                   round(least(1.0, l2.lam * r.quality), 6) AS fraction
+            FROM rem r, l2
+            WHERE ('0x' || substring(md5('|anneal' || r.doc_id::VARCHAR), 1, 8))::BIGINT
+                  < round(least(1.0, l2.lam * r.quality), 6) * 4294967296.0
+        )
+        SELECT doc_id, 'warmup' AS phase, fraction FROM p1
+        UNION ALL
+        SELECT doc_id, 'anneal' AS phase, fraction FROM p2
+        ORDER BY doc_id, phase
+    """
+
+
 def q_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rep1: per-source dataset hygiene report (operators/report) —
     the FineWeb/Dolma-style dataset card: per source, doc/token mass,
@@ -3694,7 +3783,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family witnessed by h2 + h3; driver-green r1-r4) to free a
         # slot for d7_incremental_minhash's first driver row.
         "h2_hybrid_ivf_prefilter": q_hybrid_ivf,
-        "w2_sessionize": q_sessionize,
+        # r10-NEW operator (landing-round first driver row): smp10
+        # two-phase annealing selection schedule — phase-chained smp8
+        # with per-phase weights/budgets. Parks w2_sessionize
+        # (driver-green r1-r9; windowed-agg family keeps
+        # w_events_hourly in-window). Oracle checked at sf0.01 BEFORE
+        # the swap.
+        "smp10_annealing_schedule": q_annealing_schedule,
         "w3_stream_ingest_batch_eq": q_stream_ingest_batch_eq,
         "w4_stream_ann_serving": q_stream_ann_serving,
         "i2_term_search_indexed": q_term_search_indexed,
@@ -3891,6 +3986,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # report gets its landing-round first driver row; hybrid family
         # keeps h2 in-window, relevance keeps t6.
         "h3_hybrid_rrf": q_hybrid_rrf,
+        # w2 parked in late r10 (driver-green r1-r9) so smp10's
+        # annealing schedule gets its landing-round first driver row;
+        # windowed-agg family keeps w_events_hourly in-window.
+        "w2_sessionize": q_sessionize,
         # src2 parked in r10 (driver-green r5-r9) so src4's literal
         # HDF5 boundary gets its landing-round first driver row.
         "src2_fvecs_roundtrip": q_fvecs_roundtrip,
@@ -5298,6 +5397,7 @@ def oracle_sql() -> dict[str, str]:
         "c3_fuzzy_decontaminate": _fuzzy_contamination_oracle(),
         "t17_unicode_clean": _clean_text_sql(),
         "rep1_source_report": _source_report_sql(),
+        "smp10_annealing_schedule": _annealing_schedule_sql(),
         "p1_pii_scrub": _pii_oracle(),
         "src1_jsonl_roundtrip": """
             SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5

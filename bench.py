@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "t17_unicode_clean",
     # r10: per-source dataset hygiene report
     "rep1_source_report",
+    # r10: two-phase annealing selection schedule
+    "smp10_annealing_schedule",
 ]
 
 

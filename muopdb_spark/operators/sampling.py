@@ -371,6 +371,63 @@ def weighted_token_budget_fill(
     )
 
 
+def phase_budget_schedule(
+    df: DataFrame,
+    *,
+    key_col: str,
+    token_col: str,
+    phases: list[tuple[str, str, int]],
+    salt: str = "",
+) -> DataFrame:
+    """MULTI-PHASE token-budget schedule — the annealing recipe of
+    Llama-3-class training runs expressed as data selection: the bulk
+    phase samples under a large budget with one weighting (typically
+    uniform or soft-dedup weights), then an ANNEALING phase samples a
+    smaller budget from the REMAINING corpus under a quality-upweighted
+    distribution, so the tail of training sees the best data without
+    re-serving anything already selected.
+
+    ``phases``: ordered [(phase_name, weight_col, budget_tokens), ...].
+    Phase i runs weighted_token_budget_sample (salt =
+    f"{salt}|{phase_name}" — content-addressed membership independent
+    across phases) over the rows no earlier phase selected. Output:
+    one row per selected doc — (key_col, phase, fraction), a doc
+    appears in at most one phase.
+
+    Determinism/oracle-ability: each phase inherits smp8's exact
+    contract (decimal micro-token mass, one IEEE division, 6-decimal
+    p, md5-prefix rule), and phase membership is pure set algebra on
+    those deterministic picks — the DuckDB oracle unrolls the phase
+    chain as CTEs.
+
+    Cost/scale (100 TB): per phase, smp8's one partial-agg scalar +
+    map-side filter, plus ONE anti-join of the previous picks (picks
+    are budget-sized — orders of magnitude below the corpus; AQE
+    broadcasts them when they fit). Phase picks are materialized
+    (localCheckpoint) so the chain's lineage stays flat.
+    """
+    if not phases:
+        raise ValueError("phases must be non-empty")
+    names = [p[0] for p in phases]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate phase names: {names}")
+    remaining = df
+    out = None
+    for name, weight_col, budget in phases:
+        sel = weighted_token_budget_sample(
+            remaining, key_col=key_col, token_col=token_col,
+            weight_col=weight_col, budget_tokens=budget,
+            salt=f"{salt}|{name}",
+        ).select(
+            key_col, F.lit(name).alias("phase"), "fraction",
+        ).localCheckpoint(eager=True)
+        out = sel if out is None else out.unionByName(sel)
+        remaining = remaining.join(
+            sel.select(key_col), key_col, "left_anti",
+        )
+    return out
+
+
 def deterministic_reservoir(
     df: DataFrame,
     *,

@@ -664,3 +664,72 @@ def test_fill_fractions_dominate_single_round(spark):
     assert set(one) <= set(fill)
     for k, f in one.items():
         assert fill[k] >= f - 1e-12
+
+
+# ----------------------------------------- phase schedule (smp10)
+
+
+def _phase_df(spark, n=60):
+    rows = [(i, 10 + (i % 5), round(0.2 + 0.6 * ((i * 7) % 10) / 10.0, 6))
+            for i in range(n)]
+    return spark.createDataFrame(
+        rows, "doc_id long, n_tokens long, quality double"
+    ).withColumn("uniform", F.lit(1.0))
+
+
+def test_phase_schedule_phases_disjoint_and_labeled(spark):
+    from muopdb_spark.operators.sampling import phase_budget_schedule
+
+    out = phase_budget_schedule(
+        _phase_df(spark), key_col="doc_id", token_col="n_tokens",
+        phases=[("warmup", "uniform", 300), ("anneal", "quality", 150)],
+    ).collect()
+    ids = [r.doc_id for r in out]
+    assert len(ids) == len(set(ids)), "a doc must appear in ONE phase"
+    by_phase = {p: [r for r in out if r.phase == p]
+                for p in ("warmup", "anneal")}
+    assert by_phase["warmup"] and by_phase["anneal"]
+    for r in out:
+        assert 0.0 < r.fraction <= 1.0
+
+
+def test_phase_schedule_expected_budgets(spark):
+    from muopdb_spark.operators.sampling import phase_budget_schedule
+
+    df = _phase_df(spark, n=400)
+    toks = {r.doc_id: r.n_tokens for r in df.collect()}
+    out = phase_budget_schedule(
+        df, key_col="doc_id", token_col="n_tokens",
+        phases=[("warmup", "uniform", 2000), ("anneal", "quality", 800)],
+    ).collect()
+    kept = {p: sum(toks[r.doc_id] for r in out if r.phase == p)
+            for p in ("warmup", "anneal")}
+    # expectation-level check, binomial noise bounds
+    assert 0.5 * 2000 <= kept["warmup"] <= 1.6 * 2000
+    assert 0.4 * 800 <= kept["anneal"] <= 2.0 * 800
+
+
+def test_phase_schedule_deterministic_and_partition_invariant(spark):
+    from muopdb_spark.operators.sampling import phase_budget_schedule
+
+    kw = dict(key_col="doc_id", token_col="n_tokens",
+              phases=[("a", "uniform", 250), ("b", "quality", 100)])
+    a = sorted(map(tuple, phase_budget_schedule(
+        _phase_df(spark), **kw).collect()))
+    b = sorted(map(tuple, phase_budget_schedule(
+        _phase_df(spark).repartition(13), **kw).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_phase_schedule_validation(spark):
+    from muopdb_spark.operators.sampling import phase_budget_schedule
+
+    df = _phase_df(spark)
+    with pytest.raises(ValueError, match="non-empty"):
+        phase_budget_schedule(df, key_col="doc_id",
+                              token_col="n_tokens", phases=[])
+    with pytest.raises(ValueError, match="duplicate"):
+        phase_budget_schedule(
+            df, key_col="doc_id", token_col="n_tokens",
+            phases=[("p", "uniform", 10), ("p", "quality", 10)],
+        )

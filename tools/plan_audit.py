@@ -217,6 +217,14 @@ CHECKS = {
          "materialized once (lineage-truncating localCheckpoint) and "
          "feeds the band/est/verify branches"),
     ],
+    "smp10_annealing_schedule": [
+        ("Union", "the returned plan is the union of per-phase pick "
+         "sets"),
+        ("Scan ExistingRDD", "each phase's picks are materialized "
+         "(lineage cut) before the next phase anti-joins them away — "
+         "per-phase work is smp8's partial-agg + map filter, run at "
+         "build time, not re-derived per consumer"),
+    ],
     "rep1_source_report": [
         ("BroadcastHashJoin", "the benchmark gram table broadcasts "
          "into the contamination probe; the per-doc feature joins "
