@@ -393,3 +393,14 @@ def test_cli_source_report(spark, cli, capsys, tmp_path, sf_dir):
         assert row["n_docs"] > 0 and 0 <= row["exact_dup_rate"] <= 1
         assert 0 <= row["contaminated_rate"] <= 1
         assert row["top_lang"] and row["n_langs"] >= 1
+
+
+def test_cli_select_anneal_phases(spark, cli, capsys, sf_dir):
+    r = _run(cli, capsys, ["select",
+                           "--input", f"{sf_dir}/documents.parquet",
+                           "--budget-tokens", "15000",
+                           "--anneal-budget", "5000"])
+    assert r["anneal_budget"] == 5000
+    assert set(r["kept_by_phase"]) <= {"warmup", "anneal"}
+    assert "warmup" in r["kept_by_phase"]
+    assert sum(r["kept_by_phase"].values()) == r["kept_tokens"]

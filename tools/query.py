@@ -506,14 +506,34 @@ def _pipeline(spark, args, ap) -> dict:
         base = df.select(
             "doc_id", ws_token_count("text").cast("long").alias("n_tokens")
         ).join(w.select("doc_id", "soft_weight"), "doc_id")
-        sampler = (
-            weighted_token_budget_fill if args.fill
-            else weighted_token_budget_sample
-        )
-        out = sampler(
-            base, key_col="doc_id", token_col="n_tokens",
-            weight_col="soft_weight", budget_tokens=args.budget_tokens,
-        )
+        if args.anneal_budget:
+            # smp10: finish the budget on quality-upweighted data —
+            # warmup phase under soft-dedup weights, annealing phase
+            # from the remainder under quality weights
+            from muopdb_spark.operators.sampling import (
+                phase_budget_schedule,
+            )
+            from muopdb_spark.operators.textstats import quality_features
+
+            base = base.join(
+                quality_features(df).select("doc_id", "quality"), "doc_id"
+            )
+            picks = phase_budget_schedule(
+                base, key_col="doc_id", token_col="n_tokens",
+                phases=[("warmup", "soft_weight", args.budget_tokens),
+                        ("anneal", "quality", args.anneal_budget)],
+            )
+            out = base.join(picks, "doc_id").withColumn(
+                "phase", F.col("phase"))
+        else:
+            sampler = (
+                weighted_token_budget_fill if args.fill
+                else weighted_token_budget_sample
+            )
+            out = sampler(
+                base, key_col="doc_id", token_col="n_tokens",
+                weight_col="soft_weight", budget_tokens=args.budget_tokens,
+            )
         tot = base.agg(
             F.count("*").alias("docs"), F.sum("n_tokens").alias("tokens")
         ).first()
@@ -525,6 +545,12 @@ def _pipeline(spark, args, ap) -> dict:
                   "budget_tokens": args.budget_tokens,
                   "kept": agg["kept"] or 0,
                   "kept_tokens": agg["kept_tokens"] or 0}
+        if args.anneal_budget:
+            result["anneal_budget"] = args.anneal_budget
+            result["kept_by_phase"] = {
+                r["phase"]: r["t"] for r in out.groupBy("phase")
+                .agg(F.sum("n_tokens").alias("t")).collect()
+            }
     elif args.command == "admit":
         import os
 
@@ -635,6 +661,10 @@ def main(argv=None) -> int:
                     help="bpe: merge-list length to learn")
     ap.add_argument("--budget-tokens", type=int, default=10_000,
                     help="select: expected-kept-token budget")
+    ap.add_argument("--anneal-budget", type=int, default=None,
+                    help="select: add a quality-upweighted annealing "
+                         "phase of this many tokens after the main "
+                         "budget (smp10 phase schedule)")
     ap.add_argument("--fill", action="store_true",
                     help="select: water-filling (re-level cap surplus "
                          "over uncapped rows, 3 rounds)")
