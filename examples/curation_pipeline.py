@@ -480,6 +480,24 @@ def main() -> None:
         print("sample sequence fill:",
               [(r.lang, r.seq_id, r.n_docs, r.sum_tokens)
                for r in fill.orderBy("lang", "seq_id").limit(5).collect()])
+
+        # epilogue: the per-source dataset card (rep1) over the RAW
+        # ingest — the hygiene summary a pipeline publishes alongside
+        # its output (dup/contamination rates explain the stage counts
+        # above)
+        from muopdb_spark.operators.contamination import benchmark_grams
+        from muopdb_spark.operators.report import source_report
+
+        card = source_report(
+            raw, lang_col="lang",
+            bench_grams=benchmark_grams(bench_slice),
+        ).orderBy(F.desc("n_docs"), "source").limit(5).collect()
+        print("dataset card (top-5 sources):")
+        for r in card:
+            print(f"  {r.source}: docs={r.n_docs} tokens={r.total_tokens} "
+                  f"quality={r.mean_quality} dup={r.exact_dup_rate} "
+                  f"contaminated={r.contaminated_rate} "
+                  f"lang={r.top_lang}/{r.n_langs}")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()

@@ -69,6 +69,11 @@ QUERIES = [
     # slice grows with the corpus here, so the broadcast side scales
     # too — a stricter test than the static-eval production case)
     "c3_fuzzy_decontaminate",
+    # late-r10 extension: the Arrow canonicalization pass, the
+    # per-source rollup report, and the phase-chained selection
+    "t17_unicode_clean",
+    "rep1_source_report",
+    "smp10_annealing_schedule",
 ]
 
 
