@@ -2008,9 +2008,12 @@ def _lsh_index(spark: SparkSession, sf_dir: str):
 
 def q_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path near-dup: random-hyperplane LSH buckets -> exact cosine
-    verify, served from the durable artifact (_lsh_index). Approximate
-    (plane RNG not SQL-expressible) -> rows-only check; recall vs brute
-    force is pytest-verified (tests/test_ann_lsh)."""
+    verify, served from the durable artifact (_lsh_index). ORACLE-BACKED
+    since late r10 (_lsh_near_dup_oracle embeds the seed-42 plane matrix
+    as SQL literals — the draw is fixed, so 'approximate' only describes
+    recall vs brute force, not determinism; checked green at sf0.001/
+    sf0.01/sf0.1). Recall vs brute force additionally pytest-verified
+    (tests/test_ann_lsh)."""
     from muopdb_spark.index.ann_lsh import lsh_near_dup_pairs
 
     # collision prob per table = (1 - theta/pi)^planes; the fixture's
@@ -2019,6 +2022,72 @@ def q_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (true near-dups at cosine >= 0.9 need far fewer tables)
     idx = _lsh_index(spark, sf_dir)
     return lsh_near_dup_pairs(idx, threshold=0.4).orderBy("id_a", "id_b")
+
+
+def _lsh_near_dup_oracle() -> str:
+    """DuckDB twin of q_lsh_near_dup — closing the board's LAST
+    no-oracle window row: the 'approximate' part of RP-LSH is only the
+    PLANE GENERATION, and the planes are a fixed seed-42 PCG64 draw, so
+    the oracle embeds the exact plane matrix as literals (8 tables x 4
+    planes x 64 dims) and replays the whole pipeline in SQL — sign-bit
+    buckets (strict > 0, bit-weighted), per-(table, bucket) candidate
+    pairs, exact cosine verify at the unrounded threshold, round-6
+    presentation. Caveat (documented, empirically gated at sf0.001 and
+    sf0.01 on the static fixtures): dot products are IEEE sums in
+    different orders (numpy BLAS vs DuckDB list fold), so a dot
+    EXACTLY at 0.0 or a cosine exactly at a rounding boundary could in
+    principle diverge; on continuous random data the margin is ~1e-15
+    against values O(1), and the fixtures are fixed, so a green check
+    is stable round-over-round."""
+    import numpy as np
+
+    planes = np.random.default_rng(42).standard_normal((8, 4, 64))
+
+    def dot(p) -> str:
+        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+        return f"list_dot_product(e, {lit})"
+
+    sig_cols = []
+    for t in range(8):
+        terms = " + ".join(
+            f"(CASE WHEN {dot(planes[t][p])} > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(4)
+        )
+        sig_cols.append(f"({terms}) AS b{t}")
+    bt_union = "\n            UNION ALL ".join(
+        f"SELECT vec_id, {t} AS ti, b{t} AS bucket FROM sig" for t in range(8)
+    )
+    return f"""
+        WITH e0 AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ),
+        sig AS (
+            SELECT vec_id, e, {", ".join(sig_cols)}
+            FROM e0
+        ),
+        bt AS (
+            {bt_union}
+        ),
+        cand AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM bt a JOIN bt b
+              ON a.ti = b.ti AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id
+            GROUP BY 1, 2
+        ),
+        v AS (
+            SELECT c.id_a, c.id_b,
+                   list_dot_product(ea.e, eb.e)
+                   / (sqrt(list_dot_product(ea.e, ea.e))
+                      * sqrt(list_dot_product(eb.e, eb.e))) AS cos
+            FROM cand c
+            JOIN e0 ea ON ea.vec_id = c.id_a
+            JOIN e0 eb ON eb.vec_id = c.id_b
+        )
+        SELECT id_a, id_b, round(cos, 6) AS cosine
+        FROM v WHERE cos >= 0.4
+        ORDER BY id_a, id_b
+    """
 
 
 def _minhash_corpus_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5395,6 +5464,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY c.doc_id
         """,
         "c3_fuzzy_decontaminate": _fuzzy_contamination_oracle(),
+        "x1_lsh_near_dup": _lsh_near_dup_oracle(),
         "t17_unicode_clean": _clean_text_sql(),
         "rep1_source_report": _source_report_sql(),
         "smp10_annealing_schedule": _annealing_schedule_sql(),
