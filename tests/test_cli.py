@@ -404,3 +404,24 @@ def test_cli_select_anneal_phases(spark, cli, capsys, sf_dir):
     assert set(r["kept_by_phase"]) <= {"warmup", "anneal"}
     assert "warmup" in r["kept_by_phase"]
     assert sum(r["kept_by_phase"].values()) == r["kept_tokens"]
+
+
+def test_cli_admit_fuzzy_gate(spark, cli, capsys, tmp_path, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    state = str(tmp_path / "adm9")
+    seed_p = str(tmp_path / "seed.parquet")
+    batch_p = str(tmp_path / "batch.parquet")
+    bench_p = str(tmp_path / "bench.parquet")
+    d.filter("doc_id % 5 >= 2").write.parquet(seed_p)
+    d.filter("doc_id % 5 = 0").write.parquet(batch_p)
+    # benchmark overlaps the batch (%20==0 => %5==0): self-hits must
+    # reject reason=contaminated_fuzzy
+    d.filter("doc_id % 20 = 0").write.parquet(bench_p)
+    r = _run(cli, capsys, ["admit", "--input", seed_p, "--state", state])
+    assert r["bootstrapped"]
+    r = _run(cli, capsys, ["admit", "--input", batch_p, "--state", state,
+                           "--threshold", "0.8",
+                           "--fuzzy-target", bench_p, "--batch-id", "1"])
+    assert r["rejected_by_reason"].get("contaminated_fuzzy", 0) > 0
+    assert r["batch"] == r["admitted"] + sum(r["rejected_by_reason"].values())

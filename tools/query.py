@@ -583,9 +583,21 @@ def _pipeline(spark, args, ap) -> dict:
                 spark.read.parquet(corpus),
                 spark.read.parquet(args.target),
             ).localCheckpoint(eager=True)
+        bench_sig = None
+        if args.fuzzy_target:
+            # w9: fuzzy benchmark gate — near-dups of eval docs reject
+            # before dedup, reusing the batch's one signing pass
+            from muopdb_spark.operators.dedup import minhash_signature_df
+
+            bench_sig = minhash_signature_df(
+                spark.read.parquet(args.fuzzy_target).select(
+                    "doc_id", "text")
+            ).localCheckpoint(eager=True)
         admit_batch(batch, args.batch_id, corpus, sigs, rejected,
                     threshold=args.threshold, quality_min=args.quality_min,
-                    dsir_ratios=ratios, dsir_min=args.importance_min)
+                    dsir_ratios=ratios, dsir_min=args.importance_min,
+                    benchmark_sig=bench_sig,
+                    benchmark_jaccard=args.threshold)
         after = spark.read.parquet(corpus).count()
         audit = {}
         if os.path.isdir(rejected):
@@ -661,6 +673,11 @@ def main(argv=None) -> int:
                     help="bpe: merge-list length to learn")
     ap.add_argument("--budget-tokens", type=int, default=10_000,
                     help="select: expected-kept-token budget")
+    ap.add_argument("--fuzzy-target", default=None,
+                    help="admit: benchmark parquet; docs whose shingle "
+                         "Jaccard vs any benchmark doc reaches "
+                         "--threshold reject reason=contaminated_fuzzy "
+                         "(w9)")
     ap.add_argument("--anneal-budget", type=int, default=None,
                     help="select: add a quality-upweighted annealing "
                          "phase of this many tokens after the main "
