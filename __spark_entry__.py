@@ -2024,6 +2024,30 @@ def q_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_near_dup_pairs(idx, threshold=0.4).orderBy("id_a", "id_b")
 
 
+def _lsh_sig_exprs(var: str, prefix: str) -> list[str]:
+    """The seed-42 RP-LSH signature as SQL: for each of the 8 tables,
+    a bit-weighted sum of strict-positive dot products between the
+    DOUBLE[] column `var` and the table's 4 literal hyperplanes —
+    byte-for-byte the build_rp_lsh(seed=42, num_planes=4,
+    num_tables=8, dim=64) draw, shared by the x1 and x2 oracles."""
+    import numpy as np
+
+    planes = np.random.default_rng(42).standard_normal((8, 4, 64))
+
+    def dot(p) -> str:
+        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+        return f"list_dot_product({var}, {lit})"
+
+    cols = []
+    for t in range(8):
+        terms = " + ".join(
+            f"(CASE WHEN {dot(planes[t][p])} > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(4)
+        )
+        cols.append(f"({terms}) AS {prefix}{t}")
+    return cols
+
+
 def _lsh_near_dup_oracle() -> str:
     """DuckDB twin of q_lsh_near_dup — closing the board's LAST
     no-oracle window row: the 'approximate' part of RP-LSH is only the
@@ -2039,21 +2063,7 @@ def _lsh_near_dup_oracle() -> str:
     principle diverge; on continuous random data the margin is ~1e-15
     against values O(1), and the fixtures are fixed, so a green check
     is stable round-over-round."""
-    import numpy as np
-
-    planes = np.random.default_rng(42).standard_normal((8, 4, 64))
-
-    def dot(p) -> str:
-        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
-        return f"list_dot_product(e, {lit})"
-
-    sig_cols = []
-    for t in range(8):
-        terms = " + ".join(
-            f"(CASE WHEN {dot(planes[t][p])} > 0 THEN {1 << p} ELSE 0 END)"
-            for p in range(4)
-        )
-        sig_cols.append(f"({terms}) AS b{t}")
+    sig_cols = _lsh_sig_exprs("e", "b")
     bt_union = "\n            UNION ALL ".join(
         f"SELECT vec_id, {t} AS ti, b{t} AS bucket FROM sig" for t in range(8)
     )
@@ -2087,6 +2097,64 @@ def _lsh_near_dup_oracle() -> str:
         SELECT id_a, id_b, round(cos, 6) AS cosine
         FROM v WHERE cos >= 0.4
         ORDER BY id_a, id_b
+    """
+
+
+def q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x2 (late r10): LSH SERVING — approximate top-10 by cosine for
+    the vec_id=0 query through the durable RP-LSH artifact
+    (index/ann_lsh.lsh_knn: union of the query's bucket in every
+    table, exact cosine re-rank, (score, id) ordering). Oracle-backed
+    like x1: the plane literals reproduce the query's buckets and the
+    candidate set exactly; the cosine fold is sequential on both
+    engines."""
+    from muopdb_spark.index.ann_lsh import lsh_knn
+
+    qv = _query_vector(spark, sf_dir)
+    out = lsh_knn(_lsh_index(spark, sf_dir), qv, 10)
+    return out.select("id", F.round("score", 6).alias("score")) \
+        .orderBy("score", "id")
+
+
+def _lsh_knn_oracle() -> str:
+    """DuckDB twin of q_lsh_knn: signature the corpus AND the vec_id=0
+    query with the literal planes, take rows sharing any table bucket
+    with the query, exact cosine-distance re-rank, top-10 by
+    (unrounded score, id) — the lsh_knn contract verbatim."""
+    sig_cols = ",\n                   ".join(_lsh_sig_exprs("e", "b"))
+    qsig_cols = ",\n                   ".join(_lsh_sig_exprs("qe", "qb"))
+    any_bucket = " OR ".join(f"s.b{t} = qs.qb{t}" for t in range(8))
+    return f"""
+        WITH e0 AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ),
+        q AS (SELECT e AS qe FROM e0 WHERE vec_id = 0),
+        sig AS (
+            SELECT vec_id, e,
+                   {sig_cols}
+            FROM e0
+        ),
+        qsig AS (
+            SELECT qe,
+                   {qsig_cols}
+            FROM q
+        ),
+        cand AS (
+            SELECT s.vec_id, s.e, qs.qe
+            FROM sig s, qsig qs
+            WHERE {any_bucket}
+        ),
+        scored AS (
+            SELECT vec_id,
+                   1.0 - list_dot_product(e, qe)
+                         / (sqrt(list_dot_product(e, e))
+                            * sqrt(list_dot_product(qe, qe))) AS s
+            FROM cand
+        )
+        SELECT vec_id AS id, round(s, 6) AS score
+        FROM scored
+        ORDER BY s ASC, vec_id ASC
+        LIMIT 10
     """
 
 
@@ -4069,6 +4137,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # near-dup) benchmark gate at admission, reusing each batch's
         # one signing pass; symbolic two-round oracle.
         "w9_stream_fuzzy_admission": q_stream_fuzzy_admission,
+        # NEW late-r10: LSH top-k serving (x1's knn twin), oracle via
+        # the same literal-plane replay.
+        "x2_lsh_knn": q_lsh_knn,
         "d2_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "d7_incremental_minhash": q_incremental_minhash,
         # r7 late swap (see queries()): parked so the r7-new smp6/
@@ -5465,6 +5536,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "c3_fuzzy_decontaminate": _fuzzy_contamination_oracle(),
         "x1_lsh_near_dup": _lsh_near_dup_oracle(),
+        "x2_lsh_knn": _lsh_knn_oracle(),
         "t17_unicode_clean": _clean_text_sql(),
         "rep1_source_report": _source_report_sql(),
         "smp10_annealing_schedule": _annealing_schedule_sql(),
