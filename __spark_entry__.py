@@ -2541,6 +2541,24 @@ def _annealing_schedule_sql() -> str:
     """
 
 
+def q_collapse_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t18: degenerate-repetition trim (operators/quality.
+    collapse_token_runs) — cap consecutive identical-token runs at 2
+    (the fixture plants 3-runs like 'batch batch batch', so the trim
+    is exercised on real rows). Pure Catalyst higher-order functions,
+    zero Python, zero shuffle; the oracle is the same indexed-lambda
+    filter in DuckDB's 1-based dialect."""
+    from muopdb_spark.operators.quality import collapse_token_runs
+
+    out = collapse_token_runs(
+        _t(spark, sf_dir, "documents"), max_run=2,
+    )
+    return out.select(
+        "doc_id", F.md5("text_clean").alias("clean_md5"),
+        "n_tokens", "kept_tokens",
+    ).orderBy("doc_id")
+
+
 def q_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rep1: per-source dataset hygiene report (operators/report) —
     the FineWeb/Dolma-style dataset card: per source, doc/token mass,
@@ -3888,7 +3906,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # extras-green). Oracle checked at sf0.01 BEFORE the swap, per
         # the protocol pipe3 violated in r9.
         "smp9_weighted_budget_fill": q_weighted_budget_fill,
-        "v26_ivf_sq_rerank": q_ivf_sq_rerank,
+        # r10-NEW operator (landing-round first driver row): t18
+        # degenerate-repetition trim — the removal-side complement of
+        # the t5/t7 repetition flags. Parks v26_ivf_sq_rerank
+        # (driver-green r6-r9; the quantizer family keeps v11 PQ, v13
+        # RaBitQ, AND v27 OPQ in-window). Oracle checked at sf0.01
+        # BEFORE the swap.
+        "t18_collapse_runs": q_collapse_runs,
         # t2_contains_stemmed_ru rotated to extra_queries() in late r5
         # (stemming family witnessed by the t2 family, which indexes
         # all 19 languages; driver-green r1-r4) to free a
@@ -4123,6 +4147,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # report gets its landing-round first driver row; hybrid family
         # keeps h2 in-window, relevance keeps t6.
         "h3_hybrid_rrf": q_hybrid_rrf,
+        # v26 parked in late r10 (driver-green r6-r9) so t18's
+        # repetition trim gets its landing-round first driver row;
+        # quantizer family keeps v11/v13/v27 in-window.
+        "v26_ivf_sq_rerank": q_ivf_sq_rerank,
         # w2 parked in late r10 (driver-green r1-r9) so smp10's
         # annealing schedule gets its landing-round first driver row;
         # windowed-agg family keeps w_events_hourly in-window.
@@ -5539,6 +5567,28 @@ def oracle_sql() -> dict[str, str]:
         "x2_lsh_knn": _lsh_knn_oracle(),
         "t17_unicode_clean": _clean_text_sql(),
         "rep1_source_report": _source_report_sql(),
+        # t18: the same indexed-lambda run-cap filter, 1-based
+        "t18_collapse_runs": r"""
+            WITH t0 AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(
+                           trim(coalesce(text, '')), '\s+'),
+                           x -> x <> '') AS toks
+                FROM documents
+            ),
+            k AS (
+                SELECT doc_id, toks,
+                       list_filter(toks, (x, i) -> i <= 2
+                           OR NOT (toks[i-1] = x AND toks[i-2] = x))
+                           AS kept
+                FROM t0
+            )
+            SELECT doc_id,
+                   md5(array_to_string(kept, ' ')) AS clean_md5,
+                   len(toks)::BIGINT AS n_tokens,
+                   len(kept)::BIGINT AS kept_tokens
+            FROM k ORDER BY doc_id
+        """,
         "smp10_annealing_schedule": _annealing_schedule_sql(),
         "p1_pii_scrub": _pii_oracle(),
         "src1_jsonl_roundtrip": """

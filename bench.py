@@ -109,6 +109,8 @@ BENCH_QUERIES = [
     "rep1_source_report",
     # r10: two-phase annealing selection schedule
     "smp10_annealing_schedule",
+    # r10: degenerate-repetition trim (pure HOF, zero Python)
+    "t18_collapse_runs",
 ]
 
 

@@ -284,3 +284,52 @@ def quality_percentile_by_source(
         F.round(pct, 6).alias("pct_rank"),
         (pct <= F.lit(float(keep_frac))).alias("keep"),
     )
+
+
+def collapse_token_runs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_run: int = 3,
+) -> DataFrame:
+    """Degenerate-repetition TRIM: cap any run of consecutive identical
+    whitespace tokens at `max_run` occurrences ("spam spam spam spam
+    spam" -> "spam spam spam"). The removal-side complement of the
+    Gopher/t5 repetition FLAGS: those drop or score whole documents,
+    this rescues a document whose only sin is an elongated token run
+    (degenerate generations, keyboard mashing, markup echoes).
+
+    Pure Catalyst higher-order functions — split, one indexed filter
+    whose predicate looks back `max_run` positions, re-join. Zero
+    Python, zero shuffle, whole plan stays JVM-side; the oracle is the
+    same expression in DuckDB's 1-based lambda dialect.
+
+    Returns (id_col, text_clean, n_tokens, kept_tokens). Whitespace is
+    canonicalized to single spaces by the split/join round trip (run
+    operators/normalize.clean_text first if that matters — the curate
+    ladder does)."""
+    if max_run < 1:
+        raise ValueError("max_run must be >= 1")
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    toks = F.filter(toks, lambda x: x != "")  # "" split artifact
+    t = F.col("_toks")
+
+    def keep(x, i):
+        # drop x when the previous max_run tokens are ALL x
+        cond = None
+        for back in range(1, max_run + 1):
+            c = t[i - back] == x
+            cond = c if cond is None else (cond & c)
+        return (i < max_run) | ~cond
+
+    kept = F.filter(t, keep)
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .select(
+            id_col,
+            F.concat_ws(" ", kept).alias("text_clean"),
+            F.size(t).cast("long").alias("n_tokens"),
+            F.size(kept).cast("long").alias("kept_tokens"),
+        )
+    )

@@ -393,3 +393,49 @@ def test_fuzzy_contamination_served_from_bench_artifact(spark):
     scratch = fuzzy_contamination_pairs(
         corpus, bench, threshold=0.8).collect()
     assert sorted(map(tuple, from_art)) == sorted(map(tuple, scratch))
+
+
+# ------------------------------------------- token-run collapse (t18)
+
+
+def test_collapse_runs_caps_and_counts(spark):
+    from muopdb_spark.operators.quality import collapse_token_runs
+
+    out = {r.doc_id: r for r in collapse_token_runs(_docs(spark, [
+        (1, "spam spam spam spam spam ok go go"),
+        (2, "a b c"),
+        (3, None),
+        (4, "x x x y y y y x"),
+    ]), max_run=3).collect()}
+    assert out[1].text_clean == "spam spam spam ok go go"
+    assert (out[1].n_tokens, out[1].kept_tokens) == (8, 6)
+    assert out[2].text_clean == "a b c" and out[2].kept_tokens == 3
+    assert out[3].text_clean == "" and out[3].n_tokens == 0
+    # runs cap against the ORIGINAL sequence; the trailing x restarts
+    assert out[4].text_clean == "x x x y y y x"
+
+
+def test_collapse_runs_max_run_one_dedupes_consecutive(spark):
+    from muopdb_spark.operators.quality import collapse_token_runs
+
+    r = collapse_token_runs(
+        _docs(spark, [(1, "a a b b b a")]), max_run=1
+    ).collect()[0]
+    assert r.text_clean == "a b a" and r.kept_tokens == 3
+
+
+def test_collapse_runs_idempotent_and_validated(spark):
+    import pytest as _pytest
+
+    from muopdb_spark.operators.quality import collapse_token_runs
+
+    once = collapse_token_runs(
+        _docs(spark, [(1, "q q q q w w w w w e")]), max_run=2
+    ).collect()[0]
+    again = collapse_token_runs(_docs(spark, [
+        (1, once.text_clean)
+    ]), max_run=2).collect()[0]
+    assert again.text_clean == once.text_clean
+    assert again.kept_tokens == again.n_tokens
+    with _pytest.raises(ValueError, match="max_run"):
+        collapse_token_runs(_docs(spark, [(1, "a")]), max_run=0)

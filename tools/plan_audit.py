@@ -217,6 +217,14 @@ CHECKS = {
          "materialized once (lineage-truncating localCheckpoint) and "
          "feeds the band/est/verify branches"),
     ],
+    "t18_collapse_runs": [
+        ("!ArrowEvalPython", "fully JVM: split + one indexed "
+         "higher-order filter + concat_ws — no Python anywhere in "
+         "the plan"),
+        ("!BroadcastHashJoin", "no joins: one text scan, map-side "
+         "transform, presentation sort"),
+        ("!SortMergeJoin", "same"),
+    ],
     "smp10_annealing_schedule": [
         ("Union", "the returned plan is the union of per-phase pick "
          "sets"),
