@@ -239,3 +239,24 @@ def test_real_corpus_unicode_normalization(spark):
         assert "  " not in tc and " \n" not in tc and "\n " not in tc
     again = clean_text(out.selectExpr("doc_id", "text_clean as text"))
     assert again.filter("changed").count() == 0
+
+
+def test_real_corpus_repetition_trim(spark):
+    """t18 over real prose: the OCR-noise twin carries stutter
+    ('the the the'-class runs survive real digitization); capping at
+    max_run=2 must only ever shorten, preserve non-run content, and be
+    idempotent — and clean literary prose should lose (almost)
+    nothing."""
+    from muopdb_spark.operators.quality import collapse_token_runs
+
+    docs = _corpus(spark)
+    out = collapse_token_runs(docs, max_run=2).localCheckpoint(eager=True)
+    rows = {r.doc_id: r for r in out.collect()}
+    for r in rows.values():
+        assert r.kept_tokens <= r.n_tokens
+    again = collapse_token_runs(
+        out.selectExpr("doc_id", "text_clean as text"), max_run=2
+    )
+    pairs = {r.doc_id: r for r in again.collect()}
+    for did, r in pairs.items():
+        assert r.kept_tokens == r.n_tokens, f"not idempotent on {did}"
