@@ -59,9 +59,54 @@ def _consume_smp7(spark, sf_dir):
     )
 
 
+def _consume_rep1(spark, sf_dir):
+    from muopdb_spark.operators.contamination import benchmark_grams
+    from muopdb_spark.operators.report import source_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bg = benchmark_grams(docs.filter(F.col("doc_id") % 20 == 0))
+    return (
+        source_report(docs, lang_col="lang", bench_grams=bg)
+        .agg(F.count("*"), F.sum("n_docs"), F.sum("total_tokens"),
+             F.sum("exact_dup_rate"), F.sum("contaminated_rate"))
+        .collect()
+    )
+
+
+def _consume_smp10(spark, sf_dir):
+    # budgets scale WITH the corpus (55% / 18% of token mass) so the
+    # partial-cap selection regime — the interesting one — holds at
+    # every decade instead of saturating
+    from muopdb_spark.operators.sampling import phase_budget_schedule
+    from muopdb_spark.operators.textstats import (
+        quality_features,
+        ws_token_count,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        "doc_id", ws_token_count("text").cast("long").alias("n_tokens")
+    ).join(
+        quality_features(docs).select("doc_id", "quality"), "doc_id"
+    ).withColumn("uniform", F.lit(1.0)).localCheckpoint(eager=True)
+    total = base.agg(F.sum("n_tokens")).first()[0]
+    return (
+        phase_budget_schedule(
+            base, key_col="doc_id", token_col="n_tokens",
+            phases=[("warmup", "uniform", int(0.55 * total)),
+                    ("anneal", "quality", int(0.18 * total))],
+        )
+        .agg(F.count("*"), F.sum("fraction"))
+        .collect()
+    )
+
+
 WITNESSES = {
     "t15_line_dedup (agg-consumed)": _consume_t15,
     "smp7_soft_dedup_weights (agg-consumed)": _consume_smp7,
+    # late-r10 extension
+    "rep1_source_report (agg-consumed)": _consume_rep1,
+    "smp10_annealing_schedule (agg-consumed)": _consume_smp10,
 }
 
 
@@ -75,8 +120,11 @@ def main() -> None:
     synthesize(spark, 10, sf1)
     dirs = [("sf0.1", BASE), ("sf1.0", sf1)]
 
+    only = [a for a in sys.argv[1:] if not a.startswith("-")]
+    todo = {n: f for n, f in WITNESSES.items()
+            if not only or any(o in n for o in only)}
     times: dict[str, dict[str, float]] = {}
-    for name, fn in WITNESSES.items():
+    for name, fn in todo.items():
         fn(spark, "/root/testdata/sf0.001")  # precompile
         times[name] = {}
         for label, d in dirs:
