@@ -207,6 +207,32 @@ def fuzzy_contamination_pairs(
         shingle_df,
     )
 
+    def _check_sig(sig: DataFrame, name: str, *, need_sh: bool) -> None:
+        # A caller-supplied artifact built with a DIFFERENT
+        # num_hashes/bands would be silently probed on only the
+        # b0..b{bands-1} subset — reduced candidate recall in a SAFETY
+        # pass with no error. Require the column sets to match exactly.
+        cols = set(sig.columns)
+        want_h = {f"h{i}" for i in range(num_hashes)}
+        want_b = {f"b{b}" for b in range(bands)}
+        have_h = {c for c in cols if c[0] == "h" and c[1:].isdigit()}
+        have_b = {c for c in cols if c[0] == "b" and c[1:].isdigit()}
+        if have_h != want_h or have_b != want_b:
+            raise ValueError(
+                f"{name} was built with num_hashes={len(have_h)}, "
+                f"bands={len(have_b)} but this call wants "
+                f"num_hashes={num_hashes}, bands={bands} — rebuild the "
+                "signature artifact or pass matching parameters"
+            )
+        missing = ({"id"} | ({"sh"} if need_sh else set())) - cols
+        if missing:
+            raise ValueError(f"{name} is missing column(s) {sorted(missing)}")
+
+    if bench_sig is not None:
+        _check_sig(bench_sig, "bench_sig", need_sh=True)
+    if corpus_sig is not None:
+        _check_sig(corpus_sig, "corpus_sig", need_sh=False)
+
     if bench_sig is None:
         if benchmark is None:
             raise ValueError(

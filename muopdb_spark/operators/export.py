@@ -188,6 +188,17 @@ def write_token_shards(
     # applyInPandas is lazy — force the writes and return the manifest
     # as a small materialized frame
     rows = manifest.collect()
+    # A shard id that received zero docs produces no applyInPandas
+    # group, hence no files and no manifest row — but loaders iterate
+    # range(n_shards), so backfill empty .bin/.idx + a zero row for
+    # every absent id (driver-side: at most n_shards tiny files).
+    written = {r["shard_id"] for r in rows}
+    for sid in range(n_shards):
+        if sid in written:
+            continue
+        _np.empty(0, dtype="<i4").tofile(_os.path.join(path, f"shard_{sid}.bin"))
+        _np.empty(0, dtype="<i8").tofile(_os.path.join(path, f"shard_{sid}.idx"))
+        rows.append((sid, 0, 0, 0))
     return spark.createDataFrame(rows, out_schema)
 
 

@@ -29,11 +29,19 @@ from pyspark.sql import functions as F
 # (name, pattern, replacement) — order matters (see module docstring).
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    # international (+-prefixed) OR bare NANP 3-3-4 with -/./space
-    # separators — the r10 real-corpus smoke caught 555-867-5309
-    # leaking through the +-only pattern
+    # international (+-prefixed) OR bare NANP 3-3-4 — the r10
+    # real-corpus smoke caught 555-867-5309 leaking through the
+    # +-only pattern. The NANP separator must be CONSISTENT
+    # (555-867-5309, 555.867.5309, 555 867 5309 — not mixed like
+    # "123.456 7890", which is usually two numerics in technical
+    # prose, not a phone). RE2 (the DuckDB oracle engine) has no
+    # backreferences, so consistency is spelled as three explicit
+    # alternatives rather than ([-. ])...\1.
     ("phone",
-     r"\+\d[\d -]{7,14}\d|\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+     r"\+\d[\d -]{7,14}\d"
+     r"|\b\d{3}-\d{3}-\d{4}\b"
+     r"|\b\d{3}\.\d{3}\.\d{4}\b"
+     r"|\b\d{3} \d{3} \d{4}\b",
      "<PHONE>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
     ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),

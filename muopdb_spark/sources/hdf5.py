@@ -233,11 +233,25 @@ class _Parser:
         hb = self._read(heap_addr, 32)
         if hb[:4] != b"HEAP":
             raise ValueError(f"{self.path}: bad local heap at {heap_addr}")
+        heap_size = _u(hb, 8, 8)
         heap_data = _u(hb, 24, 8)
+        # read the whole data segment once (KBs): names near EOF would
+        # make a fixed-width 256-byte read fail on a valid file
+        heap_bytes = self._read(heap_data, heap_size)
 
         def name_at(offset: int) -> str:
-            chunk = self._read(heap_data + offset, 256)
-            return chunk.split(b"\x00", 1)[0].decode("utf-8")
+            if offset >= heap_size:
+                raise ValueError(
+                    f"{self.path}: link name offset {offset} outside the "
+                    f"{heap_size}-byte local heap"
+                )
+            name, sep, _ = heap_bytes[offset:].partition(b"\x00")
+            if not sep:
+                raise ValueError(
+                    f"{self.path}: unterminated link name at heap offset "
+                    f"{offset}"
+                )
+            return name.decode("utf-8")
 
         def walk_btree(addr: int) -> None:
             nb = self._read(addr, 24)

@@ -133,3 +133,27 @@ def test_token_shards_roundtrip_and_determinism(spark, tmp_path):
             a = open(f"{out1}/shard_{sid}.{ext}", "rb").read()
             b = open(f"{out2}/shard_{sid}.{ext}", "rb").read()
             assert a == b, f"shard {sid}.{ext} not byte-identical"
+
+
+def test_token_shards_backfills_empty_shards(spark, tmp_path):
+    # 2 docs over 64 shards: most shard ids receive no docs. A loader
+    # iterating range(n_shards) must still find every file + manifest
+    # row (the r10 advice item: absent applyInPandas groups used to
+    # mean absent files).
+    from muopdb_spark.operators.export import (
+        read_token_shard,
+        write_token_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the cat"), (2, "the dog")], "doc_id long, text string"
+    )
+    out = str(tmp_path / "sparse")
+    man = {r["shard_id"]: r for r in
+           write_token_shards(df, out, [("t", "h")], n_shards=64).collect()}
+    assert set(man) == set(range(64))
+    assert sum(r["n_docs"] for r in man.values()) == 2
+    for sid in range(64):
+        ids, idx = read_token_shard(out, sid)
+        assert len(ids) == man[sid]["n_tokens"]
+        assert idx.shape[0] == man[sid]["n_docs"]

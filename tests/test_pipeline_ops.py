@@ -439,3 +439,48 @@ def test_collapse_runs_idempotent_and_validated(spark):
     assert again.kept_tokens == again.n_tokens
     with _pytest.raises(ValueError, match="max_run"):
         collapse_token_runs(_docs(spark, [(1, "a")]), max_run=0)
+
+
+def test_fuzzy_contamination_rejects_mismatched_artifacts(spark):
+    # an artifact built with different num_hashes/bands must error, not
+    # silently probe a band subset (reduced recall in a safety pass)
+    import pytest as _pytest
+
+    from muopdb_spark.operators.contamination import (
+        fuzzy_contamination_pairs,
+    )
+    from muopdb_spark.operators.dedup import minhash_signature_df
+
+    corpus = _docs(spark, [(1, "alpha beta gamma delta epsilon")])
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon")])
+    sig8 = minhash_signature_df(bench, text_col="text", id_col="doc_id",
+                                n=3, num_hashes=16, bands=8)
+    with _pytest.raises(ValueError, match="bands=8"):
+        fuzzy_contamination_pairs(
+            corpus, None, num_hashes=8, bands=4, bench_sig=sig8)
+    csig = minhash_signature_df(corpus, text_col="text", id_col="doc_id",
+                                n=3, num_hashes=8, bands=2).drop("sh")
+    with _pytest.raises(ValueError, match="bands=2"):
+        fuzzy_contamination_pairs(
+            corpus, bench, num_hashes=8, bands=4, corpus_sig=csig)
+    # matching artifacts still pass through
+    ok = minhash_signature_df(bench, text_col="text", id_col="doc_id",
+                              n=3, num_hashes=8, bands=4)
+    assert fuzzy_contamination_pairs(
+        corpus, None, num_hashes=8, bands=4, bench_sig=ok,
+        threshold=0.8).count() == 1
+
+
+def test_pii_phone_requires_consistent_separator(spark):
+    # "123.456 7890" is two numerics in technical prose, not a phone;
+    # uniform-separator forms all still redact
+    df = spark.createDataFrame(
+        [(1, "call 555-867-5309 or 555.867.5309 or 555 867 5309"),
+         (2, "v123.456 7890 build tag and 1-23.456-7890 too")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert out[1].n_phone == 3
+    assert out[1].redacted == "call <PHONE> or <PHONE> or <PHONE>"
+    assert out[2].n_phone == 0
+    assert "<PHONE>" not in out[2].redacted
