@@ -3833,6 +3833,54 @@ def q_hdf5_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_hdf5_chunked_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """src5 (S8 offline ingest, CHUNKED layout): embeddings exported to
+    a chunked+gzip+shuffle+fletcher32 HDF5 file (v1 B-tree chunk index,
+    filter pipeline message — what h5py emits for
+    `create_dataset(..., chunks=..., compression='gzip', shuffle=True,
+    fletcher32=True)`) and re-read through the distributed reader:
+    executors each own whole chunk-rows, pread + inflate + unshuffle +
+    checksum-verify their chunks, and assemble row blocks
+    (sources/hdf5.py:_read_chunked). The reference reads ANY HDF5
+    layout via the hdf5 crate (rs/index_writer/src/input/hdf5.rs:20-49
+    read_slice_2d) — this row closes the chunked/compressed half of
+    that capability. The column-split chunk grid (cc < dim) exercises
+    in-place assembly; gzip level 4 + byte-shuffle exercises the
+    filter inversion; green iff the binary boundary is lossless vs the
+    original parquet (the src2/src4 contract)."""
+    import shutil
+    import tempfile
+
+    from muopdb_spark.sources.hdf5 import (
+        read_hdf5_vectors,
+        write_hdf5_vectors,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="muopdb_hdf5c_")
+    try:
+        p = os.path.join(tmp, "emb_chunked.hdf5")
+        dim = len(emb.select("embedding").head()[0])
+        write_hdf5_vectors(
+            emb, p, dataset="train",
+            chunks=(256, max(1, dim // 2)),  # column-split grid
+            compression="gzip", shuffle=True, fletcher32=True,
+        )
+        back = read_hdf5_vectors(spark, p, dataset="train",
+                                 rows_per_task=1024)
+        result = back.select(
+            "vec_id",
+            F.size("embedding").cast("long").alias("n_dims"),
+            F.round(
+                F.aggregate("embedding", F.lit(0.0),
+                            lambda a, x: a + x.cast("double")), 6
+            ).alias("checksum"),
+        ).orderBy("vec_id").toPandas()
+        return spark.createDataFrame(result)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3955,7 +4003,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_stream_ann_serving": q_stream_ann_serving,
         "i2_term_search_indexed": q_term_search_indexed,
         "mu1_multi_user_ann": q_multi_user_ann,
-        "s3_insert_packed": q_insert_packed,
+        # r11-NEW source capability (landing-round first driver row):
+        # CHUNKED+gzip+shuffle+fletcher32 HDF5 read — the last literal
+        # gap vs the reference's offline source (hdf5.rs reads any
+        # layout via the hdf5 crate; r10 closed contiguous only).
+        # Parks s3_insert_packed (driver-green r1–r10; the
+        # offline-source family keeps src4 in-window and src1/src2/
+        # src3 extras-green — src5 witnesses the chunk-index +
+        # filter-pipeline shape nothing else covers). Oracle checked
+        # at sf0.01 BEFORE the swap.
+        "src5_hdf5_chunked": q_hdf5_chunked_roundtrip,
         # j3_semi_anti rotated to extra_queries() in r5 (J1 semi-join
         # family also witnessed by h2's in-scan LeftSemi; driver-green
         # r1-r4) to free the slot for w4's first driver row.
@@ -4155,6 +4212,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # annealing schedule gets its landing-round first driver row;
         # windowed-agg family keeps w_events_hourly in-window.
         "w2_sessionize": q_sessionize,
+        # s3 parked in r11 (driver-green r1-r10) so src5's chunked-HDF5
+        # read gets its landing-round first driver row; offline-source
+        # family keeps src4 in-window.
+        "s3_insert_packed": q_insert_packed,
         # src2 parked in r10 (driver-green r5-r9) so src4's literal
         # HDF5 boundary gets its landing-round first driver row.
         "src2_fvecs_roundtrip": q_fvecs_roundtrip,
@@ -4726,6 +4787,17 @@ def oracle_sql() -> dict[str, str]:
         # src4: same lossless-boundary contract as src2 — the oracle
         # reads the parquet the HDF5 roundtrip must reproduce exactly
         "src4_hdf5_roundtrip": """
+            SELECT vec_id,
+                   CAST(len(embedding) AS BIGINT) AS n_dims,
+                   round(list_sum(embedding::DOUBLE[]), 6) AS checksum
+            FROM embeddings
+            ORDER BY vec_id
+        """,
+        # src5: the chunked+gzip+shuffle+fletcher32 HDF5 boundary is
+        # lossless iff the re-read vectors checksum identically to the
+        # original parquet (filters are bit-exact transforms; any
+        # inflate/unshuffle/assembly bug breaks the float bits)
+        "src5_hdf5_chunked": """
             SELECT vec_id,
                    CAST(len(embedding) AS BIGINT) AS n_dims,
                    round(list_sum(embedding::DOUBLE[]), 6) AS checksum

@@ -103,6 +103,9 @@ BENCH_QUERIES = [
     "c3_fuzzy_decontaminate",
     # r10: literal HDF5 boundary (pure-Python spec reader/writer)
     "src4_hdf5_roundtrip",
+    # r11: chunked+gzip+shuffle+fletcher32 HDF5 boundary (v1 B-tree
+    # chunk index; executors inflate/unshuffle/verify their chunks)
+    "src5_hdf5_chunked",
     # r10: unicode/whitespace canonicalization (one Arrow pass)
     "t17_unicode_clean",
     # r10: per-source dataset hygiene report

@@ -119,11 +119,11 @@ def test_not_hdf5_rejected(tmp_path):
         probe_hdf5(p)
 
 
-def test_chunked_layout_named_in_error(spark, tmp_path):
+def test_compact_layout_named_in_error(spark, tmp_path):
     mat = np.zeros((4, 2), dtype=np.float32)
     p = str(tmp_path / "c.hdf5")
     write_hdf5_vectors(_vec_df(spark, mat), p, dataset="train")
-    # flip the layout message class byte (contiguous=1 -> chunked=2):
+    # flip the layout message class byte (contiguous=1 -> compact=0):
     # the parser must refuse by NAME, not misread garbage
     off = probe_hdf5(p)  # sanity before patching
     assert off["train"].shape == (4, 2)
@@ -131,10 +131,29 @@ def test_chunked_layout_named_in_error(spark, tmp_path):
     marker = bytes([3, 1]) + off["train"].data_offset.to_bytes(8, "little")
     i = raw.find(marker)
     assert i > 0
-    raw[i + 1] = 2
+    raw[i + 1] = 0
     with open(p, "wb") as f:
         f.write(raw)
-    with pytest.raises(NotImplementedError, match="chunked"):
+    with pytest.raises(NotImplementedError, match="compact"):
+        probe_hdf5(p)
+
+
+def test_unsupported_filter_named_in_error(spark, tmp_path):
+    mat = np.zeros((8, 4), dtype=np.float32)
+    p = str(tmp_path / "f.hdf5")
+    write_hdf5_vectors(_vec_df(spark, mat), p, dataset="train",
+                       chunks=(8, 4), compression="gzip")
+    # patch the pipeline's deflate filter id (1) to lzf (32000): the
+    # parser must refuse by NAME, never hand zlib foreign bytes
+    raw = bytearray(open(p, "rb").read())
+    # v1 pipeline body starts [version=1, nfilters=1, 6 reserved, id..]
+    marker = bytes([1, 1, 0, 0, 0, 0, 0, 0]) + (1).to_bytes(2, "little")
+    i = raw.find(marker)
+    assert i > 0
+    raw[i + 8:i + 10] = (32000).to_bytes(2, "little")
+    with open(p, "wb") as f:
+        f.write(raw)
+    with pytest.raises(NotImplementedError, match="lzf"):
         probe_hdf5(p)
 
 
@@ -197,3 +216,129 @@ def test_write_probe_read_roundtrip_property(spark, tmp_path_factory,
     assert (np.isnan(got2) == np.isnan(exp2)).all()
     m = ~np.isnan(exp2)
     assert (got2[m] == exp2[m]).all()
+
+
+# ------------------------------------------- chunked layout + filters
+
+
+def _mat_df(spark, seed=7, n=203, dim=17):
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(size=(n, dim)).astype(np.float32)
+    return mat, _vec_df(spark, mat)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(chunks=(50, 17)),                                  # plain chunked
+    dict(compression="gzip"),                               # auto-chunked
+    dict(compression="gzip", shuffle=True, fletcher32=True),
+    dict(chunks=(40, 5), compression="gzip"),               # column-split
+    dict(chunks=(64, 17), fletcher32=True),
+])
+def test_chunked_roundtrip_exact(spark, tmp_path, kw):
+    mat, df = _mat_df(spark)
+    p = str(tmp_path / "c.hdf5")
+    assert write_hdf5_vectors(df, p, dataset="train", **kw) == 203
+    d = probe_hdf5(p)["train"]
+    assert d.chunk_shape is not None and d.data_offset == -1
+    back = read_hdf5_vectors(spark, p, dataset="train",
+                             rows_per_task=37).orderBy("vec_id").collect()
+    got = np.array([r.embedding for r in back], dtype=np.float32)
+    assert (got == mat).all()
+    assert [r.vec_id for r in back] == list(range(203))
+
+
+def test_chunked_multilevel_btree(spark, tmp_path):
+    # 102 x 6 = 612 chunks > the 64-entry node cap: forces a 2-level
+    # v1 B-tree; tiny chunks also force incompressible-chunk filter
+    # masks (deflate is optional — raw storage with the mask bit set)
+    mat, df = _mat_df(spark)
+    p = str(tmp_path / "m.hdf5")
+    write_hdf5_vectors(df, p, dataset="train", chunks=(2, 3),
+                       compression="gzip")
+    d = probe_hdf5(p)["train"]
+    assert len(d.chunks) == 102 * 6
+    assert any(mask != 0 for _, _, _, mask in d.chunks)  # mask exercised
+    back = read_hdf5_vectors(spark, p, dataset="train",
+                             rows_per_task=50).orderBy("vec_id").collect()
+    got = np.array([r.embedding for r in back], dtype=np.float32)
+    assert (got == mat).all()
+
+
+def test_chunked_missing_chunk_reads_fill_zeros(spark, tmp_path):
+    # drop the last chunk from the B-tree (entries-used -= 1): the
+    # reader must produce the 0 fill value, not fail or misread
+    mat = np.ones((10, 4), dtype=np.float32)
+    p = str(tmp_path / "s.hdf5")
+    write_hdf5_vectors(_vec_df(spark, mat), p, dataset="train",
+                       chunks=(2, 4))
+    d = probe_hdf5(p)["train"]
+    assert len(d.chunks) == 5
+    raw = bytearray(open(p, "rb").read())
+    # single leaf node: TREE + type(1) + level(0) + used(2 LE)
+    i = raw.find(b"TREE" + bytes([1, 0]) + (5).to_bytes(2, "little"))
+    assert i > 0
+    raw[i + 6:i + 8] = (4).to_bytes(2, "little")
+    with open(p, "wb") as f:
+        f.write(raw)
+    back = read_hdf5_vectors(spark, p, dataset="train",
+                             rows_per_task=4).orderBy("vec_id").collect()
+    got = np.array([r.embedding for r in back], dtype=np.float32)
+    assert (got[:8] == 1.0).all() and (got[8:] == 0.0).all()
+
+
+def test_fletcher32_detects_corruption(spark, tmp_path):
+    mat = np.ones((16, 8), dtype=np.float32) * 3.5
+    p = str(tmp_path / "x.hdf5")
+    write_hdf5_vectors(_vec_df(spark, mat), p, dataset="train",
+                       chunks=(16, 8), fletcher32=True)
+    d = probe_hdf5(p)["train"]
+    (_, off, nb, _), = d.chunks
+    raw = bytearray(open(p, "rb").read())
+    raw[off + 10] ^= 0xFF  # flip a data byte inside the chunk
+    with open(p, "wb") as f:
+        f.write(raw)
+    with pytest.raises(Exception, match="fletcher32"):
+        read_hdf5_vectors(spark, p, dataset="train").collect()
+
+
+def test_non_gzip_compression_rejected(spark, tmp_path):
+    mat = np.zeros((2, 2), dtype=np.float32)
+    with pytest.raises(NotImplementedError, match="gzip"):
+        write_hdf5_vectors(_vec_df(spark, mat), str(tmp_path / "z.hdf5"),
+                           compression="lzf")
+
+
+def test_chunk_shape_validated(spark, tmp_path):
+    mat = np.zeros((4, 2), dtype=np.float32)
+    with pytest.raises(ValueError, match="chunk shape"):
+        write_hdf5_vectors(_vec_df(spark, mat), str(tmp_path / "b.hdf5"),
+                           chunks=(8, 2))
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(n=st.integers(1, 60), dim=st.integers(1, 12),
+       cr=st.integers(1, 70), cc=st.integers(1, 14),
+       gz=st.booleans(), shuf=st.booleans(), fl=st.booleans(),
+       seed=st.integers(0, 2**31 - 1))
+def test_chunked_roundtrip_property(spark, tmp_path_factory,
+                                    n, dim, cr, cc, gz, shuf, fl, seed):
+    """Any chunk grid (edge chunks, column splits) under any filter
+    combination survives write -> read bit-exactly, NaN/inf included."""
+    cr, cc = min(cr, n), min(cc, dim)
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(scale=100.0, size=(n, dim)).astype(np.float32)
+    mat.flat[rng.integers(0, mat.size)] = np.inf
+    mat.flat[rng.integers(0, mat.size)] = np.nan
+    p = str(tmp_path_factory.mktemp("h5chunk") / "c.hdf5")
+    write_hdf5_vectors(
+        _vec_df(spark, mat), p, dataset="d", chunks=(cr, cc),
+        compression="gzip" if gz else None, shuffle=shuf, fletcher32=fl,
+    )
+    d = probe_hdf5(p)["d"]
+    assert d.chunk_shape == (cr, cc)
+    assert len(d.chunks) == -(-n // cr) * -(-dim // cc)
+    back = read_hdf5_vectors(spark, p, dataset="d",
+                             rows_per_task=13).orderBy("vec_id").collect()
+    got = np.array([r.embedding for r in back], dtype=np.float32)
+    assert got.tobytes() == mat.tobytes()
