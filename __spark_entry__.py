@@ -1716,6 +1716,42 @@ def q_fvecs_sharded_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_hdf5_sharded_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """src6 (S8 bulk export, HDF5): embeddings through the DISTRIBUTED
+    sharded HDF5 writer (one independently-valid gzip+shuffle part
+    file per contiguous id range, written by executors — no toPandas
+    driver bound; sources/hdf5.py:write_hdf5_sharded) and back through
+    the manifest-driven sharded reader (executors probe their own part
+    file's metadata). The src3 treatment applied to the reference's
+    literal HDF5 format. Green iff the binary boundary is lossless
+    across the shard split: the oracle reads the original parquet."""
+    import shutil
+    import tempfile
+
+    from muopdb_spark.sources.hdf5 import (
+        read_hdf5_sharded,
+        write_hdf5_sharded,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="muopdb_hdf5_sh_")
+    try:
+        write_hdf5_sharded(emb, tmp, rows_per_shard=256,
+                           compression="gzip", shuffle=True)
+        back = read_hdf5_sharded(spark, tmp)
+        result = back.select(
+            "vec_id",
+            F.size("embedding").cast("long").alias("n_dims"),
+            F.round(
+                F.aggregate("embedding", F.lit(0.0),
+                            lambda a, x: a + x.cast("double")), 6
+            ).alias("checksum"),
+        ).orderBy("vec_id").toPandas()
+        return spark.createDataFrame(result)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _dsir_weights_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DURABLE build-once DSIR weight table for the fixture's
     target-rule (doc_id % 10 == 0 as the quality sample): hashed-n-gram
@@ -4216,6 +4252,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # read gets its landing-round first driver row; offline-source
         # family keeps src4 in-window.
         "s3_insert_packed": q_insert_packed,
+        # NEW in r11: executor-parallel sharded HDF5 export (the src3
+        # treatment for the HDF5 boundary) — window witnesses are
+        # src4/src5; this pins the shard split + manifest contract.
+        "src6_hdf5_sharded_roundtrip": q_hdf5_sharded_roundtrip,
         # src2 parked in r10 (driver-green r5-r9) so src4's literal
         # HDF5 boundary gets its landing-round first driver row.
         "src2_fvecs_roundtrip": q_fvecs_roundtrip,
@@ -4787,6 +4827,14 @@ def oracle_sql() -> dict[str, str]:
         # src4: same lossless-boundary contract as src2 — the oracle
         # reads the parquet the HDF5 roundtrip must reproduce exactly
         "src4_hdf5_roundtrip": """
+            SELECT vec_id,
+                   CAST(len(embedding) AS BIGINT) AS n_dims,
+                   round(list_sum(embedding::DOUBLE[]), 6) AS checksum
+            FROM embeddings
+            ORDER BY vec_id
+        """,
+        # src6: sharded-HDF5 boundary, same lossless contract
+        "src6_hdf5_sharded_roundtrip": """
             SELECT vec_id,
                    CAST(len(embedding) AS BIGINT) AS n_dims,
                    round(list_sum(embedding::DOUBLE[]), 6) AS checksum

@@ -342,3 +342,57 @@ def test_chunked_roundtrip_property(spark, tmp_path_factory,
                              rows_per_task=13).orderBy("vec_id").collect()
     got = np.array([r.embedding for r in back], dtype=np.float32)
     assert got.tobytes() == mat.tobytes()
+
+
+# ------------------------------------------------ sharded writer/reader
+
+
+def test_sharded_roundtrip_and_manifest(spark, tmp_path):
+    from muopdb_spark.sources.hdf5 import (
+        read_hdf5_sharded,
+        write_hdf5_sharded,
+    )
+
+    mat, df = _mat_df(spark, seed=3, n=777, dim=9)
+    out = str(tmp_path / "sh")
+    man = write_hdf5_sharded(df, out, rows_per_shard=100)
+    assert man["total_rows"] == 777 and len(man["shards"]) == 8
+    assert man["shards"][-1]["rows"] == 77  # only the last is partial
+    back = read_hdf5_sharded(spark, out).orderBy("vec_id").collect()
+    got = np.array([r.embedding for r in back], dtype=np.float32)
+    assert (got == mat).all()
+    assert [r.vec_id for r in back] == list(range(777))
+    # every part file is an independently valid single-dataset HDF5
+    p0 = str(tmp_path / "sh" / man["shards"][2]["file"])
+    d = probe_hdf5(p0)["train"]
+    assert d.shape == (100, 9)
+    solo = read_hdf5_vectors(spark, p0, dataset="train",
+                             id_offset=200).orderBy("vec_id").collect()
+    assert [r.vec_id for r in solo] == list(range(200, 300))
+    assert (np.array([r.embedding for r in solo], dtype=np.float32)
+            == mat[200:300]).all()
+
+
+def test_sharded_filters_roundtrip(spark, tmp_path):
+    from muopdb_spark.sources.hdf5 import (
+        read_hdf5_sharded,
+        write_hdf5_sharded,
+    )
+
+    mat, df = _mat_df(spark, seed=5, n=250, dim=6)
+    out = str(tmp_path / "gz")
+    write_hdf5_sharded(df, out, rows_per_shard=64, compression="gzip",
+                       shuffle=True, fletcher32=True)
+    back = read_hdf5_sharded(spark, out).orderBy("vec_id").collect()
+    got = np.array([r.embedding for r in back], dtype=np.float32)
+    assert (got == mat).all()
+
+
+def test_sharded_noncontiguous_ids_rejected(spark, tmp_path):
+    from muopdb_spark.sources.hdf5 import write_hdf5_sharded
+
+    df = spark.createDataFrame(
+        [(0, [1.0]), (2, [2.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="contiguous"):
+        write_hdf5_sharded(df, str(tmp_path / "bad"), rows_per_shard=10)
