@@ -944,6 +944,51 @@ def embedding_near_dup_pairs_df(
     )
 
 
+def embedding_near_dup(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    exact: bool = False,
+    num_planes: int = 12,
+    num_tables: int = 4,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+    num_blocks: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs — THE entry point for
+    `dedup --method embedding`. The DEFAULT path is sub-quadratic:
+    RP-LSH candidate generation (index.ann_lsh.build_rp_lsh — one
+    map-side Arrow matmul per partition, no training pass) followed by
+    exact per-bucket cosine verification, so precision is 1.0 and only
+    recall depends on the LSH knobs (num_planes narrows buckets,
+    num_tables multiplies chances; exact duplicates always collide).
+    At 100 TB the corpus never enters an all-pairs join: the shuffle
+    carries (table, bucket, id) triples and verification touches
+    bucket-local rows only.
+
+    `exact=True` switches to the all-pairs block-nested-loop referee
+    (embedding_near_dup_pairs) — O(n^2) compute BY CONTRACT, for
+    recall measurement and oracle checks at fixture scale, never the
+    production path. Same output schema either way:
+    (id_a, id_b, cosine) with id_a < id_b, cosine rounded to 6."""
+    if exact:
+        return embedding_near_dup_pairs(
+            df, vec_col=vec_col, id_col=id_col, threshold=threshold,
+            num_blocks=num_blocks,
+        )
+    from muopdb_spark.index.ann_lsh import build_rp_lsh, lsh_near_dup_pairs
+
+    index = build_rp_lsh(
+        df, vec_col=vec_col, id_col=id_col,
+        num_planes=num_planes, num_tables=num_tables, seed=seed,
+    )
+    return lsh_near_dup_pairs(
+        index, threshold=threshold, max_bucket_size=max_bucket_size,
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     *,
@@ -953,7 +998,10 @@ def embedding_near_dup_pairs(
     num_blocks: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs — distributed block-nested-loop
-    with Arrow-batched numpy matmul per block pair.
+    with Arrow-batched numpy matmul per block pair. This is the EXACT
+    REFEREE (reach it via embedding_near_dup(exact=True)); the default
+    production path is the RP-LSH route in embedding_near_dup, which
+    is sub-quadratic — do not point a 100 TB corpus at this form.
 
     Vectors are hashed into `num_blocks` blocks; every block pair (i<=j)
     becomes one applyInPandas group that computes the block×block cosine

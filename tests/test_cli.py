@@ -425,3 +425,18 @@ def test_cli_admit_fuzzy_gate(spark, cli, capsys, tmp_path, sf_dir):
                            "--fuzzy-target", bench_p, "--batch-id", "1"])
     assert r["rejected_by_reason"].get("contaminated_fuzzy", 0) > 0
     assert r["batch"] == r["admitted"] + sum(r["rejected_by_reason"].values())
+
+
+def test_cli_dedup_embedding_routes_rp_lsh(cli, capsys, sf_dir):
+    # default path = RP-LSH candidates + exact verify (sub-quadratic);
+    # --exact = the all-pairs referee. LSH pairs must be a subset of
+    # the referee's (precision 1.0 — both verify with exact cosine).
+    lsh = _run(cli, capsys, ["dedup", "--method", "embedding",
+                             "--input", f"{sf_dir}/embeddings.parquet",
+                             "--threshold", "0.95"])
+    assert lsh["path"] == "rp-lsh"
+    ref = _run(cli, capsys, ["dedup", "--method", "embedding", "--exact",
+                             "--input", f"{sf_dir}/embeddings.parquet",
+                             "--threshold", "0.95"])
+    assert ref["path"] == "exact"
+    assert lsh["near_dup_pairs"] <= ref["near_dup_pairs"]

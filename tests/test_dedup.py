@@ -171,3 +171,35 @@ def test_passage_dedup_tail_passage_is_its_own_window(spark):
     out = {r["doc_id"]: r for r in passage_dedup_stats(df, k=3).collect()}
     assert out[1]["n_passages"] == 2 and out[1]["n_dup_passages"] == 0
     assert out[2]["n_passages"] == 2 and out[2]["n_dup_passages"] == 0
+
+
+def test_embedding_near_dup_entrypoint_routing(spark):
+    """dedup --method embedding default = RP-LSH + exact verify;
+    exact=True = the all-pairs referee. Pins: (a) exact=True is
+    value-identical to embedding_near_dup_pairs, (b) the default path
+    finds every planted EXACT duplicate (identical vectors always
+    collide in every table), (c) the default path is a subset of the
+    referee with identical cosines (precision 1.0 by exact verify)."""
+    import numpy as np
+
+    from muopdb_spark.operators.dedup import embedding_near_dup
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(40, 8))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    rows += [(100 + i, [float(x) for x in base[i]]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    ref = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+           embedding_near_dup(df, threshold=0.95, exact=True).collect()}
+    ref_direct = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+                  embedding_near_dup_pairs(df, threshold=0.95).collect()}
+    assert ref == ref_direct
+
+    lsh = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+           embedding_near_dup(df, threshold=0.95).collect()}
+    assert set(lsh) <= set(ref)
+    for k, v in lsh.items():
+        assert v == ref[k]
+    planted = {(i, 100 + i) for i in range(6)}
+    assert planted <= set(lsh)

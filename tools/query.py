@@ -162,6 +162,17 @@ def _pipeline(spark, args, ap) -> dict:
             pairs = minhash_lsh_pairs(df, threshold=args.threshold)
             result = {"method": "minhash", "near_dup_pairs": pairs.count()}
             out = pairs
+        elif args.method == "embedding":
+            from muopdb_spark.operators.dedup import embedding_near_dup
+
+            # default = sub-quadratic RP-LSH candidates + exact verify;
+            # --exact = the all-pairs referee (fixture scale only)
+            pairs = embedding_near_dup(
+                df, threshold=args.threshold, exact=args.exact)
+            result = {"method": "embedding",
+                      "path": "exact" if args.exact else "rp-lsh",
+                      "near_dup_pairs": pairs.count()}
+            out = pairs
         else:
             pairs = ngram_jaccard_pairs(df, threshold=args.threshold)
             result = {"method": "jaccard", "near_dup_pairs": pairs.count()}
@@ -644,12 +655,15 @@ def main(argv=None) -> int:
     ap.add_argument("--output", help="pipeline commands: output parquet path")
     ap.add_argument("--method",
                     choices=["exact", "minhash", "jaccard", "substring",
-                             "line", "soft", "keep-best", "spans", "fuzzy"],
+                             "line", "soft", "keep-best", "spans", "fuzzy",
+                             "embedding"],
                     default="minhash",
                     help="dedup: exact|minhash|jaccard|substring|line|"
-                         "soft|keep-best; decontaminate: spans (cut "
-                         "shared >=k-token windows) | fuzzy (drop "
-                         "MinHash-LSH near-dups of --target)")
+                         "soft|keep-best|embedding (RP-LSH + exact "
+                         "verify; --exact for the all-pairs referee); "
+                         "decontaminate: spans (cut shared >=k-token "
+                         "windows) | fuzzy (drop MinHash-LSH near-dups "
+                         "of --target)")
     ap.add_argument("--threshold", type=float, default=0.8)
     ap.add_argument("--k-tokens", type=int, default=10,
                     help="substring: duplicated-span length threshold")
@@ -659,6 +673,10 @@ def main(argv=None) -> int:
     ap.add_argument("--keep-frac", type=float, default=0.7)
     ap.add_argument("--approx", action="store_true",
                     help="quality: two-pass approx-percentile scale path")
+    ap.add_argument("--exact", action="store_true",
+                    help="dedup --method embedding: run the all-pairs "
+                         "O(n^2) referee instead of the RP-LSH default "
+                         "(fixture/recall-measurement scale only)")
     ap.add_argument("--state", help="admit: admission state directory")
     ap.add_argument("--target", help="dsir: target-corpus parquet path")
     ap.add_argument("--n-sample", type=int, default=1000,
