@@ -400,18 +400,30 @@ def phase_budget_schedule(
     those deterministic picks — the DuckDB oracle unrolls the phase
     chain as CTEs.
 
-    Cost/scale (100 TB): per phase, smp8's one partial-agg scalar +
-    map-side filter, plus ONE anti-join of the previous picks (picks
-    are budget-sized — orders of magnitude below the corpus; AQE
-    broadcasts them when they fit). Phase picks are materialized
-    (localCheckpoint) so the chain's lineage stays flat.
+    Cost/scale (100 TB): the FEATURE BASE — (key, token count, every
+    phase's weight column) — is computed ONCE and materialized
+    (narrow localCheckpoint), so the per-phase mass aggregates and
+    membership filters scan ~3 numeric columns per row instead of
+    re-deriving token/quality features from text each phase (the r10
+    sf1.0 witness measured 3.9x/decade with per-phase re-derivation;
+    sharing the base removes the repeated feature scans). Per phase
+    on top of that: smp8's one partial-agg scalar + map-side filter,
+    plus ONE anti-join of the previous picks (picks are budget-sized —
+    orders of magnitude below the corpus; AQE broadcasts them when
+    they fit). Phase picks are materialized (localCheckpoint) so the
+    chain's lineage stays flat.
     """
     if not phases:
         raise ValueError("phases must be non-empty")
     names = [p[0] for p in phases]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate phase names: {names}")
-    remaining = df
+    feat_cols = [key_col, token_col] + [
+        w for _, w, _ in phases if w not in (key_col, token_col)
+    ]
+    seen: set[str] = set()
+    feat_cols = [c for c in feat_cols if not (c in seen or seen.add(c))]
+    remaining = df.select(*feat_cols).localCheckpoint(eager=True)
     out = None
     for name, weight_col, budget in phases:
         sel = weighted_token_budget_sample(
