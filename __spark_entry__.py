@@ -1407,6 +1407,82 @@ def q_insert_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def q_merge_vacuum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lc1 (S10 GetSegments/MergeSegments + S4/V20 lifecycle): the
+    compaction path the reference tests hardest
+    (rs/index/src/optimizers/merge.rs:112-1172 — merge drops
+    invalidated ids; vacuum.rs rewrites over-threshold segments) as an
+    oracle-able manifest. Recipe (fully deterministic): embeddings
+    ingested in 3 batches keyed vec_id % 3, one flush per batch (3
+    segments); remove() tombstones vec_id % 15 == 0 (lands entirely in
+    segment 0: ~20% deleted, over the 0.1 vacuum threshold) plus
+    vec_id == 1 (segment 1: under threshold); vacuum() must rewrite
+    EXACTLY segment 0 (threshold-gated); merge_segments() collapses to
+    one segment, physically dropping every tombstoned row.
+
+    Manifest row per user (user_id = vec_id % 2): observed segment
+    counts at each stage (the oracle pins the expected constants —
+    any engine deviation reddens the row) + surviving doc count/id-sum
+    read back BOTH through the MVCC snapshot (docs_visible — masking)
+    and from the merged segment's raw parquet (docs_physical — proves
+    merge dropped rows physically, not just masked them)."""
+    import shutil
+    import tempfile
+
+    from muopdb_spark.catalog.collection import Collection, CollectionConfig
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = len(emb.select("embedding").first()["embedding"])
+    tmp = tempfile.mkdtemp(prefix="muopdb_lc1_")
+    try:
+        col = Collection.create(
+            spark, tmp, CollectionConfig(name="lc1", num_features=dims)
+        )
+        base = emb.select(
+            (F.col("vec_id") % 2).cast("long").alias("user_id"),
+            F.col("vec_id").cast("long").alias("doc_id"),
+            F.col("embedding").cast("array<double>").alias("vector"),
+        )
+        for k in range(3):
+            col.insert(base.filter(F.col("doc_id") % 3 == k))
+            col.flush()
+        segments_before = len(col.toc()["segments"])
+        removed = [int(r[0]) for r in
+                   emb.filter((F.col("vec_id") % 15 == 0)
+                              | (F.col("vec_id") == 1))
+                   .select("vec_id").collect()]
+        col.remove([0, 1], removed)
+        n_vacuumed = len(col.vacuum())
+        segments_after_vacuum = len(col.toc()["segments"])
+        merged = col.merge_segments()
+        segments_after_merge = len(col.toc()["segments"])
+        visible = col.docs().groupBy("user_id").agg(
+            F.count("*").cast("long").alias("docs_visible"),
+            F.sum("doc_id").cast("long").alias("id_sum_surviving"),
+        )
+        physical = col.segment_docs(merged).groupBy("user_id").agg(
+            F.count("*").cast("long").alias("docs_physical"),
+        )
+        result = (
+            visible.join(physical, "user_id")
+            .select(
+                "user_id",
+                F.lit(segments_before).cast("long").alias("segments_before"),
+                F.lit(n_vacuumed).cast("long").alias("n_vacuumed"),
+                F.lit(segments_after_vacuum).cast("long")
+                .alias("segments_after_vacuum"),
+                F.lit(segments_after_merge).cast("long")
+                .alias("segments_after_merge"),
+                "docs_visible", "docs_physical", "id_sum_surviving",
+            )
+            .orderBy("user_id")
+            .toPandas()
+        )
+        return spark.createDataFrame(result)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar functions over the events props column."""
     ev = _events(spark, sf_dir)
@@ -4036,7 +4112,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the swap.
         "smp10_annealing_schedule": q_annealing_schedule,
         "w3_stream_ingest_batch_eq": q_stream_ingest_batch_eq,
-        "w4_stream_ann_serving": q_stream_ann_serving,
+        # r11-NEW lifecycle witness (landing-round first driver row):
+        # merge+vacuum compaction manifest — the optimizers/merge.rs
+        # path the reference tests hardest, previously pytest-only.
+        # Parks w4_stream_ann_serving (driver-green r5–r10; streaming
+        # family keeps w3 + w7 in-window, ANN serving keeps v4/v11/
+        # h2/mu1). Oracle checked at sf0.01 BEFORE the swap.
+        "lc1_merge_vacuum_manifest": q_merge_vacuum_manifest,
         "i2_term_search_indexed": q_term_search_indexed,
         "mu1_multi_user_ann": q_multi_user_ann,
         # r11-NEW source capability (landing-round first driver row):
@@ -4252,6 +4334,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # read gets its landing-round first driver row; offline-source
         # family keeps src4 in-window.
         "s3_insert_packed": q_insert_packed,
+        # w4 parked in r11 (driver-green r5-r10) so lc1's merge+vacuum
+        # manifest gets its landing-round first driver row; streaming
+        # family keeps w3/w7 in-window, ANN serving keeps v4/v11/h2/mu1.
+        "w4_stream_ann_serving": q_stream_ann_serving,
         # NEW in r11: executor-parallel sharded HDF5 export (the src3
         # treatment for the HDF5 boundary) — window witnesses are
         # src4/src5; this pins the shard split + manifest contract.
@@ -5603,6 +5689,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT request_id, user_id, id, score
             FROM scored WHERE rnk <= 5
             ORDER BY request_id, score, id
+        """,
+        # lc1: the merge+vacuum manifest. Surviving docs are pure set
+        # algebra over the removal predicate; the segment-count columns
+        # are the RECIPE'S expected lifecycle facts (3 flushes -> 3
+        # segments; exactly segment 0 crosses the 0.1 vacuum threshold;
+        # merge -> 1) — the engine reports what it OBSERVED, so any
+        # deviation (vacuum rewriting too much/little, merge failing to
+        # drop tombstoned rows physically) reddens the row.
+        "lc1_merge_vacuum_manifest": """
+            WITH surv AS (
+                SELECT vec_id % 2 AS user_id, vec_id
+                FROM embeddings
+                WHERE NOT (vec_id % 15 = 0 OR vec_id = 1)
+            )
+            SELECT user_id,
+                   CAST(3 AS BIGINT) AS segments_before,
+                   CAST(1 AS BIGINT) AS n_vacuumed,
+                   CAST(3 AS BIGINT) AS segments_after_vacuum,
+                   CAST(1 AS BIGINT) AS segments_after_merge,
+                   CAST(count(*) AS BIGINT) AS docs_visible,
+                   CAST(count(*) AS BIGINT) AS docs_physical,
+                   CAST(sum(vec_id) AS BIGINT) AS id_sum_surviving
+            FROM surv
+            GROUP BY user_id
+            ORDER BY user_id
         """,
         # streaming serving over the durable index: full probe is exact
         # per micro-batch, so the union of batches equals brute force
