@@ -328,6 +328,14 @@ class _Parser:
             for dd in shape:
                 n_elem *= dd
             if lay[0] == "contiguous":
+                if filters:
+                    # filters are only legal on chunked layouts; a
+                    # contiguous dataset carrying a pipeline message
+                    # must not be read as raw bytes silently
+                    raise ValueError(
+                        f"{self.path}:{name}: filter pipeline present "
+                        "on a contiguous layout (corrupt file?)"
+                    )
                 _, off, size = lay
                 self.datasets[name] = Hdf5Dataset(
                     name=name, shape=shape, dtype=dtype,
