@@ -155,6 +155,9 @@ class Hdf5Dataset:
     chunks: list = field(default_factory=list)
     # [(filter_id, name, flags, client_data)] in pipeline order
     filters: list = field(default_factory=list)
+    # raw bytes of one element's defined fill value (message 0x0005);
+    # None = undefined -> the library default of all-zeros
+    fill: bytes | None = None
 
     @property
     def nrows(self) -> int:
@@ -316,6 +319,10 @@ class _Parser:
                 self._pipeline(by_type[0x000B][0], name)
                 if 0x000B in by_type else []
             )
+            fill = (
+                self._fill_value(by_type[0x0005][0], name)
+                if 0x0005 in by_type else None
+            )
             attrs = {}
             for abody in by_type.get(0x000C, []):
                 try:
@@ -354,7 +361,7 @@ class _Parser:
                     name=name, shape=shape, dtype=dtype,
                     data_offset=-1, data_size=n_elem * itemsize,
                     attrs=attrs, chunk_shape=chunk_shape, chunks=chunks,
-                    filters=filters,
+                    filters=filters, fill=fill,
                 )
         # else: group with only link-info/empty — nothing to record
 
@@ -516,6 +523,29 @@ class _Parser:
                 )
             filters.append((fid, fname, flags, cdata))
         return filters
+
+    def _fill_value(self, body: bytes, name: str) -> bytes | None:
+        """Fill value message (0x0005), v1/v2/v3: the element bytes a
+        missing chunk must read as, or None when undefined (-> the
+        library default of all zeros). Ignoring a DEFINED non-zero fill
+        would be a silent misread on sparse chunked files."""
+        ver = body[0]
+        if ver in (1, 2):
+            defined = body[3]
+            if ver == 1 or defined == 1:
+                size = _u(body, 4, 4)
+                return bytes(body[8:8 + size]) if size else None
+            return None
+        if ver == 3:
+            flags = body[1]
+            if flags & 0x20:  # fill value defined
+                size = _u(body, 2, 4)
+                return bytes(body[6:6 + size]) if size else None
+            return None
+        raise NotImplementedError(
+            f"{self.path}:{name}: fill value message version {ver} "
+            "unsupported"
+        )
 
     def _chunk_btree(self, addr: int, rank: int) -> list:
         """Walk a v1 B-tree of raw-data chunks (node type 1): returns
@@ -700,6 +730,11 @@ def _read_chunked(
     cr, cc = d.chunk_shape
     if cr <= 0 or cc <= 0:
         raise ValueError(f"{path}:{d.name}: bad chunk shape {d.chunk_shape}")
+    if d.fill is not None and len(d.fill) < np.dtype(d.dtype).itemsize:
+        raise ValueError(
+            f"{path}:{d.name}: fill value is {len(d.fill)} bytes, "
+            f"dtype needs {np.dtype(d.dtype).itemsize}"
+        )
     from collections import defaultdict
 
     by_row: dict[int, list] = defaultdict(list)
@@ -725,14 +760,23 @@ def _read_chunked(
         "start long, rows long, c_row array<long>, c_col array<long>, "
         "c_off array<long>, c_len array<long>, c_mask array<long>",
     )
-    dtype, filters = d.dtype, list(d.filters)
+    dtype, filters, fill = d.dtype, list(d.filters), d.fill
 
     def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         np_dt = np.dtype(dtype)
         for b in batches:
             for t in b.itertuples(index=False):
                 start, rows = int(t.start), int(t.rows)
-                out = np.zeros((rows, dim), dtype=np_dt)  # fill = 0
+                # unwritten chunks read as the dataset's defined fill
+                # value (message 0x0005), else the all-zeros default
+                if fill is not None:
+                    out = np.full(
+                        (rows, dim),
+                        np.frombuffer(fill, dtype=np_dt, count=1)[0],
+                        dtype=np_dt,
+                    )
+                else:
+                    out = np.zeros((rows, dim), dtype=np_dt)
                 with open(path, "rb") as f:
                     for ro, co, off, ln, mask in zip(
                         t.c_row, t.c_col, t.c_off, t.c_len, t.c_mask
@@ -835,6 +879,7 @@ def write_hdf5_vectors(
     compression_opts: int = 4,
     shuffle: bool = False,
     fletcher32: bool = False,
+    fillvalue: float | int | None = None,
 ) -> int:
     """Export (vec_id, embedding) to a minimal spec-conformant HDF5
     file: superblock v0, old-style root group (v1 B-tree + local heap +
@@ -874,7 +919,7 @@ def write_hdf5_vectors(
     _write_hdf5_matrix(
         path, name, mat, dtype=dtype, chunks=chunks,
         compression=compression, compression_opts=compression_opts,
-        shuffle=shuffle, fletcher32=fletcher32,
+        shuffle=shuffle, fletcher32=fletcher32, fillvalue=fillvalue,
     )
     return n
 
@@ -890,10 +935,13 @@ def _write_hdf5_matrix(
     compression_opts: int = 4,
     shuffle: bool = False,
     fletcher32: bool = False,
+    fillvalue: float | int | None = None,
 ) -> None:
     """Serialize one 2-D matrix as a single-dataset HDF5 file — the
     pure-numpy core behind write_hdf5_vectors, callable executor-side
-    (write_hdf5_sharded's per-shard task)."""
+    (write_hdf5_sharded's per-shard task). `fillvalue` writes a v3
+    fill value message (h5py's fillvalue= kwarg) — what unwritten
+    chunks of a sparse dataset read back as."""
     if compression not in (None, "gzip"):
         raise NotImplementedError(
             f"compression {compression!r} unsupported (only 'gzip')"
@@ -989,6 +1037,16 @@ def _write_hdf5_matrix(
     m_space = msg(0x0001, dataspace_msg(), pad_to=48)
     m_type = msg(0x0003, datatype_msg(), pad_to=32)
     m_pipe = msg(0x000B, pipeline_msg()) if filters else b""
+    if fillvalue is not None:
+        # v3 fill value message: flags = incremental space allocation
+        # (3) | write-on-allocation (0<<2) | defined (0x20)
+        fv = np.array(fillvalue, dtype=np_dt).tobytes()
+        m_fill = msg(
+            0x0005,
+            bytes([3, 0x23]) + struct.pack("<I", len(fv)) + fv,
+        )
+    else:
+        m_fill = b""
     layout_size = len(msg(
         0x0008,
         layout_msg_chunked(0) if chunks is not None else layout_msg(0),
@@ -1005,6 +1063,7 @@ def _write_hdf5_matrix(
     dset_hdr_addr = heap_data_addr + heap_data_size
     dset_hdr_size = (
         16 + len(m_space) + len(m_type) + layout_size + len(m_pipe)
+        + len(m_fill)
     )
     snod_addr = dset_hdr_addr + dset_hdr_size
     snod_size = 8 + 2 * K_LEAF * 40
@@ -1040,7 +1099,7 @@ def _write_hdf5_matrix(
         m_layout = msg(0x0008, layout_msg_chunked(btree_root), pad_to=32)
         data_blob = b"".join(blobs)
         eof = off + len(btree_blob)
-    dset_msgs = m_space + m_type + m_layout + m_pipe
+    dset_msgs = m_space + m_type + m_layout + m_pipe + m_fill
     assert len(dset_msgs) == dset_hdr_size - 16, len(dset_msgs)
 
     with open(path, "wb") as f:
@@ -1078,7 +1137,7 @@ def _write_hdf5_matrix(
 
         # dataset object header
         assert f.tell() == dset_hdr_addr
-        nmsgs = 3 + (1 if filters else 0)
+        nmsgs = 3 + (1 if filters else 0) + (1 if fillvalue is not None else 0)
         f.write(struct.pack("<BBHII4x", 1, 0, nmsgs, 1, len(dset_msgs)))
         f.write(dset_msgs)
 
@@ -1107,7 +1166,13 @@ def _read_dataset_matrix(path: str, d: Hdf5Dataset) -> np.ndarray:
             path, dtype=np_dt, count=n * dim, offset=d.data_offset
         ).reshape(n, dim)
     cr, cc = d.chunk_shape
-    out = np.zeros((n, dim), dtype=np_dt)
+    if d.fill is not None:
+        out = np.full(
+            (n, dim), np.frombuffer(d.fill, dtype=np_dt, count=1)[0],
+            dtype=np_dt,
+        )
+    else:
+        out = np.zeros((n, dim), dtype=np_dt)
     with open(path, "rb") as f:
         for (ro, co), off, nb, mask in d.chunks:
             f.seek(off)

@@ -396,3 +396,60 @@ def test_sharded_noncontiguous_ids_rejected(spark, tmp_path):
     )
     with pytest.raises(Exception, match="contiguous"):
         write_hdf5_sharded(df, str(tmp_path / "bad"), rows_per_shard=10)
+
+
+def test_fill_value_honored_for_missing_chunks(spark, tmp_path):
+    # a DEFINED non-zero fill value (message 0x0005, h5py fillvalue=)
+    # must be what an unwritten chunk reads back as — zeros would be a
+    # silent misread
+    mat = np.ones((10, 4), dtype=np.float32) * 2.0
+    p = str(tmp_path / "fv.hdf5")
+    write_hdf5_vectors(_vec_df(spark, mat), p, dataset="train",
+                       chunks=(2, 4), fillvalue=7.5)
+    d = probe_hdf5(p)["train"]
+    assert np.frombuffer(d.fill, dtype="<f4")[0] == 7.5
+    raw = bytearray(open(p, "rb").read())
+    i = raw.find(b"TREE" + bytes([1, 0]) + (5).to_bytes(2, "little"))
+    assert i > 0
+    raw[i + 6:i + 8] = (4).to_bytes(2, "little")  # drop the last chunk
+    with open(p, "wb") as f:
+        f.write(raw)
+    back = read_hdf5_vectors(spark, p, dataset="train",
+                             rows_per_task=100).orderBy("vec_id").collect()
+    got = np.array([r.embedding for r in back], dtype=np.float32)
+    assert (got[:8] == 2.0).all() and (got[8:] == 7.5).all()
+    # sharded-reader twin uses the same assembly helper
+    from muopdb_spark.sources.hdf5 import _read_dataset_matrix
+    m2 = _read_dataset_matrix(p, probe_hdf5(p)["train"])
+    assert (m2[8:] == 7.5).all()
+
+
+def test_pipeline_message_v2_parsing():
+    # v2 pipeline messages (libhdf5 "latest" libver): no reserved
+    # block, and filters with id < 256 carry no name-length field
+    from muopdb_spark.sources.hdf5 import _Parser
+
+    p = object.__new__(_Parser)
+    p.path = "<mem>"
+    body = (bytes([2, 2])                      # version 2, two filters
+            + (2).to_bytes(2, "little")        # shuffle
+            + (0).to_bytes(2, "little")        # flags
+            + (1).to_bytes(2, "little")        # 1 client datum
+            + (4).to_bytes(4, "little")        # elem size 4
+            + (1).to_bytes(2, "little")        # deflate
+            + (1).to_bytes(2, "little")        # optional
+            + (1).to_bytes(2, "little")
+            + (6).to_bytes(4, "little"))       # level 6
+    assert p._pipeline(body, "d") == [
+        (2, "", 0, (4,)), (1, "", 1, (6,)),
+    ]
+    # id >= 256 carries a name-length field and must refuse by name
+    lzf = (bytes([2, 1])
+           + (32000).to_bytes(2, "little")
+           + (8).to_bytes(2, "little")         # name length
+           + (1).to_bytes(2, "little")
+           + (0).to_bytes(2, "little")
+           + b"lzf\x00\x00\x00\x00\x00")
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError, match="lzf"):
+        p._pipeline(lzf, "d")
