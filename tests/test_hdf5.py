@@ -453,3 +453,20 @@ def test_pipeline_message_v2_parsing():
     import pytest as _pytest
     with _pytest.raises(NotImplementedError, match="lzf"):
         p._pipeline(lzf, "d")
+
+
+def test_chunked_three_level_btree(spark, tmp_path):
+    # 130 x 32 with 1x1 chunks = 4160 chunks > 64^2: forces THREE
+    # B-tree levels (leaves / internal / root) — pins the level-L
+    # first-key and child-address arithmetic beyond two levels
+    rng = np.random.default_rng(13)
+    mat = rng.integers(-99, 99, size=(130, 32)).astype(np.float32)
+    p = str(tmp_path / "deep.hdf5")
+    write_hdf5_vectors(_vec_df(spark, mat), p, dataset="d",
+                       dtype="<i4", chunks=(1, 1))
+    d = probe_hdf5(p)["d"]
+    assert len(d.chunks) == 130 * 32
+    back = read_hdf5_vectors(spark, p, dataset="d",
+                             rows_per_task=64).orderBy("vec_id").collect()
+    got = np.array([r.embedding for r in back], dtype=np.float32)
+    assert (got == mat).all()
