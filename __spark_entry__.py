@@ -1483,6 +1483,21 @@ def q_merge_vacuum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_wordlist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t19: blocklist/wordlist page gate — the C4 "bad words" filter
+    (operators/quality.wordlist_gate): any document whose normalized
+    tokens hit the blocklist is dropped (max_frac=0.0, the published
+    any-hit rule). Pure array-literal + higher-order-function plan —
+    one JVM map pass, no shuffle. Demo list hits the fixture's 'dup'
+    token; 'corrupt' pins the zero-hit path."""
+    from muopdb_spark.operators.quality import wordlist_gate
+
+    docs = _t(spark, sf_dir, "documents")
+    return wordlist_gate(
+        docs, ["dup", "corrupt"], max_frac=0.0
+    ).orderBy("doc_id")
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar functions over the events props column."""
     ev = _events(spark, sf_dir)
@@ -4154,7 +4169,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # with v22 extras-green, PQ scoring keeps v11, rerank keeps
         # v13). Oracle checked at sf0.01 BEFORE the swap.
         "c3_fuzzy_decontaminate": q_fuzzy_decontaminate,
-        "mu2_batch_requests": q_multi_user_batch,
+        # r11-NEW operator (landing-round first driver row): t19
+        # blocklist/wordlist page gate — the C4 "bad words" stage.
+        # Parks mu2_batch_requests (driver-green r1–r10; multi-user
+        # family keeps mu1 in-window, batch-ANN keeps v22/v23
+        # extras-green). Oracle checked at sf0.01 BEFORE the swap.
+        "t19_wordlist_gate": q_wordlist_gate,
         "c1_contamination_ngram": q_contamination,
         "p1_pii_scrub": q_pii_scrub,
         "p2_sequence_pack": q_sequence_pack,
@@ -4338,6 +4358,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # manifest gets its landing-round first driver row; streaming
         # family keeps w3/w7 in-window, ANN serving keeps v4/v11/h2/mu1.
         "w4_stream_ann_serving": q_stream_ann_serving,
+        # mu2 parked in r11 (driver-green r1-r10) so t19's wordlist
+        # gate gets its landing-round first driver row; multi-user
+        # family keeps mu1 in-window.
+        "mu2_batch_requests": q_multi_user_batch,
         # NEW in r11: executor-parallel sharded HDF5 export (the src3
         # treatment for the HDF5 boundary) — window witnesses are
         # src4/src5; this pins the shard split + manifest contract.
@@ -4710,6 +4734,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         # C4 line rules transcribed to DuckDB list ops over the same
         # deterministically framed corpus
+        # t19: identical normalize-then-member test — lowercase, strip
+        # leading/trailing non-alnum per token ('g' flag: DuckDB
+        # replaces first match only by default, Spark replaces all),
+        # drop empties, count blocklist membership
+        "t19_wordlist_gate": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(
+                           list_transform(
+                               string_split_regex(
+                                   lower(coalesce(text, '')), '\s+'),
+                               x -> regexp_replace(
+                                   x, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')
+                           ), x -> x <> '') AS toks
+                FROM documents
+            ), m AS (
+                SELECT doc_id,
+                       len(toks) AS n_tokens,
+                       len(list_filter(
+                           toks, x -> x = 'dup' OR x = 'corrupt'
+                       )) AS n_blocked
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_blocked AS BIGINT) AS n_blocked,
+                   CASE WHEN n_tokens > 0
+                        THEN round(n_blocked::DOUBLE / n_tokens, 6)
+                        ELSE 0.0 END AS blocked_frac,
+                   (CASE WHEN n_tokens > 0
+                         THEN round(n_blocked::DOUBLE / n_tokens, 6)
+                         ELSE 0.0 END) <= 0.0 AS keep
+            FROM m ORDER BY doc_id
+        """,
         "t8_c4_line_filter": r"""
             WITH framed AS (
                 SELECT doc_id,

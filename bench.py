@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "smp10_annealing_schedule",
     # r10: degenerate-repetition trim (pure HOF, zero Python)
     "t18_collapse_runs",
+    # r11: blocklist/wordlist page gate (array-literal HOF map pass)
+    "t19_wordlist_gate",
 ]
 
 

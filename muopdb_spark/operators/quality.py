@@ -213,6 +213,52 @@ def c4_line_filter(
     )
 
 
+def wordlist_gate(
+    df: DataFrame,
+    words: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_frac: float = 0.0,
+) -> DataFrame:
+    """Blocklist/wordlist gate — the C4 "bad words" page filter
+    (Raffel et al. 2020 drop any page containing a listed word; most
+    production recipes soften it to a token-fraction threshold).
+    Tokens are lowercased and stripped of leading/trailing
+    non-alphanumerics before matching, so punctuation-adjacent
+    occurrences still hit. Returns (id_col, n_tokens, n_blocked,
+    blocked_frac, keep) for every document — keep = blocked_frac <=
+    max_frac (the 0.0 default is the published any-hit drop).
+
+    Scale: the list rides the plan as an array literal (blocklists
+    are KBs), matching is pure higher-order-function expressions — one
+    JVM map pass, no shuffle, no Python. The DuckDB oracle runs the
+    identical normalize-then-member test."""
+    if not words:
+        raise ValueError("words must be non-empty")
+    wl = F.array(*[F.lit(w.lower()) for w in words])
+    toks = F.filter(
+        F.transform(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                    r"\s+"),
+            lambda t: F.regexp_replace(t, r"^[^a-z0-9]+|[^a-z0-9]+$", ""),
+        ),
+        lambda t: t != "",
+    )
+    n_tok = F.size(toks)
+    n_blk = F.size(F.filter(toks, lambda t: F.array_contains(wl, t)))
+    frac = F.when(
+        n_tok > 0, F.round(n_blk.cast("double") / n_tok, 6)
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        n_blk.cast("long").alias("n_blocked"),
+        frac.alias("blocked_frac"),
+        (frac <= F.lit(max_frac)).alias("keep"),
+    )
+
+
 def quality_percentile_by_source(
     df: DataFrame,
     *,

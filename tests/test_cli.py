@@ -440,3 +440,11 @@ def test_cli_dedup_embedding_routes_rp_lsh(cli, capsys, sf_dir):
                              "--threshold", "0.95"])
     assert ref["path"] == "exact"
     assert lsh["near_dup_pairs"] <= ref["near_dup_pairs"]
+
+
+def test_cli_quality_blocklist(cli, capsys, sf_dir):
+    r = _run(cli, capsys, ["quality", "--input",
+                           f"{sf_dir}/documents.parquet",
+                           "--blocklist", "dup,corrupt"])
+    assert r["docs"] == 500 and r["blocklist_words"] == 2
+    assert 0 < r["kept"] < 500  # 'dup' hits some fixture docs

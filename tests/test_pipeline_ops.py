@@ -484,3 +484,49 @@ def test_pii_phone_requires_consistent_separator(spark):
     assert out[1].redacted == "call <PHONE> or <PHONE> or <PHONE>"
     assert out[2].n_phone == 0
     assert "<PHONE>" not in out[2].redacted
+
+
+# ----------------------------------------------- wordlist gate (t19)
+
+
+def test_wordlist_gate_any_hit_drop(spark):
+    from muopdb_spark.operators.quality import wordlist_gate
+
+    df = _docs(spark, [
+        (1, "clean prose only here"),
+        (2, "this has one Banned word"),
+        (3, "Banned! banned, BANNED twice more"),
+        (4, ""),
+        (5, None),
+    ])
+    out = {r.doc_id: r for r in
+           wordlist_gate(df, ["banned"]).collect()}
+    assert out[1].keep and out[1].n_blocked == 0
+    # case-insensitive
+    assert not out[2].keep and out[2].n_blocked == 1
+    # punctuation-adjacent occurrences normalize and still hit
+    assert out[3].n_blocked == 3 and not out[3].keep
+    assert out[3].n_tokens == 5
+    assert out[3].blocked_frac == round(3 / 5, 6)
+    # empty/null docs: zero tokens, zero fraction, kept
+    assert out[4].keep and out[4].n_tokens == 0
+    assert out[5].keep and out[5].blocked_frac == 0.0
+
+
+def test_wordlist_gate_fraction_threshold(spark):
+    from muopdb_spark.operators.quality import wordlist_gate
+
+    df = _docs(spark, [(1, "bad good good good good good good good good")])
+    strict = wordlist_gate(df, ["bad"]).collect()[0]
+    soft = wordlist_gate(df, ["bad"], max_frac=0.2).collect()[0]
+    assert not strict.keep and soft.keep
+    assert soft.blocked_frac == round(1 / 9, 6)
+
+
+def test_wordlist_gate_empty_list_rejected(spark):
+    import pytest as _pytest
+
+    from muopdb_spark.operators.quality import wordlist_gate
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        wordlist_gate(_docs(spark, [(1, "x")]), [])

@@ -190,16 +190,30 @@ def _pipeline(spark, args, ap) -> dict:
     elif args.command == "quality":
         from pyspark.sql import functions as F
 
-        from muopdb_spark.operators.quality import quality_percentile_by_source
+        if args.blocklist:
+            from muopdb_spark.operators.quality import wordlist_gate
 
-        out = quality_percentile_by_source(
-            df, keep_frac=args.keep_frac, approx=args.approx
-        )
-        kept = out.filter(F.col("keep")).count()
-        result = {
-            "docs": df.count(), "kept": kept, "keep_frac": args.keep_frac,
-            "mode": "approx" if args.approx else "exact",
-        }
+            words = [w for w in args.blocklist.split(",") if w]
+            out = wordlist_gate(df, words, max_frac=args.max_frac)
+            kept = out.filter(F.col("keep")).count()
+            result = {
+                "docs": df.count(), "kept": kept,
+                "blocklist_words": len(words), "max_frac": args.max_frac,
+            }
+        else:
+            from muopdb_spark.operators.quality import (
+                quality_percentile_by_source,
+            )
+
+            out = quality_percentile_by_source(
+                df, keep_frac=args.keep_frac, approx=args.approx
+            )
+            kept = out.filter(F.col("keep")).count()
+            result = {
+                "docs": df.count(), "kept": kept,
+                "keep_frac": args.keep_frac,
+                "mode": "approx" if args.approx else "exact",
+            }
         if args.output:
             out = out.filter(F.col("keep"))
     elif args.command == "dsir":
@@ -673,6 +687,13 @@ def main(argv=None) -> int:
     ap.add_argument("--keep-frac", type=float, default=0.7)
     ap.add_argument("--approx", action="store_true",
                     help="quality: two-pass approx-percentile scale path")
+    ap.add_argument("--blocklist",
+                    help="quality: comma-separated wordlist gate (the "
+                         "C4 bad-words stage) instead of the "
+                         "percentile path")
+    ap.add_argument("--max-frac", type=float, default=0.0,
+                    help="quality --blocklist: max blocked-token "
+                         "fraction to keep (0.0 = any-hit drop)")
     ap.add_argument("--exact", action="store_true",
                     help="dedup --method embedding: run the all-pairs "
                          "O(n^2) referee instead of the RP-LSH default "
