@@ -448,3 +448,18 @@ def test_cli_quality_blocklist(cli, capsys, sf_dir):
                            "--blocklist", "dup,corrupt"])
     assert r["docs"] == 500 and r["blocklist_words"] == 2
     assert 0 < r["kept"] < 500  # 'dup' hits some fixture docs
+
+
+def test_cli_curate_with_blocklist_stage(cli, capsys, sf_dir):
+    base = _run(cli, capsys, ["curate", "--input",
+                              f"{sf_dir}/documents.parquet",
+                              "--budget-tokens", "8000"])
+    gated = _run(cli, capsys, ["curate", "--input",
+                               f"{sf_dir}/documents.parquet",
+                               "--budget-tokens", "8000",
+                               "--blocklist", "dup"])
+    # the gate sits between keep-best and selection: it can only
+    # shrink the pool feeding the budget sampler
+    assert gated["blocklist_gated"] <= base["keep_best"]
+    assert gated["blocklist_gated"] < gated["keep_best"]  # 'dup' hits
+    assert gated["budget_selected"] > 0

@@ -422,6 +422,16 @@ def _pipeline(spark, args, ap) -> dict:
             docs = docs.join(fz.select("doc_id"), "doc_id", "left_anti") \
                 .localCheckpoint(eager=True)
             manifest["fuzzy_decontaminated"] = docs.count()
+        if args.blocklist:
+            from muopdb_spark.operators.quality import wordlist_gate
+
+            words = [w for w in args.blocklist.split(",") if w]
+            gate = wordlist_gate(docs, words, max_frac=args.max_frac)
+            docs = docs.join(
+                gate.filter("keep").select("doc_id"), "doc_id",
+                "left_semi",
+            ).localCheckpoint(eager=True)
+            manifest["blocklist_gated"] = docs.count()
         if args.quality_min is not None:
             ok = quality_features(docs).filter(
                 F.col("quality") >= float(args.quality_min)
