@@ -474,6 +474,7 @@ def _stream_admission_oracle(
     dsir_min: float | None = None,
     contamination_k: int | None = None,
     fuzzy_jaccard: float | None = None,
+    blocklist: tuple[str, ...] | None = None,
 ) -> str:
     """DuckDB twin of q_stream_admission: symbolic replay of TWO
     sequential admission rounds (intra-batch min-id dedup, then
@@ -500,6 +501,26 @@ def _stream_admission_oracle(
         " / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
     )
     qgate = ""
+    blk = ""
+    if blocklist:
+        # blocklist gate (w10, t19's streaming face): same
+        # normalize-then-member test; any-hit drop
+        members = " OR ".join(f"x = '{w}'" for w in blocklist)
+        blk = rf"""
+        blk_ok AS (
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       list_filter(
+                           list_transform(
+                               string_split_regex(
+                                   lower(coalesce(text, '')), '\s+'),
+                               x -> regexp_replace(
+                                   x, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')
+                           ), x -> x <> '') AS wt
+                FROM documents)
+            WHERE len(list_filter(wt, x -> {members})) = 0
+        ),"""
+        qgate += " AND doc_id IN (SELECT doc_id FROM blk_ok)"
     if quality_min is not None:
         qual = rf"""
         qual AS (
@@ -514,7 +535,7 @@ def _stream_admission_oracle(
                               THEN len(list_filter(toks, t -> list_contains({_stoplist_sql('en')}, t)))::DOUBLE / len(toks)
                               ELSE 0.0 END) * 5.0)), 6) >= {quality_min}
         ),"""
-        qgate = " AND doc_id IN (SELECT doc_id FROM qual)"
+        qgate += " AND doc_id IN (SELECT doc_id FROM qual)"
     else:
         qual = ""
     imp = ""
@@ -607,7 +628,7 @@ def _stream_admission_oracle(
         ),"""
         qgate += " AND doc_id NOT IN (SELECT doc_id FROM fuzzy_bad)"
     return f"""
-        WITH {_SHINGLES_CTE},{qual}{imp}{cont}
+        WITH {_SHINGLES_CTE},{blk}{qual}{imp}{cont}
         sig AS (SELECT doc_id, sh, {hs} FROM s2),
         sigb AS (SELECT *, {bands} FROM sig),{fz}
         seed AS (SELECT * FROM sigb WHERE doc_id % 5 >= 2),
@@ -3377,6 +3398,48 @@ def q_stream_quality_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_stream_blocklist_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """w10 (r11): blocklist-gated continuous admission — the w5
+    two-round replay with t19's wordlist gate applied to each arriving
+    batch FIRST (it is the cheapest gate in the ladder: an
+    array-literal HOF expression, no broadcast, no regex corpus scan);
+    rejected docs audit as reason='blocked'. The oracle replays both
+    rounds with the identical normalize-then-member test; the seed
+    corpus is pre-curated and ungated on both sides."""
+    import shutil
+    import tempfile
+
+    from muopdb_spark.streaming.admission import admit_batch, bootstrap_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="muopdb_w10_")
+    try:
+        corpus = os.path.join(tmp, "corpus")
+        sig = os.path.join(tmp, "sigs")
+        rej = os.path.join(tmp, "rejected")
+        bootstrap_corpus(docs.filter(F.col("doc_id") % 5 >= 2), corpus, sig)
+        admit_batch(docs.filter(F.col("doc_id") % 5 == 0), 1, corpus, sig,
+                    rej, blocklist=["dup"])
+        admit_batch(docs.filter(F.col("doc_id") % 5 == 1), 2, corpus, sig,
+                    rej, blocklist=["dup"])
+        out = (
+            spark.read.parquet(corpus)
+            .select(
+                "doc_id",
+                F.when(F.col("doc_id") % 5 == 0, "batch1")
+                .when(F.col("doc_id") % 5 == 1, "batch2")
+                .otherwise("seed")
+                .alias("origin"),
+            )
+            .orderBy("doc_id")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_stream_decontaminated_admission(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4376,6 +4439,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # near-dup) benchmark gate at admission, reusing each batch's
         # one signing pass; symbolic two-round oracle.
         "w9_stream_fuzzy_admission": q_stream_fuzzy_admission,
+        # NEW in r11: blocklist-gated admission (t19's streaming face;
+        # admission family witnessed in-window by w7, so extras by the
+        # same precedent as w9)
+        "w10_stream_blocklist_admission": q_stream_blocklist_admission,
         # NEW late-r10: LSH top-k serving (x1's knn twin), oracle via
         # the same literal-plane replay.
         "x2_lsh_knn": q_lsh_knn,
@@ -5191,6 +5258,8 @@ def oracle_sql() -> dict[str, str]:
         "w5_stream_admission": _stream_admission_oracle(),
         "w6_stream_quality_admission": _stream_admission_oracle(quality_min=0.35),
         "w9_stream_fuzzy_admission": _stream_admission_oracle(fuzzy_jaccard=0.8),
+        "w10_stream_blocklist_admission": _stream_admission_oracle(
+            blocklist=("dup",)),
         "w7_stream_importance_admission": _stream_admission_oracle(
             dsir_min=-0.13
         ),

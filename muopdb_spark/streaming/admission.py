@@ -74,6 +74,8 @@ def admit_batch(
     dsir_buckets: int = 4096,
     benchmark_sig: DataFrame | None = None,
     benchmark_jaccard: float = 0.8,
+    blocklist: list[str] | None = None,
+    blocklist_max_frac: float = 0.0,
 ) -> None:
     """One admission round (callable directly for batch pipelines, or
     from the stream's foreachBatch): OPTIONAL quality gate (composite
@@ -115,6 +117,36 @@ def admit_batch(
     candidate-bounded verify."""
     spark = batch_df.sparkSession
     batch_df = batch_df.localCheckpoint(eager=True)
+    if blocklist:
+        # cheapest gate of all (array-literal HOF expression, no
+        # stoplist broadcast, no regex corpus scan) — run it first;
+        # reason='blocked' in the audit trail
+        from muopdb_spark.operators.quality import wordlist_gate
+
+        ok = (
+            wordlist_gate(
+                batch_df, blocklist, text_col=text_col, id_col=id_col,
+                max_frac=blocklist_max_frac,
+            )
+            .filter("keep")
+            .select(id_col)
+        )
+        blk_rejected = batch_df.join(ok, id_col, "left_anti").select(
+            F.col(id_col).cast("long").alias("new_id"),
+            F.lit(None).cast("long").alias("corpus_id"),
+            F.lit(None).cast("double").alias("est_jaccard"),
+            F.lit(None).cast("double").alias("jaccard"),
+            F.lit("blocked").alias("reason"),
+            F.lit(batch_id).cast("long").alias("batch_id"),
+        )
+        if not blk_rejected.isEmpty():
+            blk_rejected.write.mode("append").parquet(rejected_path)
+        batch_df = batch_df.join(ok, id_col, "left_semi").localCheckpoint(
+            eager=True
+        )
+        if batch_df.isEmpty():
+            return
+
     if quality_min is not None:
         from muopdb_spark.operators.textstats import quality_features
 

@@ -476,3 +476,31 @@ def test_admit_batch_decontamination_gate(spark, tmp_path):
     assert (5, None, "contaminated", 7) in rej
     assert {r["doc_id"] for r in spark.read.parquet(corpus_path).collect()} \
         == {1, 6}
+
+
+def test_admit_batch_blocklist_gate_audits_blocked(spark, tmp_path):
+    """w10: the blocklist gate runs FIRST (cheapest) — blocked docs
+    never reach signing, land in the audit trail as reason='blocked',
+    and survivors still dedup normally."""
+    from muopdb_spark.streaming.admission import admit_batch, bootstrap_corpus
+
+    corpus = str(tmp_path / "corpus")
+    sig = str(tmp_path / "sigs")
+    rej = str(tmp_path / "rejected")
+    seed = spark.createDataFrame(
+        [(100, "seed words alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    bootstrap_corpus(seed, corpus, sig)
+    batch = spark.createDataFrame(
+        [(1, "clean new words entirely here now"),
+         (2, "this doc mentions the Banned! token"),
+         (3, "seed words alpha beta gamma delta")],  # dup of corpus
+        "doc_id long, text string",
+    )
+    admit_batch(batch, 7, corpus, sig, rej, blocklist=["banned"])
+    admitted = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert admitted == {100, 1}
+    rejected = {r.new_id: r.reason
+                for r in spark.read.parquet(rej).collect()}
+    assert rejected == {2: "blocked", 3: "duplicate"}
