@@ -628,11 +628,17 @@ def _pipeline(spark, args, ap) -> dict:
                 spark.read.parquet(args.fuzzy_target).select(
                     "doc_id", "text")
             ).localCheckpoint(eager=True)
+        blockwords = (
+            [w for w in args.blocklist.split(",") if w]
+            if args.blocklist else None
+        )
         admit_batch(batch, args.batch_id, corpus, sigs, rejected,
                     threshold=args.threshold, quality_min=args.quality_min,
                     dsir_ratios=ratios, dsir_min=args.importance_min,
                     benchmark_sig=bench_sig,
-                    benchmark_jaccard=args.threshold)
+                    benchmark_jaccard=args.threshold,
+                    blocklist=blockwords,
+                    blocklist_max_frac=args.max_frac)
         after = spark.read.parquet(corpus).count()
         audit = {}
         if os.path.isdir(rejected):
