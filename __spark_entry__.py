@@ -2707,6 +2707,46 @@ def q_collapse_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rep2 (r11): per-source tokenizer FERTILITY — BPE subwords per
+    word under the pinned-vocab merge list (t14's corpus-independent
+    merges, so the oracle embeds the word->subwords CASE map). The
+    dataset-card metric that tells you how expensive a source is in
+    context-window slots relative to its word count (agglutinated/
+    rare-word-heavy sources fertilize high). One Arrow encode pass +
+    a source-cardinality rollup — the rep1 scale shape."""
+    from muopdb_spark.operators.vocab import (
+        bpe_token_count,
+        bpe_train_on_words,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train_on_words({w: 1 for w in _DOC_VOCAB}, 40)
+    # word count under the SAME tokenization bpe_apply uses
+    # ([^a-z0-9]+ split of lower), not the whitespace proxy
+    words = F.size(F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                "[^a-z0-9]+"),
+        lambda t: t != "",
+    ))
+    per = bpe_token_count(docs, merges, out_col="n_bpe").select(
+        "source", words.cast("long").alias("ws"), "n_bpe",
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("docs"),
+            F.sum("ws").cast("long").alias("word_tokens"),
+            F.sum("n_bpe").cast("long").alias("bpe_tokens"),
+            F.when(
+                F.sum("ws") > 0,
+                F.round(F.sum("n_bpe").cast("double") / F.sum("ws"), 6),
+            ).otherwise(F.lit(0.0)).alias("fertility"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rep1: per-source dataset hygiene report (operators/report) —
     the FineWeb/Dolma-style dataset card: per source, doc/token mass,
@@ -4443,6 +4483,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # admission family witnessed in-window by w7, so extras by the
         # same precedent as w9)
         "w10_stream_blocklist_admission": q_stream_blocklist_admission,
+        # NEW in r11: per-source tokenizer fertility (reporting family
+        # witnessed in-window by rep1, so extras by the same precedent)
+        "rep2_tokenizer_fertility": q_tokenizer_fertility,
         # NEW late-r10: LSH top-k serving (x1's knn twin), oracle via
         # the same literal-plane replay.
         "x2_lsh_knn": q_lsh_knn,
@@ -6309,6 +6352,34 @@ def oracle_sql() -> dict[str, str]:
         # `w` is scoped inside list_transform, so the weights CTE is
         # named sw to avoid shadowing), smp7's weight CTEs, smp8's
         # micro-token/lambda/hash rule at budget 12000.
+        # rep2: fertility via the same pinned-vocab CASE map as t14/t16
+        "rep2_tokenizer_fertility": f"""
+            WITH bt AS (
+                SELECT doc_id, source,
+                       {_TOKS} AS toks,
+                       array_to_string(
+                           list_transform({_TOKS},
+                                          w -> {_bpe_case_sql(40)}),
+                           ' ') AS encoded
+                FROM documents
+            ),
+            d AS (
+                SELECT source,
+                       CAST(len(toks) AS BIGINT) AS ws,
+                       CAST(CASE WHEN encoded = '' THEN 0
+                            ELSE len(string_split(encoded, ' ')) END
+                            AS BIGINT) AS bt
+                FROM bt
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS docs,
+                   CAST(sum(ws) AS BIGINT) AS word_tokens,
+                   CAST(sum(bt) AS BIGINT) AS bpe_tokens,
+                   CASE WHEN sum(ws) > 0
+                        THEN round(sum(bt)::DOUBLE / sum(ws), 6)
+                        ELSE 0.0 END AS fertility
+            FROM d GROUP BY source ORDER BY source
+        """,
         "t16_bpe_budget_sample": f"""
             WITH {_SHINGLES_CTE},
             g AS (SELECT doc_id, unnest(sh) AS gram FROM s2),
