@@ -463,3 +463,12 @@ def test_cli_curate_with_blocklist_stage(cli, capsys, sf_dir):
     assert gated["blocklist_gated"] <= base["keep_best"]
     assert gated["blocklist_gated"] < gated["keep_best"]  # 'dup' hits
     assert gated["budget_selected"] > 0
+
+
+def test_cli_report_fertility_column(cli, capsys, sf_dir):
+    r = _run(cli, capsys, ["report", "--input",
+                           f"{sf_dir}/documents.parquet",
+                           "--fertility-merges", "30"])
+    assert r["sources"] > 0
+    for row in r["rows"]:
+        assert row["fertility"] >= 1.0  # BPE never merges across words

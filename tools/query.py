@@ -474,6 +474,36 @@ def _pipeline(spark, args, ap) -> dict:
             lang_col="lang" if "lang" in cols else None,
             bench_grams=bg,
         ).orderBy("source")
+        if args.fertility_merges:
+            # rep2 columns joined onto the card: BPE subwords per word
+            # under a corpus-trained merge list (bounded collect, the
+            # t12/t14 train-at-flush shape)
+            from pyspark.sql import functions as F
+
+            from muopdb_spark.operators.vocab import (
+                bpe_token_count,
+                bpe_train,
+            )
+
+            merges = bpe_train(df, num_merges=args.fertility_merges)
+            words = F.size(F.filter(
+                F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                        "[^a-z0-9]+"),
+                lambda t: t != "",
+            ))
+            fert = (
+                bpe_token_count(df, merges, out_col="n_bpe")
+                .select("source", words.alias("ws"), "n_bpe")
+                .groupBy("source")
+                .agg(
+                    F.when(
+                        F.sum("ws") > 0,
+                        F.round(F.sum("n_bpe").cast("double")
+                                / F.sum("ws"), 6),
+                    ).otherwise(F.lit(0.0)).alias("fertility"),
+                )
+            )
+            out = out.join(fert, "source").orderBy("source")
         rows = [r.asDict() for r in out.collect()]
         result = {"sources": len(rows), "rows": rows}
     elif args.command == "decontaminate":
@@ -728,6 +758,10 @@ def main(argv=None) -> int:
                     help="bpe: merge-list length to learn")
     ap.add_argument("--budget-tokens", type=int, default=10_000,
                     help="select: expected-kept-token budget")
+    ap.add_argument("--fertility-merges", type=int, default=None,
+                    help="report: add a tokenizer-fertility column "
+                         "(BPE subwords per word) under a corpus-"
+                         "trained merge list of this size")
     ap.add_argument("--fuzzy-target", default=None,
                     help="admit: benchmark parquet; docs whose shingle "
                          "Jaccard vs any benchmark doc reaches "
