@@ -2715,6 +2715,7 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     context-window slots relative to its word count (agglutinated/
     rare-word-heavy sources fertilize high). One Arrow encode pass +
     a source-cardinality rollup — the rep1 scale shape."""
+    from muopdb_spark.functions.text import simple_tokens
     from muopdb_spark.operators.vocab import (
         bpe_token_count,
         bpe_train_on_words,
@@ -2723,12 +2724,8 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     merges = bpe_train_on_words({w: 1 for w in _DOC_VOCAB}, 40)
     # word count under the SAME tokenization bpe_apply uses
-    # ([^a-z0-9]+ split of lower), not the whitespace proxy
-    words = F.size(F.filter(
-        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))),
-                "[^a-z0-9]+"),
-        lambda t: t != "",
-    ))
+    # (simple_tokens: [^a-z0-9]+ split of lower), not the ws proxy
+    words = F.size(simple_tokens(F.coalesce(F.col("text"), F.lit(""))))
     per = bpe_token_count(docs, merges, out_col="n_bpe").select(
         "source", words.cast("long").alias("ws"), "n_bpe",
     )
@@ -4873,8 +4870,10 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_tokens > 0
                         THEN round(n_blocked::DOUBLE / n_tokens, 6)
                         ELSE 0.0 END AS blocked_frac,
+                   -- keep uses the UNROUNDED fraction (any-hit must
+                   -- not leak on very long docs where round-6 -> 0)
                    (CASE WHEN n_tokens > 0
-                         THEN round(n_blocked::DOUBLE / n_tokens, 6)
+                         THEN n_blocked::DOUBLE / n_tokens
                          ELSE 0.0 END) <= 0.0 AS keep
             FROM m ORDER BY doc_id
         """,

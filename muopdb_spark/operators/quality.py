@@ -233,10 +233,33 @@ def wordlist_gate(
     Scale: the list rides the plan as an array literal (blocklists
     are KBs), matching is pure higher-order-function expressions — one
     JVM map pass, no shuffle, no Python. The DuckDB oracle runs the
-    identical normalize-then-member test."""
+    identical normalize-then-member test.
+
+    List entries are normalized exactly like tokens (lowercase, strip
+    leading/trailing non-alphanumerics); an entry that cannot match
+    any normalized token — empty after normalization, or a multi-word
+    phrase (tokens never contain internal separators) — raises rather
+    than silently never matching: this is a safety gate. `keep` is
+    computed from the UNROUNDED fraction (blocked_frac is rounded for
+    display only), so the any-hit rule cannot leak a blocked word in
+    a document long enough for round-6 to collapse the fraction to
+    zero."""
+    import re as _re
+
     if not words:
         raise ValueError("words must be non-empty")
-    wl = F.array(*[F.lit(w.lower()) for w in words])
+    norm_words = []
+    for w in words:
+        nw = _re.sub(r"^[^a-z0-9]+|[^a-z0-9]+$", "", w.lower())
+        if not nw or _re.search(r"[^a-z0-9]", nw):
+            raise ValueError(
+                f"blocklist entry {w!r} cannot match any normalized "
+                "token (empty after normalization, or multi-word — "
+                "tokens never contain internal separators); split "
+                "phrases into words or remove the entry"
+            )
+        norm_words.append(nw)
+    wl = F.array(*[F.lit(w) for w in norm_words])
     toks = F.filter(
         F.transform(
             F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
@@ -247,15 +270,15 @@ def wordlist_gate(
     )
     n_tok = F.size(toks)
     n_blk = F.size(F.filter(toks, lambda t: F.array_contains(wl, t)))
-    frac = F.when(
-        n_tok > 0, F.round(n_blk.cast("double") / n_tok, 6)
+    exact_frac = F.when(
+        n_tok > 0, n_blk.cast("double") / n_tok
     ).otherwise(F.lit(0.0))
     return df.select(
         F.col(id_col),
         n_tok.cast("long").alias("n_tokens"),
         n_blk.cast("long").alias("n_blocked"),
-        frac.alias("blocked_frac"),
-        (frac <= F.lit(max_frac)).alias("keep"),
+        F.round(exact_frac, 6).alias("blocked_frac"),
+        (exact_frac <= F.lit(max_frac)).alias("keep"),
     )
 
 

@@ -61,14 +61,33 @@ def _u(b: bytes, off: int, n: int) -> int:
 def _fletcher32(data: bytes) -> int:
     """HDF5's H5_checksum_fletcher32: Fletcher-32 over big-endian
     16-bit words (odd trailing byte high-shifted), ones-complement
-    folded — the checksum the fletcher32 filter appends per chunk."""
+    folded — the checksum the fletcher32 filter appends per chunk.
+
+    The weighted sum s2 = sum(w_i * (n - i)) is accumulated per
+    2^20-word block in Python ints: a single uint64 dot product wraps
+    silently once n exceeds ~2^24.5 words (~47 MB chunks), which would
+    reject valid large-chunk files as corrupt."""
     b = np.frombuffer(data, np.uint8)
     nw = len(b) // 2
     w = (b[: nw * 2 : 2].astype(np.uint64) << np.uint64(8)) | b[1 : nw * 2 : 2]
     if len(b) % 2:
         w = np.append(w, np.uint64(int(b[-1]) << 8))
-    s1 = int(w.sum())
-    s2 = int((w * np.arange(len(w), 0, -1, dtype=np.uint64)).sum())
+    n = len(w)
+    s1 = 0
+    s2 = 0
+    blk_words = 1 << 20
+    for a in range(0, n, blk_words):
+        blk = w[a:a + blk_words]
+        lb = len(blk)
+        bs = int(blk.sum())
+        # sum over the block of w_j * (n - a - j)
+        #   = sum(w_j * (lb - j)) + (n - a - lb) * sum(w_j)
+        # each term stays < 2^57, well inside uint64
+        inner = int(
+            (blk * np.arange(lb, 0, -1, dtype=np.uint64)).sum()
+        )
+        s1 += bs
+        s2 += inner + (n - a - lb) * bs
     # repeated (x & 0xffff) + (x >> 16) folding of a positive value
     # yields the residue mod 65535, except residue 0 folds to 0xffff
     f1 = s1 % 65535 or (0xFFFF if s1 else 0)

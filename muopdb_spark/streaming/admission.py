@@ -78,7 +78,9 @@ def admit_batch(
     blocklist_max_frac: float = 0.0,
 ) -> None:
     """One admission round (callable directly for batch pipelines, or
-    from the stream's foreachBatch): OPTIONAL quality gate (composite
+    from the stream's foreachBatch): OPTIONAL blocklist gate
+    (``blocklist`` — t19's wordlist_gate, the cheapest rung, runs
+    first; rejections audit as reason='blocked'), OPTIONAL quality gate (composite
     quality score >= quality_min, the t2 formula — a pure map-side
     expression, so the gate adds zero shuffles to the round), OPTIONAL
     decontamination gate (reject any doc sharing a >= contamination_k
@@ -347,6 +349,8 @@ def stream_admission(
     dsir_buckets: int = 4096,
     benchmark_sig: DataFrame | None = None,
     benchmark_jaccard: float = 0.8,
+    blocklist: list[str] | None = None,
+    blocklist_max_frac: float = 0.0,
     trigger_available_now: bool = False,
     processing_time: str = "1 second",
 ):
@@ -366,6 +370,8 @@ def stream_admission(
             dsir_min=dsir_min, dsir_buckets=dsir_buckets,
             benchmark_sig=benchmark_sig,
             benchmark_jaccard=benchmark_jaccard,
+            blocklist=blocklist,
+            blocklist_max_frac=blocklist_max_frac,
         )
         batch_df.sparkSession.catalog.clearCache()
 

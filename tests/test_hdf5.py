@@ -470,3 +470,24 @@ def test_chunked_three_level_btree(spark, tmp_path):
                              rows_per_task=64).orderBy("vec_id").collect()
     got = np.array([r.embedding for r in back], dtype=np.float32)
     assert (got == mat).all()
+
+
+def test_fletcher32_blockwise_matches_exact_math():
+    # the s2 accumulation is blockwise (2^20-word blocks) so large
+    # chunks don't wrap uint64; verify across multiple blocks against
+    # exact Python-int math on a 3.5M-word buffer
+    from muopdb_spark.sources.hdf5 import _fletcher32
+
+    rng = np.random.default_rng(5)
+    data = rng.integers(0, 256, size=7_000_001, dtype=np.uint8).tobytes()
+    got = _fletcher32(data)
+    b = np.frombuffer(data, np.uint8)
+    nw = len(b) // 2
+    w = ((b[:nw * 2:2].astype(object) * 256) + b[1:nw * 2:2]).tolist()
+    if len(b) % 2:
+        w.append(int(b[-1]) << 8)
+    s1 = sum(w)
+    s2 = sum(v * (len(w) - i) for i, v in enumerate(w))
+    f1 = s1 % 65535 or (0xFFFF if s1 else 0)
+    f2 = s2 % 65535 or (0xFFFF if s2 else 0)
+    assert got == ((f2 << 16) | f1)

@@ -530,3 +530,33 @@ def test_wordlist_gate_empty_list_rejected(spark):
 
     with _pytest.raises(ValueError, match="non-empty"):
         wordlist_gate(_docs(spark, [(1, "x")]), [])
+
+
+def test_wordlist_gate_normalizes_entries_and_rejects_phrases(spark):
+    from muopdb_spark.operators.quality import wordlist_gate
+
+    df = _docs(spark, [(1, "this has one banned word")])
+    # punctuation-adjacent list entries normalize like tokens do
+    r = wordlist_gate(df, ["Banned!"]).collect()[0]
+    assert r.n_blocked == 1 and not r.keep
+    # a multi-word phrase can never match a token: loud error, not a
+    # silent never-match in a safety gate
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="multi-word"):
+        wordlist_gate(df, ["bad words"])
+    with _pytest.raises(ValueError, match="normalization"):
+        wordlist_gate(df, ["!!!"])
+
+
+def test_wordlist_gate_any_hit_exact_on_very_long_docs(spark):
+    # one blocked token in a 2.2M-token doc: round-6 collapses the
+    # fraction to 0.0 but keep must use the UNROUNDED value — the
+    # any-hit rule may not leak on long documents
+    from muopdb_spark.operators.quality import wordlist_gate
+
+    text = "banned " + ("ok " * 2_200_000)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = wordlist_gate(df, ["banned"]).collect()[0]
+    assert r.n_tokens == 2_200_001 and r.n_blocked == 1
+    assert r.blocked_frac == 0.0      # display rounding
+    assert not r.keep                 # but the gate still drops it

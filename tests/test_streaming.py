@@ -504,3 +504,41 @@ def test_admit_batch_blocklist_gate_audits_blocked(spark, tmp_path):
     rejected = {r.new_id: r.reason
                 for r in spark.read.parquet(rej).collect()}
     assert rejected == {2: "blocked", 3: "duplicate"}
+
+
+def test_stream_admission_blocklist_passthrough(spark, tmp_path):
+    """stream_admission must forward blocklist/blocklist_max_frac to
+    admit_batch — the streaming entry point of the w10 rung (the r11
+    review caught the missing passthrough)."""
+    from muopdb_spark.streaming.admission import (
+        bootstrap_corpus,
+        stream_admission,
+    )
+
+    corpus_path = str(tmp_path / "corpus")
+    sig_path = str(tmp_path / "sigs")
+    rejected_path = str(tmp_path / "rejected")
+    seed = spark.createDataFrame(
+        [(1, "seed words alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    bootstrap_corpus(seed, corpus_path, sig_path)
+    src = str(tmp_path / "incoming")
+    _write_json(src, "f1.jsonl", [
+        {"doc_id": 10, "text": "clean new words entirely here now"},
+        {"doc_id": 11, "text": "contains the Banned token sadly"},
+    ])
+    stream = (
+        spark.readStream.schema("doc_id long, text string").json(src)
+    )
+    q = stream_admission(
+        stream, corpus_path, sig_path, rejected_path,
+        str(tmp_path / "ck"),
+        blocklist=["banned"], trigger_available_now=True,
+    )
+    q.awaitTermination(180)
+    assert {r["doc_id"] for r in
+            spark.read.parquet(corpus_path).collect()} == {1, 10}
+    rejected = {(r["new_id"], r["reason"]) for r in
+                spark.read.parquet(rejected_path).collect()}
+    assert rejected == {(11, "blocked")}

@@ -480,17 +480,16 @@ def _pipeline(spark, args, ap) -> dict:
             # t12/t14 train-at-flush shape)
             from pyspark.sql import functions as F
 
+            from muopdb_spark.functions.text import simple_tokens
             from muopdb_spark.operators.vocab import (
                 bpe_token_count,
                 bpe_train,
             )
 
             merges = bpe_train(df, num_merges=args.fertility_merges)
-            words = F.size(F.filter(
-                F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))),
-                        "[^a-z0-9]+"),
-                lambda t: t != "",
-            ))
+            words = F.size(
+                simple_tokens(F.coalesce(F.col("text"), F.lit("")))
+            )
             fert = (
                 bpe_token_count(df, merges, out_col="n_bpe")
                 .select("source", words.alias("ws"), "n_bpe")
