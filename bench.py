@@ -1,8 +1,15 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line:
-    {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <sf>}
+    {"metric": "...", "value": <total sec>, "unit": "sec", "sf": <sf>,
+     "qunit": "cs", "queries": {name: int centiseconds, ...}}
+
+Per-query values on the contract line are integer CENTISECONDS
+("qunit":"cs" — divide by 100 for seconds): the driver captures only
+the last 2000 chars of stdout, and a 3-decimal-seconds dict over ~80
+queries is ~2.3 KB, which truncated BENCH_r10/r11. Full 3dp-seconds
+per-query values are written to BENCH_FULL.json (committed) and per-rep
+detail to BENCH_LOCAL.json.
 
 Each query is materialized with a full collect() (results are small —
 top-k/aggregates/pair lists), timed individually after a warm-up query
@@ -332,14 +339,56 @@ def main() -> None:
             )
     except OSError:
         pass
+    # Full-precision artifact (seconds, 3dp) — committed alongside the
+    # repo so per-query values are always available even if the stdout
+    # capture truncates. BENCH_LOCAL.json keeps the per-rep detail.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_FULL.json"), "w"
+        ) as f:
+            json.dump(
+                {
+                    "metric": "headline_query_wall_time",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf,
+                    "drift_vs_floors": drift_vs_floors,
+                    "steal_polluted": steal_polluted,
+                },
+                f,
+                indent=1,
+            )
+    except OSError:
+        pass
     spark.stop()
-    print(json.dumps({
-        "metric": "headline_query_wall_time",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-    }))
+    # Contract line. The driver records only the LAST 2000 chars of
+    # stdout (measured: BENCH_r10/r11 "tail" is exactly 2000 chars and
+    # "parsed" came back null because the full-precision line is ~2.3 KB
+    # — the front got cut, losing the first 8 queries). Per-query values
+    # are therefore emitted as INTEGER CENTISECONDS ("qunit":"cs",
+    # i.e. 2-decimal seconds) which keeps all ~80 queries inside one
+    # parseable sub-2000-char line; headline total stays in seconds at
+    # full precision. If future query additions push past 1990 chars,
+    # degrade to deciseconds ("ds") rather than ever exceeding the
+    # window. Full 3dp-seconds per-query values live in BENCH_FULL.json.
+    for qunit, scale in (("cs", 100), ("ds", 10)):
+        line = json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "qunit": qunit,
+                "queries": {k: int(round(v * scale))
+                            for k, v in timings.items()},
+            },
+            separators=(",", ":"),
+        )
+        if len(line) <= 1990:
+            break
+    print(line)
 
 
 if __name__ == "__main__":

@@ -31,17 +31,17 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     # international (+-prefixed) OR bare NANP 3-3-4 — the r10
     # real-corpus smoke caught 555-867-5309 leaking through the
-    # +-only pattern. The NANP separator must be CONSISTENT
-    # (555-867-5309, 555.867.5309, 555 867 5309 — not mixed like
-    # "123.456 7890", which is usually two numerics in technical
-    # prose, not a phone). RE2 (the DuckDB oracle engine) has no
-    # backreferences, so consistency is spelled as three explicit
-    # alternatives rather than ([-. ])...\1.
+    # +-only pattern. All nine separator combinations over {-, ., ' '}
+    # are redacted: r10 required a CONSISTENT separator (mixed forms
+    # like "555-867.5309" read as technical prose to some), but on the
+    # privacy-sensitive side RECALL wins — an unredacted real number
+    # is a worse failure than a redacted version string (r11 ADVICE).
+    # RE2 (the DuckDB oracle engine) has no backreferences, so the
+    # 3x3 separator product is spelled as nine explicit alternatives
+    # rather than ([-. ])...([-. ]) with \1 checks.
     ("phone",
      r"\+\d[\d -]{7,14}\d"
-     r"|\b\d{3}-\d{3}-\d{4}\b"
-     r"|\b\d{3}\.\d{3}\.\d{4}\b"
-     r"|\b\d{3} \d{3} \d{4}\b",
+     r"|\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
      "<PHONE>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
     ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),

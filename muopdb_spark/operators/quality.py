@@ -243,20 +243,39 @@ def wordlist_gate(
     computed from the UNROUNDED fraction (blocked_frac is rounded for
     display only), so the any-hit rule cannot leak a blocked word in
     a document long enough for round-6 to collapse the fraction to
-    zero."""
+    zero. The gate is ASCII-word: an entry whose edge-normalization
+    strips LETTERS or DIGITS (e.g. 'café' -> 'caf') raises instead of
+    silently matching a broader token set than written."""
     import re as _re
 
     if not words:
         raise ValueError("words must be non-empty")
     norm_words = []
     for w in words:
-        nw = _re.sub(r"^[^a-z0-9]+|[^a-z0-9]+$", "", w.lower())
+        lw = w.lower()
+        nw = _re.sub(r"^[^a-z0-9]+|[^a-z0-9]+$", "", lw)
         if not nw or _re.search(r"[^a-z0-9]", nw):
             raise ValueError(
                 f"blocklist entry {w!r} cannot match any normalized "
                 "token (empty after normalization, or multi-word — "
                 "tokens never contain internal separators); split "
                 "phrases into words or remove the entry"
+            )
+        # The edge-strip must only remove punctuation/symbols. If it
+        # removes LETTERS or DIGITS (any non-ASCII alphanumeric, e.g.
+        # 'café' -> 'caf'), the entry would silently match a BROADER
+        # set of tokens than written — a safety gate must not widen
+        # quietly. The gate is ASCII-word: pass the ASCII core
+        # explicitly if that broadening is intended.
+        head = lw[: lw.index(nw)]
+        tail = lw[lw.index(nw) + len(nw):]
+        if any(c.isalnum() for c in head + tail):
+            raise ValueError(
+                f"blocklist entry {w!r} normalizes to {nw!r}: the gate "
+                "tokenizes to ASCII [a-z0-9] cores, so non-ASCII "
+                "letters at the edges are stripped and the entry would "
+                "match a broader token set than written; use the ASCII "
+                f"core {nw!r} explicitly if that is intended"
             )
         norm_words.append(nw)
     wl = F.array(*[F.lit(w) for w in norm_words])

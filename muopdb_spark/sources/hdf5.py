@@ -376,6 +376,25 @@ class _Parser:
                         f"match shape {shape} x itemsize {itemsize}"
                     )
                 chunks = self._chunk_btree(btree_addr, rank=len(shape))
+                # Every chunk coordinate must sit on the chunk grid and
+                # inside the dataset shape: the readers assemble output
+                # by looking chunks up AT grid positions (e.g.
+                # _read_chunked's by_row.get over range(0, rows, cr)),
+                # so an unaligned/out-of-range coord from a corrupt or
+                # non-canonical B-tree would otherwise be silently
+                # dropped and read back as fill — violating the
+                # module's never-a-silent-misread contract (r11 ADVICE).
+                for coords, _off, _nb, _mask in chunks:
+                    if any(
+                        cs == 0 or c % cs != 0 or c >= d
+                        for c, cs, d in zip(coords, chunk_shape, shape)
+                    ):
+                        raise ValueError(
+                            f"{self.path}:{name}: chunk coordinate "
+                            f"{coords} is not grid-aligned to chunk "
+                            f"shape {chunk_shape} within dataset shape "
+                            f"{shape} (corrupt chunk B-tree?)"
+                        )
                 self.datasets[name] = Hdf5Dataset(
                     name=name, shape=shape, dtype=dtype,
                     data_offset=-1, data_size=n_elem * itemsize,

@@ -491,3 +491,30 @@ def test_fletcher32_blockwise_matches_exact_math():
     f1 = s1 % 65535 or (0xFFFF if s1 else 0)
     f2 = s2 % 65535 or (0xFFFF if s2 else 0)
     assert got == ((f2 << 16) | f1)
+
+def test_unaligned_chunk_coord_rejected(spark, tmp_path):
+    # r11 ADVICE: a B-tree key whose chunk coordinate is off the chunk
+    # grid (or outside the dataset shape) must raise at probe time —
+    # the readers assemble output by looking chunks up AT grid
+    # positions, so such a chunk would otherwise be silently dropped
+    # and read back as fill (a silent misread).
+    mat = np.ones((10, 4), dtype=np.float32)
+    p = str(tmp_path / "u.hdf5")
+    write_hdf5_vectors(_vec_df(spark, mat), p, dataset="train",
+                       chunks=(2, 4))
+    raw0 = open(p, "rb").read()
+    i = raw0.find(b"TREE" + bytes([1, 0]) + (5).to_bytes(2, "little"))
+    assert i > 0
+    # leaf entry layout: 24-byte header, then per entry
+    # key(nbytes 4 | mask 4 | coords (rank+1)*8) + child(8) = 40 bytes;
+    # second entry's ROW coordinate sits at +24 + 40 + 8
+    row_at = i + 24 + 40 + 8
+    assert raw0[row_at:row_at + 8] == (2).to_bytes(8, "little")
+
+    for bad in (3, 12):  # off-grid; aligned but beyond shape[0]=10
+        raw = bytearray(raw0)
+        raw[row_at:row_at + 8] = bad.to_bytes(8, "little")
+        with open(p, "wb") as f:
+            f.write(raw)
+        with pytest.raises(ValueError, match="grid-aligned"):
+            probe_hdf5(p)

@@ -471,12 +471,16 @@ def test_fuzzy_contamination_rejects_mismatched_artifacts(spark):
         threshold=0.8).count() == 1
 
 
-def test_pii_phone_requires_consistent_separator(spark):
-    # "123.456 7890" is two numerics in technical prose, not a phone;
-    # uniform-separator forms all still redact
+def test_pii_phone_nanp_any_separator(spark):
+    # r11 ADVICE: on the privacy-sensitive side recall wins, so ALL
+    # nine {-, ., ' '} separator combinations redact, including mixed
+    # ("555-867.5309"). Word-boundary and 3-3-4 shape requirements
+    # still keep version-string-like prose out: "v123.456 7890" has no
+    # boundary after 'v', "1-23.456-7890" has no 3-3-4 digit shape.
     df = spark.createDataFrame(
         [(1, "call 555-867-5309 or 555.867.5309 or 555 867 5309"),
-         (2, "v123.456 7890 build tag and 1-23.456-7890 too")],
+         (2, "v123.456 7890 build tag and 1-23.456-7890 too"),
+         (3, "mixed 555-867.5309 and 555 867-5309 and 555.867 5309")],
         "doc_id long, text string",
     )
     out = {r.doc_id: r for r in scrub_pii(df).collect()}
@@ -484,6 +488,8 @@ def test_pii_phone_requires_consistent_separator(spark):
     assert out[1].redacted == "call <PHONE> or <PHONE> or <PHONE>"
     assert out[2].n_phone == 0
     assert "<PHONE>" not in out[2].redacted
+    assert out[3].n_phone == 3
+    assert out[3].redacted == "mixed <PHONE> and <PHONE> and <PHONE>"
 
 
 # ----------------------------------------------- wordlist gate (t19)
@@ -546,6 +552,16 @@ def test_wordlist_gate_normalizes_entries_and_rejects_phrases(spark):
         wordlist_gate(df, ["bad words"])
     with _pytest.raises(ValueError, match="normalization"):
         wordlist_gate(df, ["!!!"])
+    # r11 ADVICE: edge-stripping may only remove punctuation/symbols.
+    # 'café' would silently broaden to 'caf' (matching caf, caf., ...)
+    # — a safety gate must not widen quietly, so it raises; the ASCII
+    # core passed explicitly is the opt-in spelling.
+    with _pytest.raises(ValueError, match="broader"):
+        wordlist_gate(df, ["café"])
+    with _pytest.raises(ValueError, match="broader"):
+        wordlist_gate(df, ["übanned"])
+    r = wordlist_gate(df, ["caf"]).collect()[0]  # explicit core is fine
+    assert r.n_blocked == 0 and r.keep
 
 
 def test_wordlist_gate_any_hit_exact_on_very_long_docs(spark):
