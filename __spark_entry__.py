@@ -2131,6 +2131,61 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "frame_idx")
 
 
+def _m3_pixels(doc_id: int, g: int):
+    """Deterministic 16x18 grayscale test image for doc_id: docs
+    sharing doc_id % g render the SAME base pattern; the member index
+    (doc_id // g) % 3 is applied as a UNIFORM brightness shift, under
+    which aHash/dHash are exactly invariant (18->9 / 16->8 area
+    downsampling at an integer ratio is exact float64 arithmetic), so
+    class co-membership IS the ground-truth near-dup relation."""
+    import numpy as np
+
+    cls, k = doc_id % g, (doc_id // g) % 3
+    r = np.arange(16, dtype=np.int64)[:, None]
+    c = np.arange(18, dtype=np.int64)[None, :]
+    base = ((cls * 2654435761) ^ (r * 977 + c * 313)) % 199
+    return (base + k).astype(np.uint8)
+
+
+def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image perceptual near-dup, end-to-end through the pure-stdlib
+    PNG codec (operators/image.py — the multimodal decode step made
+    real, no PIL): synthesize a PNG per document executor-side, then
+    decode -> grayscale -> area-resize -> dHash -> banded candidate
+    join -> bit_count verify.
+
+    Oracle design: images derive deterministically from doc_id
+    (_m3_pixels) — same class (doc_id % (n/10)) means same base
+    pattern, members differ only by a uniform brightness shift that
+    perceptual hashes are EXACTLY invariant to. The true near-dup set
+    is therefore the SQL-expressible class co-membership relation
+    (hamming 0), while Spark must recover it through the full
+    encode/decode/hash/band/verify path; distinct classes sit ~32
+    dHash bits apart, so any decode or banding defect produces
+    missing/extra pairs and fails the value-hash compare."""
+    from muopdb_spark.operators.image import encode_png, image_near_dup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    g = max(1, n // 10)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "content": [encode_png(_m3_pixels(int(d), g))
+                            for d in pdf["doc_id"]],
+            })
+
+    media = docs.repartition(spark.sparkContext.defaultParallelism) \
+        .mapInPandas(gen, "doc_id long, content binary")
+    return image_near_dup(media, max_hamming=3).select(
+        "a_id", "b_id", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 def _lsh_index(spark: SparkSession, sf_dir: str):
     """DURABLE build-once RP-LSH index (same deployment shape as
     _ivf_index): built, saved to on-disk tables, reloaded — every
@@ -4306,7 +4361,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # src3 extras-green, and src4 itself witnesses the byte-range
         # reader shape src2 pioneered).
         "src4_hdf5_roundtrip": q_hdf5_roundtrip,
-        "t7_gopher_flags": q_gopher_flags,
+        # r12-NEW operator (landing-round first driver row): m3 image
+        # perceptual near-dup through the pure-stdlib PNG codec —
+        # multimodal decode made real (operators/image.py), the family
+        # the r11 verdict named thinnest. Parks t7_gopher_flags
+        # (driver-green r5–r11; quality-stats family keeps t8/t11/t13/
+        # t17/t18/t19 in-window). Oracle checked at sf0.01 BEFORE the
+        # swap.
+        "m3_image_phash_dedup": q_image_phash_dedup,
         "t8_c4_line_filter": q_c4_line_filter,
         # NEW in r5: incremental dedup against the durable corpus
         # signature artifact, and passage-level dedup stats.
@@ -4361,6 +4423,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_part_stats": q_part_stats,
         "t4_fingerprints": q_fingerprints,
         "m2_frame_sample": q_frame_sample,
+        # parked r12 so m3_image_phash_dedup gets its landing-round
+        # first driver row (driver-green r5–r11; quality-stats family
+        # keeps t8/t11/t13/t17/t18/t19 in-window)
+        "t7_gopher_flags": q_gopher_flags,
         "smp3_reservoir_per_lang": q_reservoir_per_lang,
         "j3_semi_anti": q_semi_anti_join,
         "h1_hybrid_search": q_hybrid_search,
@@ -5659,6 +5725,16 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(text::BLOB) AS n_bytes,
                    md5(text) AS digest
             FROM documents ORDER BY doc_id
+        """,
+        "m3_image_phash_dedup": """
+            WITH g AS (
+                SELECT GREATEST(1, COUNT(*) // 10) AS gg FROM documents
+            )
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(0 AS BIGINT) AS hamming
+            FROM documents a, documents b, g
+            WHERE (a.doc_id % g.gg) = (b.doc_id % g.gg)
+              AND a.doc_id < b.doc_id
         """,
         "m2_frame_sample": """
             WITH f AS (

@@ -123,6 +123,9 @@ BENCH_QUERIES = [
     "t18_collapse_runs",
     # r11: blocklist/wordlist page gate (array-literal HOF map pass)
     "t19_wordlist_gate",
+    # r12: image perceptual near-dup through the pure-stdlib PNG codec
+    # (encode -> decode -> dHash -> banded join -> bit_count verify)
+    "m3_image_phash_dedup",
 ]
 
 

@@ -26,6 +26,12 @@ from muopdb_spark.operators.lm import (  # noqa: F401
 )
 from muopdb_spark.operators.export import shard_assignment, write_shards  # noqa: F401
 from muopdb_spark.operators.semdedup import semdedup  # noqa: F401
+from muopdb_spark.operators.image import (  # noqa: F401
+    decode_png,
+    encode_png,
+    image_features,
+    image_near_dup,
+)
 from muopdb_spark.operators.quality_model import (  # noqa: F401
     classifier_quality_scores,
     score_quality,

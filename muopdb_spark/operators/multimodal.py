@@ -114,16 +114,53 @@ def _try_import_pil():
 def decode_image(media: DataFrame, *, max_side: int = 256) -> DataFrame:
     """Decode + resize images to (doc_id, width, height, pixels).
 
-    STUB: requires an image codec (PIL), which is not available in this
-    environment — raises NotImplementedError at plan-build time so the
-    failure is immediate and clear. The mapInPandas body shows the real
-    batch shape a codec implementation would use.
+    With PIL installed, any PIL-readable format decodes. WITHOUT PIL
+    (this environment), PNG payloads decode through the pure-stdlib
+    spec codec in operators/image.py (zlib + struct — the same
+    public-spec treatment as sources/hdf5.py); non-PNG payloads raise
+    NotImplementedError at execution naming the limitation. Resize is
+    thumbnail-style (shrink-only, aspect preserved, area average) —
+    not bit-identical to PIL's resampling, but the same contract.
     """
     pil = _try_import_pil()
     if pil is None:
-        raise NotImplementedError(
-            "image decoding requires PIL (not installed in this environment); "
-            "byte_histogram/frame_sample exercise the same plumbing"
+        from muopdb_spark.operators.image import (
+            area_resize, decode_png, _PNG_MAGIC,
+        )
+
+        def gen_pure(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = {"doc_id": [], "width": [], "height": [], "pixels": []}
+                for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                    data = bytes(blob)
+                    if data[:8] != _PNG_MAGIC:
+                        raise NotImplementedError(
+                            "decode_image without PIL supports PNG only; "
+                            f"payload for doc_id={doc_id} is not a PNG"
+                        )
+                    img = decode_png(data).astype(np.float64)
+                    h, w = img.shape[:2]
+                    if max(h, w) > max_side:
+                        s = max_side / max(h, w)
+                        nh, nw = max(1, round(h * s)), max(1, round(w * s))
+                        if img.ndim == 2:
+                            img = area_resize(img, nh, nw)
+                        else:
+                            img = np.stack(
+                                [area_resize(img[:, :, c], nh, nw)
+                                 for c in range(img.shape[2])], axis=2,
+                            )
+                    out["doc_id"].append(doc_id)
+                    out["height"].append(img.shape[0])
+                    out["width"].append(img.shape[1])
+                    out["pixels"].append(
+                        np.rint(img).astype(np.int64).ravel().tolist()
+                    )
+                yield pd.DataFrame(out)
+
+        return media.mapInPandas(
+            gen_pure,
+            schema="doc_id long, width int, height int, pixels array<long>",
         )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
