@@ -4163,6 +4163,48 @@ def q_hdf5_chunked_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_hdf5_lzf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """src7 (S8 offline ingest, LZF filter): embeddings exported to a
+    chunked HDF5 file under the LZF filter (id 32000 — h5py's bundled
+    third-party default, inverted by the pure-Python libLZF codec in
+    sources/hdf5.py) with shuffle+fletcher32 stacked on, and re-read
+    through the distributed reader. LZF was the one exotic-filter
+    refusal a real h5py user would actually hit (r11 VERDICT #6);
+    random float chunks exercise the OPTIONAL store-raw mask path and
+    shuffled low-entropy byte planes exercise real back-references.
+    Green iff the binary boundary is lossless vs the original parquet
+    (the src2/src4/src5 contract)."""
+    import shutil
+    import tempfile
+
+    from muopdb_spark.sources.hdf5 import (
+        read_hdf5_vectors,
+        write_hdf5_vectors,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="muopdb_hdf5l_")
+    try:
+        p = os.path.join(tmp, "emb_lzf.hdf5")
+        write_hdf5_vectors(
+            emb, p, dataset="train",  # auto whole-row ~256 KiB chunks
+            compression="lzf", shuffle=True, fletcher32=True,
+        )
+        back = read_hdf5_vectors(spark, p, dataset="train",
+                                 rows_per_task=1024)
+        result = back.select(
+            "vec_id",
+            F.size("embedding").cast("long").alias("n_dims"),
+            F.round(
+                F.aggregate("embedding", F.lit(0.0),
+                            lambda a, x: a + x.cast("double")), 6
+            ).alias("checksum"),
+        ).orderBy("vec_id").toPandas()
+        return spark.createDataFrame(result)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4532,6 +4574,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # treatment for the HDF5 boundary) — window witnesses are
         # src4/src5; this pins the shard split + manifest contract.
         "src6_hdf5_sharded_roundtrip": q_hdf5_sharded_roundtrip,
+        # r12: the LZF-filter boundary (pure-Python libLZF codec) —
+        # extras row per the src6 precedent (offline-source family
+        # witnessed in-window by src4/src5)
+        "src7_hdf5_lzf_roundtrip": q_hdf5_lzf_roundtrip,
         # src2 parked in r10 (driver-green r5-r9) so src4's literal
         # HDF5 boundary gets its landing-round first driver row.
         "src2_fvecs_roundtrip": q_fvecs_roundtrip,
@@ -5146,6 +5192,14 @@ def oracle_sql() -> dict[str, str]:
         # src4: same lossless-boundary contract as src2 — the oracle
         # reads the parquet the HDF5 roundtrip must reproduce exactly
         "src4_hdf5_roundtrip": """
+            SELECT vec_id,
+                   CAST(len(embedding) AS BIGINT) AS n_dims,
+                   round(list_sum(embedding::DOUBLE[]), 6) AS checksum
+            FROM embeddings
+            ORDER BY vec_id
+        """,
+        # src7: the LZF-filter boundary, same lossless contract
+        "src7_hdf5_lzf_roundtrip": """
             SELECT vec_id,
                    CAST(len(embedding) AS BIGINT) AS n_dims,
                    round(list_sum(embedding::DOUBLE[]), 6) AS checksum

@@ -13,15 +13,17 @@ Version 3.0" — the same layout h5py emits by default):
   v1 B-tree 'TREE' + local heap 'HEAP' -> 'SNOD' symbol nodes), v1
   object headers (+ continuation blocks), dataspace v1/v2, fixed-point
   and IEEE-float datatypes, data layout v3 CONTIGUOUS and CHUNKED
-  (v1 B-tree chunk index, node type 1) with the deflate (gzip),
-  shuffle, and fletcher32 filters — i.e. everything
-  `h5py.create_dataset(..., chunks=..., compression='gzip',
+  (v1 B-tree chunk index, node type 1) with the deflate (gzip), LZF
+  (h5py's bundled third-party filter, id 32000 — pure-Python
+  codec from the public-domain libLZF format), shuffle, and
+  fletcher32 filters — i.e. everything
+  `h5py.create_dataset(..., chunks=..., compression='gzip'|'lzf',
   shuffle=True, fletcher32=True)` emits under the default libver.
 
 That covers the reference fixtures AND the chunked/gzip files public
 vector corpora usually ship as. Layout v4 indexes, dense
 (fractal-heap) groups, non-trivial datatypes, and other filters
-(szip, nbit, scaleoffset, lzf, ...) raise a NotImplementedError
+(szip, nbit, scaleoffset, blosc, ...) raise a NotImplementedError
 naming the feature, never a silent misread.
 
 Scale note (the reason the reader is worth having): like
@@ -47,6 +49,7 @@ _UNDEF = 0xFFFFFFFFFFFFFFFF
 
 # registered filter ids this reader can invert (spec section IV.A.2.l)
 _F_DEFLATE, _F_SHUFFLE, _F_FLETCHER32 = 1, 2, 3
+_F_LZF = 32000  # h5py's bundled third-party filter (libLZF format)
 _FILTER_NAMES = {
     1: "deflate", 2: "shuffle", 3: "fletcher32", 4: "szip", 5: "nbit",
     6: "scaleoffset", 32000: "lzf", 32001: "blosc", 32004: "lz4",
@@ -95,6 +98,93 @@ def _fletcher32(data: bytes) -> int:
     return (f2 << 16) | f1
 
 
+def _lzf_decompress(data: bytes) -> bytes:
+    """Decompress a libLZF stream (the payload format of h5py's LZF
+    filter, id 32000 — public-domain format by Marc Lehmann):
+    control byte < 0x20 = literal run of ctrl+1 bytes; otherwise a
+    back-reference of length (ctrl >> 5) + 2 (a length field of 7
+    extends by the next byte, max 264) at distance
+    (((ctrl & 0x1F) << 8) | next) + 1 (max 8192), copied byte-wise so
+    overlapping (RLE-style) references work. Malformed streams raise
+    ValueError — never a silent misread."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        ctrl = data[i]
+        i += 1
+        if ctrl < 0x20:
+            ln = ctrl + 1
+            if i + ln > n:
+                raise ValueError("lzf: truncated literal run")
+            out += data[i:i + ln]
+            i += ln
+        else:
+            ln = ctrl >> 5
+            if ln == 7:
+                if i >= n:
+                    raise ValueError("lzf: truncated extended length")
+                ln += data[i]
+                i += 1
+            if i >= n:
+                raise ValueError("lzf: truncated back-reference")
+            ref = len(out) - (((ctrl & 0x1F) << 8) | data[i]) - 1
+            i += 1
+            if ref < 0:
+                raise ValueError("lzf: back-reference before stream start")
+            for _ in range(ln + 2):
+                out.append(out[ref])
+                ref += 1
+    return bytes(out)
+
+
+def _lzf_compress(data: bytes) -> bytes:
+    """Greedy libLZF compressor (hash-chain of 3-byte prefixes, last
+    occurrence wins): emits literal runs (<=32) and back-references
+    (length 3..264, distance 1..8192). Output is a valid LZF stream for
+    ANY input; callers apply the OPTIONAL-filter rule (store raw with
+    the mask bit when compression does not help), matching h5py."""
+    n = len(data)
+    out = bytearray()
+    lit = bytearray()
+
+    def flush_literals() -> None:
+        j = 0
+        while j < len(lit):
+            seg = lit[j:j + 32]
+            out.append(len(seg) - 1)
+            out.extend(seg)
+            j += 32
+        lit.clear()
+
+    htab: dict[bytes, int] = {}
+    i = 0
+    while i < n:
+        if i + 3 <= n:
+            key = data[i:i + 3]
+            cand = htab.get(key, -1)
+            htab[key] = i
+            if cand >= 0 and i - cand - 1 < 8192:
+                ln = 3
+                maxl = min(n - i, 264)
+                while ln < maxl and data[cand + ln] == data[i + ln]:
+                    ln += 1
+                flush_literals()
+                off = i - cand - 1
+                enc = ln - 2
+                if enc < 7:
+                    out.append((enc << 5) | (off >> 8))
+                else:
+                    out.append((7 << 5) | (off >> 8))
+                    out.append(enc - 7)
+                out.append(off & 0xFF)
+                i += ln
+                continue
+        lit.append(data[i])
+        i += 1
+    flush_literals()
+    return bytes(out)
+
+
 def _decode_chunk(raw: bytes, filters: list, mask: int) -> bytes:
     """Invert the filter pipeline for one chunk (reverse order; a set
     bit i in the chunk's filter mask means filter i was skipped)."""
@@ -106,6 +196,8 @@ def _decode_chunk(raw: bytes, filters: list, mask: int) -> bytes:
         fid, cdata = filters[idx][0], filters[idx][3]
         if fid == _F_DEFLATE:
             raw = zlib.decompress(raw)
+        elif fid == _F_LZF:
+            raw = _lzf_decompress(raw)
         elif fid == _F_SHUFFLE:
             es = cdata[0] if cdata else 1
             nelem = len(raw) // es if es else 0
@@ -138,6 +230,12 @@ def _encode_chunk(raw: bytes, filters: list) -> tuple[bytes, int]:
         if fid == _F_DEFLATE:
             level = cdata[0] if cdata else 4
             comp = zlib.compress(raw, level)
+            if len(comp) >= len(raw) and (flags & 0x1):
+                mask |= 1 << idx
+            else:
+                raw = comp
+        elif fid == _F_LZF:
+            comp = _lzf_compress(raw)
             if len(comp) >= len(raw) and (flags & 0x1):
                 mask |= 1 << idx
             else:
@@ -552,11 +650,11 @@ class _Parser:
             p += 4 * ncd
             if ver == 1 and ncd % 2:
                 p += 4  # client data padded to an 8-byte multiple
-            if fid not in (_F_DEFLATE, _F_SHUFFLE, _F_FLETCHER32):
+            if fid not in (_F_DEFLATE, _F_SHUFFLE, _F_FLETCHER32, _F_LZF):
                 label = fname or _FILTER_NAMES.get(fid, f"id {fid}")
                 raise NotImplementedError(
                     f"{self.path}:{name}: filter '{label}' (id {fid}) "
-                    "unsupported (only deflate/shuffle/fletcher32; "
+                    "unsupported (only deflate/lzf/shuffle/fletcher32; "
                     "re-export with compression='gzip')"
                 )
             filters.append((fid, fname, flags, cdata))
@@ -980,9 +1078,9 @@ def _write_hdf5_matrix(
     (write_hdf5_sharded's per-shard task). `fillvalue` writes a v3
     fill value message (h5py's fillvalue= kwarg) — what unwritten
     chunks of a sparse dataset read back as."""
-    if compression not in (None, "gzip"):
+    if compression not in (None, "gzip", "lzf"):
         raise NotImplementedError(
-            f"compression {compression!r} unsupported (only 'gzip')"
+            f"compression {compression!r} unsupported (only 'gzip'/'lzf')"
         )
     n, dim = mat.shape
 
@@ -1015,6 +1113,13 @@ def _write_hdf5_matrix(
         if compression == "gzip":
             filters.append(
                 (_F_DEFLATE, "deflate", 1, (int(compression_opts),))
+            )
+        elif compression == "lzf":
+            # client data mirrors h5py's lzf filter registration:
+            # (filter version, libLZF version 0x0105, chunk bytes)
+            filters.append(
+                (_F_LZF, "lzf", 1,
+                 (4, 0x0105, cr * cc * np_dt.itemsize))
             )
         if fletcher32:
             filters.append((_F_FLETCHER32, "fletcher32", 0, ()))
@@ -1254,9 +1359,9 @@ def write_hdf5_sharded(
     name = dataset.lstrip("/")
     if not name or "/" in name:
         raise ValueError("writer supports a single root-level dataset name")
-    if compression not in (None, "gzip"):
+    if compression not in (None, "gzip", "lzf"):
         raise NotImplementedError(
-            f"compression {compression!r} unsupported (only 'gzip')"
+            f"compression {compression!r} unsupported (only 'gzip'/'lzf')"
         )
     os.makedirs(dir_path, exist_ok=True)
     rps = int(rows_per_shard)

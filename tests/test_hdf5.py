@@ -143,17 +143,17 @@ def test_unsupported_filter_named_in_error(spark, tmp_path):
     p = str(tmp_path / "f.hdf5")
     write_hdf5_vectors(_vec_df(spark, mat), p, dataset="train",
                        chunks=(8, 4), compression="gzip")
-    # patch the pipeline's deflate filter id (1) to lzf (32000): the
+    # patch the pipeline's deflate filter id (1) to szip (4): the
     # parser must refuse by NAME, never hand zlib foreign bytes
     raw = bytearray(open(p, "rb").read())
     # v1 pipeline body starts [version=1, nfilters=1, 6 reserved, id..]
     marker = bytes([1, 1, 0, 0, 0, 0, 0, 0]) + (1).to_bytes(2, "little")
     i = raw.find(marker)
     assert i > 0
-    raw[i + 8:i + 10] = (32000).to_bytes(2, "little")
+    raw[i + 8:i + 10] = (4).to_bytes(2, "little")
     with open(p, "wb") as f:
         f.write(raw)
-    with pytest.raises(NotImplementedError, match="lzf"):
+    with pytest.raises(NotImplementedError, match="szip"):
         probe_hdf5(p)
 
 
@@ -233,6 +233,9 @@ def _mat_df(spark, seed=7, n=203, dim=17):
     dict(compression="gzip", shuffle=True, fletcher32=True),
     dict(chunks=(40, 5), compression="gzip"),               # column-split
     dict(chunks=(64, 17), fletcher32=True),
+    dict(compression="lzf"),                                # r12: LZF
+    dict(chunks=(40, 5), compression="lzf", shuffle=True,
+         fletcher32=True),
 ])
 def test_chunked_roundtrip_exact(spark, tmp_path, kw):
     mat, df = _mat_df(spark)
@@ -301,11 +304,11 @@ def test_fletcher32_detects_corruption(spark, tmp_path):
         read_hdf5_vectors(spark, p, dataset="train").collect()
 
 
-def test_non_gzip_compression_rejected(spark, tmp_path):
+def test_unknown_compression_rejected(spark, tmp_path):
     mat = np.zeros((2, 2), dtype=np.float32)
     with pytest.raises(NotImplementedError, match="gzip"):
         write_hdf5_vectors(_vec_df(spark, mat), str(tmp_path / "z.hdf5"),
-                           compression="lzf")
+                           compression="szip")
 
 
 def test_chunk_shape_validated(spark, tmp_path):
@@ -443,16 +446,25 @@ def test_pipeline_message_v2_parsing():
     assert p._pipeline(body, "d") == [
         (2, "", 0, (4,)), (1, "", 1, (6,)),
     ]
-    # id >= 256 carries a name-length field and must refuse by name
+    # id >= 256 carries a name-length field; lzf (32000) is supported
+    # since r12, so it PARSES...
     lzf = (bytes([2, 1])
            + (32000).to_bytes(2, "little")
            + (8).to_bytes(2, "little")         # name length
            + (1).to_bytes(2, "little")
            + (0).to_bytes(2, "little")
            + b"lzf\x00\x00\x00\x00\x00")
+    assert p._pipeline(lzf, "d") == [(32000, "lzf", 1, ())]
+    # ...while an unregistered id >= 256 still refuses by name
+    blosc = (bytes([2, 1])
+             + (32001).to_bytes(2, "little")
+             + (8).to_bytes(2, "little")
+             + (1).to_bytes(2, "little")
+             + (0).to_bytes(2, "little")
+             + b"blosc\x00\x00\x00")
     import pytest as _pytest
-    with _pytest.raises(NotImplementedError, match="lzf"):
-        p._pipeline(lzf, "d")
+    with _pytest.raises(NotImplementedError, match="blosc"):
+        p._pipeline(blosc, "d")
 
 
 def test_chunked_three_level_btree(spark, tmp_path):
@@ -518,3 +530,63 @@ def test_unaligned_chunk_coord_rejected(spark, tmp_path):
             f.write(raw)
         with pytest.raises(ValueError, match="grid-aligned"):
             probe_hdf5(p)
+
+# --------------------------------------------------------- LZF filter
+
+
+def test_lzf_codec_roundtrip_and_hardening():
+    from muopdb_spark.sources.hdf5 import _lzf_compress, _lzf_decompress
+
+    rng = np.random.default_rng(0)
+    cases = [
+        b"", b"a", b"abc" * 5000,
+        bytes(rng.integers(0, 256, 100000, dtype=np.uint8)),  # random
+        bytes(10000),                  # zeros: overlapping RLE copies
+        bytes(rng.integers(0, 4, 50000, dtype=np.uint8)),
+        b"x" * 300,                    # run longer than one match (264)
+        bytes(range(256)) * 40,        # distance-256 periodic refs
+    ]
+    for d in cases:
+        assert _lzf_decompress(_lzf_compress(d)) == d
+    # low-entropy input genuinely compresses (back-references taken)
+    assert len(_lzf_compress(bytes(10000))) < 200
+    # malformed streams raise, never misread
+    for bad in (b"\x05ab",            # literal run past end
+                b"\xe0",              # truncated extended length
+                b"\xe0\x01",          # truncated back-reference
+                b"\x20\x00\x00"):     # reference before stream start
+        with pytest.raises(ValueError, match="lzf"):
+            _lzf_decompress(bad)
+
+
+def test_lzf_incompressible_chunk_stores_raw_with_mask(spark, tmp_path):
+    # random float32 bytes do not LZF-compress; the OPTIONAL flag must
+    # store such chunks raw with the filter-mask bit set — and the
+    # reader must honor the mask instead of un-LZFing raw bytes
+    rng = np.random.default_rng(99)
+    mat = rng.normal(size=(32, 16)).astype(np.float32)
+    p = str(tmp_path / "l.hdf5")
+    write_hdf5_vectors(_vec_df(spark, mat), p, dataset="train",
+                       chunks=(8, 16), compression="lzf")
+    d = probe_hdf5(p)["train"]
+    assert any(mask != 0 for *_x, mask in d.chunks), d.chunks
+    back = read_hdf5_vectors(spark, p, dataset="train",
+                             rows_per_task=8).orderBy("vec_id").collect()
+    got = np.array([r.embedding for r in back], dtype=np.float32)
+    assert (got == mat).all()
+
+
+def test_lzf_compressible_data_roundtrip(spark, tmp_path):
+    # constant-ish integer columns compress hard through LZF; checks
+    # the compressed path end to end (chunks genuinely smaller)
+    mat = np.tile(np.arange(16, dtype=np.float32), (64, 1))
+    p = str(tmp_path / "lc.hdf5")
+    write_hdf5_vectors(_vec_df(spark, mat), p, dataset="train",
+                       chunks=(16, 16), compression="lzf")
+    d = probe_hdf5(p)["train"]
+    assert all(mask == 0 for *_x, mask in d.chunks)
+    assert all(nb < 16 * 16 * 4 for _c, _o, nb, _m in d.chunks)
+    back = read_hdf5_vectors(spark, p, dataset="train",
+                             rows_per_task=20).orderBy("vec_id").collect()
+    got = np.array([r.embedding for r in back], dtype=np.float32)
+    assert (got == mat).all()
