@@ -401,17 +401,23 @@ def phase_budget_schedule(
     chain as CTEs.
 
     Cost/scale (100 TB): the FEATURE BASE — (key, token count, every
-    phase's weight column) — is computed ONCE and materialized
-    (narrow localCheckpoint), so the per-phase mass aggregates and
-    membership filters scan ~3 numeric columns per row instead of
-    re-deriving token/quality features from text each phase (the r10
-    sf1.0 witness measured 3.9x/decade with per-phase re-derivation;
-    sharing the base removes the repeated feature scans). Per phase
-    on top of that: smp8's one partial-agg scalar + map-side filter,
-    plus ONE anti-join of the previous picks (picks are budget-sized —
-    orders of magnitude below the corpus; AQE broadcasts them when
-    they fit). Phase picks are materialized (localCheckpoint) so the
-    chain's lineage stays flat.
+    phase's weight column) — is computed ONCE and materialized, so the
+    per-phase mass aggregates and membership filters scan ~3 numeric
+    columns per row instead of re-deriving token/quality features from
+    text each phase (the r10 sf1.0 witness measured 3.9x/decade with
+    per-phase re-derivation; sharing the base removes the repeated
+    feature scans). Since r12 the base rides a MEMORY_AND_DISK persist
+    (unpersisted after the phase loop — every phase pick is an eager
+    localCheckpoint, so nothing returned depends on the cache) instead
+    of a localCheckpoint: a checkpoint WRITES the corpus-sized base to
+    block storage before the first phase can read it, which doubled
+    the one-time materialization cost for callers that already hold a
+    materialized base (r11 witness: 3.0x/decade; the write was the
+    visible residual). Per phase on top of that: smp8's one
+    partial-agg scalar + map-side filter, plus ONE anti-join of the
+    previous picks (picks are budget-sized — orders of magnitude below
+    the corpus; AQE broadcasts them when they fit). Phase picks are
+    materialized (localCheckpoint) so the chain's lineage stays flat.
     """
     if not phases:
         raise ValueError("phases must be non-empty")
@@ -423,21 +429,28 @@ def phase_budget_schedule(
     ]
     seen: set[str] = set()
     feat_cols = [c for c in feat_cols if not (c in seen or seen.add(c))]
-    remaining = df.select(*feat_cols).localCheckpoint(eager=True)
-    out = None
-    for name, weight_col, budget in phases:
-        sel = weighted_token_budget_sample(
-            remaining, key_col=key_col, token_col=token_col,
-            weight_col=weight_col, budget_tokens=budget,
-            salt=f"{salt}|{name}",
-        ).select(
-            key_col, F.lit(name).alias("phase"), "fraction",
-        ).localCheckpoint(eager=True)
-        out = sel if out is None else out.unionByName(sel)
-        remaining = remaining.join(
-            sel.select(key_col), key_col, "left_anti",
-        )
-    return out
+    from pyspark import StorageLevel
+
+    base = df.select(*feat_cols).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        base.count()  # materialize the narrow base exactly once
+        remaining = base
+        out = None
+        for name, weight_col, budget in phases:
+            sel = weighted_token_budget_sample(
+                remaining, key_col=key_col, token_col=token_col,
+                weight_col=weight_col, budget_tokens=budget,
+                salt=f"{salt}|{name}",
+            ).select(
+                key_col, F.lit(name).alias("phase"), "fraction",
+            ).localCheckpoint(eager=True)
+            out = sel if out is None else out.unionByName(sel)
+            remaining = remaining.join(
+                sel.select(key_col), key_col, "left_anti",
+            )
+        return out
+    finally:
+        base.unpersist()
 
 
 def deterministic_reservoir(
