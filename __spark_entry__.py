@@ -2186,6 +2186,57 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _m4_samples(doc_id: int, g: int):
+    """Deterministic 2048-sample int16 test signal for doc_id: docs
+    sharing doc_id % g render the SAME base waveform; the member index
+    selects a POWER-OF-TWO gain (x1/x2/x4), under which the spectral
+    band-energy sign fingerprint is BIT-EXACTLY invariant (scaling by
+    2^k commutes with IEEE rounding through the FFT), so class
+    co-membership IS the ground-truth near-dup relation."""
+    import numpy as np
+
+    cls, k = doc_id % g, 1 << ((doc_id // g) % 3)
+    i = np.arange(2048, dtype=np.int64)
+    base = ((cls * 2654435761) ^ (i * 2246822519)) % 16001 - 8000
+    return (base * k).astype(np.int16)
+
+
+def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup, end-to-end through the pure-stdlib WAV codec
+    (operators/audio.py — the multimodal audio decode step made real):
+    synthesize a PCM WAV per document executor-side, then decode ->
+    mono mixdown -> framed FFT band energies -> 64-bit sign
+    fingerprint -> banded candidate join -> bit_count verify.
+
+    Oracle design (the m3 pattern, audio edition): signals derive
+    deterministically from doc_id (_m4_samples); class members differ
+    only by a power-of-two gain that the fingerprint is bit-exactly
+    invariant to, so the true near-dup set is the SQL-expressible
+    class co-membership relation (hamming 0) and Spark must recover
+    it through the full encode/decode/FFT/band/verify path."""
+    from muopdb_spark.operators.audio import audio_near_dup, encode_wav
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    g = max(1, n // 10)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "content": [encode_wav(_m4_samples(int(d), g), 16000)
+                            for d in pdf["doc_id"]],
+            })
+
+    media = docs.repartition(spark.sparkContext.defaultParallelism) \
+        .mapInPandas(gen, "doc_id long, content binary")
+    return audio_near_dup(media, max_hamming=3).select(
+        "a_id", "b_id", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 def _lsh_index(spark: SparkSession, sf_dir: str):
     """DURABLE build-once RP-LSH index (same deployment shape as
     _ivf_index): built, saved to on-disk tables, reloaded — every
@@ -4411,7 +4462,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # t17/t18/t19 in-window). Oracle checked at sf0.01 BEFORE the
         # swap.
         "m3_image_phash_dedup": q_image_phash_dedup,
-        "t8_c4_line_filter": q_c4_line_filter,
+        # r12-NEW operator (landing-round first driver row): m4 audio
+        # spectral-fingerprint near-dup through the pure-stdlib WAV
+        # codec (operators/audio.py) — the audio half of the
+        # multimodal family made real. Parks t8_c4_line_filter
+        # (driver-green r5–r11; quality family keeps t11/t13/t17/t18/
+        # t19 in-window). Oracle checked at sf0.01 BEFORE the swap.
+        "m4_audio_fingerprint_dedup": q_audio_fingerprint_dedup,
         # NEW in r5: incremental dedup against the durable corpus
         # signature artifact, and passage-level dedup stats.
         # r8-NEW operator (landing-round first driver row): soft-dedup
@@ -4469,6 +4526,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first driver row (driver-green r5–r11; quality-stats family
         # keeps t8/t11/t13/t17/t18/t19 in-window)
         "t7_gopher_flags": q_gopher_flags,
+        # parked r12 so m4_audio_fingerprint_dedup gets its
+        # landing-round first driver row (driver-green r5–r11; quality
+        # family keeps t11/t13/t17/t18/t19 in-window)
+        "t8_c4_line_filter": q_c4_line_filter,
         "smp3_reservoir_per_lang": q_reservoir_per_lang,
         "j3_semi_anti": q_semi_anti_join,
         "h1_hybrid_search": q_hybrid_search,
@@ -5779,6 +5840,16 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(text::BLOB) AS n_bytes,
                    md5(text) AS digest
             FROM documents ORDER BY doc_id
+        """,
+        "m4_audio_fingerprint_dedup": """
+            WITH g AS (
+                SELECT GREATEST(1, COUNT(*) // 10) AS gg FROM documents
+            )
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(0 AS BIGINT) AS hamming
+            FROM documents a, documents b, g
+            WHERE (a.doc_id % g.gg) = (b.doc_id % g.gg)
+              AND a.doc_id < b.doc_id
         """,
         "m3_image_phash_dedup": """
             WITH g AS (

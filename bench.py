@@ -126,6 +126,10 @@ BENCH_QUERIES = [
     # r12: image perceptual near-dup through the pure-stdlib PNG codec
     # (encode -> decode -> dHash -> banded join -> bit_count verify)
     "m3_image_phash_dedup",
+    # r12: audio spectral-fingerprint near-dup through the pure-stdlib
+    # WAV codec (decode -> framed FFT band energies -> sign hash ->
+    # banded join)
+    "m4_audio_fingerprint_dedup",
 ]
 
 

@@ -29,8 +29,15 @@ from muopdb_spark.operators.semdedup import semdedup  # noqa: F401
 from muopdb_spark.operators.image import (  # noqa: F401
     decode_png,
     encode_png,
+    hash64_near_dup,
     image_features,
     image_near_dup,
+)
+from muopdb_spark.operators.audio import (  # noqa: F401
+    audio_features,
+    audio_near_dup,
+    decode_wav,
+    encode_wav,
 )
 from muopdb_spark.operators.quality_model import (  # noqa: F401
     classifier_quality_scores,

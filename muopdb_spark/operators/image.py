@@ -340,38 +340,34 @@ def _pick_bands(max_hamming: int) -> int:
     raise ValueError(f"max_hamming {max_hamming} out of range (0..63)")
 
 
-def image_near_dup(
-    media: DataFrame,
+def hash64_near_dup(
+    feats: DataFrame,
     *,
-    content_col: str = "content",
+    hash_col: str,
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    on_error: str = "raise",
-    feats: DataFrame | None = None,
 ) -> DataFrame:
-    """Perceptual near-duplicate image pairs: (a_id, b_id, hamming)
-    with hamming = popcount(dhash_a XOR dhash_b) <= max_hamming.
+    """Near-duplicate pairs over any signed-int64 fingerprint column:
+    (a_id, b_id, hamming) with hamming = popcount(a XOR b) <=
+    max_hamming. Shared by image dHash and audio spectral fingerprints.
 
-    Candidates come from banded equality buckets over the 64-bit dHash
+    Candidates come from banded equality buckets over the 64-bit hash
     (band count auto-chosen so recall is exact — see _pick_bands);
     verification is JVM bit_count on the XOR. Only bucket-mates are
     ever paired: no all-pairs stage at any scale, matching the
-    MinHash-LSH / SimHash machinery in dedup.py. Pass ``feats`` (an
-    image_features output) to reuse an existing fingerprint table.
+    MinHash-LSH / SimHash machinery in dedup.py.
     """
     bands = _pick_bands(max_hamming)
     width = 64 // bands
     mask = (1 << width) - 1
-    if feats is None:
-        feats = image_features(
-            media, content_col=content_col, id_col=id_col, on_error=on_error
-        )
-    sig = feats.select(F.col("doc_id").alias("id"), "dhash")
+    sig = feats.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("h")
+    )
     buck = sig.select(
-        "id", "dhash",
+        "id", "h",
         F.posexplode(
             F.array(*[
-                F.shiftright("dhash", b * width)
+                F.shiftright("h", b * width)
                 .bitwiseAND(F.lit(mask)).cast("long")
                 for b in range(bands)
             ])
@@ -387,15 +383,38 @@ def image_near_dup(
         )
         .select(
             F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"),
-            F.col("a.dhash").alias("dh_a"), F.col("b.dhash").alias("dh_b"),
+            F.col("a.h").alias("h_a"), F.col("b.h").alias("h_b"),
         )
         .distinct()
     )
     return (
         cand.withColumn(
             "hamming",
-            F.bit_count(F.col("dh_a").bitwiseXOR(F.col("dh_b"))).cast("long"),
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
+    )
+
+
+def image_near_dup(
+    media: DataFrame,
+    *,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    on_error: str = "raise",
+    feats: DataFrame | None = None,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: (a_id, b_id, hamming)
+    with hamming = popcount(dhash_a XOR dhash_b) <= max_hamming —
+    hash64_near_dup over image_features' dHash column. Pass ``feats``
+    (an image_features output) to reuse an existing fingerprint table.
+    """
+    if feats is None:
+        feats = image_features(
+            media, content_col=content_col, id_col=id_col, on_error=on_error
+        )
+    return hash64_near_dup(
+        feats, hash_col="dhash", id_col="doc_id", max_hamming=max_hamming
     )
