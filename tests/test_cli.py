@@ -472,3 +472,40 @@ def test_cli_report_fertility_column(cli, capsys, sf_dir):
     assert r["sources"] > 0
     for row in r["rows"]:
         assert row["fertility"] >= 1.0  # BPE never merges across words
+
+
+def test_cli_dedup_phash_and_audio(spark, cli, capsys, tmp_path):
+    # r12: binary-payload near-dup verbs — a PNG table with one planted
+    # brightness-shift pair and a WAV table with one planted gain pair
+    import numpy as np
+
+    from muopdb_spark.operators.audio import encode_wav
+    from muopdb_spark.operators.image import encode_png
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 199, (16, 18)).astype(np.uint8)
+    other = rng.integers(0, 199, (16, 18)).astype(np.uint8)
+    imgs = spark.createDataFrame(
+        [(0, bytearray(encode_png(img))),
+         (1, bytearray(encode_png((img.astype(np.int64) + 4).astype(np.uint8)))),
+         (2, bytearray(encode_png(other))),
+         (3, bytearray(b"corrupt payload"))],  # on_error=skip in the CLI
+        "doc_id long, content binary",
+    )
+    p_img = str(tmp_path / "imgs.parquet")
+    imgs.write.parquet(p_img)
+    r = _run(cli, capsys, ["dedup", "--method", "phash", "--input", p_img])
+    assert r == {"method": "phash", "max_hamming": 3, "near_dup_pairs": 1}
+
+    sig = rng.integers(-8000, 8000, 4096, dtype=np.int16)
+    noise = rng.integers(-8000, 8000, 4096, dtype=np.int16)
+    wavs = spark.createDataFrame(
+        [(0, bytearray(encode_wav(sig, 16000))),
+         (1, bytearray(encode_wav((sig * 2).astype(np.int16), 16000))),
+         (2, bytearray(encode_wav(noise, 16000)))],
+        "doc_id long, content binary",
+    )
+    p_wav = str(tmp_path / "wavs.parquet")
+    wavs.write.parquet(p_wav)
+    r = _run(cli, capsys, ["dedup", "--method", "audio", "--input", p_wav])
+    assert r == {"method": "audio", "max_hamming": 3, "near_dup_pairs": 1}

@@ -173,6 +173,29 @@ def _pipeline(spark, args, ap) -> dict:
                       "path": "exact" if args.exact else "rp-lsh",
                       "near_dup_pairs": pairs.count()}
             out = pairs
+        elif args.method == "phash":
+            # perceptual image near-dup over a binary PNG payload
+            # column (default 'content'): decode -> dHash -> banded
+            # candidates -> bit_count verify
+            from muopdb_spark.operators.image import image_near_dup
+
+            pairs = image_near_dup(
+                df, content_col=args.content_col,
+                max_hamming=args.max_hamming, on_error="skip")
+            result = {"method": "phash", "max_hamming": args.max_hamming,
+                      "near_dup_pairs": pairs.count()}
+            out = pairs
+        elif args.method == "audio":
+            # spectral-fingerprint audio near-dup over a binary WAV
+            # payload column
+            from muopdb_spark.operators.audio import audio_near_dup
+
+            pairs = audio_near_dup(
+                df, content_col=args.content_col,
+                max_hamming=args.max_hamming, on_error="skip")
+            result = {"method": "audio", "max_hamming": args.max_hamming,
+                      "near_dup_pairs": pairs.count()}
+            out = pairs
         else:
             pairs = ngram_jaccard_pairs(df, threshold=args.threshold)
             result = {"method": "jaccard", "near_dup_pairs": pairs.count()}
@@ -715,14 +738,22 @@ def main(argv=None) -> int:
     ap.add_argument("--method",
                     choices=["exact", "minhash", "jaccard", "substring",
                              "line", "soft", "keep-best", "spans", "fuzzy",
-                             "embedding"],
+                             "embedding", "phash", "audio"],
                     default="minhash",
                     help="dedup: exact|minhash|jaccard|substring|line|"
                          "soft|keep-best|embedding (RP-LSH + exact "
-                         "verify; --exact for the all-pairs referee); "
-                         "decontaminate: spans (cut shared >=k-token "
-                         "windows) | fuzzy (drop MinHash-LSH near-dups "
-                         "of --target)")
+                         "verify; --exact for the all-pairs referee)|"
+                         "phash (image dHash over a binary PNG column)|"
+                         "audio (spectral fingerprint over a binary WAV "
+                         "column); decontaminate: spans (cut shared "
+                         ">=k-token windows) | fuzzy (drop MinHash-LSH "
+                         "near-dups of --target)")
+    ap.add_argument("--content-col", default="content",
+                    help="dedup --method phash/audio: binary payload "
+                         "column name")
+    ap.add_argument("--max-hamming", type=int, default=3,
+                    help="dedup --method phash/audio: fingerprint "
+                         "hamming-distance threshold")
     ap.add_argument("--threshold", type=float, default=0.8)
     ap.add_argument("--k-tokens", type=int, default=10,
                     help="substring: duplicated-span length threshold")
