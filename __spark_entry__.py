@@ -2237,6 +2237,87 @@ def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _m5_payload(doc_id: int, g_unused: int = 0) -> bytes:
+    """Deterministic mixed-media payload for doc_id: cycles png / wav /
+    jpeg / gif / mp4 by doc_id % 5 with header metadata derived
+    arithmetically from doc_id, so every media_probe output column is
+    SQL-expressible."""
+    import numpy as np
+
+    from muopdb_spark.operators.audio import encode_wav
+    from muopdb_spark.operators.image import encode_png
+
+    m = doc_id % 5
+    if m == 0:  # png, grayscale
+        w, h = 8 + doc_id % 16, 4 + doc_id % 8
+        px = (np.arange(h * w, dtype=np.int64).reshape(h, w)
+              * (doc_id + 1)) % 251
+        return encode_png(px.astype(np.uint8))
+    if m == 1:  # wav, mono 16 kHz
+        n = 1600 + (doc_id % 7) * 160
+        s = ((np.arange(n, dtype=np.int64) * (doc_id + 3)) % 4001
+             - 2000).astype(np.int16)
+        return encode_wav(s, 16000)
+    if m == 2:  # jpeg marker stream up to SOF0
+        w, h = 100 + doc_id % 50, 50 + doc_id % 25
+        app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+        sof = (b"\xff\xc0" + (17).to_bytes(2, "big") + bytes([8])
+               + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
+               + bytes(9))
+        return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+    if m == 3:  # gif header
+        w, h = 20 + doc_id % 30, 10 + doc_id % 20
+        return (b"GIF89a" + w.to_bytes(2, "little")
+                + h.to_bytes(2, "little") + bytes(3))
+    # mp4: ftyp + moov(mvhd + trak(tkhd))
+    w, h = 640 + (doc_id % 4) * 160, 360 + (doc_id % 4) * 90
+    dur_ms = 1000 + doc_id % 500
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return (len(body) + 8).to_bytes(4, "big") + typ + body
+
+    mvhd = box(b"mvhd", bytes(12) + (1000).to_bytes(4, "big")
+               + dur_ms.to_bytes(4, "big") + bytes(80))
+    tkhd = box(b"tkhd", bytes(76) + (w << 16).to_bytes(4, "big")
+               + (h << 16).to_bytes(4, "big"))
+    return (box(b"ftyp", b"isom" + bytes(8))
+            + box(b"moov", mvhd + box(b"trak", tkhd)))
+
+
+def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m5: typed-metadata triage over a MIXED-media binary column —
+    media_probe sniffs png/wav/jpeg/gif/mp4 containers and parses only
+    structural headers (PNG IHDR, JPEG SOFn walk, WAV fmt/data, MP4
+    mvhd/tkhd boxes), no codec. Payloads derive deterministically from
+    doc_id (_m5_payload), so format and every metadata column are
+    arithmetic in doc_id and the DuckDB oracle reproduces them with
+    CASE expressions — the probe must parse its way to the same
+    numbers through five different container grammars."""
+    from muopdb_spark.operators.multimodal import media_probe
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "content": [_m5_payload(int(d)) for d in pdf["doc_id"]],
+            })
+
+    media = docs.repartition(spark.sparkContext.defaultParallelism) \
+        .mapInPandas(gen, "doc_id long, content binary")
+    return media_probe(media).select(
+        "doc_id", "format",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("sample_rate").cast("int").alias("sample_rate"),
+        F.col("duration_s").cast("double").alias("duration_s"),
+    ).orderBy("doc_id")
+
+
 def _lsh_index(spark: SparkSession, sf_dir: str):
     """DURABLE build-once RP-LSH index (same deployment shape as
     _ivf_index): built, saved to on-disk tables, reloaded — every
@@ -4639,6 +4720,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # extras row per the src6 precedent (offline-source family
         # witnessed in-window by src4/src5)
         "src7_hdf5_lzf_roundtrip": q_hdf5_lzf_roundtrip,
+        # r12: mixed-media typed-metadata triage (header-only container
+        # parsing, no codec) — extras row; the multimodal family is
+        # witnessed in-window by m3/m4
+        "m5_media_probe": q_media_probe,
         # src2 parked in r10 (driver-green r5-r9) so src4's literal
         # HDF5 boundary gets its landing-round first driver row.
         "src2_fvecs_roundtrip": q_fvecs_roundtrip,
@@ -5839,6 +5924,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'text/plain' AS media_type,
                    octet_length(text::BLOB) AS n_bytes,
                    md5(text) AS digest
+            FROM documents ORDER BY doc_id
+        """,
+        "m5_media_probe": """
+            SELECT doc_id,
+                   CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+                        WHEN 2 THEN 'jpeg' WHEN 3 THEN 'gif'
+                        ELSE 'mp4' END AS format,
+                   CAST(CASE doc_id % 5
+                        WHEN 0 THEN 8 + doc_id % 16
+                        WHEN 2 THEN 100 + doc_id % 50
+                        WHEN 3 THEN 20 + doc_id % 30
+                        WHEN 4 THEN 640 + (doc_id % 4) * 160
+                        ELSE NULL END AS INTEGER) AS width,
+                   CAST(CASE doc_id % 5
+                        WHEN 0 THEN 4 + doc_id % 8
+                        WHEN 2 THEN 50 + doc_id % 25
+                        WHEN 3 THEN 10 + doc_id % 20
+                        WHEN 4 THEN 360 + (doc_id % 4) * 90
+                        ELSE NULL END AS INTEGER) AS height,
+                   CAST(CASE doc_id % 5
+                        WHEN 0 THEN 1 WHEN 1 THEN 1
+                        WHEN 2 THEN 3 WHEN 3 THEN 3
+                        ELSE NULL END AS INTEGER) AS channels,
+                   CAST(CASE doc_id % 5 WHEN 1 THEN 16000
+                        ELSE NULL END AS INTEGER) AS sample_rate,
+                   CAST(CASE doc_id % 5
+                        WHEN 1 THEN round(
+                            (1600 + (doc_id % 7) * 160) / 16000.0, 6)
+                        WHEN 4 THEN round(
+                            (1000 + doc_id % 500) / 1000.0, 6)
+                        ELSE NULL END AS DOUBLE) AS duration_s
             FROM documents ORDER BY doc_id
         """,
         "m4_audio_fingerprint_dedup": """

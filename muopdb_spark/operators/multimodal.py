@@ -102,6 +102,187 @@ def frame_sample(
     )
 
 
+def _probe_png(data: bytes) -> dict | None:
+    if data[:8] != b"\x89PNG\r\n\x1a\n" or len(data) < 33:
+        return None
+    import struct
+
+    if data[12:16] != b"IHDR":
+        return None
+    w, h, _depth, color_type = struct.unpack(">IIBB", data[16:26])
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    return {"format": "png", "width": w, "height": h, "channels": channels}
+
+
+def _probe_jpeg(data: bytes) -> dict | None:
+    """Walk JFIF marker segments to the first SOFn frame header (the
+    public JPEG/ISO 10918 marker grammar): height/width/components
+    live there; entropy-coded data is never touched."""
+    if data[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 2 <= len(data):
+        if data[i] != 0xFF:
+            return None  # marker desync: not a well-formed stream
+        m = data[i + 1]
+        if m == 0xD9 or m == 0xDA:  # EOI / SOS: no SOF seen
+            return {"format": "jpeg", "width": None, "height": None,
+                    "channels": None}
+        if m in (0x01,) or 0xD0 <= m <= 0xD8:
+            i += 2
+            continue
+        if i + 4 > len(data):
+            return None
+        ln = int.from_bytes(data[i + 2:i + 4], "big")
+        if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+            if i + 10 > len(data):
+                return None
+            h = int.from_bytes(data[i + 5:i + 7], "big")
+            w = int.from_bytes(data[i + 7:i + 9], "big")
+            return {"format": "jpeg", "width": w, "height": h,
+                    "channels": data[i + 9]}
+        i += 2 + ln
+    return None
+
+
+def _probe_gif(data: bytes) -> dict | None:
+    if data[:6] not in (b"GIF87a", b"GIF89a") or len(data) < 10:
+        return None
+    return {
+        "format": "gif",
+        "width": int.from_bytes(data[6:8], "little"),
+        "height": int.from_bytes(data[8:10], "little"),
+        "channels": 3,
+    }
+
+
+def _probe_bmp(data: bytes) -> dict | None:
+    if data[:2] != b"BM" or len(data) < 26:
+        return None
+    return {
+        "format": "bmp",
+        "width": int.from_bytes(data[18:22], "little", signed=True),
+        "height": abs(int.from_bytes(data[22:26], "little", signed=True)),
+        "channels": 3,
+    }
+
+
+def _probe_wav(data: bytes) -> dict | None:
+    """fmt/data chunk headers only — no sample reads."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos, fmt, data_len = 12, None, None
+    while pos + 8 <= len(data):
+        cid, ln = struct.unpack("<4sI", data[pos:pos + 8])
+        if cid == b"fmt " and ln >= 16:
+            fmt = struct.unpack("<HHIIHH", data[pos + 8:pos + 24])
+        elif cid == b"data":
+            data_len = ln
+        pos += 8 + ln + (ln & 1)
+    if fmt is None:
+        return None
+    _tag, ch, rate, _br, balign, _bits = fmt
+    out = {"format": "wav", "channels": ch, "sample_rate": rate}
+    if data_len is not None and balign:
+        out["duration_s"] = round(data_len / balign / rate, 6)
+    return out
+
+
+def _probe_mp4(data: bytes) -> dict | None:
+    """ISO BMFF box walk: ftyp confirms the container; moov/mvhd gives
+    duration (timescale-normalized), trak/tkhd gives track dimensions
+    (16.16 fixed point). Media data (mdat) is never touched."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        return None
+
+    def boxes(start: int, end: int):
+        p = start
+        while p + 8 <= end:
+            size = int.from_bytes(data[p:p + 4], "big")
+            if size < 8 or p + size > end:
+                return
+            yield data[p + 4:p + 8], p + 8, p + size
+            p += size
+
+    out: dict = {"format": "mp4"}
+    for typ, s, e in boxes(0, len(data)):
+        if typ != b"moov":
+            continue
+        for t2, s2, e2 in boxes(s, e):
+            if t2 == b"mvhd" and e2 - s2 >= 20:
+                ver = data[s2]
+                if ver == 1:
+                    ts = int.from_bytes(data[s2 + 20:s2 + 24], "big")
+                    dur = int.from_bytes(data[s2 + 24:s2 + 32], "big")
+                else:
+                    ts = int.from_bytes(data[s2 + 12:s2 + 16], "big")
+                    dur = int.from_bytes(data[s2 + 16:s2 + 20], "big")
+                if ts:
+                    out["duration_s"] = round(dur / ts, 6)
+            elif t2 == b"trak":
+                for t3, s3, e3 in boxes(s2, e2):
+                    if t3 == b"tkhd" and e3 - s3 >= 8:
+                        w = int.from_bytes(data[e3 - 8:e3 - 4], "big") >> 16
+                        h = int.from_bytes(data[e3 - 4:e3], "big") >> 16
+                        if w and h:
+                            out["width"], out["height"] = w, h
+    return out
+
+
+_PROBES = (_probe_png, _probe_jpeg, _probe_gif, _probe_bmp, _probe_wav,
+           _probe_mp4)
+
+PROBE_SCHEMA = (
+    "doc_id long, format string, width int, height int, channels int, "
+    "sample_rate int, duration_s double, n_bytes long"
+)
+
+
+def media_probe(media: DataFrame, *, content_col: str = "content",
+                id_col: str = "doc_id") -> DataFrame:
+    """Typed-metadata extraction over opaque binary payloads, NO codec
+    required: sniffs the container format from magic bytes and parses
+    only structural headers — PNG IHDR, JPEG SOFn marker walk, GIF/BMP
+    headers, WAV fmt/data chunks (duration without reading samples),
+    MP4 ISO-BMFF box walk (mvhd duration, tkhd track dimensions).
+    Returns (doc_id, format, width, height, channels, sample_rate,
+    duration_s, n_bytes) with nulls where a field does not apply;
+    unrecognized payloads get format='unknown', never an error — this
+    is the triage pass a 100 TB mixed-media crawl runs FIRST, so it
+    must be total. Arrow-batched mapInPandas, executor-side, byte
+    reads bounded by header sizes."""
+    cols = ["format", "width", "height", "channels", "sample_rate",
+            "duration_s"]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "n_bytes": []}
+            for c in cols:
+                out[c] = []
+            for did, blob in zip(pdf[id_col], pdf[content_col]):
+                data = bytes(blob) if blob is not None else b""
+                info = None
+                for probe in _PROBES:
+                    try:
+                        info = probe(data)
+                    except Exception:
+                        info = None
+                    if info is not None:
+                        break
+                info = info or {"format": "unknown"}
+                out["doc_id"].append(did)
+                out["n_bytes"].append(len(data))
+                for c in cols:
+                    out[c].append(info.get(c))
+            yield pd.DataFrame(out)
+
+    return media.select(
+        F.col(id_col).alias("doc_id"), F.col(content_col).alias(content_col)
+    ).mapInPandas(gen, schema=PROBE_SCHEMA)
+
+
 def _try_import_pil():
     try:
         from PIL import Image  # noqa: F401

@@ -319,3 +319,97 @@ def test_decode_image_non_png_refused_without_pil(spark):
     )
     with pytest.raises(Exception, match="PNG only"):
         decode_image(media).collect()
+
+
+# ------------------------------------------------------- media probe
+
+
+def _jpeg(w, h, nc=3):
+    # SOI + APP0(JFIF) + SOF0 + SOS-less EOI: a valid marker stream up
+    # to the frame header, which is all the probe reads
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+    sof = (b"\xff\xc0" + (8 + 3 * nc).to_bytes(2, "big") + bytes([8])
+           + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+           + bytes(3 * nc))
+    return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
+def _gif(w, h):
+    return (b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            + bytes(3))
+
+
+def _bmp(w, h):
+    return (b"BM" + bytes(16) + w.to_bytes(4, "little")
+            + h.to_bytes(4, "little") + bytes(10))
+
+
+def _box(typ, body):
+    return (len(body) + 8).to_bytes(4, "big") + typ + body
+
+
+def _mp4(w, h, dur_ts, timescale=1000):
+    mvhd = _box(b"mvhd", bytes(12) + timescale.to_bytes(4, "big")
+                + dur_ts.to_bytes(4, "big") + bytes(80))
+    tkhd = _box(b"tkhd", bytes(76) + (w << 16).to_bytes(4, "big")
+                + (h << 16).to_bytes(4, "big"))
+    moov = _box(b"moov", mvhd + _box(b"trak", tkhd))
+    return _box(b"ftyp", b"isom" + bytes(8)) + moov
+
+
+def test_media_probe_all_formats(spark):
+    from muopdb_spark.operators.audio import encode_wav
+    from muopdb_spark.operators.multimodal import media_probe
+
+    rng = np.random.default_rng(17)
+    png = encode_png(rng.integers(0, 256, (12, 34, 3), dtype=np.uint8))
+    wav = encode_wav(np.zeros(8000, dtype=np.int16), 16000)
+    rows = [
+        (0, bytearray(png)),
+        (1, bytearray(wav)),
+        (2, bytearray(_jpeg(640, 480))),
+        (3, bytearray(_gif(320, 200))),
+        (4, bytearray(_bmp(100, 50))),
+        (5, bytearray(_mp4(1280, 720, 2500))),
+        (6, bytearray(b"\x00\x01plain junk")),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = {r.doc_id: r.asDict() for r in media_probe(df).collect()}
+    assert out[0] == {"doc_id": 0, "format": "png", "width": 34,
+                      "height": 12, "channels": 3, "sample_rate": None,
+                      "duration_s": None, "n_bytes": len(png)}
+    assert out[1]["format"] == "wav" and out[1]["sample_rate"] == 16000
+    assert out[1]["duration_s"] == 0.5 and out[1]["channels"] == 1
+    assert (out[2]["format"], out[2]["width"], out[2]["height"],
+            out[2]["channels"]) == ("jpeg", 640, 480, 3)
+    assert (out[3]["format"], out[3]["width"], out[3]["height"]) == \
+        ("gif", 320, 200)
+    assert (out[4]["format"], out[4]["width"], out[4]["height"]) == \
+        ("bmp", 100, 50)
+    assert (out[5]["format"], out[5]["width"], out[5]["height"],
+            out[5]["duration_s"]) == ("mp4", 1280, 720, 2.5)
+    assert out[6]["format"] == "unknown" and out[6]["n_bytes"] == 12
+    assert out[7]["format"] == "unknown" and out[7]["n_bytes"] == 0
+
+
+def test_media_probe_total_on_adversarial_bytes(spark):
+    # truncated/corrupt payloads of every magic must land in a row
+    # (format may degrade to 'unknown'), never raise — the probe is
+    # the FIRST pass over an untrusted crawl
+    from muopdb_spark.operators.multimodal import media_probe
+
+    rows = [(i, bytearray(p)) for i, p in enumerate([
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 5,       # truncated PNG
+        b"\xff\xd8\xff",                           # truncated JPEG
+        b"\xff\xd8" + b"\xff\xc0\x00\x03\x08",     # SOF too short
+        b"GIF89a\x01",                             # truncated GIF
+        b"BM\x00",                                 # truncated BMP
+        b"RIFF\x04\x00\x00\x00WAVE",               # WAV without fmt
+        b"\x00\x00\x00\x08ftyp",                   # MP4 ftyp only
+        b"\x00\x00\x00\x20ftypisom" + b"\x00" * 8  # bad box size
+        + b"\xff\xff\xff\xffmoov",
+    ])]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = media_probe(df).collect()
+    assert len(out) == len(rows)  # total: every row lands
