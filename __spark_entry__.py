@@ -2135,9 +2135,13 @@ def _m3_pixels(doc_id: int, g: int):
     """Deterministic 16x18 grayscale test image for doc_id: docs
     sharing doc_id % g render the SAME base pattern; the member index
     (doc_id // g) % 3 is applied as a UNIFORM brightness shift, under
-    which aHash/dHash are exactly invariant (18->9 / 16->8 area
-    downsampling at an integer ratio is exact float64 arithmetic), so
-    class co-membership IS the ground-truth near-dup relation."""
+    which dHash — the hash image_near_dup verifies on — is EXACTLY
+    invariant (its 18->9 / 16->8 area downsampling is an integer ratio,
+    exact float64 arithmetic), so class co-membership IS the
+    ground-truth near-dup relation. NOTE: aHash's 18->8 column resize
+    is NOT an integer ratio (weights like 1/2.25 are inexact), so its
+    shift invariance is only approximate — do not extend this oracle
+    to ahash."""
     import numpy as np
 
     cls, k = doc_id % g, (doc_id // g) % 3
@@ -4539,9 +4543,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # perceptual near-dup through the pure-stdlib PNG codec —
         # multimodal decode made real (operators/image.py), the family
         # the r11 verdict named thinnest. Parks t7_gopher_flags
-        # (driver-green r5–r11; quality-stats family keeps t8/t11/t13/
-        # t17/t18/t19 in-window). Oracle checked at sf0.01 BEFORE the
-        # swap.
+        # (driver-green r5–r11; quality-stats family keeps t11/t13/
+        # t17/t18/t19 in-window — t8 is parked the same round for m4).
+        # Oracle checked at sf0.01 BEFORE the swap.
         "m3_image_phash_dedup": q_image_phash_dedup,
         # r12-NEW operator (landing-round first driver row): m4 audio
         # spectral-fingerprint near-dup through the pure-stdlib WAV

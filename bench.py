@@ -395,6 +395,23 @@ def main() -> None:
         )
         if len(line) <= 1990:
             break
+    else:
+        # guaranteed-fit last resort: if even deciseconds overflow the
+        # window (enough new queries / a pathologically slow sweep),
+        # keep the line parseable and point at the committed full
+        # artifact rather than letting the tail cut recreate the
+        # BENCH_r10/r11 "parsed": null failure
+        line = json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+                "queries_file": "BENCH_FULL.json",
+            },
+            separators=(",", ":"),
+        )
     print(line)
 
 

@@ -111,6 +111,8 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     tag, ch, rate, _brate, _balign, bits = fmt
     if ch == 0:
         raise ValueError("decode_wav: zero channels")
+    if rate == 0:
+        raise ValueError("decode_wav: zero sample rate")
     if tag == 1:  # integer PCM
         if bits == 8:
             a = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
@@ -207,22 +209,28 @@ def audio_features(
                 "fingerprint": [],
             }
             for did, blob in zip(pdf[id_col], pdf[content_col]):
+                # EVERY per-row computation lives inside the try:
+                # on_error='skip' must survive any malformed payload,
+                # not just the ones decode_wav anticipates
                 try:
                     rate, a = decode_wav(bytes(blob))
                     mono = a.mean(axis=1)
                     fp = audio_fingerprint64(mono)
+                    row = (
+                        rate, a.shape[0], a.shape[1],
+                        round(a.shape[0] / rate, 6),
+                        round(float(np.sqrt((mono ** 2).mean())), 6),
+                        round(float(np.abs(mono).max()), 6), fp,
+                    )
                 except Exception:
                     if on_error == "skip":
                         continue
                     raise
                 out["doc_id"].append(did)
-                out["sample_rate"].append(rate)
-                out["n_samples"].append(a.shape[0])
-                out["channels"].append(a.shape[1])
-                out["duration_s"].append(round(a.shape[0] / rate, 6))
-                out["rms"].append(round(float(np.sqrt((mono ** 2).mean())), 6))
-                out["peak"].append(round(float(np.abs(mono).max()), 6))
-                out["fingerprint"].append(fp)
+                for k, v in zip(("sample_rate", "n_samples", "channels",
+                                 "duration_s", "rms", "peak",
+                                 "fingerprint"), row):
+                    out[k].append(v)
             yield pd.DataFrame(out)
 
     return media.select(

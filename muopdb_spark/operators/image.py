@@ -357,21 +357,28 @@ def hash64_near_dup(
     ever paired: no all-pairs stage at any scale, matching the
     MinHash-LSH / SimHash machinery in dedup.py.
     """
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
     bands = _pick_bands(max_hamming)
     width = 64 // bands
     mask = (1 << width) - 1
     sig = feats.select(
         F.col(id_col).alias("id"), F.col(hash_col).alias("h")
     )
+    if bands == 1:
+        # exact-equality dedup (max_hamming=0): the single band IS the
+        # hash — no shift/mask (a 64-bit all-ones mask does not fit a
+        # long literal)
+        band_exprs = [F.col("h")]
+    else:
+        band_exprs = [
+            F.shiftright("h", b * width)
+            .bitwiseAND(F.lit(mask)).cast("long")
+            for b in range(bands)
+        ]
     buck = sig.select(
         "id", "h",
-        F.posexplode(
-            F.array(*[
-                F.shiftright("h", b * width)
-                .bitwiseAND(F.lit(mask)).cast("long")
-                for b in range(bands)
-            ])
-        ).alias("band_idx", "band_val"),
+        F.posexplode(F.array(*band_exprs)).alias("band_idx", "band_val"),
     )
     a, b = buck.alias("a"), buck.alias("b")
     cand = (

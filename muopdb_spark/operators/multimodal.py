@@ -124,6 +124,11 @@ def _probe_jpeg(data: bytes) -> dict | None:
     while i + 2 <= len(data):
         if data[i] != 0xFF:
             return None  # marker desync: not a well-formed stream
+        # spec-legal 0xFF fill bytes may pad before any marker
+        while i + 2 <= len(data) and data[i + 1] == 0xFF:
+            i += 1
+        if i + 2 > len(data):
+            return None
         m = data[i + 1]
         if m == 0xD9 or m == 0xDA:  # EOI / SOS: no SOF seen
             return {"format": "jpeg", "width": None, "height": None,
@@ -185,7 +190,7 @@ def _probe_wav(data: bytes) -> dict | None:
         return None
     _tag, ch, rate, _br, balign, _bits = fmt
     out = {"format": "wav", "channels": ch, "sample_rate": rate}
-    if data_len is not None and balign:
+    if data_len is not None and balign and rate:
         out["duration_s"] = round(data_len / balign / rate, 6)
     return out
 

@@ -155,3 +155,21 @@ def test_audio_near_dup_recovers_gain_copies(spark):
     ]), max_hamming=3).collect()
     got = {(r.a_id, r.b_id): r.hamming for r in pairs}
     assert got == {(0, 1): 0}
+
+
+def test_zero_rate_wav_rejected_and_skippable(spark):
+    # r12 review: a fmt chunk with sample_rate=0 must raise in
+    # decode_wav (ValueError, not ZeroDivisionError downstream), and
+    # on_error='skip' must survive it
+    raw = bytearray(encode_wav(np.ones(64, dtype=np.int16), 8000))
+    i = bytes(raw).index(b"fmt ") + 8 + 4  # fmt body: tag(2) ch(2) rate(4)
+    raw[i:i + 4] = (0).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="sample rate"):
+        decode_wav(bytes(raw))
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(np.ones(64, dtype=np.int16), 8000))),
+         (2, raw)],
+        "doc_id long, content binary",
+    )
+    rows = audio_features(df, on_error="skip").collect()
+    assert [r.doc_id for r in rows] == [1]

@@ -413,3 +413,46 @@ def test_media_probe_total_on_adversarial_bytes(spark):
     df = spark.createDataFrame(rows, "doc_id long, content binary")
     out = media_probe(df).collect()
     assert len(out) == len(rows)  # total: every row lands
+
+
+def test_hash64_near_dup_max_hamming_zero_exact_equality(spark):
+    # r12 review: bands=1 (exact dedup) must not build a 64-bit mask
+    # literal; negative thresholds raise
+    from muopdb_spark.operators.image import hash64_near_dup
+
+    feats = spark.createDataFrame(
+        [(0, -42), (1, -42), (2, 7)], "doc_id long, dhash long",
+    )
+    pairs = hash64_near_dup(feats, hash_col="dhash", max_hamming=0).collect()
+    assert [(r.a_id, r.b_id, r.hamming) for r in pairs] == [(0, 1, 0)]
+    with pytest.raises(ValueError, match="max_hamming"):
+        hash64_near_dup(feats, hash_col="dhash", max_hamming=-1)
+
+
+def test_media_probe_wav_zero_rate_still_wav(spark):
+    # r12 review: rate=0 must not demote a sniffed WAV to 'unknown'
+    from muopdb_spark.operators.audio import encode_wav
+    from muopdb_spark.operators.multimodal import media_probe
+
+    raw = bytearray(encode_wav(np.ones(64, dtype=np.int16), 8000))
+    i = bytes(raw).index(b"fmt ") + 8 + 4
+    raw[i:i + 4] = (0).to_bytes(4, "little")
+    df = spark.createDataFrame([(1, raw)], "doc_id long, content binary")
+    r = media_probe(df).collect()[0]
+    assert r.format == "wav" and r.sample_rate == 0 and r.duration_s is None
+
+
+def test_media_probe_jpeg_fill_bytes(spark):
+    # r12 review: spec-legal 0xFF padding before markers must not
+    # desync the SOF walk
+    from muopdb_spark.operators.multimodal import media_probe
+
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+    sof = (b"\xff\xc0" + (17).to_bytes(2, "big") + bytes([8])
+           + (480).to_bytes(2, "big") + (640).to_bytes(2, "big")
+           + bytes([3]) + bytes(9))
+    padded = b"\xff\xd8" + b"\xff\xff\xff" + app0[1:] + b"\xff\xff" + sof[1:]
+    df = spark.createDataFrame([(1, bytearray(padded))],
+                               "doc_id long, content binary")
+    r = media_probe(df).collect()[0]
+    assert (r.format, r.width, r.height) == ("jpeg", 640, 480)
