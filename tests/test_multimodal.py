@@ -60,11 +60,27 @@ def test_frame_sample(media):
     assert 3 not in by_doc
 
 
-def test_decode_image_stub_raises(media):
-    # PIL is absent in this environment: the stub must fail loudly at
-    # plan-build time, not deep inside an executor
-    with pytest.raises(NotImplementedError, match="PIL"):
-        decode_image(media)
+def test_decode_image_pure_route_without_pil(media):
+    # r12: PIL absent no longer means a stub — decode_image routes PNG
+    # payloads through the pure-Python spec codec (operators/image.py).
+    # The `media` fixture wraps TEXT payloads, which are not PNGs: the
+    # refusal is now per-payload, by name, at execution.
+    with pytest.raises(Exception, match="PNG only"):
+        decode_image(media).collect()
+    # real PNG payloads decode (full coverage in tests/test_image.py)
+    import numpy as np
+
+    from muopdb_spark.operators.image import encode_png
+
+    spark = media.sparkSession
+    png = encode_png(np.arange(48, dtype=np.uint8).reshape(6, 8))
+    df = spark.createDataFrame(
+        [(1, "image/png", bytearray(png), len(png))],
+        "doc_id long, media_type string, content binary, n_bytes long",
+    )
+    r = decode_image(df).collect()[0]
+    assert (r.width, r.height) == (8, 6)
+    assert r.pixels == list(range(48))
 
 
 def test_hdf5_source_errors_are_plain(spark):
