@@ -101,12 +101,39 @@ def _consume_smp10(spark, sf_dir):
     )
 
 
+def _consume_m3(spark, sf_dir):
+    # r12: image perceptual near-dup — per-doc PNG encode/decode rides
+    # map-side Arrow; the banded join's bucket sizes stay ~10 at every
+    # scale (classes are doc_id % (n/10)), so pair count grows linearly
+    import __spark_entry__ as entry_mod
+
+    return (
+        entry_mod.q_image_phash_dedup(spark, sf_dir)
+        .agg(F.count("*"), F.sum("hamming"))
+        .collect()
+    )
+
+
+def _consume_m4(spark, sf_dir):
+    # r12: audio spectral-fingerprint near-dup, same shape as m3
+    import __spark_entry__ as entry_mod
+
+    return (
+        entry_mod.q_audio_fingerprint_dedup(spark, sf_dir)
+        .agg(F.count("*"), F.sum("hamming"))
+        .collect()
+    )
+
+
 WITNESSES = {
     "t15_line_dedup (agg-consumed)": _consume_t15,
     "smp7_soft_dedup_weights (agg-consumed)": _consume_smp7,
     # late-r10 extension
     "rep1_source_report (agg-consumed)": _consume_rep1,
     "smp10_annealing_schedule (agg-consumed)": _consume_smp10,
+    # r12 extension: the multimodal codecs + banded fingerprint joins
+    "m3_image_phash_dedup (agg-consumed)": _consume_m3,
+    "m4_audio_fingerprint_dedup (agg-consumed)": _consume_m4,
 }
 
 
