@@ -509,3 +509,24 @@ def test_cli_dedup_phash_and_audio(spark, cli, capsys, tmp_path):
     wavs.write.parquet(p_wav)
     r = _run(cli, capsys, ["dedup", "--method", "audio", "--input", p_wav])
     assert r == {"method": "audio", "max_hamming": 3, "near_dup_pairs": 1}
+
+
+def test_cli_probe(spark, cli, capsys, tmp_path):
+    import numpy as np
+
+    from muopdb_spark.operators.audio import encode_wav
+    from muopdb_spark.operators.image import encode_png
+
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_png(np.zeros((4, 6), np.uint8)))),
+         (1, bytearray(encode_wav(np.zeros(800, dtype=np.int16), 8000))),
+         (2, bytearray(b"mystery bytes"))],
+        "doc_id long, content binary",
+    )
+    p = str(tmp_path / "mixed.parquet")
+    df.write.parquet(p)
+    r = _run(cli, capsys, ["probe", "--input", p])
+    assert r["docs"] == 3
+    assert set(r["by_format"]) == {"png", "wav", "unknown"}
+    assert r["by_format"]["png"]["n"] == 1
+    assert r["by_format"]["wav"]["n"] == 1

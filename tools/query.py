@@ -61,7 +61,7 @@ sys.path.insert(0, "/root/repo")
 COLLECTION_CMDS = {"create", "insert", "remove", "search", "term-search", "stats", "optimize", "flush", "inspect"}
 PIPELINE_CMDS = {"dedup", "lm-score", "chunk", "shard", "quality", "admit",
                  "dsir", "vocab", "split", "ppl-buckets", "bpe", "select",
-                 "decontaminate", "curate", "tokens", "report"}
+                 "decontaminate", "curate", "tokens", "report", "probe"}
 
 
 def _pipeline(spark, args, ap) -> dict:
@@ -481,6 +481,22 @@ def _pipeline(spark, args, ap) -> dict:
         )
         manifest["budget_tokens"] = args.budget_tokens
         result = manifest
+    elif args.command == "probe":
+        # codec-free media triage: sniff container formats and parse
+        # only structural headers (png/jpeg/gif/bmp/wav/mp4); total by
+        # design — corrupt payloads land as format='unknown'
+        from pyspark.sql import functions as F
+
+        from muopdb_spark.operators.multimodal import media_probe
+
+        out = media_probe(df, content_col=args.content_col)
+        by_fmt = {
+            r["format"]: {"n": r["n"], "bytes": r["bytes"]}
+            for r in out.groupBy("format").agg(
+                F.count("*").alias("n"), F.sum("n_bytes").alias("bytes")
+            ).collect()
+        }
+        result = {"docs": df.count(), "by_format": by_fmt}
     elif args.command == "report":
         # per-source dataset hygiene card: doc/token mass, mean
         # quality, exact-dup rate, majority language, and (with
