@@ -1032,26 +1032,42 @@ def write_hdf5_vectors(
     are written in vec_id order; vec_ids must be contiguous from their
     minimum (the write_vecs contract — this format stores no ids).
 
-    Returns the number of rows written. Driver-side collect by design:
+    Returns the number of rows written. Driver-side assembly by design:
     like sources/fvecs.write_vecs, the single-file export boundary is
     inherently one writer; use write_hdf5_sharded (the fvecs
-    write_vecs_sharded treatment) for corpus-scale exports."""
+    write_vecs_sharded treatment) for corpus-scale exports. Since r12
+    the assembly STREAMS (toLocalIterator into one preallocated
+    matrix, rows placed by vec_id) instead of a full toPandas — the
+    driver holds exactly one copy of the output matrix, not the
+    pandas frame + python lists + a stacked copy."""
     name = dataset.lstrip("/")
     if not name or "/" in name:
         raise ValueError("writer supports a single root-level dataset name")
-    pdf = df.select("vec_id", "embedding").orderBy("vec_id").toPandas()
-    n = len(pdf)
+    from pyspark.sql import functions as _F
+
+    agg = df.agg(
+        _F.count("vec_id").alias("n"),
+        _F.min("vec_id").alias("lo"),
+        _F.max("vec_id").alias("hi"),
+        _F.count_distinct("vec_id").alias("nd"),
+    ).first()
+    n = int(agg["n"] or 0)
     if n == 0:
         raise ValueError("refusing to write an empty HDF5 dataset")
-    ids = pdf["vec_id"].to_numpy()
-    if not (ids == ids[0] + np.arange(n)).all():
+    lo = int(agg["lo"])
+    if int(agg["hi"]) - lo + 1 != n or int(agg["nd"]) != n:
         raise ValueError(
             "vec_ids must be contiguous from their minimum: HDF5 datasets "
             "store no ids (read_hdf5_vectors re-synthesizes row position)"
         )
-    mat = np.stack(
-        [np.asarray(v, dtype=np.dtype(dtype)) for v in pdf["embedding"]]
-    )
+    mat = None
+    for row in df.select("vec_id", "embedding").toLocalIterator(
+        prefetchPartitions=True
+    ):
+        v = np.asarray(row["embedding"], dtype=np.dtype(dtype))
+        if mat is None:
+            mat = np.empty((n, v.shape[0]), dtype=np.dtype(dtype))
+        mat[int(row["vec_id"]) - lo] = v
     _write_hdf5_matrix(
         path, name, mat, dtype=dtype, chunks=chunks,
         compression=compression, compression_opts=compression_opts,
