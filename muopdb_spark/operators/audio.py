@@ -10,9 +10,11 @@ codecs (MP3/AAC/...) are refused by format-tag name, never misread.
 Coverage (honest gates):
   - RIFF/WAVE containers, `fmt ` + `data` chunks (extra chunks like
     LIST/fact are skipped)
-  - PCM integer samples at 8 (unsigned) / 16 / 32 bit and IEEE float
-    32 / 64 bit; any other format tag (2=ADPCM, 85=MP3,
-    0xFFFE=extensible, ...) raises NotImplementedError by name
+  - PCM integer samples at 8 (unsigned) / 16 / 24 / 32 bit and IEEE
+    float 32 / 64 bit, directly tagged OR wrapped in
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE — the real tag is read from the
+    SubFormat KSDATAFORMAT GUID); any other format tag (2=ADPCM,
+    85=MP3, ...) raises NotImplementedError by name
   - any channel count (mixed down to mono by mean for analysis)
 
 Fingerprint (the Haitsma-Kalker / Shazam-family band-energy sign
@@ -102,13 +104,30 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
         if cid == b"fmt ":
             if ln < 16:
                 raise ValueError("decode_wav: fmt chunk shorter than 16 bytes")
-            fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt = body
         elif cid == b"data":
             raw = body
         pos += 8 + ln + (ln & 1)  # RIFF chunks are 2-byte aligned
     if fmt is None or raw is None:
         raise ValueError("decode_wav: missing fmt or data chunk")
-    tag, ch, rate, _brate, _balign, bits = fmt
+    tag, ch, rate, _brate, _balign, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if tag == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE (the container form for >2 channels or
+        # >16-bit depth): the REAL format tag lives in the first two
+        # bytes of the SubFormat GUID; the GUID tail must be the
+        # KSDATAFORMAT media-type constant or we refuse by value
+        if len(fmt) < 40:
+            raise ValueError(
+                "decode_wav: extensible fmt chunk shorter than 40 bytes"
+            )
+        guid = fmt[24:40]
+        if guid[2:] != (b"\x00\x00\x00\x00\x10\x00"
+                        b"\x80\x00\x00\xAA\x00\x38\x9B\x71"):
+            raise NotImplementedError(
+                f"decode_wav: extensible subformat GUID {guid.hex()} "
+                "unsupported (PCM/float KSDATAFORMAT subtypes only)"
+            )
+        tag = int.from_bytes(guid[:2], "little")
     if ch == 0:
         raise ValueError("decode_wav: zero channels")
     if rate == 0:
@@ -118,11 +137,18 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
             a = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
         elif bits == 16:
             a = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
+        elif bits == 24:
+            b3 = np.frombuffer(raw, np.uint8)
+            n3 = len(b3) // 3
+            b3 = b3[: n3 * 3].reshape(n3, 3).astype(np.int64)
+            v = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+            v = np.where(v & 0x800000, v - (1 << 24), v)
+            a = v.astype(np.float64) / 8388608.0
         elif bits == 32:
             a = np.frombuffer(raw, "<i4").astype(np.float64) / 2147483648.0
         else:
             raise NotImplementedError(
-                f"decode_wav: {bits}-bit integer PCM unsupported (8/16/32)"
+                f"decode_wav: {bits}-bit integer PCM unsupported (8/16/24/32)"
             )
     elif tag == 3:  # IEEE float
         if bits == 32:

@@ -9,10 +9,11 @@ struct + numpy, so the decode step is REAL in this environment rather
 than stub-gated behind PIL.
 
 Coverage (honest gates, refused by name like the HDF5 filters):
-  - bit depth 8 only (1/2/4/16 raise NotImplementedError by name)
+  - bit depths 8 and 16 (16-bit decodes to uint16; 1/2/4 raise
+    NotImplementedError by name)
   - color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
     6 (RGBA)
-  - no Adam7 interlacing (raises by name)
+  - Adam7 interlacing (the seven-pass deinterlace of spec section 8)
   - every chunk CRC is verified — never a silent misread
 
 Perceptual hashing (public algorithms, e.g. Krawetz's aHash/dHash
@@ -44,21 +45,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
-# color type -> samples per pixel (at bit depth 8 = bytes per pixel)
+# color type -> samples per pixel
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Adam7 pass grid: (row_start, row_step, col_start, col_step) per pass
+# (spec section 8.2 — the seven passes tile every pixel exactly once)
+_ADAM7 = (
+    (0, 8, 0, 8), (0, 8, 4, 8), (4, 8, 0, 4), (0, 4, 2, 4),
+    (2, 4, 0, 2), (0, 2, 1, 2), (1, 2, 0, 1),
+)
 
 
 # --------------------------------------------------------------- codec
 
 
 def encode_png(arr: np.ndarray, *, compresslevel: int = 6) -> bytes:
-    """Encode a uint8 array as a PNG byte string.
+    """Encode a uint8 (bit depth 8) or uint16 (bit depth 16,
+    network-byte-order samples) array as a PNG byte string.
 
     Accepts (H, W) grayscale, (H, W, 3) RGB, or (H, W, 4) RGBA. Every
     scanline uses filter type 0 (None) — simple, spec-valid output that
     any decoder (including ours) reads back bit-exactly.
     """
-    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    a = np.asarray(arr)
+    if a.dtype == np.uint16:
+        depth = 16
+        a = np.ascontiguousarray(a.astype(">u2"))
+    else:
+        depth = 8
+        a = np.ascontiguousarray(a, dtype=np.uint8)
     if a.ndim == 2:
         color_type = 0
     elif a.ndim == 3 and a.shape[2] == 3:
@@ -68,7 +82,7 @@ def encode_png(arr: np.ndarray, *, compresslevel: int = 6) -> bytes:
     else:
         raise ValueError(
             f"encode_png: unsupported array shape {a.shape}; expected "
-            "(H, W), (H, W, 3) or (H, W, 4) uint8"
+            "(H, W), (H, W, 3) or (H, W, 4)"
         )
     h, w = a.shape[:2]
     if h == 0 or w == 0:
@@ -80,7 +94,7 @@ def encode_png(arr: np.ndarray, *, compresslevel: int = 6) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
     raw = b"".join(b"\x00" + a[r].tobytes() for r in range(h))
     return (
         _PNG_MAGIC
@@ -170,29 +184,57 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError(
             f"decode_png: compression/filter method {comp}/{filt} invalid"
         )
-    if interlace != 0:
+    if interlace not in (0, 1):
+        raise ValueError(f"decode_png: interlace method {interlace} invalid")
+    if depth not in (8, 16):
         raise NotImplementedError(
-            "decode_png: Adam7 interlacing unsupported"
-        )
-    if depth != 8:
-        raise NotImplementedError(
-            f"decode_png: bit depth {depth} unsupported (8 only)"
+            f"decode_png: bit depth {depth} unsupported (8/16)"
         )
     if color_type not in _CHANNELS:
         raise NotImplementedError(
             f"decode_png: color type {color_type} unsupported"
         )
+    if depth == 16 and color_type == 3:
+        raise ValueError("decode_png: 16-bit palette images are not legal")
     if w == 0 or h == 0:
         raise ValueError("decode_png: zero-dimension image")
     ch = _CHANNELS[color_type]
+    bpp = ch * (depth // 8)  # filters operate on BYTES, unit = ceil bytes/px
     raw = zlib.decompress(b"".join(idat))
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError(
-            f"decode_png: decompressed size {len(raw)} != expected "
-            f"{h * (stride + 1)} for {w}x{h}x{ch}"
-        )
-    flat = _unfilter(raw, h, stride, ch)
+    if interlace == 0:
+        if len(raw) != h * (1 + w * bpp):
+            raise ValueError(
+                f"decode_png: decompressed size {len(raw)} != expected "
+                f"{h * (1 + w * bpp)} for {w}x{h}x{ch}@{depth}"
+            )
+        flat = _unfilter(raw, h, w * bpp, bpp)
+    else:
+        # Adam7: seven independently-filtered sub-images (spec sec. 8)
+        # scattered onto the pass grid; empty passes contribute zero
+        # bytes (not even filter bytes)
+        cube = np.zeros((h, w, bpp), np.uint8)
+        pos = 0
+        for r0, rs, c0, cs in _ADAM7:
+            ph = (h - r0 + rs - 1) // rs if h > r0 else 0
+            pw = (w - c0 + cs - 1) // cs if w > c0 else 0
+            if ph == 0 or pw == 0:
+                continue
+            need = ph * (1 + pw * bpp)
+            if pos + need > len(raw):
+                raise ValueError("decode_png: truncated Adam7 pass data")
+            sub = _unfilter(raw[pos:pos + need], ph, pw * bpp, bpp)
+            pos += need
+            cube[r0::rs, c0::cs, :] = sub.reshape(ph, pw, bpp)
+        if pos != len(raw):
+            raise ValueError(
+                f"decode_png: {len(raw) - pos} trailing bytes after the "
+                "Adam7 passes"
+            )
+        flat = cube.reshape(h, w * bpp)
+    if depth == 16:
+        b = flat.reshape(h, w, ch, 2).astype(np.uint16)
+        out = (b[..., 0] << np.uint16(8)) | b[..., 1]  # network byte order
+        return out.reshape(h, w) if ch == 1 else out
     if color_type == 3:
         if plte is None:
             raise ValueError("decode_png: palette image without PLTE")

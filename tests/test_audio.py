@@ -76,8 +76,10 @@ def test_unsupported_formats_refused_by_name():
     raw[i:i + 2] = struct.pack("<H", 0x55)  # format tag 85 = MP3
     with pytest.raises(NotImplementedError, match="mp3"):
         decode_wav(bytes(raw))
+    # 0xFFFE with a bare 16-byte fmt chunk is structurally invalid
+    # (extensible requires the 40-byte form carrying the GUID)
     raw[i:i + 2] = struct.pack("<H", 0xFFFE)
-    with pytest.raises(NotImplementedError, match="extensible"):
+    with pytest.raises(ValueError, match="40 bytes"):
         decode_wav(bytes(raw))
     # truncated data chunk
     with pytest.raises(ValueError, match="truncated"):
@@ -173,3 +175,51 @@ def test_zero_rate_wav_rejected_and_skippable(spark):
     )
     rows = audio_features(df, on_error="skip").collect()
     assert [r.doc_id for r in rows] == [1]
+
+
+_KS_TAIL = b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xAA\x00\x38\x9B\x71"
+
+
+def _wav_raw(fmt_body, payload):
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+            + b"data" + struct.pack("<I", len(payload)) + payload)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_24bit_pcm():
+    # r12: 24-bit PCM (ubiquitous in real recordings) — 3-byte LE
+    # two's-complement samples
+    vals = [0, 1, -1, 8388607, -8388608, 4242424]
+    payload = b"".join(
+        (v & 0xFFFFFF).to_bytes(3, "little") for v in vals
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, 48000, 48000 * 3, 3, 24)
+    rate, a = decode_wav(_wav_raw(fmt, payload))
+    assert rate == 48000
+    assert np.allclose(a[:, 0] * 8388608.0, vals)
+
+
+def test_decode_wave_format_extensible():
+    # r12: the 0xFFFE container form routes through the SubFormat GUID
+    # — PCM int16 and float32 subtypes decode; an unknown GUID refuses
+    s = np.array([1000, -1000, 32767], dtype="<i2")
+    ext = struct.pack("<HHH", 22, 16, 0) + b"\x00" + b"\x01\x00" + _KS_TAIL
+    # cbSize(2) validbits(2) chmask(4) guid(16): rebuild precisely
+    ext = (struct.pack("<H", 22) + struct.pack("<H", 16)
+           + struct.pack("<I", 0) + b"\x01\x00" + _KS_TAIL)
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16) + ext
+    rate, a = decode_wav(_wav_raw(fmt, s.tobytes()))
+    assert rate == 8000 and np.allclose(a[:, 0] * 32768.0, s)
+    # float32 subtype (tag 3)
+    f = np.array([0.5, -0.25], dtype="<f4")
+    fmt3 = (struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 32000, 4, 32)
+            + struct.pack("<H", 22) + struct.pack("<H", 32)
+            + struct.pack("<I", 0) + b"\x03\x00" + _KS_TAIL)
+    _, a = decode_wav(_wav_raw(fmt3, f.tobytes()))
+    assert np.allclose(a[:, 0], f)
+    # unknown subformat GUID refuses by value
+    bad = (struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16)
+           + struct.pack("<H", 22) + struct.pack("<H", 16)
+           + struct.pack("<I", 0) + b"\x01\x00" + b"\xde\xad" + _KS_TAIL[2:])
+    with pytest.raises(NotImplementedError, match="GUID"):
+        decode_wav(_wav_raw(bad, s.tobytes()))

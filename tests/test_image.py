@@ -128,15 +128,16 @@ def test_crc_corruption_detected():
 def test_unsupported_features_refused_by_name():
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"GIF89a not a png at all")
-    # interlaced IHDR
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+    # invalid interlace method (0=none and 1=Adam7 are the only legal
+    # values; Adam7 is SUPPORTED since late r12)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 2)
     png = _PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError, match="Adam7"):
+    with pytest.raises(ValueError, match="interlace"):
         decode_png(png)
-    # 16-bit depth
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
+    # sub-byte depths still refuse by name (16-bit decodes since r12)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 2, 0, 0, 0, 0)
     png = _PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError, match="bit depth 16"):
+    with pytest.raises(NotImplementedError, match="bit depth 2"):
         decode_png(png)
     # truncated chunk
     good = encode_png(np.zeros((4, 4), np.uint8))
@@ -456,3 +457,89 @@ def test_media_probe_jpeg_fill_bytes(spark):
                                "doc_id long, content binary")
     r = media_probe(df).collect()[0]
     assert (r.format, r.width, r.height) == ("jpeg", 640, 480)
+
+
+# ------------------------------------------- Adam7 + 16-bit (r12 late)
+
+
+_ADAM7 = ((0, 8, 0, 8), (0, 8, 4, 8), (4, 8, 0, 4), (0, 4, 2, 4),
+          (2, 4, 0, 2), (0, 2, 1, 2), (1, 2, 0, 1))
+
+
+def _interlace_adam7(img: np.ndarray, color_type: int = 0,
+                     ftypes: list[int] | None = None) -> bytes:
+    """Forward Adam7 interlacer (independent of the decoder): split the
+    image into the seven passes, forward-filter each pass's scanlines,
+    and assemble a valid interlaced PNG."""
+    ftypes = ftypes or [0]
+    h, w = img.shape[:2]
+    ch = 1 if img.ndim == 2 else img.shape[2]
+    raw = bytearray()
+    for r0, rs, c0, cs in _ADAM7:
+        sub = img[r0::rs, c0::cs]
+        if sub.size == 0:
+            continue
+        ph, pw = sub.shape[:2]
+        flat = sub.reshape(ph, pw * ch).astype(np.int32)
+        prev = np.zeros(pw * ch, np.int32)
+        for r in range(ph):
+            ft = ftypes[r % len(ftypes)]
+            line = np.zeros(pw * ch, np.int32)
+            for i in range(pw * ch):
+                a = flat[r][i - ch] if i >= ch else 0
+                b = prev[i]
+                if ft == 0:
+                    pred = 0
+                elif ft == 1:
+                    pred = a
+                else:  # Up
+                    pred = b
+                line[i] = (flat[r][i] - pred) & 0xFF
+            raw.append(ft)
+            raw.extend(line.astype(np.uint8).tobytes())
+            prev = flat[r]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1)
+    return (_PNG_MAGIC + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("shape", [(16, 18), (7, 5), (1, 1), (3, 9),
+                                   (8, 1), (9, 8)])
+def test_adam7_interlaced_decodes(shape):
+    rng = np.random.default_rng(sum(shape))
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    assert (decode_png(_interlace_adam7(img)) == img).all()
+    # per-pass filters other than None
+    assert (decode_png(_interlace_adam7(img, ftypes=[0, 1, 2])) == img).all()
+
+
+def test_adam7_rgb_and_truncation():
+    rng = np.random.default_rng(9)
+    rgb = rng.integers(0, 256, (10, 11, 3), dtype=np.uint8)
+    png = _interlace_adam7(rgb, color_type=2)
+    assert (decode_png(png) == rgb).all()
+    # cut bytes out of the IDAT stream: truncated pass must raise
+    i = bytes(png).index(b"IDAT") - 4
+    j = bytes(png).index(b"IEND") - 4
+    idat = zlib.decompress(png[i + 8:j - 4])
+    short = _chunk(b"IDAT", zlib.compress(idat[:-40]))
+    with pytest.raises(ValueError, match="Adam7|truncated"):
+        decode_png(png[:i] + short + png[j:])
+
+
+def test_16bit_roundtrip_and_gray():
+    rng = np.random.default_rng(4)
+    g16 = rng.integers(0, 65536, (9, 7), dtype=np.uint16)
+    back = decode_png(encode_png(g16))
+    assert back.dtype == np.uint16 and (back == g16).all()
+    rgb16 = rng.integers(0, 65536, (4, 5, 3), dtype=np.uint16)
+    back = decode_png(encode_png(rgb16))
+    assert back.dtype == np.uint16 and (back == rgb16).all()
+    # hashes operate on relative structure — 16-bit grays hash fine
+    assert isinstance(dhash64(to_gray(back)), int)
+    # 1/2/4-bit depths still refuse by name
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0)
+    png = _PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="bit depth 4"):
+        decode_png(png)
