@@ -223,3 +223,25 @@ def test_decode_wave_format_extensible():
            + struct.pack("<I", 0) + b"\x01\x00" + b"\xde\xad" + _KS_TAIL[2:])
     with pytest.raises(NotImplementedError, match="GUID"):
         decode_wav(_wav_raw(bad, s.tobytes()))
+
+
+# ------------------------------------------------- property roundtrips
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(n=st.integers(1, 5000), ch=st.integers(1, 3),
+       rate=st.sampled_from([8000, 16000, 44100]),
+       seed=st.integers(0, 2**31 - 1))
+def test_wav_roundtrip_property(n, ch, rate, seed):
+    """Any length x channel count x rate survives 16-bit PCM
+    encode -> decode exactly (normalized by 32768)."""
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, (n, ch), dtype=np.int16)
+    r, a = decode_wav(encode_wav(s, rate))
+    assert r == rate and a.shape == (n, ch)
+    assert np.array_equal(a * 32768.0, s.astype(np.float64))

@@ -543,3 +543,36 @@ def test_16bit_roundtrip_and_gray():
     png = _PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError, match="bit depth 4"):
         decode_png(png)
+
+
+# ------------------------------------------------- property roundtrips
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(h=st.integers(1, 24), w=st.integers(1, 24),
+       ch=st.sampled_from([1, 3, 4]), wide=st.booleans(),
+       interlace=st.booleans(), seed=st.integers(0, 2**31 - 1))
+def test_png_roundtrip_property(h, w, ch, wide, interlace, seed):
+    """Any shape x channel count x bit depth survives encode -> decode
+    bit-exactly; interlaced files (via the independent forward
+    interlacer) decode to the original for every geometry."""
+    rng = np.random.default_rng(seed)
+    if wide:
+        img = rng.integers(0, 65536, (h, w) if ch == 1 else (h, w, ch),
+                           dtype=np.uint16)
+        interlace = False  # the test interlacer is 8-bit-only
+    else:
+        img = rng.integers(0, 256, (h, w) if ch == 1 else (h, w, ch),
+                           dtype=np.uint8)
+    if interlace:
+        ctype = {1: 0, 3: 2, 4: 6}[ch]
+        out = decode_png(_interlace_adam7(img, color_type=ctype,
+                                          ftypes=[0, 1, 2]))
+    else:
+        out = decode_png(encode_png(img))
+    assert out.dtype == img.dtype and (out == img).all()
