@@ -39,6 +39,7 @@ from muopdb_spark.operators.audio import (  # noqa: F401
     decode_wav,
     encode_wav,
 )
+from muopdb_spark.operators.jpeg import decode_jpeg, encode_jpeg  # noqa: F401
 from muopdb_spark.operators.quality_model import (  # noqa: F401
     classifier_quality_scores,
     score_quality,

@@ -250,6 +250,22 @@ def decode_png(data: bytes) -> np.ndarray:
     return flat.reshape(h, w, ch)
 
 
+def decode_image_bytes(data: bytes) -> np.ndarray:
+    """Magic-dispatched image decode: PNG via decode_png, JPEG via the
+    baseline codec in operators/jpeg.py. Other formats raise
+    NotImplementedError naming the magic."""
+    if data[:8] == _PNG_MAGIC:
+        return decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        from muopdb_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
+    raise NotImplementedError(
+        f"decode_image_bytes: unrecognized image magic {data[:4]!r} "
+        "(PNG and baseline JPEG supported)"
+    )
+
+
 # ----------------------------------------------- grayscale / resizing
 
 
@@ -333,7 +349,8 @@ def image_features(
     id_col: str = "doc_id",
     on_error: str = "raise",
 ) -> DataFrame:
-    """Decode PNG payloads and emit perceptual fingerprints:
+    """Decode image payloads (PNG or baseline JPEG, magic-dispatched)
+    and emit perceptual fingerprints:
     (doc_id, width, height, channels, ahash, dhash).
 
     Arrow-batched mapInPandas — decode + hash run where the bytes live,
@@ -353,7 +370,7 @@ def image_features(
             }
             for did, blob in zip(pdf[id_col], pdf[content_col]):
                 try:
-                    img = decode_png(bytes(blob))
+                    img = decode_image_bytes(bytes(blob))
                 except Exception:
                     if on_error == "skip":
                         continue

@@ -301,30 +301,25 @@ def decode_image(media: DataFrame, *, max_side: int = 256) -> DataFrame:
     """Decode + resize images to (doc_id, width, height, pixels).
 
     With PIL installed, any PIL-readable format decodes. WITHOUT PIL
-    (this environment), PNG payloads decode through the pure-stdlib
-    spec codec in operators/image.py (zlib + struct — the same
-    public-spec treatment as sources/hdf5.py); non-PNG payloads raise
-    NotImplementedError at execution naming the limitation. Resize is
-    thumbnail-style (shrink-only, aspect preserved, area average) —
-    not bit-identical to PIL's resampling, but the same contract.
+    (this environment), PNG and baseline-JPEG payloads decode through
+    the pure-stdlib spec codecs in operators/image.py and
+    operators/jpeg.py (the same public-spec treatment as
+    sources/hdf5.py); other payloads raise NotImplementedError at
+    execution naming the magic. Resize is thumbnail-style (shrink-only,
+    aspect preserved, area average) — not bit-identical to PIL's
+    resampling, but the same contract.
     """
     pil = _try_import_pil()
     if pil is None:
         from muopdb_spark.operators.image import (
-            area_resize, decode_png, _PNG_MAGIC,
+            area_resize, decode_image_bytes,
         )
 
         def gen_pure(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 out = {"doc_id": [], "width": [], "height": [], "pixels": []}
                 for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
-                    data = bytes(blob)
-                    if data[:8] != _PNG_MAGIC:
-                        raise NotImplementedError(
-                            "decode_image without PIL supports PNG only; "
-                            f"payload for doc_id={doc_id} is not a PNG"
-                        )
-                    img = decode_png(data).astype(np.float64)
+                    img = decode_image_bytes(bytes(blob)).astype(np.float64)
                     h, w = img.shape[:2]
                     if max(h, w) > max_side:
                         s = max_side / max(h, w)

@@ -62,10 +62,10 @@ def test_frame_sample(media):
 
 def test_decode_image_pure_route_without_pil(media):
     # r12: PIL absent no longer means a stub — decode_image routes PNG
-    # payloads through the pure-Python spec codec (operators/image.py).
-    # The `media` fixture wraps TEXT payloads, which are not PNGs: the
-    # refusal is now per-payload, by name, at execution.
-    with pytest.raises(Exception, match="PNG only"):
+    # and baseline-JPEG payloads through the pure-Python spec codecs.
+    # The `media` fixture wraps TEXT payloads, which are neither: the
+    # refusal is per-payload, naming the magic, at execution.
+    with pytest.raises(Exception, match="magic"):
         decode_image(media).collect()
     # real PNG payloads decode (full coverage in tests/test_image.py)
     import numpy as np
