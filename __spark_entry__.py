@@ -2288,6 +2288,37 @@ def _m5_payload(doc_id: int, g_unused: int = 0) -> bytes:
             + box(b"moov", mvhd + box(b"trak", tkhd)))
 
 
+def q_jpeg_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m6: image near-dup end-to-end through the BASELINE JPEG codec
+    (operators/jpeg.py — T.81 Huffman/DCT, quality=100): the m3 class
+    construction, but payloads go through a LOSSY codec, so the oracle
+    pins the recovered PAIR SET only (not hamming values — q100
+    rounding can flip a stray dHash bit). Measured margins at sf0.1:
+    worst within-class hamming 1, best between-class 12; threshold 3
+    separates them with room, and the fixture is deterministic, so a
+    one-time green at every SF is frozen behavior."""
+    from muopdb_spark.operators.image import image_near_dup
+    from muopdb_spark.operators.jpeg import encode_jpeg
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    g = max(1, n // 10)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "content": [encode_jpeg(_m3_pixels(int(d), g), quality=100)
+                            for d in pdf["doc_id"]],
+            })
+
+    media = docs.repartition(spark.sparkContext.defaultParallelism) \
+        .mapInPandas(gen, "doc_id long, content binary")
+    return image_near_dup(media, max_hamming=3).select("a_id", "b_id")
+
+
 def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """m5: typed-metadata triage over a MIXED-media binary column —
     media_probe sniffs png/wav/jpeg/gif/mp4 containers and parses only
@@ -4728,6 +4759,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parsing, no codec) — extras row; the multimodal family is
         # witnessed in-window by m3/m4
         "m5_media_probe": q_media_probe,
+        # r12 late: the m3 near-dup recovered through the lossy
+        # baseline JPEG codec (pair set pinned; see the docstring)
+        "m6_jpeg_phash_dedup": q_jpeg_phash_dedup,
         # src2 parked in r10 (driver-green r5-r9) so src4's literal
         # HDF5 boundary gets its landing-round first driver row.
         "src2_fvecs_roundtrip": q_fvecs_roundtrip,
@@ -5929,6 +5963,15 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(text::BLOB) AS n_bytes,
                    md5(text) AS digest
             FROM documents ORDER BY doc_id
+        """,
+        "m6_jpeg_phash_dedup": """
+            WITH g AS (
+                SELECT GREATEST(1, COUNT(*) // 10) AS gg FROM documents
+            )
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM documents a, documents b, g
+            WHERE (a.doc_id % g.gg) = (b.doc_id % g.gg)
+              AND a.doc_id < b.doc_id
         """,
         "m5_media_probe": """
             SELECT doc_id,
