@@ -51,14 +51,14 @@ def main() -> None:
             for d in pdf["doc_id"]:
                 d = int(d)
                 m = d % 4
-                if m == 0:  # image; class base = d // 20, shift = d % 2
+                if m == 0:  # image; class base = d // 20, per-member shift
                     r = np.arange(16)[:, None] * 977 + np.arange(18) * 313
-                    px = ((d // 20) * 2654435761 ^ r) % 199 + (d % 2)
+                    px = ((d // 20) * 2654435761 ^ r) % 199 + ((d // 4) % 3)
                     payload = encode_png(px.astype(np.uint8))
-                elif m == 1:  # audio; gain 2^(d % 2)
+                elif m == 1:  # audio; per-member power-of-two gain
                     i = np.arange(2048, dtype=np.int64)
                     s = (((d // 20) * 40503 ^ i * 2246822519) % 16001
-                         - 8000) * (1 << (d % 2))
+                         - 8000) * (1 << ((d // 4) % 2))
                     payload = encode_wav(s.astype(np.int16), 16000)
                 elif m == 2:  # non-media junk
                     payload = b"\x00junk" + d.to_bytes(4, "little")

@@ -138,9 +138,14 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
         elif bits == 16:
             a = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
         elif bits == 24:
+            if len(raw) % 3:
+                raise ValueError(
+                    "decode_wav: 24-bit data chunk length "
+                    f"{len(raw)} is not a multiple of 3"
+                )
             b3 = np.frombuffer(raw, np.uint8)
             n3 = len(b3) // 3
-            b3 = b3[: n3 * 3].reshape(n3, 3).astype(np.int64)
+            b3 = b3.reshape(n3, 3).astype(np.int64)
             v = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
             v = np.where(v & 0x800000, v - (1 << 24), v)
             a = v.astype(np.float64) / 8388608.0

@@ -136,7 +136,6 @@ def _fixed_table(symbols: list[int]) -> tuple[dict, bytes]:
     L = max(2, int(np.ceil(np.log2(n + 1))))
     codes = {s: (i, L) for i, s in enumerate(symbols)}
     counts = bytearray(16)
-    counts[L - 1] = 0  # set below
     counts[L - 1] = n
     return codes, bytes(counts) + bytes(symbols)
 
@@ -345,7 +344,10 @@ class _BitReader:
                 )
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
+        # keep acc bounded to the live bits (consumed high bits are
+        # masked away) — without this, acc grows into an unbounded
+        # bigint and every shift turns O(bytes decoded): quadratic
+        self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | b
         self.nbits += 8
 
     def bit(self) -> int:
@@ -429,6 +431,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             raise ValueError("decode_jpeg: truncated marker stream")
         if data[pos] != 0xFF:
             raise ValueError("decode_jpeg: marker desync")
+        # spec-legal 0xFF fill bytes may pad before any marker
+        # (T.81 B.1.1.2) — same handling as media_probe's JPEG walk
+        while pos + 2 <= len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(data):
+            raise ValueError("decode_jpeg: truncated marker stream")
         m = data[pos + 1]
         if m == 0xD9:  # EOI before SOS
             raise ValueError("decode_jpeg: no scan data before EOI")
@@ -509,6 +517,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError("decode_jpeg: zero-dimension image")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    for _cid, ch_, cv, _q in comps:
+        if ch_ == 0 or cv == 0 or hmax % ch_ or vmax % cv:
+            raise NotImplementedError(
+                f"decode_jpeg: non-integer sampling ratio "
+                f"({ch_}x{cv} vs max {hmax}x{vmax}) unsupported "
+                "(integer-ratio chroma subsampling only)"
+            )
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     order = {cid: i for i, (cid, _h, _v, _q) in enumerate(comps)}

@@ -1067,7 +1067,18 @@ def write_hdf5_vectors(
         v = np.asarray(row["embedding"], dtype=np.dtype(dtype))
         if mat is None:
             mat = np.empty((n, v.shape[0]), dtype=np.dtype(dtype))
-        mat[int(row["vec_id"]) - lo] = v
+        if v.shape != (mat.shape[1],):
+            raise ValueError(
+                f"ragged embeddings: vec_id {row['vec_id']} has "
+                f"{v.shape} values, expected ({mat.shape[1]},)"
+            )
+        idx = int(row["vec_id"]) - lo
+        if not (0 <= idx < n):
+            raise ValueError(
+                f"vec_id {row['vec_id']} outside the validated "
+                f"[{lo}, {lo + n - 1}] range (nondeterministic input?)"
+            )
+        mat[idx] = v
     _write_hdf5_matrix(
         path, name, mat, dtype=dtype, chunks=chunks,
         compression=compression, compression_opts=compression_opts,

@@ -245,3 +245,11 @@ def test_wav_roundtrip_property(n, ch, rate, seed):
     r, a = decode_wav(encode_wav(s, rate))
     assert r == rate and a.shape == (n, ch)
     assert np.array_equal(a * 32768.0, s.astype(np.float64))
+
+
+def test_24bit_misaligned_data_rejected():
+    # r12 review: a 24-bit data chunk not divisible by 3 must raise
+    # like every other depth, not silently drop the partial sample
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 24000, 3, 24)
+    with pytest.raises(ValueError, match="multiple of 3"):
+        decode_wav(_wav_raw(fmt, b"\x01\x02\x03\x04"))

@@ -590,3 +590,13 @@ def test_lzf_compressible_data_roundtrip(spark, tmp_path):
                              rows_per_task=20).orderBy("vec_id").collect()
     got = np.array([r.embedding for r in back], dtype=np.float32)
     assert (got == mat).all()
+
+def test_ragged_embeddings_rejected(spark, tmp_path):
+    # r12 review: the streaming writer must keep np.stack's old
+    # strictness — a short embedding may not broadcast silently
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="ragged"):
+        write_hdf5_vectors(df, str(tmp_path / "r.hdf5"))

@@ -196,3 +196,42 @@ def test_decode_image_routes_jpeg_without_pil(spark):
     r = decode_image(media, max_side=256).collect()[0]
     assert (r.width, r.height) == (10, 12)
     assert len(r.pixels) == 12 * 10 * 3
+
+
+def test_decode_speed_linear_in_entropy_bytes():
+    # r12 review: the bit reader must mask consumed bits out of its
+    # accumulator — without it, decode cost is quadratic in entropy
+    # bytes (an unbounded bigint shifted per fill) and a single normal
+    # photo effectively hangs an executor. 256x256 noise at q95 is
+    # ~100 KB of entropy data; generous wall bound for a slow box.
+    import time
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (256, 256), dtype=np.uint8)
+    blob = encode_jpeg(img, quality=95)
+    t0 = time.time()
+    out = decode_jpeg(blob)
+    assert time.time() - t0 < 30, "quadratic bit-reader regression"
+    assert _psnr(img, out) > 35
+
+
+def test_fill_bytes_before_markers_accepted():
+    # T.81 B.1.1.2: 0xFF fill bytes may pad before any marker
+    base = encode_jpeg(np.full((8, 8), 50, np.uint8), quality=100)
+    i = base.index(b"\xff\xdb")  # pad before DQT and before SOS
+    j = base.index(b"\xff\xda")
+    padded = base[:i] + b"\xff\xff" + base[i:j] + b"\xff" + base[j:]
+    out = decode_jpeg(padded)
+    assert (out == 50).all()
+
+
+def test_non_integer_sampling_ratio_refused_by_name():
+    base = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
+    i = bytes(base).index(b"\xff\xc0")
+    # component 0's sampling byte sits at SOF payload offset 6+1
+    # (marker 2 + len 2 + prec 1 + h 2 + w 2 + ncomp 1 + cid 1)
+    base[i + 4 + 5 + 1 + 1] = 0x31  # luma 3x1 with chroma 1x1 -> 3/1 ok;
+    # chroma at 2x1 makes 3/2 non-integer
+    base[i + 4 + 5 + 1 + 1 + 3] = 0x21
+    with pytest.raises(NotImplementedError, match="sampling ratio"):
+        decode_jpeg(bytes(base))

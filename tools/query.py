@@ -496,7 +496,10 @@ def _pipeline(spark, args, ap) -> dict:
                 F.count("*").alias("n"), F.sum("n_bytes").alias("bytes")
             ).collect()
         }
-        result = {"docs": df.count(), "by_format": by_fmt}
+        # the probe is total (one output row per input row), so the
+        # doc count is free — no second scan of the input
+        result = {"docs": sum(v["n"] for v in by_fmt.values()),
+                  "by_format": by_fmt}
     elif args.command == "report":
         # per-source dataset hygiene card: doc/token mass, mean
         # quality, exact-dup rate, majority language, and (with
