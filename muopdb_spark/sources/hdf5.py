@@ -1036,10 +1036,12 @@ def write_hdf5_vectors(
     like sources/fvecs.write_vecs, the single-file export boundary is
     inherently one writer; use write_hdf5_sharded (the fvecs
     write_vecs_sharded treatment) for corpus-scale exports. Since r12
-    the assembly STREAMS (toLocalIterator into one preallocated
-    matrix, rows placed by vec_id) instead of a full toPandas — the
-    driver holds exactly one copy of the output matrix, not the
-    pandas frame + python lists + a stacked copy."""
+    the assembly collects ONE Arrow table and reshapes its flat list
+    buffer (offsets validated rectangular) — one Arrow copy + the
+    output matrix, instead of toPandas' frame + python lists + a
+    stacked copy, and without toLocalIterator's per-row Python cost
+    (measured: the row-at-a-time variant tripled the src4/src5
+    serving-path rows)."""
     name = dataset.lstrip("/")
     if not name or "/" in name:
         raise ValueError("writer supports a single root-level dataset name")
@@ -1060,25 +1062,26 @@ def write_hdf5_vectors(
             "vec_ids must be contiguous from their minimum: HDF5 datasets "
             "store no ids (read_hdf5_vectors re-synthesizes row position)"
         )
-    mat = None
-    for row in df.select("vec_id", "embedding").toLocalIterator(
-        prefetchPartitions=True
-    ):
-        v = np.asarray(row["embedding"], dtype=np.dtype(dtype))
-        if mat is None:
-            mat = np.empty((n, v.shape[0]), dtype=np.dtype(dtype))
-        if v.shape != (mat.shape[1],):
-            raise ValueError(
-                f"ragged embeddings: vec_id {row['vec_id']} has "
-                f"{v.shape} values, expected ({mat.shape[1]},)"
-            )
-        idx = int(row["vec_id"]) - lo
-        if not (0 <= idx < n):
-            raise ValueError(
-                f"vec_id {row['vec_id']} outside the validated "
-                f"[{lo}, {lo + n - 1}] range (nondeterministic input?)"
-            )
-        mat[idx] = v
+    tbl = df.select("vec_id", "embedding").toArrow()
+    ids = tbl.column("vec_id").to_numpy()
+    emb = tbl.column("embedding").combine_chunks()
+    lens = np.diff(emb.offsets.to_numpy())
+    if len(lens) == 0 or not (lens == lens[0]).all():
+        bad = ids[np.argmax(lens != lens[0])] if len(lens) else "<none>"
+        raise ValueError(
+            f"ragged embeddings: vec_id {bad} has {int(lens.min())}.."
+            f"{int(lens.max())} values across the frame"
+        )
+    dim = int(lens[0])
+    idx = ids.astype(np.int64) - lo
+    if idx.min() < 0 or idx.max() >= n:
+        raise ValueError(
+            f"vec_id outside the validated [{lo}, {lo + n - 1}] range "
+            "(nondeterministic input?)"
+        )
+    flat = emb.flatten().to_numpy(zero_copy_only=False)  # offset-safe
+    mat = np.empty((n, dim), dtype=np.dtype(dtype))
+    mat[idx] = flat.reshape(n, dim).astype(np.dtype(dtype), copy=False)
     _write_hdf5_matrix(
         path, name, mat, dtype=dtype, chunks=chunks,
         compression=compression, compression_opts=compression_opts,
