@@ -578,3 +578,50 @@ def test_png_roundtrip_property(h, w, ch, wide, interlace, seed):
     else:
         out = decode_png(encode_png(img))
     assert out.dtype == img.dtype and (out == img).all()
+
+
+def test_decoders_total_under_byte_fuzz():
+    """Mutation fuzz over every pure decoder: flip random bytes in
+    valid files (and feed pure-random buffers) — decoders must return
+    or raise, never hang or loop. Pipelines rely on this totality
+    (on_error='skip' catches exceptions, not infinite loops)."""
+    from muopdb_spark.operators.audio import decode_wav, encode_wav
+    from muopdb_spark.operators.image import decode_image_bytes
+    from muopdb_spark.operators.jpeg import encode_jpeg
+    from muopdb_spark.operators.multimodal import _PROBES
+
+    rng = np.random.default_rng(99)
+    img = rng.integers(0, 256, (12, 14), dtype=np.uint8)
+    seeds = [
+        encode_png(img),
+        encode_jpeg(img, quality=90),
+        encode_wav(rng.integers(-100, 100, 200, dtype=np.int16), 8000),
+    ]
+    n_ok = n_err = 0
+    for seed_blob in seeds:
+        for _ in range(120):
+            raw = bytearray(seed_blob)
+            for _k in range(int(rng.integers(1, 6))):
+                raw[int(rng.integers(0, len(raw)))] = int(rng.integers(0, 256))
+            blob = bytes(raw)
+            for fn in (decode_image_bytes, decode_wav):
+                try:
+                    fn(blob)
+                    n_ok += 1
+                except Exception:
+                    n_err += 1
+            for probe in _PROBES:
+                try:
+                    probe(blob)
+                except Exception:
+                    pass
+    # pure-random buffers too
+    for _ in range(60):
+        blob = bytes(rng.integers(0, 256, int(rng.integers(0, 400)),
+                                  dtype=np.uint8))
+        for fn in (decode_image_bytes, decode_wav):
+            try:
+                fn(blob)
+            except Exception:
+                pass
+    assert n_err > 0  # mutations really do break files
