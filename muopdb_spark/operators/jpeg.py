@@ -6,21 +6,31 @@ Decoder coverage (honest gates, refused by name):
   - baseline sequential DCT (SOF0), 8-bit samples, grayscale or YCbCr
     with ANY sampling factors (4:4:4, 4:2:2, 4:2:0, ...), restart
     markers (DRI/RSTn), multi-table DQT/DHT segments, 16-bit quant
-    tables (Pq=1)
-  - progressive (SOF2) and the other SOFn frame types raise
-    NotImplementedError naming the frame type; arithmetic coding
-    (DAC) raises by name
+    tables (Pq=1), multi-scan sequential files (non-interleaved
+    per-component scans)
+  - progressive DCT (SOF2) per T.81 G.1.2: spectral selection,
+    successive approximation (DC and AC first + refinement scans,
+    EOB runs, correction bits), restart markers inside any scan kind.
+    Scans accumulate into per-component coefficient buffers; a single
+    vectorized dequantize+IDCT pass finishes.
+  - the other SOFn frame types raise NotImplementedError naming the
+    frame type; arithmetic coding (DAC) raises by name
   - Huffman tables are read from the FILE's DHT segments (canonical
     code reconstruction), so files from any conformant encoder decode
 
-Encoder: baseline, quality-scaled Annex-K quantization matrices,
-optional 4:2:0 subsampling and restart intervals. Entropy tables are
-fixed-length canonical Huffman codes built here and EMBEDDED in the
-output's DHT segments — spec-valid (any decoder reads tables from
-DHT), deliberately simple, ~1 byte/symbol larger than optimized
-tables. JPEG is lossy: roundtrips are exact only for quality=100
-DC-flat content; tests pin PSNR and perceptual-hash stability instead
-of byte equality.
+Encoder: baseline or progressive (SOF2), quality-scaled Annex-K
+quantization matrices, optional 4:2:0 subsampling and restart
+intervals. The progressive scan script uses spectral selection
+(1..5 / 6..63) AND successive approximation (DC Al=1->0, AC Al=2->0
+with true refinement scans), so it exercises every decode path; both
+modes hold identical quantized coefficients, so progressive output
+decodes pixel-identically to baseline (tests pin exact equality).
+Entropy tables are fixed-length canonical Huffman codes built here
+and EMBEDDED in the output's DHT segments — spec-valid (any decoder
+reads tables from DHT), deliberately simple, ~1 byte/symbol larger
+than optimized tables. JPEG is lossy: roundtrips are exact only for
+quality=100 DC-flat content; tests pin PSNR and perceptual-hash
+stability instead of byte equality.
 
 Scale note: like the PNG/WAV codecs, decode rides Arrow batches into
 mapInPandas via image_features/decode_image — executor-side, never a
@@ -178,13 +188,194 @@ def _encode_blocks(
     return int(zz[0])
 
 
+# ------------------------------------------- entropy (encode, progressive)
+#
+# Scan script: DC first (Al=1, interleaved) -> per-component AC first
+# scans with spectral selection (1..5, 6..63 at Al=2) -> AC refinement
+# passes (Al 2->1, 1->0) -> DC refinement. Exercises every progressive
+# decode path incl. EOB runs and correction bits.
+
+
+def _enc_dc_first(w: _BitWriter, zz, dc_tab: dict, pred: int, al: int) -> int:
+    """DC first scan: predictor runs in the point-transformed domain
+    (arithmetic shift per T.81 G.1.2.1)."""
+    v = int(zz[0]) >> al
+    diff = v - pred
+    size = _category(diff)
+    w.put(*dc_tab[size])
+    if size:
+        bits = diff if diff > 0 else diff + (1 << size) - 1
+        w.put(bits, size)
+    return v
+
+
+def _enc_dc_refine(w: _BitWriter, zz, al: int) -> None:
+    w.put((int(zz[0]) >> al) & 1, 1)
+
+
+def _emit_eobrun(w: _BitWriter, ac_tab: dict, st: dict) -> None:
+    """Flush a pending EOB run: EOBn symbol, its extra bits, then the
+    correction bits buffered for the run's blocks (refinement scans)."""
+    n = st["eobrun"]
+    if n:
+        r = n.bit_length() - 1
+        w.put(*ac_tab[r << 4])
+        if r:
+            w.put(n - (1 << r), r)
+        for b in st["be"]:
+            w.put(b, 1)
+        st["eobrun"] = 0
+        st["be"] = []
+
+
+def _enc_ac_first_block(
+    w: _BitWriter, zz, ss: int, se: int, al: int, ac_tab: dict, st: dict,
+) -> None:
+    """AC first scan for one block (T.81 G.1.2.2): magnitude point
+    transform, run-length symbols, EOB-run accumulation across blocks."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = (v if v >= 0 else -v) >> al
+        if t == 0:
+            r += 1
+            continue
+        _emit_eobrun(w, ac_tab, st)
+        while r > 15:
+            w.put(*ac_tab[0xF0])
+            r -= 16
+        s = t.bit_length()
+        w.put(*ac_tab[(r << 4) | s])
+        tv = t if v > 0 else -t
+        bits = tv if tv > 0 else tv + (1 << s) - 1
+        w.put(bits, s)
+        r = 0
+    if r > 0:
+        st["eobrun"] += 1
+        if st["eobrun"] == 0x7FFF:
+            _emit_eobrun(w, ac_tab, st)
+
+
+def _enc_ac_refine_block(
+    w: _BitWriter, zz, ss: int, se: int, al: int, ac_tab: dict, st: dict,
+) -> None:
+    """AC refinement for one block (T.81 G.1.2.3): |v|>>Al == 1 is
+    newly nonzero ((run,1) symbol + sign); |v|>>Al > 1 has history and
+    contributes one correction bit, buffered and emitted after the next
+    symbol (or with the EOB run it folds into). ZRL covers 16
+    zero-history positions and is only worth emitting before the last
+    newly-nonzero coefficient; trailing content folds into the run."""
+    absv = []
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = (v if v >= 0 else -v) >> al
+        absv.append(t)
+        if t == 1:
+            eob = k
+    r = 0
+    br_bits: list[int] = []
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            _emit_eobrun(w, ac_tab, st)
+            w.put(*ac_tab[0xF0])
+            r -= 16
+            for b in br_bits:
+                w.put(b, 1)
+            br_bits = []
+        if t > 1:
+            br_bits.append(t & 1)
+            continue
+        _emit_eobrun(w, ac_tab, st)
+        w.put(*ac_tab[(r << 4) | 1])
+        w.put(1 if int(zz[k]) > 0 else 0, 1)
+        for b in br_bits:
+            w.put(b, 1)
+        br_bits = []
+        r = 0
+    if r > 0 or br_bits:
+        st["eobrun"] += 1
+        st["be"].extend(br_bits)
+        if st["eobrun"] == 0x7FFF:
+            _emit_eobrun(w, ac_tab, st)
+
+
+def _prog_scan_data(
+    kind: str, cis: list[int], ss: int, se: int, al: int, coefs: list,
+    samp: list, ri: int, mcux: int, mcuy: int, hmax: int, vmax: int,
+    h: int, w: int, dc_tab: dict, ac_tab: dict,
+) -> bytes:
+    """Entropy-coded data for one progressive scan, with restart
+    markers every `ri` units (MCUs when interleaved, blocks when not)."""
+    out = bytearray()
+    wtr = _BitWriter()
+    st = {"eobrun": 0, "be": []}
+    preds = {ci: 0 for ci in cis}
+    rst = 0
+    interleaved = len(cis) > 1
+    if interleaved:
+        nunits = mcux * mcuy
+        bw0 = 0
+    else:
+        sh0, sv0 = samp[cis[0]]
+        bw0 = (-(-(w * sh0) // hmax) + 7) // 8
+        bh0 = (-(-(h * sv0) // vmax) + 7) // 8
+        nunits = bw0 * bh0
+    for unit in range(nunits):
+        if ri and unit and unit % ri == 0:
+            _emit_eobrun(wtr, ac_tab, st)
+            wtr.flush()
+            out += wtr.out
+            wtr = _BitWriter()
+            out += struct.pack(">H", 0xFFD0 + (rst & 7))
+            rst += 1
+            preds = {ci: 0 for ci in cis}
+        if interleaved:
+            my, mx = divmod(unit, mcux)
+            for ci in cis:
+                sh, sv = samp[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        zz = coefs[ci][my * sv + by, mx * sh + bx]
+                        if kind == "dc_first":
+                            preds[ci] = _enc_dc_first(
+                                wtr, zz, dc_tab, preds[ci], al
+                            )
+                        else:
+                            _enc_dc_refine(wtr, zz, al)
+        else:
+            ci = cis[0]
+            by, bx = divmod(unit, bw0)
+            zz = coefs[ci][by, bx]
+            if kind == "dc_first":
+                preds[ci] = _enc_dc_first(wtr, zz, dc_tab, preds[ci], al)
+            elif kind == "dc_refine":
+                _enc_dc_refine(wtr, zz, al)
+            elif kind == "ac_first":
+                _enc_ac_first_block(wtr, zz, ss, se, al, ac_tab, st)
+            else:
+                _enc_ac_refine_block(wtr, zz, ss, se, al, ac_tab, st)
+    _emit_eobrun(wtr, ac_tab, st)
+    wtr.flush()
+    out += wtr.out
+    return bytes(out)
+
+
 def encode_jpeg(
     arr: np.ndarray, *, quality: int = 90, subsample: bool = False,
-    restart_interval: int = 0,
+    restart_interval: int = 0, progressive: bool = False,
 ) -> bytes:
     """Encode a uint8 (H, W) grayscale or (H, W, 3) RGB array as a
     baseline JPEG. `subsample=True` writes 4:2:0 chroma; JPEG is lossy
-    — see the module docstring for the fidelity contract."""
+    — see the module docstring for the fidelity contract.
+    `progressive=True` writes an SOF2 file (spectral selection +
+    successive approximation scans, incl. AC refinement) holding the
+    SAME quantized coefficients, so it decodes pixel-identically to the
+    baseline encoding of the same input."""
     a = np.asarray(arr, dtype=np.float64)
     if a.ndim == 2:
         comps = [a]
@@ -257,11 +448,15 @@ def encode_jpeg(
     qidx = [0] + ([] if gray else [1, 1])
     coefs = [blocks(planes[i], qts[qidx[i]]) for i in range(len(planes))]
 
-    # entropy tables: DC sizes 0..11, AC all (run, size) symbols
+    # entropy tables: DC sizes 0..11, AC all (run, size) symbols;
+    # progressive scans additionally need the EOBn symbols (r<<4 | 0,
+    # r = 1..14 — 0x00 doubles as EOB0)
     dc_syms = list(range(12))
     ac_syms = [0x00, 0xF0] + [
         (r << 4) | s for r in range(16) for s in range(1, 11)
     ]
+    if progressive:
+        ac_syms += [r << 4 for r in range(1, 15)]
     dc_tab, dc_payload = _fixed_table(dc_syms)
     ac_tab, ac_payload = _fixed_table(ac_syms)
 
@@ -276,12 +471,36 @@ def encode_jpeg(
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for ci in range(ncomp):
         sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qidx[ci]])
-    out += seg(0xFFC0, sof)
+    out += seg(0xFFC2 if progressive else 0xFFC0, sof)
     # DHT: class 0 (DC) id 0, class 1 (AC) id 0 — shared by all comps
     out += seg(0xFFC4, bytes([0x00]) + dc_payload)
     out += seg(0xFFC4, bytes([0x10]) + ac_payload)
     if restart_interval:
         out += seg(0xFFDD, struct.pack(">H", restart_interval))
+
+    if progressive:
+        script = [("dc_first", list(range(ncomp)), 0, 0, 0, 1)]
+        for ci in range(ncomp):
+            script.append(("ac_first", [ci], 1, 5, 0, 2))
+            script.append(("ac_first", [ci], 6, 63, 0, 2))
+        for ci in range(ncomp):
+            script.append(("ac_refine", [ci], 1, 63, 2, 1))
+        for ci in range(ncomp):
+            script.append(("ac_refine", [ci], 1, 63, 1, 0))
+        script.append(("dc_refine", list(range(ncomp)), 0, 0, 1, 0))
+        for kind, cis, ss, se, ah, al in script:
+            sos = bytes([len(cis)])
+            for ci in cis:
+                sos += bytes([ci + 1, 0x00])
+            sos += bytes([ss, se, (ah << 4) | al])
+            out += seg(0xFFDA, sos)
+            out += _prog_scan_data(
+                kind, cis, ss, se, al, coefs, samp, restart_interval,
+                mcux, mcuy, hmax, vmax, h, w, dc_tab, ac_tab,
+            )
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00])  # DC table 0 / AC table 0
@@ -407,7 +626,7 @@ def _extend(v: int, size: int) -> int:
 
 
 _SOF_NAMES = {
-    0xC1: "extended sequential (SOF1)", 0xC2: "progressive (SOF2)",
+    0xC1: "extended sequential (SOF1)",
     0xC3: "lossless (SOF3)", 0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)", 0xC7: "differential lossless (SOF7)",
     0xC9: "arithmetic sequential (SOF9)", 0xCA: "arithmetic progressive (SOF10)",
@@ -415,19 +634,289 @@ _SOF_NAMES = {
 }
 
 
+def _blk_sequential(br, blk, dc_t, ac_t, preds, ci) -> None:
+    """Full-band DC+AC decode of one block (baseline / SOF0 scans)."""
+    s = _huff_decode(br, dc_t)
+    if s:
+        preds[ci] += _extend(br.bits(s), s)
+    blk[0] = preds[ci]
+    k = 1
+    while k < 64:
+        rs = _huff_decode(br, ac_t)
+        if rs == 0x00:  # EOB
+            return
+        if rs == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += rs >> 4
+        size = rs & 0x0F
+        if k > 63 or size == 0:
+            raise ValueError("decode_jpeg: AC coefficient overrun")
+        blk[k] = _extend(br.bits(size), size)
+        k += 1
+
+
+def _blk_dc_first(br, blk, dc_t, preds, ci, al) -> None:
+    """Progressive DC first scan (T.81 G.1.2.1): the predictor runs in
+    the point-transformed domain; the stored value is shifted back."""
+    s = _huff_decode(br, dc_t)
+    if s:
+        preds[ci] += _extend(br.bits(s), s)
+    blk[0] = preds[ci] << al
+
+
+def _blk_dc_refine(br, blk, al) -> None:
+    """One raw bit per block: appends two's-complement bit `al` of the
+    DC coefficient (works for negative values because first-scan
+    storage was an arithmetic-shift round-trip)."""
+    if br.bit():
+        blk[0] |= 1 << al
+
+
+def _blk_ac_first(br, blk, ac_t, ss, se, al, eobrun) -> int:
+    """Progressive AC first scan for one block; returns updated EOB
+    run (run counts FURTHER all-zero blocks beyond this one)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(br, ac_t)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("decode_jpeg: AC coefficient overrun")
+        blk[k] = _extend(br.bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _blk_ac_refine(br, blk, ac_t, ss, se, al, eobrun) -> int:
+    """Progressive AC refinement (T.81 G.1.2.3): newly nonzero
+    coefficients arrive as (run, 1) symbols + a sign bit; every
+    coefficient with nonzero history passed over contributes one
+    correction bit. EOB runs still carry the correction bits of their
+    blocks' nonzero coefficients."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(br, ac_t)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            elif s == 1:
+                val = p1 if br.bit() else -p1
+            else:
+                raise ValueError(
+                    "decode_jpeg: refinement scan magnitude must be 1"
+                )
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    if br.bit() and (c & p1) == 0:
+                        blk[k] = c + (p1 if c > 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError("decode_jpeg: AC refinement overrun")
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = int(blk[k])
+            if c != 0 and br.bit() and (c & p1) == 0:
+                blk[k] = c + (p1 if c > 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan(
+    data: bytes, pos: int, scan: list, ss: int, se: int, ah: int,
+    al: int, frame: dict, huff: dict, dri: int, coefs: list,
+) -> int:
+    """Decode one scan's entropy data into the coefficient buffers;
+    returns the stream position of the next marker. Handles
+    interleaved (ns > 1, MCU order) and non-interleaved (ns == 1, the
+    component's own block grid) scans, restart markers, and all four
+    progressive scan kinds plus sequential full-band scans."""
+    progressive = frame["progressive"]
+    comps = frame["comps"]
+    order = {cid: i for i, (cid, _h, _v, _q) in enumerate(comps)}
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    mcux, mcuy = frame["mcux"], frame["mcuy"]
+    h, w = frame["h"], frame["w"]
+
+    # resolve + validate scan components and their tables
+    sel = []
+    for cs, td, ta in scan:
+        ci = order.get(cs)
+        if ci is None:
+            raise ValueError(
+                "decode_jpeg: scan component not declared in SOF"
+            )
+        needs_dc = ss == 0 and ah == 0
+        needs_ac = se > 0 if progressive else True
+        if needs_dc and (0, td) not in huff:
+            raise ValueError("decode_jpeg: missing DHT table")
+        if needs_ac and (1, ta) not in huff:
+            raise ValueError("decode_jpeg: missing DHT table")
+        sel.append((ci, huff.get((0, td)), huff.get((1, ta))))
+
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("decode_jpeg: progressive DC scan with Se != 0")
+        if ss > 0 and len(scan) != 1:
+            raise ValueError("decode_jpeg: interleaved progressive AC scan")
+        if ss > 63 or se > 63 or se < ss:
+            raise ValueError("decode_jpeg: bad spectral selection bounds")
+        if ah and ah != al + 1:
+            raise ValueError(
+                "decode_jpeg: successive approximation must refine one bit"
+            )
+    elif (ss, se, ah, al) != (0, 63, 0, 0):
+        raise ValueError("decode_jpeg: non-full-band sequential scan")
+
+    br = _BitReader(data, pos)
+    preds = {ci: 0 for ci, _d, _a in sel}
+    eobrun = 0
+    rst_n = 0
+
+    if len(sel) > 1:
+        # interleaved: MCU order over the full MCU grid
+        nunits = mcux * mcuy
+        interleaved = True
+        bw0 = 0
+    else:
+        # non-interleaved: the component's own block grid, which may
+        # be smaller than its slice of the MCU grid (T.81 A.2.2 —
+        # ceil(ceil(w*ch/hmax)/8) x ceil(ceil(h*cv/vmax)/8) blocks)
+        ci0 = sel[0][0]
+        _cid, ch0, cv0, _q = comps[ci0]
+        bw0 = (-(-(w * ch0) // hmax) + 7) // 8
+        bh0 = (-(-(h * cv0) // vmax) + 7) // 8
+        nunits = bw0 * bh0
+        interleaved = False
+
+    for unit in range(nunits):
+        if dri and unit and unit % dri == 0:
+            m = br.align_to_marker()
+            if not (0xD0 <= m <= 0xD7):
+                raise ValueError(
+                    f"decode_jpeg: expected RST marker, got 0xFF{m:02X}"
+                )
+            if m - 0xD0 != (rst_n & 7):
+                raise ValueError("decode_jpeg: restart marker out of order")
+            rst_n += 1
+            preds = {ci: 0 for ci, _d, _a in sel}
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(unit, mcux)
+            for ci, dc_t, ac_t in sel:
+                _cid, ch_, cv, _q = comps[ci]
+                for by in range(cv):
+                    for bx in range(ch_):
+                        blk = coefs[ci][my * cv + by, mx * ch_ + bx]
+                        if not progressive:
+                            _blk_sequential(br, blk, dc_t, ac_t, preds, ci)
+                        elif ah == 0:
+                            _blk_dc_first(br, blk, dc_t, preds, ci, al)
+                        else:
+                            _blk_dc_refine(br, blk, al)
+        else:
+            ci, dc_t, ac_t = sel[0]
+            by, bx = divmod(unit, bw0)
+            blk = coefs[ci][by, bx]
+            if not progressive:
+                _blk_sequential(br, blk, dc_t, ac_t, preds, ci)
+            elif ss == 0:
+                if ah == 0:
+                    _blk_dc_first(br, blk, dc_t, preds, ci, al)
+                else:
+                    _blk_dc_refine(br, blk, al)
+            elif ah == 0:
+                eobrun = _blk_ac_first(br, blk, ac_t, ss, se, al, eobrun)
+            else:
+                eobrun = _blk_ac_refine(br, blk, ac_t, ss, se, al, eobrun)
+
+    # advance to the next marker (skip pad bits and stuffed 0xFF00)
+    p = br.pos
+    while p + 1 < len(data) and (data[p] != 0xFF or data[p + 1] == 0x00):
+        p += 1
+    return p
+
+
+def _finish(frame: dict, qt: dict, coefs: list) -> np.ndarray:
+    """Dequantize + batch IDCT every block, assemble / upsample the
+    component planes, crop, and color-convert."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    full = []
+    for ci, (_cid, ch_, cv, tq) in enumerate(comps):
+        if tq not in qt:
+            raise ValueError("decode_jpeg: missing DQT table")
+        c = coefs[ci]
+        bh, bw = c.shape[:2]
+        raster = np.zeros((bh, bw, 64), np.int64)
+        raster[..., _ZZ] = c
+        deq = (raster * qt[tq][None, None, :]).reshape(bh, bw, 8, 8)
+        px = np.einsum(
+            "ux,ijuv,vy->ijxy", _T, deq.astype(np.float64), _T
+        ) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        if ch_ < hmax or cv < vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // cv, axis=0), hmax // ch_, axis=1
+            )
+        full.append(plane[:h, :w])
+    if len(comps) == 1:
+        return np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+    if len(comps) != 3:
+        raise NotImplementedError(
+            f"decode_jpeg: {len(comps)}-component images unsupported "
+            "(grayscale or YCbCr)"
+        )
+    rgb = _ycbcr_to_rgb(full[0], full[1], full[2])
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode baseline JPEG bytes to uint8 (H, W) grayscale or
-    (H, W, 3) RGB. Tables come from the file's own DQT/DHT segments;
-    non-baseline frame types refuse by name."""
+    """Decode baseline (SOF0) or progressive (SOF2) JPEG bytes to
+    uint8 (H, W) grayscale or (H, W, 3) RGB. Tables come from the
+    file's own DQT/DHT segments; scans accumulate into per-component
+    coefficient buffers (spectral selection + successive approximation
+    per T.81 G.1.2, incl. AC refinement and EOB runs), then one
+    vectorized dequantize+IDCT pass finishes. Other frame types refuse
+    by name."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("decode_jpeg: not a JPEG (missing SOI)")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
-    sof = None
+    frame: dict | None = None
+    coefs: list | None = None
     dri = 0
+    nscans = 0
     while True:
-        if pos + 4 > len(data):
+        if pos + 2 > len(data):
             raise ValueError("decode_jpeg: truncated marker stream")
         if data[pos] != 0xFF:
             raise ValueError("decode_jpeg: marker desync")
@@ -435,11 +924,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         # (T.81 B.1.1.2) — same handling as media_probe's JPEG walk
         while pos + 2 <= len(data) and data[pos + 1] == 0xFF:
             pos += 1
-        if pos + 4 > len(data):
+        if pos + 2 > len(data):
             raise ValueError("decode_jpeg: truncated marker stream")
         m = data[pos + 1]
-        if m == 0xD9:  # EOI before SOS
-            raise ValueError("decode_jpeg: no scan data before EOI")
+        if m == 0xD9:  # EOI
+            break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:  # standalone TEM / stray RST
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            raise ValueError("decode_jpeg: truncated marker stream")
         (ln,) = struct.unpack(">H", data[pos + 2:pos + 4])
         body = data[pos + 4:pos + 2 + ln]
         if len(body) != ln - 2:
@@ -471,23 +965,48 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 symbols = body[p + 17:p + 17 + n]
                 huff[(tc, th)] = _huff_from_dht(counts, symbols)
                 p += 17 + n
-        elif m == 0xC0:  # SOF0 baseline
+        elif m in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if frame is not None:
+                raise ValueError("decode_jpeg: multiple SOF frames")
             prec = body[0]
             if prec != 8:
                 raise NotImplementedError(
                     f"decode_jpeg: {prec}-bit precision unsupported"
                 )
             h, w = struct.unpack(">HH", body[1:5])
+            if h == 0 or w == 0:
+                raise ValueError("decode_jpeg: zero-dimension image")
             nc = body[5]
             comps = []
             for i in range(nc):
-                cid, sampb, tq = body[6 + 3 * i:9 + 3 * i]
-                comps.append((cid, sampb >> 4, sampb & 0x0F, tq))
-            sof = (h, w, comps)
+                cid, sampb, tq0 = body[6 + 3 * i:9 + 3 * i]
+                comps.append((cid, sampb >> 4, sampb & 0x0F, tq0))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            for _cid, ch_, cv, _q in comps:
+                if ch_ == 0 or cv == 0 or hmax % ch_ or vmax % cv:
+                    raise NotImplementedError(
+                        f"decode_jpeg: non-integer sampling ratio "
+                        f"({ch_}x{cv} vs max {hmax}x{vmax}) unsupported "
+                        "(integer-ratio chroma subsampling only)"
+                    )
+            frame = {
+                "h": h, "w": w, "comps": comps, "hmax": hmax,
+                "vmax": vmax, "mcux": -(-w // (8 * hmax)),
+                "mcuy": -(-h // (8 * vmax)),
+                "progressive": m == 0xC2,
+            }
+            coefs = [
+                np.zeros(
+                    (frame["mcuy"] * cv, frame["mcux"] * ch_, 64),
+                    np.int32,
+                )
+                for (_cid, ch_, cv, _q) in comps
+            ]
         elif m in _SOF_NAMES:
             raise NotImplementedError(
                 f"decode_jpeg: {_SOF_NAMES[m]} unsupported (baseline "
-                "SOF0 only)"
+                "SOF0 and progressive SOF2 only)"
             )
         elif m == 0xCC:
             raise NotImplementedError(
@@ -496,107 +1015,25 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif m == 0xDD:  # DRI
             (dri,) = struct.unpack(">H", body[:2])
         elif m == 0xDA:  # SOS — entropy data follows
-            if sof is None:
+            if frame is None:
                 raise ValueError("decode_jpeg: SOS before SOF")
             ns = body[0]
+            if ns < 1 or len(body) < 4 + 2 * ns:
+                raise ValueError("decode_jpeg: malformed scan header")
             scan = []
             for i in range(ns):
                 cs, tabs = body[1 + 2 * i], body[2 + 2 * i]
                 scan.append((cs, tabs >> 4, tabs & 0x0F))
-            pos = pos + 2 + ln
-            break
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            pos = _decode_scan(
+                data, pos + 2 + ln, scan, ss, se, ahal >> 4,
+                ahal & 0x0F, frame, huff, dri, coefs,
+            )
+            nscans += 1
+            continue
         pos += 2 + ln
 
-    h, w, comps = sof
-    if len(scan) != len(comps):
-        raise NotImplementedError(
-            "decode_jpeg: multi-scan files unsupported (baseline "
-            "interleaved scan only)"
-        )
-    if h == 0 or w == 0:
-        raise ValueError("decode_jpeg: zero-dimension image")
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    for _cid, ch_, cv, _q in comps:
-        if ch_ == 0 or cv == 0 or hmax % ch_ or vmax % cv:
-            raise NotImplementedError(
-                f"decode_jpeg: non-integer sampling ratio "
-                f"({ch_}x{cv} vs max {hmax}x{vmax}) unsupported "
-                "(integer-ratio chroma subsampling only)"
-            )
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    order = {cid: i for i, (cid, _h, _v, _q) in enumerate(comps)}
-    planes = [
-        np.zeros((mcuy * cv * 8, mcux * ch_ * 8))
-        for (_cid, ch_, cv, _q) in comps
-    ]
-    br = _BitReader(data, pos)
-    preds = [0] * len(comps)
-    rst_n = 0
-    for mcu in range(mcux * mcuy):
-        if dri and mcu and mcu % dri == 0:
-            m = br.align_to_marker()
-            if not (0xD0 <= m <= 0xD7):
-                raise ValueError(
-                    f"decode_jpeg: expected RST marker, got 0xFF{m:02X}"
-                )
-            if m - 0xD0 != (rst_n & 7):
-                raise ValueError("decode_jpeg: restart marker out of order")
-            rst_n += 1
-            preds = [0] * len(comps)
-        my, mx = divmod(mcu, mcux)
-        for cs, td, ta in scan:
-            ci = order[cs]
-            _cid, ch_, cv, tq = comps[ci]
-            if tq not in qt or (0, td) not in huff or (1, ta) not in huff:
-                raise ValueError("decode_jpeg: missing DQT/DHT table")
-            for by in range(cv):
-                for bx in range(ch_):
-                    zz = np.zeros(64, np.int64)
-                    s = _huff_decode(br, huff[(0, td)])
-                    if s:
-                        zz[0] = _extend(br.bits(s), s)
-                    zz[0] += preds[ci]
-                    preds[ci] = int(zz[0])
-                    k = 1
-                    while k < 64:
-                        rs = _huff_decode(br, huff[(1, ta)])
-                        if rs == 0x00:  # EOB
-                            break
-                        if rs == 0xF0:  # ZRL
-                            k += 16
-                            continue
-                        k += rs >> 4
-                        size = rs & 0x0F
-                        if k > 63 or size == 0:
-                            raise ValueError(
-                                "decode_jpeg: AC coefficient overrun"
-                            )
-                        zz[k] = _extend(br.bits(size), size)
-                        k += 1
-                    raster = np.zeros(64, np.int64)
-                    raster[_ZZ] = zz
-                    blk = (raster * qt[tq]).reshape(8, 8).astype(np.float64)
-                    px = _T.T @ blk @ _T + 128.0
-                    y0 = (my * cv + by) * 8
-                    x0 = (mx * ch_ + bx) * 8
-                    planes[order[cs]][y0:y0 + 8, x0:x0 + 8] = px
-
-    # upsample each component plane to full size and crop
-    full = []
-    for ci, (_cid, ch_, cv, _q) in enumerate(comps):
-        p = planes[ci]
-        if ch_ < hmax or cv < vmax:
-            p = np.repeat(np.repeat(p, vmax // cv, axis=0),
-                          hmax // ch_, axis=1)
-        full.append(p[:h, :w])
-    if len(comps) == 1:
-        return np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
-    if len(comps) != 3:
-        raise NotImplementedError(
-            f"decode_jpeg: {len(comps)}-component images unsupported "
-            "(grayscale or YCbCr)"
-        )
-    rgb = _ycbcr_to_rgb(full[0], full[1], full[2])
-    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    if frame is None or nscans == 0:
+        raise ValueError("decode_jpeg: no scan data before EOI")
+    return _finish(frame, qt, coefs)

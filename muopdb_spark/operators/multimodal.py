@@ -164,9 +164,14 @@ def _probe_gif(data: bytes) -> dict | None:
 def _probe_bmp(data: bytes) -> dict | None:
     if data[:2] != b"BM" or len(data) < 26:
         return None
+    # negative height is valid (top-down rows); negative width is not —
+    # treat it as malformed so the payload lands as format='unknown'
+    width = int.from_bytes(data[18:22], "little", signed=True)
+    if width < 0:
+        return None
     return {
         "format": "bmp",
-        "width": int.from_bytes(data[18:22], "little", signed=True),
+        "width": width,
         "height": abs(int.from_bytes(data[22:26], "little", signed=True)),
         "channels": 3,
     }

@@ -1079,6 +1079,15 @@ def write_hdf5_vectors(
             f"vec_id outside the validated [{lo}, {lo + n - 1}] range "
             "(nondeterministic input?)"
         )
+    # the bounds check alone misses duplicate ids from a nondeterministic
+    # input re-evaluated between the aggregate job and this collect: a
+    # duplicate would scatter-overwrite one row and leave an np.empty row
+    # in the file silently
+    if len(np.unique(idx)) != n:
+        raise ValueError(
+            "duplicate vec_ids between validation and collection "
+            "(nondeterministic input?)"
+        )
     flat = emb.flatten().to_numpy(zero_copy_only=False)  # offset-safe
     mat = np.empty((n, dim), dtype=np.dtype(dtype))
     mat[idx] = flat.reshape(n, dim).astype(np.dtype(dtype), copy=False)

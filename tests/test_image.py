@@ -595,6 +595,7 @@ def test_decoders_total_under_byte_fuzz():
     seeds = [
         encode_png(img),
         encode_jpeg(img, quality=90),
+        encode_jpeg(img, quality=90, progressive=True),
         encode_wav(rng.integers(-100, 100, 200, dtype=np.int16), 8000),
     ]
     n_ok = n_err = 0

@@ -143,14 +143,27 @@ def test_unsupported_features_refused_by_name():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg")
     base = encode_jpeg(np.zeros((8, 8), np.uint8))
-    # flip SOF0 -> SOF2 (progressive)
+    # flip SOF0 -> SOF1 (extended sequential — still refused by name)
     i = base.index(b"\xff\xc0")
-    prog = base[:i] + b"\xff\xc2" + base[i + 2:]
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg(prog)
+    ext = base[:i] + b"\xff\xc1" + base[i + 2:]
+    with pytest.raises(NotImplementedError, match="extended sequential"):
+        decode_jpeg(ext)
     # truncated entropy stream
     with pytest.raises(ValueError, match="truncated|exhausted"):
         decode_jpeg(base[:-8])
+
+
+def test_scan_component_not_in_sof_is_value_error():
+    """An SOS selecting a component id the SOF never declared must be
+    a ValueError (structural-inconsistency contract), not a KeyError."""
+    base = encode_jpeg(np.zeros((8, 8), np.uint8))
+    i = base.index(b"\xff\xda")
+    # SOS payload: [ns=1, cs=1, tabs] — corrupt cs to 9
+    bad = bytearray(base)
+    assert bad[i + 5] == 1
+    bad[i + 5] = 9
+    with pytest.raises(ValueError, match="not declared in SOF"):
+        decode_jpeg(bytes(bad))
 
 
 def test_bad_shapes_rejected():
@@ -235,3 +248,172 @@ def test_non_integer_sampling_ratio_refused_by_name():
     base[i + 4 + 5 + 1 + 1 + 3] = 0x21
     with pytest.raises(NotImplementedError, match="sampling ratio"):
         decode_jpeg(bytes(base))
+
+
+# ----------------------------------------------------------- progressive
+
+
+@pytest.mark.parametrize("shape,subsample", [
+    ((8, 8), False), ((17, 23), False), ((32, 48, 3), False),
+    ((15, 31, 3), True), ((9, 9, 3), True), ((1, 1), False),
+])
+def test_progressive_decodes_identically_to_baseline(shape, subsample):
+    """Progressive and baseline encodings hold the SAME quantized
+    coefficients, so a correct progressive decoder (spectral selection
+    + successive approximation + AC refinement + EOB runs) must
+    reproduce the baseline decode bit-for-bit."""
+    rng = np.random.default_rng(hash(shape) % 2**32)
+    a = rng.integers(0, 256, shape, dtype=np.uint8)
+    for q in (30, 90):
+        d0 = decode_jpeg(encode_jpeg(a, quality=q, subsample=subsample))
+        dp = decode_jpeg(
+            encode_jpeg(a, quality=q, subsample=subsample, progressive=True)
+        )
+        assert np.array_equal(d0, dp)
+
+
+def test_progressive_with_restart_markers():
+    """RSTn inside progressive scans resets DC predictors AND the EOB
+    run; both interleaved (DC) and non-interleaved (AC) scans restart."""
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 256, (33, 49, 3), dtype=np.uint8)
+    d0 = decode_jpeg(encode_jpeg(a, quality=75, restart_interval=2))
+    dp = decode_jpeg(
+        encode_jpeg(a, quality=75, restart_interval=2, progressive=True)
+    )
+    assert np.array_equal(d0, dp)
+    # smooth content maximizes EOB runs crossing restart boundaries
+    sm = np.clip(
+        np.add.outer(np.linspace(0, 40, 32), np.linspace(0, 30, 64)),
+        0, 255,
+    ).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(sm, quality=90, restart_interval=1)),
+        decode_jpeg(
+            encode_jpeg(sm, quality=90, restart_interval=1, progressive=True)
+        ),
+    )
+
+
+def _idct_block(zz_coefs):
+    """Reference IDCT of one hand-specified zigzag coefficient block
+    (quant all-1s), via the module's orthonormal basis."""
+    from muopdb_spark.operators.jpeg import _T, _ZZ
+    raster = np.zeros(64)
+    raster[_ZZ] = zz_coefs
+    px = _T.T @ raster.reshape(8, 8) @ _T + 128.0
+    return np.clip(np.rint(px), 0, 255).astype(np.uint8)
+
+
+def test_progressive_hand_built_eobrun_vector():
+    """HAND-assembled SOF2 file pinning the spec EOBn semantics
+    (T.81 G.1.2.2: EOBn = run of n all-further-zero blocks INCLUDING
+    the current one; n in [2^r, 2^(r+1)-1], r extra bits) against a
+    decoder+encoder pair that could otherwise share an off-by-one.
+    40x8 gray, 5 blocks: block 1 has AC, blocks 2-4 are an EOB run of
+    4 (with block 1's tail), block 5 has AC after the run — so both a
+    -1 and a +1 error in the decoder's EOBn formula corrupt block 5."""
+    # DC table: '0' -> cat 2, '10' -> cat 0
+    dc = bytes([1, 1] + [0] * 14) + bytes([2, 0])
+    # AC table: len-2 codes '00'->0x03 '01'->0x20 '10'->0x12,
+    # len-3 code '110'->0x00 (EOB0)
+    ac = bytes([0, 3, 1] + [0] * 13) + bytes([0x03, 0x20, 0x12, 0x00])
+    # scan 1 (DC, Al=0): diffs 2,0,0,0,0
+    #   '0'+'10' then 4x'10' -> 010101010 10 -> 0101 0101 010 +pad(11111)
+    dc_bits = bytes([0b01010101, 0b01011111])
+    # scan 2 (AC, Ss=1..63, Al=1):
+    #   block1: (r=0,s=3)='00' + value 5='101'
+    #   EOBn n=4: r=2 -> symbol 0x20='01' + extra '00'
+    #   block5: (r=1,s=2)='10' + value 3='11'
+    #   EOBn n=1: r=0 -> symbol 0x00='110'
+    #   -> 00 101 01 00 10 11 110 (16 bits, no pad)
+    ac_bits = bytes([0b00101010, 0b01011110])
+    data = (
+        b"\xff\xd8"
+        + _seg(0xFFDB, bytes([0]) + bytes([1] * 64))
+        + _seg(0xFFC2, bytes([8]) + struct.pack(">HH", 8, 40)
+               + bytes([1, 1, 0x11, 0]))
+        + _seg(0xFFC4, bytes([0x00]) + dc)
+        + _seg(0xFFC4, bytes([0x10]) + ac)
+        + _seg(0xFFDA, bytes([1, 1, 0x00, 0, 0, 0x00])) + dc_bits
+        + _seg(0xFFDA, bytes([1, 1, 0x00, 1, 63, 0x01])) + ac_bits
+        + b"\xff\xd9"
+    )
+    out = decode_jpeg(data)
+    assert out.shape == (8, 40)
+    exp = np.zeros((8, 40), np.uint8)
+    b_mid = _idct_block([2] + [0] * 63)
+    for bx in range(5):
+        exp[:, bx * 8:(bx + 1) * 8] = b_mid
+    # block 1: zigzag k=1 -> 10 after <<Al; block 5: zigzag k=2 -> 6
+    exp[:, 0:8] = _idct_block([2, 10] + [0] * 62)
+    exp[:, 32:40] = _idct_block([2, 0, 6] + [0] * 61)
+    assert np.array_equal(out, exp)
+
+
+def test_progressive_hand_built_ac_refinement_vector():
+    """HAND-assembled AC refinement scan pinning the correction-bit
+    protocol (T.81 G.1.2.3): the (run,1) symbol's sign bit precedes the
+    correction bits of passed-over nonzero-history coefficients, and
+    history coefficients do not count toward the zero run. Block:
+    AC[1]=5 arrives as 4 at Al=1 then +1 correction; AC[3]=-1 appears
+    newly at Al=0 after a genuine zero run of 1."""
+    dc = bytes([1] + [0] * 15) + bytes([0])          # '0' -> cat 0
+    # AC: '00'->0x02 '01'->0x00(EOB0) '10'->0x11
+    ac = bytes([0, 3] + [0] * 14) + bytes([0x02, 0x00, 0x11])
+    dc_bits = bytes([0b01111111])                     # '0' + pad
+    # first AC scan (Al=1): (0,2)='00' + value 2='10', EOB0='01' -> pad
+    ac1_bits = bytes([0b00100111])
+    # refine (Ah=1, Al=0): 0x11='10' + sign'0'(neg) + corr'1' +
+    #   EOB0='01' -> 100101 + pad '11'
+    ac2_bits = bytes([0b10010111])
+    data = (
+        b"\xff\xd8"
+        + _seg(0xFFDB, bytes([0]) + bytes([1] * 64))
+        + _seg(0xFFC2, bytes([8]) + struct.pack(">HH", 8, 8)
+               + bytes([1, 1, 0x11, 0]))
+        + _seg(0xFFC4, bytes([0x00]) + dc)
+        + _seg(0xFFC4, bytes([0x10]) + ac)
+        + _seg(0xFFDA, bytes([1, 1, 0x00, 0, 0, 0x00])) + dc_bits
+        + _seg(0xFFDA, bytes([1, 1, 0x00, 1, 63, 0x01])) + ac1_bits
+        + _seg(0xFFDA, bytes([1, 1, 0x00, 1, 63, 0x10])) + ac2_bits
+        + b"\xff\xd9"
+    )
+    out = decode_jpeg(data)
+    assert np.array_equal(out, _idct_block([0, 5, 0, -1] + [0] * 60))
+
+
+def test_progressive_nonconformant_scans_rejected():
+    a = np.zeros((8, 8), np.uint8)
+    prog = encode_jpeg(a, progressive=True)
+    # interleaved AC scan: find the first single-component SOS (AC)
+    # and the DC scan; corrupt headers in place
+    base = encode_jpeg(np.full((16, 16, 3), 77, np.uint8), progressive=True)
+    i = base.index(b"\xff\xda")  # DC scan, ns=3
+    # make the interleaved DC scan claim a spectral band (Ss=1)
+    bad = bytearray(base)
+    ns = bad[i + 4]
+    assert ns == 3
+    bad[i + 5 + 2 * ns] = 1       # Ss
+    bad[i + 6 + 2 * ns] = 63      # Se
+    with pytest.raises(ValueError, match="interleaved progressive AC"):
+        decode_jpeg(bytes(bad))
+    # successive approximation must refine exactly one bit (Ah == Al+1)
+    bad2 = bytearray(prog)
+    j = bad2.index(b"\xff\xda")   # gray DC scan, ns=1
+    bad2[j + 7 + 2] = (3 << 4) | 1  # Ah=3, Al=1 on the DC scan
+    with pytest.raises(ValueError, match="one bit"):
+        decode_jpeg(bytes(bad2))
+
+
+def test_progressive_perceptual_hash_matches_baseline(spark):
+    """dHash computed through the progressive decode path equals the
+    baseline path's (the decoded pixels are identical)."""
+    from muopdb_spark.operators.image import dhash64, to_gray
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    h0 = dhash64(to_gray(decode_jpeg(encode_jpeg(a, quality=85))))
+    hp = dhash64(to_gray(decode_jpeg(
+        encode_jpeg(a, quality=85, progressive=True)
+    )))
+    assert h0 == hp
