@@ -251,8 +251,9 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 def decode_image_bytes(data: bytes) -> np.ndarray:
-    """Magic-dispatched image decode: PNG via decode_png, JPEG via the
-    baseline codec in operators/jpeg.py. Other formats raise
+    """Magic-dispatched image decode: PNG via decode_png, JPEG
+    (baseline + progressive) via operators/jpeg.py, GIF (first frame,
+    composited) via operators/gif.py. Other formats raise
     NotImplementedError naming the magic."""
     if data[:8] == _PNG_MAGIC:
         return decode_png(data)
@@ -260,9 +261,13 @@ def decode_image_bytes(data: bytes) -> np.ndarray:
         from muopdb_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from muopdb_spark.operators.gif import decode_gif
+
+        return decode_gif(data)
     raise NotImplementedError(
         f"decode_image_bytes: unrecognized image magic {data[:4]!r} "
-        "(PNG and baseline JPEG supported)"
+        "(PNG, JPEG and GIF supported)"
     )
 
 

@@ -310,14 +310,14 @@ def test_decode_image_thumbnail_shrinks(spark):
 
 
 def test_decode_image_unknown_magic_refused_without_pil(spark):
-    # PNG and baseline JPEG decode through the pure codecs since late
-    # r12; an unrecognized magic still refuses by name
+    # PNG/JPEG/GIF decode through the pure codecs (GIF since r13); an
+    # unrecognized magic (TIFF here) still refuses by name
     from muopdb_spark.operators.multimodal import _try_import_pil, decode_image
 
     if _try_import_pil() is not None:
         pytest.skip("PIL installed; pure route not taken")
     media = spark.createDataFrame(
-        [(1, "image/gif", bytearray(b"GIF89a not decodable here"), 0)],
+        [(1, "image/tiff", bytearray(b"II*\x00 not decodable here"), 0)],
         "doc_id long, media_type string, content binary, n_bytes long",
     )
     with pytest.raises(Exception, match="magic"):
@@ -592,10 +592,13 @@ def test_decoders_total_under_byte_fuzz():
 
     rng = np.random.default_rng(99)
     img = rng.integers(0, 256, (12, 14), dtype=np.uint8)
+    from muopdb_spark.operators.gif import encode_gif
+
     seeds = [
         encode_png(img),
         encode_jpeg(img, quality=90),
         encode_jpeg(img, quality=90, progressive=True),
+        encode_gif((img // 32 * 32)),
         encode_wav(rng.integers(-100, 100, 200, dtype=np.int16), 8000),
     ]
     n_ok = n_err = 0
