@@ -190,21 +190,24 @@ def audio_fingerprint64(mono: np.ndarray, *, frames: int = 9,
             f"audio_fingerprint64: need >= {frames} samples, got {n}"
         )
     flen = n // frames
-    e = np.empty((frames, bands))
-    for t in range(frames):
-        spec = np.abs(np.fft.rfft(mono[t * flen:(t + 1) * flen])) ** 2
-        # drop DC, split the remaining bins into `bands` equal groups
-        body = spec[1:]
-        if len(body) < bands:
-            body = np.pad(body, (0, bands - len(body)))
-        edges = np.linspace(0, len(body), bands + 1).astype(int)
-        for b in range(bands):
-            e[t, b] = body[edges[b]:edges[b + 1]].sum()
+    # ONE batched rfft over the (frames, flen) matrix instead of a
+    # per-frame Python loop — same per-row transform (pocketfft plans
+    # each row identically), so fingerprints are unchanged
+    sig = np.asarray(mono[:frames * flen], np.float64).reshape(frames, flen)
+    spec = np.abs(np.fft.rfft(sig, axis=1)) ** 2
+    # drop DC, split the remaining bins into `bands` equal groups
+    body = spec[:, 1:]
+    if body.shape[1] < bands:
+        body = np.pad(body, ((0, 0), (0, bands - body.shape[1])))
+    edges = np.linspace(0, body.shape[1], bands + 1).astype(int)
+    e = np.stack(
+        [body[:, edges[b]:edges[b + 1]].sum(axis=1) for b in range(bands)],
+        axis=1,
+    )
+    rises = (e[1:] > e[:-1]).T.ravel()  # index = b * (frames-1) + t
     v = 0
-    for b in range(bands):
-        for t in range(frames - 1):
-            if e[t + 1, b] > e[t, b]:
-                v |= 1 << (b * (frames - 1) + t)
+    for i in np.nonzero(rises)[0].tolist():
+        v |= 1 << int(i)
     return _to_i64(v)
 
 
