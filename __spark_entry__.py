@@ -2319,6 +2319,71 @@ def q_jpeg_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_near_dup(media, max_hamming=3).select("a_id", "b_id")
 
 
+def q_jpeg_progressive_phash_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """m7: the m6 near-dup recovered through PROGRESSIVE JPEG (SOF2 —
+    spectral selection + successive approximation scans incl. AC
+    refinement, operators/jpeg.py r13). The progressive encoding holds
+    the same quantized coefficients as baseline and the decoder
+    reconstructs them exactly, so the pair set matches m6's; any
+    defect in the refinement/EOB-run decode paths corrupts pixels and
+    breaks the value-hash compare."""
+    from muopdb_spark.operators.image import image_near_dup
+    from muopdb_spark.operators.jpeg import encode_jpeg
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    g = max(1, n // 10)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "content": [
+                    encode_jpeg(_m3_pixels(int(d), g), quality=100,
+                                progressive=True)
+                    for d in pdf["doc_id"]
+                ],
+            })
+
+    media = docs.repartition(spark.sparkContext.defaultParallelism) \
+        .mapInPandas(gen, "doc_id long, content binary")
+    return image_near_dup(media, max_hamming=3).select("a_id", "b_id")
+
+
+def q_gif_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m8: the m3 near-dup through the GIF codec (operators/gif.py r13
+    — LZW + palette). GIF is LOSSLESS for palette content, so unlike
+    the JPEG rows this pins hamming values too (the m3 contract):
+    decoded pixels equal the originals bit-for-bit, dHash is exactly
+    brightness-shift invariant, within-class hamming is 0."""
+    from muopdb_spark.operators.gif import encode_gif
+    from muopdb_spark.operators.image import image_near_dup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    g = max(1, n // 10)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "content": [encode_gif(_m3_pixels(int(d), g))
+                            for d in pdf["doc_id"]],
+            })
+
+    media = docs.repartition(spark.sparkContext.defaultParallelism) \
+        .mapInPandas(gen, "doc_id long, content binary")
+    return image_near_dup(media, max_hamming=3).select(
+        "a_id", "b_id", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """m5: typed-metadata triage over a MIXED-media binary column —
     media_probe sniffs png/wav/jpeg/gif/mp4 containers and parses only
@@ -4762,6 +4827,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r12 late: the m3 near-dup recovered through the lossy
         # baseline JPEG codec (pair set pinned; see the docstring)
         "m6_jpeg_phash_dedup": q_jpeg_phash_dedup,
+        # r13: the m6 pattern through PROGRESSIVE JPEG (SOF2) — pins
+        # the refinement/EOB-run decode paths end-to-end
+        "m7_jpeg_progressive_phash_dedup": q_jpeg_progressive_phash_dedup,
+        # r13: the m3 pattern through the GIF codec (lossless, so
+        # hamming values are pinned like m3's, not just the pair set)
+        "m8_gif_phash_dedup": q_gif_phash_dedup,
         # src2 parked in r10 (driver-green r5-r9) so src4's literal
         # HDF5 boundary gets its landing-round first driver row.
         "src2_fvecs_roundtrip": q_fvecs_roundtrip,
@@ -5969,6 +6040,25 @@ def oracle_sql() -> dict[str, str]:
                 SELECT GREATEST(1, COUNT(*) // 10) AS gg FROM documents
             )
             SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM documents a, documents b, g
+            WHERE (a.doc_id % g.gg) = (b.doc_id % g.gg)
+              AND a.doc_id < b.doc_id
+        """,
+        "m7_jpeg_progressive_phash_dedup": """
+            WITH g AS (
+                SELECT GREATEST(1, COUNT(*) // 10) AS gg FROM documents
+            )
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM documents a, documents b, g
+            WHERE (a.doc_id % g.gg) = (b.doc_id % g.gg)
+              AND a.doc_id < b.doc_id
+        """,
+        "m8_gif_phash_dedup": """
+            WITH g AS (
+                SELECT GREATEST(1, COUNT(*) // 10) AS gg FROM documents
+            )
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(0 AS BIGINT) AS hamming
             FROM documents a, documents b, g
             WHERE (a.doc_id % g.gg) = (b.doc_id % g.gg)
               AND a.doc_id < b.doc_id
