@@ -2384,6 +2384,55 @@ def q_gif_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_avi_frame_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m9: REAL video frame extraction — MJPEG-in-AVI payloads
+    synthesized per document (frame count, dimensions and flat pixel
+    values all arithmetic in doc_id), walked by the RIFF container
+    parser and decoded frame-by-frame by the baseline JPEG codec
+    (operators/video.py r13). The oracle reproduces (doc_id,
+    frame_idx, height, width) with generate_series arithmetic, so a
+    container-walk or frame-decode defect (wrong count, wrong dims,
+    misordered frames) breaks the value-hash compare; pixel exactness
+    is pytest-pinned (flat q100 frames roundtrip bit-exactly)."""
+    from muopdb_spark.operators.video import (
+        encode_avi_mjpeg,
+        video_frame_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                nf = 2 + d % 3
+                h = 8 + (d % 3) * 8
+                w = 16 + (d % 4) * 8
+                frames = [
+                    np.full((h, w), (d * 7 + k * 11) % 256, np.uint8)
+                    for k in range(nf)
+                ]
+                payloads.append(
+                    encode_avi_mjpeg(frames, fps=4, quality=100)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": payloads}
+            )
+
+    media = docs.repartition(spark.sparkContext.defaultParallelism) \
+        .mapInPandas(gen, "doc_id long, content binary")
+    return video_frame_features(media).select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("height").cast("long").alias("height"),
+        F.col("width").cast("long").alias("width"),
+    )
+
+
 def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """m5: typed-metadata triage over a MIXED-media binary column —
     media_probe sniffs png/wav/jpeg/gif/mp4 containers and parses only
@@ -4833,6 +4882,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r13: the m3 pattern through the GIF codec (lossless, so
         # hamming values are pinned like m3's, not just the pair set)
         "m8_gif_phash_dedup": q_gif_phash_dedup,
+        # r13: REAL video frame extraction (MJPEG-in-AVI riding the
+        # JPEG codec) — the video close-or-freeze outcome; MP4/H.264
+        # stay probe-only per the SURVEY capability note
+        "m9_avi_frame_scan": q_avi_frame_scan,
         # src2 parked in r10 (driver-green r5-r9) so src4's literal
         # HDF5 boundary gets its landing-round first driver row.
         "src2_fvecs_roundtrip": q_fvecs_roundtrip,
@@ -6062,6 +6115,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents a, documents b, g
             WHERE (a.doc_id % g.gg) = (b.doc_id % g.gg)
               AND a.doc_id < b.doc_id
+        """,
+        "m9_avi_frame_scan": """
+            SELECT doc_id,
+                   UNNEST(generate_series(
+                       0, CAST(1 + doc_id % 3 AS BIGINT))) AS frame_idx,
+                   CAST(8 + (doc_id % 3) * 8 AS BIGINT) AS height,
+                   CAST(16 + (doc_id % 4) * 8 AS BIGINT) AS width
+            FROM documents
         """,
         "m5_media_probe": """
             SELECT doc_id,

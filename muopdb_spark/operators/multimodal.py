@@ -241,8 +241,14 @@ def _probe_mp4(data: bytes) -> dict | None:
     return out
 
 
+def _probe_avi(data: bytes) -> dict | None:
+    from muopdb_spark.operators.video import probe_avi
+
+    return probe_avi(data)
+
+
 _PROBES = (_probe_png, _probe_jpeg, _probe_gif, _probe_bmp, _probe_wav,
-           _probe_mp4)
+           _probe_mp4, _probe_avi)
 
 PROBE_SCHEMA = (
     "doc_id long, format string, width int, height int, channels int, "
