@@ -4663,7 +4663,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quality-stats family keeps t7/t8/t11 in-window). Oracle
         # checked at sf0.01 BEFORE the swap.
         "t17_unicode_clean": q_unicode_clean,
-        "d6_dup_clusters": q_dup_clusters,
+        # r13-NEW operator (landing-round first driver row): m9 REAL
+        # video frame extraction — MJPEG-in-AVI container walk +
+        # per-frame JPEG decode (operators/video.py), the video
+        # close-or-freeze outcome. Parks d6_dup_clusters (driver-green
+        # r2-r12; the dedup family keeps d3/d9/d10/t15/smp7
+        # in-window). Oracle checked at sf0.001, sf0.01 AND sf0.1
+        # BEFORE the swap.
+        "m9_avi_frame_scan": q_avi_frame_scan,
         "t6_bm25": q_bm25,
         # r10-NEW operator (landing-round first driver row): rep1
         # per-source dataset hygiene report (the dataset-card rollup).
@@ -4882,10 +4889,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r13: the m3 pattern through the GIF codec (lossless, so
         # hamming values are pinned like m3's, not just the pair set)
         "m8_gif_phash_dedup": q_gif_phash_dedup,
-        # r13: REAL video frame extraction (MJPEG-in-AVI riding the
-        # JPEG codec) — the video close-or-freeze outcome; MP4/H.264
-        # stay probe-only per the SURVEY capability note
-        "m9_avi_frame_scan": q_avi_frame_scan,
+        # d6 parked in r13 (driver-green r2-r12) so m9's video frame
+        # extraction gets its landing-round first driver row; dedup
+        # family keeps d3/d9/d10/t15/smp7 in-window.
+        "d6_dup_clusters": q_dup_clusters,
         # src2 parked in r10 (driver-green r5-r9) so src4's literal
         # HDF5 boundary gets its landing-round first driver row.
         "src2_fvecs_roundtrip": q_fvecs_roundtrip,
