@@ -265,9 +265,13 @@ def decode_image_bytes(data: bytes) -> np.ndarray:
         from muopdb_spark.operators.gif import decode_gif
 
         return decode_gif(data)
+    if data[:2] == b"BM":
+        from muopdb_spark.operators.bmp import decode_bmp
+
+        return decode_bmp(data)
     raise NotImplementedError(
         f"decode_image_bytes: unrecognized image magic {data[:4]!r} "
-        "(PNG, JPEG and GIF supported)"
+        "(PNG, JPEG, GIF and BMP supported)"
     )
 
 

@@ -592,6 +592,7 @@ def test_decoders_total_under_byte_fuzz():
 
     rng = np.random.default_rng(99)
     img = rng.integers(0, 256, (12, 14), dtype=np.uint8)
+    from muopdb_spark.operators.bmp import encode_bmp
     from muopdb_spark.operators.gif import encode_gif
 
     seeds = [
@@ -599,6 +600,7 @@ def test_decoders_total_under_byte_fuzz():
         encode_jpeg(img, quality=90),
         encode_jpeg(img, quality=90, progressive=True),
         encode_gif((img // 32 * 32)),
+        encode_bmp(img),
         encode_wav(rng.integers(-100, 100, 200, dtype=np.int16), 8000),
     ]
     n_ok = n_err = 0
