@@ -7,9 +7,10 @@ Decoder coverage (honest gates, refused by name):
     V4/V5 headers (extra fields skipped), BI_RGB uncompressed:
     1/4/8-bit palette, 16-bit (X1R5G5B5), 24-bit and 32-bit rows,
     bottom-up and top-down (negative height), 4-byte row padding
-  - BI_RLE4/BI_RLE8/BI_BITFIELDS/JPEG/PNG embeddings raise
-    NotImplementedError naming the compression; structural problems
-    raise ValueError
+  - BI_BITFIELDS with arbitrary 16/32-bit channel masks (inline V2+
+    masks or the three DWORDs after a 40-byte header)
+  - BI_RLE4/BI_RLE8/JPEG/PNG embeddings raise NotImplementedError
+    naming the compression; structural problems raise ValueError
 
 Encoder: 24-bit BI_RGB bottom-up (the universally readable variant),
 lossless for RGB input — fingerprint tests get exact roundtrips.
@@ -52,6 +53,8 @@ def decode_bmp(data: bytes) -> np.ndarray:
             )
         # V2+ headers carry the RGB masks inline at byte 54; with the
         # 40-byte header they immediately follow it — same offset
+        if len(data) < 66:
+            raise ValueError("decode_bmp: truncated bitfield masks")
         masks = struct.unpack("<III", data[54:66])
         if any(m == 0 for m in masks):
             raise ValueError("decode_bmp: zero channel mask")
@@ -129,17 +132,10 @@ def decode_bmp(data: bytes) -> np.ndarray:
 def encode_bmp(arr: np.ndarray) -> bytes:
     """Encode uint8 (H, W, 3) RGB — or (H, W) grayscale, broadcast —
     as a 24-bit BI_RGB bottom-up BMP (lossless)."""
-    a = np.asarray(arr)
-    if a.ndim == 2:
-        a = np.stack([a] * 3, axis=-1)
-    if a.ndim != 3 or a.shape[2] != 3 or a.dtype != np.uint8:
-        raise ValueError(
-            f"encode_bmp: expected uint8 (H, W[, 3]); got {a.dtype} "
-            f"{a.shape}"
-        )
+    from muopdb_spark.operators.image import as_rgb_u8
+
+    a = as_rgb_u8(arr, "encode_bmp")
     h, w = a.shape[:2]
-    if h == 0 or w == 0:
-        raise ValueError("encode_bmp: empty image")
     stride = (w * 3 + 3) // 4 * 4
     rows = np.zeros((h, stride), np.uint8)
     rows[:, :w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)

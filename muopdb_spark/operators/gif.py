@@ -17,7 +17,9 @@ Encoder: single- or multi-frame GIF89a with a true LZW compressor
 (dictionary rebuild on clear, 12-bit cap), auto-built palette for
 inputs with <= 256 distinct colors (refuses busier inputs by name —
 this engine needs lossless roundtrips for fingerprint tests, not a
-quantizer), optional per-frame delay and transparency.
+quantizer). Multi-frame input gets a Netscape loop extension and a
+per-frame delay GCE; the encoder writes no transparency (the DECODER
+handles transparency and all disposal methods).
 
 Scale note: like the other codecs, decode rides Arrow batches into
 mapInPandas via image_features / decode_image — executor-side, never
@@ -339,28 +341,25 @@ def decode_gif(data: bytes) -> np.ndarray:
 
 
 def _build_palette(frames: list[np.ndarray]) -> tuple[np.ndarray, list]:
-    colors: dict[tuple[int, int, int], int] = {}
+    flat_all = np.concatenate([f.reshape(-1, 3) for f in frames])
+    pal, inv = np.unique(flat_all, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise NotImplementedError(
+            "encode_gif: more than 256 distinct colors "
+            "(palette quantization is out of scope — this "
+            "encoder exists for lossless roundtrips)"
+        )
+    if len(pal) < 2:
+        pal = np.vstack([pal, np.zeros((2 - len(pal), 3), np.uint8)])
     index_frames = []
+    off = 0
     for f in frames:
-        flat = f.reshape(-1, 3)
-        idx = np.empty(flat.shape[0], np.uint8)
-        for i, px in enumerate(map(tuple, flat.tolist())):
-            j = colors.get(px)
-            if j is None:
-                j = len(colors)
-                if j > 255:
-                    raise NotImplementedError(
-                        "encode_gif: more than 256 distinct colors "
-                        "(palette quantization is out of scope — this "
-                        "encoder exists for lossless roundtrips)"
-                    )
-                colors[px] = j
-            idx[i] = j
-        index_frames.append(idx.reshape(f.shape[:2]))
-    pal = np.zeros((max(2, len(colors)), 3), np.uint8)
-    for px, j in colors.items():
-        pal[j] = px
-    return pal, index_frames
+        npx = f.shape[0] * f.shape[1]
+        index_frames.append(
+            inv[off:off + npx].astype(np.uint8).reshape(f.shape[:2])
+        )
+        off += npx
+    return pal.astype(np.uint8), index_frames
 
 
 def encode_gif(
@@ -372,26 +371,16 @@ def encode_gif(
     palette (inputs must have <= 256 distinct colors across all
     frames; lossless by construction). Grayscale (H, W) input is
     broadcast to RGB."""
+    from muopdb_spark.operators.image import as_rgb_u8
+
     if isinstance(frames, np.ndarray):
         frames = [frames]
     if not frames:
         raise ValueError("encode_gif: no frames")
-    norm = []
-    for f in frames:
-        a = np.asarray(f)
-        if a.ndim == 2:
-            a = np.stack([a] * 3, axis=-1)
-        if a.ndim != 3 or a.shape[2] != 3 or a.dtype != np.uint8:
-            raise ValueError(
-                f"encode_gif: expected uint8 (H, W[, 3]); got "
-                f"{a.dtype} {a.shape}"
-            )
-        norm.append(a)
+    norm = [as_rgb_u8(f, "encode_gif") for f in frames]
     if any(f.shape != norm[0].shape for f in norm):
         raise ValueError("encode_gif: frames must share one shape")
     h, w = norm[0].shape[:2]
-    if h == 0 or w == 0:
-        raise ValueError("encode_gif: empty image")
     pal, index_frames = _build_palette(norm)
     # palette size: power of two >= len, >= 2; field stores log2-1
     bits = max(1, int(len(pal) - 1).bit_length())

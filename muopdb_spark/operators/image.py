@@ -278,6 +278,22 @@ def decode_image_bytes(data: bytes) -> np.ndarray:
 # ----------------------------------------------- grayscale / resizing
 
 
+def as_rgb_u8(arr: np.ndarray, who: str) -> np.ndarray:
+    """Shared encoder input normalization: uint8 (H, W, 3) RGB, with
+    grayscale (H, W) broadcast — used by the GIF/BMP encoders so the
+    contract can't drift between codecs."""
+    a = np.asarray(arr)
+    if a.ndim == 2:
+        a = np.stack([a] * 3, axis=-1)
+    if a.ndim != 3 or a.shape[2] != 3 or a.dtype != np.uint8:
+        raise ValueError(
+            f"{who}: expected uint8 (H, W[, 3]); got {a.dtype} {a.shape}"
+        )
+    if a.shape[0] == 0 or a.shape[1] == 0:
+        raise ValueError(f"{who}: empty image")
+    return a
+
+
 def to_gray(img: np.ndarray) -> np.ndarray:
     """Luma (ITU-R BT.601) as float64; alpha channels are dropped."""
     if img.ndim == 2:

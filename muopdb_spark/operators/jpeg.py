@@ -916,7 +916,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     dri = 0
     nscans = 0
     while True:
+        # data ending after >= 1 complete scan decodes leniently (a
+        # clipped tail — missing EOI — is common in real crawls and
+        # the pre-r13 single-scan decoder handled it); truncation
+        # before any scan stays an error
         if pos + 2 > len(data):
+            if nscans:
+                break
             raise ValueError("decode_jpeg: truncated marker stream")
         if data[pos] != 0xFF:
             raise ValueError("decode_jpeg: marker desync")
@@ -925,6 +931,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         while pos + 2 <= len(data) and data[pos + 1] == 0xFF:
             pos += 1
         if pos + 2 > len(data):
+            if nscans:
+                break
             raise ValueError("decode_jpeg: truncated marker stream")
         m = data[pos + 1]
         if m == 0xD9:  # EOI
@@ -933,10 +941,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             pos += 2
             continue
         if pos + 4 > len(data):
+            if nscans:
+                break
             raise ValueError("decode_jpeg: truncated marker stream")
         (ln,) = struct.unpack(">H", data[pos + 2:pos + 4])
         body = data[pos + 4:pos + 2 + ln]
         if len(body) != ln - 2:
+            if nscans:
+                break
             raise ValueError("decode_jpeg: truncated segment")
         if m == 0xDB:  # DQT (possibly several tables)
             p = 0

@@ -139,7 +139,12 @@ def write_vecs(df: DataFrame, path: str, *, kind: str = "fvecs",
     ids = tbl.column(id_col).to_numpy()
     n = len(ids)
     if n == 0:
-        raise ValueError("write_vecs: empty frame")
+        # an empty selection is a legitimate export: a valid
+        # zero-record file (the pre-r13 behavior)
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        with open(path, "wb"):
+            pass
+        return 0
     emb = tbl.column(vec_col).combine_chunks()
     lens = np.diff(emb.offsets.to_numpy())
     if not (lens == lens[0]).all():

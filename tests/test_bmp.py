@@ -118,3 +118,11 @@ def test_decode_image_bytes_dispatches_bmp():
 
     a = np.random.default_rng(2).integers(0, 256, (12, 14, 3), np.uint8)
     assert np.array_equal(decode_image_bytes(encode_bmp(a)), a)
+
+
+def test_truncated_bitfield_masks_is_value_error():
+    hdr = (b"BM" + struct.pack("<III", 60, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 32, 3, 4,
+                         0, 0, 0, 0))
+    with pytest.raises(ValueError, match="truncated bitfield"):
+        decode_bmp(hdr)  # ends at byte 54 — no room for the masks

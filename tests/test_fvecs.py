@@ -144,3 +144,14 @@ def test_sharded_rejects_gappy_ids(spark, tmp_path):
     )
     with pytest.raises(Exception, match="contiguous"):
         write_vecs_sharded(df, str(tmp_path / "bad"), rows_per_shard=4)
+
+
+def test_write_vecs_empty_frame_writes_empty_file(spark, tmp_path):
+    from muopdb_spark.sources.fvecs import read_vecs, write_vecs
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    path = str(tmp_path / "empty.fvecs")
+    assert write_vecs(df, path) == 0
+    import os
+
+    assert os.path.getsize(path) == 0

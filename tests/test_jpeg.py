@@ -417,3 +417,17 @@ def test_progressive_perceptual_hash_matches_baseline(spark):
         encode_jpeg(a, quality=85, progressive=True)
     )))
     assert h0 == hp
+
+
+def test_clipped_tail_decodes_leniently():
+    """A JPEG with complete entropy data but a clipped tail (missing
+    EOI, or truncated trailing segment) decodes — the real-crawl case;
+    truncation BEFORE any scan stays an error."""
+    a = np.random.default_rng(4).integers(0, 256, (24, 24), np.uint8)
+    full = encode_jpeg(a, quality=90)
+    assert np.array_equal(decode_jpeg(full[:-2]), decode_jpeg(full))
+    prog = encode_jpeg(a, quality=90, progressive=True)
+    assert np.array_equal(decode_jpeg(prog[:-2]), decode_jpeg(prog))
+    # clipped mid-entropy still raises
+    with pytest.raises(ValueError):
+        decode_jpeg(full[:len(full) // 2])

@@ -165,3 +165,23 @@ def test_every_n_validation():
         encode_avi_mjpeg([])
     with pytest.raises(ValueError, match="fps"):
         encode_avi_mjpeg(_flat_frames(1), fps=0)
+
+
+def test_dht_detection_is_a_marker_walk():
+    """FF C4 bytes inside an APPn payload must not mask a genuinely
+    DHT-less frame, and a frame whose only FF C4 is inside a payload
+    must still refuse by name."""
+    from muopdb_spark.operators.video import _jpeg_has_dht
+    from muopdb_spark.operators.jpeg import encode_jpeg
+
+    blob = encode_jpeg(np.zeros((8, 8), np.uint8), quality=100)
+    assert _jpeg_has_dht(blob)
+    # strip real DHTs, then add an APP1 whose payload CONTAINS ff c4
+    stripped = bytearray(blob)
+    while b"\xff\xc4" in stripped:
+        j = stripped.index(b"\xff\xc4")
+        (ln,) = struct.unpack(">H", stripped[j + 2:j + 4])
+        del stripped[j:j + 2 + ln]
+    app1 = b"\xff\xe1" + struct.pack(">H", 8) + b"xx\xff\xc4yy"
+    spoofed = bytes(stripped[:2]) + app1 + bytes(stripped[2:])
+    assert not _jpeg_has_dht(spoofed)
