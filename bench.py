@@ -130,6 +130,11 @@ BENCH_QUERIES = [
     # WAV codec (decode -> framed FFT band energies -> sign hash ->
     # banded join)
     "m4_audio_fingerprint_dedup",
+    # r13: real video frame extraction (MJPEG-in-AVI container walk +
+    # per-frame JPEG decode + dHash) — the 81st query pushes the
+    # driver-tail contract line from centiseconds to the decisecond
+    # fallback, which still parses (r12 contract)
+    "m9_avi_frame_scan",
 ]
 
 

@@ -530,3 +530,26 @@ def test_cli_probe(spark, cli, capsys, tmp_path):
     assert set(r["by_format"]) == {"png", "wav", "unknown"}
     assert r["by_format"]["png"]["n"] == 1
     assert r["by_format"]["wav"]["n"] == 1
+
+
+def test_cli_frames(spark, cli, capsys, tmp_path):
+    import numpy as np
+
+    from muopdb_spark.operators.video import encode_avi_mjpeg
+
+    frames = [np.full((8, 8), 50 + 10 * k, np.uint8) for k in range(4)]
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_avi_mjpeg(frames, quality=100))),
+         (1, bytearray(b"not a video"))],
+        "doc_id long, content binary",
+    )
+    p = str(tmp_path / "vids.parquet")
+    df.write.parquet(p)
+    r = _run(cli, capsys, ["frames", "--input", p])
+    assert r == {"docs": 1, "frames": 4, "every_n": 1}
+    out = str(tmp_path / "frames.parquet")
+    r = _run(cli, capsys, ["frames", "--input", p, "--every-n", "2",
+                           "--output", out])
+    assert r["frames"] == 2 and r["path"] == out
+    got = spark.read.parquet(out)
+    assert sorted(x.frame_idx for x in got.collect()) == [0, 2]

@@ -60,6 +60,7 @@ sys.path.insert(0, "/root/repo")
 
 COLLECTION_CMDS = {"create", "insert", "remove", "search", "term-search", "stats", "optimize", "flush", "inspect"}
 PIPELINE_CMDS = {"dedup", "lm-score", "chunk", "shard", "quality", "admit",
+                 "frames",
                  "dsir", "vocab", "split", "ppl-buckets", "bpe", "select",
                  "decontaminate", "curate", "tokens", "report", "probe"}
 
@@ -481,10 +482,30 @@ def _pipeline(spark, args, ap) -> dict:
         )
         manifest["budget_tokens"] = args.budget_tokens
         result = manifest
+    elif args.command == "frames":
+        # REAL video frame extraction: MJPEG-in-AVI payloads walked by
+        # the RIFF parser, each frame decoded by the JPEG codec —
+        # emits (doc_id, frame_idx, height, width, dhash); --every-n
+        # keeps every n-th frame, undecodable docs are skipped
+        from pyspark.sql import functions as F
+
+        from muopdb_spark.operators.video import video_frame_features
+
+        out = video_frame_features(
+            df, every_n=args.every_n, content_col=args.content_col,
+            on_error="skip",
+        )
+        # the shared tail below writes `out` to --output
+        agg = out.groupBy().agg(
+            F.countDistinct("doc_id").alias("docs"),
+            F.count("*").alias("frames"),
+        ).collect()[0]
+        result = {"docs": int(agg["docs"]), "frames": int(agg["frames"]),
+                  "every_n": args.every_n}
     elif args.command == "probe":
         # codec-free media triage: sniff container formats and parse
-        # only structural headers (png/jpeg/gif/bmp/wav/mp4); total by
-        # design — corrupt payloads land as format='unknown'
+        # only structural headers (png/jpeg/gif/bmp/wav/mp4/avi); total
+        # by design — corrupt payloads land as format='unknown'
         from pyspark.sql import functions as F
 
         from muopdb_spark.operators.multimodal import media_probe
@@ -770,6 +791,8 @@ def main(argv=None) -> int:
     ap.add_argument("--content-col", default="content",
                     help="dedup --method phash/audio: binary payload "
                          "column name")
+    ap.add_argument("--every-n", type=int, default=1,
+                    help="frames: keep every n-th video frame")
     ap.add_argument("--max-hamming", type=int, default=3,
                     help="dedup --method phash/audio: fingerprint "
                          "hamming-distance threshold")
