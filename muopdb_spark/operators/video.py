@@ -7,8 +7,9 @@ Scope (the r13 close-or-freeze decision for video):
     decode end-to-end: the container is a chunk walk (same RIFF
     machinery as WAV) and every frame is an independent JPEG.
   - Frames that omit their DHT segments (the MJPEG "implicit table"
-    quirk some hardware encoders use) refuse by name — tables-in-file
-    is what operators/jpeg.py supports.
+    convention hardware encoders use) decode via the T.81 Annex K.3
+    standard tables (decode_jpeg's fallback — the tables themselves
+    are pinned against foreign files).
   - Everything else (MP4/H.264, VP9, AV1...) stays PROBE-ONLY via
     multimodal.media_probe: inter-frame codecs are out of reasonable
     pure-Python scope, permanently — see SURVEY §2 capability note.
@@ -124,35 +125,6 @@ def _riff_chunks(data: bytes, pos: int, end: int):
         pos = body + ln + (ln & 1)  # word alignment
 
 
-def _jpeg_has_dht(blob: bytes) -> bool:
-    """True iff a DHT (0xFFC4) SEGMENT appears before SOS — a proper
-    marker walk, not a byte scan (FF C4 bytes inside APPn payloads or
-    16-bit DQT values must not mask a genuinely DHT-less frame). On a
-    malformed walk, returns True so decode_jpeg produces its own
-    structural error instead of a misleading implicit-table refusal."""
-    pos = 2
-    while pos + 4 <= len(blob):
-        if blob[pos] != 0xFF:
-            return True
-        while pos + 2 <= len(blob) and blob[pos + 1] == 0xFF:
-            pos += 1
-        if pos + 4 > len(blob):
-            return True
-        m = blob[pos + 1]
-        if m == 0xC4:
-            return True
-        if m == 0xDA:  # scan data starts; no DHT seen
-            return False
-        if m == 0xD9 or m == 0x01 or 0xD0 <= m <= 0xD7:
-            pos += 2
-            continue
-        (ln,) = struct.unpack(">H", blob[pos + 2:pos + 4])
-        if ln < 2:
-            return True
-        pos += 2 + ln
-    return True
-
-
 def decode_avi_mjpeg_frames(
     data: bytes, *, every_n: int = 1, max_frames: int | None = None,
 ) -> Iterator[tuple[int, np.ndarray]]:
@@ -191,11 +163,8 @@ def decode_avi_mjpeg_frames(
             raise NotImplementedError(
                 "decode_avi: non-JPEG frame payload (MJPEG streams only)"
             )
-        if not _jpeg_has_dht(blob):
-            raise NotImplementedError(
-                "decode_avi: DHT-less MJPEG frame (the implicit-table "
-                "quirk) unsupported — tables must ride in the frame"
-            )
+        # DHT-less frames (the hardware-encoder "implicit table"
+        # convention) decode via decode_jpeg's Annex K.3 fallback
         yield idx, decode_jpeg(blob)
         emitted += 1
         if max_frames is not None and emitted >= max_frames:
