@@ -548,19 +548,18 @@ class _BitReader:
         self.acc = 0
         self.nbits = 0
 
-    def _fill(self) -> None:
+    def _try_fill(self) -> bool:
+        """Pull one byte into acc; False at end-of-data or a marker."""
         d = self.data
         if self.pos >= len(d):
-            raise ValueError("decode_jpeg: entropy data exhausted")
+            return False
         b = d[self.pos]
         if b == 0xFF:
             nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
             if nxt == 0x00:
                 self.pos += 2
             else:
-                raise ValueError(
-                    "decode_jpeg: entropy data exhausted at marker"
-                )
+                return False  # a real marker: entropy data is over
         else:
             self.pos += 1
         # keep acc bounded to the live bits (consumed high bits are
@@ -568,6 +567,25 @@ class _BitReader:
         # bigint and every shift turns O(bytes decoded): quadratic
         self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | b
         self.nbits += 8
+        return True
+
+    def _fill(self) -> None:
+        if not self._try_fill():
+            raise ValueError("decode_jpeg: entropy data exhausted")
+
+    def peek16(self) -> tuple[int, int]:
+        """(next 16 bits MSB-first, number of REAL bits among them).
+        Near the end of the stream the missing low bits are padded
+        with 1s — the spec's pad convention — but a decode may only
+        CONSUME real bits (the caller checks the returned count)."""
+        while self.nbits < 16:
+            if not self._try_fill():
+                pad = 16 - self.nbits
+                return (
+                    ((self.acc << pad) | ((1 << pad) - 1)) & 0xFFFF,
+                    self.nbits,
+                )
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF, 16
 
     def bit(self) -> int:
         if self.nbits == 0:
@@ -576,10 +594,12 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
     def align_to_marker(self) -> int:
         """Discard padding bits, expect a marker, return its second
@@ -664,28 +684,39 @@ def _std_huff(tc: int, th: int) -> dict | None:
     return _STD_HUFF_CACHE[key]
 
 
-def _huff_from_dht(counts: bytes, symbols: bytes) -> dict:
-    """Canonical Huffman reconstruction: {(length, code): symbol}."""
-    table = {}
+def _huff_from_dht(counts: bytes, symbols: bytes) -> list[int]:
+    """Canonical Huffman reconstruction as a flat 16-bit-prefix LUT:
+    lut[prefix] = (symbol << 5) | code_length, 0 = invalid prefix.
+    One list lookup decodes any code (vs a bit-by-bit tree walk) —
+    the dominant cost of real-photo entropy decode. Malformed DHTs
+    whose canonical codes overflow 16 bits simply leave slots invalid
+    (same observable behavior as the old dict: a decode-time
+    ValueError)."""
+    lut = np.zeros(1 << 16, np.int32)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(counts[length - 1]):
-            table[(length, code)] = symbols[k]
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            if hi <= (1 << 16):
+                lut[lo:hi] = (symbols[k] << 5) | length
             code += 1
             k += 1
         code <<= 1
-    return table
+    return lut.tolist()
 
 
-def _huff_decode(br: _BitReader, table: dict) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("decode_jpeg: invalid Huffman code in entropy data")
+def _huff_decode(br: _BitReader, lut: list[int]) -> int:
+    p, avail = br.peek16()
+    v = lut[p]
+    length = v & 31
+    if length == 0:
+        raise ValueError("decode_jpeg: invalid Huffman code in entropy data")
+    if length > avail:
+        raise ValueError("decode_jpeg: entropy data exhausted")
+    br.nbits -= length
+    return v >> 5
 
 
 def _extend(v: int, size: int) -> int:
