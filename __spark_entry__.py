@@ -2384,6 +2384,63 @@ def q_gif_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p7: multimodal trainer-handoff export in the public WebDataset
+    tar layout (write_webdataset — deterministic hash shards, zeroed
+    tar metadata so re-exports are byte-identical) followed by the
+    loader-side read (read_webdataset: binaryFile scan + executor tar
+    walk). Payloads derive from doc_id (png / wav / raw bin cycling
+    doc_id % 3), so the per-extension member counts are SQL arithmetic
+    — and the n_match column pins CONTENT integrity: the read-back
+    payload's md5 must equal the source row's, for every member, which
+    the oracle expresses as n_match == n."""
+    from muopdb_spark.operators.export import read_webdataset, write_webdataset
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from muopdb_spark.operators.audio import encode_wav
+        from muopdb_spark.operators.image import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 3 == 0:
+                    px = (np.arange(48, dtype=np.int64).reshape(6, 8)
+                          * (d + 1)) % 251
+                    payloads.append(encode_png(px.astype(np.uint8)))
+                elif d % 3 == 1:
+                    s = ((np.arange(400, dtype=np.int64) * (d + 3))
+                         % 2001 - 1000).astype(np.int16)
+                    payloads.append(encode_wav(s, 8000))
+                else:
+                    payloads.append(b"\x00raw" + d.to_bytes(8, "little"))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": payloads}
+            )
+
+    media = docs.repartition(spark.sparkContext.defaultParallelism) \
+        .mapInPandas(gen, "doc_id long, content binary").persist()
+    path = os.path.join(_index_artifact_dir(sf_dir, "wds_v1"), "shards")
+    write_webdataset(media, path, n_shards=8)
+    back = read_webdataset(spark, path).withColumn(
+        "doc_id", F.col("key").cast("long")
+    )
+    joined = back.join(media.withColumnRenamed("content", "src"), "doc_id")
+    out = joined.groupBy("ext").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            (F.md5(F.col("content")) == F.md5(F.col("src"))).cast("long")
+        ).alias("n_match"),
+    ).orderBy("ext")
+    media.unpersist()
+    return out
+
+
 def q_avi_frame_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """m9: REAL video frame extraction — MJPEG-in-AVI payloads
     synthesized per document (frame count, dimensions and flat pixel
@@ -4893,6 +4950,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # extraction gets its landing-round first driver row; dedup
         # family keeps d3/d9/d10/t15/smp7 in-window.
         "d6_dup_clusters": q_dup_clusters,
+        # r13: multimodal WebDataset tar export + loader-side read —
+        # the media twin of p4's text shards; n_match pins read-back
+        # content md5 == source md5 for every member
+        "p7_webdataset_roundtrip": q_webdataset_roundtrip,
         # src2 parked in r10 (driver-green r5-r9) so src4's literal
         # HDF5 boundary gets its landing-round first driver row.
         "src2_fvecs_roundtrip": q_fvecs_roundtrip,
@@ -6122,6 +6183,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents a, documents b, g
             WHERE (a.doc_id % g.gg) = (b.doc_id % g.gg)
               AND a.doc_id < b.doc_id
+        """,
+        "p7_webdataset_roundtrip": """
+            SELECT CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+                        ELSE 'bin' END AS ext,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_match
+            FROM documents GROUP BY 1 ORDER BY ext
         """,
         "m9_avi_frame_scan": """
             SELECT doc_id,

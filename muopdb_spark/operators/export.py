@@ -218,3 +218,183 @@ def read_token_shard(path: str, shard_id: int):
         _os.path.join(path, f"shard_{shard_id}.idx"), dtype="<i8"
     ).reshape(-1, 2)
     return ids, idx
+
+
+# ------------------------------------------------- WebDataset tar export
+
+
+_WDS_EXTS = (
+    (b"\x89PNG\r\n\x1a\n", "png"), (b"\xff\xd8", "jpg"),
+    (b"GIF87a", "gif"), (b"GIF89a", "gif"), (b"BM", "bmp"),
+)
+
+
+def _sniff_ext(blob: bytes) -> str:
+    """Container extension by magic — the WebDataset member suffix a
+    loader dispatches decoders on; unknown payloads land as .bin."""
+    for magic, ext in _WDS_EXTS:
+        if blob[:len(magic)] == magic:
+            return ext
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        return "wav"
+    if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+        return "avi"
+    if len(blob) >= 12 and blob[4:8] == b"ftyp":
+        return "mp4"
+    return "bin"
+
+
+def write_webdataset(
+    media: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    meta_cols: list[str] | None = None,
+    n_shards: int = 8,
+    seed: str = "wds-v1",
+) -> DataFrame:
+    """Multimodal trainer-handoff export in the PUBLIC WebDataset
+    layout (tar shards; per sample `{key}.{ext}` payload + a
+    `{key}.json` metadata member) — the standard input format of
+    multimodal training loaders, and the media twin of
+    write_token_shards' Megatron-style text export.
+
+    - key = zero-padded doc id (lexicographic order == numeric order);
+      ext sniffed from the payload magic (png/jpg/gif/bmp/wav/avi/mp4,
+      else bin) so a loader dispatches decoders without a sidecar.
+    - shard/position come from shard_assignment's (seed, id) hash —
+      deterministic pseudo-random global shuffle, re-export stable
+      under corpus append.
+    - tar members are written with zeroed mtime/uid/gid and fixed
+      modes in USTAR format, so a re-export is BYTE-identical (tests
+      pin this) — reproducibility loaders can checksum against.
+    - each shard's tar is written by ITS OWN executor task
+      (applyInPandas group): `path` must be a shared filesystem in
+      cluster mode, which a training sink requires anyway. At 100 TB,
+      pick n_shards so a tar is a few GB; the only shuffle is the
+      per-shard ordering.
+
+    Returns the manifest (shard_id, n_docs, tar_bytes); empty shards
+    get a valid empty tar + a zero manifest row.
+    """
+    import io as _io
+    import json as _json
+    import os as _os
+    import tarfile as _tarfile
+
+    import pandas as _pd
+
+    _os.makedirs(path, exist_ok=True)
+    meta_cols = list(meta_cols or [])
+    payload = media.select(id_col, content_col, *meta_cols)
+    assigned = shard_assignment(
+        payload, id_col=id_col, n_shards=n_shards, seed=seed
+    ).join(payload, id_col)
+
+    out_schema = "shard_id long, n_docs long, tar_bytes long"
+
+    def _write(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        pdf = pdf.sort_values("position", kind="mergesort")
+        sid = int(pdf["shard_id"].iloc[0])
+        tar_path = _os.path.join(path, f"shard-{sid:06d}.tar")
+
+        def add(tf, name, blob):
+            info = _tarfile.TarInfo(name)
+            info.size = len(blob)
+            info.mtime = 0
+            info.uid = info.gid = 0
+            info.uname = info.gname = ""
+            info.mode = 0o644
+            tf.addfile(info, _io.BytesIO(blob))
+
+        with _tarfile.open(
+            tar_path, "w", format=_tarfile.USTAR_FORMAT
+        ) as tf:
+            for _, row in pdf.iterrows():
+                key = f"{int(row[id_col]):012d}"
+                blob = bytes(row[content_col])
+                add(tf, f"{key}.{_sniff_ext(blob)}", blob)
+                meta = {id_col: int(row[id_col])}
+                for c in meta_cols:
+                    v = row[c]
+                    meta[c] = v.item() if hasattr(v, "item") else v
+                add(tf, f"{key}.json",
+                    _json.dumps(meta, sort_keys=True).encode())
+        return _pd.DataFrame(
+            {"shard_id": [sid], "n_docs": [len(pdf)],
+             "tar_bytes": [_os.path.getsize(tar_path)]}
+        )
+
+    manifest = (
+        assigned.repartition(n_shards, "shard_id")
+        .groupBy("shard_id")
+        .applyInPandas(_write, out_schema)
+    )
+    rows = [tuple(r) for r in manifest.collect()]
+    written = {r[0] for r in rows}
+    import tarfile as _tarfile2
+
+    for sid in range(n_shards):
+        if sid in written:
+            continue
+        tar_path = _os.path.join(path, f"shard-{sid:06d}.tar")
+        with _tarfile2.open(tar_path, "w", format=_tarfile2.USTAR_FORMAT):
+            pass
+        rows.append((sid, 0, _os.path.getsize(tar_path)))
+    spark = media.sparkSession
+    return spark.createDataFrame(
+        sorted(rows), "shard_id long, n_docs long, tar_bytes long"
+    )
+
+
+def read_webdataset(spark, path: str) -> DataFrame:
+    """Loader-side twin of write_webdataset: every tar under `path`
+    parsed executor-side (binaryFile scan -> mapInPandas tarfile walk)
+    into (shard_id, key, ext, content, meta) rows — one row per
+    payload member, its .json sidecar attached as a string. The
+    roundtrip contract write/read is oracle- and test-pinned."""
+    import io as _io
+    import json as _json
+    import os as _os
+    import re as _re
+    import tarfile as _tarfile
+
+    import pandas as _pd
+
+    files = spark.read.format("binaryFile").load(
+        _os.path.join(path, "*.tar")
+    ).select("path", "content")
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"shard_id": [], "key": [], "ext": [], "content": [],
+                   "meta": []}
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                m = _re.search(r"shard-(\d+)\.tar$", fpath)
+                sid = int(m.group(1)) if m else -1
+                with _tarfile.open(
+                    fileobj=_io.BytesIO(bytes(blob))
+                ) as tf:
+                    members = {}
+                    for info in tf:
+                        data = tf.extractfile(info).read()
+                        key, ext = info.name.rsplit(".", 1)
+                        members.setdefault(key, {})[ext] = data
+                    for key in sorted(members):
+                        exts = members[key]
+                        meta = exts.pop("json", b"{}").decode()
+                        _json.loads(meta)  # malformed sidecar -> error
+                        for ext, data in sorted(exts.items()):
+                            out["shard_id"].append(sid)
+                            out["key"].append(key)
+                            out["ext"].append(ext)
+                            out["content"].append(data)
+                            out["meta"].append(meta)
+            yield _pd.DataFrame(out)
+
+    return files.mapInPandas(
+        gen,
+        "shard_id long, key string, ext string, content binary, "
+        "meta string",
+    )

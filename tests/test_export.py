@@ -157,3 +157,105 @@ def test_token_shards_backfills_empty_shards(spark, tmp_path):
         ids, idx = read_token_shard(out, sid)
         assert len(ids) == man[sid]["n_tokens"]
         assert idx.shape[0] == man[sid]["n_docs"]
+
+
+# ------------------------------------------------- WebDataset tar export
+
+
+def _wds_media(spark):
+    import numpy as np
+
+    from muopdb_spark.operators.audio import encode_wav
+    from muopdb_spark.operators.image import encode_png
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for d in range(40):
+        if d % 3 == 0:
+            blob = encode_png(rng.integers(0, 256, (6, 8), np.uint8))
+        elif d % 3 == 1:
+            blob = encode_wav(np.zeros(100, np.int16), 8000)
+        else:
+            blob = b"\x00raw" + bytes([d])
+        rows.append((d, bytearray(blob), f"src{d % 4}"))
+    return rows, spark.createDataFrame(
+        rows, "doc_id long, content binary, source string"
+    )
+
+
+def test_webdataset_roundtrip_and_manifest(spark, tmp_path):
+    import json
+
+    from muopdb_spark.operators.export import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    rows, media = _wds_media(spark)
+    path = str(tmp_path / "wds")
+    man = {r.shard_id: r for r in write_webdataset(
+        media, path, meta_cols=["source"], n_shards=4
+    ).collect()}
+    assert sorted(man) == [0, 1, 2, 3]
+    assert sum(r.n_docs for r in man.values()) == 40
+    back = read_webdataset(spark, path).collect()
+    assert len(back) == 40
+    orig = {d: bytes(b) for d, b, _ in rows}
+    for r in back:
+        assert r.content == orig[int(r.key)]          # byte-exact payload
+        assert json.loads(r.meta)["source"] == f"src{int(r.key) % 4}"
+    assert {r.ext for r in back} == {"png", "wav", "bin"}
+
+
+def test_webdataset_reexport_byte_identical(spark, tmp_path):
+    import glob
+    import hashlib
+
+    from muopdb_spark.operators.export import write_webdataset
+
+    _rows, media = _wds_media(spark)
+
+    def digests(p):
+        write_webdataset(media, p, meta_cols=["source"], n_shards=4)
+        import os
+
+        return {
+            os.path.basename(f): hashlib.md5(open(f, "rb").read()).hexdigest()
+            for f in glob.glob(p + "/*.tar")
+        }
+
+    assert digests(str(tmp_path / "a")) == digests(str(tmp_path / "b"))
+
+
+def test_webdataset_empty_shards_backfilled(spark, tmp_path):
+    import tarfile
+
+    from muopdb_spark.operators.export import write_webdataset
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"x"))], "doc_id long, content binary"
+    )
+    path = str(tmp_path / "wds")
+    man = {r.shard_id: r.n_docs for r in
+           write_webdataset(media, path, n_shards=4).collect()}
+    assert sorted(man) == [0, 1, 2, 3] and sum(man.values()) == 1
+    for sid, n in man.items():
+        with tarfile.open(f"{path}/shard-{sid:06d}.tar") as tf:
+            assert len(tf.getmembers()) == 2 * n  # payload + json
+
+
+def test_webdataset_ext_sniffing():
+    from muopdb_spark.operators.export import _sniff_ext
+    from muopdb_spark.operators.bmp import encode_bmp
+    from muopdb_spark.operators.gif import encode_gif
+    from muopdb_spark.operators.jpeg import encode_jpeg
+    from muopdb_spark.operators.video import encode_avi_mjpeg
+    import numpy as np
+
+    g = np.zeros((4, 4), np.uint8)
+    assert _sniff_ext(encode_jpeg(g)) == "jpg"
+    assert _sniff_ext(encode_gif(g)) == "gif"
+    assert _sniff_ext(encode_bmp(g)) == "bmp"
+    assert _sniff_ext(encode_avi_mjpeg([g])) == "avi"
+    assert _sniff_ext(b"\x00\x00\x00\x18ftypisom....") == "mp4"
+    assert _sniff_ext(b"whatever") == "bin"
