@@ -2384,6 +2384,42 @@ def q_gif_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """url1: the crawl pipeline's URL pass (operators/urls.py) —
+    canonicalize messy URLs (case, default ports, fragments, tracking
+    params), dedup by canonical URL (keep-first), extract the
+    registered domain (cc-2LD aware) and cap docs per domain. The
+    synthetic URLs are arithmetic in doc_id with deliberate mess
+    (upper-case WWW hosts, :443 ports, #fragments, utm params), so the
+    oracle constructs the expected CANONICAL string directly and
+    replays the two keep-first windows in SQL — normalization doing
+    anything wrong (missed param, kept port, case slip) changes the
+    dedup key and fails the value hash."""
+    from muopdb_spark.operators.urls import domain_cap, url_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    # canonical identity cycles every lcm(2,7,5,3)=210 doc_ids, so at
+    # 500+ docs the URL dedup REALLY drops rows, and 7 domains x cap
+    # 20 means the cap REALLY drops rows too — both windows active
+    messy = F.concat(
+        F.lit("HTTPS://"),
+        F.when(d % 2 == 1, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"), (d % 7).cast("string"),
+        F.when(d % 7 % 2 == 0, F.lit(".CO.UK")).otherwise(F.lit(".Com")),
+        F.when(d % 6 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"), (d % 5).cast("string"),
+        F.when(d % 3 == 0, F.lit("?utm_source=x&id=0"))
+        .when(d % 3 == 1, F.lit("?id=1"))
+        .otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+    urls = docs.withColumn("url", messy)
+    kept = url_dedup(urls)
+    capped = domain_cap(kept, cap=20)
+    return capped.select("doc_id", "domain").orderBy("doc_id")
+
+
 def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p7: multimodal trainer-handoff export in the public WebDataset
     tar layout (write_webdataset — deterministic hash shards, zeroed
@@ -4954,6 +4990,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the media twin of p4's text shards; n_match pins read-back
         # content md5 == source md5 for every member
         "p7_webdataset_roundtrip": q_webdataset_roundtrip,
+        # r13: URL-level curation (canonicalize / URL dedup /
+        # registered domain / per-domain cap) — pure-Catalyst pass,
+        # constructed-canonical arithmetic oracle
+        "url1_domain_cap": q_url_domain_cap,
         # src2 parked in r10 (driver-green r5-r9) so src4's literal
         # HDF5 boundary gets its landing-round first driver row.
         "src2_fvecs_roundtrip": q_fvecs_roundtrip,
@@ -6183,6 +6223,38 @@ def oracle_sql() -> dict[str, str]:
             FROM documents a, documents b, g
             WHERE (a.doc_id % g.gg) = (b.doc_id % g.gg)
               AND a.doc_id < b.doc_id
+        """,
+        "url1_domain_cap": """
+            WITH u AS (
+                SELECT doc_id,
+                       concat('https://',
+                              CASE WHEN doc_id % 2 = 1 THEN 'www.' ELSE '' END,
+                              'site', CAST(doc_id % 7 AS VARCHAR),
+                              CASE WHEN doc_id % 7 % 2 = 0 THEN '.co.uk'
+                                   ELSE '.com' END,
+                              '/p/', CAST(doc_id % 5 AS VARCHAR),
+                              CASE WHEN doc_id % 3 = 0 THEN '?id=0'
+                                   WHEN doc_id % 3 = 1 THEN '?id=1'
+                                   ELSE '' END) AS canon,
+                       concat('site', CAST(doc_id % 7 AS VARCHAR),
+                              CASE WHEN doc_id % 7 % 2 = 0 THEN '.co.uk'
+                                   ELSE '.com' END) AS domain
+                FROM documents
+            ), dd AS (
+                SELECT doc_id, domain,
+                       ROW_NUMBER() OVER (PARTITION BY canon
+                                          ORDER BY doc_id) AS rn
+                FROM u
+            ), kept AS (
+                SELECT doc_id, domain FROM dd WHERE rn = 1
+            ), capped AS (
+                SELECT doc_id, domain,
+                       ROW_NUMBER() OVER (PARTITION BY domain
+                                          ORDER BY doc_id) AS rn2
+                FROM kept
+            )
+            SELECT doc_id, domain FROM capped WHERE rn2 <= 20
+            ORDER BY doc_id
         """,
         "p7_webdataset_roundtrip": """
             SELECT CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'

@@ -1,0 +1,124 @@
+"""URL-level curation — the first pass of every web-crawl pipeline
+(C4, CCNet, RefinedWeb, Gopher all gate on URLs before touching
+text): canonicalize URLs, extract the registered domain, dedup by
+canonical URL, and cap the per-domain document count so no single
+site dominates the mixture.
+
+Everything here is pure Catalyst (lower / regexp_replace /
+regexp_extract chains + one window for the caps) — map-side JVM
+expressions with zero Python, so the pass costs one scan plus one
+shuffle (the per-domain window) at any corpus size.
+
+Registered-domain extraction uses a HEURISTIC public-suffix subset
+(the standard two-label rule, three labels under the common
+country-code second-level domains like co.uk / com.au); the full
+Mozilla public-suffix list is a data file a deployment can swap in by
+extending _CC_SLD. Disclosed here rather than silently wrong for
+exotic suffixes.
+
+Reference parity note: the reference engine (hicder/muopdb) has no
+URL operators; this family is brief-driven (training-data pipeline
+requirement) like dedup/quality/sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+# tracking params stripped by canonicalization (the de-facto standard
+# removal set: UTM campaign tags + click identifiers)
+_TRACKING = (
+    "utm_[a-z]+", "fbclid", "gclid", "msclkid", "mc_eid", "igshid",
+    "ref_src",
+)
+
+# common country-code second-level domains where the registered
+# domain is three labels (heuristic subset; see module docstring)
+_CC_SLD = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.nz", "co.za", "com.ar", "com.tr", "com.tw", "co.kr",
+)
+
+
+def url_normalize(col: Column | str) -> Column:
+    """Canonical URL: lowercase scheme+host, default ports dropped,
+    fragment dropped, tracking query params dropped (empty '?'
+    cleaned up), trailing slash on a bare path dropped."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.trim(c)
+    # lowercase scheme://host[:port] (the prefix up to the first '/')
+    c = F.concat(
+        F.lower(F.regexp_extract(c, r"^([^/]*//[^/?#]*)", 1)),
+        F.regexp_extract(c, r"^[^/]*//[^/?#]*(.*)$", 1),
+    )
+    c = F.regexp_replace(c, r"#.*$", "")  # fragment
+    c = F.regexp_replace(c, r":80(/|$)", "$1")
+    c = F.regexp_replace(c, r":443(/|$)", "$1")
+    for p in _TRACKING:
+        c = F.regexp_replace(c, rf"([?&]){p}=[^&#]*", "$1")
+    c = F.regexp_replace(c, r"\?&+", "?")       # ?& left by removals
+    c = F.regexp_replace(c, r"&&+", "&")
+    c = F.regexp_replace(c, r"[?&]$", "")       # trailing separator
+    c = F.regexp_replace(c, r"^([^?]*[^/?])/$", "$1")  # trailing slash
+    return c
+
+
+def url_host(col: Column | str) -> Column:
+    """Lowercased hostname (port and credentials stripped)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(
+        F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)", 1)
+    )
+
+
+def url_registered_domain(col: Column | str) -> Column:
+    """Registered domain of the URL's host: last two labels, or last
+    three under a known cc-2LD (heuristic — see module docstring).
+    A 'www.' prefix never survives."""
+    host = url_host(col)
+    two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    three = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    is_cc = F.lit(False)
+    for sld in _CC_SLD:
+        is_cc = is_cc | two.eqNullSafe(F.lit(sld))
+    return F.when(is_cc & (three != ""), three).otherwise(two)
+
+
+def url_dedup(
+    df: DataFrame, *, url_col: str = "url", id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one document per canonical URL (lowest id wins — the
+    deterministic keep-first rule every dedup op here uses). Adds
+    `url_canon`."""
+    out = df.withColumn("url_canon", url_normalize(url_col))
+    w = Window.partitionBy("url_canon").orderBy(id_col)
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def domain_cap(
+    df: DataFrame, *, cap: int, url_col: str = "url",
+    id_col: str = "doc_id", order_col: str | None = None,
+) -> DataFrame:
+    """Cap documents per registered domain (anti-dominance: no site
+    contributes more than `cap` docs to the mixture). Keeps the top
+    `cap` by `order_col` descending (quality-first) or by id ascending
+    when no order column is given. Adds `domain`."""
+    if cap < 1:
+        raise ValueError(f"domain_cap: cap must be >= 1, got {cap}")
+    out = df.withColumn("domain", url_registered_domain(url_col))
+    order = (
+        [F.col(order_col).desc(), F.col(id_col).asc()]
+        if order_col else [F.col(id_col).asc()]
+    )
+    w = Window.partitionBy("domain").orderBy(*order)
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )

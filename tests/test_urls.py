@@ -1,0 +1,97 @@
+"""URL-level curation (operators/urls.py): canonicalization cases a
+crawl actually contains, registered-domain heuristic incl. cc-2LDs,
+keep-first URL dedup and per-domain caps. All pure Catalyst — the
+plan audit's row-python column stays 0."""
+
+from __future__ import annotations
+
+import pytest
+
+from muopdb_spark.operators.urls import (
+    domain_cap,
+    url_dedup,
+    url_host,
+    url_normalize,
+    url_registered_domain,
+)
+
+
+CANON_CASES = [
+    # scheme+host lowercase; path case preserved
+    ("HTTPS://WWW.Example.COM/Path/X", "https://www.example.com/Path/X"),
+    # default ports dropped (https and http)
+    ("https://a.com:443/x", "https://a.com/x"),
+    ("http://a.com:80/x", "http://a.com/x"),
+    # non-default port kept
+    ("http://a.com:8080/x", "http://a.com:8080/x"),
+    # fragment dropped
+    ("https://a.com/x#frag", "https://a.com/x"),
+    # tracking params dropped, real ones kept, separators cleaned
+    ("https://a.com/p?utm_source=x&id=3", "https://a.com/p?id=3"),
+    ("https://a.com/p?id=3&utm_source=x", "https://a.com/p?id=3"),
+    ("https://a.com/p?utm_a=1&utm_b=2", "https://a.com/p"),
+    ("https://a.com/p?fbclid=zz&gclid=y", "https://a.com/p"),
+    # trailing slash on a bare path dropped; root kept
+    ("https://a.com/x/", "https://a.com/x"),
+    ("https://a.com/Path/?id=3", "https://a.com/Path/?id=3"),
+]
+
+
+@pytest.mark.parametrize("raw,canon", CANON_CASES)
+def test_url_normalize_cases(spark, raw, canon):
+    df = spark.createDataFrame([(raw,)], "url string")
+    out = df.select(url_normalize("url").alias("c")).collect()[0].c
+    assert out == canon, (raw, out)
+
+
+def test_host_and_registered_domain(spark):
+    cases = [
+        ("https://WWW.Example.COM/x", "www.example.com", "example.com"),
+        ("https://sub.deep.example.com/x", "sub.deep.example.com",
+         "example.com"),
+        ("http://news.site.co.uk/a", "news.site.co.uk", "site.co.uk"),
+        ("https://shop.example.com.au/", "shop.example.com.au",
+         "example.com.au"),
+        ("ftp://user@Host.Org/file", "host.org", "host.org"),
+        ("https://a.com:8080/x", "a.com", "a.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _h, _d in cases], "url string")
+    rows = df.select(
+        "url", url_host("url").alias("h"),
+        url_registered_domain("url").alias("d"),
+    ).collect()
+    got = {r.url: (r.h, r.d) for r in rows}
+    for u, h, d in cases:
+        assert got[u] == (h, d), (u, got[u])
+
+
+def test_url_dedup_keep_first(spark):
+    df = spark.createDataFrame(
+        [(0, "HTTPS://A.com/x?utm_a=1"), (1, "https://a.com/x"),
+         (2, "https://a.com/y")],
+        "doc_id long, url string",
+    )
+    kept = sorted(r.doc_id for r in url_dedup(df).collect())
+    assert kept == [0, 2]  # 0 and 1 canonicalize identically
+
+
+def test_domain_cap_quality_first(spark):
+    rows = [(i, f"https://{'www.' if i % 2 else ''}dom.com/p{i}",
+             float(i % 5)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, url string, q double")
+    out = domain_cap(df, cap=3, order_col="q").collect()
+    assert len(out) == 3
+    assert all(r.domain == "dom.com" for r in out)
+    # top-3 by quality desc, id asc tiebreak: q=4 -> ids 4, 9; q=3 -> 3
+    assert sorted(r.doc_id for r in out) == [3, 4, 9]
+    with pytest.raises(ValueError, match="cap"):
+        domain_cap(df, cap=0)
+
+
+def test_pass_is_pure_catalyst(spark):
+    # no Python evaluation nodes in the plan (the 100 TB contract)
+    df = spark.createDataFrame([(0, "https://a.com/x")],
+                               "doc_id long, url string")
+    plan = domain_cap(url_dedup(df), cap=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Python" not in plan and "BatchEval" not in plan
