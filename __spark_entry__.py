@@ -2384,6 +2384,37 @@ def q_gif_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """html1: HTML -> training-text extraction (operators/html.py) —
+    the pass before all text curation. Each document's text is wrapped
+    in a REALISTIC page (title, style+script with decoy markup inside
+    a JS string, nav/footer boilerplate, heading, <br> blocks, links),
+    then extract_text must recover exactly: the title, the heading and
+    block lines, the body text (whitespace-normalized per line), the
+    link count — all SQL-expressible because the fixture text is clean
+    ASCII and the wrapper is arithmetic in doc_id. Script CDATA
+    handling, boilerplate suppression, block boundaries and entity
+    decoding all participate; any slip changes the value hash."""
+    from muopdb_spark.operators.html import extract_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    page = F.concat(
+        F.lit("<html><head><title>Doc "), d.cast("string"),
+        F.lit("</title><style>p{x:y}</style>"
+              "<script>var a=\"<p>decoy</p>\";</script></head>"
+              "<body><nav><a href=\"/h\">Home</a></nav><h1>T"),
+        (d % 7).cast("string"),
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p><div>tail "), (d % 5).cast("string"),
+        F.lit("<br>end</div><footer>foot</footer>"
+              "<a href=\"/l1\">L1</a><a href=\"/l2\">L2</a>"
+              "</body></html>"),
+    )
+    pages = docs.select("doc_id", page.alias("html"))
+    return extract_text(pages).orderBy("doc_id")
+
+
 def q_url_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """url1: the crawl pipeline's URL pass (operators/urls.py) —
     canonicalize messy URLs (case, default ports, fragments, tracking
@@ -4994,6 +5025,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # registered domain / per-domain cap) — pure-Catalyst pass,
         # constructed-canonical arithmetic oracle
         "url1_domain_cap": q_url_domain_cap,
+        # r13: HTML -> text extraction (stdlib-parser tag soup,
+        # boilerplate suppression, script CDATA, block boundaries) —
+        # the ground truth is the fixture text itself
+        "html1_extract_text": q_html_extract,
         # src2 parked in r10 (driver-green r5-r9) so src4's literal
         # HDF5 boundary gets its landing-round first driver row.
         "src2_fvecs_roundtrip": q_fvecs_roundtrip,
@@ -6223,6 +6258,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents a, documents b, g
             WHERE (a.doc_id % g.gg) = (b.doc_id % g.gg)
               AND a.doc_id < b.doc_id
+        """,
+        "html1_extract_text": """
+            SELECT doc_id,
+                   concat('T', CAST(doc_id % 7 AS VARCHAR), chr(10),
+                          array_to_string(
+                              list_filter(
+                                  list_transform(
+                                      string_split(text, chr(10)),
+                                      x -> trim(regexp_replace(
+                                               x, ' +', ' ', 'g'))),
+                                  x -> x <> ''),
+                              chr(10)), chr(10),
+                          'tail ', CAST(doc_id % 5 AS VARCHAR),
+                          chr(10), 'end', chr(10), 'L1L2') AS text,
+                   concat('Doc ', CAST(doc_id AS VARCHAR)) AS title,
+                   CAST(3 AS INTEGER) AS n_links
+            FROM documents ORDER BY doc_id
         """,
         "url1_domain_cap": """
             WITH u AS (

@@ -1,0 +1,95 @@
+"""HTML -> text extraction (operators/html.py): stdlib-parser tag
+soup tolerance, boilerplate/script suppression, block boundaries,
+entity decoding, title/link extraction, and the Spark operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from muopdb_spark.operators.html import (
+    extract_links,
+    extract_text,
+    html_to_text,
+)
+
+
+def test_basic_extraction():
+    doc = ("<html><head><title> My  Page </title>"
+           "<style>p{a:b}</style><script>var x=\"<p>hi</p>\";</script>"
+           "</head><body><h1>Header&nbsp;One</h1>"
+           "<p>First   paragraph with <b>bold</b> &amp; entities.</p>"
+           "<div>Second<br>block</div></body></html>")
+    text, title, links = html_to_text(doc)
+    assert title == "My Page"
+    assert text.split("\n") == [
+        # &nbsp; decodes to U+00A0, which the per-line whitespace
+        # collapse (str.split — unicode-aware) normalizes to a space
+        "Header One",
+        "First paragraph with bold & entities.",
+        "Second",
+        "block",
+    ]
+    assert links == []
+
+
+def test_boilerplate_suppression_toggle():
+    doc = ("<body><nav><a href='/h'>Home</a></nav><p>real</p>"
+           "<footer>copyright</footer></body>")
+    on, _t, _l = html_to_text(doc)
+    off, _t2, _l2 = html_to_text(doc, drop_boilerplate=False)
+    assert "real" in on and "Home" not in on and "copyright" not in on
+    assert "Home" in off and "copyright" in off
+
+
+def test_script_cdata_decoys_never_leak():
+    # markup inside a script string must not surface as text, and a
+    # '</p>' inside the string must not terminate suppression
+    doc = ("<script>var a = \"<p>decoy</p>\"; if (x<2 && y>3) {}"
+           "</script><p>after</p>")
+    text, _t, _l = html_to_text(doc)
+    assert text == "after"
+
+
+def test_tag_soup_totality_and_recovery():
+    for junk in ("<<<>>>", "<a href=", "\x00\xff<p", "",
+                 "<p>" * 5000, "<b><i>nested</b></i> wrong order"):
+        html_to_text(junk)  # must not raise
+    text, _t, _l = html_to_text("<p>Broken <unclosed <soup</p>done")
+    assert "Broken" in text and "done" in text
+
+
+def test_links_and_anchors():
+    doc = ("<nav><a href='/h'>Home</a></nav>"
+           "<a href='https://x.com/a'>link  text</a>"
+           "<a name='no-href'>skipped</a>")
+    _text, _t, links = html_to_text(doc, drop_boilerplate=False)
+    assert links == [("/h", "Home"), ("https://x.com/a", "link text")]
+
+
+def test_extract_text_operator(spark):
+    pages = spark.createDataFrame(
+        [(0, "<title>A</title><p>one</p>"),
+         (1, "<p>two <a href='/x'>x</a></p>"),
+         (2, None)],
+        "doc_id long, html string",
+    )
+    rows = {r.doc_id: r for r in extract_text(pages).collect()}
+    assert rows[0].title == "A" and rows[0].text == "A\none"
+    assert rows[1].text == "two x" and rows[1].n_links == 1
+    assert rows[2].text == "" and rows[2].n_links == 0
+
+
+def test_extract_links_feeds_url_family(spark):
+    from muopdb_spark.operators.urls import url_registered_domain
+
+    pages = spark.createDataFrame(
+        [(0, "<a href='HTTPS://WWW.Ex.COM/p?utm_a=1'>E</a>"
+             "<nav><a href='http://b.co.uk/q'>B</a></nav>")],
+        "doc_id long, html string",
+    )
+    links = extract_links(pages)
+    assert links.count() == 2  # nav links kept (anchors intact)
+    doms = {r.d for r in links.select(
+        url_registered_domain("href").alias("d")).collect()}
+    assert doms == {"ex.com", "b.co.uk"}
