@@ -553,3 +553,28 @@ def test_cli_frames(spark, cli, capsys, tmp_path):
     assert r["frames"] == 2 and r["path"] == out
     got = spark.read.parquet(out)
     assert sorted(x.frame_idx for x in got.collect()) == [0, 2]
+
+
+def test_cli_extract_text_and_urls(spark, cli, capsys, tmp_path):
+    pages = spark.createDataFrame(
+        [(0, "<title>A</title><p>one two</p><a href='/x'>x</a>"),
+         (1, "<p>three</p>")],
+        "doc_id long, html string",
+    )
+    p = str(tmp_path / "pages.parquet")
+    pages.write.parquet(p)
+    r = _run(cli, capsys, ["extract-text", "--input", p])
+    assert r["docs"] == 2 and r["links"] == 1 and r["chars"] > 0
+
+    urls = spark.createDataFrame(
+        [(0, "HTTPS://A.com/x?utm_a=1"), (1, "https://a.com/x"),
+         (2, "https://a.com/y"), (3, "https://a.com/z")],
+        "doc_id long, url string",
+    )
+    pu = str(tmp_path / "urls.parquet")
+    urls.write.parquet(pu)
+    r = _run(cli, capsys, ["urls", "--input", pu])
+    assert r == {"docs": 4, "after_url_dedup": 3, "after_domain_cap": 3,
+                 "max_per_domain": 0}
+    r = _run(cli, capsys, ["urls", "--input", pu, "--max-per-domain", "2"])
+    assert r["after_domain_cap"] == 2

@@ -62,7 +62,8 @@ COLLECTION_CMDS = {"create", "insert", "remove", "search", "term-search", "stats
 PIPELINE_CMDS = {"dedup", "lm-score", "chunk", "shard", "quality", "admit",
                  "frames",
                  "dsir", "vocab", "split", "ppl-buckets", "bpe", "select",
-                 "decontaminate", "curate", "tokens", "report", "probe"}
+                 "decontaminate", "curate", "tokens", "report", "probe",
+                 "extract-text", "urls"}
 
 
 def _pipeline(spark, args, ap) -> dict:
@@ -482,6 +483,37 @@ def _pipeline(spark, args, ap) -> dict:
         )
         manifest["budget_tokens"] = args.budget_tokens
         result = manifest
+    elif args.command == "extract-text":
+        # HTML -> training text (title + block-aware text + link
+        # count); --output parquet via the shared tail
+        from pyspark.sql import functions as F
+
+        from muopdb_spark.operators.html import extract_text
+
+        out = extract_text(df, html_col=args.content_col
+                           if args.content_col != "content" else "html")
+        agg = out.agg(
+            F.count("*").alias("docs"),
+            F.sum(F.length("text")).alias("chars"),
+            F.sum("n_links").alias("links"),
+        ).collect()[0]
+        result = {"docs": int(agg["docs"]), "chars": int(agg["chars"] or 0),
+                  "links": int(agg["links"] or 0)}
+    elif args.command == "urls":
+        # URL pass: canonicalize -> URL dedup -> per-domain cap
+        # (--max-per-domain; 0 = no cap); reports the funnel
+        from muopdb_spark.operators.urls import domain_cap, url_dedup
+
+        n0 = df.count()
+        kept = url_dedup(df)
+        n1 = kept.count()
+        if args.max_per_domain:
+            kept = domain_cap(kept, cap=args.max_per_domain)
+        out = kept
+        n2 = out.count()
+        result = {"docs": n0, "after_url_dedup": n1,
+                  "after_domain_cap": n2,
+                  "max_per_domain": args.max_per_domain}
     elif args.command == "frames":
         # REAL video frame extraction: MJPEG-in-AVI payloads walked by
         # the RIFF parser, each frame decoded by the JPEG codec —
@@ -793,6 +825,8 @@ def main(argv=None) -> int:
                          "column name")
     ap.add_argument("--every-n", type=int, default=1,
                     help="frames: keep every n-th video frame")
+    ap.add_argument("--max-per-domain", type=int, default=0,
+                    help="urls: cap docs per registered domain (0 = off)")
     ap.add_argument("--max-hamming", type=int, default=3,
                     help="dedup --method phash/audio: fingerprint "
                          "hamming-distance threshold")
