@@ -76,9 +76,44 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     tmp = tempfile.mkdtemp(prefix="curation_")
     try:
+        # 0a. ACQUISITION (r13): the corpus arrives as crawled pages —
+        #     HTML with a URL. Extract training text (boilerplate and
+        #     script suppression) and gate URLs (canonicalize, URL
+        #     dedup, per-domain cap) BEFORE anything touches text.
+        from pyspark.sql import functions as F  # noqa: F811
+
+        from muopdb_spark.operators.html import extract_text
+        from muopdb_spark.operators.urls import domain_cap, url_dedup
+
+        fixture = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        d = F.col("doc_id")
+        pages = fixture.select(
+            "doc_id", "lang", "source", "n_chars",
+            F.concat(
+                F.lit("HTTPS://WWW.Site"), (d % 97).cast("string"),
+                F.lit(".COM/p/"), d.cast("string"),
+                F.lit("?utm_source=crawl"),
+            ).alias("url"),
+            F.concat(
+                F.lit("<html><head><title>doc</title><script>x()"
+                      "</script></head><body><nav>menu</nav><p>"),
+                F.col("text"),
+                F.lit("</p><footer>f</footer></body></html>"),
+            ).alias("html"),
+        )
+        gated = domain_cap(url_dedup(pages), cap=10 ** 6)
+        extracted = extract_text(gated, html_col="html").select(
+            "doc_id", "text"
+        )
+        raw = gated.select(
+            "doc_id", "lang", "source", "n_chars"
+        ).join(extracted, "doc_id")
+        print(f"acquisition: {pages.count()} pages -> "
+              f"{raw.count()} after URL gate (HTML stripped, "
+              f"boilerplate dropped)")
+
         # 0. land the corpus as JSONL (the interchange format), read it
         #    back schema-enforced — storage from here on is parquet
-        raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
         write_jsonl(raw, os.path.join(tmp, "landing"), compression="gzip")
         docs = read_jsonl(
             spark, os.path.join(tmp, "landing"),
