@@ -684,6 +684,9 @@ def _std_huff(tc: int, th: int) -> dict | None:
     return _STD_HUFF_CACHE[key]
 
 
+_LUT_CACHE: dict[bytes, list[int]] = {}
+
+
 def _huff_from_dht(counts: bytes, symbols: bytes) -> list[int]:
     """Canonical Huffman reconstruction as a flat 16-bit-prefix LUT:
     lut[prefix] = (symbol << 5) | code_length, 0 = invalid prefix.
@@ -691,7 +694,16 @@ def _huff_from_dht(counts: bytes, symbols: bytes) -> list[int]:
     the dominant cost of real-photo entropy decode. Malformed DHTs
     whose canonical codes overflow 16 bits simply leave slots invalid
     (same observable behavior as the old dict: a decode-time
-    ValueError)."""
+    ValueError).
+
+    Built LUTs are cached by table bytes: for TINY images the 64k
+    build would otherwise dominate the decode, and batch pipelines
+    (one encoder, many files — the m9/m6 shape) reuse a handful of
+    distinct tables across every file."""
+    key = bytes(counts) + bytes(symbols)
+    cached = _LUT_CACHE.get(key)
+    if cached is not None:
+        return cached
     lut = np.zeros(1 << 16, np.int32)
     code = 0
     k = 0
@@ -704,7 +716,11 @@ def _huff_from_dht(counts: bytes, symbols: bytes) -> list[int]:
             code += 1
             k += 1
         code <<= 1
-    return lut.tolist()
+    out = lut.tolist()
+    if len(_LUT_CACHE) >= 64:  # bound executor memory; 64k ints each
+        _LUT_CACHE.clear()
+    _LUT_CACHE[key] = out
+    return out
 
 
 def _huff_decode(br: _BitReader, lut: list[int]) -> int:
