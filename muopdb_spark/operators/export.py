@@ -272,8 +272,11 @@ def write_webdataset(
     - each shard's tar is written by ITS OWN executor task
       (applyInPandas group): `path` must be a shared filesystem in
       cluster mode, which a training sink requires anyway. At 100 TB,
-      pick n_shards so a tar is a few GB; the only shuffle is the
-      per-shard ordering.
+      pick n_shards so a tar stays around 1 GB — read_webdataset's
+      binaryFile scan holds a whole tar in memory per task and Spark
+      caps a binary file at 2 GB, so "a few GB" tars would be
+      UNREADABLE by the twin (external loaders stream and don't care).
+      The only shuffle is the per-shard ordering.
 
     Returns the manifest (shard_id, n_docs, tar_bytes); empty shards
     get a valid empty tar + a zero manifest row.
@@ -378,8 +381,13 @@ def read_webdataset(spark, path: str) -> DataFrame:
                 ) as tf:
                     members = {}
                     for info in tf:
+                        if not info.isfile():  # dirs/links in foreign tars
+                            continue
                         data = tf.extractfile(info).read()
-                        key, ext = info.name.rsplit(".", 1)
+                        if "." in info.name:
+                            key, ext = info.name.rsplit(".", 1)
+                        else:  # extension-less member: opaque payload
+                            key, ext = info.name, "bin"
                         members.setdefault(key, {})[ext] = data
                     for key in sorted(members):
                         exts = members[key]

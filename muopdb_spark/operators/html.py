@@ -40,7 +40,7 @@ class _TextExtractor(HTMLParser):
     def __init__(self, drop_boilerplate: bool) -> None:
         super().__init__(convert_charrefs=True)
         self._drop = _DROP | (_BOILER if drop_boilerplate else set())
-        self._suppress = 0
+        self._drop_stack: list[str] = []
         self._parts: list[str] = []
         self._links: list[tuple[str, str]] = []
         self._title_parts: list[str] = []
@@ -49,8 +49,12 @@ class _TextExtractor(HTMLParser):
         self._cur_anchor: list[str] = []
 
     def handle_starttag(self, tag, attrs):
+        if self._in_title and tag != "title":
+            # browser recovery: an unclosed <title> ends at the next
+            # tag — otherwise tag soup routes the whole page into it
+            self._in_title = False
         if tag in self._drop:
-            self._suppress += 1
+            self._drop_stack.append(tag)
         if tag in _BLOCK:
             self._parts.append("\n")
         if tag == "title":
@@ -62,8 +66,14 @@ class _TextExtractor(HTMLParser):
                 self._cur_anchor = []
 
     def handle_endtag(self, tag):
-        if tag in self._drop and self._suppress:
-            self._suppress -= 1
+        if tag in self._drop and tag in self._drop_stack:
+            # pop only a MATCHING open drop tag: a stray mismatched
+            # close (</footer> inside an open <nav>) must not
+            # un-suppress the subtree that is still open
+            for i in range(len(self._drop_stack) - 1, -1, -1):
+                if self._drop_stack[i] == tag:
+                    del self._drop_stack[i]
+                    break
         if tag in _BLOCK:
             self._parts.append("\n")
         if tag == "title":
@@ -77,7 +87,7 @@ class _TextExtractor(HTMLParser):
     def handle_data(self, data):
         if self._in_title:
             self._title_parts.append(data)
-        if self._suppress:
+        if self._drop_stack:
             return
         self._parts.append(data)
         if self._cur_href is not None:

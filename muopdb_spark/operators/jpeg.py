@@ -40,6 +40,7 @@ driver collect.
 from __future__ import annotations
 
 import struct
+from array import array
 
 import numpy as np
 
@@ -684,10 +685,10 @@ def _std_huff(tc: int, th: int) -> dict | None:
     return _STD_HUFF_CACHE[key]
 
 
-_LUT_CACHE: dict[bytes, list[int]] = {}
+_LUT_CACHE: dict[bytes, "array"] = {}
 
 
-def _huff_from_dht(counts: bytes, symbols: bytes) -> list[int]:
+def _huff_from_dht(counts: bytes, symbols: bytes) -> array:
     """Canonical Huffman reconstruction as a flat 16-bit-prefix LUT:
     lut[prefix] = (symbol << 5) | code_length, 0 = invalid prefix.
     One list lookup decodes any code (vs a bit-by-bit tree walk) —
@@ -699,7 +700,10 @@ def _huff_from_dht(counts: bytes, symbols: bytes) -> list[int]:
     Built LUTs are cached by table bytes: for TINY images the 64k
     build would otherwise dominate the decode, and batch pipelines
     (one encoder, many files — the m9/m6 shape) reuse a handful of
-    distinct tables across every file."""
+    distinct tables across every file. Stored as array('i') — 256 KB
+    per table with list-like scalar indexing speed (a Python int list
+    of 65536 boxed ints would be ~2 MB each); eviction pops the
+    oldest entry rather than clearing the cache."""
     key = bytes(counts) + bytes(symbols)
     cached = _LUT_CACHE.get(key)
     if cached is not None:
@@ -716,14 +720,14 @@ def _huff_from_dht(counts: bytes, symbols: bytes) -> list[int]:
             code += 1
             k += 1
         code <<= 1
-    out = lut.tolist()
-    if len(_LUT_CACHE) >= 64:  # bound executor memory; 64k ints each
-        _LUT_CACHE.clear()
+    out = array("i", lut.tobytes())
+    if len(_LUT_CACHE) >= 64:  # bound: 64 x 256 KB per worker
+        _LUT_CACHE.pop(next(iter(_LUT_CACHE)))  # FIFO, not clear-all
     _LUT_CACHE[key] = out
     return out
 
 
-def _huff_decode(br: _BitReader, lut: list[int]) -> int:
+def _huff_decode(br: _BitReader, lut: array) -> int:
     p, avail = br.peek16()
     v = lut[p]
     length = v & 31
@@ -889,10 +893,14 @@ def _decode_scan(
             )
         needs_dc = ss == 0 and ah == 0
         needs_ac = se > 0 if progressive else True
-        # tables absent from the file fall back to the T.81 Annex K.3
-        # typical tables (the MJPEG/OpenDML implicit-table convention)
-        dc_t = huff.get((0, td)) or _std_huff(0, td)
-        ac_t = huff.get((1, ta)) or _std_huff(1, ta)
+        # the T.81 Annex K.3 typical tables back the MJPEG/OpenDML
+        # implicit-table convention — which means a file carrying NO
+        # DHT segments at all. A file that carries some tables but is
+        # missing one is corrupt and must stay a loud error, not a
+        # silent mixed-table decode.
+        no_dht = not huff
+        dc_t = huff.get((0, td)) or (_std_huff(0, td) if no_dht else None)
+        ac_t = huff.get((1, ta)) or (_std_huff(1, ta) if no_dht else None)
         if needs_dc and dc_t is None:
             raise ValueError("decode_jpeg: missing DHT table")
         if needs_ac and ac_t is None:

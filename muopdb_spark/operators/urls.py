@@ -43,26 +43,35 @@ _CC_SLD = (
 
 
 def url_normalize(col: Column | str) -> Column:
-    """Canonical URL: lowercase scheme+host, default ports dropped,
-    fragment dropped, tracking query params dropped (empty '?'
-    cleaned up), trailing slash on a bare path dropped."""
-    c = F.col(col) if isinstance(col, str) else col
-    c = F.trim(c)
-    # lowercase scheme://host[:port] (the prefix up to the first '/')
-    c = F.concat(
-        F.lower(F.regexp_extract(c, r"^([^/]*//[^/?#]*)", 1)),
-        F.regexp_extract(c, r"^[^/]*//[^/?#]*(.*)$", 1),
+    """Canonical URL: lowercase scheme+host, the scheme's default port
+    dropped (http:80 / https:443 ONLY — other ports are a different
+    origin and survive), fragment dropped, tracking query params
+    dropped case-insensitively (separators cleaned up), trailing slash
+    on a bare path dropped. URLs without a scheme (relative hrefs)
+    pass through trimmed but otherwise untouched — they have no
+    authority to canonicalize and must never collapse together."""
+    raw = F.trim(F.col(col) if isinstance(col, str) else col)
+    # scheme://authority prefix, lowered; default port stripped HERE,
+    # anchored to the authority (':80' in a path must survive)
+    pre = F.lower(F.regexp_extract(raw, r"^([^/?#]*//[^/?#]*)", 1))
+    pre = (
+        F.when(pre.startswith("http://"),
+               F.regexp_replace(pre, r":80$", ""))
+        .when(pre.startswith("https://"),
+              F.regexp_replace(pre, r":443$", ""))
+        .otherwise(pre)
     )
+    rest = F.regexp_extract(raw, r"^[^/?#]*//[^/?#]*(.*)$", 1)
+    c = F.concat(pre, rest)
     c = F.regexp_replace(c, r"#.*$", "")  # fragment
-    c = F.regexp_replace(c, r":80(/|$)", "$1")
-    c = F.regexp_replace(c, r":443(/|$)", "$1")
     for p in _TRACKING:
-        c = F.regexp_replace(c, rf"([?&]){p}=[^&#]*", "$1")
+        c = F.regexp_replace(c, rf"([?&])(?i:{p})=[^&#]*", "$1")
     c = F.regexp_replace(c, r"\?&+", "?")       # ?& left by removals
     c = F.regexp_replace(c, r"&&+", "&")
     c = F.regexp_replace(c, r"[?&]$", "")       # trailing separator
     c = F.regexp_replace(c, r"^([^?]*[^/?])/$", "$1")  # trailing slash
-    return c
+    # no scheme://authority -> not canonicalizable; keep the raw value
+    return F.when(pre == "", raw).otherwise(c)
 
 
 def url_host(col: Column | str) -> Column:
@@ -83,7 +92,9 @@ def url_registered_domain(col: Column | str) -> Column:
     is_cc = F.lit(False)
     for sld in _CC_SLD:
         is_cc = is_cc | two.eqNullSafe(F.lit(sld))
-    return F.when(is_cc & (three != ""), three).otherwise(two)
+    dom = F.when(is_cc & (three != ""), three).otherwise(two)
+    # hostless (relative) URLs have no domain — NULL, never ''
+    return F.when(dom == "", F.lit(None).cast("string")).otherwise(dom)
 
 
 def url_dedup(
@@ -119,6 +130,8 @@ def domain_cap(
     w = Window.partitionBy("domain").orderBy(*order)
     return (
         out.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= cap)
+        # NULL domains (relative URLs) are not one pseudo-site — the
+        # cap never applies to them
+        .filter(F.col("domain").isNull() | (F.col("_rn") <= cap))
         .drop("_rn")
     )

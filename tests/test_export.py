@@ -259,3 +259,28 @@ def test_webdataset_ext_sniffing():
     assert _sniff_ext(encode_avi_mjpeg([g])) == "avi"
     assert _sniff_ext(b"\x00\x00\x00\x18ftypisom....") == "mp4"
     assert _sniff_ext(b"whatever") == "bin"
+
+
+def test_read_webdataset_tolerates_foreign_members(spark, tmp_path):
+    # directories and extension-less members appear in wild tars
+    import io
+    import tarfile
+
+    from muopdb_spark.operators.export import read_webdataset
+
+    p = tmp_path / "wds"
+    p.mkdir()
+    with tarfile.open(p / "shard-000000.tar", "w",
+                      format=tarfile.USTAR_FORMAT) as tf:
+        d = tarfile.TarInfo("subdir")
+        d.type = tarfile.DIRTYPE
+        tf.addfile(d)
+        for name, blob in [("000001.txt", b"hello"), ("README", b"r"),
+                           ("000001.json", b"{}")]:
+            info = tarfile.TarInfo(name)
+            info.size = len(blob)
+            tf.addfile(info, io.BytesIO(blob))
+    rows = {(r.key, r.ext): r.content
+            for r in read_webdataset(spark, str(p)).collect()}
+    assert rows[("000001", "txt")] == b"hello"
+    assert rows[("README", "bin")] == b"r"

@@ -93,3 +93,18 @@ def test_extract_links_feeds_url_family(spark):
     doms = {r.d for r in links.select(
         url_registered_domain("href").alias("d")).collect()}
     assert doms == {"ex.com", "b.co.uk"}
+
+
+def test_unclosed_title_recovers_like_browsers():
+    text, title, _ = html_to_text(
+        "<title>Foo<body><p>long article text</p>")
+    assert title == "Foo"
+    assert "long article text" in text
+    assert "long article" not in title
+
+
+def test_mismatched_boilerplate_close_keeps_suppression():
+    text, _t, _l = html_to_text(
+        "<nav>menu</footer>junk links</nav><p>real</p>")
+    assert "junk links" not in text and "menu" not in text
+    assert "real" in text

@@ -431,3 +431,31 @@ def test_clipped_tail_decodes_leniently():
     # clipped mid-entropy still raises
     with pytest.raises(ValueError):
         decode_jpeg(full[:len(full) // 2])
+
+
+def test_k3_fallback_only_for_fully_dht_less_files():
+    """A file with NO DHT at all gets the Annex K.3 tables (the MJPEG
+    implicit-table convention); a file carrying SOME tables but
+    missing one is corrupt and must stay a loud error, never a silent
+    mixed-table decode."""
+    base = encode_jpeg(np.zeros((8, 8), np.uint8), quality=100)
+    # strip only the AC table (class 1): DC stays -> must raise
+    out = bytearray()
+    pos = 0
+    data = bytes(base)
+    out += data[:2]
+    pos = 2
+    while pos + 4 <= len(data):
+        m = data[pos + 1]
+        if m == 0xDA:
+            out += data[pos:]
+            break
+        (ln,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        keep = True
+        if m == 0xC4 and data[pos + 4] >> 4 == 1:  # AC class
+            keep = False
+        if keep:
+            out += data[pos:pos + 2 + ln]
+        pos += 2 + ln
+    with pytest.raises(ValueError, match="missing DHT"):
+        decode_jpeg(bytes(out))

@@ -95,3 +95,49 @@ def test_pass_is_pure_catalyst(spark):
     plan = domain_cap(url_dedup(df), cap=5)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Python" not in plan and "BatchEval" not in plan
+
+
+# ---------------------------------------------- review-hardening cases
+
+
+def test_ports_only_stripped_from_authority(spark):
+    cases = [
+        # ':80' in a PATH must survive
+        ("https://a.com/live/12:80/clip", "https://a.com/live/12:80/clip"),
+        # :80 under https / :443 under http are real origins — keep
+        ("https://a.com:80/x", "https://a.com:80/x"),
+        ("http://a.com:443/x", "http://a.com:443/x"),
+        # scheme-default ports dropped, incl. with no path
+        ("https://a.com:443", "https://a.com"),
+        ("http://a.com:80", "http://a.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {r.url: r.c for r in df.select(
+        "url", url_normalize("url").alias("c")).collect()}
+    for u, c in cases:
+        assert got[u] == c, (u, got[u])
+
+
+def test_relative_urls_never_collapse(spark):
+    # scheme-less hrefs can't be canonicalized — they must pass
+    # through distinct (NOT all map to ''), and domain_cap must not
+    # lump them into one NULL pseudo-domain
+    df = spark.createDataFrame(
+        [(0, "/a"), (1, "/b"), (2, "relative/path"), (3, "/a"),
+         (4, "https://x.com/1"), (5, "https://x.com/2")],
+        "doc_id long, url string",
+    )
+    kept = sorted(r.doc_id for r in url_dedup(df).collect())
+    assert kept == [0, 1, 2, 4, 5]  # only the true '/a' dup dropped
+    capped = domain_cap(df, cap=1)
+    ids = sorted(r.doc_id for r in capped.collect())
+    # cap applies to x.com (keeps doc 4); all relative rows survive
+    assert ids == [0, 1, 2, 3, 4]
+
+
+def test_uppercase_tracking_params_stripped(spark):
+    df = spark.createDataFrame(
+        [("https://a.com/p?UTM_Source=mail",),
+         ("https://a.com/p?FBCLID=zz&x=1",)], "url string")
+    got = [r.c for r in df.select(url_normalize("url").alias("c")).collect()]
+    assert got == ["https://a.com/p", "https://a.com/p?x=1"]

@@ -490,8 +490,7 @@ def _pipeline(spark, args, ap) -> dict:
 
         from muopdb_spark.operators.html import extract_text
 
-        out = extract_text(df, html_col=args.content_col
-                           if args.content_col != "content" else "html")
+        out = extract_text(df, html_col=args.html_col)
         agg = out.agg(
             F.count("*").alias("docs"),
             F.sum(F.length("text")).alias("chars"),
@@ -827,6 +826,8 @@ def main(argv=None) -> int:
                     help="frames: keep every n-th video frame")
     ap.add_argument("--max-per-domain", type=int, default=0,
                     help="urls: cap docs per registered domain (0 = off)")
+    ap.add_argument("--html-col", default="html",
+                    help="extract-text: column holding the page HTML")
     ap.add_argument("--max-hamming", type=int, default=3,
                     help="dedup --method phash/audio: fingerprint "
                          "hamming-distance threshold")
