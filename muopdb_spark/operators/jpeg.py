@@ -433,18 +433,16 @@ def encode_jpeg(
 
     # quantized zigzag coefficients per component, block-row-major
     def blocks(plane: np.ndarray, q: np.ndarray):
+        # one batched FDCT over every block (the decoder-side _finish
+        # treatment): per-block Python matmuls dominated small-image
+        # encode throughput
         bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
-        lvl = plane - 128.0
-        out = np.empty((bh, bw, 64), np.int64)
-        qm = q.reshape(8, 8)
-        for by in range(bh):
-            for bx in range(bw):
-                blk = lvl[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
-                d = _T @ blk @ _T.T
-                out[by, bx] = np.rint(
-                    (d / qm).ravel()[_ZZ]
-                ).astype(np.int64)
-        return out
+        lvl = (plane - 128.0).reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        d = np.einsum("ux,ijxy,vy->ijuv", _T, lvl, _T)
+        deq = d / q.reshape(8, 8)[None, None, :, :]
+        return np.rint(
+            deq.reshape(bh, bw, 64)[..., _ZZ]
+        ).astype(np.int64)
 
     qidx = [0] + ([] if gray else [1, 1])
     coefs = [blocks(planes[i], qts[qidx[i]]) for i in range(len(planes))]

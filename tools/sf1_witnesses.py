@@ -125,6 +125,42 @@ def _consume_m4(spark, sf_dir):
     )
 
 
+def _consume_m9(spark, sf_dir):
+    # r13: MJPEG-in-AVI frame extraction — encode+container-walk+JPEG
+    # decode all map-side Arrow; no shuffle grows with the corpus
+    import __spark_entry__ as entry_mod
+
+    return (
+        entry_mod.q_avi_frame_scan(spark, sf_dir)
+        .agg(F.count("*"), F.sum("height"), F.sum("width"))
+        .collect()
+    )
+
+
+def _consume_url1(spark, sf_dir):
+    # r13: URL canonicalize + dedup + domain cap — one scan + two
+    # window shuffles (the only terms that grow)
+    import __spark_entry__ as entry_mod
+
+    return (
+        entry_mod.q_url_domain_cap(spark, sf_dir)
+        .agg(F.count("*"), F.count_distinct("domain"))
+        .collect()
+    )
+
+
+def _consume_html1(spark, sf_dir):
+    # r13: HTML -> text extraction — pure map-side Arrow parse; the
+    # agg consumes the full extracted text so executors do all of it
+    import __spark_entry__ as entry_mod
+
+    return (
+        entry_mod.q_html_extract(spark, sf_dir)
+        .agg(F.count("*"), F.sum(F.length("text")), F.sum("n_links"))
+        .collect()
+    )
+
+
 WITNESSES = {
     "t15_line_dedup (agg-consumed)": _consume_t15,
     "smp7_soft_dedup_weights (agg-consumed)": _consume_smp7,
@@ -134,6 +170,10 @@ WITNESSES = {
     # r12 extension: the multimodal codecs + banded fingerprint joins
     "m3_image_phash_dedup (agg-consumed)": _consume_m3,
     "m4_audio_fingerprint_dedup (agg-consumed)": _consume_m4,
+    # r13 extension: video frame extraction + the acquisition families
+    "m9_avi_frame_scan (agg-consumed)": _consume_m9,
+    "url1_domain_cap (agg-consumed)": _consume_url1,
+    "html1_extract_text (agg-consumed)": _consume_html1,
 }
 
 
