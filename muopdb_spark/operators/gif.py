@@ -381,6 +381,16 @@ def encode_gif(
     if any(f.shape != norm[0].shape for f in norm):
         raise ValueError("encode_gif: frames must share one shape")
     h, w = norm[0].shape[:2]
+    if w > 0xFFFF or h > 0xFFFF:
+        raise ValueError(
+            f"encode_gif: dimensions {w}x{h} exceed the GIF89a 16-bit"
+            " limit of 65535"
+        )
+    if not (0 <= delay_cs <= 0xFFFF):
+        raise ValueError(
+            f"encode_gif: delay_cs {delay_cs} outside the GIF89a"
+            " 16-bit range 0..65535"
+        )
     pal, index_frames = _build_palette(norm)
     # palette size: power of two >= len, >= 2; field stores log2-1
     bits = max(1, int(len(pal) - 1).bit_length())

@@ -62,6 +62,9 @@ class _TextExtractor(HTMLParser):
         if tag == "a":
             href = dict(attrs).get("href")
             if href:
+                # a nested <a> implicitly closes the pending one
+                # (browser behavior) — emit it, never overwrite-drop
+                self._flush_link()
                 self._cur_href = href
                 self._cur_anchor = []
 
@@ -78,11 +81,22 @@ class _TextExtractor(HTMLParser):
             self._parts.append("\n")
         if tag == "title":
             self._in_title = False
-        if tag == "a" and self._cur_href is not None:
+        if tag == "a":
+            self._flush_link()
+
+    def _flush_link(self) -> None:
+        if self._cur_href is not None:
             self._links.append(
                 (self._cur_href, " ".join("".join(self._cur_anchor).split()))
             )
             self._cur_href = None
+            self._cur_anchor = []
+
+    def close(self):
+        # truncated crawl pages: an <a href> still open at EOF is a
+        # real link — flush it rather than silently dropping it
+        super().close()
+        self._flush_link()
 
     def handle_data(self, data):
         if self._in_title:

@@ -131,8 +131,10 @@ def decode_avi_mjpeg_frames(
     """Yield (frame_idx, uint8 pixel array) for the MJPEG video frames
     of an AVI, keeping every n-th. Walks RIFF LIST structure (incl.
     'rec ' groupings), decodes '..dc' chunks with the baseline JPEG
-    codec. Non-MJPEG streams and DHT-less MJPEG frames refuse by
-    name; structural problems raise ValueError."""
+    codec. DHT-less MJPEG frames (files carrying NO Huffman tables,
+    the common MJPEG convention) decode via the T.81 Annex K.3
+    standard-table fallback in decode_jpeg; non-MJPEG streams refuse
+    by name; structural problems raise ValueError."""
     from muopdb_spark.operators.jpeg import decode_jpeg
 
     if every_n < 1:

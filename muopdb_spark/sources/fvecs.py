@@ -117,15 +117,20 @@ def read_vecs(
 
 
 def write_vecs(df: DataFrame, path: str, *, kind: str = "fvecs",
-               vec_col: str = "embedding", id_col: str = "vec_id") -> int:
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               max_collect_bytes: int = 1 << 30) -> int:
     """Export a vector DataFrame to a single .fvecs/.bvecs/.ivecs file,
-    id-ordered. Driver-side BY DESIGN (one file demands one writer):
-    a single Arrow collect + flat-buffer reshape — the same treatment
+    id-ordered. Driver-side BY DESIGN (one file demands one writer).
+    Serving-sized frames (payload <= max_collect_bytes, default 1 GiB)
+    take one Arrow collect + flat-buffer reshape — the same treatment
     as write_hdf5_vectors after r12 measured the row-at-a-time
-    toLocalIterator variant 2-3x slower on the serving rows. A
-    test/export utility (the serving path is parquet); use
+    toLocalIterator variant 2-3x slower on the serving rows. Larger
+    frames fall back to CHUNKED Arrow collects over contiguous id
+    ranges (one filtered job per chunk, appended in order), bounding
+    driver memory at ~max_collect_bytes instead of the whole frame.
+    A test/export utility (the serving path is parquet); use
     write_vecs_sharded for bulk export (executors write part files; no
-    driver bound). Returns the row count.
+    driver bound at all). Returns the row count.
 
     The format carries NO ids: a later read_vecs synthesizes them from
     file position, so ids are asserted contiguous here — otherwise the
@@ -135,7 +140,20 @@ def write_vecs(df: DataFrame, path: str, *, kind: str = "fvecs",
     if kind not in _KINDS:
         raise ValueError(f"kind must be one of {sorted(_KINDS)}, got {kind!r}")
     dtype, isize = _KINDS[kind]
-    tbl = df.select(id_col, vec_col).toArrow()
+    from pyspark.sql import functions as F
+
+    sel = df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
+    )
+    probe = sel.select(F.size(vec_col).alias("d")).first()
+    if probe is not None:
+        est = sel.count() * (4 + int(probe["d"]) * isize)
+        if est > max_collect_bytes:
+            return _write_vecs_chunked(
+                sel, path, dtype=dtype, isize=isize, vec_col=vec_col,
+                id_col=id_col, max_collect_bytes=max_collect_bytes,
+            )
+    tbl = sel.toArrow()
     ids = tbl.column(id_col).to_numpy()
     n = len(ids)
     if n == 0:
@@ -177,6 +195,70 @@ def write_vecs(df: DataFrame, path: str, *, kind: str = "fvecs",
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as f:
         f.write(rec.tobytes())
+    return n
+
+
+def _write_vecs_chunked(
+    sel: DataFrame, path: str, *, dtype, isize: int, vec_col: str,
+    id_col: str, max_collect_bytes: int,
+) -> int:
+    """Chunked single-file export for frames past the one-collect
+    budget: validate the id span globally (one agg), then collect and
+    append contiguous id ranges one chunk at a time. Each chunk is a
+    filtered Spark job (the id predicate pushes down), so driver
+    memory stays ~max_collect_bytes regardless of frame size."""
+    from pyspark.sql import functions as F
+
+    span = sel.agg(
+        F.count("*").alias("n"),
+        F.count_distinct(id_col).alias("nd"),
+        F.min(id_col).alias("lo"),
+        F.max(id_col).alias("hi"),
+        F.min(F.size(vec_col)).alias("dmin"),
+        F.max(F.size(vec_col)).alias("dmax"),
+    ).first()
+    n, nd, lo, hi = int(span["n"]), int(span["nd"]), int(span["lo"]), int(span["hi"])
+    dmin, dmax = int(span["dmin"]), int(span["dmax"])
+    if dmin != dmax:
+        raise ValueError(
+            f"ragged embeddings: sizes {dmin}..{dmax} across the frame"
+        )
+    if nd != n or hi - lo + 1 != n:
+        raise ValueError(
+            f"write_vecs requires contiguous unique {id_col}s (format"
+            f" carries no ids; read_vecs re-synthesizes from position):"
+            f" {n} rows ({nd} distinct ids) spanning [{lo}, {hi}]"
+        )
+    dim = dmax
+    rec_bytes = 4 + dim * isize
+    rows_per_chunk = max(1, max_collect_bytes // rec_bytes)
+    hdr = np.frombuffer(struct.pack("<i", dim), np.uint8)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        for start in range(lo, hi + 1, rows_per_chunk):
+            stop = min(start + rows_per_chunk, hi + 1)
+            tbl = sel.filter(
+                (F.col(id_col) >= start) & (F.col(id_col) < stop)
+            ).toArrow()
+            ids = tbl.column(id_col).to_numpy()
+            order = np.argsort(ids, kind="stable")
+            m = len(ids)
+            if m != stop - start:
+                raise ValueError(
+                    f"write_vecs chunk [{start}, {stop}) returned {m}"
+                    f" rows — frame changed underneath the export"
+                )
+            emb = tbl.column(vec_col).combine_chunks()
+            flat = emb.flatten().to_numpy(zero_copy_only=False)
+            mat = np.ascontiguousarray(
+                flat.reshape(m, dim)[order].astype(
+                    np.dtype(dtype).newbyteorder("<"), copy=False
+                )
+            )
+            rec = np.empty((m, rec_bytes), np.uint8)
+            rec[:, :4] = hdr
+            rec[:, 4:] = mat.view(np.uint8)
+            f.write(rec.tobytes())
     return n
 
 

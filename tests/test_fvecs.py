@@ -155,3 +155,30 @@ def test_write_vecs_empty_frame_writes_empty_file(spark, tmp_path):
     import os
 
     assert os.path.getsize(path) == 0
+
+
+def test_write_vecs_chunked_path_matches_fast_path(spark, tmp_path):
+    # force the chunked Arrow-collect path with a tiny collect budget:
+    # output must be byte-identical to the one-collect fast path
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i) + 0.5]) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    fast = str(tmp_path / "fast.fvecs")
+    chunked = str(tmp_path / "chunked.fvecs")
+    assert write_vecs(df, fast, kind="fvecs") == 100
+    assert write_vecs(df, chunked, kind="fvecs",
+                      max_collect_bytes=256) == 100
+    with open(fast, "rb") as a, open(chunked, "rb") as b:
+        assert a.read() == b.read()
+
+
+def test_write_vecs_chunked_rejects_gappy_ids(spark, tmp_path):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i * 2, [1.0, 2.0]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="contiguous"):
+        write_vecs(df, str(tmp_path / "gap.fvecs"), max_collect_bytes=256)

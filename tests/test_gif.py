@@ -209,3 +209,18 @@ def test_foreign_encoder_fixture_decodes():
     png = decode_png(open(os.path.join(_FIXDIR, "python.png"), "rb").read())
     diff = np.abs(d.astype(int) - png.astype(int)).mean()
     assert diff < 10.0, diff
+
+
+def test_encode_gif_oversize_dims_refuse_by_name():
+    import numpy as np
+    import pytest
+    from muopdb_spark.operators.gif import encode_gif
+
+    wide = np.zeros((1, 70000, 3), np.uint8)
+    with pytest.raises(ValueError, match="encode_gif.*65535"):
+        encode_gif(wide)
+    ok = np.zeros((2, 2, 3), np.uint8)
+    with pytest.raises(ValueError, match="encode_gif.*delay_cs"):
+        encode_gif([ok, ok], delay_cs=70000)
+    with pytest.raises(ValueError, match="encode_gif.*delay_cs"):
+        encode_gif([ok, ok], delay_cs=-1)

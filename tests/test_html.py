@@ -108,3 +108,18 @@ def test_mismatched_boilerplate_close_keeps_suppression():
         "<nav>menu</footer>junk links</nav><p>real</p>")
     assert "junk links" not in text and "menu" not in text
     assert "real" in text
+
+
+def test_unclosed_anchor_at_eof_is_flushed():
+    # truncated crawl page: <a href> open at EOF is still a link
+    _t, _ti, links = html_to_text("<p>see <a href='/x'>the docs")
+    assert links == [("/x", "the docs")]
+
+
+def test_nested_anchor_emits_pending_link():
+    # a nested <a> implicitly closes the pending one (browser
+    # behavior) — both links survive, neither anchor bleeds
+    _t, _ti, links = html_to_text(
+        "<a href='/a'>first <a href='/b'>second</a> tail"
+    )
+    assert links == [("/a", "first"), ("/b", "second")]
