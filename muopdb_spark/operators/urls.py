@@ -115,23 +115,52 @@ def url_dedup(
 def domain_cap(
     df: DataFrame, *, cap: int, url_col: str = "url",
     id_col: str = "doc_id", order_col: str | None = None,
+    salt_buckets: int = 16,
 ) -> DataFrame:
     """Cap documents per registered domain (anti-dominance: no site
     contributes more than `cap` docs to the mixture). Keeps the top
     `cap` by `order_col` descending (quality-first) or by id ascending
-    when no order column is given. Adds `domain`."""
+    when no order column is given. Adds `domain`.
+
+    SKEW-SAFE two-phase top-cap (the operators/skew.py shape): a
+    single `row_number() over (partitionBy domain)` would route EVERY
+    row of a domain to one task, and at crawl scale the head domain is
+    1-2% of the corpus — a TB-sized straggler partition at 100 TB.
+    Instead, rows are salted deterministically by id into
+    `salt_buckets` lanes; phase 1 keeps the per-(domain, salt) top
+    `cap`, bounding survivors at salt_buckets*cap per domain; phase 2
+    re-ranks those survivors per domain and keeps the global top
+    `cap`. The global top `cap` of a domain is a subset of the union
+    of per-lane top `cap`s (each kept row ranks <= cap within its own
+    lane), so the result is IDENTICAL to the single-window form — the
+    tiebreak on the unique id makes the order total. NULL domains
+    (relative URLs) are not one pseudo-site: they bypass the cap
+    entirely and never enter either window."""
     if cap < 1:
         raise ValueError(f"domain_cap: cap must be >= 1, got {cap}")
+    if salt_buckets < 1:
+        raise ValueError(
+            f"domain_cap: salt_buckets must be >= 1, got {salt_buckets}"
+        )
     out = df.withColumn("domain", url_registered_domain(url_col))
     order = (
         [F.col(order_col).desc(), F.col(id_col).asc()]
         if order_col else [F.col(id_col).asc()]
     )
-    w = Window.partitionBy("domain").orderBy(*order)
-    return (
-        out.withColumn("_rn", F.row_number().over(w))
-        # NULL domains (relative URLs) are not one pseudo-site — the
-        # cap never applies to them
-        .filter(F.col("domain").isNull() | (F.col("_rn") <= cap))
+    nulls = out.filter(F.col("domain").isNull())
+    sited = out.filter(F.col("domain").isNotNull()).withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+    )
+    w1 = Window.partitionBy("domain", "_salt").orderBy(*order)
+    survivors = (
+        sited.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn", "_salt")
+    )
+    w2 = Window.partitionBy("domain").orderBy(*order)
+    capped = (
+        survivors.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= cap)
         .drop("_rn")
     )
+    return capped.unionByName(nulls)

@@ -141,3 +141,77 @@ def test_uppercase_tracking_params_stripped(spark):
          ("https://a.com/p?FBCLID=zz&x=1",)], "url string")
     got = [r.c for r in df.select(url_normalize("url").alias("c")).collect()]
     assert got == ["https://a.com/p", "https://a.com/p?x=1"]
+
+
+# ------------------------------------- r14: skew-safe two-phase cap
+
+
+def _domain_cap_single_window(df, *, cap, order_col=None):
+    # the r13 single-window referee form, kept here as the
+    # equivalence oracle for the salted two-phase production path
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from muopdb_spark.operators.urls import url_registered_domain
+
+    out = df.withColumn("domain", url_registered_domain("url"))
+    order = (
+        [F.col(order_col).desc(), F.col("doc_id").asc()]
+        if order_col else [F.col("doc_id").asc()]
+    )
+    w = Window.partitionBy("domain").orderBy(*order)
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("domain").isNull() | (F.col("_rn") <= cap))
+        .drop("_rn")
+    )
+
+
+def test_domain_cap_salted_matches_single_window(spark):
+    # heavy skew: one whale domain with 400 rows, a handful of small
+    # domains, quality ties, and relative URLs — the salted two-phase
+    # path must keep EXACTLY the single-window result
+    rows = []
+    for i in range(400):
+        rows.append((i, "https://whale.com/p%d" % i, float(i % 7)))
+    for i in range(400, 430):
+        rows.append((i, "https://small%d.org/x" % (i % 3), float(i % 4)))
+    for i in range(430, 436):
+        rows.append((i, "/relative/%d" % i, 1.0))
+    df = spark.createDataFrame(rows, "doc_id long, url string, q double")
+    for order_col in (None, "q"):
+        for buckets in (1, 4, 16):
+            got = sorted(
+                (r.doc_id, r.domain)
+                for r in domain_cap(
+                    df, cap=5, order_col=order_col,
+                    salt_buckets=buckets,
+                ).collect()
+            )
+            want = sorted(
+                (r.doc_id, r.domain)
+                for r in _domain_cap_single_window(
+                    df, cap=5, order_col=order_col
+                ).collect()
+            )
+            assert got == want, (order_col, buckets)
+
+
+def test_domain_cap_plan_has_no_corpus_wide_domain_window(spark):
+    # the 100 TB contract: the first (corpus-sized) window must
+    # partition on (domain, salt); only the bounded survivor set
+    # (<= salt_buckets*cap rows per domain) may window on domain alone
+    df = spark.createDataFrame(
+        [(0, "https://a.com/x")], "doc_id long, url string"
+    )
+    plan = domain_cap(df, cap=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    windows = [
+        ln for ln in plan.splitlines() if "Window" in ln and "_rn" in ln
+    ]
+    assert len(windows) == 2, plan
+    # executed plans list the LAST stage first: the survivor window
+    # (domain only) then the corpus window (domain, salt)
+    corpus = [w for w in windows if "_salt" in w]
+    assert len(corpus) == 1, windows
+    assert "Python" not in plan and "BatchEval" not in plan
