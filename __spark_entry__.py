@@ -2508,6 +2508,50 @@ def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """warc1: crawl-archive ingestion (sources/warc.py) — the native
+    CommonCrawl container (ISO 28500, gzip member-per-record).
+    Deterministic HTML pages (url and body arithmetic in doc_id) are
+    exported by write_warc_sharded (executor-parallel shards, offset
+    sidecars, byte-deterministic records) and read back through the
+    BYTE-RANGE indexed path — the production scan whose parallelism is
+    bounded by record count, not file count. Each row pins integrity:
+    ok = read-back payload bytes equal the source page AND the HTTP
+    envelope parsed status 200; the oracle reconstructs (doc_id,
+    target_uri, ok=1) arithmetically, so a container defect (lost or
+    duplicated record, wrong offsets, payload corruption, envelope
+    misparse) changes row count or the value hash."""
+    from muopdb_spark.sources.warc import read_warc, write_warc_sharded
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://site"), (d % 5).cast("string"),
+        F.lit(".example/p/"), d.cast("string"),
+    )
+    html = F.concat(
+        F.lit("<html><title>Doc "), d.cast("string"),
+        F.lit("</title><body><p>t "), (d * 7 % 13).cast("string"),
+        F.lit("</p></body></html>"),
+    )
+    pages = docs.select(
+        "doc_id", url.alias("url"), html.alias("payload")
+    )
+    path = os.path.join(_index_artifact_dir(sf_dir, "warc_v1"), "shards")
+    write_warc_sharded(pages, path, n_shards=8)
+    back = read_warc(spark, path, types=("response",)) \
+        .withColumnRenamed("payload", "got")
+    joined = back.join(pages, back.target_uri == pages.url)
+    return joined.select(
+        "doc_id",
+        "target_uri",
+        (
+            (F.decode(F.col("got"), "UTF-8") == F.col("payload"))
+            & (F.col("http_status") == 200)
+        ).cast("long").alias("ok"),
+    ).orderBy("doc_id")
+
+
 def q_avi_frame_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """m9: REAL video frame extraction — MJPEG-in-AVI payloads
     synthesized per document (frame count, dimensions and flat pixel
@@ -5021,6 +5065,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the media twin of p4's text shards; n_match pins read-back
         # content md5 == source md5 for every member
         "p7_webdataset_roundtrip": q_webdataset_roundtrip,
+        # r14: WARC crawl-archive ingestion (sources/warc.py) — the
+        # CommonCrawl container; sharded gzip-member-per-record write,
+        # byte-range indexed read, per-row payload integrity
+        "warc1_crawl_roundtrip": q_warc_roundtrip,
         # r13: URL-level curation (canonicalize / URL dedup /
         # registered domain / per-domain cap) — pure-Catalyst pass,
         # constructed-canonical arithmetic oracle
@@ -6307,6 +6355,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, domain FROM capped WHERE rn2 <= 20
             ORDER BY doc_id
+        """,
+        "warc1_crawl_roundtrip": """
+            SELECT doc_id,
+                   concat('https://site', CAST(doc_id % 5 AS VARCHAR),
+                          '.example/p/',
+                          CAST(doc_id AS VARCHAR)) AS target_uri,
+                   CAST(1 AS BIGINT) AS ok
+            FROM documents ORDER BY doc_id
         """,
         "p7_webdataset_roundtrip": """
             SELECT CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'

@@ -76,14 +76,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     tmp = tempfile.mkdtemp(prefix="curation_")
     try:
-        # 0a. ACQUISITION (r13): the corpus arrives as crawled pages —
-        #     HTML with a URL. Extract training text (boilerplate and
-        #     script suppression) and gate URLs (canonicalize, URL
-        #     dedup, per-domain cap) BEFORE anything touches text.
+        # 0a. ACQUISITION (r13/r14): the corpus arrives as a CRAWL
+        #     ARCHIVE — WARC files (the CommonCrawl container), each
+        #     record an HTTP response holding a page. Read the archive
+        #     (byte-range indexed scan), extract training text
+        #     (boilerplate and script suppression) and gate URLs
+        #     (canonicalize, URL dedup, per-domain cap) BEFORE
+        #     anything touches text.
         from pyspark.sql import functions as F  # noqa: F811
 
         from muopdb_spark.operators.html import extract_text
         from muopdb_spark.operators.urls import domain_cap, url_dedup
+        from muopdb_spark.sources.warc import read_warc, write_warc_sharded
 
         fixture = spark.read.parquet(f"{sf_dir}/documents.parquet")
         d = F.col("doc_id")
@@ -101,16 +105,31 @@ def main() -> None:
                 F.lit("</p><footer>f</footer></body></html>"),
             ).alias("html"),
         )
-        gated = domain_cap(url_dedup(pages), cap=10 ** 6)
+        # the "crawler output": a sharded member-per-record WARC
+        # archive; everything downstream reads ONLY the archive
+        warc_dir = os.path.join(tmp, "crawl")
+        write_warc_sharded(
+            pages, warc_dir, payload_col="html", n_shards=4
+        )
+        crawled = read_warc(spark, warc_dir, types=("response",)) \
+            .select(
+                F.col("target_uri").alias("url"),
+                F.decode("payload", "UTF-8").alias("html"),
+            ).join(
+                pages.select("doc_id", "url", "lang", "source",
+                             "n_chars"),
+                "url",
+            )
+        gated = domain_cap(url_dedup(crawled), cap=10 ** 6)
         extracted = extract_text(gated, html_col="html").select(
             "doc_id", "text"
         )
         raw = gated.select(
             "doc_id", "lang", "source", "n_chars"
         ).join(extracted, "doc_id")
-        print(f"acquisition: {pages.count()} pages -> "
-              f"{raw.count()} after URL gate (HTML stripped, "
-              f"boilerplate dropped)")
+        print(f"acquisition: {pages.count()} archived pages -> "
+              f"{raw.count()} after WARC read + URL gate (HTML "
+              f"stripped, boilerplate dropped)")
 
         # 0. land the corpus as JSONL (the interchange format), read it
         #    back schema-enforced — storage from here on is parquet

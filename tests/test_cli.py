@@ -578,3 +578,32 @@ def test_cli_extract_text_and_urls(spark, cli, capsys, tmp_path):
                  "max_per_domain": 0}
     r = _run(cli, capsys, ["urls", "--input", pu, "--max-per-domain", "2"])
     assert r["after_domain_cap"] == 2
+
+
+def test_cli_warc(spark, cli, capsys, tmp_path):
+    from muopdb_spark.sources.warc import write_warc_sharded
+
+    pages = spark.createDataFrame(
+        [(i, f"https://a.com/{i}",
+          f"<html><title>t{i}</title><body><p>body {i}</p>"
+          f"<a href='/l'>x</a></body></html>") for i in range(6)],
+        "doc_id long, url string, payload string",
+    )
+    d = str(tmp_path / "crawl")
+    write_warc_sharded(pages, d, n_shards=2)
+    r = _run(cli, capsys, ["warc", "--input", d])
+    assert r["mode"] == "records" and r["records"] == 6
+    out = str(tmp_path / "text.parquet")
+    r = _run(cli, capsys,
+             ["warc", "--input", d, "--warc-text", "--output", out])
+    assert r["docs"] == 6 and r["links"] == 6 and r["chars"] > 0
+    back = spark.read.parquet(out)
+    assert back.count() == 6 and "text" in back.columns
+
+    wet = str(tmp_path / "wet")
+    write_warc_sharded(
+        pages.withColumn("payload", pages.payload.substr(1, 10)),
+        wet, kind="conversion", n_shards=1,
+    )
+    r = _run(cli, capsys, ["warc", "--input", wet, "--wet"])
+    assert r == {"mode": "wet", "docs": 6, "chars": 60}

@@ -1,0 +1,180 @@
+"""WARC/WET source family (sources/warc.py): record codec, gzip
+member walk, sharded writer determinism + offset sidecars, byte-range
+indexed read vs whole-file fallback, WET view, crawl->text head."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+import pytest
+
+from muopdb_spark.sources.warc import (
+    encode_conversion_record,
+    encode_response_record,
+    encode_warc_record,
+    iter_warc_members,
+    parse_warc_record,
+    read_warc,
+    read_wet,
+    warc_extract_text,
+    write_warc_sharded,
+)
+
+
+def test_record_roundtrip_response():
+    rec = encode_response_record(
+        "https://ex.com/a", b"<html>hi</html>", status=200,
+    )
+    got = parse_warc_record(rec)
+    assert got["warc_type"] == "response"
+    assert got["target_uri"] == "https://ex.com/a"
+    assert got["http_status"] == 200
+    assert got["http_content_type"] == "text/html"
+    assert got["payload"] == b"<html>hi</html>"
+    assert got["record_id"].startswith("<urn:uuid:")
+
+
+def test_record_roundtrip_conversion():
+    rec = encode_conversion_record("https://ex.com/a", "plain text\n")
+    got = parse_warc_record(rec)
+    assert got["warc_type"] == "conversion"
+    assert got["content_type"] == "text/plain"
+    assert got["payload"] == b"plain text\n"
+
+
+def test_encode_rejects_bad_headers():
+    with pytest.raises(ValueError, match="WARC-Type"):
+        encode_warc_record({}, b"")
+    with pytest.raises(ValueError, match="Content-Length"):
+        encode_warc_record(
+            {"WARC-Type": "response", "Content-Length": "3"}, b"abc"
+        )
+    with pytest.raises(ValueError, match="newline"):
+        encode_warc_record(
+            {"WARC-Type": "response", "X": "a\r\nb"}, b""
+        )
+
+
+def test_member_walk_plain_and_gzip():
+    recs = [
+        encode_response_record(f"https://ex.com/{i}", f"p{i}".encode())
+        for i in range(5)
+    ]
+    plain = b"".join(recs)
+    assert list(iter_warc_members(plain)) == recs
+    # member-per-record gzip (the CommonCrawl layout)
+    import io
+
+    from muopdb_spark.sources.warc import _gzip_member
+
+    gz = b"".join(_gzip_member(r) for r in recs)
+    assert list(iter_warc_members(gz)) == recs
+    # whole-file gzip (a foreign variant): one member, many records
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as f:
+        f.write(plain)
+    assert list(iter_warc_members(buf.getvalue())) == recs
+
+
+def test_parse_rejects_malformed():
+    with pytest.raises(ValueError, match="version"):
+        parse_warc_record(b"HTTP/1.1 200\r\n\r\n")
+    ok = encode_response_record("https://e.com", b"full payload body")
+    with pytest.raises(ValueError, match="truncated"):
+        parse_warc_record(ok[:-12])
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc_record(b"WARC/1.0\r\nWARC-Type: x\r\n\r\n")
+
+
+@pytest.fixture()
+def pages(spark):
+    rows = [
+        (i, f"https://site{i % 3}.com/p/{i}",
+         f"<html><title>T{i}</title><body><p>body {i}</p>"
+         f"<a href='/l{i}'>x</a></body></html>")
+        for i in range(40)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, url string, payload string"
+    )
+
+
+def test_sharded_roundtrip_indexed_and_full(spark, pages, tmp_path):
+    d = str(tmp_path / "warcs")
+    man = write_warc_sharded(pages, d, n_shards=4)
+    rows = {r["shard_id"]: r["n_records"] for r in man.collect()}
+    assert sum(rows.values()) == 40 and set(rows) == {0, 1, 2, 3}
+    # sidecars exist and offsets index real members
+    idx = json.loads(
+        open(os.path.join(d, "shard-000000.idx.jsonl")).readline()
+    )
+    assert idx["offset"] > 0 and idx["length"] > 0
+    src = {r["url"]: r["payload"] for r in pages.collect()}
+    for use_index in (True, False):
+        back = read_warc(
+            spark, d, types=("response",), use_index=use_index
+        ).collect()
+        assert len(back) == 40, use_index
+        for r in back:
+            assert r["payload"] == src[r["target_uri"]].encode()
+            assert r["http_status"] == 200
+    # warcinfo records visible without a type filter (full scan only;
+    # the index lists content records, so the indexed path skips them)
+    all_recs = read_warc(spark, d, use_index=False).collect()
+    assert sum(1 for r in all_recs if r["warc_type"] == "warcinfo") == 4
+
+
+def test_writer_is_byte_deterministic(spark, pages, tmp_path):
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_warc_sharded(pages, d1, n_shards=2)
+    write_warc_sharded(pages, d2, n_shards=2)
+    for f in sorted(os.listdir(d1)):
+        with open(os.path.join(d1, f), "rb") as a, \
+                open(os.path.join(d2, f), "rb") as b:
+            assert a.read() == b.read(), f
+
+
+def test_empty_shards_still_valid(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "https://a.com/x", "<p>x</p>")],
+        "doc_id long, url string, payload string",
+    )
+    d = str(tmp_path / "w")
+    man = write_warc_sharded(df, d, n_shards=4)
+    assert man.count() == 4
+    back = read_warc(spark, d, types=("response",), use_index=False)
+    assert back.count() == 1
+
+
+def test_wet_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"https://a.com/{i}", f"extracted text {i}\nline two")
+         for i in range(10)],
+        "doc_id long, url string, payload string",
+    )
+    d = str(tmp_path / "wet")
+    write_warc_sharded(df, d, kind="conversion", n_shards=2)
+    back = {r["target_uri"]: r["text"]
+            for r in read_wet(spark, d).collect()}
+    assert back["https://a.com/3"] == "extracted text 3\nline two"
+    with pytest.raises(ValueError, match="kind"):
+        write_warc_sharded(df, d, kind="request")
+
+
+def test_warc_extract_text_head(spark, pages, tmp_path):
+    d = str(tmp_path / "warcs")
+    write_warc_sharded(pages, d, n_shards=2)
+    out = {r["target_uri"]: r for r in
+           warc_extract_text(spark, d).collect()}
+    assert len(out) == 40
+    r = out["https://site1.com/p/7"]
+    assert r["title"] == "T7"
+    assert "body 7" in r["text"]
+    assert r["n_links"] == 1
+
+
+def test_read_warc_missing_path_refuses(spark, tmp_path):
+    with pytest.raises(ValueError, match="no archive files"):
+        read_warc(spark, str(tmp_path / "nope"))

@@ -63,10 +63,54 @@ PIPELINE_CMDS = {"dedup", "lm-score", "chunk", "shard", "quality", "admit",
                  "frames",
                  "dsir", "vocab", "split", "ppl-buckets", "bpe", "select",
                  "decontaminate", "curate", "tokens", "report", "probe",
-                 "extract-text", "urls"}
+                 "extract-text", "urls", "warc"}
 
 
 def _pipeline(spark, args, ap) -> dict:
+    if args.command == "warc":
+        # crawl-archive ingestion (sources/warc.py): --input is a
+        # directory of .warc.gz/.wet.gz, NOT parquet. Default emits
+        # response records; --wet the conversion-record text view;
+        # --warc-text the crawl->text head (HTML payload through the
+        # boilerplate-aware extractor). --output parquet via the tail.
+        from pyspark.sql import functions as F
+
+        from muopdb_spark.sources.warc import (
+            read_warc,
+            read_wet,
+            warc_extract_text,
+        )
+
+        if args.wet:
+            out = read_wet(spark, args.input)
+            agg = out.agg(
+                F.count("*").alias("docs"),
+                F.sum(F.length("text")).alias("chars"),
+            ).collect()[0]
+            result = {"mode": "wet", "docs": int(agg["docs"]),
+                      "chars": int(agg["chars"] or 0)}
+        elif args.warc_text:
+            out = warc_extract_text(spark, args.input)
+            agg = out.agg(
+                F.count("*").alias("docs"),
+                F.sum(F.length("text")).alias("chars"),
+                F.sum("n_links").alias("links"),
+            ).collect()[0]
+            result = {"mode": "extract-text", "docs": int(agg["docs"]),
+                      "chars": int(agg["chars"] or 0),
+                      "links": int(agg["links"] or 0)}
+        else:
+            out = read_warc(spark, args.input, types=("response",))
+            agg = out.agg(
+                F.count("*").alias("records"),
+                F.sum(F.length("payload")).alias("payload_bytes"),
+            ).collect()[0]
+            result = {"mode": "records", "records": int(agg["records"]),
+                      "payload_bytes": int(agg["payload_bytes"] or 0)}
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+            result["path"] = args.output
+        return result
     df = spark.read.parquet(args.input)
     if args.command == "dedup":
         from muopdb_spark.operators.dedup import (
@@ -828,6 +872,11 @@ def main(argv=None) -> int:
                     help="urls: cap docs per registered domain (0 = off)")
     ap.add_argument("--html-col", default="html",
                     help="extract-text: column holding the page HTML")
+    ap.add_argument("--wet", action="store_true",
+                    help="warc: read conversion (WET) records as text")
+    ap.add_argument("--warc-text", action="store_true",
+                    help="warc: run the crawl->text head (response "
+                         "HTML through the boilerplate-aware extractor)")
     ap.add_argument("--max-hamming", type=int, default=3,
                     help="dedup --method phash/audio: fingerprint "
                          "hamming-distance threshold")
