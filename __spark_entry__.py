@@ -2552,6 +2552,46 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pdf1: PDF text-layer extraction (operators/pdf.py, r14) — the
+    ISO 32000 feasible subset the r13 close-or-freeze named.
+    Two-page FlateDecode PDFs are synthesized per document (page text
+    arithmetic in doc_id) by the deterministic writer, then parsed
+    back by the full reader (linear object reconstruction, stream
+    inflate, WinAnsi font decode, Tj/T* content interpretation). The
+    oracle reconstructs (doc_id, page, text) arithmetically, so a
+    lexer, filter, font-table or line-assembly defect changes the
+    value hash; foreign-file behavior (PDF 1.5 ObjStm, subset Type1
+    fonts, ToUnicode CMaps, TJ kern spaces) is pytest-pinned against
+    real TeX-produced documents (tests/test_pdf.py)."""
+    from muopdb_spark.operators.pdf import encode_pdf, pdf_pages
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf_batch in batches:
+            out = {"doc_id": [], "content": []}
+            for d in pdf_batch["doc_id"]:
+                d = int(d)
+                pages = [
+                    f"Title {d}\nline {d % 7} body {(d * 3) % 11}",
+                    f"second page {d % 5}",
+                ]
+                out["doc_id"].append(d)
+                out["content"].append(encode_pdf(pages))
+            yield pd.DataFrame(out)
+
+    blobs = docs.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(gen, "doc_id long, content binary")
+    out = pdf_pages(blobs)
+    return out.select(
+        "doc_id", F.col("page").cast("long").alias("page"), "text"
+    ).orderBy("doc_id", "page")
+
+
 def q_avi_frame_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """m9: REAL video frame extraction — MJPEG-in-AVI payloads
     synthesized per document (frame count, dimensions and flat pixel
@@ -5069,6 +5109,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CommonCrawl container; sharded gzip-member-per-record write,
         # byte-range indexed read, per-row payload integrity
         "warc1_crawl_roundtrip": q_warc_roundtrip,
+        # r14: PDF text-layer extraction (ISO 32000 feasible subset) —
+        # arithmetic two-page roundtrip oracle; foreign TeX PDFs
+        # pytest-pinned
+        "pdf1_text_extract": q_pdf_text_extract,
         # r13: URL-level curation (canonicalize / URL dedup /
         # registered domain / per-domain cap) — pure-Catalyst pass,
         # constructed-canonical arithmetic oracle
@@ -6355,6 +6399,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, domain FROM capped WHERE rn2 <= 20
             ORDER BY doc_id
+        """,
+        "pdf1_text_extract": """
+            SELECT doc_id,
+                   CAST(p AS BIGINT) AS page,
+                   CASE WHEN p = 0 THEN concat(
+                            'Title ', CAST(doc_id AS VARCHAR), chr(10),
+                            'line ', CAST(doc_id % 7 AS VARCHAR),
+                            ' body ', CAST((doc_id * 3) % 11 AS VARCHAR))
+                        ELSE concat('second page ',
+                                    CAST(doc_id % 5 AS VARCHAR))
+                   END AS text
+            FROM documents
+            CROSS JOIN (SELECT UNNEST([0, 1]) AS p)
+            ORDER BY doc_id, page
         """,
         "warc1_crawl_roundtrip": """
             SELECT doc_id,

@@ -247,8 +247,26 @@ def _probe_avi(data: bytes) -> dict | None:
     return probe_avi(data)
 
 
+def _probe_pdf(data: bytes) -> dict | None:
+    """%PDF- magic -> format='pdf' with the first page's MediaBox as
+    width/height (PDF points). Malformed-but-magic'd payloads still
+    triage as pdf with null dims — the probe contract is total."""
+    if not data.startswith(b"%PDF-"):
+        return None
+    out = {"format": "pdf"}
+    try:
+        from muopdb_spark.operators.pdf import pdf_info
+
+        info = pdf_info(data)
+        out["width"] = info["width"]
+        out["height"] = info["height"]
+    except Exception:
+        pass
+    return out
+
+
 _PROBES = (_probe_png, _probe_jpeg, _probe_gif, _probe_bmp, _probe_wav,
-           _probe_mp4, _probe_avi)
+           _probe_mp4, _probe_avi, _probe_pdf)
 
 PROBE_SCHEMA = (
     "doc_id long, format string, width int, height int, channels int, "

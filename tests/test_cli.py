@@ -607,3 +607,21 @@ def test_cli_warc(spark, cli, capsys, tmp_path):
     )
     r = _run(cli, capsys, ["warc", "--input", wet, "--wet"])
     assert r == {"mode": "wet", "docs": 6, "chars": 60}
+
+
+def test_cli_extract_text_pdf(spark, cli, capsys, tmp_path):
+    from muopdb_spark.operators.pdf import encode_pdf
+
+    df = spark.createDataFrame(
+        [(i, encode_pdf([f"page one {i}", f"page two {i}"]))
+         for i in range(3)],
+        "doc_id long, content binary",
+    )
+    p = str(tmp_path / "pdfs.parquet")
+    df.write.parquet(p)
+    out = str(tmp_path / "pages.parquet")
+    r = _run(cli, capsys, ["extract-text", "--input", p,
+                           "--pdf-col", "content", "--output", out])
+    assert r["docs"] == 3 and r["pages"] == 6 and r["chars"] > 0
+    back = spark.read.parquet(out)
+    assert back.count() == 6

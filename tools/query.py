@@ -529,8 +529,27 @@ def _pipeline(spark, args, ap) -> dict:
         result = manifest
     elif args.command == "extract-text":
         # HTML -> training text (title + block-aware text + link
-        # count); --output parquet via the shared tail
+        # count); --pdf-col switches to the PDF text-layer extractor
+        # (one row per page); --output parquet via the shared tail
         from pyspark.sql import functions as F
+
+        if args.pdf_col:
+            from muopdb_spark.operators.pdf import pdf_pages
+
+            out = pdf_pages(df, content_col=args.pdf_col,
+                            on_error="skip")
+            agg = out.agg(
+                F.count_distinct("doc_id").alias("docs"),
+                F.count("*").alias("pages"),
+                F.sum(F.length("text")).alias("chars"),
+            ).collect()[0]
+            result = {"docs": int(agg["docs"]),
+                      "pages": int(agg["pages"]),
+                      "chars": int(agg["chars"] or 0)}
+            if args.output:
+                out.write.mode("overwrite").parquet(args.output)
+                result["path"] = args.output
+            return result
 
         from muopdb_spark.operators.html import extract_text
 
@@ -872,6 +891,10 @@ def main(argv=None) -> int:
                     help="urls: cap docs per registered domain (0 = off)")
     ap.add_argument("--html-col", default="html",
                     help="extract-text: column holding the page HTML")
+    ap.add_argument("--pdf-col",
+                    help="extract-text: binary PDF column — extract "
+                         "the text layer (one row per page) instead "
+                         "of HTML")
     ap.add_argument("--wet", action="store_true",
                     help="warc: read conversion (WET) records as text")
     ap.add_argument("--warc-text", action="store_true",
