@@ -2552,6 +2552,51 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_link_graph_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lg1: link-graph URL quality prior (operators/urls.py +
+    operators/graph.pagerank, r14) — the RefinedWeb/Gopher idea that
+    domain-level inbound attention is a cheap corpus-wide quality
+    signal. Pages carry two arithmetic anchor links each; the chain is
+    the REAL production path: html.extract_links over the raw pages ->
+    domain_link_edges (self-edges and relative hrefs dropped) ->
+    fixed-3-iteration weighted PageRank with dangling-mass
+    redistribution + per-domain in-degree stats. The oracle replays
+    the same edge arithmetic and the exact three power iterations in
+    nested CTEs, so a link-extraction, edge-aggregation or rank-update
+    defect changes the value hash."""
+    from muopdb_spark.operators.html import extract_links
+    from muopdb_spark.operators.urls import domain_quality_prior
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    href1 = F.concat(
+        F.lit("https://site"), ((d * 2 + 1) % 7).cast("string"),
+        F.lit(".example/x"),
+    )
+    href2 = F.concat(
+        F.lit("https://site"), ((d + 3) % 7).cast("string"),
+        F.lit(".example/y"),
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site"), (d % 7).cast("string"),
+            F.lit(".example/p/"), d.cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("<html><body><p>t</p><a href='"), href1,
+            F.lit("'>a</a><a href='"), href2,
+            F.lit("'>b</a></body></html>"),
+        ).alias("html"),
+    )
+    links = extract_links(pages)
+    prior = domain_quality_prior(pages, links, n_iter=3)
+    return prior.select(
+        "domain", "in_domains", "n_inlinks",
+        F.round("rank", 6).alias("rank"),
+    ).orderBy("domain")
+
+
 def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pdf1: PDF text-layer extraction (operators/pdf.py, r14) — the
     ISO 32000 feasible subset the r13 close-or-freeze named.
@@ -5113,6 +5158,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # arithmetic two-page roundtrip oracle; foreign TeX PDFs
         # pytest-pinned
         "pdf1_text_extract": q_pdf_text_extract,
+        # r14: link-graph URL quality prior — extract_links ->
+        # domain edges -> fixed-iteration PageRank; nested-CTE oracle
+        "lg1_link_graph_prior": q_link_graph_prior,
         # r13: URL-level curation (canonicalize / URL dedup /
         # registered domain / per-domain cap) — pure-Catalyst pass,
         # constructed-canonical arithmetic oracle
@@ -6399,6 +6447,90 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, domain FROM capped WHERE rn2 <= 20
             ORDER BY doc_id
+        """,
+        "lg1_link_graph_prior": """
+            WITH e0 AS (
+                SELECT concat('site', CAST(doc_id % 7 AS VARCHAR),
+                              '.example') AS src,
+                       concat('site',
+                              CAST((doc_id * 2 + 1) % 7 AS VARCHAR),
+                              '.example') AS dst
+                FROM documents
+                UNION ALL
+                SELECT concat('site', CAST(doc_id % 7 AS VARCHAR),
+                              '.example'),
+                       concat('site',
+                              CAST((doc_id + 3) % 7 AS VARCHAR),
+                              '.example')
+                FROM documents
+            ), e AS (
+                SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
+                FROM e0 WHERE src <> dst GROUP BY src, dst
+            ), nodes AS (
+                SELECT DISTINCT node FROM (
+                    SELECT src AS node FROM e
+                    UNION SELECT dst FROM e)
+            ), nn AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+            ), ow AS (
+                SELECT src, SUM(w) AS wout FROM e GROUP BY src
+            ), r0 AS (
+                SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn)
+                       AS rank
+                FROM nodes
+            ), r1 AS (
+                SELECT n.node,
+                       CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+                       + CAST(0.85 AS DOUBLE) * (
+                           COALESCE(inf.s, 0)
+                           + (SELECT COALESCE(SUM(r.rank), 0) FROM r0 r
+                              WHERE r.node NOT IN (SELECT src FROM e))
+                             / (SELECT n FROM nn)) AS rank
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst, SUM(r.rank * e.w / ow.wout) AS s
+                    FROM e JOIN r0 r ON r.node = e.src
+                    JOIN ow ON ow.src = e.src
+                    GROUP BY e.dst) inf ON inf.dst = n.node
+            ), r2 AS (
+                SELECT n.node,
+                       CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+                       + CAST(0.85 AS DOUBLE) * (
+                           COALESCE(inf.s, 0)
+                           + (SELECT COALESCE(SUM(r.rank), 0) FROM r1 r
+                              WHERE r.node NOT IN (SELECT src FROM e))
+                             / (SELECT n FROM nn)) AS rank
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst, SUM(r.rank * e.w / ow.wout) AS s
+                    FROM e JOIN r1 r ON r.node = e.src
+                    JOIN ow ON ow.src = e.src
+                    GROUP BY e.dst) inf ON inf.dst = n.node
+            ), r3 AS (
+                SELECT n.node,
+                       CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+                       + CAST(0.85 AS DOUBLE) * (
+                           COALESCE(inf.s, 0)
+                           + (SELECT COALESCE(SUM(r.rank), 0) FROM r2 r
+                              WHERE r.node NOT IN (SELECT src FROM e))
+                             / (SELECT n FROM nn)) AS rank
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst, SUM(r.rank * e.w / ow.wout) AS s
+                    FROM e JOIN r2 r ON r.node = e.src
+                    JOIN ow ON ow.src = e.src
+                    GROUP BY e.dst) inf ON inf.dst = n.node
+            ), indeg AS (
+                SELECT dst,
+                       CAST(COUNT(DISTINCT src) AS BIGINT) AS in_domains,
+                       CAST(SUM(w) AS BIGINT) AS n_inlinks
+                FROM e GROUP BY dst
+            )
+            SELECT n.node AS domain,
+                   COALESCE(indeg.in_domains, 0) AS in_domains,
+                   COALESCE(indeg.n_inlinks, 0) AS n_inlinks,
+                   ROUND(r3.rank, 6) AS rank
+            FROM nodes n
+            LEFT JOIN indeg ON indeg.dst = n.node
+            JOIN r3 ON r3.node = n.node
+            ORDER BY domain
         """,
         "pdf1_text_extract": """
             SELECT doc_id,

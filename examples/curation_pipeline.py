@@ -102,7 +102,10 @@ def main() -> None:
                 F.lit("<html><head><title>doc</title><script>x()"
                       "</script></head><body><nav>menu</nav><p>"),
                 F.col("text"),
-                F.lit("</p><footer>f</footer></body></html>"),
+                F.lit("</p><a href='https://www.Site"),
+                ((d * 3) % 97).cast("string"),
+                F.lit(".COM/ref'>see</a>"
+                      "<footer>f</footer></body></html>"),
             ).alias("html"),
         )
         # the "crawler output": a sharded member-per-record WARC
@@ -130,6 +133,21 @@ def main() -> None:
         print(f"acquisition: {pages.count()} archived pages -> "
               f"{raw.count()} after WARC read + URL gate (HTML "
               f"stripped, boilerplate dropped)")
+
+        # 0a'. link-graph quality prior (r14): domain-level PageRank
+        #      over the pages' anchor links — the RefinedWeb/Gopher
+        #      URL-scoring signal, joinable to docs by registered
+        #      domain as a mixture-weight prior downstream
+        from muopdb_spark.operators.html import extract_links
+        from muopdb_spark.operators.urls import domain_quality_prior
+
+        prior = domain_quality_prior(
+            crawled, extract_links(crawled), n_iter=3
+        )
+        top = prior.orderBy(F.desc("rank")).limit(3).collect()
+        print("link-graph prior (top-3 domains): "
+              + ", ".join(f"{r['domain']} rank={r['rank']:.5f} "
+                          f"in={r['in_domains']}" for r in top))
 
         # 0. land the corpus as JSONL (the interchange format), read it
         #    back schema-enforced — storage from here on is parquet

@@ -189,3 +189,92 @@ def cluster_representatives(
         "keeper_id",
         (F.col(id_col) == F.col("keeper_id")).alias("keep"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    damping: float = 0.85,
+    n_iter: int = 5,
+) -> DataFrame:
+    """Fixed-iteration weighted PageRank over an edge table —
+    (node, rank) after exactly `n_iter` power iterations from the
+    uniform start, the classic formulation (Page et al. 1999, public)
+    with dangling-mass redistribution:
+
+        r_{k+1}(v) = (1-d)/N
+                     + d * ( sum_{u->v} r_k(u) * w(u,v) / W_out(u)
+                             + D_k / N ),
+        D_k = sum of r_k over nodes with no out-edges.
+
+    Fixed iteration count (not convergence) keeps the result exactly
+    reproducible and SQL-oracle-able — the curation use (a URL
+    quality prior, the RefinedWeb/Gopher idea) ranks domains, whose
+    graph diameter makes a handful of iterations sufficient.
+
+    100 TB shape: each iteration is one broadcast-able (node, rank)
+    join against the edge table + one groupBy(dst) partial-agg; the
+    rank table is |domains|-sized (millions of rows, not corpus-
+    sized), edges are checkpointed once, ranks each round (the
+    connected_components lineage lesson). Self-loops are dropped (a
+    site linking itself is not endorsement)."""
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"pagerank: damping must be in (0,1), got {damping}")
+    if n_iter < 1:
+        raise ValueError(f"pagerank: n_iter must be >= 1, got {n_iter}")
+    w = (
+        F.col(weight_col).cast("double") if weight_col
+        else F.lit(1.0)
+    )
+    e = (
+        edges.filter(F.col(src_col) != F.col(dst_col))
+        .select(
+            F.col(src_col).alias("_src"),
+            F.col(dst_col).alias("_dst"),
+            w.alias("_w"),
+        )
+        .groupBy("_src", "_dst").agg(F.sum("_w").alias("_w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_w = e.groupBy("_src").agg(F.sum("_w").alias("_wout"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(n_iter):
+        contrib = (
+            e.join(out_w, "_src")
+            .join(ranks, e["_src"] == ranks["node"])
+            .groupBy("_dst")
+            .agg(F.sum(F.col("rank") * F.col("_w") / F.col("_wout"))
+                 .alias("_in"))
+        )
+        dangling = (
+            ranks.join(out_w, ranks["node"] == out_w["_src"],
+                       "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(dangling))
+            .join(contrib, nodes["node"] == contrib["_dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("_in"), F.lit(0.0))
+                       + F.col("_dm") / n)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -164,3 +164,73 @@ def domain_cap(
         .drop("_rn")
     )
     return capped.unionByName(nulls)
+
+
+def domain_link_edges(
+    pages: DataFrame, links: DataFrame, *,
+    url_col: str = "url", href_col: str = "href",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(src_domain, dst_domain, n_links) — the domain-level link graph
+    from pages (id, url) and their extracted anchors (id, href — the
+    operators/html.extract_links output). Relative hrefs resolve to
+    the page's own domain and self-edges carry no endorsement, so
+    both drop; NULL domains (unparseable hosts) drop. Pure Catalyst:
+    one broadcast-able join on the page id + one groupBy on the edge
+    key."""
+    src = pages.select(
+        F.col(id_col).alias(id_col),
+        url_registered_domain(url_col).alias("src_domain"),
+    )
+    dst = links.select(
+        F.col(id_col).alias(id_col),
+        url_registered_domain(href_col).alias("dst_domain"),
+    )
+    return (
+        dst.join(src, id_col)
+        .filter(
+            F.col("src_domain").isNotNull()
+            & F.col("dst_domain").isNotNull()
+            & (F.col("src_domain") != F.col("dst_domain"))
+        )
+        .groupBy("src_domain", "dst_domain")
+        .agg(F.count("*").cast("long").alias("n_links"))
+    )
+
+
+def domain_quality_prior(
+    pages: DataFrame, links: DataFrame, *,
+    url_col: str = "url", href_col: str = "href",
+    id_col: str = "doc_id", damping: float = 0.85, n_iter: int = 5,
+) -> DataFrame:
+    """URL quality prior from the link graph (the RefinedWeb/Gopher
+    idea: inbound attention at domain level is a cheap corpus-wide
+    quality signal): (domain, in_domains, n_inlinks, rank) — distinct
+    referring domains, inbound link count, and fixed-iteration
+    weighted PageRank (operators/graph.pagerank). Join to documents
+    on url_registered_domain(url) and combine with the text-quality
+    score downstream."""
+    from muopdb_spark.operators.graph import pagerank
+
+    edges = domain_link_edges(
+        pages, links, url_col=url_col, href_col=href_col, id_col=id_col,
+    )
+    indeg = edges.groupBy("dst_domain").agg(
+        F.count_distinct("src_domain").cast("long").alias("in_domains"),
+        F.sum("n_links").cast("long").alias("n_inlinks"),
+    )
+    ranks = pagerank(
+        edges, src_col="src_domain", dst_col="dst_domain",
+        weight_col="n_links", damping=damping, n_iter=n_iter,
+    )
+    return (
+        ranks.join(
+            indeg, ranks["node"] == indeg["dst_domain"], "left"
+        )
+        .select(
+            F.col("node").alias("domain"),
+            F.coalesce("in_domains", F.lit(0)).alias("in_domains"),
+            F.coalesce("n_inlinks", F.lit(0)).alias("n_inlinks"),
+            "rank",
+        )
+    )

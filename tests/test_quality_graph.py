@@ -139,3 +139,72 @@ def test_t11_approx_plan_has_no_window(spark, sf_dir):
         docs, keep_frac=0.7
     )._jdf.queryExecution().executedPlan().toString()
     assert "Window" in exact_plan
+
+
+# ---------------------------------------------- r14: link-graph prior
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    from muopdb_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    r = {x["node"]: x["rank"] for x in pagerank(e, n_iter=8).collect()}
+    # a symmetric cycle is rank-uniform and mass-conserving
+    for v in r.values():
+        assert abs(v - 1 / 3) < 1e-9
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_dangling_mass_redistributes(spark):
+    from muopdb_spark.operators.graph import pagerank
+
+    # b is a sink: without redistribution total mass decays below 1
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    r = {x["node"]: x["rank"] for x in pagerank(e, n_iter=6).collect()}
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+    assert r["b"] > r["a"]
+
+
+def test_pagerank_weighted_and_self_loops(spark):
+    from muopdb_spark.operators.graph import pagerank
+
+    # c gets 3x a's outflow vs b; a's self-loop is dropped
+    e = spark.createDataFrame(
+        [("a", "b", 1.0), ("a", "c", 3.0), ("a", "a", 99.0),
+         ("b", "a", 1.0), ("c", "a", 1.0)],
+        "src string, dst string, w double",
+    )
+    r = {x["node"]: x["rank"]
+         for x in pagerank(e, weight_col="w", n_iter=10).collect()}
+    assert r["c"] > r["b"]
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+    import pytest
+
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(e, damping=1.5)
+    with pytest.raises(ValueError, match="n_iter"):
+        pagerank(e, n_iter=0)
+
+
+def test_domain_quality_prior_end_to_end(spark):
+    from muopdb_spark.operators.html import extract_links
+    from muopdb_spark.operators.urls import domain_quality_prior
+
+    pages = spark.createDataFrame(
+        [(i,
+          f"https://src{i % 2}.com/p/{i}",
+          "<a href='https://hub.com/x'>h</a>"
+          "<a href='/relative'>r</a>"
+          f"<a href='https://src{i % 2}.com/self'>s</a>")
+         for i in range(10)],
+        "doc_id long, url string, html string",
+    )
+    links = extract_links(pages)
+    out = {r["domain"]: r
+           for r in domain_quality_prior(pages, links).collect()}
+    # relative + self links dropped; hub.com referenced by both srcs
+    assert out["hub.com"]["in_domains"] == 2
+    assert out["hub.com"]["n_inlinks"] == 10
+    assert out["hub.com"]["rank"] == max(v["rank"] for v in out.values())
