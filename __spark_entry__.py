@@ -2451,6 +2451,47 @@ def q_url_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped.select("doc_id", "domain").orderBy("doc_id")
 
 
+def q_psl_registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """url2: registered-domain extraction over the FULL vendored
+    Mozilla Public Suffix List (operators/psl.py — 5 broadcast joins
+    against the 10k-rule table, zero Python; the r13 verdict's item 8
+    upgrade over the cc-2LD heuristic). Hosts are synthesized from
+    doc_id across eight templates hand-picked to cover every rule
+    kind: plain TLD, exotic cc-2LDs the heuristic mis-rooted (co.il,
+    com.sg), a private-section suffix (github.io), wildcard *.ck at
+    and above the boundary, an exception rule (!city.kawasaki.jp), and
+    an unlisted TLD falling to the implicit '*' rule. The expected
+    registered domain for each template is spec-derived arithmetic in
+    doc_id, so the DuckDB oracle reconstructs it with a CASE — any
+    prevailing-rule mistake (wrong rule length, wildcard off-by-one,
+    exception not honored, private section dropped) changes the value
+    hash."""
+    from muopdb_spark.operators.psl import with_registered_domain
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 800)
+    )
+    d = F.col("doc_id")
+    k = d % 8
+    ds = d.cast("string")
+    host = (
+        F.when(k == 0, F.concat(F.lit("www.d"), ds, F.lit(".com")))
+        .when(k == 1, F.concat(F.lit("a.b.d"), ds, F.lit(".co.il")))
+        .when(k == 2, F.concat(F.lit("x.d"), ds, F.lit(".com.sg")))
+        .when(k == 3, F.concat(F.lit("w.d"), ds, F.lit(".github.io")))
+        .when(k == 4, F.concat(F.lit("d"), ds, F.lit(".ck")))
+        .when(k == 5, F.concat(F.lit("w.d"), ds, F.lit(".ck")))
+        .when(k == 6, F.concat(F.lit("d"), ds, F.lit(".city.kawasaki.jp")))
+        .otherwise(F.concat(F.lit("d"), ds, F.lit(".zz")))
+    )
+    out = with_registered_domain(
+        docs.withColumn("host", host), host_col="host", out_col="domain"
+    )
+    return out.select("doc_id", "host", "domain").orderBy("doc_id")
+
+
 def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p7: multimodal trainer-handoff export in the public WebDataset
     tar layout (write_webdataset — deterministic hash shards, zeroed
@@ -4782,7 +4823,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the incoming w7). This completes the first-witness mission —
         # every oracle-able query has >= 1 driver-green row — so from
         # r9 on the window freezes unless new operators land.
-        "pipe2_curation_manifest_v2": q_curation_manifest_v2,
+        # pipe2 parked in r14 (driver-green r8–r13; composed-manifest
+        # family keeps pipe3 in-window) so the r13/r14 acquisition
+        # landings get first driver rows.
         "t12_vocab_topk": q_vocab_topk,
         "w7_stream_importance_admission": q_stream_importance_admission,
         "p6_leakage_safe_split": q_leakage_safe_split,
@@ -4811,14 +4854,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family keeps smp6/smp7 in-window and the hash twin smp5h is
         # extras-green). Oracle checked at sf0.01 BEFORE the swap, per
         # the protocol pipe3 violated in r9.
-        "smp9_weighted_budget_fill": q_weighted_budget_fill,
-        # r10-NEW operator (landing-round first driver row): t18
-        # degenerate-repetition trim — the removal-side complement of
-        # the t5/t7 repetition flags. Parks v26_ivf_sq_rerank
-        # (driver-green r6-r9; the quantizer family keeps v11 PQ, v13
-        # RaBitQ, AND v27 OPQ in-window). Oracle checked at sf0.01
-        # BEFORE the swap.
-        "t18_collapse_runs": q_collapse_runs,
+        # smp9 parked in r14 (driver-green r10–r13; sampling family
+        # keeps smp6/smp7/smp10 in-window) for the acquisition
+        # landings.
+        # r13-landed operator (first driver row in r14): URL-level
+        # curation — pure-Catalyst canonicalize / keep-first URL dedup
+        # / registered domain / skew-safe salted per-domain cap
+        # (operators/urls.py; the r13 verdict's perf-weak window form
+        # replaced by the salted two-phase top-cap in r14).
+        # Constructed-canonical arithmetic oracle where both the dedup
+        # and the cap drop rows. Oracle checked at sf0.01 BEFORE the
+        # swap.
+        "url1_domain_cap": q_url_domain_cap,
+        # t18 parked in r14 (driver-green r10–r13; normalization
+        # family keeps t11/t13/t19 in-window).
+        # r13-landed operator (first driver row in r14): HTML -> text
+        # extraction (operators/html.py) — stdlib tag-soup parser,
+        # script/style CDATA suppression, boilerplate drop, block
+        # boundaries; ground truth is the fixture text itself. Oracle
+        # checked at sf0.01 BEFORE the swap.
+        "html1_extract_text": q_html_extract,
         # t2_contains_stemmed_ru rotated to extra_queries() in late r5
         # (stemming family witnessed by the t2 family, which indexes
         # all 19 languages; driver-green r1-r4) to free a
@@ -4844,7 +4899,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smp6_dsir_sample": q_dsir_sample,
         "v4_ann_ivf_fullprobe": q_ann_fullprobe,
         "v11_pq_adc_rerank": q_pq_adc_rerank,
-        "v13_rabitq_rerank": q_rabitq_rerank,
+        # v13 parked in r14 (driver-green r1–r13; quantizer family
+        # keeps v11 PQ + v27 OPQ in-window).
+        # r13-landed source family (first driver row in r14):
+        # multimodal WebDataset tar export + loader-side read
+        # (operators/export.py) — the media twin of p4's text shards;
+        # n_match pins read-back content md5 == source md5 for every
+        # member. Oracle checked at sf0.01 BEFORE the swap.
+        "p7_webdataset_roundtrip": q_webdataset_roundtrip,
         "x1_lsh_near_dup": q_lsh_near_dup,
         # h1_hybrid_search rotated to extra_queries() in r5 (hybrid
         # family witnessed by h2 + h3; driver-green r1-r4) to free a
@@ -4915,7 +4977,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ladder). Parks t5_repetition_stats (driver-green r2-r9; the
         # quality-stats family keeps t7/t8/t11 in-window). Oracle
         # checked at sf0.01 BEFORE the swap.
-        "t17_unicode_clean": q_unicode_clean,
+        # t17 parked in r14 (driver-green r10–r13; normalization
+        # family keeps t11/t13/t19 in-window).
+        # r14-NEW source family (landing-round first driver row): WARC
+        # crawl-archive ingestion (sources/warc.py) — ISO 28500 gzip
+        # member-per-record codec, executor-parallel sharded write,
+        # byte-range indexed read; per-row payload-integrity oracle.
+        # Oracle checked at sf0.01 BEFORE the swap.
+        "warc1_crawl_roundtrip": q_warc_roundtrip,
         # r13-NEW operator (landing-round first driver row): m9 REAL
         # video frame extraction — MJPEG-in-AVI container walk +
         # per-frame JPEG decode (operators/video.py), the video
@@ -4943,7 +5012,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the offline-vector-source family keeps s3 in-window, src1/
         # src3 extras-green, and src4 itself witnesses the byte-range
         # reader shape src2 pioneered).
-        "src4_hdf5_roundtrip": q_hdf5_roundtrip,
+        # src4 parked in r14 (driver-green r10–r13; HDF5 family keeps
+        # src5 in-window — chunked + filter pipeline, the superset
+        # shape).
+        # r14-NEW operator (landing-round first driver row): PDF
+        # text-layer extraction (operators/pdf.py) — ISO 32000
+        # feasible subset; arithmetic two-page roundtrip oracle,
+        # foreign TeX-produced PDFs pytest-pinned. Oracle checked at
+        # sf0.01 BEFORE the swap.
+        "pdf1_text_extract": q_pdf_text_extract,
+        # pipe2 parked in r14 is recorded at the t12 slot above.
+        # r14-NEW operator (landing-round first driver row): lg1
+        # link-graph URL quality prior — extract_links -> domain edge
+        # table -> fixed-iteration weighted PageRank with dangling
+        # redistribution (operators/graph.py); the DuckDB oracle
+        # replays the exact power iterations in nested CTEs. Oracle
+        # checked at sf0.01 BEFORE the swap.
+        "lg1_link_graph_prior": q_link_graph_prior,
         # r12-NEW operator (landing-round first driver row): m3 image
         # perceptual near-dup through the pure-stdlib PNG codec —
         # multimodal decode made real (operators/image.py), the family
@@ -5146,29 +5231,31 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # extraction gets its landing-round first driver row; dedup
         # family keeps d3/d9/d10/t15/smp7 in-window.
         "d6_dup_clusters": q_dup_clusters,
-        # r13: multimodal WebDataset tar export + loader-side read —
-        # the media twin of p4's text shards; n_match pins read-back
-        # content md5 == source md5 for every member
-        "p7_webdataset_roundtrip": q_webdataset_roundtrip,
-        # r14: WARC crawl-archive ingestion (sources/warc.py) — the
-        # CommonCrawl container; sharded gzip-member-per-record write,
-        # byte-range indexed read, per-row payload integrity
-        "warc1_crawl_roundtrip": q_warc_roundtrip,
-        # r14: PDF text-layer extraction (ISO 32000 feasible subset) —
-        # arithmetic two-page roundtrip oracle; foreign TeX PDFs
-        # pytest-pinned
-        "pdf1_text_extract": q_pdf_text_extract,
-        # r14: link-graph URL quality prior — extract_links ->
-        # domain edges -> fixed-iteration PageRank; nested-CTE oracle
-        "lg1_link_graph_prior": q_link_graph_prior,
-        # r13: URL-level curation (canonicalize / URL dedup /
-        # registered domain / per-domain cap) — pure-Catalyst pass,
-        # constructed-canonical arithmetic oracle
-        "url1_domain_cap": q_url_domain_cap,
-        # r13: HTML -> text extraction (stdlib-parser tag soup,
-        # boilerplate suppression, script CDATA, block boundaries) —
-        # the ground truth is the fixture text itself
-        "html1_extract_text": q_html_extract,
+        # r14: registered-domain extraction over the FULL vendored
+        # Mozilla PSL (operators/psl.py, 5 broadcast joins, zero
+        # Python) — spec-derived per-template CASE oracle; the URL
+        # family's in-window witness is url1
+        "url2_psl_registered_domain": q_psl_registered_domain,
+        # t17 parked in r14 (driver-green r10–r13) so the acquisition
+        # landings get first driver rows; quality/normalization family
+        # keeps t11/t13/t19 in-window. Extras-gated here.
+        "t17_unicode_clean": q_unicode_clean,
+        # t18 parked in r14 (driver-green r10–r13); same family
+        # witnesses as t17.
+        "t18_collapse_runs": q_collapse_runs,
+        # smp9 parked in r14 (driver-green r10–r13); sampling family
+        # keeps smp6/smp7/smp10 in-window.
+        "smp9_weighted_budget_fill": q_weighted_budget_fill,
+        # v13 parked in r14 (driver-green r1–r13); quantizer family
+        # keeps v11 (PQ ADC) and v27 (OPQ) in-window.
+        "v13_rabitq_rerank": q_rabitq_rerank,
+        # pipe2 parked in r14 (driver-green r8–r13); composed-manifest
+        # family keeps pipe3 in-window.
+        "pipe2_curation_manifest_v2": q_curation_manifest_v2,
+        # src4 parked in r14 (driver-green r10–r13); HDF5 family keeps
+        # src5 in-window (chunked + filter-pipeline, the harder shape),
+        # src1/src2/src3/src6/src7 extras-green.
+        "src4_hdf5_roundtrip": q_hdf5_roundtrip,
         # src2 parked in r10 (driver-green r5-r9) so src4's literal
         # HDF5 boundary gets its landing-round first driver row.
         "src2_fvecs_roundtrip": q_fvecs_roundtrip,
@@ -6446,6 +6533,36 @@ def oracle_sql() -> dict[str, str]:
                 FROM kept
             )
             SELECT doc_id, domain FROM capped WHERE rn2 <= 20
+            ORDER BY doc_id
+        """,
+        # the expected registered domain per host template is derived
+        # BY HAND from the publicsuffix.org algorithm over the vendored
+        # list (exact / cc-2LD / private-section / wildcard at and
+        # above the boundary / exception / implicit-'*' rules), so the
+        # oracle is pure CASE arithmetic — no PSL logic in SQL
+        "url2_psl_registered_domain": """
+            SELECT doc_id,
+                   CASE doc_id % 8
+                     WHEN 0 THEN concat('www.d', CAST(doc_id AS VARCHAR), '.com')
+                     WHEN 1 THEN concat('a.b.d', CAST(doc_id AS VARCHAR), '.co.il')
+                     WHEN 2 THEN concat('x.d', CAST(doc_id AS VARCHAR), '.com.sg')
+                     WHEN 3 THEN concat('w.d', CAST(doc_id AS VARCHAR), '.github.io')
+                     WHEN 4 THEN concat('d', CAST(doc_id AS VARCHAR), '.ck')
+                     WHEN 5 THEN concat('w.d', CAST(doc_id AS VARCHAR), '.ck')
+                     WHEN 6 THEN concat('d', CAST(doc_id AS VARCHAR), '.city.kawasaki.jp')
+                     ELSE concat('d', CAST(doc_id AS VARCHAR), '.zz')
+                   END AS host,
+                   CASE doc_id % 8
+                     WHEN 0 THEN concat('d', CAST(doc_id AS VARCHAR), '.com')
+                     WHEN 1 THEN concat('d', CAST(doc_id AS VARCHAR), '.co.il')
+                     WHEN 2 THEN concat('d', CAST(doc_id AS VARCHAR), '.com.sg')
+                     WHEN 3 THEN concat('d', CAST(doc_id AS VARCHAR), '.github.io')
+                     WHEN 4 THEN NULL
+                     WHEN 5 THEN concat('w.d', CAST(doc_id AS VARCHAR), '.ck')
+                     WHEN 6 THEN 'city.kawasaki.jp'
+                     ELSE concat('d', CAST(doc_id AS VARCHAR), '.zz')
+                   END AS domain
+            FROM documents WHERE doc_id < 800
             ORDER BY doc_id
         """,
         "lg1_link_graph_prior": """
