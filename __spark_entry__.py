@@ -2492,6 +2492,97 @@ def q_psl_registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "host", "domain").orderBy("doc_id")
 
 
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rob1: RFC 9309 robots-exclusion gate (operators/robots.py) —
+    the crawl-politeness pass between URL discovery and fetch. Seven
+    synthetic hosts carry three robots shapes (prefix disallow with a
+    longer allow carve-out; a '*.bin$' wildcard+anchor disallow; no
+    rules at all) and each document contributes one URL whose path
+    template cycles doc_id % 4, so the expected verdict is pure CASE
+    arithmetic: the oracle re-derives longest-match + allow-wins
+    precedence by hand per (host shape, path template). Plan: one
+    Arrow parse over the 7-row robots side, broadcast join + JVM
+    rule-fold over the corpus side — no corpus shuffle, no Python per
+    URL."""
+    from muopdb_spark.operators.robots import parse_robots, robots_gate
+
+    robots = spark.range(7).select(
+        F.concat(
+            F.lit("site"), F.col("id").cast("string"), F.lit(".com")
+        ).alias("host"),
+        F.when(
+            F.col("id") % 3 == 0,
+            F.lit(
+                "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
+            ),
+        )
+        .when(F.col("id") % 3 == 1, F.lit("User-agent: *\nDisallow: /*.bin$\n"))
+        .otherwise(F.lit(""))
+        .alias("robots_txt"),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    path = (
+        F.when(d % 4 == 0, F.concat(F.lit("/public/"), ds))
+        .when(d % 4 == 1, F.concat(F.lit("/private/"), ds))
+        .when(d % 4 == 2, F.concat(F.lit("/private/ok/"), ds))
+        .otherwise(F.concat(F.lit("/data/"), ds, F.lit(".bin")))
+    )
+    urls = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://site"), (d % 7).cast("string"), F.lit(".com"), path
+        ),
+    )
+    out = robots_gate(urls, parse_robots(robots), out_col="allowed")
+    return out.select("doc_id", "url", "allowed").orderBy("doc_id")
+
+
+def q_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sm1: sitemap URL discovery (operators/robots.py sitemap_urls) —
+    regex-scanned <urlset>/<sitemapindex> <loc> extraction, total over
+    truncated XML. Each of 7 hosts carries a sitemap whose page count
+    is arithmetic in the host id (id % 3 + 1 pages plus, on even
+    hosts, one child-index entry), so the oracle regenerates the
+    exact (host, loc, kind) rows with generate_series."""
+    from muopdb_spark.operators.robots import sitemap_urls
+
+    h = F.col("id")
+    # build the XML with aggregate-free string ops: concat the fixed
+    # number of entries per host via conditional parts (max 3 pages)
+    parts = [F.lit('<urlset>\n')]
+    for j in range(3):
+        parts.append(
+            F.when(
+                h % 3 + 1 > j,
+                F.concat(
+                    F.lit("  <url><loc>https://site"),
+                    h.cast("string"),
+                    F.lit(f".com/p/{j}</loc></url>\n"),
+                ),
+            ).otherwise(F.lit(""))
+        )
+    parts.append(
+        F.when(
+            h % 2 == 0,
+            F.concat(
+                F.lit("  <sitemap><loc>https://site"),
+                h.cast("string"),
+                F.lit(".com/maps/child.xml</loc></sitemap>\n"),
+            ),
+        ).otherwise(F.lit(""))
+    )
+    parts.append(F.lit("</urlset>"))
+    sitemaps = spark.range(7).select(
+        F.concat(F.lit("site"), h.cast("string"), F.lit(".com")).alias(
+            "host"
+        ),
+        F.concat(*parts).alias("sitemap_xml"),
+    )
+    return sitemap_urls(sitemaps).orderBy("host", "kind", "loc")
+
+
 def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p7: multimodal trainer-handoff export in the public WebDataset
     tar layout (write_webdataset — deterministic hash shards, zeroed
@@ -5236,6 +5327,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Python) — spec-derived per-template CASE oracle; the URL
         # family's in-window witness is url1
         "url2_psl_registered_domain": q_psl_registered_domain,
+        # r14: RFC 9309 robots-exclusion gate — Arrow parse of the
+        # hosts-sized robots side, broadcast join + JVM rule fold on
+        # the corpus side; hand-derived longest-match/allow-wins CASE
+        # oracle
+        "rob1_robots_gate": q_robots_gate,
+        # r14: sitemap <loc> discovery (urlset + sitemapindex, total
+        # over truncated XML) — generate_series oracle
+        "sm1_sitemap_discovery": q_sitemap_discovery,
         # t17 parked in r14 (driver-green r10–r13) so the acquisition
         # landings get first driver rows; quality/normalization family
         # keeps t11/t13/t19 in-window. Extras-gated here.
@@ -6564,6 +6663,49 @@ def oracle_sql() -> dict[str, str]:
                    END AS domain
             FROM documents WHERE doc_id < 800
             ORDER BY doc_id
+        """,
+        # expected verdicts derived BY HAND from RFC 9309 precedence
+        # over the three constructed robots shapes: host%3==0 carries
+        # Disallow /private/ (9 octets) + Allow /private/ok (11 — wins
+        # the k4=2 template by length; digit ids can't collide with
+        # the 'ok' carve-out on k4=1), host%3==1 carries the wildcard
+        # Disallow /*.bin$ (hits only the k4=3 template), host%3==2
+        # has no rules
+        "rob1_robots_gate": """
+            SELECT doc_id,
+                   concat('https://site', CAST(doc_id % 7 AS VARCHAR), '.com',
+                     CASE doc_id % 4
+                       WHEN 0 THEN concat('/public/', CAST(doc_id AS VARCHAR))
+                       WHEN 1 THEN concat('/private/', CAST(doc_id AS VARCHAR))
+                       WHEN 2 THEN concat('/private/ok/', CAST(doc_id AS VARCHAR))
+                       ELSE concat('/data/', CAST(doc_id AS VARCHAR), '.bin')
+                     END) AS url,
+                   CASE
+                     WHEN (doc_id % 7) % 3 = 0 AND doc_id % 4 = 1 THEN false
+                     WHEN (doc_id % 7) % 3 = 1 AND doc_id % 4 = 3 THEN false
+                     ELSE true
+                   END AS allowed
+            FROM documents ORDER BY doc_id
+        """,
+        "sm1_sitemap_discovery": """
+            WITH hosts AS (SELECT UNNEST(generate_series(0, 6)) AS id),
+            pages AS (
+                SELECT concat('site', CAST(id AS VARCHAR), '.com') AS host,
+                       concat('https://site', CAST(id AS VARCHAR), '.com/p/',
+                              CAST(UNNEST(generate_series(0, id % 3)) AS VARCHAR)) AS loc,
+                       'url' AS kind
+                FROM hosts
+            ),
+            children AS (
+                SELECT concat('site', CAST(id AS VARCHAR), '.com') AS host,
+                       concat('https://site', CAST(id AS VARCHAR),
+                              '.com/maps/child.xml') AS loc,
+                       'sitemap' AS kind
+                FROM hosts WHERE id % 2 = 0
+            )
+            SELECT host, loc, kind
+            FROM (SELECT * FROM pages UNION ALL SELECT * FROM children)
+            ORDER BY host, kind, loc
         """,
         "lg1_link_graph_prior": """
             WITH e0 AS (

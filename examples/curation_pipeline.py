@@ -123,7 +123,24 @@ def main() -> None:
                              "n_chars"),
                 "url",
             )
-        gated = domain_cap(url_dedup(crawled), cap=10 ** 6)
+        # politeness gate (RFC 9309): every 10th host disallows /p/ —
+        # parsed once on the hosts-sized side, corpus gated via
+        # broadcast join + JVM rule fold
+        from muopdb_spark.operators.robots import parse_robots, robots_gate
+
+        h = F.col("id")
+        robots = spark.range(97).select(
+            F.concat(
+                F.lit("www.site"), h.cast("string"), F.lit(".com")
+            ).alias("host"),
+            F.when(
+                h % 10 == 0, F.lit("User-agent: *\nDisallow: /p/\n")
+            ).otherwise(F.lit("")).alias("robots_txt"),
+        )
+        polite = robots_gate(crawled, parse_robots(robots)).filter(
+            "robots_allowed"
+        ).drop("robots_allowed")
+        gated = domain_cap(url_dedup(polite), cap=10 ** 6)
         extracted = extract_text(gated, html_col="html").select(
             "doc_id", "text"
         )
@@ -131,6 +148,7 @@ def main() -> None:
             "doc_id", "lang", "source", "n_chars"
         ).join(extracted, "doc_id")
         print(f"acquisition: {pages.count()} archived pages -> "
+              f"{polite.count()} after robots gate -> "
               f"{raw.count()} after WARC read + URL gate (HTML "
               f"stripped, boilerplate dropped)")
 

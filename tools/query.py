@@ -63,7 +63,7 @@ PIPELINE_CMDS = {"dedup", "lm-score", "chunk", "shard", "quality", "admit",
                  "frames",
                  "dsir", "vocab", "split", "ppl-buckets", "bpe", "select",
                  "decontaminate", "curate", "tokens", "report", "probe",
-                 "extract-text", "urls", "warc"}
+                 "extract-text", "urls", "warc", "robots"}
 
 
 def _pipeline(spark, args, ap) -> dict:
@@ -576,6 +576,41 @@ def _pipeline(spark, args, ap) -> dict:
         result = {"docs": n0, "after_url_dedup": n1,
                   "after_domain_cap": n2,
                   "max_per_domain": args.max_per_domain}
+    elif args.command == "robots":
+        # RFC 9309 politeness gate: --robots is a (host, robots_txt)
+        # parquet; URLs in --input gain a robots_allowed column and
+        # the funnel is reported. --sitemap-col instead extracts
+        # sitemap <loc> rows from the --input table itself.
+        from pyspark.sql import functions as F
+
+        from muopdb_spark.operators.robots import (
+            parse_robots,
+            robots_gate,
+            sitemap_urls,
+        )
+
+        if args.sitemap_col:
+            out = sitemap_urls(df, content_col=args.sitemap_col)
+            agg = out.groupBy("kind").count().collect()
+            result = {"mode": "sitemap",
+                      **{r["kind"]: int(r["count"]) for r in agg}}
+        else:
+            if not args.robots:
+                ap.error("robots: --robots <parquet> required "
+                         "(columns host, robots_txt)")
+            rules = parse_robots(
+                spark.read.parquet(args.robots),
+                user_agent=args.user_agent,
+            )
+            out = robots_gate(df, rules)
+            agg = out.agg(
+                F.count("*").alias("urls"),
+                F.sum(F.col("robots_allowed").cast("long")).alias("ok"),
+            ).collect()[0]
+            result = {"mode": "gate", "user_agent": args.user_agent,
+                      "urls": int(agg["urls"]),
+                      "allowed": int(agg["ok"] or 0),
+                      "denied": int(agg["urls"]) - int(agg["ok"] or 0)}
     elif args.command == "frames":
         # REAL video frame extraction: MJPEG-in-AVI payloads walked by
         # the RIFF parser, each frame decoded by the JPEG codec —
@@ -889,6 +924,14 @@ def main(argv=None) -> int:
                     help="frames: keep every n-th video frame")
     ap.add_argument("--max-per-domain", type=int, default=0,
                     help="urls: cap docs per registered domain (0 = off)")
+    ap.add_argument("--robots",
+                    help="robots: parquet of (host, robots_txt) rules")
+    ap.add_argument("--user-agent", default="*",
+                    help="robots: crawler product token for group "
+                         "selection (default '*')")
+    ap.add_argument("--sitemap-col",
+                    help="robots: extract sitemap <loc> rows from "
+                         "this XML column of --input instead of gating")
     ap.add_argument("--html-col", default="html",
                     help="extract-text: column holding the page HTML")
     ap.add_argument("--pdf-col",
