@@ -2769,6 +2769,87 @@ def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "page")
 
 
+def q_pdf_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pdf2: embedded-image extraction from PDFs (operators/pdf.py
+    r14) — the figure half of document acquisition, composing the PDF
+    object machinery with the repo's own image codecs. Each document
+    carries one FlateDecode DeviceRGB image whose dimensions and
+    gradient pixels are arithmetic in doc_id, plus (on even doc_ids) a
+    DCTDecode image compressed through the repo JPEG encoder. The
+    extractor must recover page membership, dimensions and format per
+    image, and the px_ok column pins content: exact byte equality for
+    the Flate image, mean-abs-error < 8 for the lossy DCT one
+    (recomputed against the same deterministic generator in the same
+    Arrow pass — the p7/warc1 integrity-pin pattern). The oracle
+    reconstructs every column arithmetically with px_ok always true,
+    so a filter, color-space, sample-layout or JPEG defect fails the
+    value hash."""
+    from muopdb_spark.operators.pdf import (
+        encode_pdf_images,
+        extract_pdf_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _px(d: int, h: int, w: int):
+        import numpy as np
+
+        g = np.arange(h * w * 3, dtype=np.int64) * 37 + d
+        return (g % 251).astype(np.uint8).reshape(h, w, 3)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf_batch in batches:
+            out = {k: [] for k in (
+                "doc_id", "img_idx", "width", "height", "format",
+                "px_ok",
+            )}
+            for d in pdf_batch["doc_id"]:
+                d = int(d)
+                h = 8 + (d % 3) * 4
+                w = 16 + (d % 4) * 4
+                imgs: list = [_px(d, h, w)]
+                if d % 2 == 0:
+                    imgs.append(("jpeg", _px(d + 1, 16, 16)))
+                blob = encode_pdf_images([(f"doc {d}", imgs)])
+                for j, im in enumerate(extract_pdf_images(blob)):
+                    if j == 0:
+                        ok = bool(
+                            np.array_equal(im["pixels"], _px(d, h, w))
+                        )
+                    else:
+                        diff = np.abs(
+                            im["pixels"].astype(int)
+                            - _px(d + 1, 16, 16).astype(int)
+                        )
+                        ok = bool(diff.mean() < 8)
+                    out["doc_id"].append(d)
+                    out["img_idx"].append(j)
+                    out["width"].append(im["width"])
+                    out["height"].append(im["height"])
+                    out["format"].append(im["format"])
+                    out["px_ok"].append(ok)
+            yield pd.DataFrame(out)
+
+    rows = docs.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(
+        gen,
+        "doc_id long, img_idx int, width int, height int,"
+        " format string, px_ok boolean",
+    )
+    return rows.select(
+        "doc_id",
+        F.col("img_idx").cast("long").alias("img_idx"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "format",
+        "px_ok",
+    ).orderBy("doc_id", "img_idx")
+
+
 def q_avi_frame_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """m9: REAL video frame extraction — MJPEG-in-AVI payloads
     synthesized per document (frame count, dimensions and flat pixel
@@ -5335,6 +5416,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r14: sitemap <loc> discovery (urlset + sitemapindex, total
         # over truncated XML) — generate_series oracle
         "sm1_sitemap_discovery": q_sitemap_discovery,
+        # r14: embedded-image extraction from PDFs (FlateDecode exact
+        # + DCTDecode through the repo JPEG codec) — arithmetic
+        # dims/format oracle with the p7/warc1-style px_ok integrity
+        # pin; the PDF family's in-window witness is pdf1
+        "pdf2_image_extract": q_pdf_image_extract,
         # t17 parked in r14 (driver-green r10–r13) so the acquisition
         # landings get first driver rows; quality/normalization family
         # keeps t11/t13/t19 in-window. Extras-gated here.
@@ -6686,6 +6772,29 @@ def oracle_sql() -> dict[str, str]:
                      ELSE true
                    END AS allowed
             FROM documents ORDER BY doc_id
+        """,
+        # every doc has one flate image at arithmetic dims; even docs
+        # add a 16x16 jpeg; px_ok pins content Spark-side and is
+        # always true
+        "pdf2_image_extract": """
+            WITH flate AS (
+                SELECT doc_id,
+                       CAST(0 AS BIGINT) AS img_idx,
+                       CAST(16 + (doc_id % 4) * 4 AS BIGINT) AS width,
+                       CAST(8 + (doc_id % 3) * 4 AS BIGINT) AS height,
+                       'flate' AS format, true AS px_ok
+                FROM documents
+            ), jpeg AS (
+                SELECT doc_id,
+                       CAST(1 AS BIGINT) AS img_idx,
+                       CAST(16 AS BIGINT) AS width,
+                       CAST(16 AS BIGINT) AS height,
+                       'jpeg' AS format, true AS px_ok
+                FROM documents WHERE doc_id % 2 = 0
+            )
+            SELECT doc_id, img_idx, width, height, format, px_ok
+            FROM (SELECT * FROM flate UNION ALL SELECT * FROM jpeg)
+            ORDER BY doc_id, img_idx
         """,
         "sm1_sitemap_discovery": """
             WITH hosts AS (SELECT UNNEST(generate_series(0, 6)) AS id),

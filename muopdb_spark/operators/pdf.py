@@ -28,6 +28,16 @@ Spark mapping: `pdf_pages` is one Arrow mapInPandas pass (doc_id,
 page, text) — map-side, no shuffle; the probe hook in
 operators/multimodal.py stays header-only.
 
+Embedded images (r14): `extract_pdf_images` pulls /Subtype /Image
+XObjects — DCTDecode payloads decode through the repo's own T.81
+JPEG codec (operators/jpeg.py) and FlateDecode/unfiltered 8-bit
+DeviceRGB/DeviceGray samples decode directly; Indexed/ICC/CMYK color
+spaces, other bit depths, image masks and JPX/JBIG2/CCITT refuse by
+name. `pdf_image_features` is the Spark pass emitting the SAME dHash
+the image near-dup family keys on, so figures extracted from PDFs
+feed hash64_near_dup unchanged; `encode_pdf_images` is the
+deterministic writer twin.
+
 Reference parity note: the reference engine (hicder/muopdb) has no
 document-format operators; this module is brief-driven (training-data
 acquisition) like the WARC/HTML/URL families it completes.
@@ -860,3 +870,290 @@ def pdf_pages(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(gen, PDF_PAGES_SCHEMA)
+
+
+# ----------------------------------------------------- embedded images
+
+
+def _image_xobjects(doc: PdfDocument, resources, depth: int = 0):
+    """Yield (name, dict, ref) for every /Image XObject reachable from
+    `resources`, recursing through Form XObjects (depth-capped)."""
+    if depth > 8 or not isinstance(resources, dict):
+        return
+    xobjects = doc.resolve(resources.get("XObject")) or {}
+    if not isinstance(xobjects, dict):
+        return
+    for name, ref in xobjects.items():
+        if not isinstance(ref, _Ref):
+            continue
+        try:
+            xd = doc.resolve(ref)
+        except PdfError:
+            continue
+        if not isinstance(xd, dict):
+            continue
+        sub = xd.get("Subtype")
+        if sub == "Image":
+            yield str(name), xd, ref
+        elif sub == "Form":
+            yield from _image_xobjects(
+                doc, doc.resolve(xd.get("Resources")), depth + 1
+            )
+
+
+def _decode_image_xobject(doc: PdfDocument, xd: dict, ref: _Ref):
+    """One /Image XObject -> np.ndarray (h,w,3) u8 RGB or (h,w) u8
+    gray. Refuses unsupported shapes BY NAME."""
+    import numpy as np
+
+    if doc.resolve(xd.get("ImageMask")) is True:
+        raise NotImplementedError("pdf image: ImageMask is not supported")
+    w = int(doc.resolve(xd.get("Width") or 0))
+    h = int(doc.resolve(xd.get("Height") or 0))
+    if w <= 0 or h <= 0:
+        raise PdfError("pdf image: missing/invalid Width/Height")
+    filters = doc.resolve(xd.get("Filter"))
+    if not isinstance(filters, list):
+        filters = [filters] if filters is not None else []
+    filters = [str(doc.resolve(f)) for f in filters]
+    if filters and filters[-1] == "DCTDecode":
+        # the payload after any earlier filters IS a JFIF/JPEG file;
+        # decode with the repo's own T.81 codec
+        from muopdb_spark.operators.jpeg import decode_jpeg
+
+        head = dict(xd)
+        head["Filter"] = [_Name(f) for f in filters[:-1]]
+        parms = doc.resolve(xd.get("DecodeParms"))
+        if isinstance(parms, list) and len(parms) == len(filters):
+            head["DecodeParms"] = parms[:-1]
+        payload = _apply_filters(head, doc._streams.get(ref.num, b""), doc)
+        arr = decode_jpeg(payload)
+        return arr, "jpeg"
+    bits = int(doc.resolve(xd.get("BitsPerComponent") or 8))
+    if bits != 8:
+        raise NotImplementedError(
+            f"pdf image: BitsPerComponent {bits} is not supported"
+        )
+    cs = doc.resolve(xd.get("ColorSpace"))
+    if isinstance(cs, list):
+        csname = str(doc.resolve(cs[0])) if cs else ""
+    else:
+        csname = str(cs) if cs is not None else ""
+    if csname not in ("DeviceRGB", "DeviceGray", "CalRGB", "CalGray"):
+        raise NotImplementedError(
+            f"pdf image: color space {csname!r} is not supported"
+        )
+    ncomp = 3 if csname in ("DeviceRGB", "CalRGB") else 1
+    samples = doc.stream_bytes(xd, ref.num)
+    need = w * h * ncomp
+    if len(samples) < need:
+        raise PdfError(
+            f"pdf image: {len(samples)} sample bytes for {w}x{h}x{ncomp}"
+        )
+    arr = np.frombuffer(samples[:need], dtype=np.uint8)
+    arr = arr.reshape((h, w, ncomp)) if ncomp == 3 else arr.reshape((h, w))
+    return arr, ("flate" if "FlateDecode" in filters else "raw")
+
+
+def extract_pdf_images(data: bytes) -> list[dict]:
+    """Embedded raster images of every page: [{page, name, width,
+    height, format, pixels}] where format is 'jpeg' (DCTDecode via the
+    repo JPEG codec), 'flate' or 'raw' (8-bit DeviceRGB/DeviceGray
+    samples) and pixels is the decoded np.uint8 array. Unsupported
+    image shapes raise NotImplementedError by name; malformed files
+    raise PdfError. Soft masks (/SMask alpha) are ignored — the RGB
+    plane is extracted."""
+    doc = PdfDocument(data)
+    out: list[dict] = []
+    for pageno, page in enumerate(doc.pages()):
+        res = doc.resolve(page.get("Resources"))
+        for name, xd, ref in _image_xobjects(doc, res):
+            arr, fmt = _decode_image_xobject(doc, xd, ref)
+            out.append({
+                "page": pageno,
+                "name": name,
+                "width": int(arr.shape[1]),
+                "height": int(arr.shape[0]),
+                "format": fmt,
+                "pixels": arr,
+            })
+    return out
+
+
+def encode_pdf_images(
+    pages: list[tuple[str, list]], *, jpeg_quality: int = 90,
+) -> bytes:
+    """Deterministic writer twin for image PDFs: each page is
+    (text, [images]) where an image is an np.uint8 RGB (h,w,3) or
+    gray (h,w) array, or a ('jpeg', rgb_array) tuple to embed it
+    DCTDecode-compressed through the repo JPEG encoder. Text uses the
+    encode_pdf Helvetica/WinAnsi convention; zero dates/IDs, classic
+    xref — byte-identical re-exports."""
+    import numpy as np
+
+    if not pages:
+        raise ValueError("encode_pdf_images: no pages")
+    objs: list[bytes] = []
+
+    def obj(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    obj(b"<< /Type /Catalog /Pages 2 0 R >>")
+    obj(b"PLACEHOLDER-PAGES")
+    obj(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+        b" /Encoding /WinAnsiEncoding >>")
+    page_nums: list[int] = []
+    for i, (text, images) in enumerate(pages):
+        img_nums: list[int] = []
+        img_dims: list[tuple[int, int]] = []
+        for img in images:
+            fmt = "flate"
+            if isinstance(img, tuple):
+                fmt, img = img
+                if fmt != "jpeg":
+                    raise ValueError(
+                        f"encode_pdf_images: bad image format {fmt!r}"
+                    )
+            arr = np.asarray(img, dtype=np.uint8)
+            if arr.ndim == 3 and arr.shape[2] == 3:
+                cs, gray = b"/DeviceRGB", False
+            elif arr.ndim == 2:
+                cs, gray = b"/DeviceGray", True
+            else:
+                raise ValueError(
+                    f"encode_pdf_images: bad image shape {arr.shape}"
+                )
+            h, w = int(arr.shape[0]), int(arr.shape[1])
+            if fmt == "jpeg":
+                from muopdb_spark.operators.jpeg import encode_jpeg
+
+                if gray:
+                    raise ValueError(
+                        "encode_pdf_images: jpeg embedding requires RGB"
+                    )
+                payload = encode_jpeg(arr, quality=jpeg_quality)
+                filt = b"/DCTDecode"
+            else:
+                payload = zlib.compress(arr.tobytes(), 9)
+                filt = b"/FlateDecode"
+            head = (
+                b"<< /Type /XObject /Subtype /Image"
+                + f" /Width {w} /Height {h}".encode()
+                + b" /ColorSpace " + cs
+                + b" /BitsPerComponent 8 /Filter " + filt
+                + f" /Length {len(payload)} >>".encode()
+            )
+            img_nums.append(
+                obj(head + b"\nstream\n" + payload + b"\nendstream")
+            )
+            img_dims.append((w, h))
+        lines = (text or "").split("\n") if text else []
+        body = b"BT\n/F1 11 Tf\n13 TL\n72 720 Td\n"
+        if lines:
+            try:
+                body += b" T*\n".join(
+                    b"(" + _pdf_escape(ln) + b") Tj" for ln in lines
+                )
+            except UnicodeEncodeError as e:
+                raise ValueError(
+                    f"encode_pdf_images: page {i} non-WinAnsi ({e})"
+                ) from None
+        body += b"\nET\n"
+        for j, (inum, (w, h)) in enumerate(zip(img_nums, img_dims)):
+            x, y = 72 + 20 * j, 400 - 20 * j
+            body += (
+                f"q {w} 0 0 {h} {x} {y} cm /Im{j} Do Q\n".encode()
+            )
+        payload = zlib.compress(body, 9)
+        cnum = obj(
+            f"<< /Length {len(payload)} /Filter /FlateDecode >>".encode()
+            + b"\nstream\n" + payload + b"\nendstream"
+        )
+        xdict = b" ".join(
+            f"/Im{j} {n} 0 R".encode() for j, n in enumerate(img_nums)
+        )
+        page_nums.append(obj(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+            b" /Resources << /Font << /F1 3 0 R >> /XObject << "
+            + xdict + b" >> >>"
+            + f" /Contents {cnum} 0 R >>".encode()
+        ))
+    kids = " ".join(f"{n} 0 R" for n in page_nums)
+    objs[1] = (
+        f"<< /Type /Pages /Count {len(page_nums)} /Kids [{kids}] >>"
+        .encode()
+    )
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+PDF_IMAGES_SCHEMA = (
+    "doc_id long, page int, img_idx int, width int, height int,"
+    " format string, dhash long"
+)
+
+
+def pdf_image_features(
+    df, *, content_col: str = "content", id_col: str = "doc_id",
+    on_error: str = "error",
+):
+    """(doc_id, page, img_idx, width, height, format, dhash) — one row
+    per embedded raster image, decoded and perceptually hashed
+    executor-side in one Arrow pass. The dhash column is the SAME
+    64-bit dHash the image near-dup family keys on (operators/image.py
+    to_gray -> area_resize -> dhash64), so PDF figures join
+    hash64_near_dup / image_near_dup pipelines unchanged. on_error=
+    'skip' drops undecodable documents (crawl posture)."""
+    import pandas as pd
+
+    if on_error not in ("error", "skip"):
+        raise ValueError(f"pdf_image_features: bad on_error {on_error!r}")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from muopdb_spark.operators.image import (
+            area_resize,
+            dhash64,
+            to_gray,
+        )
+
+        for pdf_batch in batches:
+            out = {k: [] for k in (
+                "doc_id", "page", "img_idx", "width", "height",
+                "format", "dhash",
+            )}
+            for did, blob in zip(pdf_batch[id_col],
+                                 pdf_batch[content_col]):
+                try:
+                    images = extract_pdf_images(bytes(blob))
+                except Exception:
+                    if on_error == "skip":
+                        continue
+                    raise
+                for j, im in enumerate(images):
+                    px = im["pixels"]
+                    gray = to_gray(px) if px.ndim == 3 else \
+                        px.astype("float64")
+                    out["doc_id"].append(did)
+                    out["page"].append(im["page"])
+                    out["img_idx"].append(j)
+                    out["width"].append(im["width"])
+                    out["height"].append(im["height"])
+                    out["format"].append(im["format"])
+                    out["dhash"].append(dhash64(area_resize(gray, 8, 9)))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(gen, PDF_IMAGES_SCHEMA)

@@ -533,6 +533,22 @@ def _pipeline(spark, args, ap) -> dict:
         # (one row per page); --output parquet via the shared tail
         from pyspark.sql import functions as F
 
+        if args.pdf_col and args.pdf_images:
+            from muopdb_spark.operators.pdf import pdf_image_features
+
+            out = pdf_image_features(df, content_col=args.pdf_col,
+                                     on_error="skip")
+            agg = out.agg(
+                F.count_distinct("doc_id").alias("docs"),
+                F.count("*").alias("images"),
+            ).collect()[0]
+            result = {"docs": int(agg["docs"]),
+                      "images": int(agg["images"])}
+            if args.output:
+                out.write.mode("overwrite").parquet(args.output)
+                result["path"] = args.output
+            return result
+
         if args.pdf_col:
             from muopdb_spark.operators.pdf import pdf_pages
 
@@ -938,6 +954,10 @@ def main(argv=None) -> int:
                     help="extract-text: binary PDF column — extract "
                          "the text layer (one row per page) instead "
                          "of HTML")
+    ap.add_argument("--pdf-images", action="store_true",
+                    help="extract-text --pdf-col: extract embedded "
+                         "raster images (dims/format/dHash per image) "
+                         "instead of the text layer")
     ap.add_argument("--wet", action="store_true",
                     help="warc: read conversion (WET) records as text")
     ap.add_argument("--warc-text", action="store_true",
