@@ -9,8 +9,12 @@ Decoder coverage (honest gates, refused by name):
     bottom-up and top-down (negative height), 4-byte row padding
   - BI_BITFIELDS with arbitrary 16/32-bit channel masks (inline V2+
     masks or the three DWORDs after a 40-byte header)
-  - BI_RLE4/BI_RLE8/JPEG/PNG embeddings raise NotImplementedError
-    naming the compression; structural problems raise ValueError
+  - BI_RLE8 / BI_RLE4 run-length decoding (r14): encoded runs,
+    absolute mode (word-aligned), end-of-line / end-of-bitmap /
+    delta escapes (skipped cells read palette index 0, the de-facto
+    convention); RLE bitmaps must be bottom-up per the format
+  - BI_JPEG/BI_PNG embeddings raise NotImplementedError naming the
+    compression; structural problems raise ValueError
 
 Encoder: 24-bit BI_RGB bottom-up (the universally readable variant),
 lossless for RGB input — fingerprint tests get exact roundtrips.
@@ -30,6 +34,105 @@ _COMPRESSION_NAMES = {
     1: "BI_RLE8", 2: "BI_RLE4", 3: "BI_BITFIELDS", 4: "BI_JPEG",
     5: "BI_PNG", 6: "BI_ALPHABITFIELDS",
 }
+
+
+def _decode_rle(
+    body: bytes, w: int, h: int, *, four_bit: bool
+) -> np.ndarray:
+    """BI_RLE8/BI_RLE4 stream -> (h, w) palette-index plane in FILE
+    row order (row 0 = bottom scanline). Encoded runs, absolute mode
+    (word-aligned), 00/00 end-of-line, 00/01 end-of-bitmap, 00/02
+    delta; cells never written stay 0 (the de-facto fill). Runs or
+    moves past the row/bitmap bounds raise ValueError."""
+    idx = np.zeros((h, w), np.uint8)
+    x = y = 0
+    i = 0
+    n = len(body)
+    while True:
+        if i + 2 > n:
+            raise ValueError("decode_bmp: truncated RLE stream")
+        b0, b1 = body[i], body[i + 1]
+        i += 2
+        if b0 > 0:  # encoded run
+            if y >= h or x + b0 > w:
+                raise ValueError("decode_bmp: RLE run past row end")
+            if four_bit:
+                pair = (b1 >> 4, b1 & 0x0F)
+                for k in range(b0):
+                    idx[y, x + k] = pair[k & 1]
+            else:
+                idx[y, x:x + b0] = b1
+            x += b0
+        elif b1 == 0:  # end of line
+            x, y = 0, y + 1
+        elif b1 == 1:  # end of bitmap
+            return idx
+        elif b1 == 2:  # delta
+            if i + 2 > n:
+                raise ValueError("decode_bmp: truncated RLE delta")
+            dx, dy = body[i], body[i + 1]
+            i += 2
+            x, y = x + dx, y + dy
+            if y > h or x > w:
+                raise ValueError("decode_bmp: RLE delta out of bounds")
+        else:  # absolute mode: b1 literal pixels, word-aligned
+            cnt = b1
+            if y >= h or x + cnt > w:
+                raise ValueError("decode_bmp: RLE absolute past row end")
+            if four_bit:
+                nbytes = (cnt + 1) // 2
+                chunk = body[i:i + nbytes]
+                if len(chunk) < nbytes:
+                    raise ValueError("decode_bmp: truncated RLE literals")
+                i += nbytes + (nbytes & 1)
+                for k in range(cnt):
+                    b = chunk[k // 2]
+                    idx[y, x + k] = (b >> 4) if k % 2 == 0 else (b & 0x0F)
+            else:
+                chunk = body[i:i + cnt]
+                if len(chunk) < cnt:
+                    raise ValueError("decode_bmp: truncated RLE literals")
+                i += cnt + (cnt & 1)
+                idx[y, x:x + cnt] = np.frombuffer(chunk, np.uint8)
+            x += cnt
+
+
+def encode_bmp_rle8(idx: np.ndarray, palette: np.ndarray) -> bytes:
+    """BI_RLE8 writer twin: (h, w) uint8 palette indices + (n, 3) RGB
+    palette -> a bottom-up RLE8 BMP (encoded runs + EOL/EOB escapes;
+    deterministic). The roundtrip referee for the RLE decoder."""
+    idx = np.asarray(idx)
+    palette = np.asarray(palette, np.uint8)
+    if idx.ndim != 2 or idx.size == 0:
+        raise ValueError(f"encode_bmp_rle8: bad index shape {idx.shape}")
+    if palette.ndim != 2 or palette.shape[1] != 3 or len(palette) > 256:
+        raise ValueError(
+            f"encode_bmp_rle8: bad palette shape {palette.shape}"
+        )
+    if idx.max(initial=0) >= len(palette):
+        raise ValueError("encode_bmp_rle8: index out of palette range")
+    h, w = idx.shape
+    out = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up scanlines
+        row = idx[y]
+        x = 0
+        while x < w:
+            run = 1
+            while x + run < w and row[x + run] == row[x] and run < 255:
+                run += 1
+            out += bytes((run, int(row[x])))
+            x += run
+        out += b"\x00\x00"  # end of line
+    out += b"\x00\x01"  # end of bitmap
+    pal = np.zeros((len(palette), 4), np.uint8)
+    pal[:, :3] = palette[:, ::-1]  # BGRA quads
+    off = 14 + 40 + pal.size
+    header = b"BM" + struct.pack("<III", off + len(out), 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(out), 2835, 2835,
+        len(palette), 0,
+    )
+    return header + info + pal.tobytes() + bytes(out)
 
 
 def decode_bmp(data: bytes) -> np.ndarray:
@@ -58,11 +161,21 @@ def decode_bmp(data: bytes) -> np.ndarray:
         masks = struct.unpack("<III", data[54:66])
         if any(m == 0 for m in masks):
             raise ValueError("decode_bmp: zero channel mask")
+    elif comp in (1, 2):
+        if (comp == 1 and bpp != 8) or (comp == 2 and bpp != 4):
+            raise ValueError(
+                f"decode_bmp: {_COMPRESSION_NAMES[comp]} requires "
+                f"{'8' if comp == 1 else '4'}-bit pixels, got {bpp}"
+            )
+        if h_signed < 0:
+            raise ValueError(
+                "decode_bmp: RLE bitmaps must be bottom-up"
+            )
     elif comp != 0:
         raise NotImplementedError(
             "decode_bmp: compression "
             f"{_COMPRESSION_NAMES.get(comp, comp)} unsupported "
-            "(BI_RGB and BI_BITFIELDS only)"
+            "(BI_RGB, BI_BITFIELDS and BI_RLE8/BI_RLE4 only)"
         )
     if w <= 0 or h_signed == 0:
         raise ValueError("decode_bmp: invalid dimensions")
@@ -82,6 +195,12 @@ def decode_bmp(data: bytes) -> np.ndarray:
         if len(quads) < 4 * n:
             raise ValueError("decode_bmp: truncated palette")
         pal = np.frombuffer(quads, np.uint8).reshape(n, 4)[:, [2, 1, 0]]
+
+    if comp in (1, 2):
+        idx = _decode_rle(data[off:], w, h, four_bit=(comp == 2))
+        # RLE scanlines run bottom-up: row 0 of the decoded index
+        # plane is the bottom display row
+        return pal[idx[::-1]]
 
     stride = (w * bpp + 31) // 32 * 4
     body = data[off:off + stride * h]

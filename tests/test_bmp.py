@@ -92,13 +92,92 @@ def test_bitfields_32bit():
 def test_refusals_by_name():
     with pytest.raises(ValueError, match="BM magic"):
         decode_bmp(b"NOPE" + bytes(60))
-    with pytest.raises(NotImplementedError, match="BI_RLE8"):
-        decode_bmp(_hand_bmp(1, 1, 8, bytes(4), bytes(4), comp=1))
+    with pytest.raises(NotImplementedError, match="BI_JPEG"):
+        decode_bmp(_hand_bmp(1, 1, 24, b"", bytes(4), comp=4))
     with pytest.raises(ValueError, match="shape|empty"):
         encode_bmp(np.zeros((0, 3, 3), np.uint8))
     good = encode_bmp(np.zeros((4, 4, 3), np.uint8))
     with pytest.raises(ValueError, match="truncated"):
         decode_bmp(good[:-8])
+
+
+# ------------------------------------------------------------ RLE (r14)
+
+_PAL4 = bytes([0, 0, 255, 0,  0, 255, 0, 0,  255, 0, 0, 0,
+               255, 255, 255, 0])  # red, green, blue, white (BGRA)
+_RGB4 = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255],
+                  [255, 255, 255]], np.uint8)
+
+
+def test_rle8_roundtrip_via_writer_twin():
+    from muopdb_spark.operators.bmp import encode_bmp_rle8
+
+    rng = np.random.default_rng(7)
+    for shape in ((1, 1), (3, 9), (16, 16), (5, 255)):
+        idx = rng.integers(0, 4, shape).astype(np.uint8)
+        # long runs too, so the encoder's run coalescing is exercised
+        idx[:, : shape[1] // 2] = 2
+        out = decode_bmp(encode_bmp_rle8(idx, _RGB4))
+        assert np.array_equal(out, _RGB4[idx])
+
+
+def test_rle8_hand_stream_absolute_delta_and_fill():
+    # 5x3 bottom-up: row0(bottom): run 2x idx1, absolute [2,3,1]
+    # (3 literals + word pad); row1: delta skips to x=1 (fill stays),
+    # run 1x idx3; row2: EOL immediately (all fill); EOB
+    stream = bytes(
+        [2, 1, 0, 3, 2, 3, 1, 0, 0, 0]  # run, abs(3)+pad, EOL
+        + [0, 2, 1, 0, 1, 3, 0, 0]      # delta(+1,0), run 1x idx3, EOL
+        + [0, 0]                         # row2 empty (EOL)
+        + [0, 1]                         # EOB
+    )
+    bmp = _hand_bmp(5, 3, 8, _PAL4, stream, comp=1)
+    out = decode_bmp(bmp)
+    exp_idx = np.array([
+        [0, 0, 0, 0, 0],   # top (file row 2): all fill
+        [0, 3, 0, 0, 0],   # file row 1: delta skipped x=0, idx3 at x=1
+        [1, 1, 2, 3, 1],   # bottom (file row 0)
+    ], np.uint8)
+    assert np.array_equal(out, _RGB4[exp_idx])
+
+
+def test_rle4_hand_stream():
+    # 5x2 bottom-up RLE4: row0: run 4 alternating idx1/idx2 then run
+    # 1 idx3; row1: absolute 3 nibbles [0,1,2] (2 bytes + 1 pad),
+    # rest fill
+    stream = bytes(
+        [4, 0x12, 1, 0x30, 0, 0]
+        + [0, 3, 0x01, 0x20, 0, 0]
+        + [0, 1]
+    )
+    bmp = _hand_bmp(5, 2, 4, _PAL4, stream, comp=2)
+    out = decode_bmp(bmp)
+    exp_idx = np.array([
+        [0, 1, 2, 0, 0],   # top (file row 1): absolute 0,1,2 + fill
+        [1, 2, 1, 2, 3],   # bottom (file row 0)
+    ], np.uint8)
+    assert np.array_equal(out, _RGB4[exp_idx])
+
+
+def test_rle_errors_by_name():
+    from muopdb_spark.operators.bmp import encode_bmp_rle8
+
+    with pytest.raises(ValueError, match="bottom-up"):
+        decode_bmp(_hand_bmp(2, 2, 8, _PAL4, bytes([0, 1]), comp=1,
+                             top_down=True))
+    with pytest.raises(ValueError, match="requires 8-bit"):
+        decode_bmp(_hand_bmp(2, 2, 4, _PAL4, bytes([0, 1]), comp=1))
+    with pytest.raises(ValueError, match="requires 4-bit"):
+        decode_bmp(_hand_bmp(2, 2, 8, _PAL4, bytes([0, 1]), comp=2))
+    with pytest.raises(ValueError, match="truncated RLE"):
+        decode_bmp(_hand_bmp(2, 2, 8, _PAL4, bytes([5]), comp=1))
+    with pytest.raises(ValueError, match="past row end"):
+        decode_bmp(_hand_bmp(2, 2, 8, _PAL4, bytes([3, 1, 0, 1]), comp=1))
+    with pytest.raises(ValueError, match="out of bounds"):
+        decode_bmp(_hand_bmp(2, 2, 8, _PAL4,
+                             bytes([0, 2, 9, 9, 0, 1]), comp=1))
+    with pytest.raises(ValueError, match="palette"):
+        encode_bmp_rle8(np.full((2, 2), 9, np.uint8), _RGB4)
 
 
 def test_foreign_fixture_equals_png_exactly():
