@@ -81,15 +81,17 @@ BENCH_QUERIES = [
     "t10_quality_classifier",
     "p5_rag_chunks",
     "v24_sq8_rerank",
-    "v25_two_level_probe",
     "pipe1_curation_manifest",
     "v26_ivf_sq_rerank",
     "t11_quality_calibrated",
     "smp5_temperature_mixture",
-    # r7: the scale-safe smp5 membership form and the sharded vecs
-    # export boundary (both oracle-gated extras)
-    "smp5h_temperature_mixture_hash",
-    "src3_fvecs_sharded_roundtrip",
+    # r14 contract-line prune: smp5h_temperature_mixture_hash (twin
+    # smp5 stays benched), src3_fvecs_sharded_roundtrip (offline-
+    # source boundary witnessed by s3_insert_packed + the src4/src5
+    # HDF5 roundtrips) and v25_two_level_probe (probe path witnessed
+    # by v4/v19) dropped so the decisecond line fits the driver's
+    # 2000-char tail with the five r14 acquisition rows added; all
+    # three stay oracle-gated in pytest and keep their floors.
     "smp6_dsir_sample",
     "d9_exact_substring",
     "pipe2_curation_manifest_v2",
@@ -135,6 +137,18 @@ BENCH_QUERIES = [
     # driver-tail contract line from centiseconds to the decisecond
     # fallback, which still parses (r12 contract)
     "m9_avi_frame_scan",
+    # r13/r14 acquisition landings (rotated into the driver window in
+    # r14): URL pass, HTML->text, WebDataset roundtrip, WARC codec
+    # roundtrip, PDF text layer. lg1 (fixed-iteration PageRank) stays
+    # OUT like its build-side siblings d6/d10/p6 — it's a once-per-
+    # crawl-snapshot artifact build, not a serving-path query. If
+    # these push the decisecond line past 1990 chars the queries_file
+    # fallback still parses (contract ladder below).
+    "url1_domain_cap",
+    "html1_extract_text",
+    "p7_webdataset_roundtrip",
+    "warc1_crawl_roundtrip",
+    "pdf1_text_extract",
 ]
 
 
