@@ -9,12 +9,16 @@ regexp_extract chains + one window for the caps) — map-side JVM
 expressions with zero Python, so the pass costs one scan plus one
 shuffle (the per-domain window) at any corpus size.
 
-Registered-domain extraction uses a HEURISTIC public-suffix subset
-(the standard two-label rule, three labels under the common
-country-code second-level domains like co.uk / com.au); the full
-Mozilla public-suffix list is a data file a deployment can swap in by
-extending _CC_SLD. Disclosed here rather than silently wrong for
-exotic suffixes.
+Registered-domain extraction here uses a HEURISTIC public-suffix
+subset (the standard two-label rule, three labels under the common
+country-code second-level domains like co.uk / com.au) because a
+pure Column expression cannot carry a 10k-rule list. The FULL
+Mozilla Public Suffix List lives in operators/psl.py (r14):
+`with_registered_domain` resolves hosts against the vendored list
+with broadcast joins — use it whenever a DataFrame-level pass is
+acceptable; this expression-level heuristic remains for contexts
+that need a bare Column and is disclosed rather than silently wrong
+for exotic suffixes.
 
 Reference parity note: the reference engine (hicder/muopdb) has no
 URL operators; this family is brief-driven (training-data pipeline
