@@ -2684,6 +2684,53 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_cdx_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cdx1: the CDXJ capture index over WARC archives (sources/
+    cdx.py) — the CommonCrawl/pywb lookup layer. The warc1 corpus
+    shape is re-exported, indexed with build_cdxj (executor-parallel
+    member walk tracking byte spans, range-partitioned sorted shards
+    + cluster.idx), and a deterministic subset (doc_id % 5 == 0) is
+    fetched back through lookup_warc: SURT-keyed broadcast join
+    against the index, byte-range reads grouped by archive. Each row
+    pins the whole chain — the SURT key the oracle reconstructs
+    arithmetically, HTTP status parsed from the envelope, and ok =
+    read-back payload equals the source page — so an index defect
+    (wrong span, key canonicalization slip, missed or duplicated
+    record) changes row count or the value hash."""
+    from muopdb_spark.sources.cdx import build_cdxj, lookup_warc
+    from muopdb_spark.sources.warc import write_warc_sharded
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://WWW.Site"), (d % 7).cast("string"),
+        F.lit(".com/p/"), d.cast("string"),
+    )
+    html = F.concat(
+        F.lit("<html>cdx doc "), d.cast("string"), F.lit("</html>")
+    )
+    pages = docs.select(
+        "doc_id", url.alias("url"), html.alias("payload")
+    )
+    base = _index_artifact_dir(sf_dir, "cdx_v1")
+    wdir = os.path.join(base, "shards")
+    cdir = os.path.join(base, "cdx")
+    write_warc_sharded(pages, wdir, n_shards=4)
+    build_cdxj(spark, wdir, cdir, n_shards=2)
+    wanted = pages.filter(d % 5 == 0)
+    got = lookup_warc(spark, wdir, cdir, wanted)
+    src = wanted.select(F.col("url").alias("src_url"), "doc_id")
+    joined = got.join(src, got.target_uri == F.col("src_url"))
+    return joined.select(
+        "doc_id",
+        "urlkey",
+        F.col("http_status").cast("long").alias("status"),
+        (F.decode(F.col("payload"), "UTF-8")
+         == F.concat(F.lit("<html>cdx doc "), F.col("doc_id").cast("string"),
+                     F.lit("</html>"))).cast("long").alias("ok"),
+    ).orderBy("doc_id")
+
+
 def q_link_graph_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lg1: link-graph URL quality prior (operators/urls.py +
     operators/graph.pagerank, r14) — the RefinedWeb/Gopher idea that
@@ -5421,6 +5468,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dims/format oracle with the p7/warc1-style px_ok integrity
         # pin; the PDF family's in-window witness is pdf1
         "pdf2_image_extract": q_pdf_image_extract,
+        # r14: CDXJ capture index + SURT-keyed targeted lookup over
+        # WARC archives (sources/cdx.py) — arithmetic urlkey oracle +
+        # payload integrity pin; the WARC family's in-window witness
+        # is warc1
+        "cdx1_index_lookup": q_cdx_lookup,
         # t17 parked in r14 (driver-green r10–r13) so the acquisition
         # landings get first driver rows; quality/normalization family
         # keeps t11/t13/t19 in-window. Extras-gated here.
@@ -6772,6 +6824,18 @@ def oracle_sql() -> dict[str, str]:
                      ELSE true
                    END AS allowed
             FROM documents ORDER BY doc_id
+        """,
+        # SURT keys reconstructed arithmetically (scheme dropped,
+        # 'www.' stripped, host comma-reversed); status parsed from
+        # the HTTP envelope; ok pins payload bytes Spark-side
+        "cdx1_index_lookup": """
+            SELECT doc_id,
+                   concat('com,site', CAST(doc_id % 7 AS VARCHAR),
+                          ')/p/', CAST(doc_id AS VARCHAR)) AS urlkey,
+                   CAST(200 AS BIGINT) AS status,
+                   CAST(1 AS BIGINT) AS ok
+            FROM documents WHERE doc_id % 5 = 0
+            ORDER BY doc_id
         """,
         # every doc has one flate image at arithmetic dims; even docs
         # add a 16x16 jpeg; px_ok pins content Spark-side and is

@@ -81,6 +81,17 @@ def _pipeline(spark, args, ap) -> dict:
             warc_extract_text,
         )
 
+        if args.cdx:
+            # build the CDXJ capture index (sorted shards +
+            # cluster.idx) for the archives under --input
+            from muopdb_spark.sources.cdx import build_cdxj
+
+            m = build_cdxj(spark, args.input, args.cdx,
+                           n_shards=args.n_shards)
+            rows = m.collect()
+            return {"mode": "cdx", "path": args.cdx,
+                    "shards": len(rows),
+                    "entries": sum(r["n_entries"] for r in rows)}
         if args.wet:
             out = read_wet(spark, args.input)
             agg = out.agg(
@@ -960,6 +971,10 @@ def main(argv=None) -> int:
                          "instead of the text layer")
     ap.add_argument("--wet", action="store_true",
                     help="warc: read conversion (WET) records as text")
+    ap.add_argument("--cdx",
+                    help="warc: build the CDXJ capture index for the "
+                         "archives into this directory (sorted "
+                         "part-*.cdxj shards + cluster.idx)")
     ap.add_argument("--warc-text", action="store_true",
                     help="warc: run the crawl->text head (response "
                          "HTML through the boilerplate-aware extractor)")
