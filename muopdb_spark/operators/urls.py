@@ -119,7 +119,7 @@ def url_dedup(
 def domain_cap(
     df: DataFrame, *, cap: int, url_col: str = "url",
     id_col: str = "doc_id", order_col: str | None = None,
-    salt_buckets: int = 16,
+    salt_buckets: int = 16, domain_col: str | None = None,
 ) -> DataFrame:
     """Cap documents per registered domain (anti-dominance: no site
     contributes more than `cap` docs to the mixture). Keeps the top
@@ -139,14 +139,27 @@ def domain_cap(
     lane), so the result is IDENTICAL to the single-window form — the
     tiebreak on the unique id makes the order total. NULL domains
     (relative URLs) are not one pseudo-site: they bypass the cap
-    entirely and never enter either window."""
+    entirely and never enter either window.
+
+    ``domain_col`` names a PRE-COMPUTED domain column to cap on
+    instead of deriving one with the cc-2LD heuristic expression —
+    pass the output of psl.with_registered_domain here for
+    full-Public-Suffix-List grouping."""
     if cap < 1:
         raise ValueError(f"domain_cap: cap must be >= 1, got {cap}")
     if salt_buckets < 1:
         raise ValueError(
             f"domain_cap: salt_buckets must be >= 1, got {salt_buckets}"
         )
-    out = df.withColumn("domain", url_registered_domain(url_col))
+    if domain_col is not None:
+        if domain_col not in df.columns:
+            raise ValueError(
+                f"domain_cap: domain_col {domain_col!r} not in frame"
+            )
+        out = (df if domain_col == "domain"
+               else df.withColumn("domain", F.col(domain_col)))
+    else:
+        out = df.withColumn("domain", url_registered_domain(url_col))
     order = (
         [F.col(order_col).desc(), F.col(id_col).asc()]
         if order_col else [F.col(id_col).asc()]

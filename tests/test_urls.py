@@ -215,3 +215,37 @@ def test_domain_cap_plan_has_no_corpus_wide_domain_window(spark):
     corpus = [w for w in windows if "_salt" in w]
     assert len(corpus) == 1, windows
     assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_domain_cap_precomputed_domain_col(spark):
+    """domain_col caps on a caller-supplied grouping (the PSL
+    composition path) instead of the heuristic expression."""
+    from muopdb_spark.operators.psl import with_registered_domain
+
+    # co.il roots at three labels under the PSL but two under the
+    # heuristic — with the PSL column the two sites cap separately
+    rows = [(i, f"https://site{i % 2}.co.il/p/{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    via_psl = domain_cap(
+        with_registered_domain(df, url_col="url", out_col="psl_dom"),
+        cap=2, domain_col="psl_dom",
+    )
+    out = via_psl.collect()
+    assert len(out) == 4  # 2 per real site
+    assert {r.domain for r in out} == {"site0.co.il", "site1.co.il"}
+    # heuristic form lumps both sites under 'co.il' -> one cap bucket
+    lumped = domain_cap(df, cap=2).collect()
+    assert len(lumped) == 2
+    assert {r.domain for r in lumped} == {"co.il"}
+    with pytest.raises(ValueError, match="domain_col"):
+        domain_cap(df, cap=2, domain_col="nope")
+
+
+def test_domain_cap_domain_col_named_domain(spark):
+    df = spark.createDataFrame(
+        [(0, "https://x.com/a", "g1"), (1, "https://x.com/b", "g1"),
+         (2, "https://x.com/c", "g2")],
+        "doc_id long, url string, domain string",
+    )
+    out = domain_cap(df, cap=1, domain_col="domain").collect()
+    assert sorted(r.doc_id for r in out) == [0, 2]

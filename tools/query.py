@@ -597,12 +597,26 @@ def _pipeline(spark, args, ap) -> dict:
         kept = url_dedup(df)
         n1 = kept.count()
         if args.max_per_domain:
-            kept = domain_cap(kept, cap=args.max_per_domain)
+            if args.psl:
+                # full Public-Suffix-List grouping (operators/psl.py)
+                from muopdb_spark.operators.psl import (
+                    with_registered_domain,
+                )
+
+                kept = with_registered_domain(
+                    kept, url_col="url", out_col="_psl_domain"
+                )
+                kept = domain_cap(kept, cap=args.max_per_domain,
+                                  domain_col="_psl_domain") \
+                    .drop("_psl_domain")
+            else:
+                kept = domain_cap(kept, cap=args.max_per_domain)
         out = kept
         n2 = out.count()
         result = {"docs": n0, "after_url_dedup": n1,
                   "after_domain_cap": n2,
-                  "max_per_domain": args.max_per_domain}
+                  "max_per_domain": args.max_per_domain,
+                  "domain_rule": "psl" if args.psl else "cc-2ld"}
     elif args.command == "robots":
         # RFC 9309 politeness gate: --robots is a (host, robots_txt)
         # parquet; URLs in --input gain a robots_allowed column and
@@ -951,6 +965,10 @@ def main(argv=None) -> int:
                     help="frames: keep every n-th video frame")
     ap.add_argument("--max-per-domain", type=int, default=0,
                     help="urls: cap docs per registered domain (0 = off)")
+    ap.add_argument("--psl", action="store_true",
+                    help="urls: group the per-domain cap by the FULL "
+                         "Mozilla Public Suffix List (operators/psl) "
+                         "instead of the cc-2LD heuristic")
     ap.add_argument("--robots",
                     help="robots: parquet of (host, robots_txt) rules")
     ap.add_argument("--user-agent", default="*",
