@@ -4376,6 +4376,76 @@ def q_stream_decontaminated_admission(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_stream_url_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w11 (r14): URL-frontier-gated continuous admission — the w5
+    two-round replay with the CCNet/incremental-crawl "have we
+    processed this URL" gate (streaming/admission.py url_state_path,
+    the streaming face of urls.url_dedup). Each doc's URL keys on
+    (doc_id // 5) % 12 with canonicalization mess (upper-case WWW
+    hosts, utm params), so batch 1 (doc_id % 5 == 0) admits exactly
+    the first doc per key (doc_id = 5k, k < 12) and rejects the rest
+    as intra-batch re-crawls; batch 2 (doc_id % 5 == 1) collides with
+    batch 1's now-durable frontier on EVERY key and admits nothing.
+    The oracle reconstructs the surviving corpus arithmetically:
+    seed (doc_id % 5 >= 2) plus {5k : k < 12}. A canonicalization
+    slip, a state append miss, or a broadcast-probe defect changes
+    the admitted set and fails the value hash."""
+    import shutil
+    import tempfile
+
+    from muopdb_spark.streaming.admission import admit_batch, bootstrap_corpus
+
+    d = F.col("doc_id")
+    # synthetic per-doc-unique text (disjoint shingles across docs) so
+    # the minhash content gate is provably inert and the oracle stays
+    # purely URL-symbolic — the fixture corpus carries planted
+    # near-dup classes that would entangle the two gates
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("alpha"), d.cast("string"),
+            F.lit(" beta"), d.cast("string"),
+            F.lit(" gamma"), d.cast("string"),
+            F.lit(" delta"), d.cast("string"),
+            F.lit(" epsilon"), d.cast("string"),
+        ).alias("text"),
+    )
+    url = F.concat(
+        F.lit("HTTPS://WWW.Site"),
+        ((d / 5).cast("long") % 12).cast("string"),
+        F.lit(".com/p"),
+        F.when(d % 2 == 1, F.lit("?utm_source=x")).otherwise(F.lit("")),
+    )
+    pages = docs.withColumn("url", url)
+    tmp = tempfile.mkdtemp(prefix="muopdb_w11_")
+    try:
+        corpus = os.path.join(tmp, "corpus")
+        sig = os.path.join(tmp, "sigs")
+        rej = os.path.join(tmp, "rejected")
+        state = os.path.join(tmp, "urlstate")
+        bootstrap_corpus(
+            docs.filter(F.col("doc_id") % 5 >= 2), corpus, sig
+        )
+        admit_batch(pages.filter(d % 5 == 0), 1, corpus, sig, rej,
+                    url_state_path=state)
+        admit_batch(pages.filter(d % 5 == 1), 2, corpus, sig, rej,
+                    url_state_path=state)
+        out = (
+            spark.read.parquet(corpus)
+            .select(
+                "doc_id",
+                F.when(F.col("doc_id") % 5 == 0, "batch1")
+                .when(F.col("doc_id") % 5 == 1, "batch2")
+                .otherwise("seed")
+                .alias("origin"),
+            )
+            .orderBy("doc_id")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_stream_fuzzy_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """w9 (r10): fuzzy-decontamination-gated continuous admission — the
     w5 two-round replay with c3's near-duplicate eval gate: each
@@ -5473,6 +5543,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # payload integrity pin; the WARC family's in-window witness
         # is warc1
         "cdx1_index_lookup": q_cdx_lookup,
+        # r14: URL-frontier-gated streaming admission (the re-crawl
+        # gate) — symbolic two-round oracle; admission family
+        # witnessed in-window by w7
+        "w11_stream_url_admission": q_stream_url_admission,
         # t17 parked in r14 (driver-green r10–r13) so the acquisition
         # landings get first driver rows; quality/normalization family
         # keeps t11/t13/t19 in-window. Extras-gated here.
@@ -6824,6 +6898,19 @@ def oracle_sql() -> dict[str, str]:
                      ELSE true
                    END AS allowed
             FROM documents ORDER BY doc_id
+        """,
+        # two-round URL-frontier replay: batch1 keeps the first doc
+        # per (doc_id//5)%12 key — exactly doc_id=5k for k<12, i.e.
+        # doc_id%5=0 AND doc_id<60 — and batch2 collides with the
+        # durable frontier on every key, admitting nothing
+        "w11_stream_url_admission": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN 'batch1'
+                        WHEN doc_id % 5 = 1 THEN 'batch2'
+                        ELSE 'seed' END AS origin
+            FROM documents
+            WHERE doc_id % 5 >= 2 OR (doc_id % 5 = 0 AND doc_id < 60)
+            ORDER BY doc_id
         """,
         # SURT keys reconstructed arithmetically (scheme dropped,
         # 'www.' stripped, host comma-reversed); status parsed from

@@ -76,6 +76,8 @@ def admit_batch(
     benchmark_jaccard: float = 0.8,
     blocklist: list[str] | None = None,
     blocklist_max_frac: float = 0.0,
+    url_state_path: str | None = None,
+    url_col: str = "url",
 ) -> None:
     """One admission round (callable directly for batch pipelines, or
     from the stream's foreachBatch): OPTIONAL blocklist gate
@@ -116,9 +118,73 @@ def admit_batch(
     and REUSES that one signing pass (contamination.
     fuzzy_contamination_pairs with corpus_sig=batch signature), so it
     adds no corpus-sized work — only the broadcast band probe and the
-    candidate-bounded verify."""
+    candidate-bounded verify.
+
+    ``url_state_path`` (OPTIONAL URL-frontier gate, r14 — the
+    streaming face of urls.url_dedup and the CCNet/incremental-crawl
+    "have we processed this URL" check): batch URLs are canonicalized
+    (urls.url_normalize), intra-batch keep-first deduped, then probed
+    against the durable canonical-URL state parquet — a re-crawl of a
+    known URL is rejected reason='url_duplicate' BEFORE any content
+    gate runs (the cheapest possible rung: no text is touched). URLs
+    that pass record into the state immediately — frontier semantics:
+    "processed", not "admitted", so a page later rejected on quality
+    is not re-processed every crawl. Probe shape is the d7 artifact
+    pattern: state scan x broadcast batch keys (left_semi), seen set
+    is batch-bounded; the state is never shuffled. At-least-once
+    replays append duplicate state rows — harmless for the semi-join
+    probe, same idempotency posture as the rejection audit."""
     spark = batch_df.sparkSession
     batch_df = batch_df.localCheckpoint(eager=True)
+    if url_state_path is not None:
+        import os as _os
+
+        from muopdb_spark.operators.urls import url_dedup
+
+        if url_col not in batch_df.columns:
+            raise ValueError(
+                f"admit_batch: url_col {url_col!r} not in batch"
+            )
+        kept = url_dedup(
+            batch_df, url_col=url_col, id_col=id_col
+        ).localCheckpoint(eager=True)
+        if _os.path.isdir(url_state_path):
+            state = spark.read.parquet(url_state_path)
+            seen = (
+                state.join(
+                    F.broadcast(kept.select("url_canon").distinct()),
+                    "url_canon",
+                    "left_semi",
+                )
+                .select("url_canon")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            fresh = kept.join(
+                F.broadcast(seen), "url_canon", "left_anti"
+            ).localCheckpoint(eager=True)
+        else:
+            fresh = kept
+        url_rejected = batch_df.join(
+            fresh.select(id_col), id_col, "left_anti"
+        ).select(
+            F.col(id_col).cast("long").alias("new_id"),
+            F.lit(None).cast("long").alias("corpus_id"),
+            F.lit(None).cast("double").alias("est_jaccard"),
+            F.lit(None).cast("double").alias("jaccard"),
+            F.lit("url_duplicate").alias("reason"),
+            F.lit(batch_id).cast("long").alias("batch_id"),
+        )
+        if not url_rejected.isEmpty():
+            url_rejected.write.mode("append").parquet(rejected_path)
+        # frontier record: every fresh URL is now 'processed'
+        fresh.select("url_canon").write.mode("append").parquet(
+            url_state_path
+        )
+        batch_df = fresh.drop("url_canon").localCheckpoint(eager=True)
+        if batch_df.isEmpty():
+            return
+
     if blocklist:
         # cheapest gate of all (array-literal HOF expression, no
         # stoplist broadcast, no regex corpus scan) — run it first;

@@ -542,3 +542,62 @@ def test_stream_admission_blocklist_passthrough(spark, tmp_path):
     rejected = {(r["new_id"], r["reason"]) for r in
                 spark.read.parquet(rejected_path).collect()}
     assert rejected == {(11, "blocked")}
+
+
+def test_url_frontier_gate(spark, tmp_path):
+    """r14 URL-frontier admission gate: canonical re-crawls are
+    rejected reason='url_duplicate' before any content gate, the
+    state records PROCESSED urls (frontier semantics), and fresh
+    URLs flow through to the content gates unchanged."""
+    import pyspark.sql.functions as F
+
+    from muopdb_spark.streaming.admission import admit_batch, bootstrap_corpus
+
+    corpus = str(tmp_path / "corpus")
+    sig = str(tmp_path / "sigs")
+    rej = str(tmp_path / "rej")
+    state = str(tmp_path / "urlstate")
+    texts = [
+        (i, f"document body {i} " + " ".join(f"w{i}{j}" for j in range(12)),
+         f"HTTPS://WWW.Site{i % 4}.com/p"
+         + ("?utm_source=x" if i % 2 else ""))
+        for i in range(16)
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string, url string")
+    bootstrap_corpus(docs.filter("doc_id >= 100"), corpus, sig)  # empty seed
+
+    # batch 1: 8 docs over 4 canonical urls -> intra keep-first admits
+    # ids 0..3 (lowest per site), 4..7 rejected url_duplicate
+    admit_batch(docs.filter("doc_id < 8"), 1, corpus, sig, rej,
+                url_state_path=state, url_col="url")
+    admitted1 = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert admitted1 == {0, 1, 2, 3}
+    rej1 = spark.read.parquet(rej).filter("batch_id = 1").collect()
+    assert {r.new_id for r in rej1} == {4, 5, 6, 7}
+    assert {r.reason for r in rej1} == {"url_duplicate"}
+
+    # state holds the 4 canonical forms (normalized: lowercase, no utm)
+    st = {r.url_canon for r in spark.read.parquet(state).collect()}
+    assert st == {f"https://www.site{k}.com/p" for k in range(4)}
+
+    # batch 2: same 4 sites again -> everything rejected as re-crawl,
+    # nothing reaches content gates or the corpus
+    admit_batch(docs.filter("doc_id >= 8"), 2, corpus, sig, rej,
+                url_state_path=state, url_col="url")
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} \
+        == {0, 1, 2, 3}
+    rej2 = spark.read.parquet(rej).filter("batch_id = 2").collect()
+    assert {r.new_id for r in rej2} == set(range(8, 16))
+    assert {r.reason for r in rej2} == {"url_duplicate"}
+
+    # a genuinely new URL in a later batch is admitted
+    nb = spark.createDataFrame(
+        [(99, "fresh content " + " ".join(f"q{j}" for j in range(12)),
+          "https://site9.com/new")],
+        "doc_id long, text string, url string",
+    )
+    admit_batch(nb, 3, corpus, sig, rej, url_state_path=state)
+    assert 99 in {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    with __import__("pytest").raises(ValueError, match="url_col"):
+        admit_batch(nb.drop("url"), 4, corpus, sig, rej,
+                    url_state_path=state)
