@@ -4681,6 +4681,34 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t20 (r14): unigram-LM tokenizer APPLICATION (operators/
+    unigram.py, Kudo 2018 arXiv:1804.10959 — the SentencePiece model,
+    the other production subword family next to t14's BPE). The piece
+    vocabulary is trained with full soft-EM + pruning on the PINNED
+    fixture vocabulary (uniform weights, 60 pieces), keeping it
+    corpus-independent so the DuckDB oracle embeds the word->pieces
+    Viterbi map as a literal CASE computed by the SAME pure-Python
+    encoder (the t14/stemmer-oracle pattern); corpus-trained
+    vocabularies are covered by tests/test_unigram.py. Output:
+    per-doc piece count + the encoded stream."""
+    from muopdb_spark.operators.unigram import (
+        unigram_apply,
+        unigram_train_on_words,
+    )
+
+    vocab = unigram_train_on_words({w: 1 for w in _DOC_VOCAB}, 60)
+    return (
+        unigram_apply(_t(spark, sf_dir, "documents"), vocab)
+        .select(
+            "doc_id",
+            F.size("unigram_tokens").cast("long").alias("n_pieces"),
+            F.concat_ws(" ", "unigram_tokens").alias("encoded"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t15: corpus-wide line-level keep-first dedup (operators/dedup.
     line_dedup — the C4 §2.2 repeated-span rule at line granularity,
@@ -5547,6 +5575,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gate) — symbolic two-round oracle; admission family
         # witnessed in-window by w7
         "w11_stream_url_admission": q_stream_url_admission,
+        # r14: unigram-LM (SentencePiece) tokenizer application —
+        # pinned-vocab Viterbi CASE oracle (the t14 pattern);
+        # tokenizer family witnessed in-window by t12/t14
+        "t20_unigram_encode": q_unigram_encode,
         # t17 parked in r14 (driver-green r10–r13) so the acquisition
         # landings get first driver rows; quality/normalization family
         # keeps t11/t13/t19 in-window. Extras-gated here.
@@ -5676,6 +5708,24 @@ def _bpe_case_sql(num_merges: int = 40) -> str:
     ranks = {p: i for i, p in enumerate(merges)}
     arms = "".join(
         f" WHEN '{w}' THEN '{' '.join(bpe_encode_word(w, ranks))}'"
+        for w in _DOC_VOCAB
+    )
+    return f"CASE w{arms} ELSE w END"
+
+
+def _unigram_case_sql(vocab_size: int = 60) -> str:
+    """CASE expression mapping fixture word `w` -> its space-joined
+    unigram Viterbi encoding under the pinned-vocab piece table —
+    computed with the SAME pure-Python trainer/encoder
+    q_unigram_encode uses (the t14 pattern)."""
+    from muopdb_spark.operators.unigram import (
+        unigram_encode_word,
+        unigram_train_on_words,
+    )
+
+    vocab = unigram_train_on_words({w: 1 for w in _DOC_VOCAB}, vocab_size)
+    arms = "".join(
+        f" WHEN '{w}' THEN '{' '.join(unigram_encode_word(w, vocab))}'"
         for w in _DOC_VOCAB
     )
     return f"CASE w{arms} ELSE w END"
@@ -6590,6 +6640,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN encoded = '' THEN 0
                         ELSE len(string_split(encoded, ' ')) END
                         AS BIGINT) AS n_subwords,
+                   encoded
+            FROM e ORDER BY doc_id
+        """,
+        "t20_unigram_encode": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            e AS (
+                SELECT doc_id,
+                       array_to_string(
+                           list_transform(toks, w -> {_unigram_case_sql(60)}),
+                           ' ') AS encoded
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(CASE WHEN encoded = '' THEN 0
+                        ELSE len(string_split(encoded, ' ')) END
+                        AS BIGINT) AS n_pieces,
                    encoded
             FROM e ORDER BY doc_id
         """,

@@ -377,19 +377,43 @@ def _pipeline(spark, args, ap) -> dict:
             out = out.filter(F.col("ppl_bucket") != "tail")
     elif args.command == "bpe":
         from pyspark.sql import functions as F
-        from muopdb_spark.operators.vocab import bpe_apply, bpe_train
 
-        merges = bpe_train(df, num_merges=args.num_merges)
-        out = bpe_apply(df, merges).withColumn(
-            "n_subwords", F.size("bpe_tokens").cast("long")
-        )
-        agg = out.agg(
-            F.count("*").alias("docs"),
-            F.sum("n_subwords").alias("subwords"),
-        ).first()
-        result = {"docs": agg["docs"], "merges_learned": len(merges),
-                  "subwords": agg["subwords"],
-                  "first_merges": [list(p) for p in merges[:5]]}
+        if args.model == "unigram":
+            # the SentencePiece unigram family (operators/unigram.py):
+            # EM-trained piece vocabulary + Viterbi encode
+            from muopdb_spark.operators.unigram import (
+                unigram_apply,
+                unigram_train,
+            )
+
+            vocab = unigram_train(df, vocab_size=args.vocab_size)
+            out = unigram_apply(df, vocab).withColumn(
+                "n_subwords", F.size("unigram_tokens").cast("long")
+            )
+            agg = out.agg(
+                F.count("*").alias("docs"),
+                F.sum("n_subwords").alias("subwords"),
+            ).first()
+            top = sorted(vocab.items(), key=lambda kv: -kv[1])[:5]
+            result = {"docs": agg["docs"], "model": "unigram",
+                      "vocab_size": len(vocab),
+                      "subwords": agg["subwords"],
+                      "top_pieces": [p for p, _ in top]}
+        else:
+            from muopdb_spark.operators.vocab import bpe_apply, bpe_train
+
+            merges = bpe_train(df, num_merges=args.num_merges)
+            out = bpe_apply(df, merges).withColumn(
+                "n_subwords", F.size("bpe_tokens").cast("long")
+            )
+            agg = out.agg(
+                F.count("*").alias("docs"),
+                F.sum("n_subwords").alias("subwords"),
+            ).first()
+            result = {"docs": agg["docs"], "model": "bpe",
+                      "merges_learned": len(merges),
+                      "subwords": agg["subwords"],
+                      "first_merges": [list(p) for p in merges[:5]]}
     elif args.command == "tokens":
         # trainer handoff: learn a merge list on the corpus, export
         # flat int32 token-id shards + doc indexes + vocab.json
@@ -1031,6 +1055,12 @@ def main(argv=None) -> int:
                     help="split: train-side fraction (cluster-keyed)")
     ap.add_argument("--num-merges", type=int, default=200,
                     help="bpe: merge-list length to learn")
+    ap.add_argument("--model", default="bpe",
+                    choices=("bpe", "unigram"),
+                    help="bpe: subword model family — Sennrich BPE "
+                         "(default) or the SentencePiece unigram LM")
+    ap.add_argument("--vocab-size", type=int, default=200,
+                    help="bpe --model unigram: piece-vocabulary size")
     ap.add_argument("--budget-tokens", type=int, default=10_000,
                     help="select: expected-kept-token budget")
     ap.add_argument("--fertility-merges", type=int, default=None,
