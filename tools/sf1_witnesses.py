@@ -161,6 +161,79 @@ def _consume_html1(spark, sf_dir):
     )
 
 
+def _consume_warc1(spark, sf_dir):
+    # r14: WARC export + byte-range indexed read — the write is one
+    # shard shuffle, the read parallelism is record-count-bounded
+    import __spark_entry__ as entry_mod
+
+    return (
+        entry_mod.q_warc_roundtrip(spark, sf_dir)
+        .agg(F.count("*"), F.sum("ok"))
+        .collect()
+    )
+
+
+def _consume_pdf1(spark, sf_dir):
+    # r14: PDF text-layer extraction — synth + parse both map-side
+    # Arrow; the agg consumes the full extracted text
+    import __spark_entry__ as entry_mod
+
+    return (
+        entry_mod.q_pdf_text_extract(spark, sf_dir)
+        .agg(F.count("*"), F.sum(F.length("text")))
+        .collect()
+    )
+
+
+def _consume_lg1(spark, sf_dir):
+    # r14: link-graph PageRank prior — the corpus-sized term is the
+    # edge aggregate; the iteration joins run over the |domains|-sized
+    # rank table, which does NOT grow with the corpus here
+    import __spark_entry__ as entry_mod
+
+    return (
+        entry_mod.q_link_graph_prior(spark, sf_dir)
+        .agg(F.count("*"), F.sum("rank"))
+        .collect()
+    )
+
+
+def _consume_cdx1(spark, sf_dir):
+    # r14: CDXJ build (member walk + range-partitioned sort) +
+    # SURT-keyed broadcast lookup — index sort is the growing term
+    import __spark_entry__ as entry_mod
+
+    return (
+        entry_mod.q_cdx_lookup(spark, sf_dir)
+        .agg(F.count("*"), F.sum("ok"))
+        .collect()
+    )
+
+
+def _consume_rob1(spark, sf_dir):
+    # r14: robots gate — hosts-side Arrow parse is constant-size; the
+    # corpus side is a broadcast join + JVM rule fold, map-side only
+    import __spark_entry__ as entry_mod
+
+    return (
+        entry_mod.q_robots_gate(spark, sf_dir)
+        .agg(F.count("*"), F.sum(F.col("allowed").cast("long")))
+        .collect()
+    )
+
+
+def _consume_t20(spark, sf_dir):
+    # r14: unigram Viterbi encode — map-side Arrow with per-batch
+    # word cache; Zipf repetition keeps per-row cost ~O(1)
+    import __spark_entry__ as entry_mod
+
+    return (
+        entry_mod.q_unigram_encode(spark, sf_dir)
+        .agg(F.count("*"), F.sum("n_pieces"))
+        .collect()
+    )
+
+
 WITNESSES = {
     "t15_line_dedup (agg-consumed)": _consume_t15,
     "smp7_soft_dedup_weights (agg-consumed)": _consume_smp7,
@@ -174,6 +247,13 @@ WITNESSES = {
     "m9_avi_frame_scan (agg-consumed)": _consume_m9,
     "url1_domain_cap (agg-consumed)": _consume_url1,
     "html1_extract_text (agg-consumed)": _consume_html1,
+    # r14 extension: the rest of the acquisition stack + tokenizers
+    "warc1_crawl_roundtrip (agg-consumed)": _consume_warc1,
+    "pdf1_text_extract (agg-consumed)": _consume_pdf1,
+    "lg1_link_graph_prior (agg-consumed)": _consume_lg1,
+    "cdx1_index_lookup (agg-consumed)": _consume_cdx1,
+    "rob1_robots_gate (agg-consumed)": _consume_rob1,
+    "t20_unigram_encode (agg-consumed)": _consume_t20,
 }
 
 
