@@ -145,12 +145,94 @@ def _cdx_timestamp(warc_date: str | None) -> str:
     return (digits + "00000000000000")[:14]
 
 
+def _entry_columns(
+    out: dict, f: str, off: int, ln: int, raw: bytes
+) -> None:
+    rec = parse_warc_record(raw)
+    if rec["warc_type"] not in ("response", "conversion", "resource"):
+        return
+    url = rec["target_uri"] or ""
+    key = surt_key_py(url)
+    if key is None:
+        return
+    out["urlkey"].append(key)
+    out["timestamp"].append(_cdx_timestamp(rec["warc_date"]))
+    out["url"].append(url)
+    # digest from the raw header (parse keeps payload only); cheap
+    # refetch via a regex over the head
+    m = re.search(rb"(?mi)^WARC-Payload-Digest:\s*(\S+)", raw)
+    out["digest"].append(m.group(1).decode() if m else None)
+    out["mime"].append(rec["http_content_type"] or rec["content_type"])
+    out["status"].append(rec["http_status"])
+    out["filename"].append(os.path.basename(f))
+    out["offset"].append(off)
+    out["length"].append(ln)
+
+
 def _index_entries(spark: SparkSession, warc_dir: str) -> DataFrame:
     """One index row per response/conversion/resource record across
-    the archives (executor-parallel by file)."""
+    the archives. When every archive carries a ``.idx.jsonl`` offset
+    sidecar (our writer's), the build is BYTE-RANGE parallel — a spec
+    df of (file, offset, length) runs repartitioned across the
+    cluster, so parallelism is bounded by record count, not file
+    count (the read_warc indexed shape; the r14 sf1.0 witness caught
+    the per-file serial walk at 7x/decade). Foreign archives without
+    sidecars fall back to one sequential member walk per file."""
     import pandas as _pd
 
     files = _list_warcs(warc_dir)
+    idx_files = {
+        f: f.rsplit(".warc.gz", 1)[0] + ".idx.jsonl"
+        for f in files if f.endswith(".warc.gz")
+    }
+    indexed = (
+        len(idx_files) == len(files)
+        and all(os.path.exists(p) for p in idx_files.values())
+    )
+
+    if indexed:
+        spec_rows = []
+        for f, ip in idx_files.items():
+            with open(ip) as fh:
+                for ln in fh:
+                    if not ln.strip():
+                        continue
+                    e = json.loads(ln)
+                    spec_rows.append(
+                        (f, int(e["offset"]), int(e["length"]))
+                    )
+        if not spec_rows:
+            return spark.createDataFrame([], _ENTRY_SCHEMA)
+        spec = spark.createDataFrame(
+            spec_rows, "file string, offset long, length long"
+        ).repartition(
+            max(spark.sparkContext.defaultParallelism, len(files)),
+            "file", "offset",
+        )
+
+        def gen_ranges(batches: Iterator[_pd.DataFrame]):
+            for pdf in batches:
+                out = {k: [] for k in (
+                    "urlkey", "timestamp", "url", "digest", "mime",
+                    "status", "filename", "offset", "length",
+                )}
+                for f, grp in pdf.groupby("file", sort=True):
+                    grp = grp.sort_values("offset")
+                    with open(f, "rb") as fh:
+                        for off, ln in zip(grp["offset"],
+                                           grp["length"]):
+                            fh.seek(int(off))
+                            member = fh.read(int(ln))
+                            for _o, _l, raw in iter_warc_member_spans(
+                                member
+                            ):
+                                _entry_columns(
+                                    out, f, int(off), int(ln), raw
+                                )
+                yield _pd.DataFrame(out)
+
+        return spec.mapInPandas(gen_ranges, _ENTRY_SCHEMA)
+
     fdf = spark.createDataFrame([(f,) for f in files], "file string") \
         .repartition(len(files))
 
@@ -164,34 +246,7 @@ def _index_entries(spark: SparkSession, warc_dir: str) -> DataFrame:
                 with open(f, "rb") as fh:
                     data = fh.read()
                 for off, ln, raw in iter_warc_member_spans(data):
-                    rec = parse_warc_record(raw)
-                    if rec["warc_type"] not in (
-                        "response", "conversion", "resource"
-                    ):
-                        continue
-                    url = rec["target_uri"] or ""
-                    key = surt_key_py(url)
-                    if key is None:
-                        continue
-                    out["urlkey"].append(key)
-                    out["timestamp"].append(
-                        _cdx_timestamp(rec["warc_date"])
-                    )
-                    out["url"].append(url)
-                    # digest from the raw header (parse keeps payload
-                    # only); cheap refetch via a regex over the head
-                    m = re.search(
-                        rb"(?mi)^WARC-Payload-Digest:\s*(\S+)", raw
-                    )
-                    out["digest"].append(
-                        m.group(1).decode() if m else None
-                    )
-                    out["mime"].append(rec["http_content_type"]
-                                       or rec["content_type"])
-                    out["status"].append(rec["http_status"])
-                    out["filename"].append(os.path.basename(f))
-                    out["offset"].append(off)
-                    out["length"].append(ln)
+                    _entry_columns(out, f, off, ln, raw)
             yield _pd.DataFrame(out)
 
     return fdf.mapInPandas(gen, _ENTRY_SCHEMA)

@@ -158,3 +158,23 @@ def test_build_errors(spark, tmp_path):
         build_cdxj(spark, str(tmp_path), str(tmp_path / "c"), n_shards=0)
     with pytest.raises(ValueError, match="no part"):
         read_cdxj(spark, str(tmp_path))
+
+
+def test_foreign_archives_without_sidecars_build_identically(spark, tmp_path):
+    """The byte-range-parallel build (sidecar-driven) and the per-file
+    fallback walk must produce the SAME index bytes."""
+    wdir = str(tmp_path / "w")
+    write_warc_sharded(_corpus(spark, 30), wdir, n_shards=2)
+    c1 = str(tmp_path / "c1")
+    build_cdxj(spark, wdir, c1, n_shards=2)
+    # strip the sidecars -> the fallback path
+    for name in os.listdir(wdir):
+        if name.endswith(".idx.jsonl"):
+            os.remove(os.path.join(wdir, name))
+    c2 = str(tmp_path / "c2")
+    build_cdxj(spark, wdir, c2, n_shards=2)
+    assert sorted(os.listdir(c1)) == sorted(os.listdir(c2))
+    for name in sorted(os.listdir(c1)):
+        a = open(os.path.join(c1, name), "rb").read()
+        b = open(os.path.join(c2, name), "rb").read()
+        assert a == b, name
