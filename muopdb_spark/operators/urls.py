@@ -186,7 +186,7 @@ def domain_cap(
 def domain_link_edges(
     pages: DataFrame, links: DataFrame, *,
     url_col: str = "url", href_col: str = "href",
-    id_col: str = "doc_id",
+    id_col: str = "doc_id", psl: bool = False,
 ) -> DataFrame:
     """(src_domain, dst_domain, n_links) — the domain-level link graph
     from pages (id, url) and their extracted anchors (id, href — the
@@ -194,7 +194,31 @@ def domain_link_edges(
     the page's own domain and self-edges carry no endorsement, so
     both drop; NULL domains (unparseable hosts) drop. Pure Catalyst:
     one broadcast-able join on the page id + one groupBy on the edge
-    key."""
+    key. ``psl=True`` roots domains with the full Public Suffix List
+    (operators/psl.py — adds the PSL broadcast joins on each side;
+    exotic cc-2LDs and private-registry hosts like github.io then
+    count each site separately instead of lumping under the suffix)."""
+    if psl:
+        from muopdb_spark.operators.psl import with_registered_domain
+
+        src = with_registered_domain(
+            pages.select(id_col, url_col), url_col=url_col,
+            out_col="src_domain",
+        ).select(id_col, "src_domain")
+        dst = with_registered_domain(
+            links.select(id_col, href_col), url_col=href_col,
+            out_col="dst_domain",
+        ).select(id_col, "dst_domain")
+        return (
+            dst.join(src, id_col)
+            .filter(
+                F.col("src_domain").isNotNull()
+                & F.col("dst_domain").isNotNull()
+                & (F.col("src_domain") != F.col("dst_domain"))
+            )
+            .groupBy("src_domain", "dst_domain")
+            .agg(F.count("*").cast("long").alias("n_links"))
+        )
     src = pages.select(
         F.col(id_col).alias(id_col),
         url_registered_domain(url_col).alias("src_domain"),

@@ -249,3 +249,25 @@ def test_domain_cap_domain_col_named_domain(spark):
     )
     out = domain_cap(df, cap=1, domain_col="domain").collect()
     assert sorted(r.doc_id for r in out) == [0, 2]
+
+
+def test_domain_link_edges_psl(spark):
+    """psl=True roots link-graph nodes with the full list: two sites
+    under co.il stay distinct instead of lumping under the suffix."""
+    from muopdb_spark.operators.urls import domain_link_edges
+
+    pages = spark.createDataFrame(
+        [(0, "https://a.co.il/x"), (1, "https://b.co.il/y")],
+        "doc_id long, url string",
+    )
+    links = spark.createDataFrame(
+        [(0, "https://b.co.il/ref"), (1, "https://a.co.il/ref")],
+        "doc_id long, href string",
+    )
+    heur = domain_link_edges(pages, links).collect()
+    assert heur == []  # heuristic lumps both under co.il -> self-edges
+    pslv = sorted(
+        (r.src_domain, r.dst_domain, r.n_links)
+        for r in domain_link_edges(pages, links, psl=True).collect()
+    )
+    assert pslv == [("a.co.il", "b.co.il", 1), ("b.co.il", "a.co.il", 1)]
