@@ -265,8 +265,92 @@ def _probe_pdf(data: bytes) -> dict | None:
     return out
 
 
+def _probe_webp(data: bytes) -> dict | None:
+    """RIFF/WEBP header triage (public container spec): VP8 lossy
+    frame tag, VP8L lossless signature, VP8X extended canvas — dims
+    only, no bitstream decode."""
+    import struct
+
+    if len(data) < 25 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        return None
+    chunk = data[12:16]
+    out = {"format": "webp", "channels": 3}
+    if chunk == b"VP8X" and len(data) >= 30:
+        w = int.from_bytes(data[24:27], "little") + 1
+        h = int.from_bytes(data[27:30], "little") + 1
+        out.update(width=w, height=h)
+        return out
+    if chunk == b"VP8L" and data[20:21] == b"\x2f":
+        bits = int.from_bytes(data[21:25], "little")
+        out.update(
+            width=(bits & 0x3FFF) + 1, height=((bits >> 14) & 0x3FFF) + 1
+        )
+        return out
+    if (chunk == b"VP8 " and len(data) >= 30
+            and data[23:26] == b"\x9d\x01\x2a"):
+        w, h = struct.unpack("<HH", data[26:30])
+        out.update(width=w & 0x3FFF, height=h & 0x3FFF)
+        return out
+    # a WEBP container with an unrecognized first chunk: still webp
+    return out
+
+
+def _probe_tiff(data: bytes) -> dict | None:
+    """TIFF header + first-IFD walk for ImageWidth/ImageLength (tags
+    256/257, SHORT or LONG) — classic TIFF only; BigTIFF (version 43)
+    is left to format='unknown'."""
+    import struct
+
+    if len(data) < 8:
+        return None
+    if data[:4] == b"II*\x00":
+        end = "<"
+    elif data[:4] == b"MM\x00*":
+        end = ">"
+    else:
+        return None
+    out = {"format": "tiff", "channels": 3}
+    try:
+        (ifd_off,) = struct.unpack(end + "I", data[4:8])
+        (n,) = struct.unpack(end + "H", data[ifd_off:ifd_off + 2])
+        for i in range(min(n, 256)):
+            e = ifd_off + 2 + 12 * i
+            tag, typ = struct.unpack(end + "HH", data[e:e + 4])
+            if tag not in (256, 257):
+                continue
+            if typ == 3:  # SHORT
+                (v,) = struct.unpack(end + "H", data[e + 8:e + 10])
+            elif typ == 4:  # LONG
+                (v,) = struct.unpack(end + "I", data[e + 8:e + 12])
+            else:
+                continue
+            out["width" if tag == 256 else "height"] = int(v)
+    except (struct.error, IndexError):
+        return out if len(out) > 2 else None
+    return out
+
+
+def _probe_ico(data: bytes) -> dict | None:
+    """ICO/CUR directory header: first image entry's dims (0 encodes
+    256 per the format)."""
+    if len(data) < 22 or data[:4] not in (b"\x00\x00\x01\x00",
+                                          b"\x00\x00\x02\x00"):
+        return None
+    n = int.from_bytes(data[4:6], "little")
+    if n == 0:
+        return None
+    w, h = data[6], data[7]
+    return {
+        "format": "ico" if data[2] == 1 else "cur",
+        "width": w or 256,
+        "height": h or 256,
+        "channels": 3,
+    }
+
+
 _PROBES = (_probe_png, _probe_jpeg, _probe_gif, _probe_bmp, _probe_wav,
-           _probe_mp4, _probe_avi, _probe_pdf)
+           _probe_mp4, _probe_avi, _probe_pdf, _probe_webp, _probe_tiff,
+           _probe_ico)
 
 PROBE_SCHEMA = (
     "doc_id long, format string, width int, height int, channels int, "

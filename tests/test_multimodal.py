@@ -91,3 +91,71 @@ def test_hdf5_source_errors_are_plain(spark):
 
     with pytest.raises(FileNotFoundError):
         read_hdf5_vectors(spark, "/nonexistent.h5")
+
+
+def test_probe_webp_tiff_ico_foreign_fixtures():
+    """r14 probe-only formats, pinned on real third-party files (the
+    same PSF logo as the png/gif/jpg fixtures, plus CPython's idle
+    icon). These formats have NO decode path — triage only."""
+    import os
+
+    from muopdb_spark.operators.multimodal import (
+        _probe_ico,
+        _probe_tiff,
+        _probe_webp,
+    )
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures", "media")
+
+    def rd(name):
+        with open(os.path.join(fix, name), "rb") as fh:
+            return fh.read()
+
+    assert _probe_webp(rd("python.webp")) == {
+        "format": "webp", "channels": 3, "width": 16, "height": 16}
+    assert _probe_tiff(rd("python.tiff")) == {
+        "format": "tiff", "channels": 3, "width": 16, "height": 16}
+    assert _probe_ico(rd("idle.ico")) == {
+        "format": "ico", "width": 16, "height": 16, "channels": 3}
+    # hand-built variants: VP8 lossy + VP8L lossless + big-endian TIFF
+    import struct
+
+    vp8 = (b"RIFF" + struct.pack("<I", 22) + b"WEBPVP8 "
+           + struct.pack("<I", 10) + b"\x00\x00\x00\x9d\x01\x2a"
+           + struct.pack("<HH", 320, 240))
+    assert _probe_webp(vp8)["width"] == 320
+    assert _probe_webp(vp8)["height"] == 240
+    bits = (24 - 1) | ((7 - 1) << 14)
+    vp8l = (b"RIFF" + struct.pack("<I", 17) + b"WEBPVP8L"
+            + struct.pack("<I", 5) + b"\x2f" + struct.pack("<I", bits))
+    assert _probe_webp(vp8l)["width"] == 24
+    assert _probe_webp(vp8l)["height"] == 7
+    mm = (b"MM\x00*" + struct.pack(">I", 8)
+          + struct.pack(">H", 2)
+          + struct.pack(">HHIHH", 256, 3, 1, 33, 0)
+          + struct.pack(">HHIHH", 257, 4, 1, 0, 44)[:8]
+          + struct.pack(">I", 44)
+          + struct.pack(">I", 0))
+    got = _probe_tiff(mm)
+    assert got["width"] == 33 and got["height"] == 44
+    # garbage stays un-probed
+    assert _probe_webp(b"RIFF....WAVE" + bytes(20)) is None
+    assert _probe_tiff(b"II+\x00" + bytes(8)) is None
+    assert _probe_ico(bytes(22)) is None
+
+
+def test_media_probe_routes_new_formats(spark):
+    import os
+
+    from muopdb_spark.operators.multimodal import media_probe
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures", "media")
+    rows = []
+    for i, name in enumerate(("python.webp", "python.tiff", "idle.ico")):
+        with open(os.path.join(fix, name), "rb") as fh:
+            rows.append((i, bytearray(fh.read())))
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r["doc_id"]: (r["format"], r["width"], r["height"])
+           for r in media_probe(df).collect()}
+    assert got == {0: ("webp", 16, 16), 1: ("tiff", 16, 16),
+                   2: ("ico", 16, 16)}
