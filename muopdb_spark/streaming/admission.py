@@ -375,6 +375,17 @@ def admit_batch(
     admitted = batch_df.join(
         cross_rejected, on=id_col, how="left_anti"
     ).localCheckpoint(eager=True)
+    # append in the DURABLE corpus schema: gate plumbing may have
+    # added batch-only columns (e.g. the url column the frontier gate
+    # reads) — appending them verbatim would leave mixed parquet
+    # schemas behind; a batch MISSING corpus columns is a caller error
+    corpus_cols = spark.read.parquet(corpus_path).columns
+    missing = [c for c in corpus_cols if c not in admitted.columns]
+    if missing:
+        raise ValueError(
+            f"admit_batch: batch lacks corpus columns {missing}"
+        )
+    admitted = admitted.select(*corpus_cols)
     # order matters for crash-consistency: corpus text first, then the
     # signatures that make those docs visible to future dedup rounds —
     # a crash between the writes can only produce corpus docs that are
