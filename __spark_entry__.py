@@ -4709,6 +4709,36 @@ def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bloom1 (r14): distributed Bloom membership gate (operators/
+    bloom.py) — the decontamination PRE-FILTER whose structure stays a
+    (word_idx, bits) TABLE instead of a broadcast blob (the
+    protected-set-is-corpus-scale regime). The filter is built over
+    the benchmark slice's 4-token grams (doc_id % 20 == 0, m=2^16,
+    3 seeded md5-prefix hashes) and every document is probed:
+    (n_grams, n_maybe, provably_clean). The DuckDB oracle replays the
+    FILTER BIT-FOR-BIT (same seeded md5-prefix positions, same
+    distinct-position set) and re-derives each gram's all-bits-set
+    verdict, so false positives must match EXACTLY, not just
+    statistically — any hash, layout, or fold defect changes the
+    value hash. No-false-negative soundness is pytest-pinned
+    (tests/test_bloom.py) against an exact referee."""
+    from muopdb_spark.operators.bloom import bloom_build, bloom_probe
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bloom = bloom_build(
+        docs.filter(F.col("doc_id") % 20 == 0),
+        k=4, m_bits=1 << 16, n_hashes=3,
+    ).localCheckpoint(eager=True)
+    out = bloom_probe(docs, bloom, k=4, m_bits=1 << 16, n_hashes=3)
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_maybe",
+        (F.col("n_maybe") == 0).alias("provably_clean"),
+    ).orderBy("doc_id")
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t15: corpus-wide line-level keep-first dedup (operators/dedup.
     line_dedup — the C4 §2.2 repeated-span rule at line granularity,
@@ -5579,6 +5609,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pinned-vocab Viterbi CASE oracle (the t14 pattern);
         # tokenizer family witnessed in-window by t12/t14
         "t20_unigram_encode": q_unigram_encode,
+        # r14: distributed Bloom membership gate — the oracle replays
+        # the filter bit-for-bit, so FALSE POSITIVES must match
+        # exactly; decontamination family witnessed in-window by c1/c3
+        "bloom1_membership_gate": q_bloom_gate,
         # t17 parked in r14 (driver-green r10–r13) so the acquisition
         # landings get first driver rows; quality/normalization family
         # keeps t11/t13/t19 in-window. Extras-gated here.
@@ -6642,6 +6676,50 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_subwords,
                    encoded
             FROM e ORDER BY doc_id
+        """,
+        # replay the Bloom filter exactly: same seeded md5-prefix
+        # positions (h in 0..2, 32-bit prefix % 2^16) over the
+        # benchmark slice's distinct 4-grams; a probe gram is a maybe
+        # iff ALL its positions are present in the filter's
+        # distinct-position set — bitwise layout cancels out because
+        # position membership == bit membership
+        "bloom1_membership_gate": """
+            WITH t AS (SELECT doc_id, list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS toks FROM documents),
+            g AS (
+                SELECT doc_id,
+                       array_to_string(
+                           array_slice(toks, pos, pos + 3), ' ') AS gram
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, len(toks) - 4 + 2)) AS pos
+                      FROM t)
+                GROUP BY doc_id, gram
+            ),
+            bpos AS (
+                SELECT DISTINCT
+                       ('0x' || substring(
+                            md5(CAST(h AS VARCHAR) || ':' || gram),
+                            1, 8))::BIGINT % 65536 AS p
+                FROM (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0)
+                CROSS JOIN (SELECT unnest([0, 1, 2]) AS h)
+            ),
+            probe AS (
+                SELECT g.doc_id, g.gram,
+                       CAST(count(bp.p) = 3 AS INT) AS maybe
+                FROM g
+                CROSS JOIN (SELECT unnest([0, 1, 2]) AS h) hh
+                LEFT JOIN bpos bp
+                  ON bp.p = ('0x' || substring(
+                         md5(CAST(hh.h AS VARCHAR) || ':' || g.gram),
+                         1, 8))::BIGINT % 65536
+                GROUP BY g.doc_id, g.gram
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(maybe) AS BIGINT) AS n_maybe,
+                   sum(maybe) = 0 AS provably_clean
+            FROM probe GROUP BY doc_id ORDER BY doc_id
         """,
         "t20_unigram_encode": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
