@@ -575,9 +575,12 @@ def test_cli_extract_text_and_urls(spark, cli, capsys, tmp_path):
     urls.write.parquet(pu)
     r = _run(cli, capsys, ["urls", "--input", pu])
     assert r == {"docs": 4, "after_url_dedup": 3, "after_domain_cap": 3,
-                 "max_per_domain": 0}
+                 "max_per_domain": 0, "domain_rule": "cc-2ld"}
     r = _run(cli, capsys, ["urls", "--input", pu, "--max-per-domain", "2"])
     assert r["after_domain_cap"] == 2
+    r = _run(cli, capsys, ["urls", "--input", pu, "--max-per-domain", "2",
+                           "--psl"])
+    assert r["after_domain_cap"] == 2 and r["domain_rule"] == "psl"
 
 
 def test_cli_warc(spark, cli, capsys, tmp_path):
