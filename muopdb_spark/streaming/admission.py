@@ -78,6 +78,10 @@ def admit_batch(
     blocklist_max_frac: float = 0.0,
     url_state_path: str | None = None,
     url_col: str = "url",
+    benchmark_bloom: DataFrame | None = None,
+    bloom_k: int = 8,
+    bloom_m_bits: int = 1 << 20,
+    bloom_n_hashes: int = 4,
 ) -> None:
     """One admission round (callable directly for batch pipelines, or
     from the stream's foreachBatch): OPTIONAL blocklist gate
@@ -242,9 +246,38 @@ def admit_batch(
     if benchmark_grams is not None:
         from muopdb_spark.operators.substring import gram_positions
 
+        # OPTIONAL bloom pre-filter (r14, operators/bloom.py): when
+        # the caller also maintains the distributed Bloom artifact of
+        # the SAME benchmark grams (bloom_build with bloom_k ==
+        # contamination_k), provably-clean docs skip the exact gram
+        # probe entirely — OUTCOME-INVARIANT (no false negatives), the
+        # exact gate just runs over the maybe-suspects only. At
+        # corpus-scale protected sets this is the path that keeps the
+        # gate alive after benchmark_grams stops being broadcastable.
+        suspects = batch_df
+        if benchmark_bloom is not None:
+            from muopdb_spark.operators.bloom import bloom_gate
+
+            if bloom_k != contamination_k:
+                # a different window size breaks the no-false-negative
+                # guarantee the skip relies on
+                raise ValueError(
+                    f"admit_batch: bloom_k ({bloom_k}) must equal "
+                    f"contamination_k ({contamination_k})"
+                )
+
+            suspects = (
+                bloom_gate(
+                    batch_df, benchmark_bloom, text_col=text_col,
+                    id_col=id_col, k=bloom_k, m_bits=bloom_m_bits,
+                    n_hashes=bloom_n_hashes,
+                )
+                .filter(~F.col("provably_clean"))
+                .drop("provably_clean")
+            )
         hits = (
             gram_positions(
-                batch_df, text_col=text_col, id_col=id_col,
+                suspects, text_col=text_col, id_col=id_col,
                 k=contamination_k,
             )
             .join(F.broadcast(benchmark_grams.select("gh")), "gh")

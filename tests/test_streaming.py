@@ -601,3 +601,55 @@ def test_url_frontier_gate(spark, tmp_path):
     with __import__("pytest").raises(ValueError, match="url_col"):
         admit_batch(nb.drop("url"), 4, corpus, sig, rej,
                     url_state_path=state)
+
+
+def test_bloom_prefilter_is_outcome_invariant(spark, tmp_path):
+    """The bloom pre-filter must not change WHO gets admitted or
+    rejected — only how much exact-gate work runs."""
+    import pyspark.sql.functions as F
+
+    from muopdb_spark.operators.bloom import bloom_build
+    from muopdb_spark.operators.substring import contamination_gram_table
+    from muopdb_spark.streaming.admission import admit_batch, bootstrap_corpus
+
+    k = 4
+    docs = spark.createDataFrame(
+        [(i, ("secret eval question one two three tail"
+              if i % 3 == 0 else
+              f"clean doc {i} " + " ".join(f"u{i}{j}" for j in range(8))))
+         for i in range(18)],
+        "doc_id long, text string",
+    )
+    bench = docs.filter("doc_id = 0")
+    grams = contamination_gram_table(bench, k=k).localCheckpoint(eager=True)
+    bloom = bloom_build(bench, k=k, m_bits=1 << 14, n_hashes=3) \
+        .localCheckpoint(eager=True)
+    batch = docs.filter("doc_id > 0")
+
+    results = {}
+    for name, extra in (
+        ("plain", {}),
+        ("bloom", {"benchmark_bloom": bloom, "bloom_k": k,
+                   "bloom_m_bits": 1 << 14, "bloom_n_hashes": 3}),
+    ):
+        corpus = str(tmp_path / f"c_{name}")
+        sig = str(tmp_path / f"s_{name}")
+        rej = str(tmp_path / f"r_{name}")
+        bootstrap_corpus(batch.limit(0), corpus, sig)
+        admit_batch(batch, 1, corpus, sig, rej,
+                    benchmark_grams=grams, contamination_k=k, **extra)
+        admitted = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+        rejected = {(r.new_id, r.reason)
+                    for r in spark.read.parquet(rej).collect()}
+        results[name] = (admitted, rejected)
+    assert results["plain"] == results["bloom"]
+    # contaminated docs (every third) were rejected in both runs
+    assert all((i, "contaminated") in results["plain"][1]
+               for i in range(3, 18, 3))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bloom_k"):
+        admit_batch(batch, 2, str(tmp_path / "x"), str(tmp_path / "y"),
+                    str(tmp_path / "z"), benchmark_grams=grams,
+                    contamination_k=k, benchmark_bloom=bloom, bloom_k=9)
