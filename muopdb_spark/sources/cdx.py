@@ -314,13 +314,57 @@ def build_cdxj(
     return spark.createDataFrame(sorted(manifest), out_schema)
 
 
-def read_cdxj(spark: SparkSession, cdx_dir: str) -> DataFrame:
-    """The CDXJ index back as a DataFrame (one row per entry)."""
+def _cluster_index(cdx_dir: str) -> list[tuple[str, str]] | None:
+    """[(first_key, part filename)] sorted, or None when no
+    cluster.idx exists (foreign index directories)."""
+    path = os.path.join(cdx_dir, "cluster.idx")
+    if not os.path.exists(path):
+        return None
+    out = []
+    with open(path, encoding="utf-8") as fh:
+        for ln in fh:
+            ln = ln.rstrip("\n")
+            if not ln:
+                continue
+            first_key, fname = ln.split("\t")[:2]
+            out.append((first_key, fname))
+    return out
+
+
+def _shards_for_keys(
+    cdx_dir: str, keys: list[str]
+) -> list[str] | None:
+    """The subset of part files that can contain any of `keys`, via a
+    binary search over cluster.idx first keys (a key lives in the last
+    shard whose first_key <= key — shard ranges are disjoint and
+    sorted by construction). None when no cluster.idx exists."""
+    import bisect
+
+    cluster = _cluster_index(cdx_dir)
+    if cluster is None:
+        return None
+    firsts = [c[0] for c in cluster]
+    picked: set[str] = set()
+    for k in keys:
+        i = bisect.bisect_right(firsts, k) - 1
+        if i >= 0:
+            picked.add(cluster[i][1])
+    return sorted(os.path.join(cdx_dir, f) for f in picked)
+
+
+def read_cdxj(
+    spark: SparkSession, cdx_dir: str, *,
+    parts: list[str] | None = None,
+) -> DataFrame:
+    """The CDXJ index back as a DataFrame (one row per entry);
+    `parts` restricts the scan to specific shard files (the
+    cluster.idx pruning path lookup_warc uses)."""
     import glob as _glob
 
     import pandas as _pd
 
-    parts = sorted(_glob.glob(os.path.join(cdx_dir, "part-*.cdxj")))
+    if parts is None:
+        parts = sorted(_glob.glob(os.path.join(cdx_dir, "part-*.cdxj")))
     if not parts:
         raise ValueError(f"read_cdxj: no part-*.cdxj under {cdx_dir!r}")
     pdf = spark.createDataFrame([(p,) for p in parts], "file string") \
@@ -359,16 +403,36 @@ def lookup_warc(
     urls: DataFrame, *, url_col: str = "url",
 ) -> DataFrame:
     """Fetch the records for `urls` via the CDXJ index: wanted URLs
-    are surt-keyed and broadcast against the index scan (the index is
-    never shuffled), then matching entries are byte-range-read from
-    the archives grouped by file. Returns the read_warc row shape
-    plus urlkey. Cost is bounded by the number of matches."""
+    are surt-keyed; cluster.idx prunes the index scan to only the
+    shards whose key range can match (binary search over first keys —
+    the ZipNum access pattern; a foreign index without cluster.idx
+    falls back to the full shard list); the surviving shards are
+    probed with a broadcast join (the index is never shuffled), and
+    matching entries are byte-range-read from the archives grouped by
+    file. Returns the read_warc row shape plus urlkey. Cost is
+    bounded by matched shards + matches, never the index size."""
     import pandas as _pd
 
     wanted = urls.select(
         surt_key(url_col).alias("_want_key")
     ).filter(F.col("_want_key").isNotNull()).distinct()
-    idx = read_cdxj(spark, cdx_dir)
+    # the wanted side is small by contract (it broadcasts below);
+    # collecting its keys here buys the shard prune
+    keys = [r["_want_key"] for r in wanted.collect()]
+    if not keys:
+        return spark.createDataFrame(
+            [],
+            "urlkey string, warc_type string, record_id string,"
+            " warc_date string, target_uri string, content_type"
+            " string, http_status int, http_content_type string,"
+            " payload binary",
+        )
+    parts = _shards_for_keys(cdx_dir, keys)
+    if parts == []:
+        parts = None  # keys all before the first shard: scan nothing
+        idx = read_cdxj(spark, cdx_dir).limit(0)
+    else:
+        idx = read_cdxj(spark, cdx_dir, parts=parts)
     hits = idx.join(
         F.broadcast(wanted), idx["urlkey"] == F.col("_want_key"),
         "inner",

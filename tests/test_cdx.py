@@ -178,3 +178,32 @@ def test_foreign_archives_without_sidecars_build_identically(spark, tmp_path):
         a = open(os.path.join(c1, name), "rb").read()
         b = open(os.path.join(c2, name), "rb").read()
         assert a == b, name
+
+
+def test_lookup_prunes_shards_via_cluster_idx(spark, tmp_path):
+    """The lookup must read only the shards whose key range can hold a
+    wanted key (the ZipNum access pattern)."""
+    from muopdb_spark.sources.cdx import _shards_for_keys
+
+    wdir, cdir = str(tmp_path / "w"), str(tmp_path / "c")
+    write_warc_sharded(_corpus(spark, 60), wdir, n_shards=3)
+    build_cdxj(spark, wdir, cdir, n_shards=4)
+    cluster = [ln.split("\t") for ln in
+               open(os.path.join(cdir, "cluster.idx")).read().splitlines()]
+    assert len(cluster) == 4
+    # a key inside the LAST shard's range prunes to exactly that shard
+    last_first = cluster[-1][0]
+    picked = _shards_for_keys(cdir, [last_first])
+    assert [os.path.basename(p) for p in picked] == [cluster[-1][1]]
+    # a key below the first shard's first key prunes to nothing
+    assert _shards_for_keys(cdir, ["aaa)/nope"]) == []
+    # no cluster.idx -> None (full-scan fallback)
+    os.remove(os.path.join(cdir, "cluster.idx"))
+    assert _shards_for_keys(cdir, [last_first]) is None
+    # end-to-end: lookups still correct with and without cluster.idx
+    wanted = spark.createDataFrame(
+        [("https://www.site1.com/p/1",), ("https://zzz.nope/x",)],
+        "url string",
+    )
+    rows = lookup_warc(spark, wdir, cdir, wanted).collect()
+    assert [bytes(r["payload"]) for r in rows] == [b"<html>1</html>"]
