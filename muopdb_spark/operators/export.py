@@ -95,8 +95,9 @@ def write_shards(
 def write_token_shards(
     df: DataFrame,
     path: str,
-    merges: list,
+    merges: list | None = None,
     *,
+    unigram_vocab: dict | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_shards: int = 8,
@@ -111,8 +112,11 @@ def write_token_shards(
     mmaps the .bin and slices documents by the .idx prefix sums — no
     parquet/Arrow runtime at training time.
 
-    Determinism: tokenization is bpe_apply under the caller's merge
-    list; ids are the subword's rank in the lexicographically-sorted
+    Subword model: pass `merges` (an ordered BPE merge list ->
+    bpe_apply) OR `unigram_vocab` (a unigram piece table from
+    operators/unigram.py -> unigram_apply Viterbi) — exactly one.
+    Determinism: tokenization is the chosen model's Arrow apply pass;
+    ids are the subword's rank in the lexicographically-sorted
     corpus vocabulary (a bounded collect — the subword set is capped
     by merges + alphabet, the same class as bpe_train's word table);
     shard/position come from shard_assignment's (seed, id) hash, so
@@ -132,14 +136,24 @@ def write_token_shards(
     import numpy as _np
     import pandas as _pd
 
-    from muopdb_spark.operators.vocab import bpe_apply
-
+    if (merges is None) == (unigram_vocab is None):
+        raise ValueError(
+            "write_token_shards: exactly one of merges/unigram_vocab"
+        )
     _os.makedirs(path, exist_ok=True)
-    enc = bpe_apply(df, merges, text_col=text_col).select(
-        id_col, "bpe_tokens"
-    )
+    if merges is not None:
+        from muopdb_spark.operators.vocab import bpe_apply
+
+        enc = bpe_apply(df, merges, text_col=text_col) \
+            .withColumnRenamed("bpe_tokens", "_sw").select(id_col, "_sw")
+    else:
+        from muopdb_spark.operators.unigram import unigram_apply
+
+        enc = unigram_apply(
+            df, unigram_vocab, text_col=text_col, out_col="_sw"
+        ).select(id_col, "_sw")
     vocab_rows = (
-        enc.select(F.explode("bpe_tokens").alias("sw")).distinct()
+        enc.select(F.explode("_sw").alias("sw")).distinct()
         .orderBy("sw").collect()
     )
     vocab = {r["sw"]: i for i, r in enumerate(vocab_rows)}
@@ -156,8 +170,7 @@ def write_token_shards(
 
     assigned = shard_assignment(
         enc, id_col=id_col, n_shards=n_shards, seed=seed
-    ).join(enc.withColumn("ids", to_ids("bpe_tokens")).drop("bpe_tokens"),
-           id_col)
+    ).join(enc.withColumn("ids", to_ids("_sw")).drop("_sw"), id_col)
 
     out_schema = "shard_id long, n_docs long, n_tokens long, bin_bytes long"
 

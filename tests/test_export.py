@@ -284,3 +284,48 @@ def test_read_webdataset_tolerates_foreign_members(spark, tmp_path):
             for r in read_webdataset(spark, str(p)).collect()}
     assert rows[("000001", "txt")] == b"hello"
     assert rows[("README", "bin")] == b"r"
+
+
+def test_token_shards_unigram_model(spark, tmp_path):
+    """write_token_shards accepts the unigram piece table: ids decode
+    back to the exact Viterbi piece stream, byte-deterministic."""
+    import json
+
+    import numpy as np
+
+    from muopdb_spark.operators.export import write_token_shards
+    from muopdb_spark.operators.unigram import (
+        unigram_encode_word,
+        unigram_train_on_words,
+    )
+
+    vocab = unigram_train_on_words(
+        {"spark": 9, "shard": 6, "sharding": 3, "park": 2}, 20
+    )
+    df = spark.createDataFrame(
+        [(i, f"spark sharding {'park' if i % 2 else 'shard'}")
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "uni")
+    man = {r["shard_id"]: r for r in
+           write_token_shards(df, out, unigram_vocab=vocab,
+                              n_shards=2).collect()}
+    assert sum(r["n_docs"] for r in man.values()) == 12
+    id2sw = {int(k): v for k, v in
+             json.loads(open(f"{out}/vocab.json").read()).items()}
+    # decode shard 0's first doc and compare to the referee encoding
+    idx = np.fromfile(f"{out}/shard_0.idx", dtype="<i8").reshape(-1, 2)
+    flat = np.fromfile(f"{out}/shard_0.bin", dtype="<i4")
+    did, n = int(idx[0][0]), int(idx[0][1])
+    pieces = [id2sw[i] for i in flat[:n]]
+    words = ["spark", "sharding", "park" if did % 2 else "shard"]
+    want = [p for w in words for p in unigram_encode_word(w, vocab)]
+    assert pieces == want
+    # exactly-one-model validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        write_token_shards(df, out, [("a", "b")], unigram_vocab=vocab)
+    with _pytest.raises(ValueError, match="exactly one"):
+        write_token_shards(df, out)

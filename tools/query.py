@@ -424,11 +424,22 @@ def _pipeline(spark, args, ap) -> dict:
 
         if not args.output:
             ap.error("tokens requires --output (shard directory)")
-        merges = bpe_train(df, num_merges=args.num_merges)
-        man = write_token_shards(
-            df.select("doc_id", "text"), args.output, merges,
-            n_shards=args.n_shards,
-        )
+        if args.model == "unigram":
+            from muopdb_spark.operators.unigram import unigram_train
+
+            vocab = unigram_train(df, vocab_size=args.vocab_size)
+            man = write_token_shards(
+                df.select("doc_id", "text"), args.output,
+                unigram_vocab=vocab, n_shards=args.n_shards,
+            )
+            model_info = {"model": "unigram", "vocab_size": len(vocab)}
+        else:
+            merges = bpe_train(df, num_merges=args.num_merges)
+            man = write_token_shards(
+                df.select("doc_id", "text"), args.output, merges,
+                n_shards=args.n_shards,
+            )
+            model_info = {"model": "bpe", "merges": len(merges)}
         agg = man.agg(
             F.count("*").alias("shards"),
             F.sum("n_docs").alias("docs"),
@@ -437,7 +448,7 @@ def _pipeline(spark, args, ap) -> dict:
         ).first()
         return {"shards": agg["shards"], "docs": agg["docs"],
                 "tokens": agg["tokens"], "bytes": agg["bytes"],
-                "merges": len(merges), "path": args.output}
+                **model_info, "path": args.output}
     elif args.command == "curate":
         # the whole curation ladder in one verb: unicode/whitespace
         # canonicalization -> exact dedup ->
