@@ -13,12 +13,27 @@ from pyspark.sql import functions as F
 
 from muopdb_spark.functions.text import simple_tokens
 
-# Small public stopword lists (top function words per language).
+# Small public stopword lists (top function words per language) —
+# the Latin-script languages of the Snowball stemmer set (r14: widened
+# from en/de/fr/es to all 14; non-Latin scripts are out of reach of
+# simple_tokens' [a-z0-9] alphabet, and diacritic-bearing forms are
+# excluded for the same reason, so each list is ASCII function words
+# only — a disclosed reduction, not full fastText coverage).
 STOPWORDS: dict[str, tuple[str, ...]] = {
     "en": ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
     "de": ("der", "die", "das", "und", "ist", "von", "mit", "zu", "den", "ein"),
     "fr": ("le", "la", "les", "et", "de", "un", "une", "est", "du", "des"),
     "es": ("el", "la", "los", "las", "y", "de", "un", "una", "es", "en"),
+    "pt": ("o", "os", "as", "um", "uma", "em", "para", "com", "por", "mais"),
+    "it": ("il", "di", "che", "per", "con", "del", "si", "sono", "anche", "ma"),
+    "nl": ("het", "een", "van", "dat", "op", "te", "niet", "zijn", "voor", "met"),
+    "sv": ("och", "att", "som", "det", "har", "av", "om", "till", "den", "inte"),
+    "no": ("og", "som", "til", "av", "ikke", "det", "han", "den", "med", "var"),
+    "da": ("og", "af", "til", "det", "som", "han", "den", "med", "var", "ikke"),
+    "tr": ("ve", "bir", "bu", "ne", "gibi", "daha", "sonra", "kadar", "ama", "icin"),
+    "ro": ("si", "sa", "nu", "este", "care", "pe", "cu", "mai", "dar", "dupa"),
+    "hu": ("az", "hogy", "nem", "is", "egy", "van", "meg", "ez", "mar", "csak"),
+    "fi": ("ja", "on", "ei", "se", "oli", "mutta", "niin", "kun", "myos", "jos"),
 }
 
 # BPE-ish pre-tokenizer: alnum runs OR single non-alnum-non-space chars.

@@ -1,0 +1,51 @@
+"""Language-ID over the widened 14-language stopword set (r14 —
+the Latin-script Snowball languages; textstats.STOPWORDS)."""
+
+from __future__ import annotations
+
+from muopdb_spark.operators.textstats import STOPWORDS, lang_id
+
+SENTENCES = {
+    "en": "the cat sat on the mat and it is a good day for the walk",
+    "de": "der Hund ist mit den Kindern zu dem Park und das ist ein Spiel",
+    "fr": "le chat est sur la table et les enfants du village sont la",
+    "es": "el perro y los gatos en la casa es una historia de las aldeas",
+    "pt": "o menino foi para casa com um livro e uma caneta para escrever mais",
+    "it": "il ragazzo che corre per la strada con il cane del vicino ma anche si sono",
+    "nl": "het huis van een man dat op de berg staat is niet te zien voor met",
+    "sv": "och det har varit en dag som till av om den inte",
+    "no": "og det var en dag som han ikke ville til av med den",
+    "da": "og det var en dag som han ikke ville til af med den",
+    "tr": "ve bu bir gun gibi daha sonra ne kadar ama icin",
+    "fi": "ja se on oli mutta niin kun ei jos",
+    "hu": "az hogy nem is egy van meg ez mar csak",
+    "ro": "si sa nu este care pe cu mai dar dupa",
+}
+
+
+def test_all_fourteen_languages_identify(spark):
+    rows = [(i, t) for i, t in enumerate(SENTENCES.values())]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["pred_lang"]
+           for r in lang_id(df).select("doc_id", "pred_lang").collect()}
+    for i, want in enumerate(SENTENCES):
+        assert got[i] == want, f"{want}: got {got[i]}"
+
+
+def test_stopword_lists_are_ascii_lowercase():
+    # the simple_tokens alphabet is [a-z0-9]; any non-ASCII stopword
+    # could never match and would silently dilute its language's score
+    for lang, words in STOPWORDS.items():
+        assert len(words) >= 8, lang
+        for w in words:
+            assert w.isascii() and w == w.lower(), (lang, w)
+
+
+def test_empty_and_numeric_text_is_und(spark):
+    df = spark.createDataFrame(
+        [(0, ""), (1, "12345 67890"), (2, "zzz qqq www")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["pred_lang"]
+           for r in lang_id(df).select("doc_id", "pred_lang").collect()}
+    assert got[0] == "und" and got[1] == "und" and got[2] == "und"
