@@ -1176,6 +1176,69 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modp_fingerprints(_t(spark, sf_dir, "documents")).orderBy("doc_id", "fp")
 
 
+# t21 fixture templates: a pure-single-script constant + ' ' + the
+# ASCII doc_id digits (digits and spaces belong to no script), so the
+# expected script and script_chars are LITERALS per template and
+# n_chars is len(S) + 1 + len(str(doc_id)) — all CASE arithmetic.
+_SCRIPT_TEMPLATES: list[tuple[str, str]] = [
+    ("latin sample text", "latin"),
+    ("русский текст пример", "cyrillic"),
+    ("ελληνικο κειμενο", "greek"),
+    ("نص عربي للاختبار", "arabic"),
+    ("中文文本样例", "han"),
+    ("!!! ??? ...", "und"),
+]
+
+
+def q_script_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t21 (r14): Unicode script detection (textstats.script_id) — the
+    routing complement of t3's Latin-only stopword lang-ID: a
+    multilingual crawl first splits by script (each script names its
+    tokenizer/stemmer pipeline), then runs the stopword argmax on the
+    latin bucket. Each doc cycles six pure-single-script templates
+    (plus the doc's own ASCII digits, which belong to no script), so
+    the expected script is a literal per template, script_chars a
+    constant, and n_chars pure length arithmetic — the oracle needs
+    no regex at all while Spark exercises the Java script-class
+    regexp_count path end-to-end."""
+    from muopdb_spark.operators.textstats import script_id
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    expr = None
+    for i, (s, _name) in enumerate(_SCRIPT_TEMPLATES):
+        branch = F.concat(F.lit(s + " "), d.cast("string"))
+        expr = F.when(d % 6 == i, branch) if expr is None \
+            else expr.when(d % 6 == i, branch)
+    out = script_id(docs.withColumn("text", expr))
+    return out.orderBy("doc_id")
+
+
+def _script_id_oracle() -> str:
+    script_arms = " ".join(
+        f"WHEN {i} THEN '{name}'"
+        for i, (_s, name) in enumerate(_SCRIPT_TEMPLATES)
+    )
+    chars_arms = " ".join(
+        f"WHEN {i} THEN {0 if name == 'und' else len(s) - s.count(' ')}"
+        for i, (s, name) in enumerate(_SCRIPT_TEMPLATES)
+    )
+    len_arms = " ".join(
+        f"WHEN {i} THEN {len(s) + 1}"
+        for i, (s, _name) in enumerate(_SCRIPT_TEMPLATES)
+    )
+    return f"""
+        SELECT doc_id,
+               CASE doc_id % 6 {script_arms} END AS script,
+               CAST(CASE doc_id % 6 {chars_arms} END AS BIGINT)
+                   AS script_chars,
+               CAST(CASE doc_id % 6 {len_arms} END
+                    + length(CAST(doc_id AS VARCHAR)) AS BIGINT)
+                   AS n_chars
+        FROM documents ORDER BY doc_id
+    """
+
+
 def _stoplist_sql(lang: str) -> str:
     from muopdb_spark.operators.textstats import STOPWORDS
 
@@ -5613,6 +5676,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the filter bit-for-bit, so FALSE POSITIVES must match
         # exactly; decontamination family witnessed in-window by c1/c3
         "bloom1_membership_gate": q_bloom_gate,
+        # r14: Unicode script detection — literal-template oracle;
+        # the text family's in-window witnesses are t11/t13/t19
+        "t21_script_id": q_script_id,
         # t17 parked in r14 (driver-green r10–r13) so the acquisition
         # landings get first driver rows; quality/normalization family
         # keeps t11/t13/t19 in-window. Extras-gated here.
@@ -6604,6 +6670,7 @@ def oracle_sql() -> dict[str, str]:
             FROM r ORDER BY doc_id
         """,
         "t3_lang_id": _lang_id_oracle(),
+        "t21_script_id": _script_id_oracle(),
         "d9_exact_substring": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
             gpos AS (

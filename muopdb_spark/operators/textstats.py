@@ -179,3 +179,53 @@ def modp_fingerprints(
         )
     )
     return sh.select(id_col, F.explode(fps).alias("fp"))
+
+
+# Unicode scripts the crawl router distinguishes (r14): Java regex
+# script classes on the Spark side; the oracle side never needs the
+# regex because constructed fixtures make the expected script a CASE
+# literal. 'latin' hands off to lang_id's stopword argmax; the others
+# name the pipeline (stemmer, tokenizer, fonts) a doc should route to.
+SCRIPTS: dict[str, str] = {
+    "latin": r"\p{IsLatin}",
+    "cyrillic": r"\p{IsCyrillic}",
+    "greek": r"\p{IsGreek}",
+    "arabic": r"\p{IsArabic}",
+    "hebrew": r"\p{IsHebrew}",
+    "han": r"\p{IsHan}",
+    "hiragana": r"\p{IsHiragana}",
+    "katakana": r"\p{IsKatakana}",
+    "hangul": r"\p{IsHangul}",
+    "devanagari": r"\p{IsDevanagari}",
+    "thai": r"\p{IsThai}",
+    "tamil": r"\p{IsTamil}",
+}
+
+
+def script_id(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, script, script_chars, n_chars): dominant Unicode script by
+    per-script character count (Java regex script classes — pure JVM
+    regexp_count, one scan, no Python), alphabetical tie-break, 'und'
+    when no scripted character occurs. The routing complement of
+    lang_id: stopword lang-ID only speaks [a-z], so a multilingual
+    crawl first splits by script (cyrillic/greek/arabic/cjk/... each
+    have their own tokenizer + stemmer story) and runs the stopword
+    argmax on the latin bucket only."""
+    c = F.col(text_col)
+    counts = {
+        name: F.regexp_count(c, F.lit(pat)) for name, pat in SCRIPTS.items()
+    }
+    names = sorted(SCRIPTS)
+    best = F.greatest(*[counts[n] for n in names])
+    pred = F.when(best == 0, F.lit("und"))
+    for n in names:
+        pred = pred.when(counts[n] == best, F.lit(n))
+    pred = pred.otherwise(F.lit("und"))
+    return df.select(
+        F.col(id_col),
+        pred.alias("script"),
+        best.cast("long").alias("script_chars"),
+        F.length(c).cast("long").alias("n_chars"),
+    )

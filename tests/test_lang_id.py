@@ -49,3 +49,39 @@ def test_empty_and_numeric_text_is_und(spark):
     got = {r["doc_id"]: r["pred_lang"]
            for r in lang_id(df).select("doc_id", "pred_lang").collect()}
     assert got[0] == "und" and got[1] == "und" and got[2] == "und"
+
+
+def test_script_id_twelve_scripts(spark):
+    from muopdb_spark.operators.textstats import script_id
+
+    rows = [
+        (0, "plain latin text", "latin"),
+        (1, "Привет мир это русский текст", "cyrillic"),
+        (2, "Γειά σου κόσμε ελληνικά", "greek"),
+        (3, "مرحبا بالعالم هذا نص عربي", "arabic"),
+        (4, "שלום עולם זה טקסט", "hebrew"),
+        (5, "你好世界这是中文文本", "han"),
+        (6, "これはひらがなのテキストです", "hiragana"),
+        (7, "カタカナ テキスト サンプル", "katakana"),
+        (8, "카탈로그 한국어 텍스트", "hangul"),
+        (9, "यह हिंदी में पाठ है", "devanagari"),
+        (10, "นี่คือข้อความภาษาไทย", "thai"),
+        (11, "இது தமிழ் உரை", "tamil"),
+        (12, "12345 !!! ...", "und"),
+        (13, "", "und"),
+        (14, "mixte latin avec немного кириллицы и еще слов", "cyrillic"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["script"] for r in script_id(df).collect()}
+    for i, _t, want in rows:
+        assert got[i] == want, (i, want, got[i])
+
+
+def test_script_id_plan_is_pure_jvm(spark):
+    from muopdb_spark.operators.textstats import script_id
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    plan = script_id(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "BatchEval" not in plan
