@@ -2478,6 +2478,43 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_text(pages).orderBy("doc_id")
 
 
+def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """html2 (r15): density-based main-content extraction
+    (operators/html.py extract_main_content) — the jusText/trafilatura
+    block-classification pass production curation uses where html1's
+    tag suppression stops. Each document's text is wrapped in a page
+    whose boilerplate lives in PLAIN <div>s (a nav menu, a
+    related-links farm) that tag suppression cannot see, plus a
+    heading, a short tail, and a footer. The classifier must keep
+    exactly the heading (short, but next core neighbour is good prose)
+    and the document text (>= 10 words, zero link density), and drop
+    everything else: the menu and link farm on link density, the tail
+    on good-bad context, the footer on edge context. Expected output
+    is arithmetic in doc_id + the whitespace-normalized fixture text,
+    so the whole block ledger (6 blocks, 2 kept) is SQL-expressible;
+    any classification slip changes text/n_kept and fails the hash."""
+    from muopdb_spark.operators.html import extract_main_content
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    page = F.concat(
+        F.lit("<html><head><title>Doc "), d.cast("string"),
+        F.lit("</title><style>p{x:y}</style>"
+              "<script>var a=\"<p>decoy</p>\";</script></head>"
+              "<body><div><a href=\"/h\">Home</a> "
+              "<a href=\"/a\">About</a> "
+              "<a href=\"/c\">Contact</a></div><h1>T"),
+        (d % 7).cast("string"),
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p><div>tail "), (d % 5).cast("string"),
+        F.lit("</div><div><a href=\"/x\">more</a> "
+              "<a href=\"/y\">links</a> here</div>"
+              "<footer>foot</footer></body></html>"),
+    )
+    pages = docs.select("doc_id", page.alias("html"))
+    return extract_main_content(pages).orderBy("doc_id")
+
+
 def q_url_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """url1: the crawl pipeline's URL pass (operators/urls.py) —
     canonicalize messy URLs (case, default ports, fragments, tracking
@@ -5645,6 +5682,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Mozilla PSL (operators/psl.py, 5 broadcast joins, zero
         # Python) — spec-derived per-template CASE oracle; the URL
         # family's in-window witness is url1
+        "html2_main_content": q_html_main_content,
         "url2_psl_registered_domain": q_psl_registered_domain,
         # r14: RFC 9309 robots-exclusion gate — Arrow parse of the
         # hosts-sized robots side, broadcast join + JVM rule fold on
@@ -7023,6 +7061,15 @@ def oracle_sql() -> dict[str, str]:
                           chr(10), 'end', chr(10), 'L1L2') AS text,
                    concat('Doc ', CAST(doc_id AS VARCHAR)) AS title,
                    CAST(3 AS INTEGER) AS n_links
+            FROM documents ORDER BY doc_id
+        """,
+        "html2_main_content": """
+            SELECT doc_id,
+                   concat('T', CAST(doc_id % 7 AS VARCHAR), chr(10),
+                          trim(regexp_replace(text, '\\s+', ' ', 'g')))
+                       AS text,
+                   CAST(6 AS INTEGER) AS n_blocks,
+                   CAST(2 AS INTEGER) AS n_kept
             FROM documents ORDER BY doc_id
         """,
         "url1_domain_cap": """

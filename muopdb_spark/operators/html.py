@@ -189,3 +189,174 @@ def extract_links(
             yield pd.DataFrame(out)
 
     return pages.mapInPandas(gen, LINK_SCHEMA)
+
+
+# ------------------------------------------------------------------
+# html2 (r15): density-based main-content extraction.
+#
+# extract_text suppresses boilerplate *tags* (nav/footer/...), but
+# production curation (jusText, trafilatura as used by RefinedWeb)
+# classifies *blocks* by text/link density, so menus and link farms
+# living in plain <div>s are dropped too. This pass segments the page
+# into text blocks at block-boundary tags and classifies each block:
+#
+#   bad   if link_density > max_link_density   (menus, link lists)
+#   good  if n_words >= min_words              (real prose)
+#   short otherwise — adopts its context: good iff BOTH nearest core
+#         neighbours are good (document edges count as bad), except a
+#         short <h1>..<h6> headline, which is good iff the NEXT core
+#         neighbour is good (the jusText headline rule: keep the
+#         title of a kept section, drop headings over dropped nav)
+#
+# Pure Arrow pass over the same stdlib-parser block boundaries as
+# extract_text — no external parser, executor-side via mapInPandas.
+
+
+_HEADINGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
+
+
+class _BlockExtractor(HTMLParser):
+    """Segment a page into text blocks at block-boundary tags,
+    tracking per block: normalized text, word count, anchor-char
+    count (for link density), and heading origin. script/style/head
+    subtrees are structurally dropped; nav/footer/aside CONTENT is
+    kept here — density classification decides its fate."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._drop_stack: list[str] = []
+        self._blocks: list[dict] = []
+        self._parts: list[str] = []
+        self._anchor_chars = 0
+        self._in_anchor = 0
+        self._is_heading = False
+
+    def _flush_block(self) -> None:
+        text = " ".join("".join(self._parts).split())
+        if text:
+            n_chars = len(text)
+            self._blocks.append({
+                "text": text,
+                "n_words": len(text.split()),
+                "link_density": min(self._anchor_chars, n_chars) / n_chars,
+                "is_heading": self._is_heading,
+            })
+        self._parts = []
+        self._anchor_chars = 0
+        self._is_heading = False
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _DROP:
+            self._drop_stack.append(tag)
+        if tag in _BLOCK or tag in _HEADINGS:
+            self._flush_block()
+            self._is_heading = tag in _HEADINGS
+        if tag == "a":
+            self._in_anchor += 1
+
+    def handle_endtag(self, tag):
+        if tag in _DROP and tag in self._drop_stack:
+            for i in range(len(self._drop_stack) - 1, -1, -1):
+                if self._drop_stack[i] == tag:
+                    del self._drop_stack[i]
+                    break
+        if tag in _BLOCK or tag in _HEADINGS:
+            was_heading = self._is_heading and tag in _HEADINGS
+            self._flush_block()
+            # text after </h1> belongs to the enclosing (non-heading)
+            # block, so _flush_block's reset is already right
+            del was_heading
+        if tag == "a" and self._in_anchor:
+            self._in_anchor -= 1
+
+    def handle_data(self, data):
+        if self._drop_stack:
+            return
+        self._parts.append(data)
+        if self._in_anchor:
+            self._anchor_chars += len("".join(data.split()))
+
+
+def classify_blocks(
+    blocks: list[dict], *, max_link_density: float = 0.33,
+    min_words: int = 10,
+) -> list[bool]:
+    """One keep/drop verdict per block (see module comment for the
+    rules). Pure function over the block feature dicts so the policy
+    is unit-testable without a parser in the loop."""
+    n = len(blocks)
+    core: list[bool | None] = []
+    for b in blocks:
+        if b["link_density"] > max_link_density:
+            core.append(False)
+        elif b["n_words"] >= min_words:
+            core.append(True)
+        else:
+            core.append(None)
+    prev_core = [False] * n
+    cur = False
+    for i in range(n):
+        prev_core[i] = cur
+        if core[i] is not None:
+            cur = bool(core[i])
+    next_core = [False] * n
+    cur = False
+    for i in range(n - 1, -1, -1):
+        next_core[i] = cur
+        if core[i] is not None:
+            cur = bool(core[i])
+    out: list[bool] = []
+    for i, b in enumerate(blocks):
+        if core[i] is not None:
+            out.append(bool(core[i]))
+        elif b["is_heading"]:
+            out.append(next_core[i])
+        else:
+            out.append(prev_core[i] and next_core[i])
+    return out
+
+
+def html_main_content(
+    html: str, *, max_link_density: float = 0.33, min_words: int = 10,
+) -> tuple[str, int, int]:
+    """Pure referee: (main_text, n_blocks, n_kept) of one page. Kept
+    blocks join with newlines, each block whitespace-normalized."""
+    p = _BlockExtractor()
+    p.feed(html)
+    p.close()
+    p._flush_block()
+    keep = classify_blocks(
+        p._blocks, max_link_density=max_link_density,
+        min_words=min_words,
+    )
+    kept = [b["text"] for b, k in zip(p._blocks, keep) if k]
+    return "\n".join(kept), len(p._blocks), sum(keep)
+
+
+MAIN_SCHEMA = "doc_id long, text string, n_blocks int, n_kept int"
+
+
+def extract_main_content(
+    pages: DataFrame, *, html_col: str = "html", id_col: str = "doc_id",
+    max_link_density: float = 0.33, min_words: int = 10,
+) -> DataFrame:
+    """(doc_id, text, n_blocks, n_kept) per page — the density
+    classifier over Arrow batches; total over tag soup like
+    extract_text."""
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "text": [], "n_blocks": [], "n_kept": []}
+            for did, raw in zip(pdf[id_col], pdf[html_col]):
+                text, nb, nk = html_main_content(
+                    raw or "", max_link_density=max_link_density,
+                    min_words=min_words,
+                )
+                out["doc_id"].append(did)
+                out["text"].append(text)
+                out["n_blocks"].append(nb)
+                out["n_kept"].append(nk)
+            yield pd.DataFrame(out)
+
+    return pages.mapInPandas(gen, MAIN_SCHEMA)

@@ -122,8 +122,13 @@ def parse_robots_txt(content: str, user_agent: str = "*") -> RobotsRules:
             except ValueError:
                 pass
         elif field == "sitemap":
-            # sitemap lines are global, not group-scoped (§5.2)
-            seen_rule_since_ua = True
+            # sitemap lines are global, not group-scoped (§5.2) —
+            # and TRANSPARENT to grouping: a Sitemap: line between two
+            # User-agent lines must not terminate the user-agent run,
+            # or 'User-agent: a / Sitemap: x / User-agent: b /
+            # Disallow: /y' would strand agent a with no rules
+            # (RFC 9309 §2.2.1: only rule lines end a startgroupline
+            # run; fixed r15, ADVICE)
             if value:
                 sitemaps.append(value)
 

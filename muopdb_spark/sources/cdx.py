@@ -464,6 +464,20 @@ def lookup_warc(
                             member
                         ):
                             rec = parse_warc_record(raw)
+                            # foreign archives can pack several records
+                            # into one gzip member (whole-file gzip,
+                            # request+response pairs); keep only the
+                            # records the index actually covers — the
+                            # indexed warc_types whose target URI keys
+                            # back to the looked-up urlkey — or a
+                            # single-URL lookup returns (and mislabels)
+                            # unrelated neighbours (r15, ADVICE)
+                            if rec["warc_type"] not in (
+                                "response", "conversion", "resource"
+                            ):
+                                continue
+                            if surt_key_py(rec["target_uri"] or "") != key:
+                                continue
                             out["urlkey"].append(key)
                             for k in (
                                 "warc_type", "record_id", "warc_date",

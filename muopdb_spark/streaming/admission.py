@@ -131,13 +131,21 @@ def admit_batch(
     against the durable canonical-URL state parquet — a re-crawl of a
     known URL is rejected reason='url_duplicate' BEFORE any content
     gate runs (the cheapest possible rung: no text is touched). URLs
-    that pass record into the state immediately — frontier semantics:
-    "processed", not "admitted", so a page later rejected on quality
-    is not re-processed every crawl. Probe shape is the d7 artifact
-    pattern: state scan x broadcast batch keys (left_semi), seen set
-    is batch-bounded; the state is never shuffled. At-least-once
-    replays append duplicate state rows — harmless for the semi-join
-    probe, same idempotency posture as the rejection audit."""
+    that pass record into the state AFTER the round's corpus/signature
+    appends land — frontier semantics: "processed", not "admitted", so
+    a page later rejected on quality is not re-processed every crawl.
+    The append order is the crash-consistency contract (r15): state
+    LAST, like WAL-before-flush. A crash mid-batch before the state
+    append means the foreachBatch replay re-runs the whole round —
+    safe, because url_dedup, every dedup gate, and the (batch_id,
+    new_id) audit key are idempotent. Appending state FIRST would make
+    the replay reject the entire batch as reason='url_duplicate'
+    (at-most-once delivery — the r14 bug this ordering fixes). Probe
+    shape is the d7 artifact pattern: state scan x broadcast batch
+    keys (left_semi), seen set is batch-bounded; the state is never
+    shuffled. At-least-once replays of a COMPLETED round append
+    duplicate state rows — harmless for the semi-join probe, same
+    idempotency posture as the rejection audit."""
     spark = batch_df.sparkSession
     batch_df = batch_df.localCheckpoint(eager=True)
     if url_state_path is not None:
@@ -181,14 +189,78 @@ def admit_batch(
         )
         if not url_rejected.isEmpty():
             url_rejected.write.mode("append").parquet(rejected_path)
-        # frontier record: every fresh URL is now 'processed'
+        gated = fresh.drop("url_canon").localCheckpoint(eager=True)
+        if not gated.isEmpty():
+            _admit_content(
+                gated, batch_id, corpus_path, sig_path, rejected_path,
+                text_col=text_col, id_col=id_col, n=n,
+                num_hashes=num_hashes, bands=bands, threshold=threshold,
+                quality_min=quality_min,
+                benchmark_grams=benchmark_grams,
+                contamination_k=contamination_k,
+                dsir_ratios=dsir_ratios, dsir_min=dsir_min,
+                dsir_buckets=dsir_buckets, benchmark_sig=benchmark_sig,
+                benchmark_jaccard=benchmark_jaccard,
+                blocklist=blocklist,
+                blocklist_max_frac=blocklist_max_frac,
+                benchmark_bloom=benchmark_bloom, bloom_k=bloom_k,
+                bloom_m_bits=bloom_m_bits, bloom_n_hashes=bloom_n_hashes,
+            )
+        # frontier record LAST: only after the corpus/signature appends
+        # have landed is a URL durably 'processed' — see the docstring's
+        # crash-consistency contract
         fresh.select("url_canon").write.mode("append").parquet(
             url_state_path
         )
-        batch_df = fresh.drop("url_canon").localCheckpoint(eager=True)
-        if batch_df.isEmpty():
-            return
+        return
 
+    _admit_content(
+        batch_df, batch_id, corpus_path, sig_path, rejected_path,
+        text_col=text_col, id_col=id_col, n=n, num_hashes=num_hashes,
+        bands=bands, threshold=threshold, quality_min=quality_min,
+        benchmark_grams=benchmark_grams,
+        contamination_k=contamination_k, dsir_ratios=dsir_ratios,
+        dsir_min=dsir_min, dsir_buckets=dsir_buckets,
+        benchmark_sig=benchmark_sig,
+        benchmark_jaccard=benchmark_jaccard, blocklist=blocklist,
+        blocklist_max_frac=blocklist_max_frac,
+        benchmark_bloom=benchmark_bloom, bloom_k=bloom_k,
+        bloom_m_bits=bloom_m_bits, bloom_n_hashes=bloom_n_hashes,
+    )
+
+
+def _admit_content(
+    batch_df: DataFrame,
+    batch_id: int,
+    corpus_path: str,
+    sig_path: str,
+    rejected_path: str,
+    *,
+    text_col: str,
+    id_col: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    quality_min: float | None,
+    benchmark_grams: DataFrame | None,
+    contamination_k: int,
+    dsir_ratios: DataFrame | None,
+    dsir_min: float | None,
+    dsir_buckets: int,
+    benchmark_sig: DataFrame | None,
+    benchmark_jaccard: float,
+    blocklist: list[str] | None,
+    blocklist_max_frac: float,
+    benchmark_bloom: DataFrame | None,
+    bloom_k: int,
+    bloom_m_bits: int,
+    bloom_n_hashes: int,
+) -> None:
+    """The content gates + dedup + appends of one admission round
+    (everything downstream of the URL-frontier gate). Split out so
+    admit_batch can append the URL state AFTER these writes land."""
+    spark = batch_df.sparkSession
     if blocklist:
         # cheapest gate of all (array-literal HOF expression, no
         # stoplist broadcast, no regex corpus scan) — run it first;
@@ -461,6 +533,12 @@ def stream_admission(
     benchmark_jaccard: float = 0.8,
     blocklist: list[str] | None = None,
     blocklist_max_frac: float = 0.0,
+    url_state_path: str | None = None,
+    url_col: str = "url",
+    benchmark_bloom: DataFrame | None = None,
+    bloom_k: int = 8,
+    bloom_m_bits: int = 1 << 20,
+    bloom_n_hashes: int = 4,
     trigger_available_now: bool = False,
     processing_time: str = "1 second",
 ):
@@ -482,6 +560,9 @@ def stream_admission(
             benchmark_jaccard=benchmark_jaccard,
             blocklist=blocklist,
             blocklist_max_frac=blocklist_max_frac,
+            url_state_path=url_state_path, url_col=url_col,
+            benchmark_bloom=benchmark_bloom, bloom_k=bloom_k,
+            bloom_m_bits=bloom_m_bits, bloom_n_hashes=bloom_n_hashes,
         )
         batch_df.sparkSession.catalog.clearCache()
 

@@ -207,3 +207,54 @@ def test_lookup_prunes_shards_via_cluster_idx(spark, tmp_path):
     )
     rows = lookup_warc(spark, wdir, cdir, wanted).collect()
     assert [bytes(r["payload"]) for r in rows] == [b"<html>1</html>"]
+
+
+def test_lookup_multi_record_member_keeps_only_indexed_record(spark, tmp_path):
+    """Foreign archives can pack several records into one gzip member
+    (whole-file gzip, request+response pairs). A lookup byte-range
+    read decodes the whole member, so it must FILTER to the records
+    the looked-up index entry actually covers — indexed warc_types
+    whose target URI keys back to the looked-up urlkey — or a
+    single-URL lookup returns the member's OTHER records (the request,
+    another URL's response) mislabeled with the wanted key
+    (r15 ADVICE regression)."""
+    from muopdb_spark.sources.warc import encode_warc_record
+
+    wdir, cdir = str(tmp_path / "w"), str(tmp_path / "c")
+    os.makedirs(wdir)
+    url_a, url_b = "https://a.com/page", "https://b.com/other"
+    resp_a = encode_response_record(url_a, b"<html>A</html>")
+    req_a = encode_warc_record(
+        {
+            "WARC-Type": "request",
+            "WARC-Record-ID": "<urn:uuid:00000000-0000-0000-0000-000000000001>",
+            "WARC-Date": "2024-01-01T00:00:00Z",
+            "WARC-Target-URI": url_a,
+            "Content-Type": "application/http; msgtype=request",
+        },
+        b"GET /page HTTP/1.1\r\nHost: a.com\r\n\r\n",
+    )
+    resp_b = encode_response_record(url_b, b"<html>B</html>")
+    # ONE gzip member holding response A + request A + response B —
+    # the foreign whole-file-gzip shape our writer never produces
+    m = io.BytesIO()
+    with gzip.GzipFile(fileobj=m, mode="wb", mtime=0) as gz:
+        gz.write(resp_a + req_a + resp_b)
+    with open(os.path.join(wdir, "foreign-00000.warc.gz"), "wb") as fh:
+        fh.write(m.getvalue())
+
+    build_cdxj(spark, wdir, cdir, n_shards=1)
+    # the index covers both responses (each entry carrying the shared
+    # member span), never the request record
+    idx = read_cdxj(spark, cdir).collect()
+    assert sorted(r["urlkey"] for r in idx) == [
+        "com,a)/page", "com,b)/other"
+    ]
+
+    wanted = spark.createDataFrame([(url_a,)], "url string")
+    rows = lookup_warc(spark, wdir, cdir, wanted).collect()
+    # exactly the indexed response — not the request, not B's response
+    assert len(rows) == 1
+    assert rows[0]["warc_type"] == "response"
+    assert rows[0]["target_uri"] == url_a
+    assert bytes(rows[0]["payload"]) == b"<html>A</html>"

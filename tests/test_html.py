@@ -123,3 +123,104 @@ def test_nested_anchor_emits_pending_link():
         "<a href='/a'>first <a href='/b'>second</a> tail"
     )
     assert links == [("/a", "first"), ("/b", "second")]
+
+
+# ---------------------------------------------------- html2 (r15):
+# density-based main-content extraction
+
+from muopdb_spark.operators.html import (  # noqa: E402
+    classify_blocks,
+    extract_main_content,
+    html_main_content,
+)
+
+
+def _blk(text, anchor_frac=0.0, heading=False):
+    n = len(text)
+    return {"text": text, "n_words": len(text.split()),
+            "link_density": anchor_frac, "is_heading": heading}
+
+
+LONG = ("real prose with plenty of words in it to pass the core "
+        "length threshold easily")
+
+
+def test_classify_core_rules():
+    # long + low density = good; high density = bad regardless of length
+    assert classify_blocks([_blk(LONG)]) == [True]
+    assert classify_blocks([_blk(LONG, anchor_frac=0.9)]) == [False]
+    # short at document edges (no good neighbours) = bad
+    assert classify_blocks([_blk("short tail")]) == [False]
+
+
+def test_classify_context_rules():
+    blocks = [
+        _blk("Home About Contact", anchor_frac=1.0),   # menu: bad
+        _blk("Section title", heading=True),           # heading -> next
+        _blk(LONG),                                    # good
+        _blk("short middle"),                          # good-good ctx
+        _blk(LONG),                                    # good
+        _blk("short tail"),                            # good-bad ctx
+        _blk("more links here", anchor_frac=0.8),      # bad
+        _blk("copyright foo"),                         # edge ctx: bad
+    ]
+    assert classify_blocks(blocks) == [
+        False, True, True, True, True, False, False, False,
+    ]
+    # a heading over dropped content is dropped too
+    assert classify_blocks([
+        _blk("Menu", heading=True),
+        _blk("links links links", anchor_frac=1.0),
+    ]) == [False, False]
+
+
+def test_main_content_drops_divs_the_tag_pass_keeps():
+    """The r15 upgrade case: menus and link farms in PLAIN <div>s —
+    invisible to tag-based boilerplate suppression — are dropped by
+    density; prose, its heading, and short blocks between prose
+    survive."""
+    page = (
+        "<html><head><title>T</title><style>p{x}</style></head><body>"
+        '<div><a href="/a">Home</a> <a href="/b">About</a>'
+        ' <a href="/c">Contact</a></div>'
+        "<h1>Section title</h1>"
+        f"<p>{LONG}</p>"
+        "<div>short middle</div>"
+        f"<p>{LONG} again</p>"
+        "<div>tail 3</div>"
+        '<div><a href="/x">more</a> <a href="/y">links</a> here</div>'
+        "<footer>copyright foo</footer></body></html>"
+    )
+    text, n_blocks, n_kept = html_main_content(page)
+    assert text.split("\n") == [
+        "Section title", LONG, "short middle", f"{LONG} again",
+    ]
+    assert (n_blocks, n_kept) == (8, 4)
+    # the old tag-suppression pass keeps the link-farm div's text
+    old, _, _ = html_to_text(page)
+    assert "more links here" in old.replace("\n", " ")
+    assert "more" not in text and "copyright" not in text
+
+
+def test_main_content_tag_soup_total():
+    # malformed markup never raises; empty/None-ish input yields empty
+    for soup in ("", "<<<>>>", "<a href=oops<p>x", "<div" , "plain"):
+        t, nb, nk = html_main_content(soup)
+        assert isinstance(t, str)
+    # unclosed tags: block flush at EOF still classifies
+    t, nb, nk = html_main_content(f"<p>{LONG}")
+    assert t == LONG and nk == 1
+
+
+def test_extract_main_content_operator(spark):
+    rows = [
+        (1, '<div><a href="/m">Menu Menu</a></div>'
+            f"<h2>Title here</h2><p>{LONG}</p><footer>foot note</footer>"),
+        (2, '<div><a href="/m">only links</a></div>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {r["doc_id"]: r for r in
+           extract_main_content(df).collect()}
+    assert got[1]["text"] == f"Title here\n{LONG}"
+    assert got[1]["n_kept"] == 2
+    assert got[2]["text"] == "" and got[2]["n_kept"] == 0

@@ -260,3 +260,41 @@ def test_real_corpus_repetition_trim(spark):
     pairs = {r.doc_id: r for r in again.collect()}
     for did, r in pairs.items():
         assert r.kept_tokens == r.n_tokens, f"not idempotent on {did}"
+
+
+def test_real_corpus_main_content_precision_recall(spark):
+    """html2 (r15): the density classifier over real prose wrapped in
+    realistic page chrome (menus and related-link farms in PLAIN divs,
+    which tag-suppression cannot see). Precision: no menu/link-farm/
+    footer token survives. Recall: every prose seed long enough to be
+    core-good survives verbatim (whitespace-normalized)."""
+    from muopdb_spark.operators.html import extract_main_content
+
+    seeds = [GETTYSBURG, PREAMBLE,
+             GETTYSBURG + " " + PREAMBLE]  # multi-paragraph page
+    rows = []
+    for i, s in enumerate(seeds):
+        paras = "".join(f"<p>{p.strip()}</p>" for p in s.split("\n"))
+        rows.append((i, (
+            '<html><body>'
+            '<div><a href="/">Home</a> <a href="/about">About</a>'
+            ' <a href="/contact">Contact</a></div>'
+            f"<h1>Chapter {i}</h1>"
+            f"{paras}"
+            '<div><a href="/r1">related one</a>'
+            ' <a href="/r2">related two</a></div>'
+            "<footer>copyright publisher</footer></body></html>"
+        )))
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {r["doc_id"]: r["text"] for r in
+           extract_main_content(df).collect()}
+    for i, s in enumerate(seeds):
+        text = got[i]
+        # recall: the prose, normalized, is fully present
+        want = " ".join(s.split())
+        assert want in text.replace("\n", " "), i
+        # the headline over kept prose is kept
+        assert text.startswith(f"Chapter {i}")
+        # precision: zero boilerplate tokens leak
+        for bad in ("Home", "About", "Contact", "related", "copyright"):
+            assert bad not in text, (i, bad)

@@ -251,3 +251,27 @@ def test_sitemap_urls_spark(spark):
         ("ix.com", "https://ex.com/maps/1.xml", "sitemap"),
         ("ix.com", "https://ex.com/maps/2.xml", "sitemap"),
     ]
+
+
+def test_sitemap_line_does_not_split_user_agent_run():
+    """RFC 9309 §2.2.1: only rule lines terminate a startgroupline
+    run; Sitemap: is a non-group record and must be TRANSPARENT —
+    'User-agent: a / Sitemap: x / User-agent: b / Disallow: /y' is ONE
+    group covering both agents (r15 ADVICE regression: agent a used to
+    be stranded with no rules and fall through to *)."""
+    txt = """User-agent: a
+Sitemap: https://ex.com/s.xml
+User-agent: b
+Disallow: /x
+User-agent: *
+Allow: /
+"""
+    assert not robots_allowed(txt, "/x/deep", "a")
+    assert not robots_allowed(txt, "/x/deep", "b")
+    assert robots_allowed(txt, "/ok", "a")
+    parsed = parse_robots_txt(txt, "a")
+    assert parsed.sitemaps == ["https://ex.com/s.xml"]
+    # a rule line still ends the run: c is NOT merged into the a/b group
+    txt2 = "User-agent: a\nDisallow: /x\nUser-agent: c\nDisallow: /y\n"
+    assert robots_allowed(txt2, "/y/d", "a")
+    assert not robots_allowed(txt2, "/x/d", "a")

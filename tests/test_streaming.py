@@ -653,3 +653,94 @@ def test_bloom_prefilter_is_outcome_invariant(spark, tmp_path):
         admit_batch(batch, 2, str(tmp_path / "x"), str(tmp_path / "y"),
                     str(tmp_path / "z"), benchmark_grams=grams,
                     contamination_k=k, benchmark_bloom=bloom, bloom_k=9)
+
+
+def test_url_state_appends_after_corpus_write(spark, tmp_path):
+    """Crash-consistency ordering of the URL-frontier gate (r15
+    ADVICE): the frontier state must append LAST, after the
+    corpus/signature writes. If a round dies before the corpus append
+    (simulated here via the corpus-schema guard raising), the state
+    must NOT yet contain the batch's URLs — so the foreachBatch
+    replay re-admits the docs instead of rejecting the whole batch
+    as reason='url_duplicate' (the at-most-once bug)."""
+    import pytest as _pytest
+
+    from muopdb_spark.streaming.admission import admit_batch, bootstrap_corpus
+
+    corpus = str(tmp_path / "corpus")
+    sig = str(tmp_path / "sigs")
+    rej = str(tmp_path / "rej")
+    state = str(tmp_path / "urlstate")
+    seed = spark.createDataFrame(
+        [], "doc_id long, text string, lang string"
+    )
+    bootstrap_corpus(seed, corpus, sig)
+
+    batch = spark.createDataFrame(
+        [(i, f"doc body {i} " + " ".join(f"w{i}{j}" for j in range(12)),
+          f"https://site{i}.com/p") for i in range(4)],
+        "doc_id long, text string, url string",
+    )
+    # round 1 'crashes' before the corpus append: the batch lacks the
+    # corpus column 'lang', so the durable-schema guard raises AFTER
+    # all gates but BEFORE any corpus/sig/state write
+    with _pytest.raises(ValueError, match="lacks corpus columns"):
+        admit_batch(batch, 1, corpus, sig, rej,
+                    url_state_path=state, url_col="url")
+    import os as _os
+    assert not _os.path.isdir(state), \
+        "url state must not be written before the corpus append"
+
+    # the replay (same batch, fixed) admits everything — nothing is
+    # spuriously url_duplicate-rejected
+    fixed = batch.withColumn("lang", F.lit("en"))
+    admit_batch(fixed, 1, corpus, sig, rej,
+                url_state_path=state, url_col="url")
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} \
+        == {0, 1, 2, 3}
+    st = {r.url_canon for r in spark.read.parquet(state).collect()}
+    assert st == {f"https://site{i}.com/p" for i in range(4)}
+    import pathlib
+    assert not pathlib.Path(rej).is_dir() or \
+        spark.read.parquet(rej).filter("reason = 'url_duplicate'").count() == 0
+
+
+def test_stream_admission_forwards_url_frontier_gate(spark, tmp_path):
+    """stream_admission must forward the r14 gate parameters
+    (url_state_path/url_col/bloom) to admit_batch — the frontier gate
+    is reachable from the streaming entry point (r15 ADVICE)."""
+    from muopdb_spark.streaming.admission import bootstrap_corpus, stream_admission
+
+    corpus = str(tmp_path / "corpus")
+    sig = str(tmp_path / "sigs")
+    rej = str(tmp_path / "rej")
+    state = str(tmp_path / "urlstate")
+    ckpt = str(tmp_path / "ckpt")
+    src_dir = str(tmp_path / "src")
+
+    docs = spark.createDataFrame(
+        [(i, f"stream doc {i} " + " ".join(f"w{i}{j}" for j in range(12)),
+          f"https://site{i % 2}.com/p") for i in range(6)],
+        "doc_id long, text string, url string",
+    )
+    bootstrap_corpus(docs.limit(0), corpus, sig)
+    docs.repartition(1).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, url string")
+        .parquet(src_dir)
+    )
+    q = stream_admission(
+        stream, corpus, sig, rej, ckpt,
+        url_state_path=state, url_col="url",
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+
+    # one url per site admitted (keep-first), the rest url_duplicate
+    st = {r.url_canon for r in spark.read.parquet(state).collect()}
+    assert st == {"https://site0.com/p", "https://site1.com/p"}
+    admitted = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert admitted == {0, 1}
+    reasons = {r.reason for r in spark.read.parquet(rej).collect()}
+    assert reasons == {"url_duplicate"}
