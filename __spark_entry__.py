@@ -1176,6 +1176,90 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modp_fingerprints(_t(spark, sf_dir, "documents")).orderBy("doc_id", "fp")
 
 
+# t22 fixture templates (text, pred, ru/el/ar stopword hits, kana/
+# hangul/han char counts). Templates follow t21's construction: each
+# doc's text is template + ' ' + its ASCII doc_id digits (one extra
+# unicode token, zero extra script chars), so every output column is a
+# per-template constant — scores are hits/(n_template_tokens + 1) —
+# and the oracle is pure CASE arithmetic. The script-char constants
+# are pinned against the live operator by
+# tests/test_lang_id.py::test_t22_template_constants_match_operator,
+# so the hand table cannot drift from the Java regex classes.
+_T22_TEMPLATES: list[tuple[str, str, int, int, int, int, int, int, int]] = [
+    # (text, pred, n_toks(without digit), ru_hits, el_hits, ar_hits,
+    #  kana, hangul, han)
+    ("и в не на я что это", "ru", 7, 7, 0, 0, 0, 0, 0),
+    ("και να το η ο με για", "el", 7, 0, 7, 0, 0, 0, 0),
+    ("في من على أن هذا مع", "ar", 6, 0, 0, 6, 0, 0, 0),
+    ("日本語のテキストです", "ja", 1, 0, 0, 0, 7, 0, 3),
+    ("한국어 텍스트 예제", "ko", 3, 0, 0, 0, 0, 8, 0),
+    ("中文文本样例测试", "zh", 1, 0, 0, 0, 0, 0, 8),
+    # mixed hangul + katakana with hangul dominant: pins the
+    # hangul >= kana branch of the ladder
+    ("한국어로 작성된 글입니다 テスト", "ko", 4, 0, 0, 0, 3, 11, 0),
+    ("plain ascii words only", "und", 4, 0, 0, 0, 0, 0, 0),
+]
+
+
+def q_lang_id_multiscript(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t22 (r15): non-Latin language-ID
+    (textstats.lang_id_multiscript) — the language-granularity
+    complement of t3 (Latin stopword argmax) and t21 (script
+    routing): native-script stopword lists for ru/el/ar over
+    unicode-letter tokens, and kana/hangul character-ratio rules
+    separating ja/ko/zh (hangul>=kana -> ko, kana -> ja, bare han ->
+    zh). Each doc cycles eight templates covering every ladder branch
+    incl. the mixed hangul+katakana tie case; expected prediction,
+    stopword scores, and script-char counts are per-template
+    constants, so any slip in tokenization, a stoplist, or a ladder
+    branch fails the value hash."""
+    from muopdb_spark.operators.textstats import lang_id_multiscript
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    expr = None
+    k = len(_T22_TEMPLATES)
+    for i, row in enumerate(_T22_TEMPLATES):
+        branch = F.concat(F.lit(row[0] + " "), d.cast("string"))
+        expr = F.when(d % k == i, branch) if expr is None \
+            else expr.when(d % k == i, branch)
+    out = lang_id_multiscript(docs.withColumn("text", expr))
+    return out.orderBy("doc_id")
+
+
+def _lang_id_multiscript_oracle() -> str:
+    k = len(_T22_TEMPLATES)
+    pred_arms = " ".join(
+        f"WHEN {i} THEN '{t[1]}'" for i, t in enumerate(_T22_TEMPLATES)
+    )
+
+    def score_arms(hits_idx: int) -> str:
+        return " ".join(
+            f"WHEN {i} THEN round({t[hits_idx]}.0/{t[2] + 1}.0, 6)"
+            for i, t in enumerate(_T22_TEMPLATES)
+        )
+
+    def chars_arms(idx: int) -> str:
+        return " ".join(
+            f"WHEN {i} THEN {t[idx]}" for i, t in enumerate(_T22_TEMPLATES)
+        )
+
+    return f"""
+        SELECT doc_id,
+               CASE doc_id % {k} {pred_arms} END AS pred_lang,
+               CASE doc_id % {k} {score_arms(5)} END AS score_ar,
+               CASE doc_id % {k} {score_arms(4)} END AS score_el,
+               CASE doc_id % {k} {score_arms(3)} END AS score_ru,
+               CAST(CASE doc_id % {k} {chars_arms(6)} END AS BIGINT)
+                   AS kana_chars,
+               CAST(CASE doc_id % {k} {chars_arms(7)} END AS BIGINT)
+                   AS hangul_chars,
+               CAST(CASE doc_id % {k} {chars_arms(8)} END AS BIGINT)
+                   AS han_chars
+        FROM documents ORDER BY doc_id
+    """
+
+
 # t21 fixture templates: a pure-single-script constant + ' ' + the
 # ASCII doc_id digits (digits and spaces belong to no script), so the
 # expected script and script_chars are LITERALS per template and
@@ -5683,6 +5767,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Python) — spec-derived per-template CASE oracle; the URL
         # family's in-window witness is url1
         "html2_main_content": q_html_main_content,
+        "t22_lang_id_multiscript": q_lang_id_multiscript,
         "url2_psl_registered_domain": q_psl_registered_domain,
         # r14: RFC 9309 robots-exclusion gate — Arrow parse of the
         # hosts-sized robots side, broadcast join + JVM rule fold on
@@ -6709,6 +6794,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "t3_lang_id": _lang_id_oracle(),
         "t21_script_id": _script_id_oracle(),
+        "t22_lang_id_multiscript": _lang_id_multiscript_oracle(),
         "d9_exact_substring": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
             gpos AS (

@@ -229,3 +229,103 @@ def script_id(
         best.cast("long").alias("script_chars"),
         F.length(c).cast("long").alias("n_chars"),
     )
+
+
+# r15 (t22): language-ID beyond the Latin bucket. The 14-list stopword
+# argmax above only speaks [a-z]; script_id routes non-Latin docs to a
+# script, but ru (whose stemmer exists), el, and ar deserve LANGUAGE
+# granularity, and the han/kana/hangul scripts distinguish ja/ko/zh by
+# character-class ratios, not stopwords. Native-script function-word
+# lists (top-frequency words — standard public stopword sets) +
+# unicode-letter tokenization; all pure Column HOFs like lang_id.
+NONLATIN_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "ru": ("и", "в", "не", "на", "я", "что", "он", "с", "как", "это"),
+    "el": ("και", "να", "το", "η", "ο", "της", "που", "με", "για", "τα"),
+    "ar": ("في", "من", "على", "أن", "إلى", "عن", "هذا", "مع", "كان", "لا"),
+}
+
+
+def unicode_tokens(col: Column | str) -> Column:
+    """Unicode word tokens: maximal letter/digit runs of ANY script,
+    lowercased — the tokenizer the non-Latin stopword lists need
+    (simple_tokens' [a-z0-9] alphabet deletes their alphabets)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(F.lower(c), r"[^\p{L}\p{N}]+"), lambda t: t != ""
+    )
+
+
+def lang_id_multiscript(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, pred_lang, score_ru/el/ar, kana_chars, hangul_chars,
+    han_chars): the non-Latin complement of lang_id. Decision ladder
+    (CJK character evidence first — those languages have no spaces for
+    stopwords to live between):
+
+      ko  if hangul_chars > 0 and hangul_chars >= kana_chars
+      ja  elif kana_chars > 0        (hiragana/katakana only ja uses)
+      zh  elif han_chars > 0         (han with no kana reads Chinese;
+                                      ja text virtually always carries
+                                      kana, so bare han routes zh)
+      else argmax native-script stopword ratio over ru/el/ar
+           (alphabetical tie-break), 'und' when every score is 0
+
+    Latin-script docs score 0 on every list and come out 'und' —
+    route them through lang_id; this operator is the other half of
+    the script_id dispatch. Pure JVM expressions: regexp_count for
+    the script classes, split+filter HOFs for the stopword ratios."""
+    c = F.col(text_col)
+    hira = F.regexp_count(c, F.lit(SCRIPTS["hiragana"]))
+    kata = F.regexp_count(c, F.lit(SCRIPTS["katakana"]))
+    hangul = F.regexp_count(c, F.lit(SCRIPTS["hangul"]))
+    han = F.regexp_count(c, F.lit(SCRIPTS["han"]))
+
+    staged = df.select(
+        id_col,
+        unicode_tokens(text_col).alias("_toks"),
+        (hira + kata).cast("long").alias("kana_chars"),
+        hangul.cast("long").alias("hangul_chars"),
+        han.cast("long").alias("han_chars"),
+    )
+    toks = F.col("_toks")
+
+    def in_stops(stops):
+        return lambda t: F.array_contains(stops, t)
+
+    langs = sorted(NONLATIN_STOPWORDS)
+    score_cols = []
+    for lang in langs:
+        stops = F.array(*[F.lit(w) for w in NONLATIN_STOPWORDS[lang]])
+        n = F.size(F.filter(toks, in_stops(stops)))
+        score_cols.append(
+            F.when(F.size(toks) > 0, n / F.size(toks))
+            .otherwise(F.lit(0.0)).alias(f"_s_{lang}")
+        )
+    scored = staged.select(
+        id_col, "kana_chars", "hangul_chars", "han_chars", *score_cols
+    )
+
+    scores = {l: F.col(f"_s_{l}") for l in langs}
+    best = F.greatest(*[scores[l] for l in langs])
+    stop_pred = F.lit("und")
+    for lang in reversed(langs):
+        stop_pred = F.when(scores[lang] == best, F.lit(lang)) \
+            .otherwise(stop_pred)
+    stop_pred = F.when(best > 0, stop_pred).otherwise(F.lit("und"))
+
+    kana = F.col("kana_chars")
+    hg = F.col("hangul_chars")
+    hn = F.col("han_chars")
+    pred = (
+        F.when((hg > 0) & (hg >= kana), F.lit("ko"))
+        .when(kana > 0, F.lit("ja"))
+        .when(hn > 0, F.lit("zh"))
+        .otherwise(stop_pred)
+    )
+    return scored.select(
+        id_col,
+        pred.alias("pred_lang"),
+        *[F.round(scores[l], 6).alias(f"score_{l}") for l in langs],
+        "kana_chars", "hangul_chars", "han_chars",
+    )

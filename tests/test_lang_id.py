@@ -85,3 +85,79 @@ def test_script_id_plan_is_pure_jvm(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     plan = script_id(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "BatchEval" not in plan
+
+
+# ------------------------------------------------- t22 (r15):
+# non-Latin lang-ID: native-script stopwords + kana/hangul ratios
+
+
+def test_multiscript_ladder_branches(spark):
+    from muopdb_spark.operators.textstats import lang_id_multiscript
+
+    rows = [
+        (0, "и в не на я что это", "ru"),
+        (1, "και να το η ο με για", "el"),
+        (2, "في من على أن هذا مع", "ar"),
+        (3, "日本語のテキストです", "ja"),       # kana present -> ja
+        (4, "한국어 텍스트 예제", "ko"),          # hangul -> ko
+        (5, "中文文本样例测试", "zh"),             # bare han -> zh
+        (6, "한국어로 작성된 글입니다 テスト", "ko"),  # hangul >= kana
+        (7, "한국語テスト", "ja"),                 # kana > hangul -> ja
+        (8, "plain ascii words only", "und"),     # latin routes to t3
+        (9, "", "und"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["pred_lang"]
+           for r in lang_id_multiscript(df).collect()}
+    for i, _t, want in rows:
+        assert got[i] == want, (i, want, got[i])
+
+
+def test_multiscript_scores_and_tokenizer(spark):
+    from muopdb_spark.operators.textstats import lang_id_multiscript
+
+    # punctuation splits unicode tokens; digits are tokens; scores are
+    # hits / n_tokens
+    df = spark.createDataFrame(
+        [(0, "и, в! не 42")], "doc_id long, text string"
+    )
+    r = lang_id_multiscript(df).collect()[0]
+    assert r["pred_lang"] == "ru"
+    assert r["score_ru"] == 0.75  # 3 hits / 4 tokens
+    assert r["score_el"] == 0.0 and r["score_ar"] == 0.0
+
+
+def test_multiscript_plan_is_pure_jvm(spark):
+    from muopdb_spark.operators.textstats import lang_id_multiscript
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    plan = lang_id_multiscript(df) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_t22_template_constants_match_operator(spark):
+    """The t22 oracle is a hand table of per-template constants
+    (__spark_entry__._T22_TEMPLATES); this pin recomputes every
+    constant with the LIVE operator so the table cannot drift from
+    the Java script classes or the stoplists."""
+    from __spark_entry__ import _T22_TEMPLATES
+    from muopdb_spark.operators.textstats import lang_id_multiscript
+
+    df = spark.createDataFrame(
+        [(i, t[0] + " 7") for i, t in enumerate(_T22_TEMPLATES)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in lang_id_multiscript(df).collect()}
+    for i, (_txt, pred, n_toks, ru, el, ar, kana, hangul, han) \
+            in enumerate(_T22_TEMPLATES):
+        r = got[i]
+        assert r["pred_lang"] == pred, i
+        assert r["kana_chars"] == kana, i
+        assert r["hangul_chars"] == hangul, i
+        assert r["han_chars"] == han, i
+        assert r["score_ru"] == round(ru / (n_toks + 1), 6), i
+        assert r["score_el"] == round(el / (n_toks + 1), 6), i
+        assert r["score_ar"] == round(ar / (n_toks + 1), 6), i
