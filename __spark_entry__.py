@@ -3000,6 +3000,50 @@ def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "page")
 
 
+def q_pdf_encrypted_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pdf3 (r15): text extraction through STANDARD-SECURITY
+    encryption, empty user password (operators/pdfcrypt.py — the r14
+    verdict's most user-visible acquisition refusal closed). Each
+    document's two-page PDF is encrypted with a mode cycling over
+    RC4-40/RC4-128/AES-128/AES-256 (all four ISO 32000 revisions R2/
+    R3/R4/R6), then decrypted+extracted by the reader: /Encrypt
+    lookup, empty-password verification, per-object key derivation,
+    RC4/AES-CBC stream decryption — any slip garbles the text and
+    fails the hash. A fixed encrypt_seed keeps the aes-256 Algorithm
+    2.B cost amortized (fixture concession documented in encode_pdf).
+    Crypto primitives are vector-pinned in tests/test_pdfcrypt.py;
+    password-protected documents refuse by name (also pinned)."""
+    from muopdb_spark.operators.pdf import encode_pdf, pdf_pages
+
+    modes = ("rc4-40", "rc4-128", "aes-128", "aes-256")
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf_batch in batches:
+            out = {"doc_id": [], "content": []}
+            for d in pdf_batch["doc_id"]:
+                d = int(d)
+                pages = [
+                    f"Title {d}\nline {d % 7} body {(d * 3) % 11}",
+                    f"second page {d % 5}",
+                ]
+                out["doc_id"].append(d)
+                out["content"].append(encode_pdf(
+                    pages, encrypt=modes[d % 4], encrypt_seed=b"pdf3"
+                ))
+            yield pd.DataFrame(out)
+
+    blobs = docs.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(gen, "doc_id long, content binary")
+    out = pdf_pages(blobs)
+    return out.select(
+        "doc_id", F.col("page").cast("long").alias("page"), "text"
+    ).orderBy("doc_id", "page")
+
+
 def q_pdf_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pdf2: embedded-image extraction from PDFs (operators/pdf.py
     r14) — the figure half of document acquisition, composing the PDF
@@ -5782,6 +5826,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dims/format oracle with the p7/warc1-style px_ok integrity
         # pin; the PDF family's in-window witness is pdf1
         "pdf2_image_extract": q_pdf_image_extract,
+        "pdf3_encrypted_extract": q_pdf_encrypted_extract,
         # r14: CDXJ capture index + SURT-keyed targeted lookup over
         # WARC archives (sources/cdx.py) — arithmetic urlkey oracle +
         # payload integrity pin; the WARC family's in-window witness
@@ -7396,6 +7441,22 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY domain
         """,
         "pdf1_text_extract": """
+            SELECT doc_id,
+                   CAST(p AS BIGINT) AS page,
+                   CASE WHEN p = 0 THEN concat(
+                            'Title ', CAST(doc_id AS VARCHAR), chr(10),
+                            'line ', CAST(doc_id % 7 AS VARCHAR),
+                            ' body ', CAST((doc_id * 3) % 11 AS VARCHAR))
+                        ELSE concat('second page ',
+                                    CAST(doc_id % 5 AS VARCHAR))
+                   END AS text
+            FROM documents
+            CROSS JOIN (SELECT UNNEST([0, 1]) AS p)
+            ORDER BY doc_id, page
+        """,
+        # pdf3 shares pdf1's arithmetic ground truth: encryption must
+        # be perfectly invisible to extraction
+        "pdf3_encrypted_extract": """
             SELECT doc_id,
                    CAST(p AS BIGINT) AS page,
                    CASE WHEN p = 0 THEN concat(

@@ -1,10 +1,15 @@
 """PDF text-layer extraction — ISO 32000 (public spec), the feasible
-subset the r13 close-or-freeze decision named: unencrypted PDFs with
+subset the r13 close-or-freeze decision named: PDFs with
 FlateDecode / ASCIIHex / ASCII85 streams, classic xref or compressed
 object streams (ObjStm), simple fonts (Standard/WinAnsi base +
 /Differences glyph names) and composite Type0 fonts via /ToUnicode
-CMaps. Everything else refuses BY NAME (encryption, LZW/DCT/JBIG2/
-CCITT/RunLength filters, stream predictors) — never silent garbage.
+CMaps. Standard-security-handler encryption with an EMPTY user
+password — the common "readable by anyone, owner-permissions-only"
+encrypted PDF a crawl hits — decrypts transparently (r15,
+operators/pdfcrypt.py: RC4-40..128 / AES-128 / AES-256). Everything
+else refuses BY NAME (password-protected documents, non-Standard
+security handlers, LZW/DCT/JBIG2/CCITT/RunLength filters, stream
+predictors) — never silent garbage.
 
 Design notes:
 
@@ -239,18 +244,85 @@ class PdfDocument:
             raise PdfError("pdf: missing %PDF- header")
         self.data = data
         self.version = data[5:8].decode("latin-1", "replace")
-        if re.search(rb"/Encrypt\s+(?:\d+\s+\d+\s+R|<<)", data):
-            raise NotImplementedError(
-                "pdf: encrypted documents are not supported"
-            )
         # newest definition of each object number wins (incremental
         # updates append re-definitions)
         self._offsets: dict[int, int] = {}
+        self._gens: dict[int, int] = {}
         for m in _OBJ_RE.finditer(data):
-            self._offsets[int(m.group(1))] = m.end()
+            num = int(m.group(1))
+            self._offsets[num] = m.end()
+            self._gens[num] = int(m.group(2))
         self._cache: dict[int, object] = {}
         self._streams: dict[int, bytes] = {}  # raw (undecoded)
+        # r15: standard security handler, empty user password
+        # (ISO 32000-1 §7.6.3 / 32000-2 §7.6.4 — RC4-40..128, AES-128,
+        # AES-256). Password-protected files and non-Standard handlers
+        # refuse by name inside open_standard.
+        self._handler = None
+        self._encrypt_num: int | None = None
+        self._setup_encryption()
         self._expand_objstms()
+
+    def _setup_encryption(self) -> None:
+        refs = list(re.finditer(
+            rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", self.data
+        ))
+        inline = None
+        if not refs:
+            m = re.search(rb"/Encrypt\s*<<", self.data)
+            if not m:
+                return
+            inline, _ = parse_object(
+                self.data, m.end() - 2
+            )
+        from muopdb_spark.operators.pdfcrypt import open_standard
+
+        if inline is not None:
+            enc = inline
+        else:
+            self._encrypt_num = int(refs[-1].group(1))
+            enc = self.resolve(self.get(self._encrypt_num))
+        if not isinstance(enc, dict):
+            raise PdfError("pdf: malformed /Encrypt")
+        ids = list(re.finditer(
+            rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>", self.data
+        ))
+        if ids:
+            hx = ids[-1].group(1).decode()
+            id0 = bytes.fromhex(hx if len(hx) % 2 == 0 else hx + "0")
+        else:
+            lit = list(re.finditer(rb"/ID\s*\[\s*\(", self.data))
+            if lit:
+                id0, _ = _parse_literal_string(
+                    self.data, lit[-1].end() - 1
+                )
+            else:
+                id0 = b""
+
+        def _resolve(v):
+            v = self.resolve(v)
+            if isinstance(v, _Name):
+                return str(v)
+            return v
+
+        self._handler = open_standard(
+            {str(k): v for k, v in enc.items()}, id0, _resolve
+        )
+
+    def _decrypt_strings(self, obj, num: int, gen: int):
+        """Decrypt every string in a freshly parsed TOP-LEVEL object
+        tree (objects inside ObjStms are covered by the stream's own
+        decryption, per spec)."""
+        if isinstance(obj, bytes):
+            return self._handler.decrypt_string(num, gen, obj)
+        if isinstance(obj, dict):
+            return {
+                k: self._decrypt_strings(v, num, gen)
+                for k, v in obj.items()
+            }
+        if isinstance(obj, list):
+            return [self._decrypt_strings(v, num, gen) for v in obj]
+        return obj
 
     # -- object access
 
@@ -275,7 +347,12 @@ class PdfDocument:
         if num not in self._cache:
             if num not in self._offsets:
                 raise PdfError(f"pdf: missing object {num}")
-            self._cache[num] = self._load_toplevel(num)
+            obj = self._load_toplevel(num)
+            if self._handler is not None and num != self._encrypt_num:
+                obj = self._decrypt_strings(
+                    obj, num, self._gens.get(num, 0)
+                )
+            self._cache[num] = obj
         return self._cache[num]
 
     def resolve(self, obj, depth: int = 0):
@@ -296,6 +373,10 @@ class PdfDocument:
         else:
             d = num_or_dict
         raw = self._streams.get(num, b"")
+        if self._handler is not None and raw:
+            raw = self._handler.decrypt_stream(
+                num, self._gens.get(num, 0), raw
+            )
         return _apply_filters(d, raw, self)
 
     # -- ObjStm expansion
@@ -764,14 +845,81 @@ def _pdf_escape(s: str) -> bytes:
         .replace(b")", b"\\)")
 
 
-def encode_pdf(pages: list[str], *, compress: bool = True) -> bytes:
+_ENC_BUILDS: dict[tuple, tuple] = {}
+
+
+def _cached_encrypt_build(mode, owner_password, id0, seed):
+    memo = (mode, bytes(owner_password), bytes(id0), bytes(seed))
+    hit = _ENC_BUILDS.get(memo)
+    if hit is None:
+        from muopdb_spark.operators.pdfcrypt import build_standard_encrypt
+
+        hit = build_standard_encrypt(
+            mode, owner_password=owner_password, id0=id0, seed=seed
+        )
+        if len(_ENC_BUILDS) > 64:
+            _ENC_BUILDS.clear()
+        _ENC_BUILDS[memo] = hit
+    return hit
+
+
+def _ser_pdf_value(v) -> bytes:
+    """Serialize an /Encrypt-dict value (names as str, binary as hex
+    strings, nested dicts)."""
+    if isinstance(v, bool):
+        return b"true" if v else b"false"
+    if isinstance(v, int):
+        return str(v).encode()
+    if isinstance(v, bytes):
+        return b"<" + v.hex().encode() + b">"
+    if isinstance(v, str):
+        return b"/" + v.encode()
+    if isinstance(v, dict):
+        parts = b" ".join(
+            b"/" + k.encode() + b" " + _ser_pdf_value(val)
+            for k, val in v.items()
+        )
+        return b"<< " + parts + b" >>"
+    raise ValueError(f"pdf: cannot serialize {type(v)}")
+
+
+def encode_pdf(
+    pages: list[str], *, compress: bool = True,
+    encrypt: str | None = None, owner_password: bytes = b"owner",
+    encrypt_seed: bytes | None = None,
+) -> bytes:
     """Deterministic single-font PDF: one page per input string
     (lines split on newline; Helvetica 11pt, WinAnsi — non-WinAnsi
     text raises ValueError by name), FlateDecode content streams,
-    classic xref table, no dates/IDs — re-exports are byte-identical.
-    The fixture/oracle twin of extract_pdf_text."""
+    classic xref table, no dates — re-exports are byte-identical.
+    The fixture/oracle twin of extract_pdf_text.
+
+    `encrypt` (r15): 'rc4-40' | 'rc4-128' | 'aes-128' | 'aes-256'
+    emits a standard-security-handler document with an EMPTY user
+    password (readable by anyone, like most encrypted PDFs in the
+    wild); /ID and all salts/IVs derive from the content — or from
+    `encrypt_seed` when given, which additionally memoizes the
+    security-dict build so a batch of fixtures pays the aes-256
+    Algorithm 2.B cost once, not per document (fixture-only
+    concession: shared seed means shared file key + per-object IVs
+    across the batch)."""
     if not pages:
         raise ValueError("encode_pdf: no pages")
+    handler = None
+    enc_fields = None
+    id0 = b""
+    if encrypt is not None:
+        import hashlib as _hl
+
+        seed = encrypt_seed if encrypt_seed is not None else _hl.md5(
+            ("\x00".join(pages) + "\x01" + encrypt).encode(
+                "utf-8", "replace"
+            )
+        ).digest()
+        id0 = _hl.md5(seed + b"|id0").digest()
+        enc_fields, handler = _cached_encrypt_build(
+            encrypt, owner_password, id0, seed
+        )
     objs: list[bytes] = []
 
     def obj(body: bytes) -> int:
@@ -808,12 +956,21 @@ def encode_pdf(pages: list[str], *, compress: bool = True) -> bytes:
         )
         if compress:
             payload = zlib.compress(content, 9)
-            head = (f"<< /Length {len(payload)}"
-                    f" /Filter /FlateDecode >>").encode()
+            filt = b" /Filter /FlateDecode"
         else:
             payload = content
-            head = f"<< /Length {len(payload)} >>".encode()
+            filt = b""
+        if handler is not None:
+            import hashlib as _hl
+
+            iv = _hl.md5(id0 + b"|iv|%d" % (pnum + 1)).digest()
+            payload = handler.encrypt_stream(pnum + 1, 0, payload, iv=iv)
+        head = (f"<< /Length {len(payload)}".encode() + filt + b" >>")
         obj(head + b"\nstream\n" + payload + b"\nendstream")
+
+    enc_num = None
+    if enc_fields is not None:
+        enc_num = obj(_ser_pdf_value(enc_fields))
 
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
@@ -825,8 +982,12 @@ def encode_pdf(pages: list[str], *, compress: bool = True) -> bytes:
     out += b"0000000000 65535 f \n"
     for off in offsets[1:]:
         out += f"{off:010d} 00000 n \n".encode()
+    extra = ""
+    if enc_num is not None:
+        hx = id0.hex()
+        extra = f" /Encrypt {enc_num} 0 R /ID [<{hx}> <{hx}>]"
     out += (
-        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R{extra} >>\n"
         f"startxref\n{xref_at}\n%%EOF\n"
     ).encode()
     return bytes(out)

@@ -93,11 +93,17 @@ def test_uncompressed_variant():
 # ------------------------------------------------------------- refusals
 
 
-def test_encrypted_refuses_by_name():
+def test_encrypted_contract_r15():
+    """r15: empty-user-password standard security decrypts
+    transparently (the full matrix lives in tests/test_pdfcrypt.py);
+    password-protected files still refuse BY NAME, and a dangling
+    /Encrypt reference is malformed, not silently ignored."""
+    assert extract_pdf_text(encode_pdf(["secret"], encrypt="rc4-128")) \
+        == extract_pdf_text(encode_pdf(["secret"]))
     pdf = encode_pdf(["secret"]).replace(
         b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R"
     )
-    with pytest.raises(NotImplementedError, match="encrypted"):
+    with pytest.raises((NotImplementedError, ValueError)):
         extract_pdf_text(pdf)
 
 
