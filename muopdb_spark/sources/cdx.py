@@ -50,6 +50,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from muopdb_spark.sources.warc import (
     _iter_plain_records,
     _list_warcs,
+    _probe_zstd,
     parse_warc_record,
 )
 
@@ -109,7 +110,9 @@ def iter_warc_member_spans(
     """(offset, length, plain_record) per record of a .warc.gz buffer
     (member-per-record walk tracking byte spans; a multi-record
     member yields each record with the MEMBER's span) or a plain
-    .warc buffer (record spans are the plain byte spans)."""
+    .warc buffer (record spans are the plain byte spans). zstd
+    archives refuse by name (warc._probe_zstd)."""
+    _probe_zstd(data)
     if data[:2] == b"\x1f\x8b":
         pos = 0
         view = memoryview(data)

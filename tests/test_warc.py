@@ -178,3 +178,22 @@ def test_warc_extract_text_head(spark, pages, tmp_path):
 def test_read_warc_missing_path_refuses(spark, tmp_path):
     with pytest.raises(ValueError, match="no archive files"):
         read_warc(spark, str(tmp_path / "nope"))
+
+
+def test_zstd_archives_refuse_by_name():
+    """r15 close-or-freeze: .warc.zst REFUSES by name (no stdlib zstd
+    in Python 3.11; a from-scratch RFC 8878 decoder is out of scope by
+    decision, recorded in SURVEY). Both the standard frame magic and
+    the skippable dictionary frame refuse; gzip/plain are untouched."""
+    import pytest as _pytest
+
+    from muopdb_spark.sources.cdx import iter_warc_member_spans
+    from muopdb_spark.sources.warc import iter_warc_members
+
+    std_frame = b"\x28\xb5\x2f\xfd" + b"\x00" * 16
+    skippable = b"\x50\x2a\x4d\x18" + b"\x04\x00\x00\x00dict"
+    for blob in (std_frame, skippable):
+        with _pytest.raises(NotImplementedError, match="zstd"):
+            list(iter_warc_members(blob))
+        with _pytest.raises(NotImplementedError, match="zstd"):
+            list(iter_warc_member_spans(blob))
