@@ -5384,7 +5384,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (t2_multilang_stem_index, d1_dedup_exact, a1_doc_counts,
         # o1_topk_orders, src1_jsonl_roundtrip — each family keeps an
         # in-window witness; see the ledger for the swap-back plan).
-        "f7_filter_not_contains": q_filter_not_contains,
+        # r15 rotation (docs/ROTATION.md r15 ledger): the eight r14
+        # final-wave operators get their landing+1 first driver rows
+        # (they landed too late for the r14 swap; all eight
+        # sf0.01-oracle-verified in the r15 full-registry sweep
+        # BEFORE the swap), plus landing-round first rows for the two
+        # r15-NEW operators html2 (density-based main-content
+        # extraction) and t22 (non-Latin lang-ID), both oracle-checked
+        # green at sf0.01 BEFORE the swap. Ten multiply-witnessed rows
+        # park to extras for the round: f7 (filter family keeps f1/f6
+        # in-window), t12 (tokenizer family keeps t14 + incoming t20),
+        # w7 (streaming family keeps w3 + incoming w11), p6 (pipeline
+        # family keeps p2/p4/p7), v27 (quantizer family keeps v11),
+        # t13 (LM family keeps t9), d9 (dedup family keeps
+        # d3/d10/t15/smp7 + c1), smp6 (sampling family keeps
+        # smp7/smp10), o2 (relational family keeps agg_pricing/
+        # w_events/j6), x1 (ANN family keeps v4/v11/h2/mu1; LSH shape
+        # extras-green via x2).
+        "rob1_robots_gate": q_robots_gate,
+        "cdx1_index_lookup": q_cdx_lookup,
+        "bloom1_membership_gate": q_bloom_gate,
+        "url2_psl_registered_domain": q_psl_registered_domain,
+        "sm1_sitemap_discovery": q_sitemap_discovery,
+        "t20_unigram_encode": q_unigram_encode,
+        "t21_script_id": q_script_id,
+        "w11_stream_url_admission": q_stream_url_admission,
+        "html2_main_content": q_html_main_content,
+        "t22_lang_id_multiscript": q_lang_id_multiscript,
         # r8 rotation (docs/ROTATION.md r8 plan): the six r7-late
         # extras (pipe2, t12, w7, p6, v27, t13 — all oracle-backed,
         # green under the local gate since they landed) get first
@@ -5401,18 +5427,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pipe2 parked in r14 (driver-green r8–r13; composed-manifest
         # family keeps pipe3 in-window) so the r13/r14 acquisition
         # landings get first driver rows.
-        "t12_vocab_topk": q_vocab_topk,
-        "w7_stream_importance_admission": q_stream_importance_admission,
-        "p6_leakage_safe_split": q_leakage_safe_split,
-        "v27_opq_adc_rerank": q_opq_adc_rerank,
-        "t13_ppl_buckets": q_ppl_buckets,
         # r8-NEW operator (landing-round first driver row per the
         # rotation policy): BPE merge application — step 2 of
         # 1508.07909, closing the tokenizer train->apply loop t12
         # opened. Parks s1_set_ops (driver-green r1-r7; set-op family
         # keeps f7 in-window).
         "t14_bpe_encode": q_bpe_encode,
-        "o2_topn_per_group": q_topn_per_group,
         # r9-NEW composition (landing-round first driver row; the window
         # is otherwise FROZEN per docs/ROTATION.md r9): pipe3 chains the
         # r8 curation operators (t15 line dedup -> d10 keep-best -> smp7
@@ -5466,12 +5486,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7 late swap: d5 (driver-green r1-r6; the dedup family keeps
         # five in-window witnesses) parked so the r7-new exact-substring
         # pass gets its first driver row in its landing round.
-        "d9_exact_substring": q_exact_substring,
         # r7 late swap: t1/t2_quality/t3 (map-side text stats,
         # driver-green r1-r6; family witnessed in-window by t5/t7/t8/
         # t9/t11) parked to extras so the three operators ADDED in r7
         # get first driver rows in the same round they landed.
-        "smp6_dsir_sample": q_dsir_sample,
         "v4_ann_ivf_fullprobe": q_ann_fullprobe,
         "v11_pq_adc_rerank": q_pq_adc_rerank,
         # v13 parked in r14 (driver-green r1–r13; quantizer family
@@ -5482,7 +5500,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # n_match pins read-back content md5 == source md5 for every
         # member. Oracle checked at sf0.01 BEFORE the swap.
         "p7_webdataset_roundtrip": q_webdataset_roundtrip,
-        "x1_lsh_near_dup": q_lsh_near_dup,
         # h1_hybrid_search rotated to extra_queries() in r5 (hybrid
         # family witnessed by h2 + h3; driver-green r1-r4) to free a
         # slot for d7_incremental_minhash's first driver row.
@@ -5648,7 +5665,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotated out in r5 to make room for src2/t7/t8's first driver rows)
     and stays
     oracle-gated locally: tests/test_extra_queries.py runs each against
-    its oracle_sql() twin on DuckDB at sf0.001, the same compare the
+    its oracle_sql() twin on DuckDB at sf0.01 — the driver window's
+    OWN scale, raised from sf0.001 in r15 — the same compare the
     driver does. bench.py runs them via the merged dict, so the
     benchmark surface is unchanged."""
     return {
@@ -5806,47 +5824,31 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # extraction gets its landing-round first driver row; dedup
         # family keeps d3/d9/d10/t15/smp7 in-window.
         "d6_dup_clusters": q_dup_clusters,
-        # r14: registered-domain extraction over the FULL vendored
-        # Mozilla PSL (operators/psl.py, 5 broadcast joins, zero
-        # Python) — spec-derived per-template CASE oracle; the URL
-        # family's in-window witness is url1
-        "html2_main_content": q_html_main_content,
-        "t22_lang_id_multiscript": q_lang_id_multiscript,
-        "url2_psl_registered_domain": q_psl_registered_domain,
-        # r14: RFC 9309 robots-exclusion gate — Arrow parse of the
-        # hosts-sized robots side, broadcast join + JVM rule fold on
-        # the corpus side; hand-derived longest-match/allow-wins CASE
-        # oracle
-        "rob1_robots_gate": q_robots_gate,
-        # r14: sitemap <loc> discovery (urlset + sitemapindex, total
-        # over truncated XML) — generate_series oracle
-        "sm1_sitemap_discovery": q_sitemap_discovery,
         # r14: embedded-image extraction from PDFs (FlateDecode exact
         # + DCTDecode through the repo JPEG codec) — arithmetic
         # dims/format oracle with the p7/warc1-style px_ok integrity
         # pin; the PDF family's in-window witness is pdf1
         "pdf2_image_extract": q_pdf_image_extract,
+        # r15: text extraction through standard-security encryption
+        # (empty user password; operators/pdfcrypt.py) — pdf1's
+        # arithmetic oracle, all four revisions cycled
         "pdf3_encrypted_extract": q_pdf_encrypted_extract,
-        # r14: CDXJ capture index + SURT-keyed targeted lookup over
-        # WARC archives (sources/cdx.py) — arithmetic urlkey oracle +
-        # payload integrity pin; the WARC family's in-window witness
-        # is warc1
-        "cdx1_index_lookup": q_cdx_lookup,
-        # r14: URL-frontier-gated streaming admission (the re-crawl
-        # gate) — symbolic two-round oracle; admission family
-        # witnessed in-window by w7
-        "w11_stream_url_admission": q_stream_url_admission,
-        # r14: unigram-LM (SentencePiece) tokenizer application —
-        # pinned-vocab Viterbi CASE oracle (the t14 pattern);
-        # tokenizer family witnessed in-window by t12/t14
-        "t20_unigram_encode": q_unigram_encode,
-        # r14: distributed Bloom membership gate — the oracle replays
-        # the filter bit-for-bit, so FALSE POSITIVES must match
-        # exactly; decontamination family witnessed in-window by c1/c3
-        "bloom1_membership_gate": q_bloom_gate,
-        # r14: Unicode script detection — literal-template oracle;
-        # the text family's in-window witnesses are t11/t13/t19
-        "t21_script_id": q_script_id,
+        # r15 rotation: the eight r14 final-wave operators moved INTO
+        # the driver window (landing+1 first rows per the r14
+        # verdict), and these ten multiply-witnessed rows park here
+        # for the round — every one driver-green for multiple rounds
+        # and family-witnessed in-window (see queries() comment +
+        # docs/ROTATION.md r15 ledger):
+        "f7_filter_not_contains": q_filter_not_contains,
+        "t12_vocab_topk": q_vocab_topk,
+        "w7_stream_importance_admission": q_stream_importance_admission,
+        "p6_leakage_safe_split": q_leakage_safe_split,
+        "v27_opq_adc_rerank": q_opq_adc_rerank,
+        "t13_ppl_buckets": q_ppl_buckets,
+        "d9_exact_substring": q_exact_substring,
+        "smp6_dsir_sample": q_dsir_sample,
+        "o2_topn_per_group": q_topn_per_group,
+        "x1_lsh_near_dup": q_lsh_near_dup,
         # t17 parked in r14 (driver-green r10–r13) so the acquisition
         # landings get first driver rows; quality/normalization family
         # keeps t11/t13/t19 in-window. Extras-gated here.

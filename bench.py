@@ -149,6 +149,21 @@ BENCH_QUERIES = [
     "p7_webdataset_roundtrip",
     "warc1_crawl_roundtrip",
     "pdf1_text_extract",
+    # r14 final wave + r15 landings, serving-side rows only: PSL
+    # registered-domain joins, unigram tokenizer application, script
+    # routing, Bloom membership probe, density-based main-content
+    # extraction, non-Latin lang-ID, extraction through standard
+    # security. rob1/sm1 (per-host parse gates witnessed by the url
+    # family), cdx1 (targeted byte-range lookup, cost ~ matches not
+    # corpus) and w11 (streaming round with durable-state writes, like
+    # its admission siblings w5-w10) stay out of the timed line.
+    "url2_psl_registered_domain",
+    "t20_unigram_encode",
+    "t21_script_id",
+    "bloom1_membership_gate",
+    "html2_main_content",
+    "t22_lang_id_multiscript",
+    "pdf3_encrypted_extract",
 ]
 
 

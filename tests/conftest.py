@@ -19,4 +19,8 @@ def spark() -> SparkSession:
 
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
-    return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    # r15 (the r14 verdict's item 3): the extras' continuous bar runs
+    # at sf0.01 — the SAME scale as the driver's correctness window —
+    # not the 10x-smaller sf0.001 it used through r14. Override via
+    # SPARK_GRAFT_TEST_SF_DIR for a quick local iteration loop.
+    return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")

@@ -1,9 +1,12 @@
 """Oracle gate for __spark_entry__.extra_queries() — the queries kept
 OUT of the driver's 50-slot correctness window because their operator
 families have unique witnesses inside it. Each is still held to the
-driver's exact bar locally: run on Spark at sf0.001, compare row count,
-column names, and order-insensitive values against its oracle_sql()
-twin on DuckDB (same compare as tools/check_correctness.py)."""
+driver's exact bar locally: run on Spark at sf0.01 — the SAME scale
+as the driver's window since r15 (the r14 verdict's item 3; override
+with SPARK_GRAFT_TEST_SF_DIR for quick iteration) — compare row
+count, column names, and order-insensitive values against its
+oracle_sql() twin on DuckDB (same compare as
+tools/check_correctness.py)."""
 
 from __future__ import annotations
 
