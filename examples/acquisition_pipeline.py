@@ -88,6 +88,11 @@ def main() -> None:
                       "<nav>chrome</nav><p>"),
                 F.col("text"),
                 F.lit("</p><a href='"), href, F.lit("'>see also</a>"
+                      # a link farm in a PLAIN div: invisible to tag
+                      # suppression, dropped by html2's density pass
+                      "<div><a href='/t/1'>tag one</a> "
+                      "<a href='/t/2'>tag two</a> "
+                      "<a href='/t/3'>tag three</a></div>"
                       "<footer>footer</footer></body></html>"),
             ).alias("html"),
         )
@@ -139,11 +144,21 @@ def main() -> None:
         print(f"sitemap discovery: {n_locs} frontier candidates from "
               f"5 hosts' sitemaps")
 
-        # ---- 3. HTML -> text + links
+        # ---- 3. HTML -> text + links; density pass drops the link
+        # farm the tag pass keeps (r15)
+        from muopdb_spark.operators.html import extract_main_content
+
         extracted = extract_text(polite, html_col="html")
+        main = extract_main_content(polite, html_col="html")
         links = extract_links(polite, html_col="html")
+        tag_chars = extracted.agg(
+            F.sum(F.length("text"))).collect()[0][0]
+        main_chars = main.agg(F.sum(F.length("text"))).collect()[0][0]
         print(f"extract: {extracted.count()} text docs, "
-              f"{links.count()} anchors")
+              f"{links.count()} anchors; density main-content pass "
+              f"trims {tag_chars - main_chars} boilerplate chars "
+              f"({tag_chars} -> {main_chars}) — the plain-div link "
+              f"farms tag suppression cannot see")
 
         # ---- 4. URL pass with FULL-PSL domain grouping
         kept = url_dedup(polite)

@@ -628,3 +628,24 @@ def test_cli_extract_text_pdf(spark, cli, capsys, tmp_path):
     assert r["docs"] == 3 and r["pages"] == 6 and r["chars"] > 0
     back = spark.read.parquet(out)
     assert back.count() == 6
+
+
+def test_cli_extract_main_content(spark, cli, capsys, tmp_path):
+    """r15: extract-text --main-content reports the block ledger and
+    drops link-dense boilerplate the plain pass keeps."""
+    long = ("real prose with plenty of words in it to pass the core "
+            "length threshold easily")
+    pages = spark.createDataFrame(
+        [(0, "<div><a href='/a'>Home</a> <a href='/b'>About</a></div>"
+             f"<p>{long}</p>"
+             "<div><a href='/x'>more</a> <a href='/y'>links</a></div>")],
+        "doc_id long, html string",
+    )
+    p = str(tmp_path / "pages.parquet")
+    pages.write.parquet(p)
+    plain = _run(cli, capsys, ["extract-text", "--input", p])
+    dense = _run(cli, capsys, ["extract-text", "--input", p,
+                               "--main-content"])
+    assert dense["docs"] == 1
+    assert dense["blocks"] == 3 and dense["kept_blocks"] == 1
+    assert dense["chars"] == len(long) < plain["chars"]

@@ -613,16 +613,34 @@ def _pipeline(spark, args, ap) -> dict:
                 result["path"] = args.output
             return result
 
-        from muopdb_spark.operators.html import extract_text
+        if args.main_content:
+            # r15: density-based block classification (html2) — drops
+            # menus/link-farms/footers living in plain divs
+            from muopdb_spark.operators.html import extract_main_content
 
-        out = extract_text(df, html_col=args.html_col)
-        agg = out.agg(
-            F.count("*").alias("docs"),
-            F.sum(F.length("text")).alias("chars"),
-            F.sum("n_links").alias("links"),
-        ).collect()[0]
-        result = {"docs": int(agg["docs"]), "chars": int(agg["chars"] or 0),
-                  "links": int(agg["links"] or 0)}
+            out = extract_main_content(df, html_col=args.html_col)
+            agg = out.agg(
+                F.count("*").alias("docs"),
+                F.sum(F.length("text")).alias("chars"),
+                F.sum("n_blocks").alias("blocks"),
+                F.sum("n_kept").alias("kept"),
+            ).collect()[0]
+            result = {"docs": int(agg["docs"]),
+                      "chars": int(agg["chars"] or 0),
+                      "blocks": int(agg["blocks"] or 0),
+                      "kept_blocks": int(agg["kept"] or 0)}
+        else:
+            from muopdb_spark.operators.html import extract_text
+
+            out = extract_text(df, html_col=args.html_col)
+            agg = out.agg(
+                F.count("*").alias("docs"),
+                F.sum(F.length("text")).alias("chars"),
+                F.sum("n_links").alias("links"),
+            ).collect()[0]
+            result = {"docs": int(agg["docs"]),
+                      "chars": int(agg["chars"] or 0),
+                      "links": int(agg["links"] or 0)}
     elif args.command == "urls":
         # URL pass: canonicalize -> URL dedup -> per-domain cap
         # (--max-per-domain; 0 = no cap); reports the funnel
@@ -1014,6 +1032,11 @@ def main(argv=None) -> int:
                          "this XML column of --input instead of gating")
     ap.add_argument("--html-col", default="html",
                     help="extract-text: column holding the page HTML")
+    ap.add_argument("--main-content", action="store_true",
+                    help="extract-text: density-based block "
+                         "classification (html2) — drop menus/link "
+                         "farms/footers by text/link density instead "
+                         "of tag suppression alone")
     ap.add_argument("--pdf-col",
                     help="extract-text: binary PDF column — extract "
                          "the text layer (one row per page) instead "
