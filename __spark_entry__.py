@@ -2635,6 +2635,96 @@ def q_url_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped.select("doc_id", "domain").orderBy("doc_id")
 
 
+# t23 fixture templates (text, expected dominant script). Latin
+# predictions are NOT hand-written: the oracle generator replicates
+# lang_id's scoring (simple_tokens + STOPWORDS argmax, alphabetical
+# tie-break) in Python over template+digit tokens, so a stoplist edit
+# auto-mirrors into the oracle. Script/non-Latin arms are constants
+# pinned against the live operators by tests/test_lang_id.py.
+_T23_TEMPLATES: list[tuple[str, str]] = [
+    ("the quick and of to in it is that for", "latin"),
+    ("der hund und die katze ist von mit zu den ein", "latin"),
+    ("le chat et la maison est un une du des", "latin"),
+    ("mountain river stone pathway", "latin"),  # latin, no stopwords
+    ("и в не на я что это", "cyrillic"),
+    ("في من على أن هذا مع", "arabic"),
+    ("日本語のテキストです", "katakana"),  # kata 4 > hira 3 = han 3
+    ("!!! ??? ...", "und"),
+]
+
+
+def _t23_latin_pred(text: str) -> str:
+    """Python replica of lang_id's argmax for the oracle generator."""
+    import re as _re
+
+    from muopdb_spark.operators.textstats import STOPWORDS
+
+    toks = _re.findall(r"[a-z0-9]+", text.lower())
+    if not toks:
+        return "und"
+    scores = {
+        lang: sum(t in ws for t in toks) / len(toks)
+        for lang, ws in STOPWORDS.items()
+    }
+    best = max(scores.values())
+    if best == 0:
+        return "und"
+    return min(l for l, s in scores.items() if s == best)
+
+
+def q_lang_id_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t23 (r15): the FULL language-ID dispatch in one scan
+    (textstats.lang_id_routed) — dominant-script routing (t21) into
+    the Latin stopword argmax (t3) or the non-Latin ladder (t22).
+    Each doc cycles eight templates covering every route: three Latin
+    languages, a Latin-no-stopwords 'und', cyrillic->ru, arabic->ar,
+    a kana-dominant ja, and a scriptless 'und'. The Latin expected
+    values are generated from the SAME stoplists the operator uses
+    (Python replica in the oracle generator), the rest are pinned
+    constants — one select, no joins, pure JVM (plan-pinned)."""
+    from muopdb_spark.operators.textstats import lang_id_routed
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    expr = None
+    k = len(_T23_TEMPLATES)
+    for i, (s, _sc) in enumerate(_T23_TEMPLATES):
+        branch = F.concat(F.lit(s + " "), d.cast("string"))
+        expr = F.when(d % k == i, branch) if expr is None \
+            else expr.when(d % k == i, branch)
+    out = lang_id_routed(docs.withColumn("text", expr))
+    return out.orderBy("doc_id")
+
+
+def _lang_id_routed_oracle() -> str:
+    k = len(_T23_TEMPLATES)
+    preds = []
+    for text, script in _T23_TEMPLATES:
+        if script == "latin":
+            preds.append(_t23_latin_pred(text + " 7"))
+        elif script == "und":
+            preds.append("und")
+        elif script == "cyrillic":
+            preds.append("ru")
+        elif script == "arabic":
+            preds.append("ar")
+        else:  # the kana-dominant template
+            preds.append("ja")
+    script_arms = " ".join(
+        f"WHEN {i} THEN '{sc}'"
+        for i, (_t, sc) in enumerate(_T23_TEMPLATES)
+    )
+    pred_arms = " ".join(
+        f"WHEN {i} THEN '{p}'" for i, p in enumerate(preds)
+    )
+    return f"""
+        SELECT doc_id,
+               CASE doc_id % {k} {script_arms} END AS script,
+               CASE doc_id % {k} {pred_arms} END AS pred_lang
+        FROM documents ORDER BY doc_id
+    """
+
+
 def q_psl_registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """url2: registered-domain extraction over the FULL vendored
     Mozilla Public Suffix List (operators/psl.py — 5 broadcast joins
@@ -5833,6 +5923,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (empty user password; operators/pdfcrypt.py) — pdf1's
         # arithmetic oracle, all four revisions cycled
         "pdf3_encrypted_extract": q_pdf_encrypted_extract,
+        # r15: the full lang-ID dispatch in one scan (t21 routing ->
+        # t3 Latin argmax / t22 non-Latin ladder); Latin oracle arms
+        # generated from the live stoplists
+        "t23_lang_id_routed": q_lang_id_routed,
         # r15 rotation: the eight r14 final-wave operators moved INTO
         # the driver window (landing+1 first rows per the r14
         # verdict), and these ten multiply-witnessed rows park here
@@ -6842,6 +6936,7 @@ def oracle_sql() -> dict[str, str]:
         "t3_lang_id": _lang_id_oracle(),
         "t21_script_id": _script_id_oracle(),
         "t22_lang_id_multiscript": _lang_id_multiscript_oracle(),
+        "t23_lang_id_routed": _lang_id_routed_oracle(),
         "d9_exact_substring": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
             gpos AS (

@@ -329,3 +329,96 @@ def lang_id_multiscript(
         *[F.round(scores[l], 6).alias(f"score_{l}") for l in langs],
         "kana_chars", "hangul_chars", "han_chars",
     )
+
+
+def lang_id_routed(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, script, pred_lang): the full language-ID dispatch in ONE
+    scan — the composition t21/t3/t22 exist for. Route by dominant
+    Unicode script (script_id), then:
+
+      latin    -> the 14-list Latin stopword argmax (lang_id); 'und'
+                  when no stopword hits
+      und      -> 'und' (no scripted characters at all)
+      anything
+      else     -> the non-Latin ladder (lang_id_multiscript): ja/ko/zh
+                  by character evidence, ru/el/ar by native-script
+                  stopwords, 'und' otherwise
+
+    Single two-stage select, no joins: both token arrays are staged
+    once, every score is a column over them — the whole dispatch is
+    one map pass of pure JVM expressions (plan-pinned Python-free)."""
+    c = F.col(text_col)
+    counts = {
+        name: F.regexp_count(c, F.lit(pat)) for name, pat in SCRIPTS.items()
+    }
+    names = sorted(SCRIPTS)
+    best_sc = F.greatest(*[counts[n] for n in names])
+    script = F.when(best_sc == 0, F.lit("und"))
+    for n in names:
+        script = script.when(counts[n] == best_sc, F.lit(n))
+    script = script.otherwise(F.lit("und"))
+
+    staged = df.select(
+        id_col,
+        script.alias("script"),
+        simple_tokens(text_col).alias("_lt"),
+        unicode_tokens(text_col).alias("_ut"),
+        (counts["hiragana"] + counts["katakana"]).alias("_kana"),
+        counts["hangul"].alias("_hangul"),
+        counts["han"].alias("_han"),
+    )
+
+    def in_stops(stops):
+        return lambda t: F.array_contains(stops, t)
+
+    lt, ut = F.col("_lt"), F.col("_ut")
+    lat_langs = sorted(STOPWORDS)
+    nl_langs = sorted(NONLATIN_STOPWORDS)
+    score_cols = []
+    for lang in lat_langs:
+        stops = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        n = F.size(F.filter(lt, in_stops(stops)))
+        score_cols.append(
+            F.when(F.size(lt) > 0, n / F.size(lt))
+            .otherwise(F.lit(0.0)).alias(f"_l_{lang}")
+        )
+    for lang in nl_langs:
+        stops = F.array(*[F.lit(w) for w in NONLATIN_STOPWORDS[lang]])
+        n = F.size(F.filter(ut, in_stops(stops)))
+        score_cols.append(
+            F.when(F.size(ut) > 0, n / F.size(ut))
+            .otherwise(F.lit(0.0)).alias(f"_n_{lang}")
+        )
+    scored = staged.select(
+        id_col, "script", "_kana", "_hangul", "_han", *score_cols
+    )
+
+    lbest = F.greatest(*[F.col(f"_l_{l}") for l in lat_langs])
+    latin_pred = F.lit("und")
+    for lang in reversed(lat_langs):
+        latin_pred = F.when(F.col(f"_l_{lang}") == lbest, F.lit(lang)) \
+            .otherwise(latin_pred)
+    latin_pred = F.when(lbest > 0, latin_pred).otherwise(F.lit("und"))
+
+    nbest = F.greatest(*[F.col(f"_n_{l}") for l in nl_langs])
+    nl_stop_pred = F.lit("und")
+    for lang in reversed(nl_langs):
+        nl_stop_pred = F.when(F.col(f"_n_{lang}") == nbest, F.lit(lang)) \
+            .otherwise(nl_stop_pred)
+    nl_stop_pred = F.when(nbest > 0, nl_stop_pred).otherwise(F.lit("und"))
+
+    kana, hg, hn = F.col("_kana"), F.col("_hangul"), F.col("_han")
+    nl_pred = (
+        F.when((hg > 0) & (hg >= kana), F.lit("ko"))
+        .when(kana > 0, F.lit("ja"))
+        .when(hn > 0, F.lit("zh"))
+        .otherwise(nl_stop_pred)
+    )
+    pred = (
+        F.when(F.col("script") == "latin", latin_pred)
+        .when(F.col("script") == "und", F.lit("und"))
+        .otherwise(nl_pred)
+    )
+    return scored.select(id_col, "script", pred.alias("pred_lang"))

@@ -161,3 +161,60 @@ def test_t22_template_constants_match_operator(spark):
         assert r["score_ru"] == round(ru / (n_toks + 1), 6), i
         assert r["score_el"] == round(el / (n_toks + 1), 6), i
         assert r["score_ar"] == round(ar / (n_toks + 1), 6), i
+
+
+# ------------------------------------------------- t23 (r15):
+# the full routed dispatch (script -> t3 latin / t22 non-latin)
+
+
+def test_routed_dispatch_all_branches(spark):
+    from muopdb_spark.operators.textstats import lang_id_routed
+
+    rows = [
+        (0, "the cat and the dog of it", "latin", "en"),
+        (1, "der hund und die katze ist von", "latin", "de"),
+        (2, "mountain river stone", "latin", "und"),  # no stopwords
+        (3, "и в не на я что", "cyrillic", "ru"),
+        (4, "في من على أن", "arabic", "ar"),
+        (5, "日本語のテキストです", "katakana", "ja"),
+        (6, "한국어 텍스트 예제", "hangul", "ko"),
+        (7, "中文文本样例", "han", "zh"),
+        (8, "!!! ???", "und", "und"),
+        (9, "", "und", "und"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _, _ in rows], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["script"], r["pred_lang"])
+           for r in lang_id_routed(df).collect()}
+    for i, _t, sc, pred in rows:
+        assert got[i] == (sc, pred), (i, got[i], sc, pred)
+
+
+def test_routed_plan_single_scan_pure_jvm(spark):
+    from muopdb_spark.operators.textstats import lang_id_routed
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    plan = lang_id_routed(df) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "BatchEval" not in plan
+    # one scan, no joins/exchanges — the dispatch is a map pass
+    assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_t23_template_constants_match_operators(spark):
+    """The t23 oracle's script/non-latin arms are hand constants and
+    its latin arms come from a Python replica of lang_id's scoring;
+    recompute everything with the LIVE operator."""
+    from __spark_entry__ import _T23_TEMPLATES, _t23_latin_pred
+    from muopdb_spark.operators.textstats import lang_id_routed
+
+    df = spark.createDataFrame(
+        [(i, t[0] + " 7") for i, t in enumerate(_T23_TEMPLATES)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in lang_id_routed(df).collect()}
+    for i, (text, script) in enumerate(_T23_TEMPLATES):
+        assert got[i]["script"] == script, i
+        if script == "latin":
+            assert got[i]["pred_lang"] == _t23_latin_pred(text + " 7"), i

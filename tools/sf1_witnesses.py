@@ -234,6 +234,43 @@ def _consume_t20(spark, sf_dir):
     )
 
 
+def _consume_html2(spark, sf_dir):
+    # r15: density main-content extraction — same map-side Arrow shape
+    # as html1 plus the pure-Python block classifier per page
+    import __spark_entry__ as entry_mod
+
+    return (
+        entry_mod.q_html_main_content(spark, sf_dir)
+        .agg(F.count("*"), F.sum(F.length("text")), F.sum("n_kept"))
+        .collect()
+    )
+
+
+def _consume_t22(spark, sf_dir):
+    # r15: non-Latin lang-ID — pure JVM codegen map pass (regexp_count
+    # script classes + stopword HOFs); agg consumes every column
+    import __spark_entry__ as entry_mod
+
+    return (
+        entry_mod.q_lang_id_multiscript(spark, sf_dir)
+        .agg(F.count("*"), F.sum("kana_chars"), F.sum("hangul_chars"),
+             F.sum("han_chars"), F.sum("score_ru"))
+        .collect()
+    )
+
+
+def _consume_pdf3(spark, sf_dir):
+    # r15: PDF text extraction through standard-security decryption —
+    # the pdf1 shape + per-doc RC4/AES work, R6 2.B memoized per worker
+    import __spark_entry__ as entry_mod
+
+    return (
+        entry_mod.q_pdf_encrypted_extract(spark, sf_dir)
+        .agg(F.count("*"), F.sum(F.length("text")))
+        .collect()
+    )
+
+
 WITNESSES = {
     "t15_line_dedup (agg-consumed)": _consume_t15,
     "smp7_soft_dedup_weights (agg-consumed)": _consume_smp7,
@@ -254,6 +291,11 @@ WITNESSES = {
     "cdx1_index_lookup (agg-consumed)": _consume_cdx1,
     "rob1_robots_gate (agg-consumed)": _consume_rob1,
     "t20_unigram_encode (agg-consumed)": _consume_t20,
+    # r15 extension: density main-content extraction, non-Latin
+    # lang-ID, extraction through standard-security encryption
+    "html2_main_content (agg-consumed)": _consume_html2,
+    "t22_lang_id_multiscript (agg-consumed)": _consume_t22,
+    "pdf3_encrypted_extract (agg-consumed)": _consume_pdf3,
 }
 
 
