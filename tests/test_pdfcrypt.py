@@ -231,3 +231,17 @@ def test_unencrypted_paths_unchanged():
     doc = PdfDocument(data)
     assert doc._handler is None
     assert extract_pdf_text(data)[0].startswith("Hello encrypted world")
+
+
+def test_mixed_crypt_filters_identity_strings():
+    """V4 documents may encrypt streams but pass strings through
+    (/StrF /Identity) — the selector honors each face separately."""
+    enc, h = build_standard_encrypt("aes-128", id0=b"\x03" * 16)
+    enc = dict(enc)
+    enc["StrF"] = "Identity"
+    h2 = open_standard(enc, b"\x03" * 16, lambda x: x)
+    assert h2.stm_cfm == "AESV2" and h2.str_cfm == "Identity"
+    # strings untouched, streams decrypted
+    assert h2.decrypt_string(4, 0, b"plain (str)") == b"plain (str)"
+    ct = h.encrypt_stream(4, 0, b"payload", iv=bytes(16))
+    assert h2.decrypt_stream(4, 0, ct) == b"payload"
