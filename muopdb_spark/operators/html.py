@@ -244,6 +244,13 @@ class _BlockExtractor(HTMLParser):
         self._parts = []
         self._anchor_chars = 0
         self._is_heading = False
+        # an anchor never counts past its block: a block boundary ends
+        # the anchor run for density purposes, so tag soup with an
+        # UNCLOSED <a> (very common) poisons at most its own block —
+        # without this reset one stray '<a href=x>Home</div><p>prose'
+        # counted every later block as 100% link chars and the whole
+        # article was silently dropped (r15 review finding, verified)
+        self._in_anchor = 0
 
     def handle_starttag(self, tag, attrs):
         if tag in _DROP:
@@ -252,7 +259,11 @@ class _BlockExtractor(HTMLParser):
             self._flush_block()
             self._is_heading = tag in _HEADINGS
         if tag == "a":
-            self._in_anchor += 1
+            # a nested <a> implicitly closes the pending one (browser
+            # behavior, same rule as _TextExtractor) — never let the
+            # depth counter exceed 1 or a malformed '<a><a>' pins the
+            # extractor in anchor mode
+            self._in_anchor = 1
 
     def handle_endtag(self, tag):
         if tag in _DROP and tag in self._drop_stack:
@@ -261,13 +272,9 @@ class _BlockExtractor(HTMLParser):
                     del self._drop_stack[i]
                     break
         if tag in _BLOCK or tag in _HEADINGS:
-            was_heading = self._is_heading and tag in _HEADINGS
             self._flush_block()
-            # text after </h1> belongs to the enclosing (non-heading)
-            # block, so _flush_block's reset is already right
-            del was_heading
-        if tag == "a" and self._in_anchor:
-            self._in_anchor -= 1
+        if tag == "a":
+            self._in_anchor = 0
 
     def handle_data(self, data):
         if self._drop_stack:

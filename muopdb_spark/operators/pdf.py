@@ -284,20 +284,19 @@ class PdfDocument:
             enc = self.resolve(self.get(self._encrypt_num))
         if not isinstance(enc, dict):
             raise PdfError("pdf: malformed /Encrypt")
-        ids = list(re.finditer(
-            rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>", self.data
-        ))
-        if ids:
-            hx = ids[-1].group(1).decode()
-            id0 = bytes.fromhex(hx if len(hx) % 2 == 0 else hx + "0")
-        else:
-            lit = list(re.finditer(rb"/ID\s*\[\s*\(", self.data))
-            if lit:
-                id0, _ = _parse_literal_string(
-                    self.data, lit[-1].end() - 1
-                )
-            else:
-                id0 = b""
+        # trailer /ID: parse with the real object parser — hex strings
+        # may contain whitespace per ISO 32000 §7.3.4.3 and literal
+        # strings are legal; a bespoke stricter regex would derive the
+        # wrong key and misreport a readable file as password-protected
+        # (r15 review fix). Newest trailer wins.
+        id0 = b""
+        for m in re.finditer(rb"/ID\s*\[", self.data):
+            try:
+                arr, _ = parse_object(self.data, m.end() - 1)
+            except PdfError:
+                continue
+            if isinstance(arr, list) and arr and isinstance(arr[0], bytes):
+                id0 = arr[0]
 
         def _resolve(v):
             v = self.resolve(v)

@@ -468,8 +468,10 @@ class StandardSecurityHandler:
 
 
 def _cfm_name(enc: dict, which: str, resolve) -> str:
-    """The crypt-filter method named by /StmF or /StrF via /CF."""
-    sel = enc.get(which)
+    """The crypt-filter method named by /StmF or /StrF via /CF. The
+    selector resolves like every other value — an indirect '/StmF
+    12 0 R' must not stringify as '12 0 R' (r15 review fix)."""
+    sel = resolve(enc.get(which))
     name = str(sel) if sel is not None else "Identity"
     if name == "Identity":
         return "Identity"

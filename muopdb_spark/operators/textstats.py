@@ -121,6 +121,51 @@ def lang_scores(col: Column | str) -> dict[str, Column]:
     return out
 
 
+def _in_stops(stops):
+    # closure factory — a default-arg lambda would be introspected
+    # as the 2-arg (element, index) filter variant
+    return lambda t: F.array_contains(stops, t)
+
+
+def _stopword_score_cols(toks: Column, stopmap: dict, prefix: str) -> list:
+    """One aliased stopword-hit-ratio column per language over a
+    STAGED token-array column — the shared builder behind lang_id,
+    lang_id_multiscript, and lang_id_routed (r15 dedup: the same
+    expression used to be hand-built in each)."""
+    cols = []
+    for lang in sorted(stopmap):
+        stops = F.array(*[F.lit(w) for w in stopmap[lang]])
+        n = F.size(F.filter(toks, _in_stops(stops)))
+        cols.append(
+            F.when(F.size(toks) > 0, n / F.size(toks))
+            .otherwise(F.lit(0.0)).alias(f"{prefix}{lang}")
+        )
+    return cols
+
+
+def _argmax_pred(scores: dict) -> Column:
+    """Argmax over {lang: score Column}: alphabetical tie-break,
+    'und' when every score is 0."""
+    langs = sorted(scores)
+    best = F.greatest(*[scores[l] for l in langs]) if len(langs) > 1 \
+        else scores[langs[0]]
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+
+def _script_pred(counts: dict) -> Column:
+    """Dominant-script name over {script: char-count Column}:
+    alphabetical tie-break, 'und' when no scripted char occurs."""
+    names = sorted(counts)
+    best = F.greatest(*[counts[n] for n in names])
+    pred = F.when(best == 0, F.lit("und"))
+    for n in names:
+        pred = pred.when(counts[n] == best, F.lit(n))
+    return pred.otherwise(F.lit("und"))
+
+
 def lang_id(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
@@ -130,26 +175,11 @@ def lang_id(
     # two-stage select: tokenize once, then score once per language over
     # the staged columns (attribute refs are re-eval-free)
     staged = df.select(id_col, simple_tokens(text_col).alias("_toks"))
-    toks = F.col("_toks")
-
-    def in_stops(stops):
-        return lambda t: F.array_contains(stops, t)
-
-    score_cols = []
-    for lang in langs:
-        stops = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-        n = F.size(F.filter(toks, in_stops(stops)))
-        score_cols.append(
-            F.when(F.size(toks) > 0, n / F.size(toks)).otherwise(F.lit(0.0)).alias(f"_s_{lang}")
-        )
-    scored = staged.select(id_col, *score_cols)
-
+    scored = staged.select(
+        id_col, *_stopword_score_cols(F.col("_toks"), STOPWORDS, "_s_")
+    )
     scores = {l: F.col(f"_s_{l}") for l in langs}
-    best_score = F.greatest(*[scores[l] for l in langs])
-    pred = F.lit("und")
-    for lang in reversed(langs):
-        pred = F.when(scores[lang] == best_score, F.lit(lang)).otherwise(pred)
-    pred = F.when(best_score > 0, pred).otherwise(F.lit("und"))
+    pred = _argmax_pred(scores)
     return scored.select(
         id_col,
         pred.alias("pred_lang"),
@@ -217,15 +247,10 @@ def script_id(
     counts = {
         name: F.regexp_count(c, F.lit(pat)) for name, pat in SCRIPTS.items()
     }
-    names = sorted(SCRIPTS)
-    best = F.greatest(*[counts[n] for n in names])
-    pred = F.when(best == 0, F.lit("und"))
-    for n in names:
-        pred = pred.when(counts[n] == best, F.lit(n))
-    pred = pred.otherwise(F.lit("und"))
+    best = F.greatest(*[counts[n] for n in sorted(SCRIPTS)])
     return df.select(
         F.col(id_col),
-        pred.alias("script"),
+        _script_pred(counts).alias("script"),
         best.cast("long").alias("script_chars"),
         F.length(c).cast("long").alias("n_chars"),
     )
@@ -261,11 +286,14 @@ def lang_id_multiscript(
     """(id, pred_lang, score_ru/el/ar, kana_chars, hangul_chars,
     han_chars): the non-Latin complement of lang_id. Decision ladder
     (CJK character evidence first — those languages have no spaces for
-    stopwords to live between):
+    stopwords to live between — but only when CJK is the DOMINANT
+    letter mass: a stray han/hangul char in a Russian or English page
+    must not override everything else, r15 review fix):
 
-      ko  if hangul_chars > 0 and hangul_chars >= kana_chars
+      [gate: kana+hangul+han > 0 AND >= cyrillic+greek+arabic+latin]
+      ko  if hangul_chars >= kana_chars
       ja  elif kana_chars > 0        (hiragana/katakana only ja uses)
-      zh  elif han_chars > 0         (han with no kana reads Chinese;
+      zh  else                       (han with no kana reads Chinese;
                                       ja text virtually always carries
                                       kana, so bare han routes zh)
       else argmax native-script stopword ratio over ru/el/ar
@@ -281,48 +309,38 @@ def lang_id_multiscript(
     hangul = F.regexp_count(c, F.lit(SCRIPTS["hangul"]))
     han = F.regexp_count(c, F.lit(SCRIPTS["han"]))
 
+    noncjk = (
+        F.regexp_count(c, F.lit(SCRIPTS["cyrillic"]))
+        + F.regexp_count(c, F.lit(SCRIPTS["greek"]))
+        + F.regexp_count(c, F.lit(SCRIPTS["arabic"]))
+        + F.regexp_count(c, F.lit(SCRIPTS["latin"]))
+    )
     staged = df.select(
         id_col,
         unicode_tokens(text_col).alias("_toks"),
         (hira + kata).cast("long").alias("kana_chars"),
         hangul.cast("long").alias("hangul_chars"),
         han.cast("long").alias("han_chars"),
+        noncjk.cast("long").alias("_noncjk"),
     )
-    toks = F.col("_toks")
-
-    def in_stops(stops):
-        return lambda t: F.array_contains(stops, t)
-
     langs = sorted(NONLATIN_STOPWORDS)
-    score_cols = []
-    for lang in langs:
-        stops = F.array(*[F.lit(w) for w in NONLATIN_STOPWORDS[lang]])
-        n = F.size(F.filter(toks, in_stops(stops)))
-        score_cols.append(
-            F.when(F.size(toks) > 0, n / F.size(toks))
-            .otherwise(F.lit(0.0)).alias(f"_s_{lang}")
-        )
     scored = staged.select(
-        id_col, "kana_chars", "hangul_chars", "han_chars", *score_cols
+        id_col, "kana_chars", "hangul_chars", "han_chars", "_noncjk",
+        *_stopword_score_cols(F.col("_toks"), NONLATIN_STOPWORDS, "_s_"),
     )
-
     scores = {l: F.col(f"_s_{l}") for l in langs}
-    best = F.greatest(*[scores[l] for l in langs])
-    stop_pred = F.lit("und")
-    for lang in reversed(langs):
-        stop_pred = F.when(scores[lang] == best, F.lit(lang)) \
-            .otherwise(stop_pred)
-    stop_pred = F.when(best > 0, stop_pred).otherwise(F.lit("und"))
+    stop_pred = _argmax_pred(scores)
 
     kana = F.col("kana_chars")
     hg = F.col("hangul_chars")
     hn = F.col("han_chars")
-    pred = (
+    cjk = kana + hg + hn
+    pred = F.when(
+        (cjk > 0) & (cjk >= F.col("_noncjk")),
         F.when((hg > 0) & (hg >= kana), F.lit("ko"))
         .when(kana > 0, F.lit("ja"))
-        .when(hn > 0, F.lit("zh"))
-        .otherwise(stop_pred)
-    )
+        .otherwise(F.lit("zh")),
+    ).otherwise(stop_pred)
     return scored.select(
         id_col,
         pred.alias("pred_lang"),
@@ -338,13 +356,17 @@ def lang_id_routed(
     scan — the composition t21/t3/t22 exist for. Route by dominant
     Unicode script (script_id), then:
 
-      latin    -> the 14-list Latin stopword argmax (lang_id); 'und'
-                  when no stopword hits
-      und      -> 'und' (no scripted characters at all)
-      anything
-      else     -> the non-Latin ladder (lang_id_multiscript): ja/ko/zh
-                  by character evidence, ru/el/ar by native-script
-                  stopwords, 'und' otherwise
+      latin      -> the 14-list Latin stopword argmax (lang_id);
+                    'und' when no stopword hits
+      und        -> 'und' (no scripted characters at all)
+      han/kana/
+      hangul     -> the CJK ladder (hangul>=kana -> ko, kana -> ja,
+                    else zh) — gated on the DOMINANT script so a
+                    stray CJK char in another script's page cannot
+                    hijack the prediction (r15 review fix)
+      other
+      scripts    -> native-script stopword argmax over ru/el/ar,
+                    'und' otherwise
 
     Single two-stage select, no joins: both token arrays are staged
     once, every score is a column over them — the whole dispatch is
@@ -353,16 +375,9 @@ def lang_id_routed(
     counts = {
         name: F.regexp_count(c, F.lit(pat)) for name, pat in SCRIPTS.items()
     }
-    names = sorted(SCRIPTS)
-    best_sc = F.greatest(*[counts[n] for n in names])
-    script = F.when(best_sc == 0, F.lit("und"))
-    for n in names:
-        script = script.when(counts[n] == best_sc, F.lit(n))
-    script = script.otherwise(F.lit("und"))
-
     staged = df.select(
         id_col,
-        script.alias("script"),
+        _script_pred(counts).alias("script"),
         simple_tokens(text_col).alias("_lt"),
         unicode_tokens(text_col).alias("_ut"),
         (counts["hiragana"] + counts["katakana"]).alias("_kana"),
@@ -370,55 +385,33 @@ def lang_id_routed(
         counts["han"].alias("_han"),
     )
 
-    def in_stops(stops):
-        return lambda t: F.array_contains(stops, t)
-
-    lt, ut = F.col("_lt"), F.col("_ut")
     lat_langs = sorted(STOPWORDS)
     nl_langs = sorted(NONLATIN_STOPWORDS)
-    score_cols = []
-    for lang in lat_langs:
-        stops = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-        n = F.size(F.filter(lt, in_stops(stops)))
-        score_cols.append(
-            F.when(F.size(lt) > 0, n / F.size(lt))
-            .otherwise(F.lit(0.0)).alias(f"_l_{lang}")
-        )
-    for lang in nl_langs:
-        stops = F.array(*[F.lit(w) for w in NONLATIN_STOPWORDS[lang]])
-        n = F.size(F.filter(ut, in_stops(stops)))
-        score_cols.append(
-            F.when(F.size(ut) > 0, n / F.size(ut))
-            .otherwise(F.lit(0.0)).alias(f"_n_{lang}")
-        )
     scored = staged.select(
-        id_col, "script", "_kana", "_hangul", "_han", *score_cols
+        id_col, "script", "_kana", "_hangul", "_han",
+        *_stopword_score_cols(F.col("_lt"), STOPWORDS, "_l_"),
+        *_stopword_score_cols(F.col("_ut"), NONLATIN_STOPWORDS, "_n_"),
     )
-
-    lbest = F.greatest(*[F.col(f"_l_{l}") for l in lat_langs])
-    latin_pred = F.lit("und")
-    for lang in reversed(lat_langs):
-        latin_pred = F.when(F.col(f"_l_{lang}") == lbest, F.lit(lang)) \
-            .otherwise(latin_pred)
-    latin_pred = F.when(lbest > 0, latin_pred).otherwise(F.lit("und"))
-
-    nbest = F.greatest(*[F.col(f"_n_{l}") for l in nl_langs])
-    nl_stop_pred = F.lit("und")
-    for lang in reversed(nl_langs):
-        nl_stop_pred = F.when(F.col(f"_n_{lang}") == nbest, F.lit(lang)) \
-            .otherwise(nl_stop_pred)
-    nl_stop_pred = F.when(nbest > 0, nl_stop_pred).otherwise(F.lit("und"))
+    latin_pred = _argmax_pred({l: F.col(f"_l_{l}") for l in lat_langs})
+    nl_stop_pred = _argmax_pred({l: F.col(f"_n_{l}") for l in nl_langs})
 
     kana, hg, hn = F.col("_kana"), F.col("_hangul"), F.col("_han")
-    nl_pred = (
+    cjk_ladder = (
         F.when((hg > 0) & (hg >= kana), F.lit("ko"))
         .when(kana > 0, F.lit("ja"))
-        .when(hn > 0, F.lit("zh"))
-        .otherwise(nl_stop_pred)
+        .otherwise(F.lit("zh"))
     )
     pred = (
         F.when(F.col("script") == "latin", latin_pred)
         .when(F.col("script") == "und", F.lit("und"))
-        .otherwise(nl_pred)
+        # the CJK ladder applies only when a CJK script is DOMINANT —
+        # a stray han char in a cyrillic page must not outrank seven
+        # Russian stopwords (r15 review fix); routing by the script
+        # column keeps the two decisions consistent by construction
+        .when(
+            F.col("script").isin("han", "hiragana", "katakana", "hangul"),
+            cjk_ladder,
+        )
+        .otherwise(nl_stop_pred)
     )
     return scored.select(id_col, "script", pred.alias("pred_lang"))

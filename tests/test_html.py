@@ -224,3 +224,23 @@ def test_extract_main_content_operator(spark):
     assert got[1]["text"] == f"Title here\n{LONG}"
     assert got[1]["n_kept"] == 2
     assert got[2]["text"] == "" and got[2]["n_kept"] == 0
+
+
+def test_unclosed_and_nested_anchors_do_not_poison_blocks():
+    """r15 review fix: an UNCLOSED <a> (ubiquitous tag soup) counted
+    every later block as 100% link chars, silently dropping whole
+    articles; nested <a> pinned the extractor in anchor mode. An
+    anchor now never counts past its block and nesting implicitly
+    closes."""
+    assert html_main_content(
+        f'<div><a href="/a">Home</div><p>{LONG}</p>'
+    )[0] == LONG
+    assert html_main_content(
+        f'<div><a href="/a"><a href="/b">Home About</a></div><p>{LONG}</p>'
+    )[0] == LONG
+    # a closed menu is still dropped on density
+    text, nb, nk = html_main_content(
+        '<div><a href="/a">Home</a> <a href="/b">About</a>'
+        f' <a href="/c">Contact</a></div><p>{LONG}</p>'
+    )
+    assert text == LONG and (nb, nk) == (2, 1)

@@ -218,3 +218,34 @@ def test_t23_template_constants_match_operators(spark):
         assert got[i]["script"] == script, i
         if script == "latin":
             assert got[i]["pred_lang"] == _t23_latin_pred(text + " 7"), i
+
+
+def test_stray_cjk_char_does_not_override_dominant_script(spark):
+    """r15 review fix: the CJK ladder only applies when CJK is the
+    dominant letter mass (multiscript) / the dominant script (routed)
+    — one stray han or hangul char in a Russian/Arabic/English page
+    must not yield zh/ko."""
+    from muopdb_spark.operators.textstats import (
+        lang_id_multiscript,
+        lang_id_routed,
+    )
+
+    rows = [
+        (0, "и в не на я что это 汉", "ru"),
+        (1, "في من على أن هذا مع 한", "ar"),
+        (2, "plain english words entirely 汉", "und"),  # latin mass
+        (3, "中文文本样例测试 x", "zh"),               # CJK still dominant
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["pred_lang"]
+           for r in lang_id_multiscript(df).collect()}
+    for i, _t, want in rows:
+        assert got[i] == want, ("multiscript", i, got[i], want)
+    routed = {r["doc_id"]: (r["script"], r["pred_lang"])
+              for r in lang_id_routed(df).collect()}
+    assert routed[0] == ("cyrillic", "ru")
+    assert routed[1] == ("arabic", "ar")
+    assert routed[2] == ("latin", "und")
+    assert routed[3] == ("han", "zh")

@@ -245,3 +245,41 @@ def test_mixed_crypt_filters_identity_strings():
     assert h2.decrypt_string(4, 0, b"plain (str)") == b"plain (str)"
     ct = h.encrypt_stream(4, 0, b"payload", iv=bytes(16))
     assert h2.decrypt_stream(4, 0, ct) == b"payload"
+
+
+def test_trailer_id_hex_with_whitespace_parses():
+    """ISO 32000 §7.3.4.3 allows whitespace inside hex strings; the
+    /ID parser must use the real object parser, not a stricter regex
+    that silently derives the wrong key and misreports a readable
+    file as password-protected (r15 review fix)."""
+    data = encode_pdf(["secret page"], encrypt="rc4-128")
+    # rewrite the trailer /ID hex with whitespace sprinkled in
+    import re
+
+    m = list(re.finditer(rb"/ID \[<([0-9a-f]+)> <([0-9a-f]+)>\]", data))
+    assert m, "writer trailer shape changed"
+    hx = m[-1].group(1)
+    spaced = b" ".join(hx[i:i + 4] for i in range(0, len(hx), 4))
+    mutated = data.replace(
+        b"<" + hx + b">", b"< " + spaced + b" >"
+    )
+    assert mutated != data
+    assert extract_pdf_text(mutated) == extract_pdf_text(data)
+
+
+def test_cfm_selector_resolves_indirect():
+    """An indirect /StmF selector ('/StmF 12 0 R') resolves through
+    the resolve callback like every other /Encrypt value (r15 review
+    fix) — it must not stringify as '12 0 R' and refuse."""
+    enc, h = build_standard_encrypt("aes-128", id0=b"\x04" * 16)
+    sentinel = object()
+    enc = dict(enc)
+    enc["StmF"] = sentinel
+    enc["StrF"] = sentinel
+
+    def resolve(v):
+        return "StdCF" if v is sentinel else v
+
+    h2 = open_standard(enc, b"\x04" * 16, resolve)
+    ct = h.encrypt_stream(5, 0, b"payload", iv=bytes(16))
+    assert h2.decrypt_stream(5, 0, ct) == b"payload"
