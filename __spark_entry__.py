@@ -4118,6 +4118,60 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p8 (r15): FIM (fill-in-the-middle) transformation
+    (operators/packing.py fim_transform — Bavarian et al. 2022, the
+    standard code-model data-prep pass): half the corpus is rewritten
+    PSM (prefix/suffix/middle with sentinel tokens), the other half
+    passes through. Selection and both split points are pure Knuth
+    multiplicative hashes mod document length, so the oracle replays
+    the exact arithmetic in SQL — one map pass, zero Python, zero
+    shuffle (plan-pinned), and the reconstruction invariant
+    (prefix+middle+suffix == original) is pytest-gated."""
+    from muopdb_spark.operators.packing import fim_transform
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return fim_transform(docs, rate=0.5).orderBy("doc_id")
+
+
+def _fim_oracle() -> str:
+    from muopdb_spark.operators.packing import (
+        _FIM_H1,
+        _FIM_H2,
+        FIM_MID,
+        FIM_PRE,
+        FIM_SUF,
+    )
+
+    return f"""
+        WITH s AS (
+            SELECT doc_id, text, length(text) AS n,
+                   ((doc_id * {_FIM_H1}) % 1000) < 500 AS pick
+            FROM documents
+        ), ab AS (
+            SELECT doc_id, text, n, pick,
+                   CASE WHEN n >= 3
+                        THEN 1 + (doc_id * {_FIM_H1}) % (n - 2)
+                   END AS a
+            FROM s
+        ), abb AS (
+            SELECT doc_id, text, n, pick, a,
+                   CASE WHEN n >= 3
+                        THEN a + 1 + (doc_id * {_FIM_H2}) % (n - a - 1)
+                   END AS b
+            FROM ab
+        )
+        SELECT doc_id,
+               (pick AND n >= 3) AS fim,
+               CASE WHEN pick AND n >= 3 THEN concat(
+                        '{FIM_PRE}', substring(text, 1, a),
+                        '{FIM_SUF}', substring(text, b + 1, n - b),
+                        '{FIM_MID}', substring(text, a + 1, b - a))
+                    ELSE text END AS text
+        FROM abb ORDER BY doc_id
+    """
+
+
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: contiguous-stream chunk assignment of documents
     into 512-token training sequences per language (one window shuffle)."""
@@ -5927,6 +5981,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # t3 Latin argmax / t22 non-Latin ladder); Latin oracle arms
         # generated from the live stoplists
         "t23_lang_id_routed": q_lang_id_routed,
+        # r15: FIM transformation (code-model data prep) — arithmetic
+        # split points, full-transcription oracle from the module
+        # constants
+        "p8_fim_transform": q_fim_transform,
         # r15 rotation: the eight r14 final-wave operators moved INTO
         # the driver window (landing+1 first rows per the r14
         # verdict), and these ten multiply-witnessed rows park here
@@ -6937,6 +6995,7 @@ def oracle_sql() -> dict[str, str]:
         "t21_script_id": _script_id_oracle(),
         "t22_lang_id_multiscript": _lang_id_multiscript_oracle(),
         "t23_lang_id_routed": _lang_id_routed_oracle(),
+        "p8_fim_transform": _fim_oracle(),
         "d9_exact_substring": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
             gpos AS (

@@ -220,3 +220,72 @@ def chunk_documents(
         F.array_join(piece, " ").alias("chunk_text"),
         F.size(piece).cast("long").alias("n_tokens"),
     )
+
+
+# ------------------------------------------------------------------
+# r15: FIM (fill-in-the-middle) transformation — Bavarian et al. 2022
+# ("Efficient Training of Language Models to Fill in the Middle"):
+# rewrite a fraction of documents as prefix/suffix/middle with
+# sentinel tokens so an autoregressive model learns infilling. The
+# standard pass for code-model data prep.
+
+FIM_PRE = "<|fim_prefix|>"
+FIM_SUF = "<|fim_suffix|>"
+FIM_MID = "<|fim_middle|>"
+
+# Knuth's multiplicative constants — engine-portable integer hashing
+# (the same construction DuckDB replays verbatim, no engine hash
+# functions involved)
+_FIM_H1 = 2654435761
+_FIM_H2 = 40503
+
+
+def fim_transform(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rate: float = 0.5,
+    spm: bool = False,
+) -> DataFrame:
+    """(id, fim, text): deterministically rewrite ``rate`` of the
+    corpus into FIM form. Selection and split points derive from pure
+    integer arithmetic on the id (Knuth multiplicative hashes mod
+    document length), so the pass is reproducible across runs AND
+    SQL-expressible for the oracle:
+
+      a = 1 + (id * H1) % (n - 2)         (1 <= a <= n-2)
+      b = a + 1 + (id * H2) % (n - a - 1) (a < b <= n-1)
+      PSM: PRE + text[:a] + SUF + text[b:] + MID + text[a:b]
+      SPM (spm=True): PRE + SUF + text[b:] + MID + text[:a] + text[a:b]
+
+    Documents shorter than 3 characters or hashed outside ``rate``
+    pass through unchanged with fim=false. Pure Column expressions —
+    one map pass, zero Python, zero shuffle. At 100 TB this composes
+    map-side with packing (p2) and shard export (p4)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"fim_transform: rate must be in [0,1], got {rate}")
+    d = F.col(id_col).cast("long")
+    t = F.col(text_col)
+    n = F.length(t)
+    pick = ((d * _FIM_H1) % 1000) < F.lit(int(round(rate * 1000)))
+    eligible = pick & (n >= 3)
+    a = (F.lit(1) + ((d * _FIM_H1) % (n - 2))).cast("int")
+    b = (a + 1 + ((d * _FIM_H2) % (n - a - 1))).cast("int")
+    prefix = t.substr(F.lit(1), a)
+    middle = t.substr(a + 1, b - a)
+    suffix = t.substr(b + 1, n - b)
+    psm = F.concat(
+        F.lit(FIM_PRE), prefix, F.lit(FIM_SUF), suffix,
+        F.lit(FIM_MID), middle,
+    )
+    spm_form = F.concat(
+        F.lit(FIM_PRE), F.lit(FIM_SUF), suffix, F.lit(FIM_MID),
+        prefix, middle,
+    )
+    out_text = F.when(eligible, spm_form if spm else psm).otherwise(t)
+    return df.select(
+        id_col,
+        eligible.alias("fim"),
+        out_text.alias(text_col),
+    )

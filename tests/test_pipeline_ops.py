@@ -576,3 +576,87 @@ def test_wordlist_gate_any_hit_exact_on_very_long_docs(spark):
     assert r.n_tokens == 2_200_001 and r.n_blocked == 1
     assert r.blocked_frac == 0.0      # display rounding
     assert not r.keep                 # but the gate still drops it
+
+
+# --------------------------------------------------- p8 (r15): FIM
+
+
+def test_fim_reconstruction_invariant(spark):
+    """Every transformed doc reassembles to the original
+    (prefix+middle+suffix == text), prefix and middle are non-empty,
+    untouched docs pass through byte-identical; short docs and docs
+    outside the rate are fim=false."""
+    import re
+
+    from muopdb_spark.operators.packing import (
+        FIM_MID,
+        FIM_PRE,
+        FIM_SUF,
+        fim_transform,
+    )
+
+    rows = [(i, f"document body number {i} with some repeated text")
+            for i in range(40)] + [(900, "ab"), (901, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = dict(rows)
+    got = {r["doc_id"]: (r["fim"], r["text"])
+           for r in fim_transform(df, rate=0.5).collect()}
+    pat = re.compile(
+        re.escape(FIM_PRE) + "(.*)" + re.escape(FIM_SUF) + "(.*)"
+        + re.escape(FIM_MID) + "(.*)", re.S,
+    )
+    n_fim = 0
+    for i, (fim, txt) in got.items():
+        if fim:
+            n_fim += 1
+            m = pat.fullmatch(txt)
+            assert m, (i, txt)
+            pre, suf, mid = m.groups()
+            assert pre + mid + suf == orig[i], i
+            assert pre and mid, i
+        else:
+            assert txt == orig[i], i
+    assert 0 < n_fim < 40  # the rate really selects a strict subset
+    assert got[900] == (False, "ab") and got[901] == (False, "")
+    # deterministic: a second run is identical
+    again = {r["doc_id"]: (r["fim"], r["text"])
+             for r in fim_transform(df, rate=0.5).collect()}
+    assert again == got
+
+
+def test_fim_spm_mode_and_rate_bounds(spark):
+    from muopdb_spark.operators.packing import (
+        FIM_MID,
+        FIM_PRE,
+        FIM_SUF,
+        fim_transform,
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(2, "abcdefghijklmnop")], "doc_id long, text string"
+    )
+    psm = fim_transform(df, rate=1.0).collect()[0]["text"]
+    spm = fim_transform(df, rate=1.0, spm=True).collect()[0]["text"]
+    assert psm.startswith(FIM_PRE) and FIM_SUF in psm and FIM_MID in psm
+    # SPM: sentinels up front, document content after
+    assert spm.startswith(FIM_PRE + FIM_SUF)
+    # both carry the same characters of the original
+    strip = lambda s: s.replace(FIM_PRE, "").replace(FIM_SUF, "") \
+        .replace(FIM_MID, "")
+    psm_m = strip(psm)
+    # psm order: prefix, suffix, middle; spm order: suffix, prefix+middle
+    assert sorted(psm_m) == sorted("abcdefghijklmnop") == sorted(strip(spm))
+    # rate=0 is a pure passthrough
+    assert fim_transform(df, rate=0.0).collect()[0]["text"] \
+        == "abcdefghijklmnop"
+    with _pytest.raises(ValueError, match="rate"):
+        fim_transform(df, rate=1.5)
+
+
+def test_fim_plan_is_pure_jvm(spark):
+    from muopdb_spark.operators.packing import fim_transform
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    plan = fim_transform(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
