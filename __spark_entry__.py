@@ -4172,6 +4172,30 @@ def _fim_oracle() -> str:
     """
 
 
+def q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t24 (r15): interpolated Kneser-Ney bigram scoring
+    (operators/lm.py train_kn_lm + score_kn_bits_per_token) — the
+    smoothing KenLM uses and CCNet's perplexity filter inherits,
+    upgrading t9's add-k: a word's backoff mass is its context
+    DIVERSITY N1+(·,w), not its raw frequency. Self-scoring the
+    corpus (every bigram seen, like t9), so the oracle transcribes
+    the full formula — continuation counts, discounted seen term,
+    interpolation weight — in SQL; the unseen-context/word branches
+    are pytest-gated on foreign streams."""
+    from muopdb_spark.operators.lm import (
+        bigram_stream,
+        score_kn_bits_per_token,
+        train_kn_lm,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    stream = bigram_stream(docs).localCheckpoint(eager=True)
+    big, ctx, cont, totals, keep = train_kn_lm(docs, stream=stream)
+    return score_kn_bits_per_token(
+        docs, big, ctx, cont, totals, stream=stream
+    ).orderBy("doc_id")
+
+
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: contiguous-stream chunk assignment of documents
     into 512-token training sequences per language (one window shuffle)."""
@@ -5985,6 +6009,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # split points, full-transcription oracle from the module
         # constants
         "p8_fim_transform": q_fim_transform,
+        # r15: interpolated Kneser-Ney scoring — full-formula CTE
+        # oracle (continuation counts + discount + interpolation);
+        # LM family witnessed in-window by t9
+        "t24_kn_perplexity": q_kn_perplexity,
         # r15 rotation: the eight r14 final-wave operators moved INTO
         # the driver window (landing+1 first rows per the r14
         # verdict), and these ten multiply-witnessed rows park here
@@ -6996,6 +7024,49 @@ def oracle_sql() -> dict[str, str]:
         "t22_lang_id_multiscript": _lang_id_multiscript_oracle(),
         "t23_lang_id_routed": _lang_id_routed_oracle(),
         "p8_fim_transform": _fim_oracle(),
+        # t24: t9's bigram-stream CTE chain + the full interpolated-KN
+        # formula (discount 0.75; self-scoring, so every bigram and
+        # context is seen and the unseen branches stay pytest-gated)
+        "t24_kn_perplexity": f"""
+            WITH t AS (
+                SELECT doc_id, list_prepend('<s>', {_TOKS}) AS toks
+                FROM documents
+            ),
+            b AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1])) AS bg
+                FROM t WHERE len(toks) >= 2
+            ),
+            s AS (
+                SELECT doc_id, split_part(bg, ' ', 1) AS w1,
+                       split_part(bg, ' ', 2) AS w2
+                FROM b
+            ),
+            big AS (SELECT w1, w2, count(*)::DOUBLE AS c12
+                    FROM s GROUP BY w1, w2),
+            ctx AS (SELECT w1, sum(c12) AS c1,
+                           count(*)::DOUBLE AS n1f
+                    FROM big GROUP BY w1),
+            cont AS (SELECT w2, count(*)::DOUBLE AS n1b
+                     FROM big GROUP BY w2),
+            tot AS (SELECT count(*)::DOUBLE AS n1t FROM big),
+            sc AS (
+                SELECT s.doc_id,
+                       -log2(greatest(big.c12 - 0.75, 0.0) / ctx.c1
+                             + 0.75 * ctx.n1f / ctx.c1
+                               * (cont.n1b / tot.n1t)) AS bits
+                FROM s JOIN big USING (w1, w2) JOIN ctx USING (w1)
+                JOIN cont USING (w2) CROSS JOIN tot
+            ),
+            agg AS (SELECT doc_id, count(*) AS n, avg(bits) AS bpt
+                    FROM sc GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(agg.n, 0)::BIGINT AS n_bigrams,
+                   round(coalesce(agg.bpt, 0.0), 6) AS kn_bits_per_token
+            FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+            ORDER BY d.doc_id
+        """,
         "d9_exact_substring": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
             gpos AS (

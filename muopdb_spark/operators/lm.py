@@ -313,3 +313,134 @@ def perplexity_buckets(
     return joined.select(
         id_col, lang_col, bits_col, bucket.alias("ppl_bucket")
     )
+
+
+# ------------------------------------------------------------------
+# r15: interpolated Kneser-Ney — the standard n-gram smoothing
+# (Kneser & Ney 1995; Chen & Goodman 1998 empirical study), the
+# method KenLM uses and CCNet's perplexity filter inherits. Unlike
+# add-k (score_bits_per_token), the backoff weight of a word is its
+# CONTEXT DIVERSITY (how many distinct left contexts it appears
+# with), not its raw frequency — 'francisco' is frequent but nearly
+# always follows 'san', so KN correctly gives it little unigram mass.
+
+
+def train_kn_lm(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int | None = None,
+    stream: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame | None]:
+    """Count tables for an interpolated-KN bigram LM:
+    (big, ctx, cont, totals, keep).
+
+      big:    (w1, w2, c12)
+      ctx:    (w1, c1, n1f) — context count + distinct-continuation
+              count N1+(w1, ·)
+      cont:   (w2, n1b) — distinct-left-context count N1+(·, w2)
+      totals: single row (n1t, vs) — distinct bigram types
+              N1+(·, ·) and |vocab| (the unseen-word uniform floor)
+
+    All plain groupBy aggregates over one bigram stream — map-side
+    partial combine, the same shuffle story as train_bigram_lm; with
+    ``vocab_size`` every table is broadcast-bounded."""
+    b = (
+        stream
+        if stream is not None
+        else bigram_stream(df, text_col=text_col, id_col=id_col)
+    )
+    keep: DataFrame | None = None
+    if vocab_size is not None:
+        keep = (
+            b.groupBy("w2")
+            .count()
+            .orderBy(F.desc("count"), F.asc("w2"))
+            .limit(int(vocab_size))
+            .select(F.col("w2").alias("tok"))
+        )
+        b = _fold_oov(b, keep)
+    big = b.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("c12"))
+    ctx = big.groupBy("w1").agg(
+        F.sum("c12").alias("c1"),
+        F.count("*").cast("double").alias("n1f"),
+    )
+    cont = big.groupBy("w2").agg(
+        F.count("*").cast("double").alias("n1b")
+    )
+    totals = big.agg(
+        F.count("*").cast("double").alias("n1t"),
+        F.countDistinct("w2").cast("double").alias("vs"),
+    )
+    return big, ctx, cont, totals, keep
+
+
+def score_kn_bits_per_token(
+    df: DataFrame,
+    big: DataFrame,
+    ctx: DataFrame,
+    cont: DataFrame,
+    totals: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    d: float = 0.75,
+    keep: DataFrame | None = None,
+    stream: DataFrame | None = None,
+) -> DataFrame:
+    """(id, n_bigrams, kn_bits_per_token): average -log2 interpolated-
+    KN probability per bigram, discount ``d``:
+
+      p_cont(w2) = N1+(·,w2) / N1+(·,·)      (unseen w2: 1/|vocab|)
+      seen ctx:  p = max(c12-d, 0)/c1 + d·N1+(w1,·)/c1 · p_cont(w2)
+      unseen ctx:                p = p_cont(w2)
+
+    Total over any stream (every branch coalesces); the join shape is
+    score_bits_per_token's — broadcast-hinted only when vocab-capped,
+    final per-doc partial agg is the sole shuffle."""
+    if not 0.0 < d < 1.0:
+        raise ValueError(f"score_kn_bits_per_token: d must be in (0,1), got {d}")
+    s = (
+        stream
+        if stream is not None
+        else bigram_stream(df, text_col=text_col, id_col=id_col)
+    )
+    if keep is not None:
+        s = _fold_oov(s, keep)
+    bounded = keep is not None
+    big_j = F.broadcast(big) if bounded else big
+    ctx_j = F.broadcast(ctx) if bounded else ctx
+    cont_j = F.broadcast(cont) if bounded else cont
+    dd = F.lit(float(d))
+    p_cont = F.coalesce(
+        F.col("n1b") / F.col("n1t"), F.lit(1.0) / F.col("vs")
+    )
+    p_seen = (
+        F.greatest(F.coalesce(F.col("c12"), F.lit(0.0)) - dd, F.lit(0.0))
+        / F.col("c1")
+        + dd * F.col("n1f") / F.col("c1") * p_cont
+    )
+    p = F.when(F.col("c1").isNotNull() & (F.col("c1") > 0), p_seen) \
+        .otherwise(p_cont)
+    sc = (
+        s.join(big_j, ["w1", "w2"], "left")
+        .join(ctx_j, ["w1"], "left")
+        .join(cont_j, ["w2"], "left")
+        .crossJoin(F.broadcast(totals))
+        .select("id", (-F.log2(p)).alias("bits"))
+    )
+    agg = sc.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"), F.avg("bits").alias("bpt")
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(agg, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long")
+            .alias("n_bigrams"),
+            F.round(F.coalesce(F.col("bpt"), F.lit(0.0)), 6)
+            .alias("kn_bits_per_token"),
+        )
+    )

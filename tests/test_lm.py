@@ -167,3 +167,157 @@ def test_ppl_buckets_approx_matches_exact(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in plan
+
+
+# ------------------------------------------------- r15: Kneser-Ney
+
+
+def _kn_reference(train_texts, score_texts, d=0.75):
+    """Independent pure-Python interpolated-KN replica (built from the
+    Chen & Goodman formulation, structured nothing like the Spark
+    operator) — per-doc (n_bigrams, bits)."""
+    import re
+    from collections import Counter, defaultdict
+
+    def toks(t):
+        return ["<s>"] + re.findall(r"[a-z0-9]+", t.lower())
+
+    big = Counter()
+    for t in train_texts:
+        ws = toks(t)
+        for i in range(len(ws) - 1):
+            big[(ws[i], ws[i + 1])] += 1
+    c1 = defaultdict(float)
+    n1f = defaultdict(int)
+    n1b = defaultdict(int)
+    for (w1, w2), c in big.items():
+        c1[w1] += c
+        n1f[w1] += 1
+        n1b[w2] += 1
+    n1t = float(len(big))
+    vs = float(len({w2 for _, w2 in big}))
+
+    def p(w1, w2):
+        pc = (n1b[w2] / n1t) if w2 in n1b else 1.0 / vs
+        if c1.get(w1, 0) > 0:
+            return (max(big.get((w1, w2), 0) - d, 0.0) / c1[w1]
+                    + d * n1f[w1] / c1[w1] * pc)
+        return pc
+
+    out = []
+    for t in score_texts:
+        ws = toks(t)
+        bits = [-math.log2(p(ws[i], ws[i + 1]))
+                for i in range(len(ws) - 1)]
+        out.append((len(bits),
+                    round(sum(bits) / len(bits), 6) if bits else 0.0))
+    return out
+
+
+TRAIN = [
+    "the cat sat on the mat",
+    "the dog sat on the log",
+    "a cat and a dog",
+    "san francisco is a city",
+    "the city of san francisco",
+]
+
+
+def test_kn_matches_independent_reference(spark):
+    from muopdb_spark.operators.lm import (
+        score_kn_bits_per_token,
+        train_kn_lm,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(TRAIN)), "doc_id long, text string"
+    )
+    big, ctx, cont, totals, keep = train_kn_lm(docs)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["kn_bits_per_token"])
+        for r in score_kn_bits_per_token(
+            docs, big, ctx, cont, totals
+        ).collect()
+    }
+    want = _kn_reference(TRAIN, TRAIN)
+    for i, w in enumerate(want):
+        assert got[i] == w, (i, got[i], w)
+
+
+def test_kn_unseen_context_and_word_branches(spark):
+    """Foreign scoring stream: an unseen CONTEXT backs off to the
+    continuation probability; an unseen WORD gets the 1/|vocab|
+    uniform floor — both branches against the independent replica."""
+    from muopdb_spark.operators.lm import (
+        score_kn_bits_per_token,
+        train_kn_lm,
+    )
+
+    foreign = [
+        "zebra the cat",          # unseen context 'zebra'
+        "the qqq sat",            # unseen word 'qqq'
+        "qqq zzz",                # everything unseen
+    ]
+    train = spark.createDataFrame(
+        list(enumerate(TRAIN)), "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        list(enumerate(foreign)), "doc_id long, text string"
+    )
+    big, ctx, cont, totals, keep = train_kn_lm(train)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["kn_bits_per_token"])
+        for r in score_kn_bits_per_token(
+            score, big, ctx, cont, totals
+        ).collect()
+    }
+    want = _kn_reference(TRAIN, foreign)
+    for i, w in enumerate(want):
+        assert got[i] == w, (i, got[i], w)
+
+
+def test_kn_distribution_normalizes():
+    """For any seen context, interpolated-KN sums to exactly 1 over
+    the seen vocabulary — the property that makes it a probability
+    model (checked on the reference replica the operator is pinned
+    to)."""
+    import re
+    from collections import Counter
+
+    big = Counter()
+    for t in TRAIN:
+        ws = ["<s>"] + re.findall(r"[a-z0-9]+", t.lower())
+        for i in range(len(ws) - 1):
+            big[(ws[i], ws[i + 1])] += 1
+    vocab = {w2 for _, w2 in big}
+    n1t = len(big)
+    n1b = Counter(w2 for _, w2 in big)
+    d = 0.75
+    for w1 in {w for w, _ in big}:
+        c1 = sum(c for (a, _), c in big.items() if a == w1)
+        n1f = sum(1 for (a, _) in big if a == w1)
+        total = sum(
+            max(big.get((w1, w2), 0) - d, 0.0) / c1
+            + d * n1f / c1 * (n1b[w2] / n1t)
+            for w2 in vocab
+        )
+        assert abs(total - 1.0) < 1e-9, (w1, total)
+
+
+def test_kn_vocab_cap_and_d_bounds(spark):
+    from muopdb_spark.operators.lm import (
+        score_kn_bits_per_token,
+        train_kn_lm,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(TRAIN)), "doc_id long, text string"
+    )
+    big, ctx, cont, totals, keep = train_kn_lm(docs, vocab_size=5)
+    assert keep is not None and keep.count() == 5
+    out = score_kn_bits_per_token(
+        docs, big, ctx, cont, totals, keep=keep
+    ).collect()
+    assert all(r["kn_bits_per_token"] > 0 for r in out)
+    with pytest.raises(ValueError, match="d must"):
+        score_kn_bits_per_token(docs, big, ctx, cont, totals, d=1.0)
