@@ -164,6 +164,12 @@ BENCH_QUERIES = [
     "html2_main_content",
     "t22_lang_id_multiscript",
     "pdf3_encrypted_extract",
+    # late-r15 landings kept OFF the timed line: t23 (the routed
+    # lang-ID dispatch — same single-select map shape as t21+t22,
+    # both already timed), p8 FIM (a pure substring map pass, the
+    # lightest query in the registry), t24 KN scoring (LM family
+    # witnessed by t9; the bigram-stream tokenize pass dominates both
+    # and is identical). All three stay oracle-gated at sf0.01.
 ]
 
 
