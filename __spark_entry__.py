@@ -4143,21 +4143,30 @@ def _fim_oracle() -> str:
         FIM_SUF,
     )
 
+    # Mirror fim_transform's overflow-safe bounded modulus
+    # (pmod(pmod(d, m) * (H mod m), m)); DuckDB has no pmod, so expand
+    # it as ((x % m) + m) % m.
+    def pm(x: str, m: str) -> str:
+        return f"((({x}) % ({m}) + ({m})) % ({m}))"
+
+    def hmod(h: int, m: str) -> str:
+        return pm(f"{pm('doc_id', m)} * ({h} % ({m}))", m)
+
     return f"""
         WITH s AS (
             SELECT doc_id, text, length(text) AS n,
-                   ((doc_id * {_FIM_H1}) % 1000) < 500 AS pick
+                   {hmod(_FIM_H1, '1000')} < 500 AS pick
             FROM documents
         ), ab AS (
             SELECT doc_id, text, n, pick,
                    CASE WHEN n >= 3
-                        THEN 1 + (doc_id * {_FIM_H1}) % (n - 2)
+                        THEN 1 + {hmod(_FIM_H1, 'n - 2')}
                    END AS a
             FROM s
         ), abb AS (
             SELECT doc_id, text, n, pick, a,
                    CASE WHEN n >= 3
-                        THEN a + 1 + (doc_id * {_FIM_H2}) % (n - a - 1)
+                        THEN a + 1 + {hmod(_FIM_H2, 'n - a - 1')}
                    END AS b
             FROM ab
         )

@@ -240,6 +240,17 @@ _FIM_H1 = 2654435761
 _FIM_H2 = 40503
 
 
+def _fim_hash_mod(d, h: int, m):
+    """pmod(pmod(d, m) * (h mod m), m) — the bounded form of
+    (d * h) % m. Every intermediate stays below m**2 (< 2**62 for any
+    string length), so BIGINT never overflows even for ids from
+    monotonically_increasing_id (>= 2**33), and pmod keeps the result
+    in [0, m) for negative ids where Spark's sign-preserving % would
+    escape the documented 1..n-2 split range. Identical to the naive
+    form whenever the naive form doesn't overflow."""
+    return F.pmod(F.pmod(d, m) * F.pmod(F.lit(h), m), m)
+
+
 def fim_transform(
     df: DataFrame,
     *,
@@ -254,8 +265,13 @@ def fim_transform(
     document length), so the pass is reproducible across runs AND
     SQL-expressible for the oracle:
 
-      a = 1 + (id * H1) % (n - 2)         (1 <= a <= n-2)
-      b = a + 1 + (id * H2) % (n - a - 1) (a < b <= n-1)
+      a = 1 + hash(id, H1) mod (n - 2)         (1 <= a <= n-2)
+      b = a + 1 + hash(id, H2) mod (n - a - 1) (a < b <= n-1)
+
+    where hash(id, H) mod m is computed in the overflow-safe bounded
+    form pmod(pmod(id, m) * (H mod m), m) — see _fim_hash_mod — so
+    ids past 2**33 (monotonically_increasing_id beyond partition 0)
+    and negative ids both stay exact under ANSI mode.
       PSM: PRE + text[:a] + SUF + text[b:] + MID + text[a:b]
       SPM (spm=True): PRE + SUF + text[b:] + MID + text[:a] + text[a:b]
 
@@ -268,10 +284,11 @@ def fim_transform(
     d = F.col(id_col).cast("long")
     t = F.col(text_col)
     n = F.length(t)
-    pick = ((d * _FIM_H1) % 1000) < F.lit(int(round(rate * 1000)))
+    pick = _fim_hash_mod(d, _FIM_H1, F.lit(1000)) \
+        < F.lit(int(round(rate * 1000)))
     eligible = pick & (n >= 3)
-    a = (F.lit(1) + ((d * _FIM_H1) % (n - 2))).cast("int")
-    b = (a + 1 + ((d * _FIM_H2) % (n - a - 1))).cast("int")
+    a = (F.lit(1) + _fim_hash_mod(d, _FIM_H1, n - 2)).cast("int")
+    b = (a + 1 + _fim_hash_mod(d, _FIM_H2, n - a - 1)).cast("int")
     prefix = t.substr(F.lit(1), a)
     middle = t.substr(a + 1, b - a)
     suffix = t.substr(b + 1, n - b)

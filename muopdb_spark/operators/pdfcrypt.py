@@ -482,6 +482,29 @@ def _cfm_name(enc: dict, which: str, resolve) -> str:
     return str(resolve(entry.get("CFM")))
 
 
+def _cf_length_bits(enc: dict, resolve) -> int | None:
+    """Key length in BITS from the selected crypt filter's /Length
+    entry, or None. Writers that omit the deprecated document-level
+    /Length (legal for V=4) carry the key size only here. The spec
+    says the CF /Length is in bytes, but real writers also store bits
+    (e.g. 128) — values < 40 are read as bytes, >= 40 as bits."""
+    for which in ("StmF", "StrF"):
+        sel = resolve(enc.get(which))
+        name = str(sel) if sel is not None else "Identity"
+        if name == "Identity":
+            continue
+        cf = resolve(enc.get("CF")) or {}
+        entry = resolve(cf.get(name))
+        if not isinstance(entry, dict):
+            continue
+        cl = resolve(entry.get("Length"))
+        if cl is None:
+            continue
+        cl = int(cl)
+        return cl * 8 if cl < 40 else cl
+    return None
+
+
 def open_standard(enc: dict, id0: bytes, resolve) -> StandardSecurityHandler:
     """Build the handler from a resolved /Encrypt dict, verifying the
     EMPTY user password. `resolve` maps possibly-indirect values to
@@ -503,7 +526,15 @@ def open_standard(enc: dict, id0: bytes, resolve) -> StandardSecurityHandler:
     encrypt_metadata = True if encrypt_metadata is None else bool(encrypt_metadata)
 
     if r in (2, 3, 4):
-        nbits = int(resolve(enc.get("Length")) or 40)
+        nbits = resolve(enc.get("Length"))
+        if nbits is None and r == 4:
+            # V=4 writers may omit the deprecated document-level
+            # /Length and carry the key size only in the crypt
+            # filter's /Length — defaulting those to 40 bits derived
+            # a 5-byte key, failed the /U check, and misreported a
+            # readable file as password-protected (r16 advice fix)
+            nbits = _cf_length_bits(enc, resolve)
+        nbits = int(nbits or 40)
         key_bytes = 5 if r == 2 else nbits // 8
         key = derive_key_r234(
             b"", o, p, id0, r, key_bytes, encrypt_metadata

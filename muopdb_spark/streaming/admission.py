@@ -491,16 +491,21 @@ def _admit_content(
             f"admit_batch: batch lacks corpus columns {missing}"
         )
     admitted = admitted.select(*corpus_cols)
-    # order matters for crash-consistency: corpus text first, then the
-    # signatures that make those docs visible to future dedup rounds —
-    # a crash between the writes can only produce corpus docs that are
-    # re-admittable duplicates, never signatures pointing at missing
-    # text (same WAL-before-flush ordering as catalog/collection.py)
-    admitted.write.mode("append").parquet(corpus_path)
+    # order matters for crash-consistency: signatures FIRST, corpus
+    # text second (r16 — the reverse order could leave corpus text
+    # with no signature, which a foreachBatch replay's dedup probe
+    # cannot see, re-appending the same documents as duplicate corpus
+    # rows). A crash between the writes instead leaves a DANGLING
+    # signature: on replay the band probe matches it, but the exact-
+    # Jaccard verify inner-joins corpus TEXT (incremental_minhash_pairs
+    # csh join) and finds none, so the candidate drops and the doc is
+    # re-admitted — the only residue is a duplicate signature row,
+    # which every probe already tolerates (candidates are .distinct()).
     bsig.join(
         cross_rejected.select(F.col(id_col).alias("id")),
         on="id", how="left_anti",
     ).drop("sh").write.mode("append").parquet(sig_path)
+    admitted.write.mode("append").parquet(corpus_path)
     dups.select(
         F.col("new_id").cast("long"),
         F.col("corpus_id").cast("long"),

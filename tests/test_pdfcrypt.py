@@ -167,6 +167,23 @@ def test_handler_string_and_stream_symmetry(mode):
         assert c1 != c2
 
 
+@pytest.mark.parametrize("cf_length", [16, 128])
+def test_r4_missing_document_length_falls_back_to_cf(cf_length):
+    """A V=4/R=4 AESV2 file whose key size lives ONLY in the /CF StdCF
+    /Length entry (the document-level /Length is deprecated and real
+    writers omit it) must derive the 16-byte key, pass the /U check,
+    and decrypt — not be misreported as password-protected (r16 advice
+    fix). Both CF encodings occur in the wild: bytes (16, per spec)
+    and bits (128)."""
+    enc, h = build_standard_encrypt("aes-128", id0=b"\x01" * 16)
+    del enc["Length"]
+    enc["CF"]["StdCF"]["Length"] = cf_length
+    h2 = open_standard(enc, b"\x01" * 16, lambda x: x)
+    iv = bytes(16)
+    ct = h.encrypt_stream(3, 0, b"fallback payload", iv=iv)
+    assert h2.decrypt_stream(3, 0, ct) == b"fallback payload"
+
+
 def test_password_protected_refuses_by_name():
     """A real (non-empty) user password must refuse, naming the
     reason — owner/user-password documents stay out of scope."""

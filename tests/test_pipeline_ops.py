@@ -596,7 +596,17 @@ def test_fim_reconstruction_invariant(spark):
     )
 
     rows = [(i, f"document body number {i} with some repeated text")
-            for i in range(40)] + [(900, "ab"), (901, "")]
+            for i in range(40)] + [(900, "ab"), (901, "")] + [
+        # ids past the old d*H1 BIGINT overflow point (~3.48e9) and
+        # monotonically_increasing_id's partition-1 base (2**33), plus
+        # negative ids where sign-preserving % escaped the 1..n-2
+        # split range — all must reconstruct exactly
+        (3_500_000_000, "overflow-prone id body text alpha"),
+        (2**33 + 7, "monotonically increasing id body beta"),
+        (2**62, "very large id body gamma gamma"),
+        (-3, "abcdefghij"),
+        (-3_500_000_000, "negative huge id body delta"),
+    ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     orig = dict(rows)
     got = {r["doc_id"]: (r["fim"], r["text"])
@@ -616,7 +626,7 @@ def test_fim_reconstruction_invariant(spark):
             assert pre and mid, i
         else:
             assert txt == orig[i], i
-    assert 0 < n_fim < 40  # the rate really selects a strict subset
+    assert 0 < n_fim < 45  # the rate really selects a strict subset
     assert got[900] == (False, "ab") and got[901] == (False, "")
     # deterministic: a second run is identical
     again = {r["doc_id"]: (r["fim"], r["text"])

@@ -290,6 +290,70 @@ def test_stream_admission_incremental_dedup(spark, tmp_path):
     }
 
 
+def test_admit_batch_replay_after_sig_only_crash(spark, tmp_path):
+    """Crash-consistency contract (r16, signatures-before-corpus):
+    a round that died AFTER the signature append but BEFORE the corpus
+    append leaves a dangling signature. Replaying the round must (a)
+    NOT reject the doc against its own dangling signature (the exact-
+    Jaccard verify inner-joins corpus text, which is absent) and (b)
+    land the text exactly once — no duplicate corpus rows, which is
+    what the pre-r16 corpus-first ordering produced on replay."""
+    from muopdb_spark.operators.dedup import minhash_signature_df
+    from muopdb_spark.streaming.admission import admit_batch, bootstrap_corpus
+
+    corpus_path = str(tmp_path / "c")
+    sig_path = str(tmp_path / "s")
+    rejected_path = str(tmp_path / "r")
+    bootstrap_corpus(
+        spark.createDataFrame(
+            [(1, "completely unrelated seed document about gardens")],
+            "doc_id long, text string",
+        ),
+        corpus_path, sig_path,
+    )
+    batch = spark.createDataFrame(
+        [(5, "the quick brown fox jumps over the lazy dog again today")],
+        "doc_id long, text string",
+    )
+    # simulate the crash window: the round's signature append landed...
+    minhash_signature_df(batch).drop("sh").write.mode("append").parquet(
+        sig_path
+    )
+    # ...the corpus append did not. Now the foreachBatch replay re-runs
+    # the whole round.
+    admit_batch(batch, 9, corpus_path, sig_path, rejected_path,
+                threshold=0.5)
+    corpus = spark.read.parquet(corpus_path).collect()
+    assert sorted(r["doc_id"] for r in corpus) == [1, 5]  # exactly once
+    import os
+
+    # the replay must not have spuriously rejected doc 5
+    assert not os.path.isdir(rejected_path) or \
+        spark.read.parquet(rejected_path).count() == 0
+    # residue is only the duplicate signature row, which probes tolerate
+    sigs = spark.read.parquet(sig_path).filter("id = 5")
+    assert sigs.count() == 2
+    # a SECOND batch carrying a true near-dup of doc 5 is still caught
+    # despite the duplicated signature rows
+    admit_batch(
+        spark.createDataFrame(
+            [(8, "the quick brown fox jumps over the lazy dog again "
+                 "tonight")],
+            "doc_id long, text string",
+        ),
+        10, corpus_path, sig_path, rejected_path, threshold=0.5,
+    )
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus_path).collect()
+    ) == [1, 5]
+    # the duplicated signature row may duplicate the audit record —
+    # the module contract keys audits by (batch_id, new_id), so
+    # compare as a set
+    rej = spark.read.parquet(rejected_path).collect()
+    assert {(r["new_id"], r["corpus_id"], r["reason"]) for r in rej} \
+        == {(8, 5, "duplicate")}
+
+
 def test_admit_batch_is_callable_in_batch_mode(spark, tmp_path):
     """admit_batch doubles as the batch-pipeline admission round."""
     from muopdb_spark.streaming.admission import admit_batch, bootstrap_corpus
