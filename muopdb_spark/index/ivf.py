@@ -71,16 +71,26 @@ class IvfIndex:
             self.quantizer = "pq"  # pre-rabitq callers pass codebook only
 
 
-def _fit_kmeans(df: DataFrame, vec_col: str, k: int, seed: int, max_iter: int):
+def _fit_kmeans(df: DataFrame, vec_col: str, k: int, seed: int, max_iter: int,
+                cap: int | None = None):
     """Seeded numpy Lloyd's over the (bounded, pre-sampled) training
     DataFrame — the caller caps rows at training_sample, mirroring the
     reference's in-process fit over a 20k sample (kmeans_builder.rs).
-    Only training is driver-local; corpus assignment stays distributed."""
+    Only training is driver-local; corpus assignment stays distributed.
+
+    ``cap``: regression tripwire (same contract as multi_ivf's grouped
+    fit assert) — when the caller promises an exact pre-sample bound,
+    a collect larger than it must fail loudly, never OOM the driver."""
     import numpy as np
 
     from muopdb_spark.index.kmeans import lloyd
 
     rows = df.select(F.col(vec_col).cast("array<double>").alias("v")).collect()
+    if cap is not None and len(rows) > cap:
+        raise AssertionError(
+            f"_fit_kmeans: {len(rows)} training rows > cap={cap}; "
+            "pre-sample missing"
+        )
     X = np.array([r["v"] for r in rows], dtype=np.float64)
     return lloyd(X, k, seed=seed, max_iter=max_iter).tolist()
 
@@ -183,8 +193,29 @@ def build_ivf(
             kept = [c for c in centroids.collect() if c["centroid_id"] not in set(oversized)]
             new_centers = [list(c["centroid"]) for c in kept]
             for cid in oversized:
-                pts = postings.filter(F.col("centroid_id") == cid).select("id", "vector")
-                new_centers.extend(_fit_kmeans(pts, "vector", 2, seed + cid, max_iter))
+                # bound the driver materialization (r16): an oversized
+                # posting list can exceed training_sample by orders of
+                # magnitude (that's WHY it's being split) — re-cluster
+                # from a deterministic seeded sample, exactly as the
+                # initial fit and multi_ivf's distributed pre-sample do
+                # (reference contract: ivf/builder.rs re-clusters from
+                # the bounded kmeans training sample too). Seeded
+                # xxhash64 order + limit is a distributed
+                # TakeOrderedAndProject — only <= training_sample rows
+                # ever reach the driver.
+                pts = (
+                    postings.filter(F.col("centroid_id") == cid)
+                    .select("id", "vector")
+                    .orderBy(
+                        F.xxhash64(F.col("id"), F.lit(seed + cid)).asc(),
+                        F.col("id").asc(),
+                    )
+                    .limit(training_sample)
+                )
+                new_centers.extend(_fit_kmeans(
+                    pts, "vector", 2, seed + cid, max_iter,
+                    cap=training_sample,
+                ))
             centroids = _centroid_df(spark, new_centers)
 
     postings = assign_postings(

@@ -153,6 +153,56 @@ def test_recursive_split_bounds_posting_size(clustered):
     assert idx.postings.count() == clustered.count()
 
 
+def test_recursive_split_training_is_bounded(clustered, monkeypatch):
+    """V7 scale contract (r16): re-clustering an oversized posting list
+    must fit from a bounded pre-sample, never materialize the whole
+    list on the driver (ivf/builder.rs:500-535 re-clusters from the
+    bounded kmeans training sample too). A whale posting list at 100 TB
+    is exactly the list being split — collecting it is the OOM.
+    Pins: (a) every split-path _fit_kmeans call receives
+    <= training_sample rows, (b) the cap tripwire is armed, (c) the
+    split still converges under the sample."""
+    import muopdb_spark.index.ivf as ivf_mod
+
+    cap = 60  # far below the oversized list (~480 rows in one blob)
+    calls = []
+    orig = ivf_mod._fit_kmeans
+
+    def spy(df, vec_col, k, seed, max_iter, cap=None):
+        rows = df.count()
+        calls.append((rows, cap))
+        return orig(df, vec_col, k, seed, max_iter, cap=cap)
+
+    monkeypatch.setattr(ivf_mod, "_fit_kmeans", spy)
+    # num_centroids=1 forces ONE centroid over all 6 blobs -> a single
+    # ~480-row posting list, 8x the training cap
+    idx = ivf_mod.build_ivf(
+        clustered, num_centroids=1, seed=7, training_sample=cap,
+        max_posting_size=150, split_rounds=8,
+    )
+    split_calls = [(r, c) for r, c in calls[1:]]  # calls[0] = initial fit
+    assert split_calls, "split path never ran"
+    assert all(c == cap for _, c in split_calls)  # tripwire armed
+    assert all(r <= cap for r, _ in split_calls)  # bounded collect
+    # convergence: the split still drives every posting under the max
+    sizes = [r["count"] for r in
+             idx.postings.groupBy("centroid_id").count().collect()]
+    assert max(sizes) <= 150
+    assert idx.postings.count() == clustered.count()
+    # determinism: the seeded sample makes rebuilds reproducible
+    again = ivf_mod.build_ivf(
+        clustered, num_centroids=1, seed=7, training_sample=cap,
+        max_posting_size=150, split_rounds=8,
+    )
+    assert sorted(
+        (r["centroid_id"], r["id"])
+        for r in idx.postings.select("centroid_id", "id").collect()
+    ) == sorted(
+        (r["centroid_id"], r["id"])
+        for r in again.postings.select("centroid_id", "id").collect()
+    )
+
+
 def test_multi_assignment_closure(clustered):
     idx = build_ivf(
         clustered, num_centroids=N_CLUSTERS, seed=7,
