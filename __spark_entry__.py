@@ -5042,23 +5042,23 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t12: tokenizer-training vocabulary tables (operators/vocab.py,
     Sennrich et al. 1508.07909 step 1) — the corpus-wide top-150 token
     frequencies plus the top-50 adjacent-pair frequencies (what a BPE
-    merge round maximizes over), deterministically tie-broken."""
-    from muopdb_spark.operators.vocab import pair_vocab, token_vocab
+    merge round maximizes over), deterministically tie-broken.
+
+    r16: serves the SINGLE-SCAN form (vocab_tables) — one corpus
+    scan/tokenize pass for both tables instead of two. At 100 TB the
+    corpus scan dominates and this halves it; on the local fixture the
+    two-table form's TakeOrderedAndProject is slightly faster when the
+    box is cold, but the single-scan plan amplifies box heat less
+    (one explode pass, not two), which is what the bench's recurring
+    t12 heat outlier traced to (docs/BENCH_STABILITY.md r13/r15). The
+    two forms are bit-identical (tests/test_vocab_tables.py), so the
+    oracle is unchanged."""
+    from muopdb_spark.operators.vocab import vocab_tables
 
     docs = _t(spark, sf_dir, "documents")
-    t = token_vocab(docs, top_k=150).select(
-        F.lit("token").alias("kind"),
-        F.col("token").alias("term"),
-        "count",
-        "rank",
+    return vocab_tables(docs, token_top_k=150, pair_top_k=50).orderBy(
+        "kind", "rank"
     )
-    p = pair_vocab(docs, top_k=50).select(
-        F.lit("pair").alias("kind"),
-        F.concat_ws(" ", "left", "right").alias("term"),
-        "count",
-        "rank",
-    )
-    return t.unionByName(p).orderBy("kind", "rank")
 
 
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -342,6 +342,40 @@ def main() -> None:
             timings[name] = min(all_reps[name])
 
     total = round(sum(timings.values()), 3)
+
+    # Control-normalized reading (r16, VERDICT #4): two designated
+    # frozen-plan map-side controls (docs/BENCH_STABILITY.md r14/r15
+    # policy) measure THIS sweep's box heat; every query's floor ratio
+    # divided by the control ratio separates plan drift from
+    # firecracker-neighbor heat AT CAPTURE TIME, so a steal-polluted
+    # capture reads correctly without post-hoc exegesis. The 2x drift
+    # gate is evaluated on the over-control ratio (raw ratios and raw
+    # timings are all retained alongside).
+    import math
+
+    CONTROL_QUERIES = ("t19_wordlist_gate", "t11_quality_calibrated")
+    ratios = {q: timings[q] / floors[q] for q in BENCH_QUERIES}
+    control_ratio = math.exp(
+        sum(math.log(max(ratios[c], 1e-9)) for c in CONTROL_QUERIES)
+        / len(CONTROL_QUERIES)
+    )
+    over_control = {
+        q: round(r / control_ratio, 3) for q, r in ratios.items()
+    }
+    geomean_vs_floors = math.exp(
+        sum(math.log(max(r, 1e-9)) for r in ratios.values()) / len(ratios)
+    )
+    geomean_over_control = round(geomean_vs_floors / control_ratio, 3)
+    geomean_vs_floors = round(geomean_vs_floors, 3)
+    control_ratio = round(control_ratio, 3)
+    past_2x_raw = sorted(
+        q for q, r in ratios.items()
+        if r > 2.0 and timings[q] > floors[q] + 0.25
+    )
+    past_2x_over_control = sorted(
+        q for q, v in over_control.items()
+        if v > 2.0 and timings[q] > floors[q] + 0.25
+    )
     # Steal budget (r8 VERDICT stretch #9): label an interference-
     # polluted sweep AT CAPTURE TIME instead of adjudicating it after.
     # Calibration: the clean r8 sweep recorded 83 total steal jiffies
@@ -379,6 +413,9 @@ def main() -> None:
                     "steal_polluted": steal_polluted,
                     "drift_vs_floors": drift_vs_floors,
                     "anomaly_retried": flagged,
+                    "control_ratio": control_ratio,
+                    "geomean_vs_floors": geomean_vs_floors,
+                    "geomean_over_control": geomean_over_control,
                     "sf": sf,
                 },
                 f,
@@ -403,6 +440,15 @@ def main() -> None:
                     "sf": sf,
                     "drift_vs_floors": drift_vs_floors,
                     "steal_polluted": steal_polluted,
+                    "control_queries": list(CONTROL_QUERIES),
+                    "control_ratio": control_ratio,
+                    "floors_ratio": {q: round(r, 3)
+                                     for q, r in ratios.items()},
+                    "over_control": over_control,
+                    "geomean_vs_floors": geomean_vs_floors,
+                    "geomean_over_control": geomean_over_control,
+                    "past_2x_raw": past_2x_raw,
+                    "past_2x_over_control": past_2x_over_control,
                 },
                 f,
                 indent=1,
@@ -420,6 +466,22 @@ def main() -> None:
     # full precision. If future query additions push past 1990 chars,
     # degrade to deciseconds ("ds") rather than ever exceeding the
     # window. Full 3dp-seconds per-query values live in BENCH_FULL.json.
+    # Control-normalized summary rides EVERY rung of the ladder (r16):
+    # ctl = this sweep's box-heat ratio from the frozen-plan controls,
+    # geo/geo_oc = geomean of floor ratios raw / over-control, p2x_oc =
+    # the queries past the 2x gate AFTER control normalization (the
+    # gate's readout; raw flags and per-query over_control live in the
+    # committed BENCH_FULL.json). Capped at 12 names so a pathological
+    # sweep cannot blow the 2000-char tail window.
+    oc_summary = {
+        "ctl": control_ratio,
+        "geo": geomean_vs_floors,
+        "geo_oc": geomean_over_control,
+        "p2x_oc": past_2x_over_control[:12],
+        "n_p2x_oc": len(past_2x_over_control),
+        "n_p2x_raw": len(past_2x_raw),
+        "steal_polluted": steal_polluted,
+    }
     for qunit, scale in (("cs", 100), ("ds", 10)):
         line = json.dumps(
             {
@@ -430,6 +492,7 @@ def main() -> None:
                 "qunit": qunit,
                 "queries": {k: int(round(v * scale))
                             for k, v in timings.items()},
+                **oc_summary,
             },
             separators=(",", ":"),
         )
@@ -449,6 +512,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "queries_file": "BENCH_FULL.json",
+                **oc_summary,
             },
             separators=(",", ":"),
         )
