@@ -17,6 +17,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 SF_SMOKE = "/root/testdata/sf0.001"
+# the driver's fixed oracle-compare SF (contract: Spark vs DuckDB side
+# by side at sf0.01) — artifact-pinned oracles embed THIS SF's artifacts
+SF_ORACLE = "/root/testdata/sf0.01"
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -1114,13 +1117,36 @@ def q_two_level_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V19 ratio-pruned probe (the production ANN path) — approximate,
     so no SQL oracle (rows-only check); recall is pytest-verified against
-    the exact oracle on seeded clusters (tests/test_ivf.py)."""
+    the exact oracle on seeded clusters (tests/test_ivf.py), and the
+    ratio-prune code path itself is hash-matched against brute force by
+    the exactness twin v19x_ann_probed_exact."""
     from muopdb_spark.index.ivf import ivf_search
 
     idx = _ivf_index(spark, sf_dir)
     qv = _query_vector(spark, sf_dir)
     out = ivf_search(idx, qv, 10, num_probes=3, centroid_distance_ratio=0.5,
                      score_decimals=6)
+    return out.withColumnRenamed("id", "vec_id")
+
+
+def q_ann_probed_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v19x (r16, VERDICT #5): the v19 ratio-prune path in a provably
+    exact configuration — num_probes covers every centroid and the
+    ratio is set so the prune predicate `d - d_min <= abs(d_min) *
+    ratio` keeps all of them (ratio=1e9; d_min > 0 on the fixture since
+    the query is a data vector and centroids are multi-point means), so
+    probed search ≡ full probe ≡ brute force and the row hash-matches
+    the exact SQL oracle. This is the same equivalence the two-level
+    tier witnesses for its meta-probe (v25); here it witnesses V19's
+    ratio branch itself (reference contract: spann/index.rs:211-266 —
+    ratio-pruned search degenerates to exact when nothing is pruned).
+    v19 proper stays the production approximate config (rows-only)."""
+    from muopdb_spark.index.ivf import ivf_search
+
+    idx = _ivf_index(spark, sf_dir)
+    qv = _query_vector(spark, sf_dir)
+    out = ivf_search(idx, qv, 10, num_probes=10,
+                     centroid_distance_ratio=1e9, score_decimals=6)
     return out.withColumnRenamed("id", "vec_id")
 
 
@@ -4134,6 +4160,64 @@ def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fim_transform(docs, rate=0.5).orderBy("doc_id")
 
 
+def _quality_oracle() -> str:
+    """Serving-side oracle for t10/t10b (r16, VERDICT #3): TRAINING is
+    iterative L-BFGS (not SQL-expressible), but SERVING is a pure
+    sigmoid over the durable coefficient artifact — so the oracle pins
+    the artifact's coefficients as literals (the x1 seed-42-matrix
+    precedent) and replays the feature pipeline + sigmoid in SQL.
+    Coefficients load from (building on demand) the sf0.01 artifact,
+    the driver's fixed oracle-compare SF; at other SFs the query trains
+    different coefficients and this oracle does not apply. t10b's
+    in-query training is bit-identical to the artifact build (same
+    data, same L-BFGS config; verified identical across local[8]/
+    local[32] session shapes), so both rows share this oracle. Float
+    caveat as x1: z-sums and exp() are IEEE ops evaluated by two
+    engines; round-6 boundary flips are possible in principle,
+    empirically gated on the static fixture."""
+    import json as _json
+
+    path = os.path.join(
+        _index_artifact_dir(SF_ORACLE, "quality_v1"), "coefficients.json"
+    )
+    if not os.path.exists(path):
+        from muopdb_spark.session import get_spark
+
+        _quality_model(get_spark("quality-oracle-build"), SF_ORACLE)
+    with open(path) as f:
+        coef = _json.load(f)
+    # mirror quality_score_expr's evaluation order exactly:
+    # ((b0 + c1*x1) + c2*x2) + ... over the ROUNDED feature columns
+    z = repr(coef["__intercept__"])
+    for feat in ("n_chars", "n_tokens", "avg_token_len", "alpha_frac",
+                 "stopword_ratio"):
+        z = f"{z} + ({coef[feat]!r}) * {feat}"
+    return rf"""
+        WITH q AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   {_TOKS} AS toks,
+                   length(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')) AS alnum_ws
+            FROM documents
+        ), f AS (
+            SELECT doc_id, n_chars,
+                   len(toks) AS n_tokens,
+                   round(CASE WHEN len(toks) > 0
+                         THEN list_aggregate(list_transform(toks, t -> length(t)), 'sum')::DOUBLE / len(toks)
+                         ELSE 0.0 END, 6) AS avg_token_len,
+                   round(CASE WHEN n_chars > 0
+                         THEN alnum_ws::DOUBLE / n_chars ELSE 0.0 END, 6) AS alpha_frac,
+                   round(CASE WHEN len(toks) > 0
+                         THEN len(list_filter(toks, t -> list_contains({_stoplist_sql('en')}, t)))::DOUBLE / len(toks)
+                         ELSE 0.0 END, 6) AS stopword_ratio
+            FROM q
+        )
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-({z}))), 6) AS p_reference
+        FROM f ORDER BY doc_id
+    """
+
+
 def _fim_oracle() -> str:
     from muopdb_spark.operators.packing import (
         _FIM_H1,
@@ -4585,9 +4669,11 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     coefficient artifact (_quality_model): inference is a pure Catalyst
     sigmoid expression, map-side, zero ML runtime
     (operators/quality_model.py). The self-contained train-on-self
-    variant stays registered as t10b_quality_train_self. No oracle by
-    design (iterative training is not SQL-expressible); classifier
-    behavior is pinned on separable synthetic corpora in
+    variant stays registered as t10b_quality_train_self. Training is
+    not SQL-expressible (iterative L-BFGS), but SERVING is — the
+    oracle pins the artifact coefficients as literals and hash-matches
+    the scored output (_quality_oracle, r16); classifier behavior is
+    additionally pinned on separable synthetic corpora in
     tests/test_quality_model.py. The fixture's source buckets are
     statistically interchangeable, so scores hover near the base rate
     here — the wiring, not the decision boundary, is what this row
@@ -5894,6 +5980,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j8_skew_salted_join": q_skew_salted_join,
         "v24_sq8_rerank": q_sq8_rerank,
         "v25_two_level_probe": q_two_level_probe,
+        # r16: V19's ratio-prune branch in its provably-exact config
+        # (oracle-able twin of the rows-only v19 production row)
+        "v19x_ann_probed_exact": q_ann_probed_exact,
         "w5_stream_admission": q_stream_admission,
         "smp4_token_mixture": q_token_mixture,
         "t2_multilang_stem_index": q_multilang_stem_index,
@@ -5903,7 +5992,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src1_jsonl_roundtrip": q_jsonl_roundtrip,
         # r6: the self-contained train+score witness for the quality
         # classifier (the benched/served t10 path now loads the durable
-        # coefficient artifact). No oracle by design, like t10.
+        # coefficient artifact). Oracle since r16: serving-side sigmoid
+        # over pinned coefficients (_quality_oracle), like t10.
         "t10b_quality_train_self": q_quality_train_self,
         # r7 late swap (see queries()): parked so d9's first driver row
         # lands in r7; same local oracle gate.
@@ -6204,6 +6294,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         # full meta probe == full single-level probe == exact
         "v25_two_level_probe": f"""
+            SELECT vec_id,
+                   round(list_distance(embedding::DOUBLE[], {qvec}), 6) AS score
+            FROM embeddings
+            ORDER BY score ASC, vec_id ASC
+            LIMIT 10
+        """,
+        # v19's ratio-prune branch with a keep-all ratio == full probe
+        # == exact (see q_ann_probed_exact)
+        "v19x_ann_probed_exact": f"""
             SELECT vec_id,
                    round(list_distance(embedding::DOUBLE[], {qvec}), 6) AS score
             FROM embeddings
@@ -7033,6 +7132,12 @@ def oracle_sql() -> dict[str, str]:
         "t22_lang_id_multiscript": _lang_id_multiscript_oracle(),
         "t23_lang_id_routed": _lang_id_routed_oracle(),
         "p8_fim_transform": _fim_oracle(),
+        # t10/t10b (r16): serving-side sigmoid over the pinned artifact
+        # coefficients — training stays un-oracle-able, inference does
+        # not (see _quality_oracle). Both rows share one oracle because
+        # t10b's in-query training reproduces the artifact bit-for-bit.
+        "t10_quality_classifier": _quality_oracle(),
+        "t10b_quality_train_self": _quality_oracle(),
         # t24: t9's bigram-stream CTE chain + the full interpolated-KN
         # formula (discount 0.75; self-scoring, so every bigram and
         # context is seen and the unseen branches stay pytest-gated)
