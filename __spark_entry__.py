@@ -4160,6 +4160,77 @@ def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fim_transform(docs, rate=0.5).orderBy("doc_id")
 
 
+def _semdedup_oracle() -> str:
+    """Oracle for d8 (r16): SemDeDup's one non-SQL ingredient is the
+    k-means TRAINING; the served clustering is a durable artifact
+    (_semdedup_centroids), so — exactly like t10's coefficients and
+    x1's plane matrix — the oracle pins the 8x64 centroid table as
+    literals and replays everything downstream in SQL: cosine argmax
+    assignment (ties to the lower cluster_id, the Spark window's
+    order), within-cluster pairs at >= 0.9 cosine, min-id witness,
+    per-cluster sizes. Pinned at the driver's sf0.01 compare SF (built
+    on demand); float caveat as x1 — pair cosines sit against an exact
+    >= threshold and numpy BLAS vs DuckDB fold sum orders differ in
+    ULPs, empirically gated on the static fixture."""
+    import pyarrow.parquet as _pq
+
+    path = _index_artifact_dir(SF_ORACLE, "semdedup_cents_v1")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from muopdb_spark.session import get_spark
+
+        _semdedup_centroids(get_spark("semdedup-oracle-build"), SF_ORACLE)
+    tbl = _pq.read_table(path).to_pylist()
+    rows = ", ".join(
+        f"({r['cluster_id']}, [{', '.join(repr(float(x)) for x in r['centroid'])}]::DOUBLE[])"
+        for r in sorted(tbl, key=lambda r: r["cluster_id"])
+    )
+    cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+           " * sqrt(list_dot_product({b}, {b})))")
+    return f"""
+        WITH c (cluster_id, centroid) AS (VALUES {rows}),
+        e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        scored AS (
+            SELECT e.vec_id, c.cluster_id,
+                   {cos.format(a='e.v', b='c.centroid')} AS cos
+            FROM e CROSS JOIN c
+        ),
+        asg AS (
+            SELECT vec_id, cluster_id, cos
+            FROM scored
+            QUALIFY row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, cluster_id ASC
+            ) = 1
+        ),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM asg a
+            JOIN asg b ON a.cluster_id = b.cluster_id
+                      AND a.vec_id < b.vec_id
+            JOIN e ea ON ea.vec_id = a.vec_id
+            JOIN e eb ON eb.vec_id = b.vec_id
+            WHERE {cos.format(a='ea.v', b='eb.v')} >= 0.9
+        ),
+        verdict AS (
+            SELECT id_b, min(id_a) AS witness_id FROM pairs GROUP BY id_b
+        ),
+        sizes AS (
+            SELECT cluster_id, count(*) AS n_cluster FROM asg GROUP BY 1
+        )
+        SELECT asg.vec_id,
+               asg.cluster_id,
+               sizes.n_cluster::BIGINT AS n_cluster,
+               round(asg.cos, 6) AS cent_cos,
+               verdict.witness_id IS NOT NULL AS removed,
+               verdict.witness_id::BIGINT AS witness_id
+        FROM asg
+        LEFT JOIN verdict ON asg.vec_id = verdict.id_b
+        JOIN sizes ON asg.cluster_id = sizes.cluster_id
+        ORDER BY asg.vec_id
+    """
+
+
 def _quality_oracle() -> str:
     """Serving-side oracle for t10/t10b (r16, VERDICT #3): TRAINING is
     iterative L-BFGS (not SQL-expressible), but SERVING is a pure
@@ -4623,8 +4694,10 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster the embeddings (seeded, bounded driver sample; served from
     the durable clustering artifact _semdedup_centroids), then flag
     within-cluster cosine near-dups with a min-id survivor rule
-    (operators/semdedup.py). No oracle by design: the k-means
-    assignment is not SQL-derivable; removal semantics are pinned
+    (operators/semdedup.py). Training is not SQL-expressible, but the
+    SERVED pipeline is: the oracle pins the artifact's centroid table
+    as literals and replays assignment + pairs + verdicts in SQL
+    (_semdedup_oracle, r16); removal semantics are additionally pinned
     against a numpy brute-force referee in tests/test_semdedup.py."""
     from muopdb_spark.operators.semdedup import semdedup
 
@@ -7138,6 +7211,11 @@ def oracle_sql() -> dict[str, str]:
         # t10b's in-query training reproduces the artifact bit-for-bit.
         "t10_quality_classifier": _quality_oracle(),
         "t10b_quality_train_self": _quality_oracle(),
+        # d8 (r16): the served clustering is a durable artifact, so the
+        # whole verdict pipeline replays in SQL over pinned centroids —
+        # the registry's LAST no-oracle row other than the by-design
+        # approximate v19 production config (which has its v19x twin)
+        "d8_semdedup": _semdedup_oracle(),
         # t24: t9's bigram-stream CTE chain + the full interpolated-KN
         # formula (discount 0.75; self-scoring, so every bigram and
         # context is seen and the unseen branches stay pytest-gated)
