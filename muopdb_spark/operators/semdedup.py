@@ -29,9 +29,12 @@ Spark-first design:
     id is reported for auditability.
 
 Scale note (100 TB): with k in the 10^5 range the n x k assignment
-crossJoin dominates; swap the assignment stage for the two-level IVF
-probe (index/ivf.py centroid-of-centroids) or the blocked-matmul
-pandas path (index/multi_ivf.py) — the pair stage is unchanged.
+crossJoin dominates; pass ``meta_k`` to switch the assignment stage to
+cluster_assignments_two_level (the centroid-of-centroids tier, n x
+~sqrt(k) work; meta_probes=None is pinned bit-identical to the flat
+stage, bounded probes are the approximation knob) — the pair stage is
+unchanged. The blocked-matmul pandas path (index/multi_ivf.py) remains
+the alternative when vector width, not k, dominates.
 """
 
 from __future__ import annotations
@@ -94,6 +97,92 @@ def cluster_assignments(
     )
 
 
+def cluster_assignments_two_level(
+    emb: DataFrame,
+    centroids: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    meta_k: int = 4,
+    meta_probes: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, cluster_id, cent_cos, vector): the 100 TB face of
+    cluster_assignments — the module docstring's scale note made real.
+
+    With k centroids in the 10^5 range (SemDeDup's published k ~ n/1e4
+    at corpus scale) the flat n x k assignment crossJoin dominates.
+    Two-level shape (the index/ivf2.py tier applied to cosine argmax):
+
+      1. meta-centroids over the CENTROID table (k rows — tiny; seeded
+         driver Lloyd's, the same bounded-sample contract as training)
+      2. centroid -> meta-cell map: k x meta_k, broadcast both sides
+      3. each vector probes the meta cells (n x meta_k, ~n x sqrt(k)
+         when meta_k ~ sqrt(k)) and keeps the top ``meta_probes``
+      4. argmax cosine only over centroids in probed cells: expected
+         n x (meta_probes * k / meta_k) instead of n x k
+
+    ``meta_probes=None`` probes EVERY cell, which is mathematically the
+    flat assignment (the candidate set is all k centroids, same argmax,
+    same (cos DESC, cluster_id ASC) tie-break) — pinned bit-identical
+    by tests/test_semdedup.py. Bounded probes are the documented
+    SemDeDup approximation knob: a vector whose true centroid lives in
+    an unprobed cell lands in its best probed cluster, which only
+    LOCALIZES the pair search differently — the same class of miss as
+    the method's own cross-cluster blindness."""
+    spark = emb.sparkSession
+    cents = centroids.select("cluster_id", "centroid").collect()
+    X = np.array([r["centroid"] for r in cents], dtype=np.float64)
+    meta_k = min(int(meta_k), len(cents)) or 1
+    meta = lloyd(X, meta_k, seed=seed)
+    meta_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(meta)],
+        "meta_id int, meta_centroid array<double>",
+    )
+    # 2: centroid -> nearest meta cell (k x meta_k, all broadcast-sized)
+    cw = Window.partitionBy("cluster_id").orderBy(
+        F.desc("mcos"), F.asc("meta_id")
+    )
+    cent_cells = (
+        centroids.crossJoin(F.broadcast(meta_df))
+        .withColumn(
+            "mcos", cosine_similarity(F.col("centroid"), F.col("meta_centroid"))
+        )
+        .withColumn("rnk", F.row_number().over(cw))
+        .filter(F.col("rnk") == 1)
+        .select("meta_id", "cluster_id", "centroid")
+    )
+    # 3: vector -> probed meta cells (n x meta_k, ONE map-side pass)
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vector"),
+    )
+    vw = Window.partitionBy("id").orderBy(F.desc("mcos"), F.asc("meta_id"))
+    probed = (
+        base.crossJoin(F.broadcast(meta_df))
+        .withColumn(
+            "mcos", cosine_similarity(F.col("vector"), F.col("meta_centroid"))
+        )
+        .withColumn("rnk", F.row_number().over(vw))
+        .filter(
+            F.lit(True) if meta_probes is None
+            else F.col("rnk") <= int(meta_probes)
+        )
+        .select("id", "vector", "meta_id")
+    )
+    # 4: candidates = centroids of probed cells only; final argmax.
+    # cent_cells is k rows — broadcast, so the only shuffle is the
+    # argmax window on id (the same exchange the flat path pays).
+    w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("cluster_id"))
+    return (
+        probed.join(F.broadcast(cent_cells), "meta_id")
+        .withColumn("cos", cosine_similarity(F.col("vector"), F.col("centroid")))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("id", "cluster_id", F.col("cos").alias("cent_cos"), "vector")
+    )
+
+
 def semdedup(
     emb: DataFrame,
     *,
@@ -104,6 +193,8 @@ def semdedup(
     seed: int = 42,
     training_sample: int = 20_000,
     centroids: DataFrame | None = None,
+    meta_k: int | None = None,
+    meta_probes: int | None = None,
 ) -> DataFrame:
     """Per-vector SemDeDup verdicts:
     (id_col, cluster_id, n_cluster, cent_cos, removed, witness_id).
@@ -111,14 +202,24 @@ def semdedup(
     removed = a lower-id vector in the same cluster matches at
     >= threshold; witness_id = the smallest such id (null when kept).
     Pass precomputed ``centroids`` to reuse a durable clustering.
+    ``meta_k`` switches the assignment stage to the two-level probe
+    (cluster_assignments_two_level — the 100 TB path for k >> 10^3);
+    with ``meta_probes=None`` it is bit-identical to the flat stage.
     """
     if centroids is None:
         centroids = train_centroids(
             emb, vec_col=vec_col, k=k, seed=seed, training_sample=training_sample
         )
-    asg = cluster_assignments(
-        emb, centroids, vec_col=vec_col, id_col=id_col
-    ).localCheckpoint(eager=True)  # feeds 3 branches; pin like dedup.py
+    if meta_k is not None:
+        asg = cluster_assignments_two_level(
+            emb, centroids, vec_col=vec_col, id_col=id_col,
+            meta_k=meta_k, meta_probes=meta_probes, seed=seed,
+        )
+    else:
+        asg = cluster_assignments(
+            emb, centroids, vec_col=vec_col, id_col=id_col
+        )
+    asg = asg.localCheckpoint(eager=True)  # feeds 3 branches; pin like dedup.py
     # Within-cluster pairs as ONE BLAS block matmul per cluster
     # (applyInPandas — the ann_lsh.lsh_near_dup_pairs bucket shape):
     # the naive self-join + per-pair JVM zip_with cosine shuffles

@@ -103,3 +103,54 @@ def test_precomputed_centroids_reused(spark, synth):
     a = sorted(map(tuple, semdedup(synth, centroids=cent).collect()))
     b = sorted(map(tuple, semdedup(synth, centroids=cent).collect()))
     assert a == b
+
+
+def test_two_level_full_probe_is_bit_identical(spark, synth, sf_dir):
+    """The two-level assignment with meta_probes=None (every cell
+    probed) must reproduce the flat assignment EXACTLY — candidate set
+    is all k centroids, same argmax, same (cos DESC, cluster_id ASC)
+    tie-break — on both the synthetic and fixture embeddings."""
+    from muopdb_spark.operators.semdedup import (
+        cluster_assignments_two_level,
+    )
+
+    for emb, k in ((synth, 3), (spark.read.parquet(
+            f"{sf_dir}/embeddings.parquet"), 8)):
+        cent = train_centroids(emb, k=k)
+        flat = sorted(
+            (r["id"], r["cluster_id"], round(r["cent_cos"], 12))
+            for r in cluster_assignments(emb, cent).collect()
+        )
+        two = sorted(
+            (r["id"], r["cluster_id"], round(r["cent_cos"], 12))
+            for r in cluster_assignments_two_level(
+                emb, cent, meta_k=2, meta_probes=None
+            ).collect()
+        )
+        assert two == flat
+    # and through the full verdict pipeline
+    cent = train_centroids(synth, k=3)
+    a = sorted(map(tuple, semdedup(synth, centroids=cent).collect()))
+    b = sorted(map(tuple, semdedup(
+        synth, centroids=cent, meta_k=2, meta_probes=None).collect()))
+    assert a == b
+
+
+def test_two_level_bounded_probe_on_separated_clusters(spark, synth):
+    """With well-separated clusters, probing ONE meta cell per vector
+    still lands every vector in its true cluster — the bounded-probe
+    approximation only bites when a vector's centroid hides in an
+    unprobed cell, which separation precludes."""
+    from muopdb_spark.operators.semdedup import (
+        cluster_assignments_two_level,
+    )
+
+    cent = train_centroids(synth, k=3)
+    flat = {(r["id"], r["cluster_id"])
+            for r in cluster_assignments(synth, cent).collect()}
+    one = {(r["id"], r["cluster_id"])
+           for r in cluster_assignments_two_level(
+               synth, cent, meta_k=3, meta_probes=1).collect()}
+    assert one == flat
+    # every vector is assigned exactly once even under bounded probes
+    assert len(one) == synth.count()
