@@ -5763,12 +5763,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pipe2 parked in r14 (driver-green r8–r13; composed-manifest
         # family keeps pipe3 in-window) so the r13/r14 acquisition
         # landings get first driver rows.
-        # r8-NEW operator (landing-round first driver row per the
-        # rotation policy): BPE merge application — step 2 of
-        # 1508.07909, closing the tokenizer train->apply loop t12
-        # opened. Parks s1_set_ops (driver-green r1-r7; set-op family
-        # keeps f7 in-window).
-        "t14_bpe_encode": q_bpe_encode,
+        # r16 rotation: t14_bpe_encode parked (driver-green r8-r15;
+        # tokenizer family keeps t20 in-window, t12 extras-green) to
+        # give t10 its FIRST ORACLE-BACKED driver row — the serving-
+        # side sigmoid oracle landed in r16 (_quality_oracle), checked
+        # green at sf0.01 BEFORE the swap.
+        "t10_quality_classifier": q_quality_classifier,
         # r9-NEW composition (landing-round first driver row; the window
         # is otherwise FROZEN per docs/ROTATION.md r9): pipe3 chains the
         # r8 curation operators (t15 line dedup -> d10 keep-best -> smp7
@@ -5831,22 +5831,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # v13 parked in r14 (driver-green r1–r13; quantizer family
         # keeps v11 PQ + v27 OPQ in-window).
         # r13-landed source family (first driver row in r14):
-        # multimodal WebDataset tar export + loader-side read
-        # (operators/export.py) — the media twin of p4's text shards;
-        # n_match pins read-back content md5 == source md5 for every
-        # member. Oracle checked at sf0.01 BEFORE the swap.
-        "p7_webdataset_roundtrip": q_webdataset_roundtrip,
+        # r16 rotation: p7_webdataset_roundtrip parked (driver-green
+        # r14-r15; container/export family keeps warc1 + p4 in-window)
+        # for d8's FIRST ORACLE-BACKED driver row — the pinned-centroid
+        # SQL oracle landed in r16 (_semdedup_oracle), checked green at
+        # sf0.01 BEFORE the swap.
+        "d8_semdedup": q_semdedup,
         # h1_hybrid_search rotated to extra_queries() in r5 (hybrid
         # family witnessed by h2 + h3; driver-green r1-r4) to free a
         # slot for d7_incremental_minhash's first driver row.
         "h2_hybrid_ivf_prefilter": q_hybrid_ivf,
-        # r10-NEW operator (landing-round first driver row): smp10
-        # two-phase annealing selection schedule — phase-chained smp8
-        # with per-phase weights/budgets. Parks w2_sessionize
-        # (driver-green r1-r9; windowed-agg family keeps
-        # w_events_hourly in-window). Oracle checked at sf0.01 BEFORE
-        # the swap.
-        "smp10_annealing_schedule": q_annealing_schedule,
+        # r16 rotation: smp10_annealing_schedule parked (driver-green
+        # r10-r15; sampling family keeps smp7 in-window) for the
+        # landing-round first row of v19x — V19's ratio-prune branch in
+        # its provably-exact keep-all configuration (brute-force hash
+        # oracle), checked green at sf0.01 BEFORE the swap.
+        "v19x_ann_probed_exact": q_ann_probed_exact,
         "w3_stream_ingest_batch_eq": q_stream_ingest_batch_eq,
         # r11-NEW lifecycle witness (landing-round first driver row):
         # merge+vacuum compaction manifest — the optimizers/merge.rs
@@ -6053,9 +6053,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j8_skew_salted_join": q_skew_salted_join,
         "v24_sq8_rerank": q_sq8_rerank,
         "v25_two_level_probe": q_two_level_probe,
-        # r16: V19's ratio-prune branch in its provably-exact config
-        # (oracle-able twin of the rows-only v19 production row)
-        "v19x_ann_probed_exact": q_ann_probed_exact,
+        # r16 rotation parks (all driver-green for multiple rounds,
+        # families keep in-window witnesses — see docs/ROTATION.md r16)
+        "t14_bpe_encode": q_bpe_encode,
+        "p7_webdataset_roundtrip": q_webdataset_roundtrip,
+        "smp10_annealing_schedule": q_annealing_schedule,
         "w5_stream_admission": q_stream_admission,
         "smp4_token_mixture": q_token_mixture,
         "t2_multilang_stem_index": q_multilang_stem_index,
@@ -6248,15 +6250,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t1_token_counts": q_token_counts,
         "t2_quality_score": q_quality,
         "t3_lang_id": q_lang_id,
-        # NEW in r5: SemDeDup semantic dedup (no oracle by design —
-        # k-means assignment is not SQL-derivable; brute-force-refereed
-        # in tests/test_semdedup.py).
-        "d8_semdedup": q_semdedup,
-        # NEW in r5: trained reference-vs-corpus quality classifier
-        # (no oracle by design — iterative L-BFGS; separability and
-        # expression-vs-mllib agreement pinned in
-        # tests/test_quality_model.py).
-        "t10_quality_classifier": q_quality_classifier,
+        # d8/t10 rotated INTO the driver window in r16 (their oracles
+        # landed this round); brute-force/mllib referees remain in
+        # tests/test_semdedup.py and tests/test_quality_model.py.
     }
 
 
