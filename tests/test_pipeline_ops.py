@@ -634,6 +634,54 @@ def test_fim_reconstruction_invariant(spark):
     assert again == got
 
 
+def test_fim_reconstruction_fuzz(spark):
+    """Seeded fuzz over the whole id/text space the operator can see:
+    ids across the full signed-64 range (incl. the old overflow band
+    and negatives), texts with multibyte unicode, whitespace runs, and
+    the length-3 boundary — every transformed doc must reassemble
+    exactly and split points must respect 1 <= a < b <= n-1 (checked
+    via the non-empty prefix/middle invariant)."""
+    import re
+
+    import numpy as np
+
+    from muopdb_spark.operators.packing import (
+        FIM_MID,
+        FIM_PRE,
+        FIM_SUF,
+        fim_transform,
+    )
+
+    rng = np.random.default_rng(1234)
+    alphabet = list("abc xyz09") + ["é", "漢", "🙂", "\n", "\t"]
+    rows = []
+    for i in range(200):
+        vid = int(rng.integers(-(2**63), 2**63 - 1, dtype=np.int64))
+        n = int(rng.integers(0, 40))
+        rows.append((vid, "".join(rng.choice(alphabet, size=n))))
+    # the exact length-3 boundary on extreme ids
+    rows += [(2**63 - 1, "abc"), (-(2**63), "abc"), (0, "abc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = dict(rows)
+    pat = re.compile(
+        re.escape(FIM_PRE) + "(.*)" + re.escape(FIM_SUF) + "(.*)"
+        + re.escape(FIM_MID) + "(.*)", re.S,
+    )
+    n_fim = 0
+    for r in fim_transform(df, rate=0.7).collect():
+        fim, txt, i = r["fim"], r["text"], r["doc_id"]
+        if fim:
+            n_fim += 1
+            m = pat.fullmatch(txt)
+            assert m, (i, txt)
+            pre, suf, mid = m.groups()
+            assert pre + mid + suf == orig[i], i
+            assert pre and mid, i
+        else:
+            assert txt == orig[i], i
+    assert n_fim > 30  # the rate actually fires across the id space
+
+
 def test_fim_spm_mode_and_rate_bounds(spark):
     from muopdb_spark.operators.packing import (
         FIM_MID,
