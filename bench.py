@@ -359,6 +359,14 @@ def main() -> None:
         sum(math.log(max(ratios[c], 1e-9)) for c in CONTROL_QUERIES)
         / len(CONTROL_QUERIES)
     )
+    # the normalization is only as good as the controls' agreement: a
+    # genuine plan regression in ONE control would skew ctl and mask
+    # (or fabricate) drift everywhere — flag when they disagree by
+    # >1.6x so the capture says its own ctl is unreliable (both
+    # controls are plan-frozen and plan-audited, so disagreement means
+    # a short interference episode hit one control's slot)
+    _ctl_ratios = [ratios[c] for c in CONTROL_QUERIES]
+    ctl_unstable = max(_ctl_ratios) / max(min(_ctl_ratios), 1e-9) > 1.6
     over_control = {
         q: round(r / control_ratio, 3) for q, r in ratios.items()
     }
@@ -442,6 +450,7 @@ def main() -> None:
                     "steal_polluted": steal_polluted,
                     "control_queries": list(CONTROL_QUERIES),
                     "control_ratio": control_ratio,
+                    "ctl_unstable": ctl_unstable,
                     "floors_ratio": {q: round(r, 3)
                                      for q, r in ratios.items()},
                     "over_control": over_control,
@@ -475,6 +484,7 @@ def main() -> None:
     # sweep cannot blow the 2000-char tail window.
     oc_summary = {
         "ctl": control_ratio,
+        "ctl_unstable": ctl_unstable,
         "geo": geomean_vs_floors,
         "geo_oc": geomean_over_control,
         "p2x_oc": past_2x_over_control[:12],
