@@ -332,10 +332,27 @@ def main() -> None:
     # min over every prior driver bench + replicas) is re-measured here,
     # after the whole sweep has put 10s-100s of seconds between it and
     # its original slot, and the overall min stands.
+    # Gate the retry on the CONTROL-NORMALIZED ratio (r16): both
+    # frozen-plan controls are timed by now, and on a uniformly hot box
+    # the raw gate flagged 33/90 queries (66 wasted reps, +30% sweep
+    # time, more heat exposure) that were all just the box. An isolated
+    # episode still trips the gate — it reads several x over the
+    # controls, which heat alone doesn't. Clamped to >= 1 so a cold box
+    # keeps the original raw rule, and to <= 2 so a pathologically hot
+    # session cannot waive the defense entirely.
+    import math as _math
+
+    _CTRL = ("t19_wordlist_gate", "t11_quality_calibrated")
+    ctl_prov = _math.exp(
+        sum(_math.log(max(timings[c] / floors[c], 1e-9)) for c in _CTRL)
+        / len(_CTRL)
+    )
+    ctl_prov = min(max(ctl_prov, 1.0), 2.0)
     flagged: list[str] = []
     for name in BENCH_QUERIES:
         floor = floors.get(name)
-        if floor and timings[name] > max(2.0 * floor, floor + 0.25):
+        if floor and timings[name] > max(2.0 * floor * ctl_prov,
+                                         floor + 0.25):
             flagged.append(name)
             timed_rep(name)
             timed_rep(name)
