@@ -106,6 +106,7 @@ def cluster_assignments_two_level(
     meta_k: int = 4,
     meta_probes: int | None = None,
     seed: int = 42,
+    training_sample: int = 20_000,
 ) -> DataFrame:
     """(id, cluster_id, cent_cos, vector): the 100 TB face of
     cluster_assignments — the module docstring's scale note made real.
@@ -114,8 +115,11 @@ def cluster_assignments_two_level(
     at corpus scale) the flat n x k assignment crossJoin dominates.
     Two-level shape (the index/ivf2.py tier applied to cosine argmax):
 
-      1. meta-centroids over the CENTROID table (k rows — tiny; seeded
-         driver Lloyd's, the same bounded-sample contract as training)
+      1. meta-centroids over a seeded xxhash64 sample of the CENTROID
+         table capped at ``training_sample`` (at k ~ 10^5 x d=768 the
+         full table is ~600 MB — the same driver-OOM class as the V7
+         split collect, bounded the same way; the k -> meta-cell MAP in
+         step 2 still covers every centroid, distributedly)
       2. centroid -> meta-cell map: k x meta_k, broadcast both sides
       3. each vector probes the meta cells (n x meta_k, ~n x sqrt(k)
          when meta_k ~ sqrt(k)) and keeps the top ``meta_probes``
@@ -131,7 +135,18 @@ def cluster_assignments_two_level(
     LOCALIZES the pair search differently — the same class of miss as
     the method's own cross-cluster blindness."""
     spark = emb.sparkSession
-    cents = centroids.select("cluster_id", "centroid").collect()
+    # meta-fit trains on a bounded seeded sample (TakeOrderedAndProject
+    # — only <= training_sample centroid rows ever reach the driver);
+    # cent_cells below maps ALL k centroids to cells distributedly
+    cents = (
+        centroids.select("cluster_id", "centroid")
+        .orderBy(
+            F.xxhash64(F.col("cluster_id"), F.lit(seed)).asc(),
+            F.col("cluster_id").asc(),
+        )
+        .limit(int(training_sample))
+        .collect()
+    )
     X = np.array([r["centroid"] for r in cents], dtype=np.float64)
     meta_k = min(int(meta_k), len(cents)) or 1
     meta = lloyd(X, meta_k, seed=seed)

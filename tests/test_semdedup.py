@@ -154,3 +154,48 @@ def test_two_level_bounded_probe_on_separated_clusters(spark, synth):
     assert one == flat
     # every vector is assigned exactly once even under bounded probes
     assert len(one) == synth.count()
+
+
+def test_two_level_meta_fit_training_is_bounded(spark, synth, monkeypatch):
+    """Two-level scale contract (r16): the meta-fit must train on a
+    bounded seeded sample of the centroid table, never collect all k
+    centroids to the driver (at k ~ 10^5 x d=768 the full table is
+    ~600 MB — the same OOM class as the V7 split collect, bounded the
+    same way). Pins: (a) lloyd sees <= training_sample centroid rows,
+    (b) full-probe assignment stays bit-identical to flat regardless of
+    which centroids trained the meta tier, (c) the sample is seeded —
+    rebuilds reproduce."""
+    import importlib
+
+    # the package __init__ re-exports the semdedup FUNCTION under the
+    # submodule's name, so `import ... as sd` would bind the function
+    sd = importlib.import_module("muopdb_spark.operators.semdedup")
+
+    cent = train_centroids(synth, k=3)
+    seen = []
+    orig = sd.lloyd
+
+    def spy(X, k, **kw):
+        seen.append(X.shape[0])
+        return orig(X, k, **kw)
+
+    monkeypatch.setattr(sd, "lloyd", spy)
+    flat = sorted(
+        (r["id"], r["cluster_id"], round(r["cent_cos"], 12))
+        for r in cluster_assignments(synth, cent).collect()
+    )
+    two = sorted(
+        (r["id"], r["cluster_id"], round(r["cent_cos"], 12))
+        for r in sd.cluster_assignments_two_level(
+            synth, cent, meta_k=2, meta_probes=None, training_sample=2
+        ).collect()
+    )
+    assert seen == [2]          # bounded collect: 2 of 3 centroids
+    assert two == flat          # full probe exact under a partial meta-fit
+    again = sorted(
+        (r["id"], r["cluster_id"], round(r["cent_cos"], 12))
+        for r in sd.cluster_assignments_two_level(
+            synth, cent, meta_k=2, meta_probes=None, training_sample=2
+        ).collect()
+    )
+    assert again == two         # seeded sample: reproducible
