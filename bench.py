@@ -397,9 +397,31 @@ def main() -> None:
         q for q, r in ratios.items()
         if r > 2.0 and timings[q] > floors[q] + 0.25
     )
+    # Robust cross-check on ctl (r16 sweep 3): with only two controls,
+    # an episode that lands disproportionately on their slots INFLATES
+    # ctl, which shrinks every over_control ratio — the gate goes
+    # LENIENT exactly when it shouldn't (sweep 3: ctl 2.31 vs a ~1.7
+    # median over 90 frozen-plan ratios -> geo_oc 0.768 where sweeps
+    # 1-2 read ~0.97). Nearly every query's plan is frozen
+    # round-over-round, so the MEDIAN floor ratio is a second heat
+    # estimator no single slot can skew — but it CAN be skewed by a
+    # genuine global code regression (all queries 2x slower -> median
+    # 2x -> self-masking), which frozen controls cannot. Hence: the
+    # gate normalizes by min(ctl, median) — immune to a control-slot
+    # episode going lenient (min <= ctl) AND to global-regression
+    # self-masking (a real global regression leaves ctl at ~1, and
+    # min(1, 2) keeps the gate raw). Both estimators are reported;
+    # geo_oc stays ctl-based for continuity with r16 sweeps 1-2.
+    _sorted_ratios = sorted(ratios.values())
+    _mid = len(_sorted_ratios) // 2
+    median_floors_ratio = round(
+        _sorted_ratios[_mid] if len(_sorted_ratios) % 2
+        else (_sorted_ratios[_mid - 1] + _sorted_ratios[_mid]) / 2, 3
+    )
+    _gate_norm = max(min(control_ratio, median_floors_ratio), 1.0)
     past_2x_over_control = sorted(
-        q for q, v in over_control.items()
-        if v > 2.0 and timings[q] > floors[q] + 0.25
+        q for q, r in ratios.items()
+        if r / _gate_norm > 2.0 and timings[q] > floors[q] + 0.25
     )
     # Steal budget (r8 VERDICT stretch #9): label an interference-
     # polluted sweep AT CAPTURE TIME instead of adjudicating it after.
@@ -439,6 +461,7 @@ def main() -> None:
                     "drift_vs_floors": drift_vs_floors,
                     "anomaly_retried": flagged,
                     "control_ratio": control_ratio,
+                    "median_floors_ratio": median_floors_ratio,
                     "geomean_vs_floors": geomean_vs_floors,
                     "geomean_over_control": geomean_over_control,
                     "sf": sf,
@@ -467,6 +490,8 @@ def main() -> None:
                     "steal_polluted": steal_polluted,
                     "control_queries": list(CONTROL_QUERIES),
                     "control_ratio": control_ratio,
+                    "median_floors_ratio": median_floors_ratio,
+                    "gate_norm": round(_gate_norm, 3),
                     "ctl_unstable": ctl_unstable,
                     "floors_ratio": {q: round(r, 3)
                                      for q, r in ratios.items()},
@@ -495,12 +520,15 @@ def main() -> None:
     # Control-normalized summary rides EVERY rung of the ladder (r16):
     # ctl = this sweep's box-heat ratio from the frozen-plan controls,
     # geo/geo_oc = geomean of floor ratios raw / over-control, p2x_oc =
-    # the queries past the 2x gate AFTER control normalization (the
+    # the queries past the 2x gate AFTER normalization by
+    # min(ctl, med) — see the gate-norm comment above; med = median
+    # floor ratio across all queries, the ctl cross-check (the
     # gate's readout; raw flags and per-query over_control live in the
     # committed BENCH_FULL.json). Capped at 12 names so a pathological
     # sweep cannot blow the 2000-char tail window.
     oc_summary = {
         "ctl": control_ratio,
+        "med": median_floors_ratio,
         "ctl_unstable": ctl_unstable,
         "geo": geomean_vs_floors,
         "geo_oc": geomean_over_control,
