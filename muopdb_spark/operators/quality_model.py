@@ -27,11 +27,13 @@ Scale (100 TB): features and scoring are map-side; training cost is
 the reference slice needed for labels is typically <<1% of the corpus,
 so training can also run on a sample without changing the contract.
 
-No SQL oracle by design (iterative L-BFGS is not SQL-expressible);
-classifier behavior is pinned in tests/test_quality_model.py on
-synthetic separable corpora (AUC, direction, determinism) and the
-scoring expression is checked against the mllib model's own
-predictions to 1e-6.
+TRAINING has no SQL oracle by design (iterative L-BFGS is not
+SQL-expressible); classifier behavior is pinned in
+tests/test_quality_model.py on synthetic separable corpora (AUC,
+direction, determinism) and the scoring expression is checked against
+the mllib model's own predictions to 1e-6. SERVING is oracle-checked
+since r16: the t10/t10b rows pin the durable artifact's coefficients
+as SQL literals and hash-match the scored output (__spark_entry__).
 """
 
 from __future__ import annotations
