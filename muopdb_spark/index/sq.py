@@ -70,22 +70,30 @@ def train_sq(df: DataFrame, *, vec_col: str = "embedding") -> SqCodebook:
 
 
 def sq_encode_expr(vec: Column, cb: SqCodebook) -> Column:
-    """array<int> uint8 codes — a pure JVM transform over the vector."""
+    """array<int> uint8 codes — a pure JVM transform over the vector.
+
+    The [0, 255] clamp happens in DOUBLE space, before the int cast:
+    a dimension that was constant at train time has its scale floored
+    at 1e-12, so encoding a NEW vector that deviates there puts
+    (x - min)/scale far past 2^31 — an int cast first would abort the
+    whole job with CAST_OVERFLOW under ANSI mode (Spark 4 default) and
+    only survived non-ANSI by the accident of least() ignoring the
+    overflow artifact (r16 review find, regression-pinned)."""
     mins = F.lit(cb.mins).cast("array<double>")
     scales = F.lit(cb.scales).cast("array<double>")
     idx = F.sequence(F.lit(1), F.lit(cb.dim))
     return F.transform(
         idx,
         lambda i: F.greatest(
-            F.lit(0),
+            F.lit(0.0),
             F.least(
-                F.lit(255),
+                F.lit(255.0),
                 F.round(
                     (F.element_at(vec, i) - F.element_at(mins, i))
                     / F.element_at(scales, i)
-                ).cast("int"),
+                ),
             ),
-        ),
+        ).cast("int"),
     )
 
 
@@ -204,20 +212,23 @@ def train_sq_per_user(
 def sq_encode_cols(vec: Column, mins: Column, scales: Column, dim: int) -> Column:
     """array<int> codes with PER-ROW codebook columns (the per-user
     path): same affine quantizer as sq_encode_expr, mins/scales read
-    from columns instead of literals."""
+    from columns instead of literals. Clamps in double space before
+    the int cast for the same ANSI CAST_OVERFLOW reason (a user whose
+    training slice was constant in a dimension has that scale floored
+    at 1e-12 — any later off-value vector would abort the job)."""
     idx = F.sequence(F.lit(1), F.lit(dim))
     return F.transform(
         idx,
         lambda i: F.greatest(
-            F.lit(0),
+            F.lit(0.0),
             F.least(
-                F.lit(255),
+                F.lit(255.0),
                 F.round(
                     (F.element_at(vec, i) - F.element_at(mins, i))
                     / F.element_at(scales, i)
-                ).cast("int"),
+                ),
             ),
-        ),
+        ).cast("int"),
     )
 
 

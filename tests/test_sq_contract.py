@@ -81,6 +81,41 @@ def test_constant_dim_does_not_divide_by_zero(spark):
     assert abs(est[0].est) < 1e-6  # exact self-distance on clean codes
 
 
+def test_encode_off_range_vector_survives_ansi(spark):
+    """r16 review find: a dimension constant at TRAIN time gets its
+    scale floored at 1e-12; encoding a NEW vector that deviates there
+    puts (x - min)/scale far past 2^31, and the old clamp-after-cast
+    form aborted the whole job with CAST_OVERFLOW under ANSI mode
+    (Spark 4 default). The clamp now happens in double space before
+    the int cast — both the shared-codebook and per-user-column
+    encoders must saturate to 255 (or 0 below range) instead."""
+    from muopdb_spark.index.sq import sq_encode_cols
+
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        cb = SqCodebook(mins=[0.0, 0.0], scales=[1e-12, 1.0])
+        df = spark.createDataFrame(
+            [(1, [0.5, 100.0]), (2, [-0.5, 300.0])],
+            "vec_id long, embedding array<double>",
+        )
+        enc = {r.vec_id: r.sq_code for r in sq_encode(df, cb).collect()}
+        assert enc[1] == [255, 100]   # saturates high, normal dim intact
+        assert enc[2] == [0, 255]     # saturates low / high
+        cols = df.select(
+            "vec_id",
+            sq_encode_cols(
+                F.col("embedding"),
+                F.lit(cb.mins).cast("array<double>"),
+                F.lit(cb.scales).cast("array<double>"),
+                2,
+            ).alias("sq_code"),
+        ).collect()
+        assert {r.vec_id: r.sq_code for r in cols} == enc
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
 def test_pack_unpack_roundtrip_property(spark):
     # property: any array of uint8 codes survives binary pack->unpack;
     # packed size is EXACTLY 1 byte per code (the 4x storage claim)
