@@ -366,7 +366,30 @@ class Collection:
             tdf.write.mode("append").parquet(self._tombstone_dir())
         return seq
 
+    def _recover_tombstones(self) -> None:
+        """Finish or discard a crashed _prune_tombstones swap (r16).
+        The prune rewrites the tombstone dir as write-tmp -> rmtree ->
+        rename; a crash between the last two left NO tombstone dir, and
+        tombstones() silently read that as EMPTY — every not-yet-applied
+        deletion resurrected. Recovery keys off which artifact is
+        authoritative: main dir present -> the prune never committed,
+        the tmp is a leftover and is discarded; main dir ABSENT and a
+        COMPLETE tmp (_SUCCESS) present -> the prune had fully staged
+        the survivors, finish the rename. An incomplete tmp without a
+        main dir cannot happen (tmp is written before the rmtree)."""
+        d = self._tombstone_dir()
+        tmp = d + ".rewrite"
+        if not os.path.isdir(tmp):
+            return
+        if os.path.isdir(d):
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+        elif os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            os.replace(tmp, d)
+
     def tombstones(self) -> DataFrame:
+        self._recover_tombstones()
         d = self._tombstone_dir()
         if os.path.isdir(d) and any(p.endswith(".parquet") for p in os.listdir(d)):
             return self.spark.read.parquet(d)
@@ -622,6 +645,11 @@ class Collection:
             return 0
         survivors = tomb.filter(F.col("seq_no") > floor)
         tmp = self._tombstone_dir() + ".rewrite"
+        # write-tmp -> rmtree -> rename; the rmtree->rename window is
+        # crash-covered by _recover_tombstones (read-side: a complete
+        # tmp with no main dir finishes the rename, so the survivors —
+        # deletions NOT yet applied to every segment — can never be
+        # silently lost; Spark's _SUCCESS is the completeness marker)
         survivors.write.mode("overwrite").parquet(tmp)
         import shutil
 

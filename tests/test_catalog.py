@@ -521,3 +521,49 @@ def test_opq_collection_durable_index(spark, tmp_path):
                          centroid_distance_ratio=None,
                          rerank=5).collect()
     assert [r["id"] for r in got] == [3, 5]  # exact after re-rank
+
+
+def test_prune_crash_window_recovers_survivor_tombstones(col, spark):
+    """r16 crash-consistency fix: _prune_tombstones rewrites the
+    tombstone dir as write-tmp -> rmtree -> rename; a crash between the
+    last two left NO tombstone dir and tombstones() silently read
+    EMPTY — every not-yet-applied deletion resurrected. The read path
+    now (a) finishes the rename when a COMPLETE .rewrite exists with no
+    main dir, and (b) discards a leftover .rewrite when the main dir is
+    still authoritative."""
+    import os
+    import shutil
+
+    col.insert(_docs_df(spark, R1)); col.flush()
+    col.remove([0], [1])
+    d = col._tombstone_dir()
+    tmp = d + ".rewrite"
+    before = sorted(
+        tuple(r) for r in col.tombstones().collect()
+    )
+    assert before  # the removal is on disk
+
+    # (a) crash AFTER rmtree, BEFORE rename: stage the complete tmp the
+    # prune would have written, then delete the main dir
+    shutil.copytree(d, tmp)
+    shutil.rmtree(d)
+    assert sorted(tuple(r) for r in col.tombstones().collect()) == before
+    assert os.path.isdir(d) and not os.path.isdir(tmp)  # rename finished
+    # masking still holds after recovery — doc 1 stays deleted
+    got = col.search([0], [1.0, 0.0, 0.0, 0.0], 5).collect()
+    assert [r["doc_id"] for r in got] == [2]
+
+    # (b) crash BEFORE rmtree: main dir authoritative, tmp is a
+    # leftover — discarded, contents ignored
+    os.makedirs(tmp)
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    assert sorted(tuple(r) for r in col.tombstones().collect()) == before
+    assert not os.path.isdir(tmp)
+
+    # (c) an INCOMPLETE tmp (no _SUCCESS) with no main dir is never
+    # promoted (cannot happen in the real sequence; belt-and-braces:
+    # the empty fallback is the pre-existing fresh-collection shape)
+    shutil.move(d, tmp)
+    os.remove(os.path.join(tmp, "_SUCCESS"))
+    assert col.tombstones().count() == 0
+    shutil.rmtree(tmp)
