@@ -170,6 +170,18 @@ def unigram_train_on_words(
                 _z, posts = _forward_backward(w, logp, max_piece_len)
                 for piece, post in posts:
                     expected[piece] += post * f
+            # single-character floor (r16): never-pruned is not enough —
+            # EM itself can STARVE a character (a word goes unreachable
+            # once some needed piece hit -inf in an earlier round, its
+            # mass vanishes, and the spiral ends with every piece at
+            # -inf and an unencodable vocabulary, found by the
+            # reconstruction fuzz). A tiny floor keeps every character
+            # reachable so the next round's lattices can redistribute
+            # mass — SentencePiece likewise always retains required
+            # characters with nonzero probability.
+            for p in expected:
+                if len(p) == 1 and expected[p] <= 0.0:
+                    expected[p] = 1e-9
             logp = _normalize(expected)
             vocab = expected
         if len(logp) <= vocab_size:
@@ -204,8 +216,11 @@ def unigram_encode_word(
     if not word:
         return []
     n = len(word)
-    unk = min(lp for lp in logp.values() if lp > _NEG_INF) - 10.0 \
-        if logp else -100.0
+    # total even on a degenerate table (r16): every entry at -inf (a
+    # pre-floor-fix artifact) made the min() below raise on an empty
+    # sequence; treat that table as all-unknown instead
+    finite = [lp for lp in logp.values() if lp > _NEG_INF]
+    unk = (min(finite) - 10.0) if finite else -100.0
     best = [_NEG_INF] * (n + 1)
     best[0] = 0.0
     back: list[int] = [0] * (n + 1)

@@ -194,3 +194,60 @@ def test_weighted_budget_sample_under_bpe_units(spark, sf_dir):
     assert ra == rb and len(ra) > 0
     kept = a.agg(F.sum("n_tokens")).collect()[0][0]
     assert 0.5 * budget <= kept <= 1.5 * budget
+
+
+def test_encode_reconstruction_fuzz():
+    """Property fuzz (r16): for ANY word and ANY merge list learned
+    from ANY corpus, the encoding concatenates back to word + '</w>'
+    (no token created, dropped, or reordered) and every emitted piece
+    is either a learned merge product or a raw symbol. Deterministic
+    seeded generation — no flaky examples."""
+    import random
+
+    rng = random.Random(42)
+    alphabet = "abz09"
+    for trial in range(40):
+        corpus = {
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 10))):
+                rng.randint(1, 5)
+            for _ in range(rng.randint(1, 12))
+        }
+        merges = bpe_train_on_words(corpus, rng.randint(0, 20))
+        ranks = {tuple(p): i for i, p in enumerate(merges)}
+        for _ in range(25):
+            w = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 14)))
+            enc = bpe_encode_word(w, ranks)
+            assert "".join(enc) == w + "</w>", (w, merges, enc)
+            assert all(enc), (w, enc)  # no empty pieces
+
+
+def test_unigram_encode_reconstruction_fuzz():
+    """Same property for the unigram Viterbi encoder: pieces always
+    concatenate back to the word, even for characters unseen at
+    training time (byte-fallback analog)."""
+    import random
+
+    from muopdb_spark.operators.unigram import (
+        unigram_encode_word,
+        unigram_train_on_words,
+    )
+
+    rng = random.Random(7)
+    alphabet = "abz09"
+    for trial in range(25):
+        corpus = {
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 10))):
+                rng.randint(1, 5)
+            for _ in range(rng.randint(1, 10))
+        }
+        logp = unigram_train_on_words(
+            corpus, rng.randint(1, 30), max_piece_len=rng.randint(2, 6)
+        )
+        for _ in range(25):
+            # include a char ('q') absent from every training corpus
+            w = "".join(
+                rng.choice(alphabet + "q") for _ in range(rng.randint(1, 14))
+            )
+            enc = unigram_encode_word(w, logp)
+            assert "".join(enc) == w, (w, enc)
+            assert all(enc), (w, enc)
