@@ -244,3 +244,28 @@ def test_unclosed_and_nested_anchors_do_not_poison_blocks():
         f' <a href="/c">Contact</a></div><p>{LONG}</p>'
     )
     assert text == LONG and (nb, nk) == (2, 1)
+
+
+def test_main_content_random_soup_fuzz():
+    """Seeded random tag-soup fuzz (r16, the unigram-fuzz pattern):
+    html_main_content and html_to_text must be TOTAL over arbitrary
+    byte salads — never raise, keep counts consistent — because at
+    corpus scale every malformation that can exist does."""
+    import random
+
+    from muopdb_spark.operators.html import html_to_text
+
+    rng = random.Random(16)
+    frags = [
+        "<p>", "</p>", "<a href='x'>", "</a>", "<div", ">", "<",
+        "<!--", "-->", "<script>", "</script>", "<h1>", "</h1>",
+        "&amp;", "&#x41;", "&bogus;", "text ", "0 ", "é", "\n",
+        "<![CDATA[", "]]>", "<a><a>", "</title>", "<meta/",
+    ]
+    for _ in range(300):
+        soup = "".join(rng.choice(frags) for _ in range(rng.randint(0, 40)))
+        t, nb, nk = html_main_content(soup)
+        assert 0 <= nk <= nb
+        assert isinstance(t, str)
+        txt, _title, links = html_to_text(soup)
+        assert isinstance(txt, str) and isinstance(links, list)

@@ -275,3 +275,33 @@ Allow: /
     txt2 = "User-agent: a\nDisallow: /x\nUser-agent: c\nDisallow: /y\n"
     assert robots_allowed(txt2, "/y/d", "a")
     assert not robots_allowed(txt2, "/x/d", "a")
+
+
+def test_parse_robots_random_fuzz():
+    """Seeded random robots.txt fuzz (r16): parse_robots_txt +
+    robots_allowed must be total over arbitrary line salads, and every
+    compiled rule regex must be valid for the Python engine (the JVM /
+    RE2 compatibility is covered by the oracle-backed rows)."""
+    import random
+    import re
+
+    from muopdb_spark.operators.robots import (
+        parse_robots_txt,
+        robots_allowed,
+    )
+
+    rng = random.Random(9)
+    lines = [
+        "User-agent: *", "User-agent: mybot", "user-AGENT:", "Allow: /",
+        "Disallow: /private", "Disallow:", "Allow: /*.php$", "Allow: /a*b",
+        "Crawl-delay: 2", "Crawl-delay: fast", "Sitemap: http://x/s.xml",
+        "# comment", "", "garbage line", ":", "Disallow: /p?q=*",
+        "Allow: /$$", "Disallow: *", "User-agent: Mybot/2.1",
+    ]
+    for _ in range(200):
+        txt = "\n".join(rng.choice(lines) for _ in range(rng.randint(0, 25)))
+        rules = parse_robots_txt(txt, user_agent="mybot")
+        for rx, _allow, _n in rules.rules:
+            re.compile(rx)  # every emitted pattern must compile
+        for path in ("/", "/private/x.php", "/a" * 5, "", "/p?q=zz"):
+            assert robots_allowed(txt, path, "mybot") in (True, False)
