@@ -1029,7 +1029,27 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     coefficient buffers (spectral selection + successive approximation
     per T.81 G.1.2, incl. AC refinement and EOB runs), then one
     vectorized dequantize+IDCT pass finishes. Other frame types refuse
-    by name."""
+    by name.
+
+    Error taxonomy (r16, mutation-fuzz hardening): malformed input is
+    ALWAYS a ValueError and unsupported features a NotImplementedError
+    — a corrupted entropy stream must read as a refusable bad record,
+    not an engine crash: at crawl scale one bit-flipped JPEG raising a
+    raw IndexError out of the Huffman walk would kill the whole
+    mapInPandas job. Internal unstructured failures (index/overflow/
+    key/struct errors) are converted here; the two named types pass
+    through."""
+    try:
+        return _decode_jpeg_impl(data)
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, OverflowError, KeyError, struct.error) as e:
+        raise ValueError(
+            f"decode_jpeg: corrupt stream ({type(e).__name__}: {e})"
+        ) from e
+
+
+def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("decode_jpeg: not a JPEG (missing SOI)")
     pos = 2

@@ -459,3 +459,35 @@ def test_k3_fallback_only_for_fully_dht_less_files():
         pos += 2 + ln
     with pytest.raises(ValueError, match="missing DHT"):
         decode_jpeg(bytes(out))
+
+
+def test_mutation_fuzz_only_named_refusals():
+    """r16 mutation-fuzz hardening: flipping random bytes in a valid
+    JPEG must yield ONLY successful decodes or the two named refusal
+    types (ValueError for malformed input, NotImplementedError for
+    unsupported features) — never a raw IndexError/OverflowError out
+    of the Huffman walk: at crawl scale one bit-flipped record would
+    kill the whole mapInPandas job. (Pre-fix: 98 IndexError + 4
+    OverflowError in 800 mutations.)"""
+    import random
+
+    import numpy as np
+
+    from muopdb_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = random.Random(23)
+    img = (np.arange(24 * 24 * 3, dtype=np.uint8).reshape(24, 24, 3) * 7) % 255
+    own = encode_jpeg(img)
+    foreign = open(
+        "tests/fixtures/media/python-raw.jpg", "rb"
+    ).read()
+    for blob in (own, foreign):
+        for _ in range(150):
+            b = bytearray(blob)
+            for _ in range(rng.randint(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            try:
+                out = decode_jpeg(bytes(b))
+                assert out.dtype == np.uint8
+            except (ValueError, NotImplementedError):
+                pass  # the only legal refusals
