@@ -192,10 +192,21 @@ def parse_warc_record(raw: bytes) -> dict:
         k, sep, v = ln.partition(b":")
         if not sep:
             raise ValueError(f"warc: malformed header line {ln[:40]!r}")
-        hdrs[k.strip().decode().lower()] = v.strip().decode()
+        # latin-1, the HTTP header convention (total over any bytes,
+        # byte-lossless — what warcio does): real crawls carry mojibake
+        # header values, and a strict decode leaked UnicodeDecodeError
+        # through the documented raises-ValueError contract, killing
+        # the whole read_warc task on one bad record (r16 mutation
+        # fuzz: 208/300 corrupted records crashed untyped)
+        hdrs[k.strip().decode("latin-1").lower()] = v.strip().decode("latin-1")
     if "content-length" not in hdrs:
         raise ValueError("warc: record missing Content-Length")
-    n = int(hdrs["content-length"])
+    try:
+        n = int(hdrs["content-length"])
+    except ValueError:
+        raise ValueError(
+            f"warc: bad Content-Length {hdrs['content-length'][:20]!r}"
+        ) from None
     block = raw[head_end + 4:head_end + 4 + n]
     if len(block) != n:
         raise ValueError(

@@ -197,3 +197,30 @@ def test_zstd_archives_refuse_by_name():
             list(iter_warc_members(blob))
         with _pytest.raises(NotImplementedError, match="zstd"):
             list(iter_warc_member_spans(blob))
+
+
+def test_parse_record_mutation_fuzz_only_valueerror():
+    """r16 mutation-fuzz hardening: corrupting any bytes of a valid
+    record must yield a parse or a ValueError — the documented
+    contract. Pre-fix, a strict header decode leaked UnicodeDecodeError
+    on 208/300 corrupted records (real crawls carry mojibake headers;
+    one such record killed the whole read_warc task). Headers now
+    decode latin-1 (the HTTP convention, total and byte-lossless)."""
+    import random
+
+    from muopdb_spark.sources.warc import (
+        encode_response_record,
+        parse_warc_record,
+    )
+
+    rng = random.Random(31)
+    warc = encode_response_record("http://x/a", b"<html>hi</html>")
+    for _ in range(300):
+        b = bytearray(warc)
+        for _ in range(rng.randint(1, 6)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            rec = parse_warc_record(bytes(b))
+            assert isinstance(rec, dict)
+        except ValueError:
+            pass  # the only legal refusal
