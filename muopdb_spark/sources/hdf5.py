@@ -763,10 +763,24 @@ class _Parser:
 def probe_hdf5(path: str) -> dict[str, Hdf5Dataset]:
     """Parse the metadata of an HDF5 file (driver-side, KBs of reads)
     and return {dataset_name: Hdf5Dataset}. Names are '/'-joined group
-    paths without a leading slash ('train', 'g/vecs')."""
+    paths without a leading slash ('train', 'g/vecs').
+
+    Error taxonomy (r16, mutation-fuzz hardening — the decode_jpeg
+    rule): malformed metadata is ALWAYS a ValueError, unsupported
+    features a NotImplementedError. Corrupt offsets/ids in the walk
+    otherwise escaped as raw KeyError / OSError (negative seek) /
+    UnicodeDecodeError / struct.error — engine-crash-shaped failures
+    for a bad FILE."""
     p = _Parser(path)
     try:
         return p.parse()
+    except (ValueError, NotImplementedError):
+        raise
+    except (KeyError, OSError, UnicodeDecodeError, IndexError,
+            OverflowError, MemoryError, struct.error) as e:
+        raise ValueError(
+            f"{path}: corrupt HDF5 metadata ({type(e).__name__}: {e})"
+        ) from e
     finally:
         p.f.close()
 

@@ -7,6 +7,7 @@ rows with doc_id = row index)."""
 from __future__ import annotations
 
 import os
+import tempfile
 
 import numpy as np
 import pytest
@@ -600,3 +601,28 @@ def test_ragged_embeddings_rejected(spark, tmp_path):
     )
     with pytest.raises(Exception, match="ragged"):
         write_hdf5_vectors(df, str(tmp_path / "r.hdf5"))
+
+
+def test_probe_mutation_fuzz_only_named_refusals():
+    """r16 mutation-fuzz hardening (the decode_jpeg rule): corrupting
+    metadata bytes of a valid file must yield a parse, a ValueError
+    (incl. subclasses), or a NotImplementedError — never a raw
+    KeyError / OSError(negative seek) / struct.error out of the walk."""
+    import random
+
+    from muopdb_spark.sources.hdf5 import probe_hdf5
+
+    if not os.path.exists(REF):
+        pytest.skip("reference fixture absent")
+    rng = random.Random(41)
+    full = open(REF, "rb").read()
+    mp = os.path.join(tempfile.mkdtemp(), "m.h5")
+    for _ in range(250):
+        b = bytearray(full)
+        for _ in range(rng.randint(1, 6)):
+            b[rng.randrange(8192)] = rng.randrange(256)
+        open(mp, "wb").write(bytes(b))
+        try:
+            probe_hdf5(mp)
+        except (ValueError, NotImplementedError):
+            pass  # the only legal refusals
