@@ -626,3 +626,238 @@ def test_probe_mutation_fuzz_only_named_refusals():
             probe_hdf5(mp)
         except (ValueError, NotImplementedError):
             pass  # the only legal refusals
+
+
+# ------------------------------------------- v4 layout / chunk indexes
+#
+# No libhdf5 ships in this environment, so v4 fixtures come from this
+# module's own spec-derived writer (superblock v3 + v2 object headers +
+# the five typed chunk indexes). The shared-misunderstanding risk is
+# bounded three ways: the lookup3 checksum implementation is pinned to
+# the published lookup3.c self-test vectors, every v4 block offset is
+# cross-validated against independently computed geometry on read, and
+# the v1 path (which IS parity-tested against the reference's real
+# h5py file) shares the datatype/dataspace/filter codecs.
+
+
+def test_lookup3_pinned_vectors():
+    # published self-test vectors from Bob Jenkins' lookup3.c
+    from muopdb_spark.sources.hdf5 import _lookup3
+
+    assert _lookup3(b"") == 0xDEADBEEF
+    assert _lookup3(b"", 0xDEADBEEF) == 0xBD5B7DDE
+    assert _lookup3(b"Four score and seven years ago") == 0x17770551
+    assert _lookup3(b"Four score and seven years ago", 1) == 0xCD628161
+
+
+@pytest.mark.parametrize("idx,kw", [
+    ("single", {}),
+    ("implicit", {"chunks": (16, 7)}),
+    ("fixed_array", {"chunks": (16, 7), "compression": "gzip",
+                     "shuffle": True}),
+    ("ext_array", {"chunks": (16, 7), "compression": "lzf"}),
+    ("btree2", {"chunks": (16, 7), "fletcher32": True}),
+])
+def test_v4_spark_roundtrip_exact(spark, tmp_path, idx, kw):
+    rng = np.random.default_rng(13)
+    mat = rng.normal(size=(100, 7)).astype(np.float32)
+    p = str(tmp_path / f"v4_{idx}.h5")
+    write_hdf5_vectors(_vec_df(spark, mat), p, dataset="train",
+                       chunk_index=idx, **kw)
+    d = probe_hdf5(p)["train"]
+    assert d.shape == (100, 7) and d.chunk_shape is not None
+    back = read_hdf5_vectors(spark, p, dataset="train", rows_per_task=17)
+    rows = back.orderBy("vec_id").collect()
+    assert len(rows) == 100
+    got = np.array([r.embedding for r in rows], dtype=np.float32)
+    assert np.array_equal(got, mat)
+
+
+def test_v4_exotic_geometries_roundtrip(tmp_path):
+    """Driver-side matrix roundtrips through the hard index shapes:
+    depth>=2 v2 B-trees (cumulative-count child pointers), paged fixed
+    arrays, extensible arrays deep enough to need secondary blocks and
+    paged data blocks."""
+    from muopdb_spark.sources.hdf5 import (
+        _read_dataset_matrix,
+        _write_hdf5_matrix_v4,
+    )
+
+    rng = np.random.default_rng(23)
+    mat = rng.normal(size=(57, 9)).astype("<f4")
+    big = rng.normal(size=(600, 4)).astype("<f4")
+    cases = [
+        (mat, "btree2", {"chunks": (1, 1), "bt2_node_size": 512}),
+        (big, "btree2", {"chunks": (1, 1), "bt2_node_size": 256,
+                         "compression": "gzip"}),
+        (mat, "fixed_array", {"chunks": (2, 9), "fa_page_bits": 3}),
+        (big, "ext_array", {"chunks": (1, 4),
+                            "ea_params": (32, 4, 4, 4, 4)}),
+        (mat, "ext_array", {"chunks": (1, 3), "compression": "lzf"}),
+        (mat, "single", {"compression": "gzip", "shuffle": True}),
+    ]
+    for m0, idx, kw in cases:
+        p = str(tmp_path / "x.h5")
+        _write_hdf5_matrix_v4(p, "train", m0, index=idx, **kw)
+        back = _read_dataset_matrix(p, probe_hdf5(p)["train"])
+        assert np.array_equal(back, m0), (idx, kw)
+
+
+def test_v4_unallocated_chunks_read_fill(tmp_path):
+    """Omitted chunks (undefined element addresses / absent B-tree
+    records) read as the defined fill value, else zeros — across all
+    three array/B-tree indexes."""
+    from muopdb_spark.sources.hdf5 import (
+        _read_dataset_matrix,
+        _write_hdf5_matrix_v4,
+    )
+
+    rng = np.random.default_rng(5)
+    mat = rng.normal(size=(24, 6)).astype("<f4")
+    for idx, kw in [
+        ("fixed_array", {}),
+        ("fixed_array", {"fa_page_bits": 2}),  # paged: bitmap path
+        ("ext_array", {}),
+        ("btree2", {}),
+    ]:
+        for fv in (None, 7.25):
+            p = str(tmp_path / "x.h5")
+            _write_hdf5_matrix_v4(
+                p, "train", mat, index=idx, chunks=(8, 6),
+                omit_chunks={1}, fillvalue=fv, **kw,
+            )
+            back = _read_dataset_matrix(p, probe_hdf5(p)["train"])
+            exp = mat.copy()
+            exp[8:16, :] = 0.0 if fv is None else fv
+            assert np.array_equal(back, exp), (idx, kw, fv)
+
+
+def test_v4_checksum_corruption_detected(tmp_path):
+    """Every v4 metadata block is lookup3-verified: a flipped byte in
+    the fixed-array data block is a named ValueError, not a misread."""
+    from muopdb_spark.sources.hdf5 import _write_hdf5_matrix_v4
+
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(40, 5)).astype("<f4")
+    p = str(tmp_path / "x.h5")
+    _write_hdf5_matrix_v4(p, "train", mat, index="fixed_array",
+                          chunks=(8, 5))
+    blob = bytearray(open(p, "rb").read())
+    at = blob.rindex(b"FADB") + 10  # inside the element area
+    blob[at] ^= 0xFF
+    open(p, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="checksum"):
+        probe_hdf5(p)
+
+
+def test_v4_unknown_index_type_named(tmp_path):
+    from muopdb_spark.sources.hdf5 import _write_hdf5_matrix_v4
+
+    mat = np.ones((8, 3), dtype="<f4")
+    p = str(tmp_path / "x.h5")
+    _write_hdf5_matrix_v4(p, "train", mat, index="fixed_array",
+                          chunks=(4, 3))
+    import struct
+
+    from muopdb_spark.sources.hdf5 import _lookup3
+
+    blob = bytearray(open(p, "rb").read())
+    sig = bytes([4, 2, 0, 3, 8])  # v4 chunked layout message head
+    at = blob.index(sig) + 5 + 24  # skip the three 8-byte chunk dims
+    assert blob[at] == 3  # fixed array
+    blob[at] = 6
+    # re-stamp the dataset object header's checksum so the refusal
+    # exercised is the index-type gate, not the checksum gate
+    oh = blob.rindex(b"OHDR", 0, at)
+    chunk0 = struct.unpack_from("<I", blob, oh + 6)[0]
+    end = oh + 10 + chunk0
+    struct.pack_into("<I", blob, end, _lookup3(bytes(blob[oh:end])))
+    open(p, "wb").write(bytes(blob))
+    with pytest.raises(NotImplementedError, match="index type 6"):
+        probe_hdf5(p)
+
+
+def test_ohdr_v2_trailing_small_message_not_dropped(tmp_path):
+    """The stored chunk-0 size excludes the trailing checksum
+    (H5O_SIZEOF_HDR accounts it separately): a final message shorter
+    than 8 bytes must still be parsed. The pre-r16 reader treated the
+    size as checksum-inclusive and silently dropped it."""
+    import struct
+
+    from muopdb_spark.sources.hdf5 import _Parser, _lookup3
+
+    body = struct.pack("<BHB", 0x0E, 2, 0) + b"\x07\x07"
+    hdr = b"OHDR" + bytes([2, 0x02]) + struct.pack("<I", len(body)) + body
+    p = str(tmp_path / "h.bin")
+    open(p, "wb").write(hdr + struct.pack("<I", _lookup3(hdr)))
+    parser = _Parser(p)
+    try:
+        msgs = parser._ohdr_v2_messages(0)
+    finally:
+        parser.f.close()
+    assert (0x0E, b"\x07\x07") in msgs
+
+
+def test_ohdr_v2_bad_checksum_rejected(tmp_path):
+    import struct
+
+    from muopdb_spark.sources.hdf5 import _Parser, _lookup3
+
+    body = struct.pack("<BHB", 0x0E, 2, 0) + b"\x07\x07"
+    hdr = b"OHDR" + bytes([2, 0x02]) + struct.pack("<I", len(body)) + body
+    p = str(tmp_path / "h.bin")
+    open(p, "wb").write(hdr + struct.pack("<I", _lookup3(hdr) ^ 1))
+    parser = _Parser(p)
+    try:
+        with pytest.raises(ValueError, match="checksum"):
+            parser._ohdr_v2_messages(0)
+    finally:
+        parser.f.close()
+
+
+def test_v4_mutation_fuzz_only_named_refusals(tmp_path):
+    """The decode_jpeg rule, extended to the v4 structures: corrupting
+    metadata of a valid v4 file yields a parse, ValueError, or
+    NotImplementedError — never an engine-crash-shaped raw error."""
+    import random
+
+    from muopdb_spark.sources.hdf5 import _write_hdf5_matrix_v4
+
+    rng = random.Random(47)
+    mats = np.random.default_rng(11).normal(size=(48, 6)).astype("<f4")
+    originals = []
+    for idx in ("single", "implicit", "fixed_array", "ext_array",
+                "btree2"):
+        p = str(tmp_path / f"{idx}.h5")
+        kw = {"chunks": (8, 6)} if idx != "single" else {}
+        m0 = mats if idx != "single" else mats[:8]
+        _write_hdf5_matrix_v4(p, "train", m0, index=idx, **kw)
+        originals.append(open(p, "rb").read())
+    mp = str(tmp_path / "m.h5")
+    for full in originals:
+        for _ in range(120):
+            b = bytearray(full)
+            for _ in range(rng.randint(1, 6)):
+                b[rng.randrange(min(len(b), 8192))] = rng.randrange(256)
+            open(mp, "wb").write(bytes(b))
+            try:
+                probe_hdf5(mp)
+            except (ValueError, NotImplementedError):
+                pass  # the only legal refusals
+
+
+def test_v4_sharded_roundtrip(spark, tmp_path):
+    from muopdb_spark.sources.hdf5 import (
+        read_hdf5_sharded,
+        write_hdf5_sharded,
+    )
+
+    rng = np.random.default_rng(31)
+    mat = rng.normal(size=(90, 5)).astype(np.float32)
+    d = str(tmp_path / "sh")
+    write_hdf5_sharded(_vec_df(spark, mat), d, rows_per_shard=32,
+                       chunk_index="fixed_array", compression="gzip",
+                       chunks=(8, 5))
+    back = read_hdf5_sharded(spark, d).orderBy("vec_id").collect()
+    got = np.array([r.embedding for r in back], dtype=np.float32)
+    assert np.array_equal(got, mat)
