@@ -103,6 +103,18 @@ class CollectionConfig:
         return cls(**json.loads(s))
 
 
+def _attr_kind(spec) -> str:
+    """Kind of an attribute_schema value. A spec is either a plain kind
+    ("text") or (kind, language) — and the latter arrives as a TUPLE
+    from in-process config but as a LIST after the config's JSON
+    round-trip (Collection.open), so any `isinstance(spec, tuple)` or
+    `spec in ("text", ...)` test silently drops language-tagged fields
+    on reopened collections (r16 review finding: term_search raised a
+    raw KeyError after restart, and build_index never built the terms
+    index for such fields)."""
+    return spec if isinstance(spec, str) else spec[0]
+
+
 def _dir_bytes(path: str) -> int:
     total = 0
     for dirpath, _, files in os.walk(path):
@@ -161,15 +173,25 @@ def _swap_parquet_dir(df, path: str):
 def _read_swapped_parquet(spark: SparkSession, path: str):
     """Read a _swap_parquet_dir-managed directory, recovering from a
     crash inside the swap window (current missing, .old present ->
-    restore .old) and sweeping any stale .swap-* staging siblings."""
+    restore .old) and sweeping stale .swap-* staging siblings. The
+    sweep is AGE-GATED (r16): an unconditional sweep raced a
+    concurrent _swap_parquet_dir in the same process — the reader
+    deleted the writer's in-flight staging dir and failed its swap.
+    Only leftovers old enough to be crash debris are removed; data is
+    never at risk either way (staging is invisible until renamed)."""
     import glob
     import shutil
+    import time
 
     old = path + ".old"
     if not os.path.isdir(path) and os.path.isdir(old):
         os.rename(old, path)
     for stale in glob.glob(path + ".swap-*"):
-        shutil.rmtree(stale, ignore_errors=True)
+        try:
+            if time.time() - os.path.getmtime(stale) > 3600:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            continue  # concurrently finished/removed: nothing to sweep
     return spark.read.parquet(path)
 
 
@@ -289,7 +311,17 @@ class Collection:
         return os.path.join(self.root, "seq_counter.json")
 
     def _seq_claims_dir(self) -> str:
-        return os.path.join(self.root, self.config.name, "seq_claims")
+        new = os.path.join(self.root, "seq_claims")
+        # pre-r16 layout accidentally nested the collection name twice
+        # (<root>/<name>/<name>/seq_claims) — besides contradicting the
+        # documented tree, a collection literally named "wal"/"segments"
+        # would nest its claims inside the WAL/segment parquet dirs and
+        # break their reads. Stay sticky to an existing legacy dir so
+        # every writer keeps arbitrating in ONE directory.
+        legacy = os.path.join(self.root, self.config.name, "seq_claims")
+        if os.path.isdir(legacy):
+            return legacy
+        return new
 
     def _next_seq_no(self) -> int:
         """Allocate the next monotonic seq_no, SAFE FOR CONCURRENT
@@ -345,16 +377,32 @@ class Collection:
     def insert(self, df: DataFrame) -> int:
         """S2 Insert: stamp one seq_no per batch (group commit — the whole
         batch is one WAL append, core.rs:537-745) and append to the WAL.
-        Returns the assigned seq_no."""
+        Returns the assigned seq_no.
+
+        Vector-length validation runs INSIDE the write job (a
+        raise_error branch on the vector column) rather than as a
+        separate pre-pass: one scan of the input instead of two, and no
+        validate-then-write window for a nondeterministic input to slip
+        a wrong-length (or null) vector through. A failed job commits
+        nothing (FileOutputCommitter stages under _temporary)."""
         seq = self._next_seq_no()
-        vec_len_ok = df.filter(F.size("vector") != self.config.num_features).isEmpty()
-        if not vec_len_ok:
-            raise ValueError(f"vector length != num_features={self.config.num_features}")
-        with self._append_lock:
-            (
-                df.withColumn("seq_no", F.lit(seq).cast("long"))
-                .write.mode("append").parquet(self._wal_dir())
-            )
+        msg = f"vector length != num_features={self.config.num_features}"
+        checked = df.withColumn(
+            "vector",
+            F.when(
+                F.size("vector") == self.config.num_features, F.col("vector")
+            ).otherwise(F.raise_error(F.lit(msg))),
+        )
+        try:
+            with self._append_lock:
+                (
+                    checked.withColumn("seq_no", F.lit(seq).cast("long"))
+                    .write.mode("append").parquet(self._wal_dir())
+                )
+        except Exception as e:  # surface the named contract error
+            if msg in str(e):
+                raise ValueError(msg) from e
+            raise
         return seq
 
     def remove(self, user_ids: list[int], doc_ids: list[int]) -> int:
@@ -395,24 +443,36 @@ class Collection:
             return self.spark.read.parquet(d)
         return self.spark.createDataFrame([], "user_id long, doc_id long, seq_no long")
 
-    def _tomb_latest(self) -> DataFrame:
+    def _tomb_latest(self, tomb: DataFrame | None = None) -> DataFrame:
         """Newest tombstone per (user, doc) — the only one that matters
-        for masking, since tombstone seq_nos are totally ordered."""
+        for masking, since tombstone seq_nos are totally ordered.
+        `tomb` pins the computation to a caller-held snapshot (see
+        _apply_tombstones)."""
         return (
-            self.tombstones()
+            (tomb if tomb is not None else self.tombstones())
             .groupBy("user_id", "doc_id")
             .agg(F.max("seq_no").alias("tomb_seq"))
         )
 
-    def _apply_tombstones(self, df: DataFrame) -> DataFrame:
+    def _apply_tombstones(
+        self, df: DataFrame, tomb: DataFrame | None = None
+    ) -> DataFrame:
         """V20 masking, seq_no-aware: a tombstone hides only doc rows
         written AT OR BEFORE it (docs.seq_no <= tomb.seq_no), so a doc
         re-inserted after a remove is searchable again — matching the
         reference, which invalidates only ids present at remove time
         (core.rs remove_impl guards on sequence_number). Planned as an
         anti hash join on the (user_id, doc_id) equi keys with the
-        seq_no comparison as the join residual — no nested loop."""
-        t = self._tomb_latest().select(
+        seq_no comparison as the join residual — no nested loop.
+
+        `tomb` lets rewrite paths (merge/vacuum) pass ONE tombstone
+        snapshot shared with their applied-watermark computation: a
+        fresh read here could see tombstones newer than the watermark
+        caller's read — harmless — but the REVERSE (watermark read
+        newer than the masking read) would mark a tombstone applied
+        without applying it, and the subsequent prune would delete an
+        unapplied deletion (r16 review finding on merge_segments)."""
+        t = self._tomb_latest(tomb).select(
             F.col("user_id").alias("_tu"), F.col("doc_id").alias("_td"), "tomb_seq"
         )
         cond = (
@@ -509,7 +569,7 @@ class Collection:
         docs = self.docs(version=version)
         schema_fields = {
             f: t for f, t in self.config.attribute_schema.items()
-            if (t[0] if isinstance(t, tuple) else t) in ("text", "keyword")
+            if _attr_kind(t) in ("text", "keyword")
         }
         schema = FilterSchema(schema_fields)
         for fld in schema.fields:
@@ -575,8 +635,14 @@ class Collection:
         df = self.segment_docs(segs[0])
         for s in segs[1:]:
             df = df.unionByName(self.segment_docs(s), allowMissingColumns=True)
-        df = self._apply_tombstones(df)
-        applied_hi = self._tombstone_hi()
+        # one tombstone snapshot for BOTH the masking join and the
+        # applied watermark: the watermark must never exceed what the
+        # rewrite actually applied (a concurrent remove() between two
+        # separate reads would otherwise be pruned un-applied)
+        tomb = self.tombstones()
+        df = self._apply_tombstones(df, tomb=tomb)
+        hi = tomb.agg(F.max("seq_no")).first()[0]
+        applied_hi = hi if hi is not None else -1
         merged = f"segment_{uuid.uuid4().hex[:12]}"
         (
             df.repartition("user_id")
@@ -597,13 +663,17 @@ class Collection:
         toc = self.toc()
         segments = list(toc["segments"])
         all_stats = self.stats()
-        applied_hi = self._tombstone_hi()
+        # same single-snapshot contract as merge_segments: watermark and
+        # masking reads must not straddle a concurrent remove()
+        tomb = self.tombstones()
+        hi = tomb.agg(F.max("seq_no")).first()[0]
+        applied_hi = hi if hi is not None else -1
         applied: dict[str, int] = {}
         for seg in toc["segments"]:
             st = all_stats[seg]
             if st["total"] == 0 or st["deleted"] / st["total"] <= self.config.vacuum_deleted_ratio:
                 continue
-            clean = self._apply_tombstones(self.segment_docs(seg))
+            clean = self._apply_tombstones(self.segment_docs(seg), tomb=tomb)
             new_seg = f"segment_{uuid.uuid4().hex[:12]}"
             (
                 clean.repartition("user_id")
@@ -617,11 +687,6 @@ class Collection:
             self._commit_toc(segments, toc["flushed_seq_no"], applied)
             self._prune_tombstones()
         return rewritten
-
-    def _tombstone_hi(self) -> int:
-        """Highest tombstone seq_no on disk (-1 when none)."""
-        m = self.tombstones().agg(F.max("seq_no")).first()[0]
-        return m if m is not None else -1
 
     def _prune_tombstones(self) -> int:
         """Drop tombstones fully applied to EVERY segment of the current
@@ -819,7 +884,7 @@ class Collection:
         codebook = self._load_or_train_codebook() if quant != "none" else None
         term_fields = {
             f: t for f, t in self.config.attribute_schema.items()
-            if t in ("text", "keyword")
+            if _attr_kind(t) in ("text", "keyword")
         }
         built = []
         for seg in toc["segments"]:

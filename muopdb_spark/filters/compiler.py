@@ -61,11 +61,20 @@ class FilterSchema:
                 self.fields[name] = (spec[0], spec[1])
         self.tokens_suffix = tokens_suffix
 
+    def _spec(self, path: str) -> tuple[str, str]:
+        try:
+            return self.fields[path]
+        except KeyError:
+            raise ValueError(
+                f"unknown searchable attribute {path!r} (schema has: "
+                f"{sorted(self.fields)})"
+            ) from None
+
     def kind(self, path: str) -> str:
-        return self.fields[path][0]
+        return self._spec(path)[0]
 
     def language(self, path: str) -> str:
-        return self.fields[path][1]
+        return self._spec(path)[1]
 
     def tokens_col(self, path: str) -> Column:
         return F.col(path + self.tokens_suffix)

@@ -567,3 +567,112 @@ def test_prune_crash_window_recovers_survivor_tombstones(col, spark):
     os.remove(os.path.join(tmp, "_SUCCESS"))
     assert col.tombstones().count() == 0
     shutil.rmtree(tmp)
+
+
+def test_language_tagged_schema_survives_reopen(spark, tmp_path):
+    """r16 review finding: (kind, language) attribute specs arrive as
+    TUPLES in-process but as LISTS after the config JSON round-trip.
+    Both term_search (tuple-only isinstance) and build_index (plain
+    string membership) silently dropped such fields — a reopened
+    collection's term_search raised a raw KeyError and the durable
+    terms index was never built at all."""
+    cfg = CollectionConfig(
+        name="lang_col", num_features=2,
+        attribute_schema={"body": ("text", "german")},
+    )
+    col = Collection.create(spark, str(tmp_path), cfg)
+    df = spark.createDataFrame(
+        [(1, 10, [0.0, 1.0], "laufen gelaufen"),
+         (1, 11, [1.0, 0.0], "katzen")],
+        "user_id long, doc_id long, vector array<float>, body string",
+    )
+    col.insert(df)
+    col.flush()
+    # the durable terms index must be built for the tagged field
+    built = col.build_index()
+    assert all("terms" in kinds for kinds in built.values()), built
+    # stemmed German contains on the fresh handle...
+    q = {"contains": {"path": "body", "value": "laufen"}}
+    assert [r["doc_id"] for r in col.term_search([1], q, 10).collect()] \
+        == [10]
+    # ...and on a REOPENED one (list-typed spec)
+    re = Collection.open(spark, str(tmp_path), "lang_col")
+    assert re.config.attribute_schema == {"body": ["text", "german"]}
+    assert [r["doc_id"] for r in re.term_search([1], q, 10).collect()] \
+        == [10]
+    got = re.term_search_indexed([1], [("body", "lauf")], 10).collect()
+    assert [r["doc_id"] for r in got] == [10]
+
+
+def test_unknown_filter_attribute_is_named_valueerror(col, spark):
+    col.insert(_docs_df(spark, R1))
+    col.flush()
+    with pytest.raises(ValueError, match="unknown searchable attribute"):
+        col.term_search([0], {"contains": {"path": "nope", "value": "x"}},
+                        10).collect()
+
+
+def test_merge_watermark_excludes_concurrent_remove(col, spark, monkeypatch):
+    """r16 review finding: merge_segments read the tombstone dir TWICE
+    (once for masking, once for the applied watermark). A remove()
+    landing between the reads got a watermark above its seq_no without
+    ever being applied — and the post-merge prune then deleted it,
+    resurrecting the doc. The fix pins both to one snapshot; this test
+    injects the race at the exact point (after merge's snapshot read)."""
+    col.insert(_docs_df(spark, R1))
+    col.flush()
+    col.remove([0], [2])  # applied by the merge below
+    real = Collection.tombstones
+    state = {"fired": False}
+
+    def racy(self):
+        df = real(self)
+        if not state["fired"]:
+            state["fired"] = True
+            # concurrent remove lands just after merge snapshots the dir
+            real_tomb = Collection.tombstones
+            monkeypatch.setattr(Collection, "tombstones", real)
+            try:
+                self.remove([0], [1])
+            finally:
+                monkeypatch.setattr(Collection, "tombstones", real_tomb)
+        return df
+
+    monkeypatch.setattr(Collection, "tombstones", racy)
+    col.merge_segments()
+    monkeypatch.setattr(Collection, "tombstones", real)
+    # the mid-merge tombstone must SURVIVE the prune...
+    surviving = col.tombstones().select("doc_id").collect()
+    assert [r["doc_id"] for r in surviving] == [1]
+    # ...so doc 1 stays masked (the old code resurrected it here)
+    got = col.search([0], [1.0, 0.0, 0.0, 0.0], 5).collect()
+    assert [r["doc_id"] for r in got] == []
+    # doc 2's tombstone was applied by the rewrite and pruned
+    assert col.docs(with_tombstones=True).filter(
+        F.col("doc_id") == 2).isEmpty()
+
+
+def test_insert_rejects_wrong_length_in_write_pass(col, spark):
+    """r16: validation moved inside the write job (one input scan, no
+    validate-then-write TOCTOU); the named ValueError contract holds
+    and a failed insert commits nothing."""
+    bad = spark.createDataFrame(
+        [(0, 9, [1.0, 0.0], "t", "c", 1)],
+        "user_id long, doc_id long, vector array<float>, title string, "
+        "category string, views long",
+    )
+    with pytest.raises(ValueError, match="num_features=4"):
+        col.insert(bad)
+    assert col.flush() is None  # nothing committed to the WAL
+
+
+def test_seq_claims_dir_not_name_nested(col, spark, tmp_path):
+    col.insert(_docs_df(spark, R1))
+    import os
+    assert os.path.isdir(str(tmp_path / "test_col" / "seq_claims"))
+    assert not os.path.isdir(
+        str(tmp_path / "test_col" / "test_col" / "seq_claims"))
+    # legacy stickiness: a pre-r16 nested dir keeps being the arbiter
+    legacy = tmp_path / "test_col" / "test_col" / "seq_claims"
+    legacy.mkdir(parents=True)
+    assert col._seq_claims_dir() == str(legacy)

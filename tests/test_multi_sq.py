@@ -242,10 +242,16 @@ def test_sq_codebook_swap_is_crash_recoverable(spark, tmp_path):
 
     # simulate a crash between the two renames: current gone, .old left
     os.rename(path, path + ".old")
-    # plus a stale staging dir from a crashed write
+    # a FRESH staging dir may belong to a concurrent in-flight swap —
+    # the r16 age-gated sweep must leave it alone...
+    os.makedirs(path + ".swap-inflight")
+    # ...while genuine crash debris (old mtime) is swept
     os.makedirs(path + ".swap-deadbeef")
+    os.utime(path + ".swap-deadbeef", (1, 1))
     got = _read_swapped_parquet(spark, path)
     assert {r.user_id for r in got.collect()} == {0, 1}
     assert os.path.isdir(path) and not os.path.isdir(path + ".old")
     assert not os.path.isdir(path + ".swap-deadbeef")
+    assert os.path.isdir(path + ".swap-inflight")
+    shutil.rmtree(path + ".swap-inflight", ignore_errors=True)
     shutil.rmtree(str(tmp_path / "sq_codebook"), ignore_errors=True)
