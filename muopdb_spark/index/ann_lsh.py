@@ -60,6 +60,15 @@ def build_rp_lsh(
     seed: int = 42,
 ) -> RpLshIndex:
     """Signature computation is one numpy matmul per Arrow batch."""
+    if not 1 <= num_planes <= 62:
+        # sign bits pack into ONE int64 bucket: 63+ planes would shift
+        # past the sign bit and silently fold buckets together
+        raise ValueError(
+            f"num_planes={num_planes} out of range 1..62 (bucket is one "
+            "int64 of packed sign bits; widen num_tables instead)"
+        )
+    if num_tables < 1:
+        raise ValueError(f"num_tables={num_tables} must be >= 1")
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)

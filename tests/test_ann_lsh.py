@@ -112,3 +112,20 @@ def test_max_bucket_size_drops_viral_buckets(spark):
     # the blob's quadratic pair set is gone, the small pair survives
     assert {(r["id_a"], r["id_b"]) for r in capped} == {(100, 101)}
     assert len(uncapped) > len(capped)
+
+
+def test_num_planes_bucket_width_guard(spark):
+    """63+ sign bits would shift past the int64 bucket's sign bit and
+    silently fold buckets together (r16 hardening: named refusal)."""
+    import pytest
+
+    from muopdb_spark.index.ann_lsh import build_rp_lsh
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="1..62"):
+        build_rp_lsh(df, num_planes=63)
+    with pytest.raises(ValueError, match="num_tables"):
+        build_rp_lsh(df, num_planes=8, num_tables=0)
