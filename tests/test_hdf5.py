@@ -861,3 +861,44 @@ def test_v4_sharded_roundtrip(spark, tmp_path):
     back = read_hdf5_sharded(spark, d).orderBy("vec_id").collect()
     got = np.array([r.embedding for r in back], dtype=np.float32)
     assert np.array_equal(got, mat)
+
+
+@settings(max_examples=14, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(n=st.integers(1, 70), dim=st.integers(1, 12),
+       cr=st.integers(1, 20), cc=st.integers(1, 12),
+       idx=st.sampled_from(["fixed_array", "ext_array", "btree2"]),
+       comp=st.sampled_from([None, "gzip", "lzf"]),
+       shuf=st.booleans(), fl=st.booleans(),
+       small=st.booleans(), seed=st.integers(0, 2**32 - 1))
+def test_v4_roundtrip_property(tmp_path_factory, n, dim, cr, cc, idx,
+                               comp, shuf, fl, small, seed):
+    """Any chunk grid under any filter stack through any v4 array/
+    B-tree index — with deliberately tiny page/node parameters half
+    the time, so paging and multi-node trees are exercised at fuzz
+    scale — survives write -> probe -> assemble bit-exactly,
+    NaN/inf included (driver-side matrix path; the Spark read path
+    shares _decode_chunk/chunk lists and has its own tests)."""
+    from muopdb_spark.sources.hdf5 import (
+        _read_dataset_matrix,
+        _write_hdf5_matrix_v4,
+    )
+
+    cr, cc = min(cr, n), min(cc, dim)
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(scale=100.0, size=(n, dim)).astype(np.float32)
+    mat.flat[rng.integers(0, mat.size)] = np.inf
+    mat.flat[rng.integers(0, mat.size)] = np.nan
+    kw = {}
+    if small:
+        kw = {"fa_page_bits": 2, "ea_params": (32, 4, 4, 4, 3),
+              "bt2_node_size": 256}
+    p = str(tmp_path_factory.mktemp("h5v4") / "v.h5")
+    _write_hdf5_matrix_v4(
+        p, "d", mat, index=idx, chunks=(cr, cc), compression=comp,
+        shuffle=shuf, fletcher32=fl, **kw,
+    )
+    d = probe_hdf5(p)["d"]
+    assert d.chunk_shape == (cr, cc)
+    got = _read_dataset_matrix(p, d)
+    assert got.tobytes() == mat.tobytes()
