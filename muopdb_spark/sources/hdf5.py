@@ -25,11 +25,16 @@ typed chunk indexes — single chunk, implicit, fixed array ('FAHD' /
 'FADB', paged), extensible array ('EAHD'/'EAIB'/'EASB'/'EADB',
 paged), and version-2 B-tree ('BTHD'/'BTIN'/'BTLF') — i.e. what
 h5py emits under libver='latest', with every lookup3 block checksum
-verified. That covers the reference fixtures AND the chunked/gzip
-files public vector corpora usually ship as. Dense (fractal-heap)
-groups, non-trivial datatypes, and other filters (szip, nbit,
-scaleoffset, blosc, ...) raise a NotImplementedError naming the
-feature, never a silent misread.
+verified. Dense (fractal-heap) groups — the 'latest'-libver link
+storage past the compact bound — are walked too (r16: 'FRHP' header,
+doubling-table direct blocks under a root direct or indirect block,
+type-5 name-index v2 B-tree; whole-block checksums verified with the
+field-zeroed H5HF convention). That covers the reference fixtures AND
+the chunked/gzip files public vector corpora usually ship as.
+Non-trivial datatypes, other filters (szip, nbit, scaleoffset,
+blosc, ...), huge/filtered heap objects, and nested indirect heap
+blocks raise a NotImplementedError naming the feature, never a
+silent misread.
 
 Scale note (the reason the reader is worth having): like
 sources/fvecs.py, the DRIVER touches only the few KB of metadata;
@@ -582,6 +587,12 @@ class _Parser:
                 name, child = self._link_message(body)
                 if child is not None:
                     self._object_header(child, f"{prefix}{name}/")
+            return
+        if 0x0002 in by_type and 0x0008 not in by_type:
+            # new-style group, DENSE links (fractal heap + name index).
+            # Pre-r16 this fell through to the empty-group branch — a
+            # silent misread of every dataset in such a group.
+            self._dense_links(by_type[0x0002][0], prefix)
             return
         if 0x0001 in by_type and 0x0008 in by_type:  # dataset
             name = prefix.rstrip("/") or "/"
@@ -1420,17 +1431,14 @@ class _Parser:
 
         return getter
 
-    def _bt2_chunks(self, info: dict, name: str, rank: int, chunk_shape,
-                    filtered: bool, nominal: int) -> list:
-        """Version 2 B-tree chunk index (spec III.A.2): 'BTHD' header,
-        'BTIN' internal nodes, 'BTLF' leaves; record type 10
-        (non-filtered: address + scaled offsets) or 11 (filtered:
-        address + stored size + filter mask + scaled offsets). Child
-        pointers carry variable-width record counts sized from the
-        per-depth maximum-record capacities (H5B2hdr node_info)."""
-        hdr_addr = info["addr"]
-        if hdr_addr == _UNDEF:
-            return []
+    def _bt2_records(self, hdr_addr: int, name: str) -> tuple[int, int, list]:
+        """Generic version-2 B-tree walk (spec III.A.2): parse the
+        'BTHD' header, recurse 'BTIN' internal nodes into 'BTLF'
+        leaves, and return (record_type, record_size, raw record
+        bytes in tree order). Child pointers carry variable-width
+        record counts sized from the per-depth maximum-record
+        capacities (H5B2hdr node_info). Shared by the chunk index
+        (types 10/11) and the dense-group link-name index (type 5)."""
         h = self._checksummed(hdr_addr, 34, "v2 B-tree header")
         if h[:4] != b"BTHD":
             raise ValueError(
@@ -1443,59 +1451,20 @@ class _Parser:
                 "unsupported"
             )
         btype = h[5]
-        expect = 11 if filtered else 10
-        if btype != expect:
-            raise ValueError(
-                f"{self.path}:{name}: v2 B-tree record type {btype} "
-                f"does not match the filter pipeline (expected {expect})"
-            )
         node_size = _u(h, 6, 4)
         rec_size = _u(h, 10, 2)
         depth = _u(h, 12, 2)
         root = _u(h, 16, 8)
         root_nrec = _u(h, 24, 2)
         total = _u(h, 26, 8)
-        if filtered:
-            csl = rec_size - 12 - 8 * rank
-            if not (1 <= csl <= 8):
-                raise ValueError(
-                    f"{self.path}:{name}: v2 B-tree record size "
-                    f"{rec_size} invalid for filtered rank-{rank} chunks"
-                )
-        else:
-            csl = 0
-            if rec_size != 8 + 8 * rank:
-                raise ValueError(
-                    f"{self.path}:{name}: v2 B-tree record size "
-                    f"{rec_size} invalid for rank-{rank} chunks "
-                    f"(expected {8 + 8 * rank})"
-                )
         if root == _UNDEF or total == 0:
-            return []
-        if node_size <= 10 + rec_size:
+            return btype, rec_size, []
+        if rec_size < 1 or node_size <= 10 + rec_size:
             raise ValueError(
                 f"{self.path}:{name}: v2 B-tree node size {node_size} "
-                "too small for one record"
+                f"cannot hold record size {rec_size}"
             )
         max_nrec, sz, cum_sz = _bt2_node_info(node_size, rec_size, depth)
-
-        def decode(r: bytes) -> tuple:
-            a = _u(r, 0, 8)
-            if filtered:
-                s, m = _u(r, 8, csl), _u(r, 8 + csl, 4)
-                q = 12 + csl
-            else:
-                s, m, q = nominal, 0, 8
-            coords = tuple(
-                _u(r, q + i * 8, 8) * chunk_shape[i] for i in range(rank)
-            )
-            if a == _UNDEF:
-                raise ValueError(
-                    f"{self.path}:{name}: v2 B-tree record with an "
-                    "undefined chunk address"
-                )
-            return coords, a, s, m
-
         out: list = []
 
         def walk(addr: int, d: int, nrec: int) -> None:
@@ -1514,9 +1483,7 @@ class _Parser:
                         f"{addr}"
                     )
                 for i in range(nrec):
-                    out.append(
-                        decode(body[6 + i * rec_size:6 + (i + 1) * rec_size])
-                    )
+                    out.append(body[6 + i * rec_size:6 + (i + 1) * rec_size])
                 return
             ptr = 8 + sz[d - 1] + (cum_sz[d - 1] if d > 1 else 0)
             body = self._checksummed(
@@ -1535,9 +1502,7 @@ class _Parser:
                 cnrec = _u(body, q + 8, sz[d - 1])
                 walk(caddr, d - 1, cnrec)
                 if i < nrec:
-                    out.append(
-                        decode(body[6 + i * rec_size:6 + (i + 1) * rec_size])
-                    )
+                    out.append(body[6 + i * rec_size:6 + (i + 1) * rec_size])
 
         walk(root, depth, root_nrec)
         if len(out) != total:
@@ -1545,7 +1510,309 @@ class _Parser:
                 f"{self.path}:{name}: v2 B-tree header claims {total} "
                 f"records, walk found {len(out)}"
             )
-        return out
+        return btype, rec_size, out
+
+    def _bt2_chunks(self, info: dict, name: str, rank: int, chunk_shape,
+                    filtered: bool, nominal: int) -> list:
+        """Version 2 B-tree chunk index: record type 10 (non-filtered:
+        address + scaled offsets) or 11 (filtered: address + stored
+        size + filter mask + scaled offsets) over the generic walk."""
+        hdr_addr = info["addr"]
+        if hdr_addr == _UNDEF:
+            return []
+        btype, rec_size, recs = self._bt2_records(hdr_addr, name)
+        expect = 11 if filtered else 10
+        if btype != expect:
+            raise ValueError(
+                f"{self.path}:{name}: v2 B-tree record type {btype} "
+                f"does not match the filter pipeline (expected {expect})"
+            )
+        if filtered:
+            csl = rec_size - 12 - 8 * rank
+            if not (1 <= csl <= 8):
+                raise ValueError(
+                    f"{self.path}:{name}: v2 B-tree record size "
+                    f"{rec_size} invalid for filtered rank-{rank} chunks"
+                )
+        else:
+            csl = 0
+            if rec_size != 8 + 8 * rank:
+                raise ValueError(
+                    f"{self.path}:{name}: v2 B-tree record size "
+                    f"{rec_size} invalid for rank-{rank} chunks "
+                    f"(expected {8 + 8 * rank})"
+                )
+
+        def decode(r: bytes) -> tuple:
+            a = _u(r, 0, 8)
+            if filtered:
+                s, m = _u(r, 8, csl), _u(r, 8 + csl, 4)
+                q = 12 + csl
+            else:
+                s, m, q = nominal, 0, 8
+            coords = tuple(
+                _u(r, q + i * 8, 8) * chunk_shape[i] for i in range(rank)
+            )
+            if a == _UNDEF:
+                raise ValueError(
+                    f"{self.path}:{name}: v2 B-tree record with an "
+                    "undefined chunk address"
+                )
+            return coords, a, s, m
+
+        return [decode(r) for r in recs]
+
+    # ------------------------------------------- dense groups (r16)
+    #
+    # 'Latest'-libver groups whose link count exceeds the compact
+    # bound store links DENSELY: link messages live as managed objects
+    # in a fractal heap (spec III.G: 'FRHP' header + 'FHDB' direct /
+    # 'FHIB' indirect blocks under a doubling table) addressed by a
+    # name-index v2 B-tree of type-5 records (hash + heap ID). Before
+    # r16 the probe treated such groups as EMPTY — a silent misread of
+    # every dataset inside; now they are walked (or refused by name
+    # for the huge-object / nested-indirect shapes fixtures can't
+    # exercise).
+
+    def _dense_links(self, body: bytes, prefix: str) -> None:
+        """Link Info message (0x0002): [max creation index], fractal
+        heap address, name-index v2 B-tree address[, creation-order
+        B-tree address]. Iterates every link via the name index."""
+        if body[0] != 0:
+            raise NotImplementedError(
+                f"{self.path}: link info message version {body[0]} "
+                "unsupported"
+            )
+        flags = body[1]
+        p = 2 + (8 if flags & 0x1 else 0)
+        fheap = _u(body, p, 8)
+        name_bt2 = _u(body, p + 8, 8)
+        if fheap == _UNDEF:
+            return  # no dense links stored
+        if name_bt2 == _UNDEF:
+            raise ValueError(
+                f"{self.path}: dense link storage with no name index"
+            )
+        getter = self._fheap_getter(fheap, prefix or "/")
+        btype, rec_size, recs = self._bt2_records(name_bt2, prefix or "/")
+        if btype != 5:
+            raise ValueError(
+                f"{self.path}: dense-link name index has record type "
+                f"{btype} (expected 5)"
+            )
+        if rec_size < 5:
+            raise ValueError(
+                f"{self.path}: dense-link record size {rec_size} too "
+                "small for a heap ID"
+            )
+        for r in recs:  # record: name hash (4) + heap ID
+            blob = getter(r[4:])
+            lname, child = self._link_message(blob)
+            if child is not None:
+                self._object_header(child, f"{prefix}{lname}/")
+
+    def _fheap_getter(self, addr: int, name: str):
+        """Fractal heap reader (spec III.G), managed + tiny objects:
+        parses the 'FRHP' header and doubling-table geometry, then
+        returns getter(heap_id) -> object bytes. Direct blocks are
+        verified against their whole-block checksum (computed with the
+        checksum field zeroed — the H5HF convention, unlike the
+        trailing checksums everywhere else); huge objects and
+        nested indirect blocks (heaps beyond width * max_direct rows)
+        refuse by name."""
+        h = self._checksummed(addr, 142, "fractal heap header")
+        if h[:4] != b"FRHP":
+            raise ValueError(
+                f"{self.path}:{name}: bad fractal heap header signature"
+                f" at {addr}"
+            )
+        if h[4] != 0:
+            raise NotImplementedError(
+                f"{self.path}:{name}: fractal heap version {h[4]} "
+                "unsupported"
+            )
+        id_len = _u(h, 5, 2)
+        filt_len = _u(h, 7, 2)
+        flags = h[9]
+        if filt_len:
+            raise NotImplementedError(
+                f"{self.path}:{name}: fractal heap I/O filters "
+                "unsupported"
+            )
+        width = _u(h, 110, 2)
+        start_size = _u(h, 112, 8)
+        max_direct = _u(h, 120, 8)
+        max_heap_bits = _u(h, 128, 2)
+        root_addr = _u(h, 132, 8)
+        cur_rows = _u(h, 140, 2)
+        # amount of ALLOCATED managed space (offset 54): for a
+        # root-direct-block heap this IS the root block's size — the
+        # root doubles in place (H5HF man_dblock_root_double) before
+        # converting to an indirect block, so start_block_size alone
+        # cannot size it
+        alloc_space = _u(h, 54, 8)
+        for label, v in (("table width", width),
+                         ("starting block size", start_size),
+                         ("maximum direct block size", max_direct)):
+            if v < 1 or (label != "table width" and v & (v - 1)):
+                raise ValueError(
+                    f"{self.path}:{name}: bad fractal heap {label} {v}"
+                )
+        off_size = (max_heap_bits + 7) // 8
+        len_size = id_len - 1 - off_size
+        if not (1 <= len_size <= 8) or not (1 <= off_size <= 8):
+            raise ValueError(
+                f"{self.path}:{name}: fractal heap ID length {id_len} "
+                f"inconsistent with max heap size {max_heap_bits} bits"
+            )
+        dblock_hdr = 13 + off_size + (4 if flags & 0x2 else 0)
+        # doubling table: rows 0 and 1 hold `width` blocks of the
+        # starting size; row i >= 2 doubles (start << (i-1)), capped at
+        # the max direct block size (rows past that hold indirect
+        # blocks, which fixtures cannot exercise -> named refusal)
+        max_direct_rows = (
+            (max_direct // start_size).bit_length() + 1
+        )
+
+        def row_size(r: int) -> int:
+            return start_size if r < 2 else start_size << (r - 1)
+
+        row_start = [0]
+        for r in range(max_direct_rows):
+            row_start.append(row_start[-1] + width * row_size(r))
+
+        dblocks: dict[int, bytes] = {}  # heap-space offset -> block
+
+        def read_dblock(baddr: int, boff: int, bsize: int) -> bytes:
+            if boff in dblocks:
+                return dblocks[boff]
+            blk = self._read(baddr, bsize)
+            if blk[:4] != b"FHDB":
+                raise ValueError(
+                    f"{self.path}:{name}: bad fractal heap direct block"
+                    f" signature at {baddr}"
+                )
+            if blk[4] != 0 or _u(blk, 5, 8) != addr:
+                raise ValueError(
+                    f"{self.path}:{name}: fractal heap direct block at "
+                    f"{baddr} does not back-point to its header"
+                )
+            if _u(blk, 13, off_size) != boff:
+                raise ValueError(
+                    f"{self.path}:{name}: direct block at {baddr} "
+                    f"stores offset {_u(blk, 13, off_size)}, geometry "
+                    f"expects {boff}"
+                )
+            if flags & 0x2:  # checksummed: field zeroed during compute
+                cs_at = 13 + off_size
+                stored = _u(blk, cs_at, 4)
+                zeroed = blk[:cs_at] + b"\x00\x00\x00\x00" + blk[cs_at + 4:]
+                if _lookup3(zeroed) != stored:
+                    raise ValueError(
+                        f"{self.path}:{name}: bad checksum on fractal "
+                        f"heap direct block at {baddr}"
+                    )
+            dblocks[boff] = blk
+            return blk
+
+        iblock_children: list[tuple[int, int]] | None = None
+        if cur_rows:  # root is an indirect block
+            if cur_rows > max_direct_rows:
+                raise NotImplementedError(
+                    f"{self.path}:{name}: fractal heap with nested "
+                    f"indirect blocks ({cur_rows} rows > "
+                    f"{max_direct_rows} direct rows) unsupported"
+                )
+            ib = self._checksummed(
+                root_addr, 13 + off_size + cur_rows * width * 8,
+                "fractal heap indirect block",
+            )
+            if ib[:4] != b"FHIB":
+                raise ValueError(
+                    f"{self.path}:{name}: bad fractal heap indirect "
+                    f"block signature at {root_addr}"
+                )
+            if ib[4] != 0 or _u(ib, 5, 8) != addr \
+                    or _u(ib, 13, off_size) != 0:
+                raise ValueError(
+                    f"{self.path}:{name}: fractal heap indirect block "
+                    f"at {root_addr} does not match its header"
+                )
+            iblock_children = []
+            q = 13 + off_size
+            for i in range(cur_rows * width):
+                iblock_children.append((_u(ib, q + i * 8, 8), i))
+
+        def managed(off: int, ln: int) -> bytes:
+            if iblock_children is None:
+                if root_addr == _UNDEF:
+                    raise ValueError(
+                        f"{self.path}:{name}: heap object at {off} but "
+                        "no root block allocated"
+                    )
+                bsize = max(start_size, alloc_space)
+                if off + ln > bsize:
+                    raise ValueError(
+                        f"{self.path}:{name}: heap object {off}+{ln} "
+                        f"outside the {bsize}-byte root direct block"
+                    )
+                blk = read_dblock(root_addr, 0, bsize)
+                return blk[off:off + ln]
+            r = 0
+            while r + 1 < len(row_start) and off >= row_start[r + 1]:
+                r += 1
+            rs = row_size(r)
+            col = (off - row_start[r]) // rs
+            i = r * width + col
+            if i >= len(iblock_children):
+                raise ValueError(
+                    f"{self.path}:{name}: heap object at {off} beyond "
+                    "the root indirect block's rows"
+                )
+            baddr, _ = iblock_children[i]
+            if baddr == _UNDEF:
+                raise ValueError(
+                    f"{self.path}:{name}: heap object at {off} in an "
+                    "unallocated direct block"
+                )
+            boff = row_start[r] + col * rs
+            within = off - boff
+            if within + ln > rs:
+                raise ValueError(
+                    f"{self.path}:{name}: heap object {off}+{ln} spans "
+                    "a direct-block boundary (corrupt heap ID?)"
+                )
+            return read_dblock(baddr, boff, rs)[within:within + ln]
+
+        def getter(heap_id: bytes) -> bytes:
+            if len(heap_id) < 1:
+                raise ValueError(f"{self.path}:{name}: empty heap ID")
+            b0 = heap_id[0]
+            if b0 & 0xC0:
+                raise NotImplementedError(
+                    f"{self.path}:{name}: fractal heap ID version "
+                    f"{(b0 & 0xC0) >> 6} unsupported"
+                )
+            idt = (b0 & 0x30) >> 4
+            if idt == 0:  # managed
+                off = _u(heap_id, 1, off_size)
+                ln = _u(heap_id, 1 + off_size, len_size)
+                return managed(off, ln)
+            if idt == 1:  # tiny: payload inline in the ID
+                ln = (b0 & 0x0F) + 1
+                if 1 + ln > len(heap_id):
+                    raise ValueError(
+                        f"{self.path}:{name}: tiny heap ID length {ln} "
+                        "exceeds the ID"
+                    )
+                return heap_id[1:1 + ln]
+            raise NotImplementedError(
+                f"{self.path}:{name}: fractal heap "
+                f"{'huge' if idt == 2 else f'type-{idt}'} objects "
+                "unsupported"
+            )
+
+        return getter
 
     def _attribute(self, body: bytes):
         ver = body[0]
@@ -2623,32 +2890,13 @@ def _ea_index_bytes(base: int, elements: list, filtered: bool,
             + bytes(tail))
 
 
-def _bt2_index_bytes(base: int, elements: list, filtered: bool,
-                     grid: tuple[int, int], node_size: int) -> bytes:
-    """Version-2 B-tree chunk index: 'BTHD' header at base, then (depth
-    1) the leaves and the root internal node, each allocated a full
-    node_size. Records are emitted in row-major grid order — exactly
-    the scaled-offset lexicographic order the tree sorts by. Fixture-
-    writer scope: depth <= 1 (a 2048-byte node holds ~84 rank-2
-    records; depth 1 ~5000 — far beyond any fixture); the reader walks
-    arbitrary depth."""
-    grid_r, grid_c = grid
-    btype = 11 if filtered else 10
-    csl = max(
-        1, _limit_enc_size(max((s for _, s, _ in elements), default=1))
-    )
-    rec_size = (12 + csl + 16) if filtered else 24
-
-    def rec(i: int) -> bytes:
-        a, s, m = elements[i]
-        r, c = divmod(i, grid_c)
-        b = struct.pack("<Q", a)
-        if filtered:
-            b += s.to_bytes(csl, "little") + struct.pack("<I", m)
-        return b + struct.pack("<QQ", r, c)
-
-    recs = [rec(i) for i in range(len(elements))
-            if elements[i][0] != _UNDEF]
+def _bt2_tree_bytes(base: int, recs: list[bytes], rec_size: int,
+                    btype: int, node_size: int) -> bytes:
+    """Generic version-2 B-tree serializer: 'BTHD' header at base,
+    then the nodes (DFS order, each allocated a full node_size) for
+    the given pre-encoded records IN SORTED ORDER. Shared by the
+    chunk index (types 10/11) and the dense-group link-name index
+    (type 5); the reader walks arbitrary depth."""
     m = len(recs)
 
     def node(sig: bytes, payload: bytes) -> bytes:
@@ -2723,6 +2971,254 @@ def _bt2_index_bytes(base: int, elements: list, filtered: bool,
     root_addr, root_nrec, total = build(recs, depth)
     assert total == m
     return header(root_addr, root_nrec, depth) + b"".join(nodes)
+
+
+def _bt2_index_bytes(base: int, elements: list, filtered: bool,
+                     grid: tuple[int, int], node_size: int) -> bytes:
+    """Version-2 B-tree CHUNK index records (types 10/11) over the
+    generic serializer. Records are emitted in row-major grid order —
+    exactly the scaled-offset lexicographic order the tree sorts by."""
+    grid_r, grid_c = grid
+    csl = max(
+        1, _limit_enc_size(max((s for _, s, _ in elements), default=1))
+    )
+    rec_size = (12 + csl + 16) if filtered else 24
+
+    def rec(i: int) -> bytes:
+        a, s, m = elements[i]
+        r, c = divmod(i, grid_c)
+        b = struct.pack("<Q", a)
+        if filtered:
+            b += s.to_bytes(csl, "little") + struct.pack("<I", m)
+        return b + struct.pack("<QQ", r, c)
+
+    recs = [rec(i) for i in range(len(elements))
+            if elements[i][0] != _UNDEF]
+    return _bt2_tree_bytes(base, recs, rec_size,
+                           11 if filtered else 10, node_size)
+
+
+def _fheap_bytes(
+    base: int, objects: list[bytes], *, start_size: int = 512,
+    max_direct: int = 4096, width: int = 4, checksum: bool = True,
+    max_heap_bits: int = 32,
+) -> tuple[bytes, list[bytes], int]:
+    """Serialize a fractal heap holding `objects` as managed objects:
+    'FRHP' header at base, then either one root direct block (doubled
+    in place to fit, the libhdf5 root_double shape) or a root indirect
+    block over doubling-table direct blocks. Returns (blob, heap_ids,
+    id_len). Fixture scope: managed objects in direct rows only."""
+    off_size = (max_heap_bits + 7) // 8
+    len_size = _limit_enc_size(max_direct)
+    id_len = 1 + off_size + len_size
+    hdr_ov = 13 + off_size + (4 if checksum else 0)
+    for v, nm in ((start_size, "start_block_size"),
+                  (max_direct, "max_direct")):
+        if v & (v - 1) or v <= hdr_ov:
+            raise ValueError(f"bad fractal heap {nm} {v}")
+
+    def row_size(r: int) -> int:
+        return start_size if r < 2 else start_size << (r - 1)
+
+    max_rows = (max_direct // start_size).bit_length() + 1
+    row_start = [0]
+    for r in range(max_rows):
+        row_start.append(row_start[-1] + width * row_size(r))
+
+    total = sum(len(o) for o in objects)
+    single = total + hdr_ov <= max_direct
+    # blocks: [row, col, heap_off, size, content, used]
+    blocks: list[list] = []
+    if single:
+        size = start_size
+        while size < total + hdr_ov:
+            size <<= 1
+        blocks.append([0, 0, 0, size, bytearray(), hdr_ov])
+        seq = iter(())
+    else:
+        seq = iter((r, c) for r in range(max_rows) for c in range(width))
+        r, c = next(seq)
+        blocks.append([r, c, row_start[r] + c * row_size(r), row_size(r),
+                       bytearray(), hdr_ov])
+    ids: list[bytes] = []
+    for o in objects:
+        blk = blocks[-1]
+        if blk[5] + len(o) > blk[3]:
+            try:
+                r, c = next(seq)
+            except StopIteration:
+                raise ValueError(
+                    "objects exceed the direct-row heap capacity; raise "
+                    "max_direct or width"
+                ) from None
+            blk = [r, c, row_start[r] + c * row_size(r), row_size(r),
+                   bytearray(), hdr_ov]
+            blocks.append(blk)
+            if len(o) + hdr_ov > blk[3]:
+                raise ValueError(
+                    f"{len(o)}-byte object larger than a direct block"
+                )
+        heap_off = blk[2] + blk[5]
+        blk[4] += o
+        blk[5] += len(o)
+        ids.append(
+            bytes([0x00])
+            + heap_off.to_bytes(off_size, "little")
+            + len(o).to_bytes(len_size, "little")
+        )
+    cur_rows = 0 if single else blocks[-1][0] + 1
+    span = blocks[-1][2] + blocks[-1][3]
+
+    def dblock(blk: list, addr_of_hdr: int) -> bytes:
+        body = bytearray(
+            b"FHDB" + bytes([0]) + struct.pack("<Q", addr_of_hdr)
+            + blk[2].to_bytes(off_size, "little")
+        )
+        if checksum:
+            body += b"\x00\x00\x00\x00"
+        body += blk[4]
+        body += b"\x00" * (blk[3] - len(body))
+        if checksum:
+            cs_at = 13 + off_size
+            struct.pack_into("<I", body, cs_at, _lookup3(bytes(body)))
+        return bytes(body)
+
+    tail = bytearray()
+    if single:
+        root_addr = base + 146
+        tail += dblock(blocks[0], base)
+    else:
+        ib_size = 13 + off_size + cur_rows * width * 8 + 4
+        root_addr = base + 146
+        daddr = root_addr + ib_size
+        addr_of: dict[tuple[int, int], int] = {}
+        for blk in blocks:
+            addr_of[(blk[0], blk[1])] = daddr
+            daddr += blk[3]
+        ib = (b"FHIB" + bytes([0]) + struct.pack("<Q", base)
+              + (0).to_bytes(off_size, "little"))
+        for r in range(cur_rows):
+            for c in range(width):
+                ib += struct.pack("<Q", addr_of.get((r, c), _UNDEF))
+        assert len(ib) + 4 == ib_size
+        tail += ib + struct.pack("<I", _lookup3(ib))
+        for blk in blocks:
+            tail += dblock(blk, base)
+
+    hdr = bytearray(146 - 4)
+    hdr[0:4] = b"FRHP"
+    hdr[4] = 0
+    struct.pack_into("<H", hdr, 5, id_len)
+    struct.pack_into("<H", hdr, 7, 0)  # no I/O filters
+    hdr[9] = 0x2 if checksum else 0
+    struct.pack_into("<I", hdr, 10, max_direct)  # max managed obj size
+    struct.pack_into("<Q", hdr, 14, 0)           # next huge id
+    struct.pack_into("<Q", hdr, 22, _UNDEF)      # huge bt2
+    struct.pack_into("<Q", hdr, 30, 0)           # free space
+    struct.pack_into("<Q", hdr, 38, _UNDEF)      # free-space manager
+    struct.pack_into("<Q", hdr, 46, span)        # managed space
+    struct.pack_into("<Q", hdr, 54, span if not single
+                     else blocks[0][3])          # ALLOCATED managed
+    struct.pack_into("<Q", hdr, 62, span)        # iterator offset
+    struct.pack_into("<Q", hdr, 70, len(objects))
+    # huge/tiny sizes+counts (78..110) stay zero
+    struct.pack_into("<H", hdr, 110, width)
+    struct.pack_into("<Q", hdr, 112, start_size)
+    struct.pack_into("<Q", hdr, 120, max_direct)
+    struct.pack_into("<H", hdr, 128, max_heap_bits)
+    struct.pack_into("<H", hdr, 130, 1)          # starting root rows
+    struct.pack_into("<Q", hdr, 132, root_addr)
+    struct.pack_into("<H", hdr, 140, cur_rows)
+    blob = bytes(hdr) + struct.pack("<I", _lookup3(bytes(hdr)))
+    return blob + bytes(tail), ids, id_len
+
+
+def _write_hdf5_dense_group(
+    path: str,
+    mats: dict[str, np.ndarray],
+    *,
+    dtype: str = "<f4",
+    start_block_size: int = 512,
+    max_direct_size: int = 4096,
+    width: int = 4,
+    bt2_node_size: int = 512,
+    checksum_dblocks: bool = True,
+) -> None:
+    """Fixture writer for DENSE groups ('latest'-libver groups past the
+    compact-link bound): superblock v3, a root group whose Link Info
+    message points at a fractal heap of link messages + a type-5
+    name-index v2 B-tree, and one contiguous-layout dataset per entry.
+    The group-iteration machinery is the feature under test; datasets
+    stay contiguous to keep the fixture orthogonal to the chunk-index
+    tests."""
+    np_dt = np.dtype(dtype)
+    names = sorted(mats)
+    if not names:
+        raise ValueError("refusing to write an empty dense group")
+
+    def dset_hdr(mat: np.ndarray, data_addr: int) -> bytes:
+        n, dim = mat.shape
+        space = (bytes([2, 2, 1, 1]) + struct.pack("<QQ", n, dim)
+                 + struct.pack("<QQ", n, dim))
+        lay = (bytes([3, 1]) + struct.pack("<Q", data_addr)
+               + struct.pack("<Q", n * dim * np_dt.itemsize))
+        return _ohdr_v2_bytes([
+            (0x0001, space), (0x0003, _datatype_msg_body(np_dt)),
+            (0x0008, lay),
+        ])
+
+    root_addr = 48
+
+    def root_hdr(fh: int, bt: int) -> bytes:
+        li = bytes([0, 0]) + struct.pack("<QQ", fh, bt)
+        return _ohdr_v2_bytes([(0x0002, li)])
+
+    cur = root_addr + len(root_hdr(0, 0))
+    dset_addrs: dict[str, int] = {}
+    for nm in names:
+        dset_addrs[nm] = cur
+        cur += len(dset_hdr(mats[nm], 0))
+    cur = (cur + 7) & ~7
+    data_addrs: dict[str, int] = {}
+    for nm in names:
+        data_addrs[nm] = cur
+        cur += mats[nm].size * np_dt.itemsize
+    fh_addr = (cur + 7) & ~7
+    blobs = [
+        bytes([1, 0, len(nm.encode())]) + nm.encode()
+        + struct.pack("<Q", dset_addrs[nm])
+        for nm in names
+    ]
+    heap_blob, ids, id_len = _fheap_bytes(
+        fh_addr, blobs, start_size=start_block_size,
+        max_direct=max_direct_size, width=width,
+        checksum=checksum_dblocks,
+    )
+    bt2_addr = fh_addr + len(heap_blob)
+    recs = sorted(
+        struct.pack("<I", _lookup3(nm.encode())) + hid
+        for nm, hid in zip(names, ids)
+    )
+    bt2_blob = _bt2_tree_bytes(bt2_addr, recs, 4 + id_len, 5,
+                               bt2_node_size)
+    eof = bt2_addr + len(bt2_blob)
+    with open(path, "wb") as f:
+        sb = _SIG + bytes([3, 8, 8, 0])
+        sb += struct.pack("<QQQQ", 0, _UNDEF, eof, root_addr)
+        f.write(sb + struct.pack("<I", _lookup3(sb)))
+        f.write(root_hdr(fh_addr, bt2_addr))
+        for nm in names:
+            assert f.tell() == dset_addrs[nm]
+            f.write(dset_hdr(mats[nm], data_addrs[nm]))
+        f.write(b"\x00" * (data_addrs[names[0]] - f.tell()))
+        for nm in names:
+            assert f.tell() == data_addrs[nm]
+            f.write(mats[nm].astype(np_dt, copy=False).tobytes())
+        f.write(b"\x00" * (fh_addr - f.tell()))
+        f.write(heap_blob)
+        assert f.tell() == bt2_addr
+        f.write(bt2_blob)
+        assert f.tell() == eof
 
 
 def _read_dataset_matrix(path: str, d: Hdf5Dataset) -> np.ndarray:

@@ -891,7 +891,10 @@ def test_v4_roundtrip_property(tmp_path_factory, n, dim, cr, cc, idx,
     mat.flat[rng.integers(0, mat.size)] = np.nan
     kw = {}
     if small:
-        kw = {"fa_page_bits": 2, "ea_params": (32, 4, 4, 4, 3),
+        # ea page_bits 4: the smallest page that keeps index-block-
+        # direct data blocks unpaged (dmin * smin = 16 elements) —
+        # the writer refuses the paged-direct shape libhdf5 never emits
+        kw = {"fa_page_bits": 2, "ea_params": (32, 4, 4, 4, 4),
               "bt2_node_size": 256}
     p = str(tmp_path_factory.mktemp("h5v4") / "v.h5")
     _write_hdf5_matrix_v4(
@@ -902,3 +905,113 @@ def test_v4_roundtrip_property(tmp_path_factory, n, dim, cr, cc, idx,
     assert d.chunk_shape == (cr, cc)
     got = _read_dataset_matrix(p, d)
     assert got.tobytes() == mat.tobytes()
+
+
+# ------------------------------------------------- dense (r16) groups
+
+
+def _dense_mats(k, seed=3):
+    rng = np.random.default_rng(seed)
+    return {f"ds{i:03d}": rng.normal(size=(3 + i % 5, 4)).astype("<f4")
+            for i in range(k)}
+
+
+def test_dense_group_roundtrip_all_shapes(tmp_path):
+    """Dense-link groups (fractal heap + type-5 name index) across the
+    structural shapes: root direct block, doubled root, indirect root
+    over doubling-table rows, uncheck-summed blocks, and a multi-node
+    (depth>=1) name B-tree. Pre-r16 these files probed as EMPTY groups
+    — a silent misread of every dataset inside."""
+    from muopdb_spark.sources.hdf5 import (
+        _read_dataset_matrix,
+        _write_hdf5_dense_group,
+    )
+
+    cases = [
+        (6, {}),                                            # root direct
+        (40, {"start_block_size": 128, "max_direct_size": 512,
+              "width": 3}),                                 # indirect root
+        (40, {"checksum_dblocks": False, "start_block_size": 128,
+              "max_direct_size": 1024}),
+        (40, {"bt2_node_size": 128}),                       # deep name tree
+    ]
+    for k, kw in cases:
+        mats = _dense_mats(k)
+        p = str(tmp_path / "g.h5")
+        _write_hdf5_dense_group(p, mats, **kw)
+        meta = probe_hdf5(p)
+        assert set(meta) == set(mats), (kw, sorted(meta)[:3])
+        for nm, m in mats.items():
+            assert np.array_equal(_read_dataset_matrix(p, meta[nm]), m)
+
+
+def test_dense_group_spark_read(spark, tmp_path):
+    from muopdb_spark.sources.hdf5 import _write_hdf5_dense_group
+
+    mats = _dense_mats(12)
+    p = str(tmp_path / "g.h5")
+    _write_hdf5_dense_group(p, mats, start_block_size=128,
+                            max_direct_size=512)
+    back = read_hdf5_vectors(spark, p, dataset="ds007", rows_per_task=2)
+    got = np.array([r.embedding for r in back.orderBy("vec_id").collect()],
+                   dtype=np.float32)
+    assert np.array_equal(got, mats["ds007"])
+
+
+def test_dense_group_direct_block_corruption_detected(tmp_path):
+    from muopdb_spark.sources.hdf5 import _write_hdf5_dense_group
+
+    p = str(tmp_path / "g.h5")
+    _write_hdf5_dense_group(p, _dense_mats(6))
+    blob = bytearray(open(p, "rb").read())
+    at = blob.rindex(b"FHDB") + 30  # inside the link-message payload
+    blob[at] ^= 0xFF
+    open(p, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="checksum"):
+        probe_hdf5(p)
+
+
+def test_dense_group_huge_object_refused_by_name(tmp_path):
+    """Heap IDs of the huge/undefined types refuse by name (they need
+    the huge-object B-tree this fixture writer never emits)."""
+    from muopdb_spark.sources.hdf5 import (
+        _Parser,
+        _write_hdf5_dense_group,
+    )
+
+    p = str(tmp_path / "g.h5")
+    _write_hdf5_dense_group(p, _dense_mats(4))
+    parser = _Parser(p)
+    try:
+        # locate the heap through the real file, then probe the getter
+        blob = open(p, "rb").read()
+        fh = blob.index(b"FRHP")
+        getter = parser._fheap_getter(fh, "/")
+        with pytest.raises(NotImplementedError, match="huge"):
+            getter(bytes([0x20]) + b"\x00" * 6)
+        # tiny IDs carry their payload inline
+        assert getter(bytes([0x10 | 2]) + b"abc\x00\x00\x00") == b"abc"
+    finally:
+        parser.f.close()
+
+
+def test_dense_group_mutation_fuzz_only_named_refusals(tmp_path):
+    import random
+
+    from muopdb_spark.sources.hdf5 import _write_hdf5_dense_group
+
+    p = str(tmp_path / "g.h5")
+    _write_hdf5_dense_group(p, _dense_mats(25), start_block_size=128,
+                            max_direct_size=512)
+    full = open(p, "rb").read()
+    rng = random.Random(53)
+    mp = str(tmp_path / "m.h5")
+    for _ in range(250):
+        b = bytearray(full)
+        for _ in range(rng.randint(1, 6)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        open(mp, "wb").write(bytes(b))
+        try:
+            probe_hdf5(mp)
+        except (ValueError, NotImplementedError):
+            pass  # the only legal refusals
