@@ -1015,3 +1015,38 @@ def test_dense_group_mutation_fuzz_only_named_refusals(tmp_path):
             probe_hdf5(mp)
         except (ValueError, NotImplementedError):
             pass  # the only legal refusals
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(k=st.integers(1, 48), start=st.sampled_from([128, 256, 512]),
+       maxd=st.sampled_from([512, 1024, 4096]),
+       width=st.integers(2, 5), cs=st.booleans(),
+       node=st.sampled_from([128, 512]),
+       seed=st.integers(0, 2**32 - 1))
+def test_dense_group_roundtrip_property(tmp_path_factory, k, start, maxd,
+                                        width, cs, node, seed):
+    """Any link count across any heap geometry (root direct incl.
+    doubling, indirect roots, narrow widths, checksummed or not,
+    multi-node name trees) probes back every dataset bit-exactly."""
+    from muopdb_spark.sources.hdf5 import (
+        _read_dataset_matrix,
+        _write_hdf5_dense_group,
+    )
+
+    if maxd < start:
+        maxd = start
+    rng = np.random.default_rng(seed)
+    mats = {
+        f"d{i:04d}": rng.normal(size=(1 + i % 4, 3)).astype("<f4")
+        for i in range(k)
+    }
+    p = str(tmp_path_factory.mktemp("h5dg") / "g.h5")
+    _write_hdf5_dense_group(
+        p, mats, start_block_size=start, max_direct_size=maxd,
+        width=width, checksum_dblocks=cs, bt2_node_size=node,
+    )
+    meta = probe_hdf5(p)
+    assert set(meta) == set(mats)
+    for nm, m in mats.items():
+        assert np.array_equal(_read_dataset_matrix(p, meta[nm]), m)
