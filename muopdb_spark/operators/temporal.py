@@ -136,8 +136,14 @@ def range_count_join(
     cond = (F.col(RUS) >= F.col(US) - F.lit(window_us)) & (
         F.col(RUS) < F.col(US)
     )
+    # the count is a function of (keys, ts) alone — DISTINCT the probe
+    # side before the candidate join (r16 review fix: duplicate left
+    # rows each joined every candidate, so two rows sharing (key, ts)
+    # both reported DOUBLE their true count; dedup also shrinks the
+    # join's left side for free)
     counts = (
-        lb.select(*keys, US, B).join(rb, on=[*keys, B]).filter(cond)
+        lb.select(*keys, US, B).distinct()
+        .join(rb, on=[*keys, B]).filter(cond)
         .groupBy(*keys, US)
         .agg(F.count("*").alias(count_alias))
     )

@@ -111,3 +111,26 @@ def test_plans_are_equi_joins(quotes, trades):
     for df in (a, r):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_range_count_duplicate_left_rows_not_inflated(spark):
+    """r16 review fix: two left rows sharing (key, ts) each joined
+    every candidate before the aggregate, so both reported DOUBLE
+    their true in-range count."""
+    import pyspark.sql.functions as F
+
+    from muopdb_spark.operators.temporal import range_count_join
+
+    left = spark.createDataFrame(
+        [(1, 1_000_000), (1, 1_000_000), (1, 3_000_000)],
+        "uid long, us long",
+    ).select("uid", F.timestamp_micros("us").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, 500_000), (1, 900_000)], "uid long, us long"
+    ).select("uid", F.timestamp_micros("us").alias("ts"))
+    out = range_count_join(left, right, keys=["uid"], window_us=1_000_000)
+    got = sorted(
+        (r["us"], r["n_in_range"])
+        for r in out.withColumn("us", F.unix_micros("ts")).collect()
+    )
+    assert got == [(1_000_000, 2), (1_000_000, 2), (3_000_000, 0)]
