@@ -62,7 +62,19 @@ def salted_join(
     """Skewed equi-join: salt the big side deterministically, replicate
     the small side once per salt value, join on (key, salt). Identical
     result set to big.join(small, on); the hot key fans out over
-    `buckets` tasks instead of one straggler."""
+    `buckets` tasks instead of one straggler.
+
+    Only inner/left/semi/anti joins are equivalent under salting: an
+    outer-preserved SMALL side would surface every unmatched small row
+    once PER SALT (r16 review: refused by name instead of silently
+    multiplying rows)."""
+    if how not in ("inner", "left", "leftouter", "left_outer",
+                   "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — replicating the "
+            "small side breaks right/full-outer semantics (unmatched "
+            "small rows would appear once per salt)"
+        )
     big_salted = with_salt(big, [c for c in big.columns], buckets)
     salts = F.array(*[F.lit(i) for i in range(buckets)])
     small_rep = small.withColumn("_salt", F.explode(salts))

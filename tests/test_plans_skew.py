@@ -82,3 +82,20 @@ def test_salted_join_matches_plain(skewed, spark):
     plain = sorted((r["id"], r["label"]) for r in skewed.join(dim, "key").collect())
     salted = sorted((r["id"], r["label"]) for r in salted_join(skewed, dim, "key", buckets=4).collect())
     assert salted == plain
+
+
+def test_salted_join_refuses_outer_preserved_small_side(spark):
+    """r16 review: replicating the small side per salt makes an
+    unmatched right/full-outer row appear once per salt — refused by
+    name instead of silently multiplying rows."""
+    import pytest
+
+    from muopdb_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "a")], "k long, v string")
+    small = spark.createDataFrame([(2, "x")], "k long, w string")
+    with pytest.raises(ValueError, match="per salt"):
+        salted_join(big, small, "k", how="full_outer")
+    # the equivalence-safe forms still work
+    assert salted_join(big, small, "k", how="left").count() == 1
+    assert salted_join(big, small, "k", how="inner").count() == 0
