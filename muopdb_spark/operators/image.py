@@ -295,13 +295,30 @@ def as_rgb_u8(arr: np.ndarray, who: str) -> np.ndarray:
 
 
 def to_gray(img: np.ndarray) -> np.ndarray:
-    """Luma (ITU-R BT.601) as float64; alpha channels are dropped."""
+    """Luma (ITU-R BT.601) as float64; alpha channels are dropped.
+
+    Achromatic RGB (R==G==B everywhere — e.g. any gray image coming
+    back through a palette codec as 3 channels) returns the channel
+    VERBATIM: elementwise luma of equal channels is v*(0.299+0.587+
+    0.114), which is not exactly v in float64, and that rounding is
+    what broke dHash's exact brightness-shift invariance on
+    gray-through-GIF content (m8, r16). The chromatic path computes
+    the weighted sum with elementwise ufuncs in a fixed order rather
+    than `rgb @ weights`: matmul may dispatch to BLAS, whose
+    reduction order/FMA use varies by build, and fingerprints must
+    not depend on the host's BLAS."""
     if img.ndim == 2:
         return img.astype(np.float64)
     if img.shape[2] == 2:  # gray + alpha
         return img[:, :, 0].astype(np.float64)
-    rgb = img[:, :, :3].astype(np.float64)
-    return rgb @ np.array([0.299, 0.587, 0.114])
+    r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+    if np.array_equal(r, g) and np.array_equal(r, b):
+        return r.astype(np.float64)
+    return (
+        0.299 * r.astype(np.float64)
+        + 0.587 * g.astype(np.float64)
+        + 0.114 * b.astype(np.float64)
+    )
 
 
 def _overlap_weights(n_in: int, n_out: int) -> np.ndarray:
