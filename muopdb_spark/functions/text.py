@@ -202,10 +202,34 @@ def stem_word(word: str, language: str = "english") -> str:
     return fn(word.lower()) if fn is not None else word.lower()
 
 
+# Per-language token->stem memo, MODULE level (r16): corpus
+# vocabulary is Zipfian, and this module is importable on executors,
+# so the cache survives across Arrow batches and — with the default
+# spark.python.worker.reuse — across tasks of later jobs too (guide
+# §4.5). Stemmers are pure functions of the token, so entries can
+# never go stale; size is bounded by the corpus vocabulary. The
+# previous shape rebuilt the memo per batch (fixed-language UDF) or
+# had none at all (english / per-row-language UDFs).
+_STEM_MEMO: dict[str, dict[str, str]] = {}
+
+
+def _memo_stemmer(language: str, fn):
+    memo = _STEM_MEMO.setdefault(language, {})
+
+    def stem(t: str) -> str:
+        s = memo.get(t)
+        if s is None:
+            s = memo[t] = fn(t)
+        return s
+
+    return stem
+
+
 @pandas_udf(ArrayType(StringType()))
 def stem_tokens_udf(tokens: pd.Series) -> pd.Series:
     """Arrow-batched stemmer over an array<string> column (english)."""
-    return tokens.map(lambda ts: None if ts is None else [porter_stem(t) for t in ts])
+    stem = _memo_stemmer("english", porter_stem)
+    return tokens.map(lambda ts: None if ts is None else [stem(t) for t in ts])
 
 
 _STEM_UDF_CACHE: dict[str, object] = {"english": stem_tokens_udf, "en": stem_tokens_udf}
@@ -222,17 +246,10 @@ def stem_tokens_udf_for(language: str):
 
             @pandas_udf(ArrayType(StringType()))
             def _udf(tokens: pd.Series) -> pd.Series:
-                # corpus vocabulary is Zipfian: memoize per-token stems
-                # across the whole batch (executor-local, unbounded is
-                # safe — vocab is bounded by the corpus, not the rows)
-                memo: dict[str, str] = {}
-
-                def stem(t: str) -> str:
-                    s = memo.get(t)
-                    if s is None:
-                        s = memo[t] = fn(t)
-                    return s
-
+                # corpus vocabulary is Zipfian: memoize per-token
+                # stems in the module-level cache (r16 — survives
+                # across batches and reused workers, see _STEM_MEMO)
+                stem = _memo_stemmer(language, fn)
                 return tokens.map(
                     lambda ts: None if ts is None else [stem(t) for t in ts]
                 )
@@ -248,12 +265,17 @@ def stem_tokens_by_lang_udf(tokens: pd.Series, lang: pd.Series) -> pd.Series:
     of how many languages the corpus mixes — the scale shape for a
     multilingual 100 TB corpus (vs. one filtered job per language)."""
     out = []
+    stemmers: dict[str, object] = {}
     for ts, lg in zip(tokens, lang):
         if ts is None:
             out.append(None)
             continue
-        fn = _stemmer_for((lg or "").lower())
-        out.append([fn(t) for t in ts] if fn is not None else list(ts))
+        key = (lg or "").lower()
+        if key not in stemmers:
+            fn = _stemmer_for(key)
+            stemmers[key] = _memo_stemmer(key, fn) if fn is not None else None
+        stem = stemmers[key]
+        out.append([stem(t) for t in ts] if stem is not None else list(ts))
     return pd.Series(out, index=tokens.index)
 
 

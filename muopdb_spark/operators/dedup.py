@@ -783,24 +783,30 @@ def soft_dedup_weights(
     Output: (id_col, n_grams, soft_weight); docs too short to shingle
     (< n tokens) carry weight 1.0.
 
-    Scale (100 TB): the df table is ONE aggregate over the distinct
-    (doc, gram) stream — map-side combine collapses each partition's
-    repeats before the shuffle, and the table is vocabulary-sized, not
-    corpus-sized. Grams ride as BINARY(16) md5 so the two shuffles
-    (df count, score join-back) never carry gram text. The join-back
-    is gram-keyed with AQE free to broadcast the df table; the final
-    doc-keyed mean is again a partial-agg aggregate. Same proven
-    shape as the exact-substring stats pass (operators/substring.py).
+    Scale (100 TB): ONE shingle pass over the corpus — each gram's
+    document frequency is a count window over the gram-hash partition
+    (r16; the earlier groupBy-df + join-back form shingled the corpus
+    TWICE, once per side of the self-join, and paid an extra
+    gram-keyed exchange for the join — guide §2.4). Grams ride as
+    BINARY(16) md5 so the single gram-keyed shuffle never carries
+    gram text; the per-doc mean is a partial-agg aggregate over the
+    windowed stream. A giant hot gram makes one window partition
+    large, but the window computes only count(*) over it (no
+    order-by, whole-partition frame), the same skew exposure the df
+    join-back had.
     """
+    from pyspark.sql import Window
+
     g = (
         shingle_df(df, text_col=text_col, id_col=id_col, n=n)
         .select("id", F.explode("sh").alias("gram"))
         .select("id", F.unhex(F.md5("gram")).alias("gh"))
     )
-    dfreq = g.groupBy("gh").agg(F.count("*").cast("long").alias("df"))
+    with_df = g.select(
+        "id", F.count("*").over(Window.partitionBy("gh")).alias("df")
+    )
     sc = (
-        g.join(dfreq, "gh")
-        .groupBy("id")
+        with_df.groupBy("id")
         .agg(
             F.count("*").cast("long").alias("n_grams"),
             F.avg(F.log(F.col("df"))).alias("_m"),

@@ -602,6 +602,14 @@ def _parse_tounicode(plain: bytes) -> dict[int, str]:
     return out
 
 
+# WinAnsi base table, built once: _Font.__init__ used to re-decode
+# all 256 code points per font instance (~500 charmap_decode calls
+# per document — 17% of the warm pdf3 profile, r16)
+_CP1252_BASE = tuple(
+    bytes([i]).decode("cp1252", "replace") for i in range(256)
+)
+
+
 class _Font:
     """Decoder from show-string bytes to unicode for one font."""
 
@@ -621,9 +629,7 @@ class _Font:
         # simple font: 256-entry table — WinAnsi(cp1252) base (the
         # StandardEncoding differences that matter for text are
         # covered by /Differences in real files), then /Differences
-        table = [
-            bytes([i]).decode("cp1252", "replace") for i in range(256)
-        ]
+        table = list(_CP1252_BASE)
         enc = doc.resolve(fd.get("Encoding"))
         if isinstance(enc, dict):
             diffs = doc.resolve(enc.get("Differences")) or []

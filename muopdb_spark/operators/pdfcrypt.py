@@ -8,7 +8,10 @@ close-out of the pdf.py encryption refusal (the reference engine has
 no PDF support; this module is brief-driven acquisition like pdf.py
 itself).
 
-Everything is pure Python over the public specs:
+Everything is implemented from the public specs (with an OpenSSL
+fast path for the two standard ciphers — see the `_OPENSSL` note
+below; the pure-Python renditions remain the reference and the
+fallback):
 
   - RC4 (the original spec'd cipher; unit-pinned against the
     RFC 6229 test vectors),
@@ -37,6 +40,42 @@ from __future__ import annotations
 import hashlib
 import struct
 
+# OpenSSL fast path (guide §4.2: hand bulk byte work to native code).
+# RC4 and AES are fully specified ciphers, so the OpenSSL output is
+# bit-identical to the pure-Python reference implementations below —
+# which stay as the documented spec renditions, remain pinned against
+# the RFC 6229 / FIPS-197 vectors (tests force `_OPENSSL = None` to
+# exercise them), and serve as the fallback when the `cryptography`
+# wheel is absent or a key size falls outside OpenSSL's RC4 whitelist
+# (the RFC test vectors use 3-4 byte keys; PDF itself only ever
+# derives 5/10/16-byte RC4 keys, all accepted). Measured (r16): the
+# pure-Python AES T-table core runs ~27 us/block, OpenSSL ~0.3 ns —
+# ~95x on CBC streams — which collapses Algorithm 2.B's >8k block
+# encryptions per R6 key derivation from ~0.66 s to <2 ms per call.
+try:
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher as _OsslCipher,
+        modes as _ossl_modes,
+    )
+    from cryptography.hazmat.primitives.ciphers.algorithms import (
+        AES as _OsslAES,
+    )
+
+    try:  # cryptography >= 43 parks RC4 under "decrepit"
+        from cryptography.hazmat.decrepit.ciphers.algorithms import (
+            ARC4 as _OsslARC4,
+        )
+    except ImportError:  # pragma: no cover - older wheels
+        from cryptography.hazmat.primitives.ciphers.algorithms import (
+            ARC4 as _OsslARC4,
+        )
+
+    _OPENSSL = True
+    _ARC4_KEY_BITS = frozenset(_OsslARC4.key_sizes)
+except ImportError:  # pragma: no cover - pure-Python fallback
+    _OPENSSL = None
+    _ARC4_KEY_BITS = frozenset()
+
 # §7.6.3.3 Algorithm 2, step a: the 32-byte padding string
 PAD = bytes(
     (
@@ -53,6 +92,9 @@ PAD = bytes(
 
 def rc4(key: bytes, data: bytes) -> bytes:
     """RC4 (KSA + PRGA). Symmetric: encrypt == decrypt."""
+    if _OPENSSL and len(key) * 8 in _ARC4_KEY_BITS:
+        enc = _OsslCipher(_OsslARC4(key), mode=None).encryptor()
+        return enc.update(data) + enc.finalize()
     S = list(range(256))
     j = 0
     kl = len(key)
@@ -248,6 +290,9 @@ def _decrypt_block(block: bytes, dw: list[int], nr: int) -> bytes:
 
 
 def aes_ecb_encrypt(key: bytes, data: bytes) -> bytes:
+    if _OPENSSL and len(key) in (16, 24, 32):
+        enc = _OsslCipher(_OsslAES(key), _ossl_modes.ECB()).encryptor()
+        return enc.update(data) + enc.finalize()
     rk = _expand_key(key)
     nr = len(key) // 4 + 6
     return b"".join(
@@ -257,6 +302,9 @@ def aes_ecb_encrypt(key: bytes, data: bytes) -> bytes:
 
 
 def aes_ecb_decrypt(key: bytes, data: bytes) -> bytes:
+    if _OPENSSL and len(key) in (16, 24, 32):
+        dec = _OsslCipher(_OsslAES(key), _ossl_modes.ECB()).decryptor()
+        return dec.update(data) + dec.finalize()
     dw = _dec_schedule(_expand_key(key), len(key) // 4 + 6)
     nr = len(key) // 4 + 6
     return b"".join(
@@ -269,6 +317,11 @@ def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     """CBC, NO padding (callers pad; Algorithm 2.B needs exact)."""
     if len(data) % 16:
         raise ValueError("aes-cbc: data not block-aligned")
+    if _OPENSSL and len(key) in (16, 24, 32) and len(iv) == 16:
+        enc = _OsslCipher(
+            _OsslAES(key), _ossl_modes.CBC(iv)
+        ).encryptor()
+        return enc.update(data) + enc.finalize()
     rk = _expand_key(key)
     nr = len(key) // 4 + 6
     out = bytearray()
@@ -284,6 +337,11 @@ def aes_cbc_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     """CBC, NO unpadding."""
     if len(data) % 16:
         raise ValueError("aes-cbc: data not block-aligned")
+    if _OPENSSL and len(key) in (16, 24, 32) and len(iv) == 16:
+        dec = _OsslCipher(
+            _OsslAES(key), _ossl_modes.CBC(iv)
+        ).decryptor()
+        return dec.update(data) + dec.finalize()
     nr = len(key) // 4 + 6
     dw = _dec_schedule(_expand_key(key), nr)
     out = bytearray()

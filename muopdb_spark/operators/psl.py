@@ -191,19 +191,29 @@ def with_registered_domain(
     # candidate suffixes: last i labels, equi-joined against the
     # broadcast rules table. Suffix keys are unique in the rules
     # table, so each join preserves row count.
+    #
+    # r16 (guide §2.4/§7.3): all five joins probe the SAME rules
+    # relation, so broadcast ONE subtree and rename the rule columns
+    # ABOVE each join instead of below the exchange. With per-join
+    # aliases under the exchange the five BroadcastExchange subtrees
+    # canonicalized differently — the 10k-row local relation was
+    # planned, serialized and broadcast five times per query; with the
+    # shared subtree Catalyst's exchange reuse collapses joins 2-5
+    # into ReusedExchange nodes (plan-audited in plans/r16/), and the
+    # plan carries ONE copy of the embedded rules data instead of
+    # five.
+    r_shared = F.broadcast(rules)
     for i in range(1, MAX_RULE_LABELS + 1):
         cand = F.when(
             nlab >= i, F.substring_index(F.col(tmp), ".", -i)
         ).otherwise(F.lit(None))
-        r = F.broadcast(
-            rules.select(
-                F.col("suffix").alias(f"_s{i}"),
-                F.col("exact").alias(f"_exact{i}"),
-                F.col("wild").alias(f"_wild{i}"),
-                F.col("exc").alias(f"_exc{i}"),
-            )
+        r = r_shared.alias(f"_r{i}")
+        out = out.join(
+            r, cand == F.col(f"_r{i}.suffix"), "left"
+        ).withColumnsRenamed(
+            {"suffix": f"_s{i}", "exact": f"_exact{i}",
+             "wild": f"_wild{i}", "exc": f"_exc{i}"}
         )
-        out = out.join(r, cand == F.col(f"_s{i}"), "left")
 
     # public-suffix label count of the prevailing rule:
     #  - an exception rule at candidate length i prevails outright,

@@ -71,13 +71,25 @@ def bm25_scores(
     tf = exploded.groupBy("id", "term").agg(
         F.count("*").alias("tf"), F.first("dl").alias("dl")
     )
-    df_t = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    # per-term document frequency: tf has exactly one row per
+    # (id, term), so count(*) over the term partition IS
+    # countDistinct(id) — as a window it reuses the rows already in
+    # hand instead of the earlier groupBy + join-back, which planned
+    # the scan->explode->aggregate subtree TWICE (once per side of
+    # the self-join; guide §2.4 — r16, same rewrite as
+    # soft_dedup_weights). Partition size is bounded by the matching
+    # doc count for one query term; corpus-scale serving goes through
+    # the term-index path (i2) anyway.
+    from pyspark.sql.window import Window
+
     idf = F.log(
         F.lit(1.0)
         + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
     per_term = (
-        tf.join(F.broadcast(df_t), "term")
+        tf.withColumn(
+            "df", F.count("*").over(Window.partitionBy("term"))
+        )
         .withColumn(
             "s",
             idf

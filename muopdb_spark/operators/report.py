@@ -98,7 +98,14 @@ def source_report(
     out = per.groupBy(source_col).agg(*aggs)
 
     if lang_col:
-        lc = per.groupBy(source_col, lang_col).agg(
+        # language stats need only (source, lang) — read them off the
+        # bare projection, not `per`: a second consumer of `per` would
+        # plan the whole quality/dedup/contamination join subtree
+        # TWICE (guide §2.4), and every joined side is row-preserving
+        # (qf/ed are per-doc projections/windows, cont is a left
+        # join), so base and per carry the same (source, lang)
+        # multiset (r16).
+        lc = base.groupBy(source_col, lang_col).agg(
             F.count("*").cast("long").alias("_cnt")
         )
         w = Window.partitionBy(source_col).orderBy(

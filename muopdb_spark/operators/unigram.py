@@ -276,6 +276,10 @@ def unigram_train(
     )
 
 
+# word -> pieces, per (max_piece_len, vocab) — see unigram_apply
+_UNIGRAM_WORD_CACHE: dict[tuple, dict[str, list]] = {}
+
+
 def unigram_apply(
     df: DataFrame,
     logp: dict[str, float],
@@ -286,17 +290,21 @@ def unigram_apply(
 ) -> DataFrame:
     """Append ``out_col`` (array<string>): the Viterbi piece stream of
     ``text_col`` under the fitted vocabulary. Map-side only — Arrow
-    pandas_udf, piece table in the closure, per-batch word cache."""
+    pandas_udf, piece table in the closure; the word cache lives at
+    module level keyed by the vocabulary itself (r16 — survives
+    across Arrow batches and reused workers instead of being rebuilt
+    per batch; guide §4.5, same shape as vocab._BPE_WORD_CACHE)."""
     import pandas as pd
 
     table = dict(logp)
     mpl = int(max_piece_len)
+    ckey = (mpl,) + tuple(sorted(table.items()))
 
     @F.pandas_udf("array<array<string>>")
     def encode(col):
         import re
 
-        cache: dict[str, list[str]] = {}
+        cache = _UNIGRAM_WORD_CACHE.setdefault(ckey, {})
 
         def enc(w: str) -> list[str]:
             got = cache.get(w)

@@ -314,6 +314,10 @@ def bpe_train(
     return bpe_train_on_words({r["token"]: r["count"] for r in rows}, num_merges)
 
 
+# word -> subwords, per merge list (see bpe_apply docstring)
+_BPE_WORD_CACHE: dict[tuple, dict[str, list]] = {}
+
+
 def bpe_apply(
     df: DataFrame,
     merges: list[tuple[str, str]],
@@ -323,10 +327,15 @@ def bpe_apply(
 ) -> DataFrame:
     """Append `out_col` (array<string>): the BPE-encoded subword stream
     of `text_col` under the ordered merge list. Map-side only — Arrow
-    pandas_udf, merge ranks in the closure, per-batch word cache."""
+    pandas_udf, merge ranks in the closure; the word cache lives at
+    module level keyed by the merge list itself (r16 — the corpus
+    vocabulary is Zipfian and the module is importable on executors,
+    so with worker reuse the cache survives across batches AND tasks
+    instead of being rebuilt per Arrow batch; guide §4.5)."""
     import pandas as pd
 
     ranks = {tuple(p): i for i, p in enumerate(merges)}
+    ckey = tuple(map(tuple, merges))
 
     # no type annotations: this module uses `from __future__ import
     # annotations`, which stringizes hints pyspark cannot resolve here
@@ -334,7 +343,7 @@ def bpe_apply(
     def encode(col):
         import re
 
-        cache: dict[str, list[str]] = {}
+        cache = _BPE_WORD_CACHE.setdefault(ckey, {})
 
         def enc(w: str) -> list[str]:
             got = cache.get(w)

@@ -300,3 +300,65 @@ def test_cfm_selector_resolves_indirect():
     h2 = open_standard(enc, b"\x04" * 16, resolve)
     ct = h.encrypt_stream(5, 0, b"payload", iv=bytes(16))
     assert h2.decrypt_stream(5, 0, ct) == b"payload"
+
+
+# ------------------------------ OpenSSL fast path (r16 optimization)
+
+
+def test_openssl_and_pure_python_paths_agree(monkeypatch):
+    """r16: rc4/aes_* delegate to OpenSSL when the `cryptography`
+    wheel is present (guide §4.2 — native bulk byte work; measured
+    ~95x on CBC). Both standard ciphers are fully specified, so the
+    two paths must be BIT-IDENTICAL on every PDF-reachable key size;
+    this pin forces the pure-Python rendition and compares."""
+    import random
+
+    from muopdb_spark.operators import pdfcrypt as pc
+
+    if not pc._OPENSSL:
+        pytest.skip("cryptography wheel not installed")
+    rng = random.Random(0xC0FFEE)
+
+    def rand(n: int) -> bytes:
+        return bytes(rng.getrandbits(8) for _ in range(n))
+
+    cases = []  # (fn args) computed with OpenSSL enabled
+    for klen in (5, 10, 16):  # PDF RC4 keys: 40-bit, obj (n+5), 128
+        key, data = rand(klen), rand(333)
+        cases.append(("rc4", key, None, data, pc.rc4(key, data)))
+    for klen in (16, 24, 32):
+        key, iv = rand(klen), rand(16)
+        data = rand(25 * 16)
+        cases.append(
+            ("ecb_e", key, None, data, pc.aes_ecb_encrypt(key, data)))
+        cases.append(("cbc_e", key, iv, data,
+                      pc.aes_cbc_encrypt(key, iv, data)))
+        ct = pc.aes_cbc_encrypt(key, iv, data)
+        cases.append(("cbc_d", key, iv, ct,
+                      pc.aes_cbc_decrypt(key, iv, ct)))
+        cases.append(("ecb_d", key, None, pc.aes_ecb_encrypt(key, data),
+                      pc.aes_ecb_decrypt(key, pc.aes_ecb_encrypt(key, data))))
+
+    monkeypatch.setattr(pc, "_OPENSSL", None)
+    fns = {"rc4": lambda k, iv, d: pc.rc4(k, d),
+           "ecb_e": lambda k, iv, d: pc.aes_ecb_encrypt(k, d),
+           "ecb_d": lambda k, iv, d: pc.aes_ecb_decrypt(k, d),
+           "cbc_e": pc.aes_cbc_encrypt,
+           "cbc_d": pc.aes_cbc_decrypt}
+    for name, key, iv, data, expected in cases:
+        assert fns[name](key, iv, data) == expected, name
+
+
+def test_pure_python_fallback_still_passes_vectors(monkeypatch):
+    """The spec renditions stay pinned even where the OpenSSL path
+    now serves the suite's other calls."""
+    from muopdb_spark.operators import pdfcrypt as pc
+
+    monkeypatch.setattr(pc, "_OPENSSL", None)
+    assert pc.rc4(b"Key", b"Plaintext").hex().upper() == \
+        "BBF316E8D940AF0AD3"
+    k = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = pc.aes_ecb_encrypt(k, pt)
+    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    assert pc.aes_ecb_decrypt(k, ct) == pt
