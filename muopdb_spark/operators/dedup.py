@@ -786,14 +786,20 @@ def soft_dedup_weights(
     Scale (100 TB): ONE shingle pass over the corpus — each gram's
     document frequency is a count window over the gram-hash partition
     (r16; the earlier groupBy-df + join-back form shingled the corpus
-    TWICE, once per side of the self-join, and paid an extra
-    gram-keyed exchange for the join — guide §2.4). Grams ride as
-    BINARY(16) md5 so the single gram-keyed shuffle never carries
-    gram text; the per-doc mean is a partial-agg aggregate over the
-    windowed stream. A giant hot gram makes one window partition
-    large, but the window computes only count(*) over it (no
-    order-by, whole-partition frame), the same skew exposure the df
-    join-back had.
+    TWICE, once per side of the self-join, and at corpus scale — df
+    table past broadcast size — paid a SECOND gram-keyed shuffle of
+    the stream for the join). Grams ride as BINARY(16) md5 so the
+    single gram-keyed shuffle never carries gram text; the per-doc
+    mean is a partial-agg aggregate over the windowed stream.
+
+    Skew trade, stated honestly: a boilerplate gram present in c docs
+    makes one window partition of c rows, and unlike a join AQE
+    cannot split a window partition — but the window computes only
+    count(*) (no order-by), WindowExec spills, and the join-back
+    alternative concentrates the same hot gram into one join
+    partition anyway once df_t exceeds broadcast size. If a corpus's
+    hottest gram dominates wall time, pre-aggregate per (gh, salt)
+    and sum — the two-level-aggregation escape (guide §2.5).
     """
     from pyspark.sql import Window
 

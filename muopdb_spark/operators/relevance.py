@@ -72,24 +72,21 @@ def bm25_scores(
         F.count("*").alias("tf"), F.first("dl").alias("dl")
     )
     # per-term document frequency: tf has exactly one row per
-    # (id, term), so count(*) over the term partition IS
-    # countDistinct(id) — as a window it reuses the rows already in
-    # hand instead of the earlier groupBy + join-back, which planned
-    # the scan->explode->aggregate subtree TWICE (once per side of
-    # the self-join; guide §2.4 — r16, same rewrite as
-    # soft_dedup_weights). Partition size is bounded by the matching
-    # doc count for one query term; corpus-scale serving goes through
-    # the term-index path (i2) anyway.
-    from pyspark.sql.window import Window
-
+    # (id, term), so count over term would also work as a window —
+    # but the window key is the QUERY TERM LIST (cardinality = a
+    # handful), so every matching row would funnel into <= |terms|
+    # window partitions: a parallelism collapse at scale (guide
+    # §2.5 — considered and rejected r16). The groupBy + broadcast
+    # join-back keeps the df table tiny (one row per query term) and
+    # the tf rows fully parallel; the re-planned tf subtree is the
+    # lesser cost.
+    df_t = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
     idf = F.log(
         F.lit(1.0)
         + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
     per_term = (
-        tf.withColumn(
-            "df", F.count("*").over(Window.partitionBy("term"))
-        )
+        tf.join(F.broadcast(df_t), "term")
         .withColumn(
             "s",
             idf
