@@ -206,8 +206,20 @@ def _index_entries(spark: SparkSession, warc_dir: str) -> DataFrame:
                     )
         if not spec_rows:
             return spark.createDataFrame([], _ENTRY_SCHEMA)
+        # pandas -> Arrow createDataFrame: one spec row per record,
+        # the tuple path converts row-by-row on the driver (r16, same
+        # fix as sources/warc.py read_warc)
         spec = spark.createDataFrame(
-            spec_rows, "file string, offset long, length long"
+            _pd.DataFrame(
+                {
+                    "file": [r[0] for r in spec_rows],
+                    "offset": _pd.Series(
+                        [r[1] for r in spec_rows], dtype="int64"),
+                    "length": _pd.Series(
+                        [r[2] for r in spec_rows], dtype="int64"),
+                }
+            ),
+            "file string, offset long, length long",
         ).repartition(
             max(spark.sparkContext.defaultParallelism, len(files)),
             "file", "offset",

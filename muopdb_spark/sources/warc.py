@@ -483,9 +483,22 @@ def read_warc(
         if not spec_rows:
             return spark.createDataFrame([], READ_SCHEMA)
         # group contiguous runs so a task does ~one seek per batch of
-        # records instead of one file-open per record
+        # records instead of one file-open per record. The spec goes
+        # through pandas so createDataFrame takes the Arrow path (r16,
+        # guide §6): the tuple path converts row-by-row on the driver,
+        # which at one spec row PER RECORD is the scan's driver-side
+        # hot spot (the PSL table had the same failure mode).
         spec = spark.createDataFrame(
-            spec_rows, "file string, offset long, length long"
+            _pd.DataFrame(
+                {
+                    "file": [r[0] for r in spec_rows],
+                    "offset": _pd.Series(
+                        [r[1] for r in spec_rows], dtype="int64"),
+                    "length": _pd.Series(
+                        [r[2] for r in spec_rows], dtype="int64"),
+                }
+            ),
+            "file string, offset long, length long",
         )
         par = max(
             spark.sparkContext.defaultParallelism,
