@@ -96,9 +96,19 @@ def _skip_ws(data: bytes, pos: int) -> int:
     return pos
 
 
+# regular-name fast path: every byte up to the next whitespace/delim,
+# stopping at '#' so hex escapes fall to the slow loop
+_NAME_RUN_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%#]*")
+
+
 def _parse_name(data: bytes, pos: int) -> tuple[_Name, int]:
     pos += 1  # '/'
-    out = bytearray()
+    m = _NAME_RUN_RE.match(data, pos)
+    end = m.end()
+    if end >= len(data) or data[end] != 0x23:  # no #xx escape (common)
+        return _Name(m.group(0).decode("latin-1")), end
+    out = bytearray(m.group(0))
+    pos = end
     n = len(data)
     while pos < n:
         c = data[pos]
@@ -174,6 +184,12 @@ def _parse_hex_string(data: bytes, pos: int) -> tuple[bytes, int]:
 
 _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
 _REF_RE = re.compile(rb"(\d+)\s+(\d+)\s+R(?![a-zA-Z0-9])")
+# one probe for both token kinds: group 1 is a plain unsigned integer
+# followed by the `G R` indirect-reference tail, else group 3 is a
+# bare number — same accepted language as _REF_RE then _NUM_RE
+_NUM_OR_REF_RE = re.compile(
+    rb"(\d+)\s+(\d+)\s+R(?![a-zA-Z0-9])|([+-]?(?:\d+\.?\d*|\.\d+))"
+)
 
 
 def parse_object(data: bytes, pos: int, depth: int = 0):
@@ -184,6 +200,8 @@ def parse_object(data: bytes, pos: int, depth: int = 0):
     if pos >= len(data):
         raise PdfError("pdf: unexpected end of data")
     c = data[pos]
+    if c == 0x2F:  # '/' name — the most common token kind
+        return _parse_name(data, pos)
     if data.startswith(b"<<", pos):
         pos += 2
         out: dict[str, object] = {}
@@ -209,16 +227,13 @@ def parse_object(data: bytes, pos: int, depth: int = 0):
                 return arr, pos + 1
             v, pos = parse_object(data, pos, depth + 1)
             arr.append(v)
-    if c == 0x2F:
-        return _parse_name(data, pos)
     if c == 0x28:
         return _parse_literal_string(data, pos)
-    m = _REF_RE.match(data, pos)
+    m = _NUM_OR_REF_RE.match(data, pos)
     if m:
-        return _Ref(int(m.group(1)), int(m.group(2))), m.end()
-    m = _NUM_RE.match(data, pos)
-    if m:
-        s = m.group(0)
+        s = m.group(3)
+        if s is None:
+            return _Ref(int(m.group(1)), int(m.group(2))), m.end()
         val = float(s) if b"." in s else int(s)
         return val, m.end()
     for kw, v in ((b"true", True), (b"false", False), (b"null", None)):

@@ -52,6 +52,29 @@ def test_parse_objects():
         parse_object(b"(unterminated", 0)
 
 
+def test_parse_name_lexer_edges():
+    # fast path: name runs to end-of-data (no terminator byte)
+    obj, end = parse_object(b"/Type", 0)
+    assert obj == "Type" and end == 5
+    # fast path stops at every delimiter class and at whitespace
+    for term in (b"/", b"(", b"<", b"[", b"{", b"%", b" ", b"\n", b"]"):
+        obj, end = parse_object(b"/Font" + term, 0)
+        assert obj == "Font" and end == 5, term
+    # escape path: multiple #xx escapes mixed into one name
+    assert parse_object(b"/A#42#2FC d", 0)[0] == "AB/C"
+    # trailing incomplete escape (#x at end) keeps the literal bytes
+    assert parse_object(b"/N#4", 0)[0] == "N#4"
+    # empty name (bare '/') parses to the empty string
+    obj, end = parse_object(b"/ 1", 0)
+    assert obj == "" and end == 1
+    # fused number/ref probe: 'R' followed by an alnum is NOT a ref
+    obj, end = parse_object(b"5 0 RG", 0)
+    assert obj == 5 and end == 1
+    # ...but a ref terminated by a delimiter is
+    ref, _ = parse_object(b"5 0 R/Next", 0)
+    assert ref.num == 5 and ref.gen == 0
+
+
 def test_tounicode_bfchar_and_bfrange():
     cmap = _parse_tounicode(
         b"beginbfchar <01> <0041> <02> <00660066> endbfchar\n"
