@@ -251,21 +251,29 @@ def with_registered_domain(
     #    length i is an (i+1)-label rule (valid only when the host
     #    actually has the extra label);
     #  - no match at all -> the implicit '*' rule -> 1 label.
-    pub = F.lit(None).cast("int")
+    #
+    # Built as ONE flat CaseWhen (r16, guide §7.3): the former nested
+    # form `when(chain.isNotNull(), chain).when(cond, L)` embedded the
+    # previous chain twice per level — 2^6 structural copies of the
+    # exception chain that every optimizer pass re-traversed, and the
+    # whole tree was then inlined four times into reg/suf below. Flat
+    # branch order carries the same priority: exceptions (shortest
+    # candidate first, matching the old outermost wrap) above effective
+    # rule lengths descending.
     # exceptions first (spec: exception rule prevails over everything)
-    for i in range(MAX_RULE_LABELS, 0, -1):
-        pub = F.when(F.col(f"_exc{i}") == 1, F.lit(i - 1)).otherwise(pub)
+    chain = F.when(F.col("_exc1") == 1, F.lit(0))
+    for i in range(2, MAX_RULE_LABELS + 1):
+        chain = chain.when(F.col(f"_exc{i}") == 1, F.lit(i - 1))
     # then longest effective rule, descending: at effective length L,
     # a wildcard tail of L-1 labels and an exact rule of L labels tie;
     # rules are unique so a genuine tie picks the exact form (same L).
-    chain = pub
     for L in range(MAX_RULE_LABELS + 1, 0, -1):
         cond = F.lit(False)
         if L <= MAX_RULE_LABELS:
             cond = cond | (F.col(f"_exact{L}") == 1)
         if L - 1 >= 1 and L - 1 <= MAX_RULE_LABELS:
             cond = cond | ((F.col(f"_wild{L-1}") == 1) & (nlab >= L))
-        chain = F.when(chain.isNotNull(), chain).when(cond, F.lit(L))
+        chain = chain.when(cond, F.lit(L))
     pub = F.when(F.col(tmp).isNull(), F.lit(None).cast("int")).otherwise(
         F.coalesce(chain, F.lit(1))
     )
