@@ -3808,10 +3808,19 @@ def q_annealing_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id", ws_token_count("text").cast("long").alias("n_tokens")
-    ).join(
-        quality_features(docs).select("doc_id", "quality"), "doc_id"
+    # single corpus scan: the ws token count rides through
+    # quality_features' projection (carry=) instead of a join of two
+    # corpus projections back on doc_id — same multiset (both sides
+    # were row-preserving maps of the same table), one scan, no join;
+    # this is also the oracle CTE's own shape (one FROM documents).
+    base = quality_features(
+        docs.select(
+            "doc_id", "text",
+            ws_token_count("text").cast("long").alias("_n_ws"),
+        ),
+        carry=("_n_ws",),
+    ).select(
+        "doc_id", F.col("_n_ws").alias("n_tokens"), "quality"
     ).withColumn("uniform", F.lit(1.0))
     return phase_budget_schedule(
         base, key_col="doc_id", token_col="n_tokens",

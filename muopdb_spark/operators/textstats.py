@@ -62,6 +62,7 @@ def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
 
 def quality_features(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document quality features + composite score in [0, 1]:
 
@@ -69,6 +70,12 @@ def quality_features(
       alpha_frac = alnum+space chars / chars       (boilerplate penalty)
       stop_hit   = min(1, 5 * stopword_ratio)      (natural-language-ness)
       quality    = len_score * alpha_frac * (0.5 + 0.5 * stop_hit)
+
+    ``carry``: names of ``df`` columns passed through to the output
+    verbatim — lets a caller that also needs non-quality per-doc
+    columns (e.g. a differently-tokenized token count) get them from
+    this same single scan instead of joining two corpus projections
+    back on ``id_col``.
     """
     # stage the token array once per row — the expressions below
     # reference it many times and only attribute refs are re-eval-free
@@ -78,6 +85,7 @@ def quality_features(
         simple_tokens(text_col).alias("_toks"),
         F.length(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", ""))
         .cast("long").alias("_alnum_ws"),
+        *carry,
     )
     toks = F.col("_toks")
     n_chars = F.col("n_chars")
@@ -101,6 +109,7 @@ def quality_features(
         F.round(alpha_frac, 6).alias("alpha_frac"),
         F.round(stop, 6).alias("stopword_ratio"),
         F.round(quality, 6).alias("quality"),
+        *carry,
     )
 
 

@@ -718,3 +718,25 @@ def test_fim_plan_is_pure_jvm(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     plan = fim_transform(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_quality_features_carry_matches_join(spark, sf_dir):
+    """carry= passthrough is bit-identical to joining the carried
+    projection back on doc_id, and its plan stays join-free (the
+    point of the parameter: one corpus scan instead of two)."""
+    from muopdb_spark.operators.textstats import quality_features, ws_token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    joined = docs.select(
+        "doc_id", ws_token_count("text").cast("long").alias("n_ws")
+    ).join(quality_features(docs), "doc_id")
+    carried = quality_features(
+        docs.select(
+            "doc_id", "text", ws_token_count("text").cast("long").alias("n_ws")
+        ),
+        carry=("n_ws",),
+    ).select(*joined.columns)
+    assert carried.exceptAll(joined).count() == 0
+    assert joined.exceptAll(carried).count() == 0
+    plan = carried._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
