@@ -554,11 +554,21 @@ def main() -> None:
         if len(line) <= 1990:
             break
     else:
-        # guaranteed-fit last resort: if even deciseconds overflow the
-        # window (enough new queries / a pathologically slow sweep),
-        # keep the line parseable and point at the committed full
-        # artifact rather than letting the tail cut recreate the
-        # BENCH_r10/r11 "parsed": null failure
+        # Guaranteed-fit last resort, r17 revision (r16 VERDICT item
+        # #2): at 90 timed queries neither the cs nor the ds dict fits
+        # 1990 chars (the names alone are ~1930 chars with JSON
+        # syntax), and the r15/r16 fallback carried NO per-query
+        # values, which left the driver's per-query diff and scaling
+        # blocks empty for two rounds. This rung therefore emits the
+        # per-query values as a compact INTEGER-CENTISECOND array
+        # ("qv", ~460 chars) in exactly the order of the committed
+        # bench.BENCH_QUERIES list ("qorder" names that list; names
+        # stay off the line to fit the 2000-char stdout tail the
+        # driver captures). Every name->value pair is still published
+        # in full 3dp seconds in the committed BENCH_FULL.json
+        # ("queries_file"), unchanged from the r16 fallback. The
+        # timed loop, methodology and BENCH_QUERIES are untouched —
+        # this changes only how the measurement is SERIALIZED.
         line = json.dumps(
             {
                 "metric": "headline_query_wall_time",
@@ -567,10 +577,47 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "queries_file": "BENCH_FULL.json",
+                "qunit": "cs",
+                "qorder": "bench.BENCH_QUERIES",
+                "qv": [int(round(timings[q] * 100))
+                       for q in BENCH_QUERIES],
                 **oc_summary,
             },
             separators=(",", ":"),
         )
+        if len(line) > 1990:
+            # pathological sweep (many 100 s+ values): degrade qv to
+            # deciseconds, then drop it entirely before ever letting
+            # the tail cut truncate the line mid-JSON
+            line = json.dumps(
+                {
+                    "metric": "headline_query_wall_time",
+                    "value": total,
+                    "unit": "sec",
+                    "sf": sf,
+                    "n_queries": len(timings),
+                    "queries_file": "BENCH_FULL.json",
+                    "qunit": "ds",
+                    "qorder": "bench.BENCH_QUERIES",
+                    "qv": [int(round(timings[q] * 10))
+                           for q in BENCH_QUERIES],
+                    **oc_summary,
+                },
+                separators=(",", ":"),
+            )
+        if len(line) > 1990:
+            line = json.dumps(
+                {
+                    "metric": "headline_query_wall_time",
+                    "value": total,
+                    "unit": "sec",
+                    "sf": sf,
+                    "n_queries": len(timings),
+                    "queries_file": "BENCH_FULL.json",
+                    **oc_summary,
+                },
+                separators=(",", ":"),
+            )
     print(line)
 
 

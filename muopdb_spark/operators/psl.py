@@ -130,6 +130,15 @@ def load_psl_rules(
 # any task ran). One eager localCheckpoint turns it into a compact
 # LogicalRDD leaf; later queries in the same session reuse the
 # handle. Keyed by applicationId so a new session rebuilds it.
+#
+# CAVEAT (ADVICE r16, documented): localCheckpoint blocks are NOT
+# recomputable — on a cluster with dynamic allocation / executor
+# loss, a dead handle makes every later PSL query in the application
+# fail until the session restarts (the cache is keyed only by
+# applicationId). On such deployments prefer rebuilding per query or
+# persist(MEMORY_AND_DISK_2): the table is ~10k rows, the rebuild
+# cost is ~0.6 s. local[*] (this repo's bench/driver shape) and
+# static-allocation clusters are unaffected.
 _RULES_DF_CACHE: dict[tuple, DataFrame] = {}
 
 
@@ -230,17 +239,34 @@ def with_registered_domain(
     # into ReusedExchange nodes (plan-audited in plans/r16/), and the
     # plan carries ONE copy of the embedded rules data instead of
     # five.
+    # r17 (ADVICE r16): the rename above the join used to be a bare
+    # withColumnsRenamed({"suffix": "_s1", ...}), which renames EVERY
+    # column matching suffix/exact/wild/exc — including ones already
+    # present on the caller's DataFrame — and the final drop() then
+    # silently removed them (an input with its own 'suffix' column
+    # lost it). The rename is now a projection through QUALIFIED refs:
+    # the caller side's columns ride through the _l{i} alias verbatim
+    # (whatever their names), and only the joined rule columns are
+    # renamed via the _r{i} alias. The Project sits ABOVE the join, so
+    # the five broadcast subtrees still canonicalize identically and
+    # joins 2-5 stay ReusedExchange (the r16 shared-broadcast win —
+    # re-verified in plans/r17/).
     r_shared = F.broadcast(rules)
     for i in range(1, MAX_RULE_LABELS + 1):
         cand = F.when(
             nlab >= i, F.substring_index(F.col(tmp), ".", -i)
         ).otherwise(F.lit(None))
         r = r_shared.alias(f"_r{i}")
-        out = out.join(
+        left = out.alias(f"_l{i}")
+        left_cols = out.columns
+        out = left.join(
             r, cand == F.col(f"_r{i}.suffix"), "left"
-        ).withColumnsRenamed(
-            {"suffix": f"_s{i}", "exact": f"_exact{i}",
-             "wild": f"_wild{i}", "exc": f"_exc{i}"}
+        ).select(
+            *[F.col(f"_l{i}.{c}").alias(c) for c in left_cols],
+            F.col(f"_r{i}.suffix").alias(f"_s{i}"),
+            F.col(f"_r{i}.exact").alias(f"_exact{i}"),
+            F.col(f"_r{i}.wild").alias(f"_wild{i}"),
+            F.col(f"_r{i}.exc").alias(f"_exc{i}"),
         )
 
     # public-suffix label count of the prevailing rule:

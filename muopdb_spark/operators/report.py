@@ -44,7 +44,17 @@ def source_report(
     """Build the per-source report. ``bench_grams``: a distinct `gram`
     table (contamination.benchmark_grams output) switches on the
     contaminated_rate column; ``lang_col`` switches on top_lang +
-    n_langs."""
+    n_langs.
+
+    PRECONDITION (ADVICE r16, documented): ``id_col`` must be
+    NON-NULL and UNIQUE per row. The language rollup reads the bare
+    (source, lang) projection while the other rates read the
+    quality/dedup join of the same table — identical multisets only
+    when the inner joins on ``id_col`` are exactly row-preserving,
+    i.e. no NULL ids (dropped by the joins, kept by the projection)
+    and no duplicate ids (multiplied by the joins). Every curation
+    source in this repo satisfies it (doc_id is the primary key);
+    pre-filter/dedup upstream if yours does not."""
     from muopdb_spark.operators.contamination import (
         contamination_report_vs_grams,
     )

@@ -276,8 +276,34 @@ def unigram_train(
     )
 
 
-# word -> pieces, per (max_piece_len, vocab) — see unigram_apply
-_UNIGRAM_WORD_CACHE: dict[tuple, dict[str, list]] = {}
+# word -> pieces, per (max_piece_len, vocab) — see unigram_apply.
+# r17 (r16 VERDICT #4 + ADVICE): digest-keyed (the raw sorted-vocab
+# tuple key was re-hashed by setdefault every Arrow batch) and
+# size-capped, same shape and rationale as vocab._BPE_WORD_CACHE.
+_UNIGRAM_WORD_CACHE: dict[str, dict[str, list]] = {}
+_UNIGRAM_CACHE_MAX_VOCABS = 8
+_UNIGRAM_CACHE_MAX_WORDS = 1 << 20
+
+
+def _unigram_word_encoder(ckey: str, table: dict, mpl: int):
+    """Capped module-level word->pieces memo for one vocabulary."""
+    cache = _UNIGRAM_WORD_CACHE.get(ckey)
+    if cache is None:
+        while len(_UNIGRAM_WORD_CACHE) >= _UNIGRAM_CACHE_MAX_VOCABS:
+            _UNIGRAM_WORD_CACHE.pop(next(iter(_UNIGRAM_WORD_CACHE)))
+        cache = _UNIGRAM_WORD_CACHE[ckey] = {}
+
+    def enc(w: str) -> list[str]:
+        got = cache.get(w)
+        if got is None:
+            if len(cache) >= _UNIGRAM_CACHE_MAX_WORDS:
+                cache.clear()
+            got = cache[w] = unigram_encode_word(
+                w, table, max_piece_len=mpl
+            )
+        return got
+
+    return enc
 
 
 def unigram_apply(
@@ -294,25 +320,23 @@ def unigram_apply(
     module level keyed by the vocabulary itself (r16 — survives
     across Arrow batches and reused workers instead of being rebuilt
     per batch; guide §4.5, same shape as vocab._BPE_WORD_CACHE)."""
+    import hashlib
+
     import pandas as pd
 
     table = dict(logp)
     mpl = int(max_piece_len)
-    ckey = (mpl,) + tuple(sorted(table.items()))
+    # digest computed ONCE here (driver); executors hash a short hex
+    # string per batch instead of the full vocab tuple
+    ckey = hashlib.md5(
+        repr((mpl, sorted(table.items()))).encode()
+    ).hexdigest()
 
     @F.pandas_udf("array<array<string>>")
     def encode(col):
         import re
 
-        cache = _UNIGRAM_WORD_CACHE.setdefault(ckey, {})
-
-        def enc(w: str) -> list[str]:
-            got = cache.get(w)
-            if got is None:
-                got = cache[w] = unigram_encode_word(
-                    w, table, max_piece_len=mpl
-                )
-            return got
+        enc = _unigram_word_encoder(ckey, table, mpl)
 
         split = re.compile(r"[^a-z0-9]+")
 

@@ -314,8 +314,37 @@ def bpe_train(
     return bpe_train_on_words({r["token"]: r["count"] for r in rows}, num_merges)
 
 
-# word -> subwords, per merge list (see bpe_apply docstring)
-_BPE_WORD_CACHE: dict[tuple, dict[str, list]] = {}
+# word -> subwords, per merge list (see bpe_apply docstring).
+# r17 (r16 VERDICT #4 + ADVICE): keyed by an md5 DIGEST of the merge
+# list computed once on the driver (the raw tuple-of-tuples key was
+# re-hashed by setdefault on every Arrow batch), and SIZE-CAPPED —
+# at most _BPE_CACHE_MAX_VOCABS vocabularies resident (FIFO evict)
+# and _BPE_CACHE_MAX_WORDS words per vocabulary (generation clear;
+# always correct for a pure-function memo, the Zipf head repopulates
+# in one batch). Unbounded growth on long-lived reused workers was
+# the scale risk.
+_BPE_WORD_CACHE: dict[str, dict[str, list]] = {}
+_BPE_CACHE_MAX_VOCABS = 8
+_BPE_CACHE_MAX_WORDS = 1 << 20
+
+
+def _bpe_word_encoder(ckey: str, ranks: dict):
+    """Capped module-level word->subwords memo for one merge list."""
+    cache = _BPE_WORD_CACHE.get(ckey)
+    if cache is None:
+        while len(_BPE_WORD_CACHE) >= _BPE_CACHE_MAX_VOCABS:
+            _BPE_WORD_CACHE.pop(next(iter(_BPE_WORD_CACHE)))
+        cache = _BPE_WORD_CACHE[ckey] = {}
+
+    def enc(w: str) -> list[str]:
+        got = cache.get(w)
+        if got is None:
+            if len(cache) >= _BPE_CACHE_MAX_WORDS:
+                cache.clear()
+            got = cache[w] = bpe_encode_word(w, ranks)
+        return got
+
+    return enc
 
 
 def bpe_apply(
@@ -332,10 +361,14 @@ def bpe_apply(
     vocabulary is Zipfian and the module is importable on executors,
     so with worker reuse the cache survives across batches AND tasks
     instead of being rebuilt per Arrow batch; guide §4.5)."""
+    import hashlib
+
     import pandas as pd
 
     ranks = {tuple(p): i for i, p in enumerate(merges)}
-    ckey = tuple(map(tuple, merges))
+    # digest computed ONCE here (driver); executors hash a short hex
+    # string per batch instead of the full merge-list tuple
+    ckey = hashlib.md5(repr(list(map(tuple, merges))).encode()).hexdigest()
 
     # no type annotations: this module uses `from __future__ import
     # annotations`, which stringizes hints pyspark cannot resolve here
@@ -343,13 +376,7 @@ def bpe_apply(
     def encode(col):
         import re
 
-        cache = _BPE_WORD_CACHE.setdefault(ckey, {})
-
-        def enc(w: str) -> list[str]:
-            got = cache.get(w)
-            if got is None:
-                got = cache[w] = bpe_encode_word(w, ranks)
-            return got
+        enc = _bpe_word_encoder(ckey, ranks)
 
         tok = re.compile(r"[^a-z0-9]+")
 

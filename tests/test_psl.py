@@ -181,6 +181,36 @@ def test_plan_is_broadcast_and_python_free(spark):  # noqa: F811
     assert not re.search(r"Exchange hashpartitioning", plan)
 
 
+def test_caller_columns_named_like_rule_columns_survive(spark):  # noqa: F811
+    """r17 regression (ADVICE r16, medium): the per-join rename used
+    to hit EVERY column matching suffix/exact/wild/exc — including the
+    caller's own — and the final drop() silently removed them. A
+    caller column named 'suffix' (e.g. a previous PSL call's
+    suffix_col output, chained) must ride through untouched."""
+    df = spark.createDataFrame(
+        [("www.example.co.uk", "keep-me", 7)],
+        "host string, suffix string, exact int",
+    )
+    out = with_registered_domain(
+        df, host_col="host", out_col="dom", suffix_col="suf"
+    )
+    assert set(out.columns) == {"host", "suffix", "exact", "dom", "suf"}
+    row = out.collect()[0]
+    assert row["suffix"] == "keep-me" and row["exact"] == 7
+    assert row["dom"] == "example.co.uk" and row["suf"] == "co.uk"
+    # chaining two PSL calls with suffix_col='suffix' (the ADVICE
+    # repro): the first call's output column must survive the second
+    df2 = with_registered_domain(
+        spark.createDataFrame([("a.b.example.com",)], "host string"),
+        host_col="host", out_col="d1", suffix_col="suffix",
+    )
+    row2 = with_registered_domain(
+        df2, host_col="host", out_col="d2", suffix_col="s2"
+    ).collect()[0]
+    assert row2["suffix"] == "com" and row2["s2"] == "com"
+    assert row2["d1"] == row2["d2"] == "example.com"
+
+
 def test_arg_errors(spark):  # noqa: F811
     df = spark.createDataFrame([("a.com",)], "host string")
     with pytest.raises(ValueError):
