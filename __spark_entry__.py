@@ -5164,15 +5164,36 @@ def q_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition witness for examples/curation_pipeline.py. Every
     operator here also has its own standalone driver row."""
     from muopdb_spark.operators.contamination import contamination_report_split
-    from muopdb_spark.operators.dedup import exact_dedup
     from muopdb_spark.operators.quality import gopher_quality_flags
     from muopdb_spark.operators.sampling import stratified_hash_sample
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    s1 = docs.join(
-        exact_dedup(docs).filter("is_canonical").select("doc_id"),
-        "doc_id", "left_semi",
-    ).localCheckpoint(eager=True)
+    # r17 (r16 VERDICT #4), measured outcome: a full narrow-keep-set
+    # rewrite (checkpoint doc_id sets only, re-read docs per gate via
+    # semi joins) was BUILT, oracle-verified at all three SFs, and
+    # REVERTED on an interleaved same-session A/B — best rep 4.52 s vs
+    # 3.67 s for the checkpoint chain (the three added broadcast semi
+    # joins cost more than the text materialization they avoid; jobs
+    # 21 -> 22/24 in the statusTracker count). The s1/s2 text pins are
+    # load-bearing: each is read by the next gate's text-consuming
+    # pass, so dropping them trades one block-store write for an extra
+    # full parquet scan + join per stage. Two pieces survive, each a
+    # strict improvement with the job structure unchanged:
+    #   - canonical ids come from groupBy(fingerprint).min(doc_id)
+    #     (partial-agg, map-side combined — is_canonical is literally
+    #     "id == min(id) over fingerprint") instead of planning the
+    #     full exact_dedup window + filter as the join's build side;
+    #   - the stage-3 pin stores (doc_id, lang) only: its ONLY
+    #     consumers are the count row and the lang-stratified sampler,
+    #     so the third text materialization was pure waste.
+    from muopdb_spark.operators.dedup import fingerprint as _fp
+
+    can_ids = (
+        docs.select(_fp("text").alias("_fp"), "doc_id")
+        .groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s1 = docs.join(can_ids, "doc_id", "left_semi").localCheckpoint(eager=True)
     report = contamination_report_split(
         s1, F.col("id") % 20 == 0, n=3, threshold=0.2
     )
@@ -5180,12 +5201,16 @@ def q_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         report.filter(~F.col("is_contaminated")).select("doc_id"),
         "doc_id", "left_semi",
     ).localCheckpoint(eager=True)
-    s3 = s2.join(
-        gopher_quality_flags(s2)
-        .filter(F.col("alpha_frac") >= 0.8)
-        .select("doc_id"),
-        "doc_id", "left_semi",
-    ).localCheckpoint(eager=True)
+    s3 = (
+        s2.join(
+            gopher_quality_flags(s2)
+            .filter(F.col("alpha_frac") >= 0.8)
+            .select("doc_id"),
+            "doc_id", "left_semi",
+        )
+        .select("doc_id", "lang")
+        .localCheckpoint(eager=True)
+    )
     s4 = stratified_hash_sample(
         s3, strata_col="lang", key_col="doc_id",
         fractions={"en": 0.5}, default_fraction=1.0,

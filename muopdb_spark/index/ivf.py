@@ -472,14 +472,26 @@ def ivf_search_batch(
             approx = rabitq_est_score_batch(index.codebook)
         carry = ["qv", "vector"] if rerank is not None else []
         scored = cand.select("query_id", "id", *carry, approx.alias("adc"))
-        # V21 dedup per (query, id), then per-query candidate cut
-        wdup = Window.partitionBy("query_id", "id").orderBy(F.col("adc").asc())
+        # V21 dedup per (query, id), then per-query candidate cut.
+        # r17 (guide §2.4, r16 VERDICT #5): ONE exchange instead of
+        # two — an explicit repartition on query_id satisfies both the
+        # dedup aggregate (its (query_id, id) grouping is a superset
+        # of the clustering) and every later per-query window, where
+        # the old row_number-over-(query_id, id) dedup forced its own
+        # (query_id, id) exchange that the following per-query window
+        # could not reuse. Duplicate (query, id) candidate rows are
+        # multi-assignment copies with IDENTICAL adc/qv/vector, so
+        # min/first reproduce the old keep-one-row semantics exactly.
         wcut = Window.partitionBy("query_id").orderBy(
             F.col("adc").asc_nulls_last(), F.col("id").asc()
         )
         pool = (
-            scored.withColumn("rn", F.row_number().over(wdup))
-            .filter(F.col("rn") == 1)
+            scored.repartition("query_id")
+            .groupBy("query_id", "id")
+            .agg(
+                F.min("adc").alias("adc"),
+                *[F.first(c).alias(c) for c in carry],
+            )
             .withColumn("rk", F.row_number().over(wcut))
             .filter(F.col("rk") <= (rerank if rerank is not None else k))
         )
@@ -496,6 +508,11 @@ def ivf_search_batch(
             .select("query_id", "id", "score")
         )
     score = F.round(exact, score_decimals) if score_decimals is not None else exact
+    # (examined r17, left alone: this aggregate already rides the
+    # probe window's hashpartitioning(query_id) through the broadcast
+    # postings join — plan-verified zero extra exchange, so the
+    # quantized branch's repartition treatment has nothing to save
+    # here)
     per_pair = (
         cand.select("query_id", "id", score.alias("score"))
         .groupBy("query_id", "id").agg(F.min("score").alias("score"))

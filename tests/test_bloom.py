@@ -69,6 +69,7 @@ def test_word_table_matches_referee_bitmap(spark):
     # 63 is set — normalize both sides to unsigned
     got = {w: b & ((1 << 64) - 1) for w, b in table.items()}
     assert got == want
+@pytest.mark.slow
 
 
 def test_no_false_negatives_and_bounded_false_positives(spark):
@@ -96,6 +97,7 @@ def test_no_false_negatives_and_bounded_false_positives(spark):
     assert fp / total_clean_grams < 0.05
 
 
+@pytest.mark.slow
 def test_false_positive_rate_shrinks_with_m(spark):
     bench, corpus = _bench_df(spark), _corpus_df(spark)
     rates = []

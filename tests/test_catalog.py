@@ -103,6 +103,7 @@ def test_term_search_with_stemming(col, spark):
     assert [r["doc_id"] for r in got.collect()] == [1, 5]
     got = col.term_search([0], {"contains": {"path": "category", "value": "news"}}, 10)
     assert [r["doc_id"] for r in got.collect()] == [1]
+@pytest.mark.slow
 
 
 def test_mvcc_snapshot_versions(col, spark):
@@ -114,6 +115,7 @@ def test_mvcc_snapshot_versions(col, spark):
     # old version still readable after new flush (MVCC)
     assert col.docs(version=v1).count() == 3
     assert col.docs().count() == 5
+@pytest.mark.slow
 
 
 def test_vacuum_threshold_and_rewrite(col, spark):
@@ -178,6 +180,7 @@ def test_auto_optimize_policies(col, spark):
     assert actions["merged"] is None  # only 1 segment < max_segments
 
 
+@pytest.mark.slow
 def test_build_index_durable_round_trip(col, spark, tmp_path):
     """Durable index contract: build_index() writes per-segment artifacts
     under segments/<seg>/index/, the TOC references them, and a NEW
@@ -221,6 +224,7 @@ def test_build_index_durable_round_trip(col, spark, tmp_path):
     assert [r["id"] for r in got] == [9]
 
 
+@pytest.mark.slow
 def test_ann_search_tombstone_and_prefilter(col, spark):
     col.insert(_docs_df(spark, R1)); col.insert(_docs_df(spark, R2))
     col.flush()
@@ -254,6 +258,7 @@ def test_term_search_indexed_durable(col, spark):
     col.remove([0], [1])
     got = col.term_search_indexed([0, 1], [("title", "run")], 10)
     assert [r["doc_id"] for r in got.collect()] == [5]
+@pytest.mark.slow
 
 
 def test_pq_collection_durable_index(spark, tmp_path):
@@ -342,6 +347,7 @@ def test_pq_quantizer_gated_and_search(spark, tmp_path):
     raw = Collection.create(spark, str(tmp_path), cfg2)
     with pytest.raises(ValueError, match="quantizer"):
         raw.build_quantizer()
+@pytest.mark.slow
 
 
 def test_concurrent_writers_mint_distinct_seq_nos(spark, tmp_path):

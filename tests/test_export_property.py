@@ -33,6 +33,7 @@ def py_chunks(tokens: list[str], size: int, overlap: int) -> list[tuple[int, str
     size=st.sampled_from([2, 3, 8, 32]),
     overlap=st.integers(0, 7),
 )
+@pytest.mark.slow
 def test_chunker_matches_python(spark, n_tokens, size, overlap):
     if overlap >= size:
         overlap = size - 1
@@ -61,6 +62,7 @@ def py_shard(doc_id: int, n_shards: int) -> tuple[int, str]:
     ids=st.sets(st.integers(0, 10_000), min_size=1, max_size=40),
     n_shards=st.sampled_from([1, 4, 16]),
 )
+@pytest.mark.slow
 def test_shards_match_md5_reference(spark, ids, n_shards):
     df = spark.createDataFrame([(i,) for i in sorted(ids)], "doc_id long")
     got = {

@@ -86,6 +86,7 @@ def corpus_df(spark):
 @settings(max_examples=25, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(tree=trees)
+@pytest.mark.slow
 def test_compiler_matches_set_semantics(corpus_df, tree):
     expected = sorted(d[0] for d in CORPUS if py_eval(tree, d))
     cond = compile_filter(tree, SCHEMA, id_col="doc_id", stem=False)

@@ -184,6 +184,7 @@ from hypothesis import strategies as st  # noqa: E402
 @given(n=st.integers(1, 40), dim=st.integers(1, 16),
        dtype=st.sampled_from(["<f4", "<f8", "<i4", "<i8"]),
        seed=st.integers(0, 2**31 - 1), offset=st.integers(0, 1000))
+@pytest.mark.slow
 def test_write_probe_read_roundtrip_property(spark, tmp_path_factory,
                                              n, dim, dtype, seed, offset):
     """Any (n, dim) matrix under any supported dtype survives
@@ -325,6 +326,7 @@ def test_chunk_shape_validated(spark, tmp_path):
        cr=st.integers(1, 70), cc=st.integers(1, 14),
        gz=st.booleans(), shuf=st.booleans(), fl=st.booleans(),
        seed=st.integers(0, 2**31 - 1))
+@pytest.mark.slow
 def test_chunked_roundtrip_property(spark, tmp_path_factory,
                                     n, dim, cr, cc, gz, shuf, fl, seed):
     """Any chunk grid (edge chunks, column splits) under any filter
@@ -601,6 +603,7 @@ def test_ragged_embeddings_rejected(spark, tmp_path):
     )
     with pytest.raises(Exception, match="ragged"):
         write_hdf5_vectors(df, str(tmp_path / "r.hdf5"))
+@pytest.mark.slow
 
 
 def test_probe_mutation_fuzz_only_named_refusals():
@@ -813,6 +816,7 @@ def test_ohdr_v2_bad_checksum_rejected(tmp_path):
             parser._ohdr_v2_messages(0)
     finally:
         parser.f.close()
+@pytest.mark.slow
 
 
 def test_v4_mutation_fuzz_only_named_refusals(tmp_path):
@@ -871,6 +875,7 @@ def test_v4_sharded_roundtrip(spark, tmp_path):
        comp=st.sampled_from([None, "gzip", "lzf"]),
        shuf=st.booleans(), fl=st.booleans(),
        small=st.booleans(), seed=st.integers(0, 2**32 - 1))
+@pytest.mark.slow
 def test_v4_roundtrip_property(tmp_path_factory, n, dim, cr, cc, idx,
                                comp, shuf, fl, small, seed):
     """Any chunk grid under any filter stack through any v4 array/
@@ -993,6 +998,7 @@ def test_dense_group_huge_object_refused_by_name(tmp_path):
         assert getter(bytes([0x10 | 2]) + b"abc\x00\x00\x00") == b"abc"
     finally:
         parser.f.close()
+@pytest.mark.slow
 
 
 def test_dense_group_mutation_fuzz_only_named_refusals(tmp_path):
@@ -1024,6 +1030,7 @@ def test_dense_group_mutation_fuzz_only_named_refusals(tmp_path):
        width=st.integers(2, 5), cs=st.booleans(),
        node=st.sampled_from([128, 512]),
        seed=st.integers(0, 2**32 - 1))
+@pytest.mark.slow
 def test_dense_group_roundtrip_property(tmp_path_factory, k, start, maxd,
                                         width, cs, node, seed):
     """Any link count across any heap geometry (root direct incl.

@@ -153,6 +153,7 @@ def test_recursive_split_bounds_posting_size(clustered):
     assert idx.postings.count() == clustered.count()
 
 
+@pytest.mark.slow
 def test_recursive_split_training_is_bounded(clustered, monkeypatch):
     """V7 scale contract (r16): re-clustering an oversized posting list
     must fit from a bounded pre-sample, never materialize the whole
@@ -214,6 +215,7 @@ def test_multi_assignment_closure(clustered):
     out = ivf_search(idx, [0.0] * DIM, 10, num_probes=3).collect()
     ids = [r["id"] for r in out]
     assert len(ids) == len(set(ids)) == 10
+@pytest.mark.slow
 
 
 def test_batch_search_one_plan_matches_per_query(index, clustered, spark):
@@ -248,6 +250,7 @@ def test_batch_search_one_plan_matches_per_query(index, clustered, spark):
             assert got[qid] == single, f"query {qid} cfg {cfg}"
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("quantizer", ["pq", "rabitq"])
 @pytest.mark.parametrize("rerank", [None, 50])
 def test_batch_search_quantized_matches_per_query(clustered, spark, quantizer, rerank):

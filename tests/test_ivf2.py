@@ -126,6 +126,7 @@ def directional(spark):
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("metric", ["cosine", "dot"])
 def test_pruned_meta_recall_non_l2(directional, metric):
     # ADVICE r5: the pruned meta probe was recall-gated only on L2 —

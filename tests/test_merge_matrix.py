@@ -115,6 +115,7 @@ def test_merge_with_terms(col3, spark):
 
 # 6. merge.rs:672 test_merge_optimizer_with_multiple_terms_per_doc —
 #    every token of a multi-token doc keeps hitting it after merge
+@pytest.mark.slow
 def test_merge_multiple_terms_per_doc(col3, spark):
     _two_segments(col3, spark, titles={
         1: "alpha beta gamma", 2: "beta", 3: "gamma delta",
@@ -145,6 +146,7 @@ def test_merge_terms_multiple_users(col3, spark):
 # 8. merge.rs:1021 test_merge_optimizer_with_terms_and_invalidation —
 #    a removed doc must drop out of term results through the merge,
 #    while other docs carrying the same term keep matching
+@pytest.mark.slow
 def test_merge_terms_and_invalidation(col3, spark):
     _two_segments(col3, spark, titles={
         1: "target one", 2: "target two", 3: "bystander",
@@ -160,6 +162,7 @@ def test_merge_terms_and_invalidation(col3, spark):
 
 
 # --- compaction interplay (r11 review additions) ---
+@pytest.mark.slow
 
 
 def test_vacuum_under_delete_race(col3, spark):

@@ -128,6 +128,7 @@ def test_sq_batch_equals_per_request(spark, skewed, sq_index):
             ).collect()
         ]
         assert sorted(by_req[rid]) == sorted(single)
+@pytest.mark.slow
 
 
 def test_collection_sq_quantizer_end_to_end(spark, tmp_path):

@@ -98,6 +98,7 @@ def test_per_user_opq_lowers_minority_mse(spark, skewed_aniso):
     assert quantization_mse(off, mine) < quantization_mse(off, shared)
 
 
+@pytest.mark.slow
 def test_per_user_opq_closes_minority_recall_gap(spark, skewed_aniso):
     df, dom, off = skewed_aniso
     kw = dict(num_centroids=4, seed=42, pq_subvectors=8, pq_centers=32)

@@ -52,6 +52,7 @@ def _recall(idx, exact_idx, user, queries, k=10, **kw):
     return float(np.mean(hits))
 
 
+@pytest.mark.slow
 def test_per_user_pq_closes_minority_recall_gap(spark, skewed):
     df, dom, off = skewed
     kw = dict(num_centroids=4, seed=42, pq_subvectors=8, pq_centers=32)
@@ -71,6 +72,7 @@ def test_per_user_pq_closes_minority_recall_gap(spark, skewed):
     # and the dominant user keeps its recall
     qd = dom[rng.choice(len(dom), 8, replace=False)]
     assert _recall(per_user, exact, 0, qd, rerank=40) >= 0.95
+@pytest.mark.slow
 
 
 def test_per_user_pq_save_load_roundtrip(spark, skewed, tmp_path):
@@ -93,6 +95,7 @@ def test_per_user_pq_save_load_roundtrip(spark, skewed, tmp_path):
     assert a == b and len(a) == 5
 
 
+@pytest.mark.slow
 def test_per_user_pq_batch_matches_single(spark, skewed):
     df, dom, off = skewed
     idx = build_multi_ivf(
@@ -130,6 +133,7 @@ def test_per_user_pq_missing_codebook_fails_loudly(spark, skewed):
         pq_encode_per_user(df, books).collect()
 
 
+@pytest.mark.slow
 def test_collection_pq_user_quantizer_end_to_end(spark, tmp_path):
     """Collection-level quantizer='pq_user': insert -> flush ->
     build_index (per-user codebook table at the collection root, codes

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from muopdb_spark.operators.contamination import benchmark_grams
 from muopdb_spark.operators.report import source_report
 
@@ -39,6 +41,7 @@ def test_report_top_lang_deterministic_tie(spark):
     ]
     r = source_report(_docs(spark, rows), lang_col="lang").collect()[0]
     assert r["top_lang"] == "de" and r["n_langs"] == 2
+@pytest.mark.slow
 
 
 def test_report_contamination_rate(spark):

@@ -136,3 +136,35 @@ def test_weights_partition_invariant(spark):
     r1 = sorted((r.doc_id, r.soft_weight) for r in soft_dedup_weights(df1).collect())
     r8 = sorted((r.doc_id, r.soft_weight) for r in soft_dedup_weights(df8).collect())
     assert r1 == r8
+
+
+def test_salted_two_level_form_is_bit_identical(spark):
+    """r17 (r16 VERDICT #6): the hot-gram escape — df via a salted
+    (gh, salt) two-level aggregate + join-back — returns bit-identical
+    weights to the default window form, and its plan carries the
+    salted partial aggregate instead of a window."""
+    texts = [f"document number {i} with shared boilerplate tail" for i in range(10)]
+    texts += ["shared boilerplate tail" for _ in range(5)]  # a hot gram
+    df = _docs(spark, *texts)
+    base = sorted(
+        (r.doc_id, r.n_grams, r.soft_weight)
+        for r in soft_dedup_weights(df, n=3).collect()
+    )
+    for s in (4, 16):
+        salted = sorted(
+            (r.doc_id, r.n_grams, r.soft_weight)
+            for r in soft_dedup_weights(df, n=3, hot_gram_salts=s).collect()
+        )
+        assert salted == base
+    plan = (
+        soft_dedup_weights(df, n=3, hot_gram_salts=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan  # the skew-prone node is gone
+    assert "pmod" in plan and "xxhash64" in plan  # the salt
+    # salts <= 1 (or None) keep the single-pass window form
+    plan_w = (
+        soft_dedup_weights(df, n=3, hot_gram_salts=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" in plan_w

@@ -5,6 +5,8 @@ the hand fixtures), and vocab counts vs collections.Counter."""
 
 from __future__ import annotations
 
+import pytest
+
 from collections import Counter
 
 from hypothesis import HealthCheck, given, settings
@@ -41,6 +43,7 @@ def _py_span_stats(texts: list[str], k: int) -> dict[int, tuple[int, int]]:
     texts=st.lists(_doc, min_size=1, max_size=6),
     k=st.sampled_from([1, 2, 3, 5]),
 )
+@pytest.mark.slow
 def test_span_stats_match_bruteforce(spark, texts, k):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
@@ -55,6 +58,7 @@ def test_span_stats_match_bruteforce(spark, texts, k):
 @settings(max_examples=15, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(texts=st.lists(_doc, min_size=1, max_size=6))
+@pytest.mark.slow
 def test_vocab_counts_match_counter(spark, texts):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"

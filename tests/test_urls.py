@@ -165,6 +165,7 @@ def _domain_cap_single_window(df, *, cap, order_col=None):
         .filter(F.col("domain").isNull() | (F.col("_rn") <= cap))
         .drop("_rn")
     )
+@pytest.mark.slow
 
 
 def test_domain_cap_salted_matches_single_window(spark):
