@@ -4657,8 +4657,13 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     uni, big, vocab = _lm_index(spark, sf_dir)
-    scored = score_bits_per_token(docs, uni, big, vocab).join(
-        docs.select("doc_id", "lang"), "doc_id"
+    # r17 (§2.4, the smp10 carry pattern): lang rides through the
+    # scorer's own per-doc projection instead of a second docs scan +
+    # join back on doc_id — same multiset (the old inner join was
+    # row-preserving over the unique non-null doc_id key), one scan
+    # and one join fewer
+    scored = score_bits_per_token(
+        docs, uni, big, vocab, carry=("lang",)
     ).select(
         "doc_id", "lang",
         F.round("bits_per_token", 6).alias("bits_per_token"),

@@ -172,8 +172,15 @@ def score_bits_per_token(
     k: float = 0.5,
     keep: DataFrame | None = None,
     stream: DataFrame | None = None,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id_col, n_bigrams, bits_per_token) for every input doc.
+    """(id_col, *carry, n_bigrams, bits_per_token) for every input doc.
+
+    ``carry`` (r17, the smp10 quality_features pattern): extra ``df``
+    columns to ride through the final per-doc projection, so a caller
+    that needs e.g. the language next to the score does not plan a
+    second ``df`` scan + join back on the id (requires the usual
+    unique/non-null id precondition the join form also relied on).
 
     bits = -log2((c12 + k) / (c1 + k·V)) per bigram, averaged per doc;
     unseen bigrams/contexts get the add-k floor (counts coalesce to 0).
@@ -217,10 +224,11 @@ def score_bits_per_token(
         F.count("*").alias("n_bigrams"), F.avg("bits").alias("bpt")
     )
     return (
-        df.select(F.col(id_col).alias("id"))
+        df.select(F.col(id_col).alias("id"), *[F.col(c) for c in carry])
         .join(agg, "id", "left")
         .select(
             F.col("id").alias(id_col),
+            *[F.col(c) for c in carry],
             F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
             F.round(F.coalesce(F.col("bpt"), F.lit(0.0)), 6).alias("bits_per_token"),
         )
